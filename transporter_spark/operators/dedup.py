@@ -1,0 +1,387 @@
+"""Corpus deduplication operators — exact and near-duplicate.
+
+These are the scale-path operators a 100TB training-data pipeline needs.
+Design rules: everything is expressed as joins/aggregations over
+*exploded shingle* frames so Catalyst distributes them; candidate
+generation is always bucketed (hash group or LSH band) so no all-pairs
+comparison ever materializes; the only cross-engine-stable hash used is
+md5 (available in Spark, DuckDB, and every warehouse) so results are
+reproducible and oracle-checkable.
+
+Cross-engine hash note: Spark's ``hash()``/``xxhash64`` are
+Spark-specific seeds; md5-prefix-as-int is the portable choice. At
+production scale swap ``_stable_hash64`` to ``xxhash64`` (faster, same
+distribution) — semantics are unchanged, only reproducibility across
+engines is lost.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from transporter_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+def stable_hash32(col: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex digits of md5 as a bigint
+    (0 .. 2^32-1). Same value computable in DuckDB:
+    CAST(from_hex-style conv of substr(md5(x),1,8) — see tests)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def tokens(col_name: str) -> Column:
+    """Whitespace tokenization (non-space runs; no empty tokens)."""
+    return F.expr(f"regexp_extract_all({col_name}, '\\\\S+', 0)")
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    toks = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
+    return F.expr(
+        f"array_distinct(CASE WHEN size({toks}) < {n} "
+        f"THEN array(concat_ws(' ', {toks})) "
+        f"ELSE transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) END)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup — hash groupBy
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact")
+def dedup_exact(
+    cols: Sequence[str], id_col: str = "doc_id"
+) -> Callable[[DataFrame], DataFrame]:
+    """Exact deduplication on md5 of the listed columns: keeps the row
+    with the smallest id per content hash. One shuffle on the 32-hex
+    hash key — uniform by construction, no skew at any scale."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        fingerprint = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+        w_cols = df.columns
+        ranked = df.withColumn("_h", fingerprint).withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("_h").orderBy(F.col(id_col))),
+        )
+        return ranked.filter(F.col("_rn") == 1).select(*w_cols)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact similarity; the verifier for LSH paths)
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """All pairs (a < b) with word-n-gram Jaccard >= threshold.
+
+    Distributed shape: explode distinct shingles -> self-equi-join on the
+    shingle (co-partitioned shuffle join, NOT a cross join) -> count
+    intersections -> Jaccard from |A|,|B|,|A∩B|. The join key is the
+    shingle hash, so frequency skew (stopword shingles) is the one
+    hazard: at scale, drop shingles with document frequency above a cap
+    (they contribute only to pairs that share rarer shingles too).
+    Returns (id_a, id_b, jaccard).
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1  # modulus for the affine hash family
+
+
+def _hash_family(num: int, seed: int = 42) -> List[tuple]:
+    """Deterministic affine-family parameters (a, b). Python-side
+    constants baked into the plan — identical on every run/engine."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE - 1), rnd.randrange(0, _MERSENNE - 1))
+        for _ in range(num)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    (a_i * h32(shingle) + b_i) mod M.
+
+    Shape: explode shingles, compute the 32-bit stable hash once per
+    shingle, then num_hashes element-wise mins in ONE groupBy (map-side
+    partial agg does most of the work; shuffle carries num_hashes longs
+    per doc-partition, not per shingle). a_i * h32 < 2^61+32 risks
+    overflow past int64 — so h32 is first reduced mod M (a no-op for
+    32-bit h) and the product is taken in two 30-bit halves.
+    """
+    fam = _hash_family(num_hashes, seed)
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
+    ).withColumn("h", stable_hash32(F.col("sh")))
+    # (a*h+b) mod M with a < M, h < 2^32: split a = a_hi*2^31 + a_lo so all
+    # intermediate products stay < 2^63.
+    mins = []
+    for i, (a_coeff, b_coeff) in enumerate(fam):
+        a_hi, a_lo = divmod(a_coeff, 1 << 31)
+        expr = (
+            f"pmod(pmod({a_hi}L * pmod(h * {1 << 31}L, {_MERSENNE}L), {_MERSENNE}L)"
+            f" + pmod({a_lo}L * h, {_MERSENNE}L) + {b_coeff}L, {_MERSENNE}L)"
+        )
+        mins.append(F.min(F.expr(expr)).alias(f"mh_{i}"))
+    sig = sh.groupBy("id").agg(*mins)
+    return sig.select(
+        "id", F.array(*[f"mh_{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH banding.
+
+    bands=16 over 64 hashes -> rows-per-band r=4; collision probability
+    ~ 1-(1-j^4)^16 (S-curve centered near j≈0.55). Candidates are pairs
+    sharing at least one full band; with verify=True each candidate is
+    re-scored with exact shingle Jaccard and filtered at `threshold`
+    (the standard dedup pipeline: LSH recalls, exact verifies).
+
+    Scale shape: signatures groupBy -> explode to `bands` rows per doc ->
+    self-join on (band_id, band_signature). No cross join; bucket sizes
+    are the only skew risk (identical boilerplate docs) — cap bucket
+    size upstream if needed.
+    """
+    r = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("signature")[i * r + j].cast("string") for j in range(r)]
+                        ).alias("bsig"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.bsig")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    if not verify:
+        return cand
+    exact = jaccard_pairs(df, text_col, id_col, n, threshold=0.0).withColumnRenamed(
+        "jaccard", "jaccard"
+    )
+    return (
+        cand.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash: bit j of the fingerprint is the sign of
+    sum over tokens of (+1 if bit j of h32(token) else -1).
+
+    Columnar shape: explode tokens, one stable hash per token, then
+    `bits` conditional-sum aggregates in a single groupBy (map-side
+    combine keeps shuffle tiny). Hamming-near pairs come from banding
+    the fingerprint bits (same LSH idea as minhash).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")).alias("tok"),
+    ).withColumn("h", stable_hash32(F.col("tok")))
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = tok.groupBy("id").agg(*sums)
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"b{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return agg.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs whose simhash differs in at most
+    `max_hamming` bits. Pigeonhole banding: split the fingerprint into
+    `bands` > max_hamming chunks; any pair within the radius shares at
+    least one exact chunk -> equi-join on (band, chunk), verify true
+    hamming distance with bit_count(xor)."""
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    width = bits // bands
+    fp = simhash(df, text_col, id_col, bits)
+    banded = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", "simhash", "bc.band", "bc.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def cosine_expr(a: str, b: str) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side:
+    zip_with product + aggregate sum — no Python in the loop."""
+    dot = F.expr(f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)")
+    na = F.expr(f"sqrt(aggregate(zip_with({a}, {a}, (x, y) -> x * y), 0D, (s, v) -> s + v))")
+    nb = F.expr(f"sqrt(aggregate(zip_with({b}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v))")
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_bits: int = 0,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine >= threshold).
+
+    block_bits=0: exact all-pairs via self-join on a trivial key — only
+    for corpus slices that fit a broadcast. block_bits=k>0: sign-LSH
+    blocking — bucket by the signs of the first k components (a crude
+    but deterministic hyperplane family), join within bucket; recall
+    <1.0, the price of scale, verified downstream like minhash."""
+    v = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    if block_bits > 0:
+        sig = F.concat_ws(
+            "",
+            *[
+                F.when(F.col("vec")[i] >= 0, "1").otherwise("0")
+                for i in range(block_bits)
+            ],
+        )
+        v = v.withColumn("blk", sig)
+        cond = (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        cond = F.col("a.id") < F.col("b.id")
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine_expr("a.vec", "b.vec").alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

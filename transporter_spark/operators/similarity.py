@@ -1,0 +1,164 @@
+"""Embedding similarity search (approximate nearest neighbor).
+
+Baseline: brute-force cosine top-k — a broadcast nested-loop join with
+a JVM-side dot product (zip_with/aggregate), then a per-query window
+rank. Scale path: IVF-style bucketing — assign every vector to its
+nearest centroid, search only the query's closest `nprobe` buckets;
+recall < 1 is the price, the candidate multiplier is
+nprobe/num_centroids.
+
+No Python touches vectors in either path; arrays stay in Tungsten rows.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from transporter_spark.registry import register
+from transporter_spark.operators.dedup import cosine_expr
+
+
+def ann_brute_force(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries is broadcast (it is the small side by construction); the
+    corpus streams through once — at 100TB this is one scan + a
+    per-partition top-k (the window is per query-id, and AQE handles
+    the tiny result). Self-matches (same id) are excluded.
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_expr("qvec", "cvec").alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid (IVF cell).
+
+    centroids: (centroid_id, centroid_vec) — small, broadcast. In a real
+    deployment centroids come from a KMeans sample (pyspark.ml.KMeans);
+    any deterministic centroid set works — the engine shape is the same.
+    Output is the corpus plus `cell`, typically written partitioned by
+    cell so probes prune at the file level (partition pruning).
+    """
+    cen = centroids.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("centroid_vec").cast("array<double>").alias("cen_vec"),
+    )
+    scored = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    ).crossJoin(F.broadcast(cen)).select(
+        id_col,
+        "vec",
+        "cell",
+        cosine_expr("vec", "cen_vec").alias("sim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "vec", "cell")
+    )
+
+
+def ann_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-bucketed ANN: search only each query's `nprobe` nearest cells.
+
+    Both sides get cell assignments from the same broadcast centroids;
+    the candidate join is an equi-join on `cell` — co-partitioned
+    shuffle, no cross join. Candidate count ~= corpus * nprobe / n_cells.
+    """
+    indexed = ivf_index(corpus, centroids, id_col, vec_col)
+    cen = centroids.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("centroid_vec").cast("array<double>").alias("cen_vec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    q_cells = (
+        q.crossJoin(F.broadcast(cen))
+        .select("query_id", "qvec", "cell", cosine_expr("qvec", "cen_vec").alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "qvec", "cell")
+    )
+    cand = indexed.join(q_cells, "cell").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = cand.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine_expr("qvec", "vec").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+@register("ann_topk")
+def ann_topk(
+    queries_filter: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> Callable[[DataFrame], DataFrame]:
+    """Registry wrapper: corpus frame in, top-k per query out; the query
+    set is the subset of the corpus matching `queries_filter`."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return ann_brute_force(df, df.filter(queries_filter), k, id_col, vec_col)
+
+    return apply

@@ -1,0 +1,132 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure Column expressions (whole-stage codegen, no Python in the hot
+path) and all deterministic — each has an exact SQL oracle. Heuristics
+are intentionally simple (n-gram/stopword counting); the point is the
+distributed shape: one projection pass over the corpus, no shuffle at
+all until a downstream aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transporter_spark.registry import register
+
+_TOKENS = "regexp_extract_all({col}, '\\\\S+', 0)"
+
+#: tiny per-language stopword sets for the language-ID heuristic.
+#: (A real pipeline swaps in fastText/CLD3 behind the same operator
+#: signature; the *shape* — score-per-language then greatest() — holds.)
+LANG_STOPWORDS: Dict[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que", "por", "con"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"),
+}
+
+
+def token_count(col: str = "text") -> Column:
+    """Whitespace token count (non-space runs)."""
+    return F.size(F.expr(_TOKENS.format(col=col))).cast("long")
+
+
+def char_count(col: str = "text") -> Column:
+    return F.length(F.col(col)).cast("long")
+
+
+def punct_ratio(col: str = "text") -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    punct = F.size(F.expr(f"regexp_extract_all({col}, '[.,;:!?\\'\"()-]', 0)"))
+    return (
+        punct.cast("double")
+        / F.greatest(F.length(F.col(col)), F.lit(1)).cast("double")
+    )
+
+
+def mean_token_len(col: str = "text") -> Column:
+    """Mean token length; deterministic: exact integer sums, one divide."""
+    toks = F.expr(_TOKENS.format(col=col))
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+
+
+def stopword_hits(col: str, words: Sequence[str]) -> Column:
+    """Count of tokens that are in the given stopword set."""
+    toks = F.expr(_TOKENS.format(col=col))
+    return F.size(F.filter(toks, lambda x: F.lower(x).isin(*words))).cast("long")
+
+
+def stopword_ratio(col: str = "text", lang: str = "en") -> Column:
+    toks = F.expr(_TOKENS.format(col=col))
+    return stopword_hits(col, LANG_STOPWORDS[lang]).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite quality heuristic in [0, 1]: rewards mid-length docs,
+    word lengths in the natural-language band, low punctuation noise.
+    Deterministic double arithmetic (same expression = same bits)."""
+    n_tok = token_count(col).cast("double")
+    len_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
+    mtl = mean_token_len(col)
+    word_score = F.when((mtl >= 3.0) & (mtl <= 10.0), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    return (0.4 * len_score + 0.3 * word_score + 0.3 * punct_score).alias("quality")
+
+
+def lang_scores(col: str = "text") -> Dict[str, Column]:
+    return {lang: stopword_hits(col, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(col: str = "text") -> Column:
+    """Predicted language: argmax of stopword hits, deterministic
+    alphabetical tiebreak, 'und' (undetermined) when no hits at all.
+
+    Expressed as a single greatest()/CASE chain — at 100TB this is one
+    codegen'd projection, no UDF, no shuffle."""
+    scores = lang_scores(col)
+    langs = sorted(scores)  # alphabetical tiebreak
+    best = F.greatest(*[scores[lang] for lang in langs])
+    out = F.lit("und")
+    # reversed so earlier (alphabetically smaller) languages win ties
+    for lang in reversed(langs):
+        out = F.when(scores[lang] == best, lang).otherwise(out)
+    return F.when(best > 0, out).otherwise("und")
+
+
+def fingerprint(col: str = "text", prefix_chars: int = 64) -> Column:
+    """Polynomial rolling hash of the first `prefix_chars` characters:
+    h = fold(h * 131 + ascii(char)) mod (2^31 - 1).
+
+    Portable across engines (same fold in DuckDB via list_reduce) and
+    collision-cheap enough for prefix bucketing / shard routing."""
+    return F.expr(
+        f"aggregate(sequence(1, least(length({col}), {prefix_chars})), 0L, "
+        f"(acc, i) -> (acc * 131 + ascii(substr({col}, i, 1))) % 2147483647)"
+    )
+
+
+@register("text_stats")
+def text_stats(col: str = "text") -> Callable[[DataFrame], DataFrame]:
+    """Append the full text-analysis column set to a corpus frame."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("n_tokens", token_count(col))
+            .withColumn("n_chars_m", char_count(col))
+            .withColumn("punct_ratio", punct_ratio(col))
+            .withColumn("mean_token_len", mean_token_len(col))
+            .withColumn("quality", quality_score(col))
+            .withColumn("lang_pred", lang_id(col))
+            .withColumn("fingerprint", fingerprint(col))
+        )
+
+    return apply

@@ -1,0 +1,289 @@
+"""Per-message transforms, vectorized.
+
+Parity with the reference's function set (SURVEY.md §2.3). Each factory
+returns a pure ``DataFrame -> DataFrame``; all of them work both on
+*envelope* frames (op/ts/ns/data-struct — they rewrite the ``data``
+struct) and on plain frames (they rewrite top-level columns). The
+reference applies these one message at a time in a goroutine
+(pipeline/node.go:596-619); here each is a Column expression inside one
+Catalyst plan, so a chain of transforms fuses into a single
+whole-stage-codegen projection/filter — no per-row interpreter.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Callable, Dict, Iterable, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from transporter_spark.registry import register
+
+_ENVELOPE = ("op", "ts", "ns", "data")
+
+
+def _is_envelope(df: DataFrame) -> bool:
+    return list(df.columns) == list(_ENVELOPE) and isinstance(
+        df.schema["data"].dataType, T.StructType
+    )
+
+
+def _payload_fields(df: DataFrame) -> List[str]:
+    if _is_envelope(df):
+        return [f.name for f in df.schema["data"].dataType.fields]
+    return list(df.columns)
+
+
+def _rebuild_data(df: DataFrame, exprs: List[Column]) -> DataFrame:
+    return df.withColumn("data", F.struct(*exprs))
+
+
+# ---------------------------------------------------------------------------
+# pick — projection (reference function/pick/picker.go:26-36)
+# ---------------------------------------------------------------------------
+
+@register("pick")
+def pick(fields: Iterable[str]) -> Callable[[DataFrame], DataFrame]:
+    """Keep only the listed payload fields. Fields absent from the schema
+    are ignored (the reference silently skips them — picker.go:29-33).
+    Maps to a plain ``select``; Catalyst turns it into parquet column
+    pruning, so unpicked columns are never read off disk.
+    """
+    wanted = list(fields)
+
+    def apply(df: DataFrame) -> DataFrame:
+        present = [f for f in wanted if f in _payload_fields(df)]
+        if _is_envelope(df):
+            return _rebuild_data(df, [F.col(f"data.{f}").alias(f) for f in present])
+        return df.select(*present)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# omit — anti-projection (reference function/omit/omitter.go:25-29)
+# ---------------------------------------------------------------------------
+
+@register("omit")
+def omit(fields: Iterable[str]) -> Callable[[DataFrame], DataFrame]:
+    drop = set(fields)
+
+    def apply(df: DataFrame) -> DataFrame:
+        keep = [f for f in _payload_fields(df) if f not in drop]
+        if _is_envelope(df):
+            return _rebuild_data(df, [F.col(f"data.{f}").alias(f) for f in keep])
+        return df.select(*keep)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# rename — (reference function/rename/rename.go:26-34)
+# ---------------------------------------------------------------------------
+
+@register("rename")
+def rename(field_map: Dict[str, str]) -> Callable[[DataFrame], DataFrame]:
+    """Rename payload fields. Missing source keys are ignored (parity).
+
+    The reference leaves collision behavior undefined (Go map iteration);
+    we define it deterministically: the renamed column *replaces* any
+    pre-existing column with the target name, and output keeps source
+    column order.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        fields = _payload_fields(df)
+        targets = {field_map[f] for f in fields if f in field_map}
+        out: List[Column] = []
+        prefix = "data." if _is_envelope(df) else ""
+        for f in fields:
+            if f in field_map:
+                out.append(F.col(prefix + f).alias(field_map[f]))
+            elif f in targets:
+                continue  # replaced by a renamed column
+            else:
+                out.append(F.col(prefix + f).alias(f))
+        if _is_envelope(df):
+            return _rebuild_data(df, out)
+        return df.select(*out)
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# skip — predicate filter (reference function/skip/skipper.go:40-110)
+# ---------------------------------------------------------------------------
+
+_ORDERED = {">", ">=", "<", "<="}
+_EQ = {"==", "eq", "$eq"}
+
+
+def skip_predicate(col: Column, operator: str, match) -> Column:
+    """Build the skip() predicate.
+
+    Parity notes (skipper.go:57-111):
+    - ``==``/``eq``/``$eq`` is a deep-equal on the native value — no type
+      coercion (Go ``reflect.DeepEqual``), so ``10 == "10"`` is false.
+    - ``=~`` regex-matches the *string* value (non-strings error in the
+      reference; we cast, which is strictly more permissive).
+    - ordered comparators numerically coerce both sides, including
+      numeric strings (convert(), skipper.go:88-111); unconvertible
+      values fail the pipeline in the reference — here they simply don't
+      match (try_cast -> NULL -> filter false), which keeps the stream
+      alive; the row is dropped either way.
+    """
+    if operator in _EQ:
+        return col.eqNullSafe(F.lit(match)) if match is None else col == F.lit(match)
+    if operator == "=~":
+        return col.cast("string").rlike(str(match))
+    if operator in _ORDERED:
+        lhs = col.cast("string").try_cast("double")
+        rhs = F.lit(match).cast("string").try_cast("double")
+        return {
+            ">": lhs > rhs,
+            ">=": lhs >= rhs,
+            "<": lhs < rhs,
+            "<=": lhs <= rhs,
+        }[operator]
+    raise ValueError(f"unknown operator {operator!r}")  # skipper.go:84-86 parity
+
+
+@register("skip")
+def skip(field: str, operator: str, match) -> Callable[[DataFrame], DataFrame]:
+    def apply(df: DataFrame) -> DataFrame:
+        prefix = "data." if _is_envelope(df) else ""
+        return df.filter(skip_predicate(F.col(prefix + field), operator, match))
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# opfilter — CDC op whitelist/blacklist (function/opfilter/opfilter.go:30-46)
+# ---------------------------------------------------------------------------
+
+@register("opfilter")
+def opfilter(
+    whitelist: Optional[Iterable[str]] = None,
+    blacklist: Optional[Iterable[str]] = None,
+    op_col: str = "op",
+) -> Callable[[DataFrame], DataFrame]:
+    wl = [s.lower() for s in whitelist] if whitelist else None
+    bl = [s.lower() for s in blacklist] if blacklist else None
+
+    def apply(df: DataFrame) -> DataFrame:
+        c = F.lower(F.col(op_col))
+        if wl:
+            df = df.filter(c.isin(wl))
+        if bl:
+            df = df.filter(~c.isin(bl))
+        return df
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# remap — namespace rerouting (reference function/remap/remap.go:26-31)
+# ---------------------------------------------------------------------------
+
+@register("remap")
+def remap(ns_map: Dict[str, str], ns_col: str = "ns") -> Callable[[DataFrame], DataFrame]:
+    """Exact-match namespace replacement; unmatched namespaces pass
+    through unchanged (remap.go:27-30). One chained CASE expression —
+    constant-folded by Catalyst."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        mapping = F.create_map(*[F.lit(x) for kv in ns_map.items() for x in kv])
+        return df.withColumn(
+            ns_col, F.coalesce(mapping[F.col(ns_col)], F.col(ns_col))
+        )
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# pretty — debug logging passthrough (function/pretty/prettify.go:34-42)
+# ---------------------------------------------------------------------------
+
+@register("pretty")
+def pretty(spaces: int = 2, rows: int = 5) -> Callable[[DataFrame], DataFrame]:
+    """Log a sample of the frame as indented JSON; passthrough.
+
+    The reference logs every message (row-at-a-time luxury); at scale
+    that is an anti-pattern, so we log a bounded sample at plan-build
+    time and return the frame unchanged.
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        for line in df.limit(rows).toJSON().collect():
+            print(json.dumps(json.loads(line), indent=spaces, default=str))
+        return df
+
+    return apply
+
+
+# ---------------------------------------------------------------------------
+# py — the JS-UDF analog (reference function/gojajs/goja.go:53-126)
+# ---------------------------------------------------------------------------
+
+@register("py", "goja", "js", "otto", "transformer")
+def py_transform(fn: Callable[[dict], Optional[dict]]) -> Callable[[DataFrame], DataFrame]:
+    """Arbitrary per-document transform, the goja/otto UDF contract:
+
+    ``fn(doc) -> doc | None`` where ``doc = {"op", "ts", "ns", "data"}``
+    with ``data`` a plain dict. Returning None (or op == "skip") drops
+    the document (goja.go:128-155); the function may mutate data and
+    rewrite ns/op.
+
+    Spark-first translation: the envelope payload is JSON-serialized,
+    the function runs over Arrow record batches via ``mapInPandas``
+    (never row-at-a-time over the wire), and emits 0..1 rows per input —
+    the flatMap shape "return null to drop" needs. The payload stays a
+    JSON string on output because the UDF may change its shape; callers
+    re-type with ``envelope.parse_json_payload`` when needed.
+    """
+
+    out_schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("ns", T.StringType()),
+            T.StructField("data", T.StructType([T.StructField("json", T.StringType())])),
+        ]
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for op, ts, ns, data_json in zip(
+                pdf["op"], pdf["ts"], pdf["ns"], pdf["data_json"]
+            ):
+                doc = {
+                    "op": op,
+                    "ts": ts,
+                    "ns": ns,
+                    "data": json.loads(data_json) if data_json else {},
+                }
+                got = fn(doc)
+                if got is None or got.get("op") == "skip":
+                    continue
+                rows.append(
+                    (
+                        got.get("op", op),
+                        got.get("ts", ts),
+                        got.get("ns", ns),
+                        (json.dumps(got.get("data", {}), default=str),),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["op", "ts", "ns", "data"])
+
+    def apply(df: DataFrame) -> DataFrame:
+        staged = df.select(
+            "op", "ts", "ns", F.to_json("data").alias("data_json")
+        )
+        return staged.mapInPandas(run, schema=out_schema)
+
+    return apply

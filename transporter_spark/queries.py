@@ -1,0 +1,654 @@
+"""The engine's graded query inventory.
+
+One entry per operator/capability from SURVEY.md §2 (plus the
+training-data-pipeline extensions). Each entry pairs
+
+- a Spark implementation ``fn(spark, sf_dir) -> DataFrame`` built on the
+  operator library, and
+- an equivalent ANSI-SQL oracle string for DuckDB (or ``None`` for ops
+  that are not SQL-expressible — those get a rows-only check).
+
+Column names are aliased identically on both sides: the driver sorts
+columns by name and hashes values, so names AND values must match.
+
+Scale notes are attached per query: the sf0.01 correctness tables are
+tiny, but every plan here is written for the 100TB shape (broadcast the
+dims, aggregate before join where possible, never collect to driver).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, NamedTuple, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from transporter_spark.envelope import to_envelope
+from transporter_spark.registry import build_operator
+from transporter_spark.sources.files import read_table
+
+
+class Query(NamedTuple):
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]
+    headline: bool = False  # included in bench.py
+
+
+QUERIES: Dict[str, Query] = {}
+
+
+def q(name: str, oracle: Optional[str] = None, headline: bool = False):
+    def deco(fn):
+        QUERIES[name] = Query(fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+def _events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style envelope over the events table: op derived per row
+    (insert/update/delete), event time as ts, namespace constant."""
+    ev = read_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    return to_envelope(
+        ev.withColumn("_op", op),
+        ns="app.events",
+        op_col="_op",
+        ts_col="ts",
+        payload_cols=["event_id", "user_id", "event_type", "value", "props"],
+    )
+
+
+_EVENTS_OP_SQL = (
+    "CASE WHEN event_type = 'signup' THEN 'insert' "
+    "WHEN event_type = 'error' THEN 'delete' ELSE 'update' END"
+)
+
+
+# ===========================================================================
+# §2.3 transforms (reference function/*)
+# ===========================================================================
+
+@q(
+    "pick",
+    oracle="SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+)
+def q_pick(spark, sf_dir):
+    """Projection — reference function/pick/picker.go:26-36. Column
+    pruning pushes to the scan: only 3 of 11 columns are read."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return build_operator("pick", fields=["l_orderkey", "l_partkey", "l_quantity"])(li)
+
+
+@q(
+    "omit",
+    oracle="SELECT p_partkey, p_brand, p_size FROM part",
+)
+def q_omit(spark, sf_dir):
+    """Anti-projection — reference function/omit/omitter.go:25-29."""
+    part = read_table(spark, sf_dir, "part")
+    return build_operator("omit", fields=["p_name", "p_type", "p_retailprice"])(part)
+
+
+@q(
+    "rename",
+    oracle=(
+        "SELECT n_nationkey AS nation_id, n_name AS nation_name, "
+        "n_regionkey AS region_id FROM nation"
+    ),
+)
+def q_rename(spark, sf_dir):
+    """Rename — reference function/rename/rename.go:26-34 (missing keys
+    ignored; note 'bogus' below exercises that)."""
+    nation = read_table(spark, sf_dir, "nation")
+    return build_operator(
+        "rename",
+        field_map={
+            "n_nationkey": "nation_id",
+            "n_name": "nation_name",
+            "n_regionkey": "region_id",
+            "bogus": "ignored",
+        },
+    )(nation)
+
+
+@q(
+    "skip_gt",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE TRY_CAST(l_quantity AS DOUBLE) > 45"
+    ),
+)
+def q_skip_gt(spark, sf_dir):
+    """Ordered-comparator filter with numeric coercion — reference
+    function/skip/skipper.go:57-86. Predicate pushes down to parquet."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return build_operator("skip", field="l_quantity", operator=">", match=45)(li)
+
+
+@q(
+    "skip_numeric_string",
+    oracle=(
+        "SELECT event_id, value FROM events "
+        "WHERE TRY_CAST(value AS DOUBLE) >= TRY_CAST('99.5' AS DOUBLE)"
+    ),
+)
+def q_skip_numeric_string(spark, sf_dir):
+    """skip()'s string->float coercion (skipper.go:96-110): the match
+    value arrives as a *string* and still compares numerically."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    return build_operator("skip", field="value", operator=">=", match="99.5")(ev)
+
+
+@q(
+    "skip_eq",
+    oracle="SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'",
+)
+def q_skip_eq(spark, sf_dir):
+    """Deep-equal filter (skipper.go:57-60): no cross-type coercion."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return build_operator("skip", field="event_type", operator="==", match="purchase")(ev)
+
+
+@q(
+    "skip_regex",
+    oracle=(
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE regexp_matches(CAST(p_name AS VARCHAR), '^(red|blue) (widget|bolt)')"
+    ),
+)
+def q_skip_regex(spark, sf_dir):
+    """Regex filter (=~, skipper.go:61-71) -> Column.rlike."""
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return build_operator(
+        "skip", field="p_name", operator="=~", match="^(red|blue) (widget|bolt)"
+    )(part)
+
+
+@q(
+    "opfilter",
+    oracle=(
+        f"SELECT event_id, user_id, op FROM (SELECT event_id, user_id, "
+        f"{_EVENTS_OP_SQL} AS op FROM events) WHERE op IN ('insert', 'update')"
+    ),
+)
+def q_opfilter(spark, sf_dir):
+    """CDC-op whitelist — reference function/opfilter/opfilter.go:30-46."""
+    env = _events_envelope(spark, sf_dir)
+    env = build_operator("opfilter", whitelist=["insert", "update"])(env)
+    return env.select(
+        F.col("data.event_id").alias("event_id"),
+        F.col("data.user_id").alias("user_id"),
+        "op",
+    )
+
+
+@q(
+    "remap",
+    oracle=(
+        "SELECT CASE WHEN event_type = 'purchase' THEN 'sales.purchases' "
+        "WHEN event_type = 'signup' THEN 'crm.signups' "
+        "ELSE event_type END AS ns, count(*) AS n "
+        "FROM events GROUP BY 1"
+    ),
+)
+def q_remap(spark, sf_dir):
+    """Namespace remap — reference function/remap/remap.go:26-31.
+    Unmatched namespaces pass through unchanged."""
+    ev = read_table(spark, sf_dir, "events").withColumnRenamed("event_type", "ns")
+    remapped = build_operator(
+        "remap",
+        ns_map={"purchase": "sales.purchases", "signup": "crm.signups"},
+    )(ev)
+    return remapped.groupBy("ns").agg(F.count("*").alias("n"))
+
+
+@q(
+    "envelope",
+    oracle=(
+        f"SELECT {_EVENTS_OP_SQL} AS op, ts, 'app.events' AS ns, "
+        "event_id, user_id FROM events"
+    ),
+)
+def q_envelope(spark, sf_dir):
+    """Envelope normalization: the reference Msg (op/ts/ns/data,
+    message/message.go:22-30) as a DataFrame shape."""
+    env = _events_envelope(spark, sf_dir)
+    return env.select(
+        "op",
+        "ts",
+        "ns",
+        F.col("data.event_id").alias("event_id"),
+        F.col("data.user_id").alias("user_id"),
+    )
+
+
+@q(
+    "ns_filter",
+    oracle=(
+        "SELECT ns, event_id FROM (SELECT 'app.' || event_type AS ns, event_id "
+        "FROM events) WHERE regexp_matches(ns, 'app[.](click|view)')"
+    ),
+)
+def q_ns_filter(spark, sf_dir):
+    """Per-edge namespace regex filter — reference pipeline/node.go:522-531."""
+    from transporter_spark.envelope import ns_filter
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("app."), F.col("event_type")).alias("ns"), "event_id"
+    )
+    return ev.filter(ns_filter("app[.](click|view)"))
+
+
+@q(
+    "py_transform",
+    oracle=(
+        f"SELECT event_id, value * 2 AS doubled, 'app.events_v2' AS ns, op "
+        f"FROM (SELECT event_id, value, {_EVENTS_OP_SQL} AS op FROM events) "
+        f"WHERE op <> 'delete'"
+    ),
+)
+def q_py_transform(spark, sf_dir):
+    """The goja/otto JS-UDF analog (function/gojajs/goja.go:53-126):
+    arbitrary per-doc Python over Arrow batches via mapInPandas; returns
+    None to drop, may mutate data and rewrite ns (the full contract).
+    The slow path by design — everything else in this file stays JVM-side.
+    """
+
+    def fn(doc):
+        if doc["op"] == "delete":
+            return None  # drop — parity with "return null" in JS
+        d = doc["data"]
+        return {
+            "op": doc["op"],
+            "ns": "app.events_v2",
+            "data": {"event_id": d["event_id"], "doubled": d["value"] * 2},
+        }
+
+    env = _events_envelope(spark, sf_dir)
+    out = build_operator("py", fn=fn)(env)
+    return out.select(
+        F.get_json_object("data.json", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("data.json", "$.doubled").cast("double").alias("doubled"),
+        "ns",
+        "op",
+    )
+
+
+# ===========================================================================
+# §2.6 native relational surface (absent in the reference by design —
+# SURVEY.md §2.6; provided here as first-class engine capabilities)
+# ===========================================================================
+#
+# Float-aggregation policy (correctness vs the DuckDB oracle AND across
+# cluster re-runs): double sums depend on partial-aggregation order, so
+# every money aggregate is summed as decimal(38,12) — exact, associative,
+# bit-identical regardless of partitioning. Integer-valued doubles
+# (l_quantity) sum exactly in double (< 2^53). Averages are computed as
+# exact-decimal-sum cast to double / count, which is deterministic.
+#
+# The double->decimal hop goes VIA STRING: both engines print the
+# shortest-roundtrip representation of the same IEEE double, and parse
+# it into decimal exactly — whereas DuckDB's direct double->decimal cast
+# scales in floating point (x * 10^12 overflows 53 bits) and drifts in
+# the last digits.
+
+def _dsum(col, scale: int = 12):
+    return F.sum(col.cast("string").cast(f"decimal(38,{scale})"))
+
+
+def _DSUM(expr: str, scale: int = 12) -> str:
+    return f"SUM(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,{scale})))"
+
+
+@q(
+    "q1_pricing_summary",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       {_DSUM('l_extendedprice')} AS sum_base_price,
+       {_DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+       {_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       CAST({_DSUM('l_extendedprice')} AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST({_DSUM('l_discount')} AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    headline=True,
+)
+def q_q1(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (flagship). Scale shape: single
+    scan, map-side partial agg on low-cardinality keys (6 groups), no
+    join — the shuffle moves only #groups x #partitions rows."""
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (_dsum(F.col("l_discount")).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    oracle=f"""
+SELECT l_orderkey,
+       {_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1999-03-15' AND l_shipdate > TIMESTAMP '1999-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+    headline=True,
+)
+def q_q3(spark, sf_dir):
+    """TPC-H Q3-shaped join+agg+topN. Scale shape: customer filter first
+    (pushed to scan), customer side broadcast into orders, the big
+    lineitem scan filtered before the join; deterministic LIMIT via
+    exact-decimal revenue + full tiebreak."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1999-03-15").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1999-03-15").cast("timestamp")
+    )
+    joined = (
+        li.join(
+            orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@q(
+    "join_region_rollup",
+    oracle=f"""
+SELECT r_name, n_name, COUNT(*) AS n_cust, {_DSUM('c_acctbal', 6)} AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    headline=True,
+)
+def q_join_rollup(spark, sf_dir):
+    """Multi-way broadcast join + ROLLUP (grouping-set aggregation).
+    nation/region are tiny dims -> explicit broadcast; at 100TB the fact
+    side never shuffles for the join, only for the agg."""
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_cust"), _dsum(F.col("c_acctbal"), 6).alias("sum_bal")
+    )
+
+
+@q(
+    "window_topn",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def q_window_topn(spark, sf_dir):
+    """Top-N per key via row_number — the §2.6 window surface, and the
+    primitive behind CDC last-writer-wins. One shuffle on the partition
+    key; with AQE, skewed customers split automatically."""
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "sort_limit",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def q_sort_limit(spark, sf_dir):
+    """Global top-K: Spark executes order-by-limit as per-partition
+    TakeOrdered + merge on driver — no global sort at any scale."""
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "set_ops",
+    oracle="""
+SELECT 'no_orders' AS tag, c_custkey AS custkey FROM (
+  SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+)
+UNION ALL
+SELECT 'with_orders' AS tag, c_custkey AS custkey FROM (
+  SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders
+)
+""",
+)
+def q_set_ops(spark, sf_dir):
+    """EXCEPT / INTERSECT / UNION ALL — §2.6 set-operation surface.
+    Catalyst plans except/intersect as aggregated anti/semi joins."""
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey")
+    ords = read_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    no_orders = cust.exceptAll(ords).distinct()
+    with_orders = cust.intersect(ords)
+    return no_orders.select(
+        F.lit("no_orders").alias("tag"), F.col("c_custkey").alias("custkey")
+    ).unionAll(
+        with_orders.select(
+            F.lit("with_orders").alias("tag"), F.col("c_custkey").alias("custkey")
+        )
+    )
+
+
+@q(
+    "distinct_agg",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_supp,
+       COUNT(DISTINCT l_partkey) AS n_part,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_distinct_agg(spark, sf_dir):
+    """Multi-distinct aggregation (expand + two-phase agg in Spark)."""
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@q(
+    "scalar_funcs",
+    oracle="""
+SELECT o_orderkey,
+       upper(o_orderpriority) AS pri_upper,
+       length(o_orderpriority) AS pri_len,
+       substr(o_orderpriority, 1, 1) AS pri_code,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       abs(o_totalprice) + floor(o_totalprice) - ceil(o_totalprice) AS math_mix,
+       coalesce(NULL, o_orderstatus, '?') AS status,
+       concat(o_orderstatus, '-', o_orderpriority) AS status_pri
+FROM orders
+""",
+)
+def q_scalar_funcs(spark, sf_dir):
+    """Scalar function library passthrough (§2.6): string/date/math —
+    the reference has no scalar functions at all (only casify coercion,
+    postgres/tailer.go:236-290); here they are pyspark.sql.functions,
+    evaluated inside whole-stage codegen."""
+    o = read_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("pri_upper"),
+        F.length("o_orderpriority").cast("long").alias("pri_len"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.abs("o_totalprice") + F.floor("o_totalprice") - F.ceil("o_totalprice")).alias("math_mix"),
+        F.coalesce(F.lit(None), "o_orderstatus", F.lit("?")).alias("status"),
+        F.concat("o_orderstatus", F.lit("-"), "o_orderpriority").alias("status_pri"),
+    )
+
+
+@q(
+    "cdc_lww_dedup",
+    oracle="""
+SELECT user_id, event_id, event_type, value FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)
+def q_cdc_lww(spark, sf_dir):
+    """CDC last-writer-wins dedup: collapses an out-of-order CDC feed to
+    the newest row per key — the vectorized replacement for the
+    reference's one-at-a-time ordered delivery guarantee (SURVEY §2.6,
+    'window functions' note). This is the batch half of the CDC apply
+    path (streaming half in transporter_spark.streaming.cdc)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select(
+            "user_id", "event_id", "event_type", "value",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@q(
+    "windowed_agg",
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       COUNT(*) AS n, {_DSUM('value', 6)} AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    headline=True,
+)
+def q_windowed_agg(spark, sf_dir):
+    """Tumbling event-time window aggregation — capability the reference
+    explicitly lacks (ts is ingest time only, message/message.go:62-66).
+    Same code shape works on readStream with a watermark (see
+    transporter_spark.streaming)."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), _dsum(F.col("value"), 6).alias("sum_value"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@q(
+    "session_window",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+""",
+)
+def q_session_window(spark, sf_dir):
+    """Session windows (30-min gap) per user — new streaming-native
+    capability; oracle is the classic gaps-and-islands SQL."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )

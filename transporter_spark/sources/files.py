@@ -1,0 +1,93 @@
+"""File sources: parquet / JSON-lines / CSV.
+
+Parity: the reference file adaptor JSON-decodes one file line by line
+(adaptor/file/reader.go:25-71). Spark-side a file source is a distributed
+scan with schema inference or an explicit schema, and — unlike the
+reference — filters/projections push down into the scan.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: the driver's synthetic star schema (TESTDATA.md)
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _nanos_ts_columns(path: str):
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos
+    timestamp type, so these are read as long (nanosAsLong) and converted
+    to microsecond timestamps. Metadata-only peek, no data read."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    out = []
+    for field in pq.read_schema(path):
+        if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns":
+            out.append(field.name)
+    return out
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Plain parquet scan — Catalyst handles
+    predicate pushdown / column pruning / partition sizing
+    (spark.sql.files.maxPartitionBytes) from here."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos_cols = _nanos_ts_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    # ns-precision parquet timestamps: read raw nanos, truncate to micros
+    # (matches DuckDB's ns->us truncation). Integer `div`, not `/` —
+    # epoch-nanos exceed 2^53 and would lose precision as double.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for c in nanos_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession,
+    sf_dir: str,
+    names: Optional[Iterable[str]] = None,
+    register_views: bool = False,
+) -> Dict[str, DataFrame]:
+    out = {}
+    for name in names or TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        if register_views:
+            df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source (the reference's file adaptor format)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (reference adaptor/file/writer.go:21-35)."""
+    df.write.mode(mode).json(path)
