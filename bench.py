@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Methodology: one SparkSession for the whole run (Spark job startup
+would otherwise dominate at these scale factors — BASELINE.md), a
+warm-up pass of the flagship query to JIT/codegen-compile, then each
+headline query timed end-to-end (plan + execute + count-style sink).
+Results go to stdout; everything else to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from transporter_spark.queries import QUERIES  # noqa: E402
+from transporter_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    spark = get_spark("transporter-spark-bench")
+
+    headline = {n: q for n, q in QUERIES.items() if q.headline}
+
+    # warm-up: JVM/codegen/Arrow path spin-up, not counted
+    t0 = time.time()
+    headline["q1_pricing_summary"].fn(spark, sf_dir).collect()
+    print(f"warmup {time.time() - t0:.2f}s", file=sys.stderr)
+
+    timings = {}
+    for name, query in sorted(headline.items()):
+        t0 = time.time()
+        df = query.fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        print(f"{name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

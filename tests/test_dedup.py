@@ -1,0 +1,84 @@
+"""Dedup operator semantics: LSH candidate recall vs the exact-Jaccard
+ground truth, simhash behavior, embedding blocking."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from transporter_spark.operators.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash,
+    simhash_pairs,
+)
+from transporter_spark.sources.files import read_table
+
+
+def test_dedup_exact_removes_clones(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    kept = dedup_exact(cols=["text"])(docs.unionByName(clones))
+    assert kept.count() == docs.count()
+    # keep-smallest-id: every kept id is an original id
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+
+
+def test_minhash_lsh_recall_against_exact(spark, sf_dir):
+    """LSH(64 hashes, 16 bands) must recall nearly all true pairs at
+    j>=0.5 (band collision prob ~1-(1-j^4)^16 = 0.93 at j=0.5, ~1 at
+    j>=0.7) and its verified output must be a subset of the exact
+    result (verification filters false positives)."""
+    docs = read_table(spark, sf_dir, "documents")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.5).collect()
+    }
+    assert lsh <= exact  # verify step guarantees no false positives
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.8, f"LSH recall too low: {recall}"
+
+
+def test_simhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = {r.id: r.simhash for r in simhash(df).collect()}
+    assert fp[1] == fp[2]
+    pairs = simhash_pairs(df, max_hamming=3, bands=4).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} >= {(1, 2)}
+    for r in pairs:
+        if (r.id_a, r.id_b) == (1, 2):
+            assert r.hamming == 0
+
+
+def test_embedding_blocking_is_subset_of_exact(spark, sf_dir):
+    emb = read_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(emb, threshold=0.3).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(emb, threshold=0.3, block_bits=2).collect()
+    }
+    assert blocked <= exact
+
+
+def test_minhash_deterministic_across_runs(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    a = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.1).collect()))
+    b = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.1).collect()))
+    assert a == b

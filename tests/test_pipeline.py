@@ -1,0 +1,88 @@
+"""End-to-end pipeline runner tests — the analog of the reference's
+TestFileToFile (pipeline/pipeline_integration_test.go:32-140): source ->
+transforms -> N sinks with namespace routing, count equality asserted."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from transporter_spark.plans import Pipeline
+from transporter_spark.sources.files import read_table
+
+
+def test_file_to_file_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_out")
+    metrics = (
+        Pipeline("file2file")
+        .source("dir", path=sf_dir, namespaces="^events$")
+        .save("jsonl", path=out + "/{ns}")
+        .run(spark)
+    )
+    src_rows = read_table(spark, sf_dir, "events").count()
+    assert metrics["rows"]["events -> jsonl[0]"] == src_rows
+    back = spark.read.json(out + "/events")
+    assert back.count() == src_rows
+
+
+def test_fanout_two_sinks_with_edge_transforms(spark, sf_dir, tmp_path):
+    """One source, two sinks; the second edge gets an extra filter —
+    the reference's fan-out tree (pipe.Send to every child,
+    pipe/pipe.go:160-165) with per-edge transforms."""
+    full = str(tmp_path / "full")
+    filtered = str(tmp_path / "filtered")
+    p = (
+        Pipeline("fanout")
+        .source("dir", path=sf_dir, namespaces="^events$")
+        .save("parquet", path=full + "/{ns}")
+        .transform("skip", field="event_type", operator="==", match="purchase")
+        .save("parquet", path=filtered + "/{ns}")
+    )
+    metrics = p.run(spark)["rows"]
+    ev = read_table(spark, sf_dir, "events")
+    assert metrics["events -> parquet[0]"] == ev.count()
+    assert metrics["events -> parquet[1]"] == ev.filter(
+        F.col("event_type") == "purchase"
+    ).count()
+
+
+def test_namespace_routing_prunes_tables(spark, sf_dir, tmp_path):
+    """ns regex on the sink edge: only matching namespaces are written
+    (reference pipeline/node.go:522-531) — and non-matching tables are
+    pruned before any scan (mongodb/reader.go:95-113 semantics)."""
+    out = str(tmp_path / "routed")
+    metrics = (
+        Pipeline("routing")
+        .source("dir", path=sf_dir, namespaces="^(nation|region|supplier)$")
+        .save("jsonl", path=out + "/{ns}", ns="^(nation|region)$")
+        .run(spark)
+    )["rows"]
+    assert set(metrics) == {"nation -> jsonl[0]", "region -> jsonl[0]"}
+    assert os.path.exists(out + "/nation")
+    assert not os.path.exists(out + "/supplier")
+
+
+def test_transform_ns_scoping(spark, sf_dir, tmp_path):
+    """A transform with an ns pattern only applies to matching
+    namespaces; others pass through untouched (node.go:599-601)."""
+    out = str(tmp_path / "scoped")
+    metrics = (
+        Pipeline("scoped")
+        .source("dir", path=sf_dir, namespaces="^(nation|region)$")
+        .transform("skip", field="n_regionkey", operator="==", match=0, ns="^nation$")
+        .save("jsonl", path=out + "/{ns}")
+        .run(spark)
+    )["rows"]
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    assert metrics["nation -> jsonl[0]"] == nation.filter("n_regionkey = 0").count()
+    assert metrics["region -> jsonl[0]"] == region.count()  # untouched
+
+
+def test_pipeline_requires_source_and_sink(spark):
+    with pytest.raises(ValueError, match="source and at least one sink"):
+        Pipeline("empty").run(spark)
+    with pytest.raises(ValueError, match="already has a source"):
+        Pipeline("dup").source("dir", path="/x").source("dir", path="/y")

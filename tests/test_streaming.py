@@ -1,0 +1,151 @@
+"""Streaming semantics: availableNow drain, CDC idempotency, watermark
+append-mode behavior, custom stateful operator via applyInPandasWithState."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from transporter_spark.streaming.cdc import apply_cdc_batch, latest_per_key
+from transporter_spark.streaming.sources import stream_envelope, stream_table
+from transporter_spark.streaming.windows import run_available_now, windowed_counts
+
+
+def _env(spark, rows):
+    """envelope frame from (op, ts, user_id, v) tuples."""
+    df = spark.createDataFrame(rows, "op string, ts timestamp, user_id long, v string")
+    return df.select(
+        "op", "ts", F.lit("t").alias("ns"),
+        F.struct("user_id", "v", "ts").alias("data"),
+    )
+
+
+def test_apply_cdc_batch_upsert_delete(spark):
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    t2 = datetime(2024, 1, 2)
+    current = spark.createDataFrame(
+        [(1, "old", t), (2, "keep", t)], "user_id long, v string, ts timestamp"
+    )
+    changes = _env(
+        spark,
+        [
+            ("update", t2, 1, "new"),   # replaces user 1
+            ("delete", t2, 2, None),     # removes user 2
+            ("insert", t2, 3, "born"),  # adds user 3
+        ],
+    )
+    out = apply_cdc_batch(current, changes, keys=["user_id"])
+    got = {r.user_id: r.v for r in out.collect()}
+    assert got == {1: "new", 3: "born"}
+
+
+def test_apply_cdc_batch_idempotent_replay(spark):
+    """At-least-once parity: re-applying the same changes is a no-op
+    (DESIGN.md:77-82 — duplicates must not corrupt the sink)."""
+    from datetime import datetime
+
+    t = datetime(2024, 1, 1)
+    changes = _env(spark, [("insert", t, 1, "a"), ("update", t, 2, "b")])
+    once = apply_cdc_batch(None, changes, keys=["user_id"])
+    twice = apply_cdc_batch(once, changes, keys=["user_id"])
+    assert sorted(map(tuple, once.select("user_id", "v").collect())) == sorted(
+        map(tuple, twice.select("user_id", "v").collect())
+    )
+
+
+def test_apply_cdc_lww_within_batch(spark):
+    """Two changes to the same key in one batch: newest (ts) wins —
+    the window-function replacement for ordered one-at-a-time delivery."""
+    from datetime import datetime
+
+    t1, t2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
+    changes = _env(spark, [("insert", t1, 1, "first"), ("update", t2, 1, "second")])
+    out = apply_cdc_batch(None, changes, keys=["user_id"])
+    assert [r.v for r in out.collect()] == ["second"]
+
+
+def test_stream_drain_equals_batch(spark, sf_dir):
+    """availableNow drain of a streaming scan == batch read (copy-mode
+    parity: reference copy phase reads exactly what exists, then stops)."""
+    stream = stream_table(spark, sf_dir, "nation")
+    got = run_available_now(stream)
+    batch = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_stream_envelope_shape(spark, sf_dir):
+    env = stream_envelope(spark, sf_dir, "events", ts_col="ts")
+    assert env.isStreaming
+    assert env.columns == ["op", "ts", "ns", "data"]
+    out = run_available_now(env.filter(F.col("data.event_type") == "purchase"))
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # nanos ts read as long in this raw read; count only
+    assert out.count() == batch.filter("event_type = 'purchase'").count()
+
+
+def test_windowed_counts_append_drops_nothing_in_complete_history(spark, sf_dir):
+    """windowed_counts in append mode: with availableNow the final
+    no-data batch advances the watermark to max(ts)-delay, so windows
+    ENTIRELY below it are emitted; the trailing windows stay in state.
+    This documents the append/complete trade the engine makes."""
+    stream = stream_table(spark, sf_dir, "events")
+    agg = windowed_counts(stream, ts_col="ts", window_duration="1 hour", watermark="2 hours")
+    appended = run_available_now(agg, output_mode="append")
+    batch_windows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    )
+    assert appended.count() > 0  # most history flushed
+    # every emitted window matches the batch computation for that window
+    ev = stream_table(spark, sf_dir, "events")
+    full = run_available_now(
+        windowed_counts(ev, "ts", "1 hour", "2 hours"), output_mode="complete"
+    )
+    emitted = {tuple(r) for r in appended.collect()}
+    complete = {tuple(r) for r in full.collect()}
+    assert emitted <= complete
+
+
+def test_stateful_running_count_applyInPandasWithState(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count across micro-batches — the §2.5 'stateful aggs'
+    capability the reference lacks entirely."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n_events", LongType())]
+    )
+    state_schema = StructType([StructField("count", LongType())])
+
+    def count_events(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    stream = stream_table(spark, sf_dir, "events")
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = run_available_now(counted, output_mode="update")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .count()
+    )
+    # last update per user must equal the batch count
+    final = {r.user_id: r.n_events for r in got.collect()}
+    for r in batch.collect():
+        assert final[r.user_id] == r["count"]

@@ -1,0 +1,84 @@
+"""Text-analysis and multimodal operator semantics."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from transporter_spark.operators.multimodal import (
+    attach_media,
+    decode_features,
+    frame_sample,
+)
+from transporter_spark.operators.text import quality_score, lang_id, token_count
+from transporter_spark.registry import build_operator
+from transporter_spark.sources.files import read_table
+
+
+def test_quality_score_bounds_and_ordering(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a good long document with many normal words " * 20),
+            (2, "x"),
+            (3, "!!! ??? ... ;;; ::: !!!"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r.q for r in df.select("doc_id", quality_score("text").alias("q")).collect()}
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    assert rows[1] > rows[2]  # real text beats single char
+    assert rows[1] > rows[3]  # real text beats punctuation soup
+
+
+def test_lang_id_on_obvious_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog went to the market for a fish"),
+            (2, "der Hund und die Katze sind nicht auf der Strasse"),
+            (3, "le chat est dans la maison et les oiseaux pour"),
+            (4, "zxqj wvk ppo"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.lang for r in df.select("doc_id", lang_id("text").alias("lang")).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "und"
+
+
+def test_text_stats_operator_appends_columns(spark, sf_dir):
+    docs = read_table(spark, sf_dir, "documents")
+    out = build_operator("text_stats")(docs)
+    for c in ("n_tokens", "quality", "lang_pred", "fingerprint"):
+        assert c in out.columns
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert row.n_tokens > 0 and 0.0 <= row.quality <= 1.0
+
+
+def test_media_decode_features_pinned(spark):
+    df = spark.createDataFrame([(7, b"\x00\x01\x02\xff")], "doc_id long, blob binary")
+    media = attach_media(df, "blob", "application/octet-stream")
+    row = decode_features(media, id_col="doc_id", fake=True).collect()[0]
+    assert row.doc_id == 7
+    assert row.byte_len == 4
+    # deterministic fake featurizer: [n, mean, max, min, first, last, >127 ratio, zero ratio]
+    assert row.features == [4.0, 64.5, 255.0, 0.0, 0.0, 255.0, 0.25, 0.25]
+
+
+def test_frame_sample_expands_rows(spark):
+    df = spark.createDataFrame([(1, bytes(range(100)))], "doc_id long, blob binary")
+    media = attach_media(df, "blob", "video/fake")
+    frames = frame_sample(media, every_n=10, id_col="doc_id").collect()
+    assert len(frames) == 1  # 100 bytes, chunk=10, stride=100 -> 1 frame
+    assert frames[0].frame_no == 0 and len(frames[0].frame) == 10
+
+
+def test_media_decode_real_path_raises(spark):
+    df = spark.createDataFrame([(1, b"xx")], "doc_id long, blob binary")
+    media = attach_media(df, "blob", "image/png")
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError  # noqa: F401
+
+    out = decode_features(media, id_col="doc_id", fake=False)
+    with _pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        out.collect()

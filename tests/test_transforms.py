@@ -1,0 +1,124 @@
+"""Unit tests for the transform operator set — table-driven like the
+reference's function tests (function/rename/rename_test.go:36-79,
+function/skip/skipper_test.go)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from transporter_spark.envelope import to_envelope, from_envelope
+from transporter_spark.registry import build_operator
+
+
+@pytest.fixture(scope="module")
+def plain(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice", 10.0, "x"),
+            (2, "bob", 25.5, "y"),
+            (3, "carol", None, "z"),
+        ],
+        "id long, name string, score double, tag string",
+    )
+
+
+@pytest.fixture(scope="module")
+def env(spark, plain):
+    return to_envelope(plain, ns="app.users")
+
+
+def test_pick_plain_and_envelope(plain, env):
+    assert build_operator("pick", fields=["id", "name"])(plain).columns == ["id", "name"]
+    out = build_operator("pick", fields=["id", "name", "missing"])(env)
+    assert out.columns == ["op", "ts", "ns", "data"]
+    assert [f.name for f in out.schema["data"].dataType.fields] == ["id", "name"]
+
+
+def test_omit(plain, env):
+    assert build_operator("omit", fields=["tag"])(plain).columns == ["id", "name", "score"]
+    out = build_operator("omit", fields=["tag", "score"])(env)
+    assert [f.name for f in out.schema["data"].dataType.fields] == ["id", "name"]
+
+
+def test_rename_missing_keys_ignored(plain):
+    out = build_operator("rename", field_map={"name": "username", "nope": "x"})(plain)
+    assert out.columns == ["id", "username", "score", "tag"]
+
+
+def test_rename_collision_renamed_wins(spark):
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    out = build_operator("rename", field_map={"a": "b"})(df)
+    assert out.columns == ["b"]
+    assert out.collect()[0].b == 1  # renamed column replaced the old b
+
+
+# --- skip comparator matrix (skipper.go:57-111 parity) ---------------------
+
+@pytest.mark.parametrize(
+    "operator,match,expected_ids",
+    [
+        ("==", "bob", {2}),
+        ("eq", "bob", {2}),
+        ("$eq", "bob", {2}),
+        ("=~", "^(a|c)", {1, 3}),
+        (">", 10, {2}),
+        (">=", 10, {1, 2}),
+        ("<", 25.5, {1}),
+        ("<=", 25.5, {1, 2}),
+        (">", "10", {2}),  # numeric string coercion, convert() parity
+    ],
+)
+def test_skip_matrix(plain, operator, match, expected_ids):
+    field = "name" if isinstance(match, str) and operator in ("==", "eq", "$eq", "=~") else "score"
+    out = build_operator("skip", field=field, operator=operator, match=match)(plain)
+    assert {r.id for r in out.collect()} == expected_ids
+
+
+def test_skip_eq_no_cross_type_coercion(spark):
+    """reflect.DeepEqual parity: int 10 != string "10"."""
+    df = spark.createDataFrame([(1, "10")], "id long, v string")
+    out = build_operator("skip", field="v", operator="==", match="10")(df)
+    assert out.count() == 1  # same type matches...
+    df2 = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    out2 = build_operator("skip", field="v", operator=">", match="banana")(df2)
+    assert out2.count() == 0  # unconvertible match -> no rows (not a crash)
+
+
+def test_opfilter_whitelist_blacklist(spark):
+    df = spark.createDataFrame(
+        [("insert", 1), ("update", 2), ("delete", 3), ("INSERT", 4)],
+        "op string, id long",
+    )
+    wl = build_operator("opfilter", whitelist=["insert"])(df)
+    assert {r.id for r in wl.collect()} == {1, 4}  # case-insensitive
+    bl = build_operator("opfilter", blacklist=["delete"])(df)
+    assert {r.id for r in bl.collect()} == {1, 2, 4}
+
+
+def test_remap_unmatched_passthrough(spark):
+    df = spark.createDataFrame([("a",), ("b",), ("c",)], "ns string")
+    out = build_operator("remap", ns_map={"a": "A", "b": "B"})(df)
+    assert {r.ns for r in out.collect()} == {"A", "B", "c"}
+
+
+def test_py_transform_drop_and_mutate(env):
+    def fn(doc):
+        d = doc["data"]
+        if d["id"] == 2:
+            return None  # drop bob
+        return {"op": "update", "ns": "other", "data": {"id": d["id"] * 100}}
+
+    out = build_operator("py", fn=fn)(env)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r.ns == "other" and r.op == "update" for r in rows)
+    ids = {__import__("json").loads(r.data.json)["id"] for r in rows}
+    assert ids == {100, 300}
+
+
+def test_envelope_roundtrip(plain, env):
+    back = from_envelope(env)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, plain.collect()))
+    meta = from_envelope(env, keep_meta=True)
+    assert meta.columns[:3] == ["op", "ts", "ns"]

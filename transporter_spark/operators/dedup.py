@@ -125,7 +125,7 @@ def jaccard_pairs(
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1  # modulus for the affine hash family
+_MERSENNE = (1 << 31) - 1  # Carter-Wegman modulus: a*h stays < 2^62
 
 
 def _hash_family(num: int, seed: int = 42) -> List[tuple]:
@@ -154,23 +154,17 @@ def minhash_signatures(
     Shape: explode shingles, compute the 32-bit stable hash once per
     shingle, then num_hashes element-wise mins in ONE groupBy (map-side
     partial agg does most of the work; shuffle carries num_hashes longs
-    per doc-partition, not per shingle). a_i * h32 < 2^61+32 risks
-    overflow past int64 — so h32 is first reduced mod M (a no-op for
-    32-bit h) and the product is taken in two 30-bit halves.
+    per doc-partition, not per shingle). With the 31-bit Mersenne
+    modulus, a < 2^31 and (h mod M) < 2^31 keep every product < 2^62 —
+    safe under ANSI overflow checking.
     """
     fam = _hash_family(num_hashes, seed)
     sh = df.select(
         F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
-    ).withColumn("h", stable_hash32(F.col("sh")))
-    # (a*h+b) mod M with a < M, h < 2^32: split a = a_hi*2^31 + a_lo so all
-    # intermediate products stay < 2^63.
+    ).withColumn("h", F.pmod(stable_hash32(F.col("sh")), F.lit(_MERSENNE)))
     mins = []
     for i, (a_coeff, b_coeff) in enumerate(fam):
-        a_hi, a_lo = divmod(a_coeff, 1 << 31)
-        expr = (
-            f"pmod(pmod({a_hi}L * pmod(h * {1 << 31}L, {_MERSENNE}L), {_MERSENNE}L)"
-            f" + pmod({a_lo}L * h, {_MERSENNE}L) + {b_coeff}L, {_MERSENNE}L)"
-        )
+        expr = f"pmod({a_coeff}L * h + {b_coeff}L, {_MERSENNE}L)"
         mins.append(F.min(F.expr(expr)).alias(f"mh_{i}"))
     sig = sh.groupBy("id").agg(*mins)
     return sig.select(

@@ -54,8 +54,6 @@ def attach_media(
     return df.withColumn("media", F.struct(F.col(binary_col).alias("content"), *fields))
 
 
-_FEATURE_DIM = 8
-
 _DECODE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -63,24 +61,6 @@ _DECODE_SCHEMA = T.StructType(
         T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
-
-
-def _fake_features(buf: bytes) -> list:
-    """Deterministic stand-in for a decoder+featurizer: byte-histogram
-    moments. Replaceable by a real model without touching the plan."""
-    if not buf:
-        return [0.0] * _FEATURE_DIM
-    n = len(buf)
-    return [
-        float(n),
-        sum(buf) / n,
-        float(max(buf)),
-        float(min(buf)),
-        float(buf[0]),
-        float(buf[-1]),
-        float(sum(1 for x in buf if x > 127)) / n,
-        float(sum(1 for x in buf if x == 0)) / n,
-    ]
 
 
 def decode_features(
@@ -91,13 +71,32 @@ def decode_features(
 ) -> DataFrame:
     """Decode + featurize media content via Arrow-batched mapInPandas.
 
-    With fake=True (this container), the featurizer is `_fake_features`
-    — deterministic, so tests pin exact values. With fake=False this is
-    where PIL/torchaudio/ffmpeg decode would run per Arrow batch.
+    With fake=True (this container), the featurizer is a deterministic
+    byte-histogram stand-in, so tests pin exact values. With fake=False
+    this is where PIL/torchaudio/ffmpeg decode would run per Arrow batch.
+
+    The worker closure is fully self-contained: cloudpickle serializes
+    module-level references by import path, which breaks on executors
+    without this repo on PYTHONPATH — nested defs pickle by value.
     """
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
+
+        def featurize(buf: bytes) -> list:
+            if not buf:
+                return [0.0] * 8
+            n = len(buf)
+            return [
+                float(n),
+                sum(buf) / n,
+                float(max(buf)),
+                float(min(buf)),
+                float(buf[0]),
+                float(buf[-1]),
+                float(sum(1 for x in buf if x > 127)) / n,
+                float(sum(1 for x in buf if x == 0)) / n,
+            ]
 
         for pdf in batches:
             if not fake:
@@ -105,7 +104,7 @@ def decode_features(
                     "real media decoding unavailable in this environment; "
                     "install codec libs and pass fake=False with them present"
                 )
-            feats = [_fake_features(b if b is not None else b"") for b in pdf["content"]]
+            feats = [featurize(b if b is not None else b"") for b in pdf["content"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["id"].astype("int64"),

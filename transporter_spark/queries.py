@@ -652,3 +652,359 @@ def q_session_window(spark, sf_dir):
             "n_events",
         )
     )
+
+
+# ===========================================================================
+# Training-data pipeline operators (SURVEY §7 M6): dedup, similarity,
+# text analysis, multimodal — the 100TB-scale extension surface.
+# ===========================================================================
+
+_SHINGLES_SQL = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' ')) END)) AS s
+       FROM toks)
+"""
+
+
+@q(
+    "dedup_exact",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+)
+SELECT doc_id, md5(text) AS text_hash FROM (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM corpus
+) WHERE rn = 1
+""",
+    headline=True,
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash, keep-smallest-id. The corpus is the
+    documents table unioned with a shifted copy of itself (the testdata
+    has no exact dups), so the operator provably removes the clones.
+    Scale shape: one shuffle on md5 — uniform keys, no skew."""
+    from transporter_spark.operators.dedup import dedup_exact  # noqa: F401
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionByName(clones)
+    kept = build_operator("dedup_exact", cols=["text"])(corpus)
+    return kept.select("doc_id", F.md5("text").alias("text_hash"))
+
+
+@q(
+    "ngram_jaccard_pairs",
+    oracle=_SHINGLES_SQL
+    + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.1
+""",
+    headline=True,
+)
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.1) — the
+    ground-truth verifier for the LSH paths. Distributed as an
+    equi-join on shingles (never an all-pairs cross join)."""
+    from transporter_spark.operators.dedup import jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+
+
+@q("minhash_lsh_pairs", headline=True)
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash(64)+LSH(16 bands) candidate pairs verified by exact
+    Jaccard >= 0.1. Not SQL-expressible in reasonable oracle form ->
+    rows-only driver check; tests/test_dedup.py asserts recall vs the
+    exact ngram_jaccard_pairs result."""
+    from transporter_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=64, bands=16, threshold=0.1
+    )
+
+
+@q("simhash_pairs")
+def q_simhash(spark, sf_dir):
+    """SimHash(32-bit) Hamming<=6 candidate pairs via pigeonhole banding.
+    Rows-only check; sanity-tested against ngram Jaccard in pytest."""
+    from transporter_spark.operators.dedup import simhash_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", bits=32, max_hamming=6, bands=8)
+
+
+@q(
+    "embedding_dup_pairs",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.e, b.e)
+             / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+             8) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e)
+            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+            8) >= 0.4
+""",
+)
+def q_embedding_dup(spark, sf_dir):
+    """Embedding near-dup pairs (cosine >= 0.4, rounded to 8dp for
+    cross-engine float stability). Exact all-pairs at this scale; the
+    LSH-blocked variant is exercised in pytest."""
+    from transporter_spark.operators.dedup import embedding_dup_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, "embedding", "vec_id", threshold=-1.0)
+    return pairs.withColumn("cosine", F.round("cosine", 8)).filter(
+        F.col("cosine") >= 0.4
+    )
+
+
+@q(
+    "ann_cosine_topk",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id, e FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))),
+               8) AS cosine
+  FROM v c CROSS JOIN q
+  WHERE q.vec_id <> c.vec_id
+)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    headline=True,
+)
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-5 ANN baseline: broadcast the query set,
+    stream the corpus once, per-query window rank. Ranking happens on
+    the 8dp-rounded score with neighbor-id tiebreak so it is stable
+    across engines and partitionings."""
+    from transporter_spark.operators.similarity import ann_brute_force
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    scored = ann_brute_force(emb, queries, k=1_000_000)  # rank later on rounded
+    scored = scored.withColumn("cosine", F.round("cosine", 8))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cosine")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def _lang_id_oracle() -> str:
+    """Generate the DuckDB lang-id expression from the SAME stopword
+    constants the Spark operator uses — one source of truth."""
+    from transporter_spark.operators.text import LANG_STOPWORDS
+
+    def hits(lang):
+        words = ", ".join("'" + w + "'" for w in LANG_STOPWORDS[lang])
+        return (
+            f"len(list_filter(regexp_extract_all(text, '\\S+'), "
+            f"x -> lower(x) IN ({words})))"
+        )
+
+    langs = sorted(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(hits(lang) for lang in langs) + ")"
+    case = "'und'"
+    for lang in reversed(langs):
+        case = f"CASE WHEN {hits(lang)} = {best} THEN '{lang}' ELSE {case} END"
+    return f"CASE WHEN {best} > 0 THEN {case} ELSE 'und' END"
+
+
+@q(
+    "text_stats",
+    oracle=rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tokens,
+       length(text)::BIGINT AS n_chars_m,
+       len(regexp_extract_all(text, '[.,;:!?''"()-]')) * 1.0
+         / greatest(length(text), 1) AS punct_ratio,
+       list_sum(list_transform(regexp_extract_all(text, '\S+'),
+                               x -> length(x)::BIGINT)) * 1.0
+         / greatest(len(regexp_extract_all(text, '\S+')), 1) AS mean_token_len,
+       {_lang_id_oracle()} AS lang_pred,
+       list_reduce(list_transform(generate_series(1, least(length(text), 64)),
+                                  i -> ascii(substr(text, i, 1))::BIGINT),
+                   (acc, x) -> (acc * 131 + x) % 2147483647) AS fingerprint
+FROM documents
+""",
+    headline=True,
+)
+def q_text_stats(spark, sf_dir):
+    """Text analysis sweep: token/char counts, punctuation ratio, mean
+    token length, n-gram-heuristic language ID, rolling-hash
+    fingerprint. Single codegen'd projection — zero shuffles, scales
+    linearly with corpus bytes. (quality_score is composed of these and
+    exercised in pytest; lang ground truth is the `lang` column.)"""
+    from transporter_spark.operators.text import (
+        char_count,
+        fingerprint,
+        lang_id,
+        mean_token_len,
+        punct_ratio,
+        token_count,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        char_count("text").alias("n_chars_m"),
+        punct_ratio("text").alias("punct_ratio"),
+        mean_token_len("text").alias("mean_token_len"),
+        lang_id("text").alias("lang_pred"),
+        fingerprint("text").alias("fingerprint"),
+    )
+
+
+@q(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text))::BIGINT AS byte_len,
+       sha256(text) AS content_sha
+FROM documents
+""",
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal metadata plumbing: text bytes stand in for media
+    blobs (no codecs in this container); byte length + content digest
+    computed on the binary column — the typed-metadata half of the
+    multimodal story, fully oracle-checked."""
+    docs = read_table(spark, sf_dir, "documents")
+    blob = F.encode("text", "utf-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).cast("long").alias("byte_len"),
+        F.sha2("text", 256).alias("content_sha"),
+    )
+
+
+@q("media_features")
+def q_media_features(spark, sf_dir):
+    """Arrow-batched media decode/featurize plumbing over mapInPandas
+    (decoder stubbed deterministically — no codec libs here; the Spark
+    contract — schema, batching, 1:1 row mapping — is real). Rows-only
+    driver check; exact feature values pinned in pytest."""
+    from transporter_spark.operators.multimodal import attach_media, decode_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = attach_media(
+        docs.withColumn("blob", F.encode("text", "utf-8")), "blob", "text/plain"
+    )
+    return decode_features(media, id_col="doc_id", fake=True)
+
+
+# ===========================================================================
+# Structured Streaming (SURVEY §2.5): the same plans over readStream,
+# drained with Trigger.AvailableNow so they join the DuckDB oracle gate.
+# ===========================================================================
+
+@q(
+    "stream_windowed_agg",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+       COUNT(*) AS n,
+       SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+)
+def q_stream_windowed_agg(spark, sf_dir):
+    """REAL Structured Streaming: readStream over events -> tumbling
+    1h window agg -> memory sink, drained with availableNow (the
+    reference's copy-then-stop mode). Complete output mode so every
+    window is emitted at drain (append would hold back windows inside
+    the watermark). Identical results to the batch windowed_agg — the
+    point of the shared envelope."""
+    from transporter_spark.streaming.sources import stream_table
+    from transporter_spark.streaming.windows import run_available_now
+
+    ev = stream_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("string").cast("decimal(38,6)")).alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@q(
+    "stream_cdc_apply",
+    oracle=f"""
+WITH flat AS (
+  SELECT {_EVENTS_OP_SQL} AS op, ts, event_id, user_id, event_type, value, props
+  FROM events
+),
+newest AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM flat
+)
+SELECT event_id, user_id, event_type, value, props
+FROM newest WHERE rn = 1 AND op <> 'delete'
+""",
+)
+def q_stream_cdc_apply(spark, sf_dir):
+    """Full CDC pipeline: envelope stream (insert/update/delete derived
+    per row) -> foreachBatch last-writer-wins upsert into a parquet
+    table -> final state. This replaces the reference's commitlog +
+    per-sink offsets + writer dispatch (pipeline/node.go:489-594) with
+    checkpointed epochs + an idempotent apply."""
+    import tempfile
+
+    from transporter_spark.streaming.cdc import cdc_upsert_sink
+    from transporter_spark.streaming.sources import stream_table
+    from transporter_spark.streaming.windows import run_foreach_batch_available_now
+
+    ev = stream_table(spark, sf_dir, "events")
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    env = to_envelope(
+        ev.withColumn("_op", op),
+        ns="app.events",
+        op_col="_op",
+        ts_col="ts",
+        payload_cols=["event_id", "user_id", "event_type", "value", "props"],
+    )
+    target = tempfile.mkdtemp(prefix="ts_cdc_state_") + "/table"
+    run_foreach_batch_available_now(
+        env, cdc_upsert_sink(spark, target, keys=["user_id"], order_cols=["ts", "event_id"])
+    )
+    return spark.read.parquet(target).select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )

@@ -1,0 +1,148 @@
+"""JDBC batch connectors (postgres / mysql) — reads, writes, upserts.
+
+Parity with the reference's SQL adaptors re-expressed Spark-first:
+
+- schema discovery + per-value casify (adaptor/postgres/reader.go:113-146,
+  adaptor/mysql/reader.go:205-262) is the JDBC reader's metadata mapping
+  — free, typed, no per-row Go switch.
+- full scans become partitioned reads: partitionColumn/lowerBound/
+  upperBound turn `SELECT *` into N parallel range scans (the reference
+  reads every table on one goroutine, adaptor/postgres/reader.go:102-190).
+- writers: append is `df.write.jdbc`; upsert generates the same
+  dialect-specific statements the reference builds per message
+  (postgres/writer.go:33-160 `INSERT ... ON CONFLICT`,
+  mysql/writer.go:36-263 `ON DUPLICATE KEY UPDATE`) — but executed
+  per *epoch* against a staging table, not per row.
+
+No database exists in the test container, so everything network-facing
+is import/connection-gated; the SQL generation is pure and unit-tested.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: Optional[str] = None,
+    num_partitions: int = 16,
+    lower_bound: Optional[int] = None,
+    upper_bound: Optional[int] = None,
+    **options: str,
+) -> DataFrame:
+    """Partitioned JDBC scan. With partition_column unset Spark reads
+    on one connection (the reference's behavior); set it on the PK for
+    N parallel range scans — the first thing to do at scale."""
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            raise ValueError("partitioned read needs lower_bound and upper_bound")
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def quote_ident(name: str, dialect: str) -> str:
+    if dialect == "mysql":
+        return "`" + name.replace("`", "``") + "`"
+    return '"' + name.replace('"', '""') + '"'
+
+
+def upsert_sql(
+    dialect: str,
+    table: str,
+    columns: Sequence[str],
+    keys: Sequence[str],
+    staging: Optional[str] = None,
+) -> str:
+    """Generate the epoch-upsert statement from a staging table.
+
+    postgres: INSERT ... SELECT ... ON CONFLICT (pk) DO UPDATE SET ...
+    mysql:    INSERT ... SELECT ... ON DUPLICATE KEY UPDATE ...
+
+    Matches the semantics of the reference's per-message writers
+    (postgres/writer.go:71-116, mysql/writer.go:100-150) with one
+    statement per micro-batch instead of one per row.
+    """
+    staging = staging or f"{table}_staging"
+    q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    cols = ", ".join(q(c) for c in columns)
+    non_keys = [c for c in columns if c not in keys]
+    if dialect == "postgres":
+        conflict = ", ".join(q(k) for k in keys)
+        sets = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in non_keys)
+        action = f"DO UPDATE SET {sets}" if non_keys else "DO NOTHING"
+        return (
+            f"INSERT INTO {q(table)} ({cols}) SELECT {cols} FROM {q(staging)} "
+            f"ON CONFLICT ({conflict}) {action}"
+        )
+    if dialect == "mysql":
+        sets = ", ".join(f"{q(c)} = VALUES({q(c)})" for c in non_keys) or (
+            ", ".join(f"{q(k)} = VALUES({q(k)})" for k in keys)
+        )
+        return (
+            f"INSERT INTO {q(table)} ({cols}) SELECT {cols} FROM {q(staging)} "
+            f"ON DUPLICATE KEY UPDATE {sets}"
+        )
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def delete_sql(dialect: str, table: str, keys: Sequence[str], staging: str) -> str:
+    """Epoch delete: remove rows whose keys appear in the staging table
+    (reference DELETE-per-message, postgres/writer.go:118-160)."""
+    q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    pred = " AND ".join(f"{q(table)}.{q(k)} = s.{q(k)}" for k in keys)
+    if dialect == "postgres":
+        return f"DELETE FROM {q(table)} USING {q(staging)} s WHERE {pred}"
+    if dialect == "mysql":
+        return f"DELETE {q(table)} FROM {q(table)} JOIN {q(staging)} s ON {pred}"
+    raise ValueError(f"unknown dialect {dialect!r}")
+
+
+def jdbc_cdc_sink(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    keys: List[str],
+    dialect: str = "postgres",
+    driver_properties: Optional[dict] = None,
+):
+    """foreachBatch CDC apply for a JDBC sink: stage the epoch's newest
+    changes, then one upsert + one delete statement via JDBC. Gated —
+    requires a JDBC driver jar + reachable database."""
+    from transporter_spark.streaming.cdc import latest_per_key
+    from pyspark.sql import functions as F
+
+    props = driver_properties or {}
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        flat = batch.select("op", "ts", F.col("data.*"))
+        newest = latest_per_key(flat, keys)
+        staging = f"{table}_staging_{epoch_id}"
+        newest.drop("op", "ts").write.jdbc(url, staging, mode="overwrite", properties=props)
+        cols = [c for c in newest.columns if c not in ("op", "ts")]
+        stmts = [
+            upsert_sql(dialect, table, cols, keys, staging),
+            delete_sql(dialect, table, keys, staging),
+        ]
+        # execute via a raw JVM connection (no cursor API in PySpark)
+        jvm = spark._jvm  # pragma: no cover - needs a live database
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            for s in stmts:
+                conn.createStatement().executeUpdate(s)
+        finally:
+            conn.close()
+
+    return apply
