@@ -41,7 +41,10 @@ def tokens(col_name: str) -> Column:
 
 
 def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column."""
+    """Distinct word n-gram shingles of a text column. The tokenizer
+    appears 4x textually but stays inside one expression, where
+    whole-stage codegen's subexpression elimination evaluates it once
+    per row."""
     toks = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
     return F.expr(
         f"array_distinct(CASE WHEN size({toks}) < {n} "
@@ -49,6 +52,20 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
         f"ELSE transform(sequence(1, size({toks}) - {n} + 1), "
         f"i -> concat_ws(' ', slice({toks}, i, {n}))) END)"
     )
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut plan lineage before a self-join on an expression-heavy frame.
+
+    Self-joining a deep tree (e.g. a 64-aggregate MinHash signature)
+    makes Catalyst analyze + codegen the whole tree once PER BRANCH and
+    per downstream stage — measured 60-200s of pure planning/compile on
+    frames with ~5k rows. localCheckpoint replaces the plan with its
+    materialized RDD: downstream stages see a leaf. Cluster note: local
+    checkpoints don't survive executor loss; for long-lived production
+    jobs persist to reliable storage (df.checkpoint()) instead.
+    """
+    return df.localCheckpoint(eager=True)
 
 
 # ---------------------------------------------------------------------------
@@ -79,33 +96,64 @@ def dedup_exact(
 # n-gram Jaccard near-dup (exact similarity; the verifier for LSH paths)
 # ---------------------------------------------------------------------------
 
+def _shingle_frame(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: Optional[int]
+) -> DataFrame:
+    """(id, h) exploded distinct-shingle frame, cached — it feeds the
+    self-join AND both size lookups, and recomputing the regex+explode
+    three times dominates runtime otherwise. Shingles are reduced to a
+    64-bit hash for the join key: long equi-joins beat string joins and
+    the collision risk is ~|shingles|^2 / 2^65.
+
+    max_df (scale knob): drop shingles appearing in more than max_df
+    docs. Stop-shingle frequency skew is THE failure mode of the
+    self-join at corpus scale — a shingle shared by 1M docs contributes
+    5*10^11 pairs. Capping df changes recall only for pairs that share
+    *no* rarer shingle; near-dups by definition share many.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(text_col, n)).alias("sh"),
+    ).select("id", F.xxhash64("sh").alias("h"))
+    # corpus files are often few+small relative to the CPU they imply
+    # (one scan partition feeding shingle+hash work for every core) —
+    # spread the derived rows before the joins/aggs
+    sh = sh.repartition("id")
+    if max_df is not None:
+        keep = sh.groupBy("h").count().filter(F.col("count") <= max_df).select("h")
+        sh = sh.join(keep, "h")
+    return sh.persist()
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: Optional[int] = None,
 ) -> DataFrame:
     """All pairs (a < b) with word-n-gram Jaccard >= threshold.
 
-    Distributed shape: explode distinct shingles -> self-equi-join on the
-    shingle (co-partitioned shuffle join, NOT a cross join) -> count
-    intersections -> Jaccard from |A|,|B|,|A∩B|. The join key is the
-    shingle hash, so frequency skew (stopword shingles) is the one
-    hazard: at scale, drop shingles with document frequency above a cap
-    (they contribute only to pairs that share rarer shingles too).
+    Distributed shape: explode distinct shingles -> self-equi-join on
+    the 64-bit shingle hash (co-partitioned shuffle join, NOT a cross
+    join) -> count intersections -> Jaccard from |A|,|B|,|A∩B|.
     Returns (id_a, id_b, jaccard).
     """
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
-    )
+    sh = _shingle_frame(df, text_col, id_col, n, max_df)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
+    return _jaccard_from_inter(inter, sizes, threshold)
+
+
+def _jaccard_from_inter(
+    inter: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
@@ -159,9 +207,17 @@ def minhash_signatures(
     safe under ANSI overflow checking.
     """
     fam = _hash_family(num_hashes, seed)
-    sh = df.select(
-        F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
-    ).withColumn("h", F.pmod(stable_hash32(F.col("sh")), F.lit(_MERSENNE)))
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
+        )
+        # parallelize the num_hashes x |shingles| partial-agg work: the
+        # scan is 1 partition per ~128MB file, far too coarse for this
+        # CPU-bound stage; repartitioning by doc id also makes the
+        # partial agg final (one group per partition -> tiny shuffle)
+        .repartition("id")
+        .withColumn("h", F.pmod(stable_hash32(F.col("sh")), F.lit(_MERSENNE)))
+    )
     mins = []
     for i, (a_coeff, b_coeff) in enumerate(fam):
         expr = f"pmod({a_coeff}L * h + {b_coeff}L, {_MERSENNE}L)"
@@ -197,7 +253,7 @@ def minhash_lsh_pairs(
     size upstream if needed.
     """
     r = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, seed)
+    sig = _materialize(minhash_signatures(df, text_col, id_col, n, num_hashes, seed))
     banded = sig.select(
         "id",
         F.explode(
@@ -214,6 +270,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", "bs.band", "bs.bsig")
+    banded = _materialize(banded)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -227,14 +284,19 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    exact = jaccard_pairs(df, text_col, id_col, n, threshold=0.0).withColumnRenamed(
-        "jaccard", "jaccard"
+    # verify ONLY the candidates (never the all-pairs exact join — that
+    # would defeat LSH): candidates fan out to their shingles, then an
+    # equi-join on (doc, shingle-hash) counts intersections.
+    sh = _shingle_frame(df, text_col, id_col, n, max_df=None)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, F.col("id_a") == F.col("a.id"))
+        .join(b, (F.col("id_b") == F.col("b.id")) & (F.col("a.h") == F.col("b.h")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
     )
-    return (
-        cand.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _jaccard_from_inter(inter, sizes, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -255,10 +317,16 @@ def simhash(
     combine keeps shuffle tiny). Hamming-near pairs come from banding
     the fingerprint bits (same LSH idea as minhash).
     """
-    tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")).alias("tok"),
-    ).withColumn("h", stable_hash32(F.col("tok")))
+    tok = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.expr(f"regexp_extract_all({text_col}, '\\\\S+', 0)")
+            ).alias("tok"),
+        )
+        .repartition("id")  # parallelize the bits x |tokens| agg work
+        .withColumn("h", stable_hash32(F.col("tok")))
+    )
     sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -288,7 +356,7 @@ def simhash_pairs(
     hamming distance with bit_count(xor)."""
     assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     width = bits // bands
-    fp = simhash(df, text_col, id_col, bits)
+    fp = _materialize(simhash(df, text_col, id_col, bits))
     banded = fp.select(
         "id",
         "simhash",

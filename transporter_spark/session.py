@@ -36,7 +36,10 @@ _DEFAULTS = {
     # Deterministic session timezone so oracle comparisons are stable.
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+    # NOT maximal: an oversized heap (48g) measured 10-60x slower on
+    # cold pages (lazy allocation + GC over an almost-empty old gen);
+    # 16g covers local workloads, clusters set executor memory anyway.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
 }
 
 
