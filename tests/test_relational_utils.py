@@ -1,0 +1,35 @@
+"""Skew utilities."""
+
+import pyspark.sql.functions as F
+
+from transporter_spark.operators.relational import broadcast_dim_join, salted_sum
+from transporter_spark.sources.files import read_table
+
+
+def test_salted_sum_matches_plain_groupby(spark, sf_dir):
+    li = read_table(spark, sf_dir, "lineitem")
+    salted = {
+        (r.l_returnflag): (round(r.sum_l_quantity, 6), r.n)
+        for r in salted_sum(li, ["l_returnflag"], "l_quantity").collect()
+    }
+    plain = {
+        r.l_returnflag: (round(r.s, 6), r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum("l_quantity").alias("s"), F.count("*").alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_broadcast_dim_join_plan(spark, sf_dir):
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    out = broadcast_dim_join(
+        cust,
+        [
+            (nation, cust.c_nationkey == nation.n_nationkey),
+            (region, nation.n_regionkey == region.r_regionkey),
+        ],
+    )
+    assert out.count() == cust.count()

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from transporter_spark.streaming.cdc import apply_cdc_batch, latest_per_key
+from transporter_spark.streaming.cdc import apply_cdc_batch, latest_per_key, live_rows
 from transporter_spark.streaming.sources import stream_envelope, stream_table
 from transporter_spark.streaming.windows import run_available_now, windowed_counts
 
@@ -36,7 +36,7 @@ def test_apply_cdc_batch_upsert_delete(spark):
             ("insert", t2, 3, "born"),  # adds user 3
         ],
     )
-    out = apply_cdc_batch(current, changes, keys=["user_id"])
+    out = live_rows(apply_cdc_batch(current, changes, keys=["user_id"]))
     got = {r.user_id: r.v for r in out.collect()}
     assert got == {1: "new", 3: "born"}
 
@@ -50,9 +50,9 @@ def test_apply_cdc_batch_idempotent_replay(spark):
     changes = _env(spark, [("insert", t, 1, "a"), ("update", t, 2, "b")])
     once = apply_cdc_batch(None, changes, keys=["user_id"])
     twice = apply_cdc_batch(once, changes, keys=["user_id"])
-    assert sorted(map(tuple, once.select("user_id", "v").collect())) == sorted(
-        map(tuple, twice.select("user_id", "v").collect())
-    )
+    assert sorted(
+        map(tuple, live_rows(once).select("user_id", "v").collect())
+    ) == sorted(map(tuple, live_rows(twice).select("user_id", "v").collect()))
 
 
 def test_apply_cdc_lww_within_batch(spark):
@@ -62,7 +62,7 @@ def test_apply_cdc_lww_within_batch(spark):
 
     t1, t2 = datetime(2024, 1, 1), datetime(2024, 1, 2)
     changes = _env(spark, [("insert", t1, 1, "first"), ("update", t2, 1, "second")])
-    out = apply_cdc_batch(None, changes, keys=["user_id"])
+    out = live_rows(apply_cdc_batch(None, changes, keys=["user_id"]))
     assert [r.v for r in out.collect()] == ["second"]
 
 
@@ -149,3 +149,85 @@ def test_stateful_running_count_applyInPandasWithState(spark, sf_dir):
     final = {r.user_id: r.n_events for r in got.collect()}
     for r in batch.collect():
         assert final[r.user_id] == r["count"]
+
+
+def test_cdc_multi_epoch_apply(spark, sf_dir, tmp_path):
+    """CDC apply across MULTIPLE micro-batches: events split into 3
+    files, maxFilesPerTrigger=1 -> 3 epochs; the final table state must
+    equal the single-batch (and batch-SQL) result. This exercises the
+    copy->tail phase switch the reference manages with Flush commands
+    and per-sink offsets (commitlog/logentry.go:76-96)."""
+    import pyspark.sql.functions as F
+    from transporter_spark.envelope import to_envelope
+    from transporter_spark.streaming.cdc import cdc_upsert_sink
+    from transporter_spark.streaming.windows import run_foreach_batch_available_now
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # nanos ts: normalize like read_table does
+    from transporter_spark.sources.files import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "ev_split")
+    ev.repartition(3).write.parquet(src_dir)
+
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    env = to_envelope(
+        stream.withColumn("_op", op),
+        ns="t",
+        op_col="_op",
+        ts_col="ts",
+        payload_cols=["event_id", "user_id", "event_type", "value"],
+    )
+    target = str(tmp_path / "state")
+    run_foreach_batch_available_now(
+        env,
+        cdc_upsert_sink(spark, target, keys=["user_id"], order_cols=["event_id"]),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    from transporter_spark.streaming.cdc import read_cdc_table
+
+    got = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in read_cdc_table(spark, target).collect()
+    }
+
+    # expected: latest event per user (ts, event_id tiebreak), dropped if delete
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    expected = {
+        r.user_id: (r.event_id, r.event_type)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .filter("event_type <> 'error'")
+        .collect()
+    }
+    assert got == expected
+
+
+def test_cdc_out_of_order_batches_no_resurrection(spark):
+    """An older change arriving in a LATER batch must not clobber newer
+    state, and an older update after a delete must not resurrect the
+    row — the two failure modes ordered one-at-a-time delivery hides
+    and a distributed engine must handle explicitly (tombstones +
+    retained _ts)."""
+    from datetime import datetime
+
+    t1, t2, t3 = datetime(2024, 1, 1), datetime(2024, 1, 2), datetime(2024, 1, 3)
+    # batch 1 carries the NEWEST changes; batch 2 arrives later with older ones
+    b1 = _env(spark, [("update", t3, 1, "newest"), ("delete", t2, 2, None)])
+    b2 = _env(spark, [("update", t1, 1, "stale"), ("update", t1, 2, "zombie")])
+    state = apply_cdc_batch(None, b1, keys=["user_id"])
+    state = apply_cdc_batch(state, b2, keys=["user_id"])
+    got = {r.user_id: r.v for r in live_rows(state).collect()}
+    assert got == {1: "newest"}  # stale update ignored, no resurrection

@@ -1,0 +1,60 @@
+"""Scale utilities for the relational surface: skew-aware aggregation
+and salted joins.
+
+AQE's skew-join splitting handles most cases at runtime; these
+explicit tools are for the cases AQE can't see — a groupBy whose
+reduce-side explodes on one hot key, or a deliberate two-stage
+aggregation pattern.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from transporter_spark.registry import register
+
+
+def salted_sum(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Skew-proof two-stage sum+count per key: partial-agg on
+    (keys, salt) spreads a hot key over `salt_buckets` reducers, then a
+    second agg merges partials. Result: keys..., sum_<col>, n.
+
+    Note: built-in hash aggregation already combines map-side, which
+    de-skews low-cardinality hot keys for free; salting matters when
+    the hot key's rows arrive pre-shuffled on too few partitions (e.g.
+    after a join on the same key) — or for high-cardinality aggs where
+    the combine can't compress (collect_list-like)."""
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        F.sum(value_col).alias("_ps"), F.count("*").alias("_pn")
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("_ps").alias(f"sum_{value_col}"), F.sum("_pn").alias("n")
+    )
+
+
+@register("salted_sum")
+def salted_sum_op(keys: Sequence[str], value_col: str, salt_buckets: int = 16):
+    def apply(df: DataFrame) -> DataFrame:
+        return salted_sum(df, keys, value_col, salt_buckets)
+
+    return apply
+
+
+def broadcast_dim_join(
+    fact: DataFrame, dims: List[tuple], how: str = "inner"
+) -> DataFrame:
+    """Join a fact table against N small dimensions, all broadcast:
+    dims = [(dim_df, join_expr), ...]. The fact side never shuffles."""
+    out = fact
+    for dim, cond in dims:
+        out = out.join(F.broadcast(dim), cond, how)
+    return out

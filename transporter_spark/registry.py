@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "transporter_spark.operators.text",
     "transporter_spark.operators.similarity",
     "transporter_spark.operators.multimodal",
+    "transporter_spark.operators.relational",
 )
 
 _loaded = False

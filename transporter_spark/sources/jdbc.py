@@ -127,11 +127,15 @@ def jdbc_cdc_sink(
     props = driver_properties or {}
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        flat = batch.select("op", "ts", F.col("data.*"))
-        newest = latest_per_key(flat, keys)
+        flat = batch.select(
+            F.lower("op").alias("_op"), F.col("ts").alias("_ts"), F.col("data.*")
+        )
+        newest = latest_per_key(flat, keys, ["_ts"])
         staging = f"{table}_staging_{epoch_id}"
-        newest.drop("op", "ts").write.jdbc(url, staging, mode="overwrite", properties=props)
-        cols = [c for c in newest.columns if c not in ("op", "ts")]
+        newest.drop("_op", "_ts").write.jdbc(
+            url, staging, mode="overwrite", properties=props
+        )
+        cols = [c for c in newest.columns if c not in ("_op", "_ts")]
         stmts = [
             upsert_sql(dialect, table, cols, keys, staging),
             delete_sql(dialect, table, keys, staging),

@@ -8,16 +8,30 @@ Semantics ported from the reference:
   re-fetches the whole doc, adaptor/mongodb/reader.go:296-313) — so
   apply is a pure upsert.
 - unknown ops pass through silently-but-acked (mongodb/writer.go:33-40)
-  — here: filtered with a metric, never a failure.
-- at-least-once replay must be idempotent — last-writer-wins by
-  (ts, seq) makes reapplying any suffix of the log a no-op.
+  — here: filtered with no failure.
+- at-least-once replay must be idempotent — last-writer-wins makes
+  reapplying any subset of the log a no-op.
 
-The batch primitive `apply_cdc_batch` is pure DataFrame->DataFrame;
-`cdc_upsert_sink` wires it into foreachBatch for streams. The sink here
-maintains a parquet directory (read-modify-overwrite per epoch) — the
-demo-grade store; on a real deployment the same `apply_cdc_batch`
-output feeds MERGE INTO on Delta/Iceberg where the table format gives
-transactional upsert without rewriting unmatched data.
+Semantics the reference CAN'T provide that this engine must: epochs
+may arrive out of event-time order (file order, shuffled partitions,
+replays). The reference sidesteps this with strictly ordered
+one-at-a-time delivery; a distributed engine cannot. So the maintained
+state carries its CDC metadata:
+
+    payload... , _ts timestamp, _op ('live' | 'delete')
+
+- `_ts` (+ payload tiebreakers) lets every merge be a true
+  last-WRITER-wins comparison against the standing row, so an older
+  change arriving later never clobbers newer state.
+- delete TOMBSTONES are retained, so an older update arriving after
+  the delete cannot resurrect the row. (Tombstone GC = drop tombstones
+  older than the source's max replay horizon — the same contract as
+  Kafka compaction / Delta vacuum.)
+
+`apply_cdc_batch` is a pure DataFrame function; `cdc_upsert_sink`
+wires it into foreachBatch maintaining a parquet directory (the
+demo-grade store — on Delta/Iceberg the same merge becomes MERGE INTO
+with the identical _ts guard); `read_cdc_table` reads the live rows.
 """
 
 from __future__ import annotations
@@ -29,15 +43,18 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _KNOWN_OPS = ("insert", "update", "delete")
+_META = ("_op", "_ts", "_prio")
 
 
 def latest_per_key(
     changes: DataFrame, keys: List[str], order_cols: Optional[List[str]] = None
 ) -> DataFrame:
-    """Collapse a CDC change set to the newest change per key
-    (last-writer-wins via row_number — SURVEY §2.6)."""
-    order_cols = order_cols or ["ts"]
-    w = Window.partitionBy(*keys).orderBy(*[F.desc(c) for c in order_cols])
+    """Collapse to the newest row per key (row_number LWW — SURVEY
+    §2.6). order_cols are ranked descending, in order."""
+    order_cols = order_cols or ["_ts"]
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc_nulls_last() for c in order_cols]
+    )
     return (
         changes.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -51,29 +68,44 @@ def apply_cdc_batch(
     keys: List[str],
     order_cols: Optional[List[str]] = None,
 ) -> DataFrame:
-    """Apply an envelope change-batch to the current table state.
+    """Merge an envelope change-batch into the current CDC state.
 
-    changes: envelope frame (op/ts/ns/data). Returns the new state
-    (payload columns only). Idempotent: re-applying any subset of
-    already-applied changes yields the same state.
-
-    order_cols name payload tiebreaker columns; the envelope timestamp
-    is always the primary order and is internally aliased `_ts` so a
-    payload field named `ts` cannot collide with it.
+    changes: envelope frame (op/ts/ns/data). current: prior state
+    (payload + optionally _ts/_op from a previous apply). Returns the
+    new state INCLUDING tombstones — filter with ``live_rows`` for the
+    user-facing table. Idempotent and order-insensitive across
+    batches: the newest (_ts, order_cols, change-beats-state) row wins
+    regardless of arrival epoch.
     """
+    order_cols = [c for c in (order_cols or []) if c not in ("ts", "_ts")]
     flat = changes.select(
         F.lower("op").alias("_op"), F.col("ts").alias("_ts"), F.col("data.*")
+    ).filter(F.col("_op").isin(*_KNOWN_OPS))
+    flat = flat.withColumn(
+        "_op", F.when(F.col("_op") == "delete", "delete").otherwise("live")
     )
-    flat = flat.filter(F.col("_op").isin(*_KNOWN_OPS))  # unknown ops: drop, don't fail
-    order = ["_ts"] + [c for c in (order_cols or []) if c not in ("ts", "_ts")]
-    newest = latest_per_key(flat, keys, order)
-    upserts = newest.filter(F.col("_op") != "delete").drop("_op", "_ts")
+    order = ["_ts"] + order_cols + ["_prio"]
+    newest = latest_per_key(
+        flat.withColumn("_prio", F.lit(1)), keys, order
+    )
     if current is None:
-        return upserts
-    # anti-join on ALL touched keys handles deletes and replaced rows in
-    # one pass; upserts then re-add the non-delete newest images.
-    survivors = current.join(newest.select(*keys), keys, "left_anti")
-    return survivors.unionByName(upserts)
+        merged = newest
+    else:
+        cur = current
+        if "_ts" not in cur.columns:
+            cur = cur.withColumn("_ts", F.lit(None).cast("timestamp"))
+        if "_op" not in cur.columns:
+            cur = cur.withColumn("_op", F.lit("live"))
+        # equal (_ts + tiebreakers): the incoming change wins over the
+        # standing row (_prio), keeping replays idempotent
+        cur = cur.withColumn("_prio", F.lit(0))
+        merged = latest_per_key(cur.unionByName(newest), keys, order)
+    return merged.drop("_prio")
+
+
+def live_rows(state: DataFrame) -> DataFrame:
+    """User-facing view of CDC state: no tombstones, no metadata."""
+    return state.filter(F.col("_op") != "delete").drop("_op", "_ts")
 
 
 def cdc_upsert_sink(
@@ -82,10 +114,12 @@ def cdc_upsert_sink(
     keys: List[str],
     order_cols: Optional[List[str]] = None,
 ):
-    """foreachBatch function maintaining a parquet table from an
+    """foreachBatch function maintaining a parquet CDC table from an
     envelope stream. Epoch = the reference's bulk-flush boundary
-    (message/ops/ops.go:64-74 Flush command); exactly-once per epoch
-    because the write is a full atomic swap keyed by the checkpoint.
+    (message/ops/ops.go:64-74 Flush command); the write is a full
+    atomic swap per epoch. Production sinks swap this for MERGE INTO
+    on a transactional table format — apply_cdc_batch's output is the
+    exact merge source either way.
     """
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
@@ -96,10 +130,13 @@ def cdc_upsert_sink(
         # path in one plan would race)
         tmp = table_path.rstrip("/") + f"._epoch{epoch_id}"
         new_state.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(table_path)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
         import shutil
 
         shutil.rmtree(tmp, ignore_errors=True)
 
     return apply
+
+
+def read_cdc_table(spark: SparkSession, table_path: str) -> DataFrame:
+    return live_rows(spark.read.parquet(table_path))
