@@ -1118,3 +1118,122 @@ def q_python_udtf(spark, sf_dir):
         "SELECT event_id, t.ch FROM _udtf_events, "
         "LATERAL chars_udtf(event_type) t WHERE event_id < 100"
     )
+
+
+# ===========================================================================
+# Subqueries, having, semi/anti joins, pivot — §2.6 breadth
+# ===========================================================================
+
+@q(
+    "exists_subquery",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_quantity > 48
+)
+GROUP BY o_orderpriority
+""",
+)
+def q_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape) — planned as a left-semi
+    join; the filter on the subquery side pushes to its scan."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM _orders
+        WHERE EXISTS (
+          SELECT 1 FROM _lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 48
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@q(
+    "anti_join_not_in",
+    oracle="""
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""",
+)
+def q_anti_join(spark, sf_dir):
+    """NOT IN -> left-anti join (null-safe: o_custkey has no nulls
+    here; with nulls, NOT IN semantics need the null-aware anti join
+    Spark plans automatically)."""
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@q(
+    "having_clause",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n, 
+       SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,12))) AS total
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+""",
+)
+def q_having(spark, sf_dir):
+    """GROUP BY ... HAVING (TPC-H Q18 shape): post-aggregation filter."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n"), _dsum(F.col("o_totalprice")).alias("total"))
+        .filter(F.col("n") >= 15)
+    )
+
+
+@q(
+    "scalar_subquery",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+""",
+)
+def q_scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery: rows above 2x the global mean.
+    avg(double) is order-dependent in general; here both engines
+    compute avg over the same full column in one partition-merge —
+    exact equality verified empirically, and the comparison threshold
+    makes last-bit drift irrelevant (no row sits within 1e-9 of 2x)."""
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_sc")
+    return spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM _orders_sc "
+        "WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM _orders_sc)"
+    )
+
+
+@q(
+    "pivot_table",
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+       COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS medium,
+       COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def q_pivot(spark, sf_dir):
+    """PIVOT (wide aggregation) — count per (status x priority)."""
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "3-MEDIUM", "5-LOW"])
+        .count()
+        .select(
+            "o_orderstatus",
+            F.coalesce("1-URGENT", F.lit(0)).alias("urgent"),
+            F.coalesce("3-MEDIUM", F.lit(0)).alias("medium"),
+            F.coalesce("5-LOW", F.lit(0)).alias("low"),
+        )
+    )

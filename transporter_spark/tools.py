@@ -1,0 +1,101 @@
+"""Operational tooling — the `transporter xlog` / `transporter offset`
+CLI analog (cmd/transporter/xlog.go, offset.go:1-143; README.md:179-257).
+
+The reference exposes its durability internals (commit log positions,
+per-sink consumer offsets, `offset mark` to skip poison messages).
+Spark's equivalent internals are the streaming checkpoint directory;
+this module reads them for inspection, and `mark_offset` reproduces
+the poison-message escape hatch (DESIGN.md:221-236) by rewriting the
+latest offset file.
+
+Usage:
+    python -m transporter_spark.tools show /path/to/checkpoint
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from typing import Dict, List, Optional
+
+
+def _read_hdfs_log(log_dir: str) -> Dict[int, dict]:
+    """Read a Spark HDFSMetadataLog directory (offsets/ or commits/):
+    one file per batch id, line 1 = version, rest = JSON payload."""
+    out: Dict[int, dict] = {}
+    if not os.path.isdir(log_dir):
+        return out
+    for name in os.listdir(log_dir):
+        if not name.isdigit():
+            continue
+        with open(os.path.join(log_dir, name)) as f:
+            lines = [ln for ln in f.read().splitlines() if ln]
+        payload: dict = {"version": lines[0] if lines else None, "raw": lines[1:]}
+        parsed = []
+        for ln in lines[1:]:
+            try:
+                parsed.append(json.loads(ln))
+            except json.JSONDecodeError:
+                parsed.append(ln)
+        payload["entries"] = parsed
+        out[int(name)] = payload
+    return out
+
+
+def checkpoint_state(checkpoint_dir: str) -> dict:
+    """Full state of one query's checkpoint: latest batch (`xlog
+    current` analog), oldest retained (`xlog oldest`), committed vs
+    staged offsets (consumer-offset listing analog)."""
+    offsets = _read_hdfs_log(os.path.join(checkpoint_dir, "offsets"))
+    commits = _read_hdfs_log(os.path.join(checkpoint_dir, "commits"))
+    batches = sorted(offsets)
+    return {
+        "checkpoint": checkpoint_dir,
+        "oldest_batch": batches[0] if batches else None,
+        "current_batch": batches[-1] if batches else None,
+        "committed_batch": max(commits) if commits else None,
+        "uncommitted": sorted(set(offsets) - set(commits)),
+        "current_offsets": offsets.get(batches[-1], {}).get("entries") if batches else None,
+    }
+
+
+def list_offsets(checkpoint_dir: str) -> List[dict]:
+    """`offset list` analog: every batch with its source offsets."""
+    offsets = _read_hdfs_log(os.path.join(checkpoint_dir, "offsets"))
+    return [
+        {"batch": b, "offsets": payload.get("entries")}
+        for b, payload in sorted(offsets.items())
+    ]
+
+
+def mark_offset(checkpoint_dir: str, batch: int, new_entries: List[str]) -> str:
+    """`offset mark` analog — the poison-message escape hatch
+    (DESIGN.md:221-236): write a NEW offsets file for `batch` with the
+    given source-offset JSON lines, so the restarted query skips past
+    a poison range. DESTRUCTIVE to the checkpoint; stop the query
+    first. Returns the path written."""
+    path = os.path.join(checkpoint_dir, "offsets", str(batch))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("v1\n")
+        for entry in new_entries:
+            f.write(entry + "\n")
+    return path
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 2 or argv[0] not in ("show", "offsets"):
+        print("usage: python -m transporter_spark.tools show|offsets <checkpoint_dir>")
+        return 2
+    cmd, target = argv[0], argv[1]
+    if cmd == "show":
+        print(json.dumps(checkpoint_state(target), indent=2, default=str))
+    else:
+        print(json.dumps(list_offsets(target), indent=2, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
