@@ -31,12 +31,22 @@ TABLES = (
 def _nanos_ts_columns(path: str):
     """Columns stored as parquet TIMESTAMP(NANOS) — Spark has no nanos
     timestamp type, so these are read as long (nanosAsLong) and converted
-    to microsecond timestamps. Metadata-only peek, no data read."""
+    to microsecond timestamps. Metadata-only peek, no data read; handles
+    both single-file and directory-style parquet."""
     import pyarrow.parquet as pq
     import pyarrow as pa
 
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return []
+        probe = os.path.join(path, parts[0])
     out = []
-    for field in pq.read_schema(path):
+    for field in pq.read_schema(probe):
         if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns":
             out.append(field.name)
     return out
