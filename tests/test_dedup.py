@@ -82,3 +82,40 @@ def test_minhash_deterministic_across_runs(spark, sf_dir):
     a = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.1).collect()))
     b = sorted(map(tuple, minhash_lsh_pairs(docs, threshold=0.1).collect()))
     assert a == b
+
+
+def test_connected_components_merges_chains(spark):
+    """A~B, B~C (but no A~C edge) must land in ONE component."""
+    from transporter_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], "id long")
+    comp = {r.id: r.component for r in connected_components(edges, vertices).collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[99] == 99  # isolated vertex is its own component
+
+
+def test_dedup_clusters_on_documents(spark, sf_dir):
+    from transporter_spark.operators.dedup import dedup_clusters, jaccard_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(docs, threshold=0.2, use_lsh=False)
+    rows = clusters.collect()
+    assert len(rows) == docs.count()  # every doc labeled
+    canon = [r for r in rows if r.is_canonical]
+    # canonical docs = number of components; every component's canonical
+    # is its min id
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component, []).append(r.doc_id)
+    for comp_id, members in by_comp.items():
+        assert min(members) == comp_id
+    assert len(canon) == len(by_comp)
+    # and clustering is at least as coarse as the pair relation
+    for p in jaccard_pairs(docs, threshold=0.2).collect():
+        ca = [r.component for r in rows if r.doc_id == p.id_a][0]
+        cb = [r.component for r in rows if r.doc_id == p.id_b][0]
+        assert ca == cb

@@ -447,3 +447,86 @@ def embedding_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components by min-label propagation.
+
+    edges: (id_a, id_b) undirected; vertices: (id). Returns
+    (id, component) where component = min id reachable. Iterative —
+    each round every vertex adopts the min label among itself and its
+    neighbors; converges in O(graph diameter) rounds, each round one
+    join + one aggregation. Lineage is cut per round (the standard
+    iterative-Spark pattern; same reason GraphX checkpoints).
+
+    Dedup graphs are near-degenerate (tiny stars around a canonical
+    doc), so the loop usually converges in 2-3 rounds regardless of
+    corpus size.
+    """
+    sym = edges.select("id_a", "id_b").unionByName(
+        edges.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    )
+    sym = _materialize(sym)
+    labels = _materialize(vertices.select(F.col("id"), F.col("id").alias("component")))
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
+            .select(
+                labels.id,
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = _materialize(new_labels)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """Full near-dup dedup decision: candidate pairs (LSH or exact) ->
+    connected components -> one canonical doc per cluster (min id).
+    Returns (doc_id, component, is_canonical). Pair-level thresholds
+    alone under-merge (A~B, B~C but A!~C must still be ONE group to
+    avoid keeping two near-copies) — the component step closes that.
+    """
+    pairs = (
+        minhash_lsh_pairs(df, text_col, id_col, n, threshold=threshold)
+        if use_lsh
+        else jaccard_pairs(df, text_col, id_col, n, threshold)
+    )
+    vertices = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(pairs.select("id_a", "id_b"), vertices)
+    return comp.select(
+        F.col("id").alias(id_col),
+        "component",
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

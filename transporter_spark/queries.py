@@ -1237,3 +1237,87 @@ def q_pivot(spark, sf_dir):
             F.coalesce("5-LOW", F.lit(0)).alias("low"),
         )
     )
+
+
+# ===========================================================================
+# Extended JSON, normalization, clustering
+# ===========================================================================
+
+@q(
+    "extended_json_normalize",
+    oracle="""
+SELECT event_id,
+       md5(CAST(event_id AS VARCHAR)) AS _id,
+       make_timestamp(epoch_ms(ts) * 1000) AS at,
+       CAST(CAST(value AS VARCHAR) AS DECIMAL(38,10)) AS amt,
+       user_id AS n
+FROM events
+""",
+)
+def q_extended_json(spark, sf_dir):
+    """Mongo extended-JSON boundary handling (SURVEY §7 'real custom':
+    $oid/$date/$numberDecimal/$numberLong policy). The test builds an
+    extended-JSON document per row, then normalizes it back to typed
+    columns with functions.extended_json — the oracle computes the
+    expected typed values directly, so round-trip == identity."""
+    from transporter_spark.functions.extended_json import normalize_extended_json
+
+    ev = read_table(spark, sf_dir, "events")
+    doc = F.format_string(
+        '{"_id":{"$oid":"%s"},"at":{"$date":%s},"amt":{"$numberDecimal":"%s"},"n":{"$numberLong":"%s"}}',
+        F.md5(F.col("event_id").cast("string")),
+        F.unix_millis("ts").cast("string"),
+        F.col("value").cast("string"),
+        F.col("user_id").cast("string"),
+    )
+    staged = ev.select("event_id", doc.alias("doc"))
+    return staged.select(
+        "event_id",
+        *normalize_extended_json(
+            "doc", {"_id": "oid", "at": "date", "amt": "decimal", "n": "long"}
+        ),
+    )
+
+
+@q(
+    "dedup_normalized",
+    oracle="""
+WITH norm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),
+                             '\\s+', ' ', 'g')) AS ntext
+  FROM documents
+)
+SELECT doc_id, md5(ntext) AS norm_hash FROM (
+  SELECT doc_id, ntext,
+         row_number() OVER (PARTITION BY md5(ntext) ORDER BY doc_id) AS rn
+  FROM norm
+) WHERE rn = 1
+""",
+)
+def q_dedup_normalized(spark, sf_dir):
+    """Exact dedup on NORMALIZED text (lowercase, strip punctuation,
+    collapse whitespace) — catches case/punctuation variants raw-md5
+    dedup misses. Note: the oracle's character class is [a-z0-9] while
+    the engine uses unicode \\p{L}\\p{N}; identical on this ASCII corpus,
+    and the unicode class is the production-correct one."""
+    from transporter_spark.functions.textnorm import normalize_text
+    from transporter_spark.operators.dedup import dedup_exact
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", normalize_text("text").alias("ntext")
+    )
+    kept = dedup_exact(cols=["ntext"])(docs)
+    return kept.select("doc_id", F.md5("ntext").alias("norm_hash"))
+
+
+@q("dedup_clusters", headline=True)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERING: LSH candidate pairs -> connected components
+    -> canonical doc per cluster. Iterative (label propagation), hence
+    rows-only for the driver; convergence + canonical-is-min semantics
+    pinned in tests/test_dedup.py."""
+    from transporter_spark.operators.dedup import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, threshold=0.1, use_lsh=True)
