@@ -119,3 +119,30 @@ def test_dedup_clusters_on_documents(spark, sf_dir):
         ca = [r.component for r in rows if r.doc_id == p.id_a][0]
         cb = [r.component for r in rows if r.doc_id == p.id_b][0]
         assert ca == cb
+
+
+def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
+    """IVF-bucketed ANN with nprobe=4 of 8 cells must recall most of
+    the exact top-5 neighbors (deterministic centroids = first 8
+    corpus vectors; recall < 1.0 is the scale trade, but on random
+    data nprobe/2 of the cells still captures most near neighbors)."""
+    import pyspark.sql.functions as F
+    from transporter_spark.operators.similarity import ann_brute_force, ann_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_brute_force(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf(emb, queries, centroids, k=5, nprobe=4).collect()
+    }
+    assert len(approx) == len(exact)  # still returns k per query
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
