@@ -1,0 +1,91 @@
+"""Temporal operator semantics: as-of join edges, range join bucket
+boundaries, rollup reaggregation exactness."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pyspark.sql.functions as F
+
+from transporter_spark.operators.temporal import (
+    asof_join,
+    range_join_count,
+    rollup_lattice,
+)
+from transporter_spark.sources.files import read_table
+
+
+def _ts(m):
+    return datetime(2024, 1, 1) + timedelta(minutes=m)
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (2, 100, _ts(30)), (3, 200, _ts(5))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(0), "a"), (100, _ts(10), "b"), (100, _ts(20), "c"),
+         (200, _ts(50), "late")],
+        "k long, ts timestamp, v string",
+    )
+    out = {r.event_id: r.v for r in asof_join(left, right, on=["k"]).collect()}
+    assert out[1] == "b"    # equal timestamp IS eligible (<=)
+    assert out[2] == "c"    # newest before 30
+    assert out[3] is None   # right side only exists later
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(120))], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(0), "stale")], "k long, ts timestamp, v string"
+    )
+    fresh = asof_join(left, right, on=["k"], tolerance="1 hour").collect()[0]
+    assert fresh.v is None  # 2h-old match exceeds 1h tolerance
+    loose = asof_join(left, right, on=["k"], tolerance="3 hour").collect()[0]
+    assert loose.v == "stale"
+
+
+def test_range_join_count_bucket_boundary(spark):
+    """Rows near bucket edges must still match (the n_back probe):
+    59 minutes apart across an hour-bucket boundary."""
+    rows = [
+        (1, 7, _ts(59)),           # 00:59
+        (2, 7, _ts(61)),           # 01:01 — 2 min later, different bucket
+        (3, 7, _ts(200)),          # far away
+        (4, 8, _ts(60)),           # other key
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r.event_id: r.n_recent
+        for r in range_join_count(df, key="user_id", ts="ts").collect()
+    }
+    assert out[1] == 0   # nothing before it
+    assert out[2] == 1   # sees event 1 across the bucket boundary
+    assert out[3] == 0   # window expired
+    assert out[4] == 0   # keys don't mix
+
+
+def test_rollup_lattice_daily_equals_direct(spark, sf_dir):
+    """daily-from-hourly must equal daily-from-raw exactly (decimal
+    partials reaggregate losslessly)."""
+    ev = read_table(spark, sf_dir, "events")
+    lattice = rollup_lattice(ev, ts="ts", keys=["event_type"], value="value")
+    derived = {
+        (r.day, r.event_type): (r.sum_value, r.n)
+        for r in lattice["daily"].collect()
+    }
+    direct = {
+        (r.day, r.event_type): (r.sum_value, r.n)
+        for r in ev.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        )
+        .agg(
+            F.sum(F.col("value").cast("string").cast("decimal(38,6)")).alias("sum_value"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    }
+    assert derived == direct

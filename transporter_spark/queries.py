@@ -1321,3 +1321,82 @@ def q_dedup_clusters(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return dedup_clusters(docs, threshold=0.1, use_lsh=True)
+
+
+# ===========================================================================
+# Temporal operators: as-of join, range join, rollup lattice
+# ===========================================================================
+
+@q(
+    "asof_join",
+    oracle="""
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts, value AS signup_value FROM events
+           WHERE event_type = 'signup')
+SELECT l.event_id, l.user_id, l.ts, r.signup_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+    headline=True,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (custom operator Spark lacks): each purchase gets the
+    user's newest signup value at-or-before its timestamp. Implemented
+    as union + single shuffle + last-non-null carry-forward (merge-asof
+    shape, operators/temporal.py) — never an inequality nested loop.
+    Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from transporter_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    return asof_join(left, right, on=["user_id"], right_cols=["signup_value"])
+
+
+@q(
+    "range_join_recent_count",
+    oracle="""
+SELECT e.event_id, e.user_id,
+       (SELECT count(*) FROM events e2
+        WHERE e2.user_id = e.user_id
+          AND e2.ts < e.ts AND e2.ts > e.ts - INTERVAL '1 hour') AS n_recent
+FROM events e
+""",
+)
+def q_range_join(spark, sf_dir):
+    """Range (interval) self-join: events by the same user in the
+    preceding hour. Bucketized equi-join on (key, time-bucket) — the
+    scale path; candidate factor is window/bucket + 1, not |T|^2.
+    Oracle: the equivalent correlated count."""
+    from transporter_spark.operators.temporal import range_join_count
+
+    ev = read_table(spark, sf_dir, "events")
+    out = range_join_count(ev, key="user_id", ts="ts", window="1 hour")
+    return out.select("event_id", "user_id", F.col("n_recent").cast("long"))
+
+
+@q(
+    "rollup_lattice_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+       SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS sum_value,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+""",
+)
+def q_rollup_lattice(spark, sf_dir):
+    """Hypertable-style continuous-aggregate lattice: the DAILY rollup
+    here is derived by reaggregating HOURLY partials, never re-reading
+    raw rows — and the decimal-sum invariant makes it bit-identical to
+    the direct daily aggregation the oracle computes. This is the
+    correctness core of incremental rollup refresh at 100TB."""
+    from transporter_spark.operators.temporal import rollup_lattice
+
+    ev = read_table(spark, sf_dir, "events")
+    lattice = rollup_lattice(ev, ts="ts", keys=["event_type"], value="value")
+    return lattice["daily"].select(
+        F.col("day"), "event_type", "sum_value", F.col("n")
+    )
