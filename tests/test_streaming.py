@@ -231,3 +231,37 @@ def test_cdc_out_of_order_batches_no_resurrection(spark):
     state = apply_cdc_batch(state, b2, keys=["user_id"])
     got = {r.user_id: r.v for r in live_rows(state).collect()}
     assert got == {1: "newest"}  # stale update ignored, no resurrection
+
+
+def test_stream_drop_duplicates_removes_reingested_rows(spark, sf_dir, tmp_path):
+    """dropDuplicates on a stream: re-ingesting the same rows in a
+    later file yields no new output rows (state remembers keys)."""
+    ev = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .dropDuplicates(["id"])
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.json(out).count()
+
+    assert drain() == 2
+    # append a file that re-ingests id=1 plus a new id=3
+    spark.createDataFrame([(1, "a"), (3, "c")], "id long, v string").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    assert drain() == 3  # only id=3 added; duplicate id=1 suppressed

@@ -1400,3 +1400,55 @@ def q_rollup_lattice(spark, sf_dir):
     return lattice["daily"].select(
         F.col("day"), "event_type", "sum_value", F.col("n")
     )
+
+
+@q(
+    "stream_static_join",
+    oracle="""
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+""",
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join: a streaming fact feed joined to a
+    static (broadcastable) dimension — the enrichment-pipeline shape
+    the reference can't express at all (no joins). The dimension is
+    re-read per micro-batch (picking up dim updates); drained with
+    availableNow for the oracle gate."""
+    from transporter_spark.streaming.sources import stream_table
+    from transporter_spark.streaming.windows import run_available_now
+
+    ev = stream_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    joined = ev.join(
+        F.broadcast(cust), ev.user_id == cust.c_custkey
+    ).select("event_id", "user_id", "c_name", "c_mktsegment")
+    return run_available_now(joined)
+
+
+@q(
+    "stream_dedup",
+    oracle="""
+SELECT user_id, event_type, min(event_id) AS first_event
+FROM events GROUP BY user_id, event_type
+""",
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming deduplication to one row per (user, type): stateful
+    min-aggregation on the stream — deterministic regardless of
+    arrival order, unlike raw dropDuplicates whose survivor depends on
+    processing order (use dropDuplicatesWithinWatermark when state
+    must be time-bounded; exercised in tests)."""
+    from transporter_spark.streaming.sources import stream_table
+    from transporter_spark.streaming.windows import run_available_now
+
+    ev = stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id"
+    )
+    agg = ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event")
+    )
+    return run_available_now(agg, output_mode="complete")
