@@ -42,7 +42,15 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings = {}
-    for name, query in sorted(headline.items()):
+    # codegen-light queries first: the LSH/dedup family generates huge
+    # classes that back up the JIT compile queue; measuring the
+    # relational queries after them catches interpreted execution
+    heavy = ("minhash_lsh_pairs", "ngram_jaccard_pairs", "dedup_clusters")
+    ordered = [n for n in sorted(headline) if n not in heavy] + [
+        n for n in heavy if n in headline
+    ]
+    for name in ordered:
+        query = headline[name]
         best, n = None, 0
         for _ in range(repeats):
             t0 = time.time()

@@ -36,6 +36,10 @@ _DEFAULTS = {
     # Deterministic session timezone so oracle comparisons are stable.
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
+    # the LSH/minhash operators generate very large codegen classes;
+    # the default 240m code cache causes JIT backlog/disable and
+    # intermittent 10-20x slowdowns on subsequent queries
+    "spark.driver.extraJavaOptions": "-XX:ReservedCodeCacheSize=512m",
     # NOT maximal: an oversized heap (48g) measured 10-60x slower on
     # cold pages (lazy allocation + GC over an almost-empty old gen);
     # 16g covers local workloads, clusters set executor memory anyway.
