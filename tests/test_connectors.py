@@ -99,3 +99,81 @@ def test_jsonl_tail_datasource_streams_appends(spark, tmp_path):
     second = drain()
     assert len(second) == 3
     assert sorted(r.op for r in second) == ["delete", "insert", "insert"]
+
+
+# ---------------------------------------------------------------------------
+# bulk sink payload builders (ES _bulk / mongo bulkWrite / rabbitmq)
+# ---------------------------------------------------------------------------
+
+from transporter_spark.sources.bulk import (  # noqa: E402
+    es_bulk_payloads,
+    mongo_bulk_ops,
+    rabbitmq_publish_payloads,
+)
+
+
+def _envelope_rows():
+    return [
+        {"op": "insert", "ns": "db.users", "data": {"_id": 1, "name": "a"}},
+        {"op": "update", "ns": "db.users", "data": {"_id": 2, "name": "b"}},
+        {"op": "delete", "ns": "db.users", "data": {"_id": 3}},
+        {"op": "command", "ns": "db.users", "data": {}},  # passthrough, never fails
+    ]
+
+
+def test_es_bulk_payload_exact_ndjson():
+    bodies = list(es_bulk_payloads(_envelope_rows()))
+    assert len(bodies) == 1
+    assert bodies[0] == (
+        '{"index":{"_id":"1","_index":"db.users"}}\n'
+        '{"_id":1,"name":"a"}\n'
+        '{"index":{"_id":"2","_index":"db.users"}}\n'
+        '{"_id":2,"name":"b"}\n'
+        '{"delete":{"_id":"3","_index":"db.users"}}\n'
+    )
+
+
+def test_es_bulk_splits_at_max_actions_and_bytes():
+    rows = [
+        {"op": "insert", "ns": "i", "data": {"_id": i, "v": "x" * 10}}
+        for i in range(10)
+    ]
+    by_actions = list(es_bulk_payloads(rows, max_actions=4))
+    assert len(by_actions) == 3  # 4 + 4 + 2
+    by_bytes = list(es_bulk_payloads(rows, max_bytes=100))
+    assert len(by_bytes) > 1
+    # every body stays under the cap (single oversized entries excepted)
+    assert all(len(b) <= 100 or b.count("\n") == 2 for b in by_bytes)
+
+
+def test_mongo_bulk_ops_replace_upsert_and_delete():
+    batches = list(mongo_bulk_ops(_envelope_rows()))
+    assert len(batches) == 1
+    ops = batches[0]
+    assert ops[0] == {
+        "replaceOne": {
+            "filter": {"_id": 1},
+            "replacement": {"_id": 1, "name": "a"},
+            "upsert": True,
+        }
+    }
+    assert ops[2] == {"deleteOne": {"filter": {"_id": 3}}}
+    assert len(ops) == 3  # command dropped
+
+
+def test_mongo_bulk_splits_at_max_ops():
+    rows = [{"op": "insert", "data": {"_id": i}} for i in range(2500)]
+    batches = list(mongo_bulk_ops(rows, max_ops=1000))
+    assert [len(b) for b in batches] == [1000, 1000, 500]
+
+
+def test_rabbitmq_publish_contract():
+    out = list(
+        rabbitmq_publish_payloads(_envelope_rows(), key_field="name", routing_key="rk")
+    )
+    # delete + command silently ignored (reference writer.go:34-58)
+    assert len(out) == 2
+    exchange, rk, body = out[0]
+    assert exchange == "db.users"
+    assert rk == "a"  # routing key read from the data field
+    assert json.loads(body) == {"_id": 1, "name": "a"}

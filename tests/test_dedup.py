@@ -146,3 +146,23 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(approx) == len(exact)  # still returns k per query
     recall = len(approx & exact) / len(exact)
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from transporter_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "totally unrelated words appear in this one sentence"),
+            (3, "prefix quick brown fox jumps over suffix tokens here"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(99, "a quick brown fox jumps over everything")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in decontaminate(corpus, bench, n=5).collect()}
+    assert rows[1].contaminated and rows[1].n_shared >= 1
+    assert not rows[2].contaminated and rows[2].n_shared == 0
+    assert rows[3].contaminated  # shares "quick brown fox jumps over"

@@ -82,3 +82,36 @@ def test_media_decode_real_path_raises(spark):
     out = decode_features(media, id_col="doc_id", fake=False)
     with _pytest.raises(Exception, match="NotImplementedError|media decoding"):
         out.collect()
+
+
+def test_pii_redact_replaces_typed_and_preserves_plain(spark):
+    from transporter_spark.operators.text import pii_redact
+
+    df = spark.createDataFrame(
+        [
+            ("mail a.b+c@ex-ample.co.uk now", "mail <EMAIL> now"),
+            ("ssn 123-45-6789 ok", "ssn <SSN> ok"),
+            ("host 192.168.0.1 up", "host <IP> up"),
+            ("call +1 415 555 0199 today", "call <PHONE> today"),
+            # precision: ordinary numbers / ids must survive the scrub
+            ("order 12345 qty 7 price 19.99", "order 12345 qty 7 price 19.99"),
+            ("v1.2.3 release", "v1.2.3 release"),
+        ],
+        ["text", "expected"],
+    )
+    out = df.select(pii_redact("text").alias("got"), "expected").collect()
+    for r in out:
+        assert r.got == r.expected, (r.got, r.expected)
+
+
+def test_repetition_stats_flags_degenerate_docs(spark):
+    from transporter_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"), (2, "all words here are distinct"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rows[1].top_token_ratio == 1.0 and rows[1].n_distinct == 1
+    assert rows[2].top_token_ratio == 0.2 and rows[2].distinct_ratio == 1.0
+    assert rows[3].n_tokens == 0 and rows[3].distinct_ratio == 0.0

@@ -460,6 +460,53 @@ def embedding_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# benchmark decontamination — n-gram overlap against an eval set
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Flag training documents that share any word n-gram with a
+    benchmark/eval set (the standard pre-training decontamination gate:
+    n=8..13 in published pipelines; n is a knob).
+
+    Returns (doc_id, n_shared, contaminated): count of DISTINCT shared
+    n-grams and a boolean. Shape: benchmark grams are deduped then
+    joined to corpus grams on the 64-bit gram hash. The benchmark side
+    is tiny (eval sets are thousands of docs, the corpus is billions)
+    so Spark broadcasts it — the corpus is scanned once, no corpus-side
+    shuffle for the join; the count agg shuffles only matching grams.
+    """
+    corpus = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_shingles(text_col, n)).alias("g"),
+    ).select("doc_id", F.xxhash64("g").alias("h"))
+    bench = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("g"))
+        .select(F.xxhash64("g").alias("h"))
+        .distinct()
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # near-dup clustering: connected components over candidate pairs
 # ---------------------------------------------------------------------------
 

@@ -114,6 +114,88 @@ def fingerprint(col: str = "text", prefix_chars: int = 64) -> Column:
     )
 
 
+#: PII redaction patterns, applied in order. Kept to syntax shared by
+#: Java regex (Spark) and RE2 (DuckDB/production scanners): no
+#: lookaround, no backrefs — so one pattern table serves both engines.
+#: Order matters: email before phone (an email's digit runs must not be
+#: half-eaten by the phone pattern once the email is gone).
+PII_PATTERNS: Sequence[tuple] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\b\d[\d -]{7,}\d\b", "<PHONE>"),
+)
+
+
+def pii_redact(col: str = "text") -> Column:
+    """Redact emails / SSNs / IPv4s / phone numbers with typed tags.
+
+    A chained regexp_replace projection — codegen'd, no shuffle, linear
+    in corpus bytes; the exact shape a 100TB pre-training scrub pass
+    needs. Patterns deliberately conservative (precision over recall):
+    a scrub pass that eats ordinary numbers destroys training data.
+    """
+    out = F.col(col)
+    for _, pat, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_redact_sql(col: str = "text") -> str:
+    """The identical redaction as a DuckDB expression (oracle / pushdown
+    form), generated from the same PII_PATTERNS table."""
+    out = col
+    for _, pat, tag in PII_PATTERNS:
+        lit = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{lit}', '{tag}', 'g')"
+    return out
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token-repetition profile: total tokens, distinct
+    tokens, distinct ratio, and the share of the single most frequent
+    token. High top-token share / low distinct ratio flags boilerplate
+    and degenerate (repeated-string) documents — a standard
+    training-data quality gate.
+
+    Distributed shape: repartition the (small) doc rows by id FIRST,
+    then explode -> two-level groupBy. Generate preserves the child's
+    doc_id partitioning and HashPartitioning(doc_id) satisfies both
+    groupings' clustering, so token-level data never crosses the wire:
+    the only shuffle moves whole-doc rows, and both aggs run map-side
+    to completion.
+    """
+    toks = df.repartition(F.col(id_col)).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(_TOKENS.format(col=text_col))).alias("tok"),
+    )
+    freq = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    stats = freq.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).alias("n_distinct"),
+            (
+                F.coalesce("n_distinct", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)).cast("double")
+            ).alias("distinct_ratio"),
+            (
+                F.coalesce("top_count", F.lit(0)).cast("double")
+                / F.greatest(F.coalesce("n_tokens", F.lit(0)), F.lit(1)).cast("double")
+            ).alias("top_token_ratio"),
+        )
+    )
+
+
 @register("text_stats")
 def text_stats(col: str = "text") -> Callable[[DataFrame], DataFrame]:
     """Append the full text-analysis column set to a corpus frame."""

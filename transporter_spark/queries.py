@@ -1452,3 +1452,202 @@ def q_stream_dedup(spark, sf_dir):
         F.min("event_id").alias("first_event")
     )
     return run_available_now(agg, output_mode="complete")
+
+
+# ===========================================================================
+# Training-data quality gates: PII scrub, repetition, decontamination,
+# oracle-checked near-dup clustering
+# ===========================================================================
+
+def _pii_input_sql() -> str:
+    """PII-bearing text constructed deterministically from doc_id (the
+    synthetic corpus has no real PII, by design). One source of truth
+    for both engines: DuckDB runs this string; the Spark side builds
+    the identical concat via F.expr on the same string."""
+    return (
+        "concat('doc ', doc_id, ' email u', doc_id, "
+        "'@mail.example.com ip 10.2.', doc_id % 256, "
+        "'.9 ssn 123-45-6789 call +1 415 555 0199 ', substr(text, 1, 40))"
+    )
+
+
+@q(
+    "pii_redact",
+    oracle=None,  # filled below — needs the operator's pattern table
+)
+def q_pii_redact(spark, sf_dir):
+    """PII scrub pass: emails / SSNs / IPv4s / phone numbers replaced
+    with typed tags in one chained-regexp_replace projection (codegen,
+    no shuffle — linear in corpus bytes at 100TB). The pattern table is
+    shared verbatim with the oracle, so this gate checks engine regex
+    parity, not just row counts."""
+    from transporter_spark.operators.text import pii_redact
+
+    docs = read_table(spark, sf_dir, "documents")
+    raw = docs.select("doc_id", F.expr(_pii_input_sql()).alias("raw"))
+    return raw.select("doc_id", pii_redact("raw").alias("redacted"))
+
+
+def _pii_oracle() -> str:
+    from transporter_spark.operators.text import pii_redact_sql
+
+    return (
+        f"SELECT doc_id, {pii_redact_sql(_pii_input_sql())} AS redacted "
+        "FROM documents"
+    )
+
+
+QUERIES["pii_redact"] = QUERIES["pii_redact"]._replace(oracle=_pii_oracle())
+
+
+@q(
+    "repetition_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+),
+freq AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+stats AS (
+  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_distinct,
+         max(c)::BIGINT AS top_count
+  FROM freq GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(n_distinct, 0)::BIGINT AS n_distinct,
+       COALESCE(n_distinct, 0) * 1.0 / greatest(COALESCE(n_tokens, 0), 1)
+         AS distinct_ratio,
+       COALESCE(top_count, 0) * 1.0 / greatest(COALESCE(n_tokens, 0), 1)
+         AS top_token_ratio
+FROM documents d LEFT JOIN stats ON d.doc_id = stats.doc_id
+""",
+)
+def q_repetition_stats(spark, sf_dir):
+    """Token-repetition quality gate: distinct-token ratio and
+    top-token share per document (boilerplate / degenerate-doc
+    detector). One doc-keyed shuffle total — see
+    operators/text.repetition_stats for the partitioning argument."""
+    from transporter_spark.operators.text import repetition_stats
+
+    docs = read_table(spark, sf_dir, "documents")
+    return repetition_stats(docs)
+
+
+@q(
+    "decontaminate",
+    oracle="""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+        FROM toks)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+hits AS (
+  SELECT doc_id, count(*) AS n_shared FROM grams JOIN bench USING (g) GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(n_shared, 0)::BIGINT AS n_shared,
+       COALESCE(n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+""",
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs sharing any word
+    5-gram with the eval set (docs with doc_id % 50 == 0 stand in for
+    a benchmark). The eval side is deduped + broadcast, so the corpus
+    is scanned once with no corpus-side join shuffle — the shape that
+    holds when the corpus is 100TB and the benchmark is megabytes."""
+    from transporter_spark.operators.dedup import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, n=5)
+
+
+@q(
+    "dedup_clusters_exact",
+    oracle="""
+WITH RECURSIVE
+toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS sh
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 2, 1))) AS i
+        FROM toks)
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.1
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT id AS doc_id, MIN(r) AS component, (MIN(r) = id) AS is_canonical
+FROM reach GROUP BY id
+""",
+)
+def q_dedup_clusters_exact(spark, sf_dir):
+    """Near-dup clustering with EXACT Jaccard pair generation (no LSH):
+    shingle self-join -> threshold -> connected components -> canonical
+    min-id per cluster. The iterative component step is value-checked
+    here against a DuckDB recursive-CTE transitive closure — the
+    LSH-recalled variant (`dedup_clusters`) stays the headline scale
+    path, this entry proves the clustering semantics exactly."""
+    from transporter_spark.operators.dedup import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, threshold=0.1, use_lsh=False)
+
+
+@q(
+    "array_funcs",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+SELECT vec_id,
+       len(e)::BIGINT AS n_dims,
+       round(sqrt(list_dot_product(e, e)), 8) AS l2_norm,
+       round(list_dot_product(e, list_transform(e, x -> CAST(1 AS DOUBLE))), 8)
+         AS comp_sum,
+       len(list_filter(e, x -> x > 0))::BIGINT AS n_pos,
+       list_max(list_transform(e, x -> abs(x))) AS max_abs
+FROM v
+""",
+)
+def q_array_funcs(spark, sf_dir):
+    """Higher-order array functions over the embedding column — norm,
+    component sum, positive count, max magnitude — all JVM-side
+    (aggregate/zip_with/filter/transform), zero Python, zero shuffle.
+    Sums are expressed as dot products on both sides so the fold order
+    (hence float bits) matches the oracle's list_dot_product."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    dot_ee = F.expr(
+        "aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    )
+    comp_sum = F.expr(
+        "aggregate(zip_with(e, transform(e, x -> 1D), (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    )
+    return e.select(
+        "vec_id",
+        F.size("e").cast("long").alias("n_dims"),
+        F.round(F.sqrt(dot_ee), 8).alias("l2_norm"),
+        F.round(comp_sum, 8).alias("comp_sum"),
+        F.size(F.expr("filter(e, x -> x > 0)")).cast("long").alias("n_pos"),
+        F.expr("array_max(transform(e, x -> abs(x)))").alias("max_abs"),
+    )
