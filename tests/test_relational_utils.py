@@ -33,3 +33,19 @@ def test_broadcast_dim_join_plan(spark, sf_dir):
         ],
     )
     assert out.count() == cust.count()
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The scale path for `percentiles`: approx_percentile (t-digest,
+    map-side mergeable — no whole-group shuffle) must stay within 5%
+    of the exact interpolated percentile."""
+    import pyspark.sql.functions as F
+
+    orders = read_table(spark, sf_dir, "orders")
+    rows = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.9)").alias("exact"),
+        F.expr("approx_percentile(o_totalprice, 0.9, 1000)").alias("approx"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx - r.exact) / r.exact < 0.05, r

@@ -526,19 +526,30 @@ def connected_components(
     doc), so the loop usually converges in 2-3 rounds regardless of
     corpus size.
     """
+    # Pre-partition both loop-invariant frames on their join keys ONCE:
+    # localCheckpoint preserves the hash partitioning in the LogicalRDD,
+    # so every round's edge-label join needs no exchange on either side
+    # and the only per-round shuffle is the groupBy(id_a) aggregation.
     sym = edges.select("id_a", "id_b").unionByName(
         edges.select(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
         )
     )
-    sym = _materialize(sym)
-    labels = _materialize(vertices.select(F.col("id"), F.col("id").alias("component")))
+    sym = _materialize(sym.repartition(F.col("id_b")))
+    labels = _materialize(
+        vertices.select(F.col("id"), F.col("id").alias("component")).repartition(
+            F.col("id")
+        )
+    )
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.id_b == labels.id)
             .groupBy("id_a")
             .agg(F.min("component").alias("nmin"))
         )
+        # carry the change flag through the materialization: convergence
+        # is then a cheap count over the checkpointed frame, not a
+        # second old-vs-new join per round
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
             .select(
@@ -546,16 +557,15 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce(F.col("nmin"), F.col("component"))
+                    < F.col("component")
+                ).alias("_changed"),
             )
         )
         new_labels = _materialize(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels

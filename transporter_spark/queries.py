@@ -1454,6 +1454,86 @@ def q_stream_dedup(spark, sf_dir):
     return run_available_now(agg, output_mode="complete")
 
 
+@q(
+    "window_analytics",
+    oracle="""
+SELECT event_id, user_id, value,
+       lag(value) OVER w AS prev_value,
+       lead(event_id) OVER w AS next_event,
+       ntile(4) OVER w AS quartile,
+       round(percent_rank() OVER w, 8) AS pct_rank
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def q_window_analytics(spark, sf_dir):
+    """Analytic window sweep: lag/lead/ntile/percent_rank per user in
+    event-time order. One hash-shuffle on user_id + one in-partition
+    sort serves all four functions (a single Window node; .explain
+    shows one Exchange) — at 100TB the per-user state is bounded by the
+    largest user, the classic skew watch-point."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+    )
+
+
+@q(
+    "percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+       count(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: both sort and linearly interpolate). Exact
+    percentile shuffles whole groups; the scale path swaps in
+    approx_percentile (t-digest, map-side mergeable) with the same
+    call shape — exercised rows-only in pytest."""
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@q(
+    "collect_agg",
+    oracle="""
+SELECT c_mktsegment,
+       string_agg(c_name, '|' ORDER BY c_name) AS names,
+       count(*) AS n
+FROM (SELECT * FROM customer WHERE c_custkey % 100 = 0)
+GROUP BY c_mktsegment
+""",
+)
+def q_collect_agg(spark, sf_dir):
+    """Ordered string aggregation (listagg shape): names per segment,
+    deterministically sorted inside the aggregate. collect_list order
+    is partition-arrival-dependent, so the sort happens INSIDE the row
+    (array_sort) before joining — the only way the result is stable
+    under any partitioning/AQE decision."""
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 100 == 0
+    )
+    return cust.groupBy("c_mktsegment").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
+        F.count("*").alias("n"),
+    )
+
+
 # ===========================================================================
 # Training-data quality gates: PII scrub, repetition, decontamination,
 # oracle-checked near-dup clustering

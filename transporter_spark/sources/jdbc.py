@@ -65,6 +65,7 @@ def upsert_sql(
     columns: Sequence[str],
     keys: Sequence[str],
     staging: Optional[str] = None,
+    geometry_cols: Sequence[str] = (),
 ) -> str:
     """Generate the epoch-upsert statement from a staging table.
 
@@ -73,18 +74,24 @@ def upsert_sql(
 
     Matches the semantics of the reference's per-message writers
     (postgres/writer.go:71-116, mysql/writer.go:100-150) with one
-    statement per micro-batch instead of one per row.
+    statement per micro-batch instead of one per row. Columns listed in
+    `geometry_cols` hold WKT strings and are wrapped in
+    ST_GeomFromText() on the way in (mysql/writer.go:66-96).
     """
     staging = staging or f"{table}_staging"
     q = lambda n: quote_ident(n, dialect)  # noqa: E731
+    sel = lambda c: (  # noqa: E731
+        f"ST_GeomFromText({q(c)})" if c in geometry_cols else q(c)
+    )
     cols = ", ".join(q(c) for c in columns)
+    sel_cols = ", ".join(sel(c) for c in columns)
     non_keys = [c for c in columns if c not in keys]
     if dialect == "postgres":
         conflict = ", ".join(q(k) for k in keys)
         sets = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in non_keys)
         action = f"DO UPDATE SET {sets}" if non_keys else "DO NOTHING"
         return (
-            f"INSERT INTO {q(table)} ({cols}) SELECT {cols} FROM {q(staging)} "
+            f"INSERT INTO {q(table)} ({cols}) SELECT {sel_cols} FROM {q(staging)} "
             f"ON CONFLICT ({conflict}) {action}"
         )
     if dialect == "mysql":
@@ -92,7 +99,7 @@ def upsert_sql(
             ", ".join(f"{q(k)} = VALUES({q(k)})" for k in keys)
         )
         return (
-            f"INSERT INTO {q(table)} ({cols}) SELECT {cols} FROM {q(staging)} "
+            f"INSERT INTO {q(table)} ({cols}) SELECT {sel_cols} FROM {q(staging)} "
             f"ON DUPLICATE KEY UPDATE {sets}"
         )
     raise ValueError(f"unknown dialect {dialect!r}")
