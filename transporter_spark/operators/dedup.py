@@ -54,6 +54,49 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def shingle_rows(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(id, sh) word n-gram shingle rows — same shingle STRINGS as
+    `word_shingles` (incl. the <n-token whole-doc fallback), but built
+    without higher-order functions.
+
+    Why not explode(word_shingles(...)): lambda expressions (transform/
+    array_distinct CASE) are CodegenFallback — the row is evaluated
+    interpreted, subexpression elimination is off, and the tokenizer
+    regex runs up to 4x per row. Measured 3x slower than this shape at
+    sf0.1. Here: one regex per row in a codegen'd posexplode projection,
+    shingles assembled by window lead() over (doc, token-position) —
+    all JVM-side, no HOF.
+
+    NOT deduplicated: min-aggregates (MinHash) don't care, and set
+    consumers (`_shingle_frame`) dedup on the hash after. Output of the
+    main branch is hash(id)-partitioned (the window's exchange), so a
+    following groupBy("id") needs no extra shuffle beyond the union
+    with the short-doc branch.
+    """
+    toks = rf"regexp_extract_all({text_col}, '\\S+', 0)"
+    ntok = F.expr(f"size({toks})")
+    # <n tokens -> ONE shingle = all tokens joined by single spaces,
+    # which is exactly the whitespace-normalized text (empty docs -> "")
+    short = df.filter(ntok < n).select(
+        F.col(id_col).alias("id"),
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")).alias("sh"),
+    )
+    tok = df.filter(ntok >= n).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.expr(toks)).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, n)]
+    long = tok.select(
+        "id",
+        F.concat_ws(" ", F.col("tok"), *leads).alias("sh"),
+        (leads[-1] if leads else F.col("tok")).alias("_tail"),
+    ).filter(F.col("_tail").isNotNull()).drop("_tail")
+    return long.unionByName(short)
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Cut plan lineage before a self-join on an expression-heavy frame.
 
@@ -111,14 +154,15 @@ def _shingle_frame(
     5*10^11 pairs. Capping df changes recall only for pairs that share
     *no* rarer shingle; near-dups by definition share many.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(text_col, n)).alias("sh"),
-    ).select("id", F.xxhash64("sh").alias("h"))
-    # corpus files are often few+small relative to the CPU they imply
-    # (one scan partition feeding shingle+hash work for every core) —
-    # spread the derived rows before the joins/aggs
-    sh = sh.repartition("id")
+    sh = (
+        shingle_rows(df, text_col, id_col, n)
+        .select("id", F.xxhash64("sh").alias("h"))
+        # set semantics for Jaccard: one row per (doc, shingle). The
+        # main shingle branch is already hash(id)-partitioned by the
+        # window, so the distinct's partial agg dedups map-side and the
+        # exchange carries near-distinct rows only.
+        .distinct()
+    )
     if max_df is not None:
         keep = sh.groupBy("h").count().filter(F.col("count") <= max_df).select("h")
         sh = sh.join(keep, "h")
@@ -208,25 +252,18 @@ def minhash_signatures(
     safe under ANSI overflow checking.
     """
     fam = _hash_family(num_hashes, seed)
-    sh = (
-        df.select(
-            F.col(id_col).alias("id"), F.explode(word_shingles(text_col, n)).alias("sh")
-        )
-        # parallelize the num_hashes x |shingles| partial-agg work: the
-        # scan is 1 partition per ~128MB file, far too coarse for this
-        # CPU-bound stage; repartitioning by doc id also makes the
-        # partial agg final (one group per partition -> tiny shuffle)
-        .repartition("id")
-        # portable=True: md5-derived base hash, reproducible in any
-        # engine (oracle-checkable). Default: xxhash64 — ~3x cheaper,
-        # still deterministic across Spark runs (fixed seed).
-        .withColumn(
-            "h",
-            F.pmod(
-                stable_hash32(F.col("sh")) if portable else F.xxhash64("sh"),
-                F.lit(_MERSENNE),
-            ),
-        )
+    # shingle_rows spreads the CPU-bound hash work via the window's
+    # hash(id) exchange (no explicit repartition needed) and skips
+    # dedup — duplicate shingles can't change a MIN aggregate.
+    # portable=True: md5-derived base hash, reproducible in any
+    # engine (oracle-checkable). Default: xxhash64 — ~3x cheaper,
+    # still deterministic across Spark runs (fixed seed).
+    sh = shingle_rows(df, text_col, id_col, n).withColumn(
+        "h",
+        F.pmod(
+            stable_hash32(F.col("sh")) if portable else F.xxhash64("sh"),
+            F.lit(_MERSENNE),
+        ),
     )
     mins = []
     for i, (a_coeff, b_coeff) in enumerate(fam):
@@ -297,7 +334,23 @@ def minhash_lsh_pairs(
     # verify ONLY the candidates (never the all-pairs exact join — that
     # would defeat LSH): candidates fan out to their shingles, then an
     # equi-join on (doc, shingle-hash) counts intersections.
-    sh = _shingle_frame(df, text_col, id_col, n, max_df=None)
+    #
+    # Re-shingle only docs that appear in a candidate pair — a semi-join
+    # before the explode. Verify cost then scales with |candidates|, not
+    # |corpus|: at 100TB the candidate set is typically <1% of docs, and
+    # re-tokenizing the other 99% was the dominant cost of this stage.
+    # (Plain semi-join, not forced broadcast: AQE broadcasts it when the
+    # candidate id list is small, falls back to shuffle when it isn't.)
+    cand = _materialize(cand)
+    cand_ids = (
+        cand.select(F.col("id_a").alias("_cid"))
+        .unionByName(cand.select(F.col("id_b").alias("_cid")))
+        .distinct()
+    )
+    docs_in_play = df.join(
+        cand_ids, F.col(id_col) == F.col("_cid"), "leftsemi"
+    )
+    sh = _shingle_frame(docs_in_play, text_col, id_col, n, max_df=None)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -481,10 +534,11 @@ def decontaminate(
     so Spark broadcasts it — the corpus is scanned once, no corpus-side
     shuffle for the join; the count agg shuffles only matching grams.
     """
-    corpus = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_shingles(text_col, n)).alias("g"),
-    ).select("doc_id", F.xxhash64("g").alias("h"))
+    corpus = (
+        shingle_rows(df, text_col, id_col, n)
+        .select(F.col("id").alias("doc_id"), F.xxhash64("sh").alias("h"))
+        .distinct()
+    )
     bench = (
         benchmark.select(F.explode(word_shingles(text_col, n)).alias("g"))
         .select(F.xxhash64("g").alias("h"))
