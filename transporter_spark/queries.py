@@ -654,6 +654,301 @@ def q_session_window(spark, sf_dir):
     )
 
 
+@q(
+    "q5_local_supplier",
+    oracle=f"""
+SELECT n_name,
+       {_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name IN ('ASIA', 'EUROPE')
+  AND o_orderdate >= TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+    headline=True,
+)
+def q_q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join, revenue by nation where customer and
+    supplier share the nation. The scale plan: region+nation broadcast
+    (KBs) so the region filter prunes BEFORE any shuffle; supplier is
+    broadcast too (100TB TPC-H supplier ~ tens of GB? No — sf100k
+    supplier is large, so it stays a shuffle join and Catalyst/AQE
+    decides); the fact-side joins (orders->lineitem) shuffle on their
+    keys once each. Filters reach the scans (PushedFilters) so the
+    lineitem scan reads only post-1997 orders' rows after the join —
+    order matters: customer/orders filter first, then lineitem."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    # dims pruned first: nation ⋈ region is a handful of rows, broadcast
+    # everywhere downstream
+    nat = F.broadcast(
+        nation.join(
+            F.broadcast(region), nation.n_regionkey == region.r_regionkey
+        ).select("n_nationkey", "n_name")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            _dsum(revenue).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "word_count",
+    oracle="""
+SELECT w AS word, COUNT(*) AS n
+FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents)
+GROUP BY w
+HAVING COUNT(*) >= 50
+""",
+)
+def q_word_count(spark, sf_dir):
+    """The canonical explode shape: tokenize -> explode -> count. One
+    shuffle on the word key with map-side partial agg (the combiner
+    collapses each partition's Zipf head before the exchange — the
+    whole point at corpus scale: the shuffle carries ~vocab rows per
+    partition, not ~token rows)."""
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 50)
+    )
+
+
+@q(
+    "salted_agg",
+    oracle=f"""
+SELECT user_id,
+       {_DSUM('value')} AS total_value,
+       COUNT(*) AS n
+FROM events GROUP BY user_id
+""",
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation: salt the key into 8 subkeys,
+    partially aggregate (user_id, salt), then re-aggregate per user_id.
+    Result is IDENTICAL to a plain groupBy — pinned here against the
+    un-salted oracle, which is the point: salting is a physical rewrite
+    only. Sums use decimal (exact, associative) so the two-phase
+    re-association can't drift the way double sums would. At scale this
+    is the fix when one hot key (null user, bot traffic) owns 30% of
+    rows: phase 1 spreads it over 8 reducers, phase 2 merges 8 rows."""
+    ev = read_table(spark, sf_dir, "events")
+    phase1 = (
+        ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
+        .groupBy("user_id", "_salt")
+        .agg(
+            _dsum(F.col("value")).alias("pv"),
+            F.count("*").alias("pn"),
+        )
+    )
+    return phase1.groupBy("user_id").agg(
+        F.sum("pv").cast("decimal(38,12)").alias("total_value"),
+        F.sum("pn").alias("n"),
+    )
+
+
+@q(
+    "conditional_agg",
+    oracle="""
+SELECT c_mktsegment,
+       COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_positive,
+       COUNT(*) FILTER (WHERE c_acctbal <= 0) AS n_nonpositive,
+       round(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,12)))
+             FILTER (WHERE c_acctbal > 0), 2) AS sum_positive,
+       COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def q_conditional_agg(spark, sf_dir):
+    """Conditional aggregation (SQL FILTER clause shape): several
+    predicates resolved in ONE pass / one shuffle instead of N filtered
+    scans — count_if and sum(when) both stay inside the same partial
+    agg. The distinct count rides along (expand + two-phase agg)."""
+    cust = read_table(spark, sf_dir, "customer")
+    pos = F.col("c_acctbal") > 0
+    return cust.groupBy("c_mktsegment").agg(
+        F.count_if(pos).alias("n_positive"),
+        F.count_if(~pos).alias("n_nonpositive"),
+        F.round(
+            F.sum(F.when(pos, F.col("c_acctbal").cast("string").cast("decimal(38,12)"))),
+            2,
+        ).alias("sum_positive"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+    )
+
+
+@q(
+    "grouping_sets",
+    oracle="""
+SELECT n_name, c_mktsegment,
+       GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS gid,
+       COUNT(*) AS n,
+       round(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,12))), 2) AS bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment))
+""",
+)
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS (the general form behind cube/rollup): three
+    groupings in one pass via the Expand operator — each input row is
+    replicated once per set BEFORE the shuffle, partial aggs still
+    combine map-side. grouping_id disambiguates the null-as-total rows
+    from genuine nulls. (Spark's grouping_id bit order matches
+    GROUPING(a)*2+GROUPING(b) in DuckDB.)"""
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return joined.groupingSets(
+        [["n_name"], ["c_mktsegment"], ["n_name", "c_mktsegment"]],
+        "n_name",
+        "c_mktsegment",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("c_acctbal").cast("string").cast("decimal(38,12)")), 2
+        ).alias("bal"),
+    )
+
+
+@q(
+    "full_outer_join",
+    oracle="""
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+           FROM customer WHERE c_mktsegment = 'AUTOMOBILE' GROUP BY c_nationkey),
+     s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+           FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(n_cust, 0) AS n_cust,
+       COALESCE(n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""",
+)
+def q_full_outer_join(spark, sf_dir):
+    """Full outer join of two pre-aggregated sides. Aggregate-BEFORE-
+    join is the scale decision: each side collapses to ≤#nations rows
+    before the join, so the outer join is trivial regardless of fact
+    size (and can't be broadcast — full outer requires both sides
+    shuffled — which is exactly why shrinking both sides first
+    matters)."""
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    c = (
+        cust.filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        supp.filter(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk == s.nk, "full_outer")
+        .select(
+            F.coalesce(c.nk, s.nk).alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@q(
+    "date_funcs",
+    oracle="""
+SELECT o_orderkey,
+       year(o_orderdate) AS yr,
+       month(o_orderdate) AS mo,
+       CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS qtr_start,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+       CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo
+FROM orders
+WHERE o_orderkey % 10 = 0
+""",
+)
+def q_date_funcs(spark, sf_dir):
+    """Calendar function sweep: extraction, truncation, diffs, interval
+    arithmetic — all pure projections (no shuffle), all codegen, all
+    pushdown-transparent. Cross-engine notes: Spark datediff(end,start)
+    == DuckDB date_diff('day',start,end); month-add clamps to
+    month-end identically in both."""
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 10 == 0
+    )
+    d = F.col("o_orderdate").cast("date")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.date_trunc("quarter", "o_orderdate").alias("qtr_start"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.last_day(d).cast("string").alias("month_end"),
+        F.add_months(d, 3).alias("plus3mo"),
+    )
+
+
+@q(
+    "stats_agg",
+    oracle="""
+SELECT l_returnflag,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(var_samp(l_quantity), 6) AS var_qty,
+       round(corr(l_extendedprice, l_quantity), 8) AS corr_pq,
+       round(covar_samp(l_extendedprice, l_quantity), 4) AS cov_pq
+FROM lineitem GROUP BY l_returnflag
+""",
+)
+def q_stats_agg(spark, sf_dir):
+    """Statistical aggregates: stddev/variance/correlation/covariance.
+    All are single-pass mergeable sketches (sum, sum-of-squares,
+    co-moments) — map-side combinable, shuffle carries O(groups) rows.
+    Rounded because the update order of the one-pass moment recurrences
+    differs per engine/partitioning in the last ~2 double digits."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 8).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("cov_pq"),
+    )
+
+
 # ===========================================================================
 # Training-data pipeline operators (SURVEY §7 M6): dedup, similarity,
 # text analysis, multimodal — the 100TB-scale extension surface.
