@@ -92,3 +92,69 @@ def test_transform_chain_fuses_into_one_projection(spark, sf_dir):
     plan = explain_str(out, "simple")
     assert "Exchange" not in plan, "transform chain must stay shuffle-free"
     assert plan.count("Scan parquet") == 1
+
+
+def test_q5_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
+    """The 6-way Q5 join: pruned nation⋈region must broadcast, the
+    orderdate filter must reach the orders scan, and nothing may fall
+    back to a cartesian/nested-loop product."""
+    df = QUERIES["q5_local_supplier"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, "date filter not pushed"
+
+
+def test_salted_agg_is_two_hash_aggregates(spark, sf_dir):
+    """The skew rewrite's signature: two groupBys -> (partial, final)
+    HashAggregate pairs, never a sort-based aggregate."""
+    df = QUERIES["salted_agg"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("HashAggregate") >= 4
+    assert "SortAggregate" not in plan
+
+
+def test_word_count_partial_agg_before_exchange(spark, sf_dir):
+    """The Zipf shuffle guard: a partial HashAggregate must sit below
+    the word-key Exchange (map-side combine collapses each partition's
+    head before any data moves)."""
+    df = QUERIES["word_count"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    # partial agg appears before (deeper than) the exchange in the tree:
+    # simple-mode prints root first, so partial_count line is BELOW it
+    lines = plan.splitlines()
+    exch = [i for i, l in enumerate(lines) if "Exchange hashpartitioning(word" in l]
+    partial = [i for i, l in enumerate(lines) if "partial_count" in l]
+    assert exch and partial and partial[0] > exch[0], plan
+
+
+def test_grouping_sets_single_expand_single_exchange(spark, sf_dir):
+    """Three grouping sets in one pass: exactly one Expand node and one
+    aggregation exchange — not three scans unioned."""
+    df = QUERIES["grouping_sets"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 2  # customer + nation, once each
+
+
+def test_full_outer_join_aggregates_before_join(spark, sf_dir):
+    """Agg-before-join: the SortMergeJoin/ShuffledHashJoin inputs must
+    already be HashAggregate outputs (each side collapsed to ≤#nations
+    rows before the unbroadcastable full outer join)."""
+    df = QUERIES["full_outer_join"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert "FullOuter" in plan
+    # both aggs complete before the join: 2 partial + 2 final
+    assert plan.count("HashAggregate") == 4
+
+
+def test_approx_count_distinct_tracks_exact(spark, sf_dir):
+    """Scale path for distinct_agg: HLL++ (mergeable sketch, no
+    two-phase expand) stays within 5% of exact count distinct."""
+    orders = read_table(spark, sf_dir, "orders")
+    row = orders.select(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.05, row
