@@ -177,3 +177,154 @@ def test_rabbitmq_publish_contract():
     assert exchange == "db.users"
     assert rk == "a"  # routing key read from the data field
     assert json.loads(body) == {"_id": 1, "name": "a"}
+
+
+# ---------------------------------------------------------------------------
+# AMQP consumer: the ack-after-emit at-least-once state machine
+# ---------------------------------------------------------------------------
+
+class FakeAmqpChannel:
+    """In-memory broker: basic_get pops, unacked messages are
+    redelivered after `recover()` (what a real broker does when the
+    consumer's connection dies before acking)."""
+
+    def __init__(self, queues):
+        self.queues = {q: list(msgs) for q, msgs in queues.items()}
+        self.unacked = {}  # delivery_tag -> (queue, body)
+        self.acked = []
+        self._tag = 0
+
+    def basic_get(self, queue):
+        if not self.queues.get(queue):
+            return None
+        body = self.queues[queue].pop(0)
+        self._tag += 1
+        self.unacked[self._tag] = (queue, body)
+        return (self._tag, body)
+
+    def basic_ack(self, delivery_tag):
+        self.acked.append(delivery_tag)
+        self.unacked.pop(delivery_tag)
+
+    def recover(self):
+        """Requeue everything unacked (connection-loss semantics)."""
+        for tag, (queue, body) in sorted(self.unacked.items()):
+            self.queues.setdefault(queue, []).append(body)
+        self.unacked = {}
+
+
+def _amqp_reader(ch, queues=("q1",)):
+    from transporter_spark.sources.amqp import AmqpTailStreamReader
+
+    return AmqpTailStreamReader(list(queues), ch, ns_prefix="mq.")
+
+
+def test_amqp_skips_system_queues():
+    from transporter_spark.sources.amqp import list_queues
+
+    assert list_queues(["jobs", "amq.gen-x1", "amq.direct", "events"]) == [
+        "jobs",
+        "events",
+    ]
+
+
+def test_amqp_batch_rows_and_ack_on_commit():
+    ch = FakeAmqpChannel(
+        {"q1": [b'{"op":"insert","data":{"_id":1}}', b'{"op":"update","data":{"_id":2}}']}
+    )
+    r = _amqp_reader(ch)
+    start = r.initialOffset()
+    end = r.latestOffset()
+    assert end == {"seq": 2}
+    [part] = r.partitions(start, end)
+    rows = list(r.read(part))
+    assert [row[0] for row in rows] == ["insert", "update"]
+    assert rows[0][2] == "mq.q1"  # namespace = prefixed queue name
+    assert json.loads(rows[0][3]) == {"_id": 1}
+    assert ch.acked == []  # emitted but NOT acked yet
+    r.commit(end)
+    assert len(ch.acked) == 2 and not ch.unacked
+
+
+def test_amqp_crash_before_commit_redelivers():
+    """At-least-once: rows read but never committed come back after a
+    broker redelivery; nothing is lost, nothing double-acked."""
+    ch = FakeAmqpChannel({"q1": [b'{"data":{"_id": 1}}']})
+    r = _amqp_reader(ch)
+    end = r.latestOffset()
+    list(r.read(r.partitions(r.initialOffset(), end)[0]))
+    # crash: no commit; broker requeues the unacked message
+    ch.recover()
+    r2 = _amqp_reader(ch)  # fresh reader, as after restart
+    end2 = r2.latestOffset()
+    [part] = r2.partitions(r2.initialOffset(), end2)
+    rows = list(r2.read(part))
+    assert len(rows) == 1 and json.loads(rows[0][3]) == {"_id": 1}
+    r2.commit(end2)
+    assert not ch.unacked
+
+
+def test_amqp_retried_batch_is_identical_and_acks_once():
+    """A micro-batch replanned over the same [start, end) must produce
+    byte-identical rows (buffered, not re-fetched) and commit must ack
+    each delivery exactly once."""
+    ch = FakeAmqpChannel({"q1": [b'{"data":{"_id":1}}', b'{"data":{"_id":2}}']})
+    r = _amqp_reader(ch)
+    start, end = r.initialOffset(), r.latestOffset()
+    rows1 = list(r.read(r.partitions(start, end)[0]))
+    rows2 = list(r.read(r.partitions(start, end)[0]))  # task retry
+    assert rows1 == rows2
+    r.commit(end)
+    r.commit(end)  # idempotent
+    assert sorted(ch.acked) == [1, 2]
+
+
+def test_amqp_poison_body_becomes_raw_row():
+    ch = FakeAmqpChannel({"q1": [b"not json"]})
+    r = _amqp_reader(ch)
+    [part] = r.partitions(r.initialOffset(), r.latestOffset())
+    [row] = list(r.read(part))
+    assert json.loads(row[3]) == {"_raw": "not json"}
+
+
+# ---------------------------------------------------------------------------
+# RethinkDB buffered insert-replace
+# ---------------------------------------------------------------------------
+
+def test_rethinkdb_bulk_buffers_inserts_and_renames_id():
+    from transporter_spark.sources.bulk import rethinkdb_bulk_ops
+
+    rows = [{"op": "insert", "data": {"_id": i, "v": i}} for i in range(3)]
+    ops = list(rethinkdb_bulk_ops(rows))
+    assert len(ops) == 1
+    kind, docs = ops[0]
+    assert kind == "insert"
+    assert docs == [{"id": i, "v": i} for i in range(3)]  # _id -> id
+
+
+def test_rethinkdb_update_and_delete_are_barriers():
+    """An update flushes the pending buffer first; a delete flushes and
+    then deletes — so apply order can never resurrect a deleted doc."""
+    from transporter_spark.sources.bulk import rethinkdb_bulk_ops
+
+    rows = [
+        {"op": "insert", "data": {"_id": 1}},
+        {"op": "update", "data": {"_id": 1, "v": 2}},
+        {"op": "insert", "data": {"_id": 3}},
+        {"op": "delete", "data": {"_id": 3}},
+    ]
+    kinds = [(k, p) for k, p in rethinkdb_bulk_ops(rows)]
+    assert kinds == [
+        ("insert", [{"id": 1}]),
+        ("insert", [{"id": 1, "v": 2}]),
+        ("insert", [{"id": 3}]),
+        ("delete", 3),
+    ]
+
+
+def test_rethinkdb_bulk_splits_at_max_docs():
+    from transporter_spark.sources.bulk import rethinkdb_bulk_ops
+
+    rows = [{"op": "insert", "data": {"_id": i}} for i in range(2500)]
+    ops = list(rethinkdb_bulk_ops(rows))
+    assert [len(p) for _, p in ops] == [1000, 1000, 500]

@@ -275,3 +275,60 @@ def rabbitmq_publish_payloads(
         data = row.get("data") or {}
         rk = str(data.get(key_field, routing_key)) if key_field else routing_key
         yield (str(row.get(ns_field, "")), rk, _dumps(data))
+
+
+# ---------------------------------------------------------------------------
+# RethinkDB buffered insert-replace
+# ---------------------------------------------------------------------------
+
+def rethinkdb_bulk_ops(
+    rows: Iterable[dict],
+    id_field: str = "_id",
+    op_field: str = "op",
+    max_docs: int = 1000,
+) -> Iterator[Tuple[str, object]]:
+    """Ordered (kind, payload) operations for a RethinkDB session.
+
+    Reference contract (adaptor/rethinkdb/writer.go:48-146): Inserts
+    buffer up to 1000 docs (writer.go:18) and flush as one
+    ``insert(conflict="replace")``; an Update forces a flush first,
+    then goes as its own insert-replace (:70-83); a Delete forces a
+    flush, then ``get(id).delete()`` (:85-94) — updates and deletes
+    are ordering barriers so a reordered buffer can't resurrect a
+    deleted row. ``_id`` is renamed ``id`` (prepareDocument
+    :96-106).
+
+    Yields ("insert", [docs...]) and ("delete", id) in apply order.
+    Pure function over an iterator: one instance per Spark partition
+    inside foreachBatch, identical semantics, unit-testable without a
+    server.
+    """
+
+    def prepare(data: dict) -> dict:
+        doc = dict(data)
+        if id_field in doc:
+            doc["id"] = doc.pop(id_field)
+        return doc
+
+    buf: List[dict] = []
+    for row in rows:
+        op = str(row.get(op_field, "insert")).lower()
+        data = row.get("data") or {}
+        if op == "insert":
+            buf.append(prepare(data))
+            if len(buf) >= max_docs:
+                yield ("insert", buf)
+                buf = []
+        elif op == "update":
+            if buf:
+                yield ("insert", buf)
+                buf = []
+            yield ("insert", [prepare(data)])
+        elif op == "delete":
+            if buf:
+                yield ("insert", buf)
+                buf = []
+            doc_id = data.get(id_field, row.get(id_field))
+            yield ("delete", doc_id)
+    if buf:
+        yield ("insert", buf)
