@@ -5,6 +5,8 @@ import pyspark.sql.functions as F
 from transporter_spark.operators.relational import broadcast_dim_join, salted_sum
 from transporter_spark.sources.files import read_table
 
+from tests.test_plans import explain_str
+
 
 def test_salted_sum_matches_plain_groupby(spark, sf_dir):
     li = read_table(spark, sf_dir, "lineitem")
@@ -49,3 +51,41 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.approx - r.exact) / r.exact < 0.05, r
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Co-located join: orders and lineitem bucketed by orderkey join
+    with ZERO Exchange operators — the layout replaces the shuffle.
+    (The technique a recurring 100TB fact-to-fact join pays for once.)"""
+    from transporter_spark.operators.relational import write_bucketed
+    from transporter_spark.sources.files import read_table as rt
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    orders = rt(spark, sf_dir, "orders")
+    li = rt(spark, sf_dir, "lineitem")
+    write_bucketed(
+        orders.select("o_orderkey", "o_totalprice"), "b_orders",
+        ["o_orderkey"], num_buckets=8,
+    )
+    write_bucketed(
+        li.select("l_orderkey", "l_quantity"), "b_lineitem",
+        ["l_orderkey"], num_buckets=8,
+    )
+    try:
+        bo, bl = spark.table("b_orders"), spark.table("b_lineitem")
+        joined = bo.join(
+            bl, bo.o_orderkey == bl.l_orderkey
+        ).groupBy("o_orderkey").count()
+        # disable broadcast so the test can't pass via a broadcast join
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = explain_str(joined, "simple")
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        # inner join: one output group per order that HAS lineitems
+        assert joined.count() == bl.select("l_orderkey").distinct().count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
