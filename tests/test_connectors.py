@@ -328,3 +328,99 @@ def test_rethinkdb_bulk_splits_at_max_docs():
     rows = [{"op": "insert", "data": {"_id": i}} for i in range(2500)]
     ops = list(rethinkdb_bulk_ops(rows))
     assert [len(p) for _, p in ops] == [1000, 1000, 500]
+
+
+# ---------------------------------------------------------------------------
+# postgres test_decoding parser (reference tailer.go:139-233)
+# ---------------------------------------------------------------------------
+
+def test_pgdecode_parses_ops_and_types():
+    from transporter_spark.sources.pgdecode import parse_test_decoding_line as p
+
+    ns, op, doc = p(
+        "table public.users: INSERT: id[integer]:1 bal[numeric(10,2)]:42.50 "
+        "name[text]:'al''ice' active[boolean]:true note[text]:null"
+    )
+    assert (ns, op) == ("public.users", "insert")
+    assert doc == {
+        "id": 1, "bal": 42.5, "name": "al'ice", "active": True, "note": None,
+    }
+    assert p("table public.users: DELETE: id[integer]:7")[1] == "delete"
+    assert p("table public.users: UPDATE: id[integer]:7 v[bigint]:9")[2] == {
+        "id": 7, "v": 9,
+    }
+
+
+def test_pgdecode_skips_tx_markers_and_quoted_idents():
+    from transporter_spark.sources.pgdecode import parse_test_decoding_line as p
+
+    assert p("BEGIN 701") is None
+    assert p("COMMIT 701") is None
+    assert p("") is None
+    ns, _op, doc = p(
+        'table "MySchema"."Order Items": INSERT: "Qty Ordered"[integer]:3'
+    )
+    assert ns == "MySchema.Order Items"
+    assert doc == {"Qty Ordered": 3}
+
+
+def test_pgdecode_values_with_spaces_and_strings():
+    from transporter_spark.sources.pgdecode import parse_test_decoding_line as p
+
+    _ns, _op, doc = p(
+        "table s.t: INSERT: msg[character varying]:'hello world  x' "
+        "arr[integer[]]:'{1,2,3}' ts[timestamp without time zone]:'2020-01-01 10:00:00'"
+    )
+    assert doc["msg"] == "hello world  x"
+    assert doc["arr"] == "{1,2,3}"          # literal text, policy-documented
+    assert doc["ts"] == "2020-01-01 10:00:00"
+
+
+def test_pgdecode_tail_datasource_streams(spark, tmp_path):
+    """End-to-end through readStream: append test_decoding lines to the
+    file, run availableNow batches, check envelope rows + resume."""
+    import json as _json
+
+    from transporter_spark.sources.pgdecode import PgDecodeTailDataSource
+
+    spark.dataSource.register(PgDecodeTailDataSource)
+    path = tmp_path / "wal.txt"
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    path.write_text(
+        "BEGIN 1\n"
+        "table public.users: INSERT: id[integer]:1 name[text]:'a'\n"
+        "table public.users: INSERT: id[integer]:2 name[text]:'b'\n"
+        "COMMIT 1\n"
+    )
+
+    def run_batch():
+        q = (
+            spark.readStream.format("pgdecode_tail")
+            .option("path", str(path))
+            .load()
+            .writeStream.format("json")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(60)
+        return {
+            (_json.loads(r.json)["id"], r.op)
+            for r in spark.read.json(out).collect()
+        }
+
+    assert run_batch() == {(1, "insert"), (2, "insert")}
+    with open(path, "a") as f:
+        f.write(
+            "BEGIN 2\n"
+            "table public.users: UPDATE: id[integer]:1 name[text]:'z'\n"
+            "table public.users: DELETE: id[integer]:2\n"
+            "COMMIT 2\n"
+        )
+    # resume from checkpoint: the file sink accumulates, and the second
+    # batch contributes ONLY the new rows (no re-read of batch 1 bytes)
+    assert run_batch() == {
+        (1, "insert"), (2, "insert"), (1, "update"), (2, "delete"),
+    }

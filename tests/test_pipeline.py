@@ -86,3 +86,20 @@ def test_pipeline_requires_source_and_sink(spark):
         Pipeline("empty").run(spark)
     with pytest.raises(ValueError, match="already has a source"):
         Pipeline("dup").source("dir", path="/x").source("dir", path="/y")
+
+
+def test_nanos_probe_ignores_spark_written_int96(spark, sf_dir, tmp_path):
+    """Round-trip guard: a table read via read_table (nanos converted)
+    then re-written by Spark stores INT96/INT64-micros timestamps —
+    re-reading it must NOT re-apply the div-1000 conversion (INT96 also
+    surfaces as timestamp[ns] in arrow, which fooled the probe once)."""
+    from transporter_spark.sources.files import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events.parquet")
+    ev.limit(100).write.parquet(out)
+    again = read_table(spark, str(tmp_path), "events")
+    assert dict(again.dtypes)["ts"] == "timestamp"
+    orig = {r.event_id: r.ts for r in ev.limit(100).collect()}
+    for r in again.collect():
+        assert r.ts == orig[r.event_id]

@@ -34,7 +34,6 @@ def _nanos_ts_columns(path: str):
     to microsecond timestamps. Metadata-only peek, no data read; handles
     both single-file and directory-style parquet."""
     import pyarrow.parquet as pq
-    import pyarrow as pa
 
     probe = path
     if os.path.isdir(path):
@@ -45,10 +44,21 @@ def _nanos_ts_columns(path: str):
         if not parts:
             return []
         probe = os.path.join(path, parts[0])
+    # Check the PARQUET (not arrow) schema: Spark-written INT96
+    # timestamps also surface as timestamp[ns] in arrow, but Spark
+    # reads INT96 natively — nanosAsLong only applies to INT64
+    # TIMESTAMP(NANOS) columns, so only those may be converted.
+    schema = pq.ParquetFile(probe).schema
     out = []
-    for field in pq.read_schema(probe):
-        if isinstance(field.type, pa.TimestampType) and field.type.unit == "ns":
-            out.append(field.name)
+    for i in range(len(schema)):
+        col = schema.column(i)
+        lt = str(col.logical_type)
+        if (
+            col.physical_type == "INT64"
+            and "Timestamp" in lt
+            and "nanoseconds" in lt
+        ):
+            out.append(col.name)
     return out
 
 
