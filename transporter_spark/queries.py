@@ -719,6 +719,79 @@ def q_q5_local_supplier(spark, sf_dir):
 
 
 @q(
+    "q14_promo_revenue",
+    oracle=f"""
+SELECT CAST(100.00 * {_DSUM("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END")} AS DOUBLE)
+       / CAST({_DSUM('l_extendedprice * (1 - l_discount)')} AS DOUBLE) AS promo_revenue,
+       COUNT(*) AS n_items
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1998-01-01'
+""",
+)
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share — a conditional aggregate
+    over a fact⋈dim join. part broadcasts at test SFs; at 100TB part is
+    GB-scale so Catalyst/AQE picks shuffle-hash on l_partkey instead —
+    the query text doesn't change, which is the point of declaring the
+    plan. Both sums decimal (exact), ratio as double at the end."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    part = read_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                (F.lit(100.0) * _dsum(promo).cast("double"))
+                / _dsum(rev).cast("double")
+            ).alias("promo_revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
+    "q18_large_orders",
+    oracle="""
+SELECT c_name, o_orderkey, SUM(l_quantity) AS total_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, o_orderkey
+""",
+)
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: customers with very large orders. The IN
+    subquery is an aggregate→filter→LEFT SEMI join: lineitem is
+    aggregated ONCE on l_orderkey, the surviving keys (few) semi-join
+    back — at scale AQE turns that semi into a broadcast because the
+    HAVING keeps only the tail. No correlated per-row evaluation
+    anywhere (the reference would have done this message-at-a-time)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@q(
     "word_count",
     oracle="""
 SELECT w AS word, COUNT(*) AS n
