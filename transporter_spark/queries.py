@@ -1902,6 +1902,61 @@ def q_collect_agg(spark, sf_dir):
     )
 
 
+@q(
+    "stream_stream_join",
+    oracle="""
+SELECT a.event_id AS signup_id, b.event_id AS error_id, a.user_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'signup' AND b.event_type = 'error'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+""",
+)
+def q_stream_stream_join(spark, sf_dir):
+    """STREAM-STREAM interval join: errors within 1h after a signup by
+    the same user. Both sides are streaming with watermarks; the
+    time-range condition is what lets Spark bound each side's join
+    state (events older than watermark + range are evicted) — without
+    it a stream-stream join would buffer forever. The reference cannot
+    express any join; this is the canonical new capability. Drained
+    with availableNow, the result equals the batch interval join, which
+    is exactly what the oracle checks."""
+    from transporter_spark.streaming.sources import stream_table
+    from transporter_spark.streaming.windows import run_available_now
+
+    signups = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("event_id").alias("signup_id"),
+            F.col("user_id").alias("s_user"),
+            F.col("ts").alias("s_ts"),
+        )
+        .withWatermark("s_ts", "2 hours")
+    )
+    errors = (
+        stream_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "2 hours")
+    )
+    joined = signups.join(
+        errors,
+        (F.col("s_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("s_ts"))
+        & (F.col("e_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "signup_id",
+        "error_id",
+        F.col("s_user").alias("user_id"),
+    )
+    return run_available_now(joined)
+
+
 # ===========================================================================
 # Training-data quality gates: PII scrub, repetition, decontamination,
 # oracle-checked near-dup clustering
