@@ -1957,6 +1957,80 @@ def q_stream_stream_join(spark, sf_dir):
     return run_available_now(joined)
 
 
+@q(
+    "chunk_documents",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t,
+         len(regexp_extract_all(text, '\\S+')) AS ntok
+  FROM documents WHERE len(regexp_extract_all(text, '\\S+')) > 0
+)
+SELECT doc_id, chunk_id,
+       array_to_string(t[chunk_id*48 + 1 : chunk_id*48 + 64], ' ') AS chunk_text,
+       least(64, ntok - chunk_id*48) AS chunk_tokens
+FROM toks, unnest(generate_series(0, (ntok - 1) // 48)) AS u(chunk_id)
+""",
+)
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking: split each document into 64-token
+    chunks with stride 48 (16-token overlap) — the standard prep step
+    before tokenize-and-pack in a pretraining pipeline. Pure row-local
+    fan-out (explode of a per-doc sequence): embarrassingly parallel,
+    no shuffle at any corpus size; output size is input x ~4/3 (the
+    overlap factor). The slice/HOF work is interpreted-eval — for the
+    100TB hot path swap in the posexplode+window-lead shape proven in
+    operators/dedup.shingle_rows."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = r"regexp_extract_all(text, '\\S+', 0)"
+    d = docs.select(
+        "doc_id",
+        F.expr(toks).alias("t"),
+        F.expr(f"size({toks})").alias("ntok"),
+    ).filter(F.col("ntok") > 0)
+    return d.select(
+        "doc_id",
+        F.explode(F.expr("sequence(0, (ntok - 1) div 48)")).alias("chunk_id"),
+        "t",
+        "ntok",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.expr("array_join(slice(t, chunk_id*48 + 1, 64), ' ')").alias("chunk_text"),
+        F.least(F.lit(64), F.col("ntok") - F.col("chunk_id") * 48).alias(
+            "chunk_tokens"
+        ),
+    )
+
+
+@q(
+    "stratified_sample",
+    oracle="""
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 40 ELSE 80 END
+""",
+)
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep-rates
+    applied via a portable content hash (md5-prefix mod 100), NOT
+    rand() — so the sample is reproducible across runs, engines, and
+    cluster sizes, and any doc's membership is auditable. This is how a
+    100TB pipeline downsamples dominant languages (en at 10%) while
+    keeping the tail (80%): a pure filter, pushdown-friendly, no
+    shuffle, no coordination."""
+    from transporter_spark.operators.dedup import stable_hash32
+
+    docs = read_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "de", 40)
+        .otherwise(80)
+    )
+    keep = F.pmod(stable_hash32(F.col("doc_id")), F.lit(100)) < rate
+    return docs.filter(keep).select("doc_id", "lang")
+
+
 # ===========================================================================
 # Training-data quality gates: PII scrub, repetition, decontamination,
 # oracle-checked near-dup clustering
