@@ -2031,6 +2031,130 @@ def q_stratified_sample(spark, sf_dir):
     return docs.filter(keep).select("doc_id", "lang")
 
 
+@q(
+    "q19_disjunctive",
+    oracle=f"""
+SELECT {_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 25)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 40)
+    OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 45))
+""",
+)
+def q_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs predicates spanning both join sides.
+    Catalyst factors out the common conjuncts it can (l_partkey
+    equi-join stays a hash join, never nested-loop) and pushes the
+    single-side disjunction (p_brand/p_size OR-tree) into the part
+    scan; the mixed-side residue evaluates post-join. The classic
+    optimizer test: a naive engine turns this into a cross product."""
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    cond = (
+        (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 25)
+    ) | (
+        (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 45)
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(_dsum(rev).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@q(
+    "pack_sequences",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, len(regexp_extract_all(text, '\\S+')) AS ntok
+  FROM documents WHERE len(regexp_extract_all(text, '\\S+')) > 0
+),
+cum AS (
+  SELECT doc_id, source, ntok,
+         SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM toks
+)
+-- integer floor-div: CAST(double AS BIGINT) in DuckDB ROUNDS (Spark
+-- cast truncates) — keep the arithmetic integral on both sides
+SELECT source, (cum_tokens - ntok) // 2048 AS seq_id,
+       COUNT(*) AS n_docs, SUM(ntok) AS seq_tokens
+FROM cum GROUP BY source, seq_id
+""",
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: assign documents to ~2048-token training
+    sequences by running-token-count binning within each source shard.
+    Deterministic contiguous packing (cumsum div target), NOT first-fit
+    — first-fit is inherently sequential, cumsum is one window per
+    shard. Partitioning by source is the scale decision: each shard
+    packs independently (no global sort), and shard count × shard size
+    control parallelism at 100TB."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = r"size(regexp_extract_all(text, '\\S+', 0))"
+    d = docs.select(
+        "doc_id", "source", F.expr(toks).alias("ntok")
+    ).filter(F.col("ntok") > 0)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cum_tokens", F.sum("ntok").over(w))
+    return (
+        cum.withColumn(
+            "seq_id", F.expr("(cum_tokens - ntok) div 2048")
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("seq_tokens"),
+        )
+    )
+
+
+@q(
+    "sliding_window_agg",
+    oracle="""
+SELECT CAST(to_timestamp(win_epoch) AS TIMESTAMP) AS win_start,
+       event_type, COUNT(*) AS n
+FROM (
+  -- NB: DuckDB's // does not floor DOUBLEs — floor to BIGINT first
+  SELECT event_type,
+         (CAST(floor(epoch(ts)) AS BIGINT) // 1800 - k) * 1800 AS win_epoch,
+         epoch(ts) AS e
+  FROM events, unnest([0, 1]) AS u(k)
+)
+WHERE e >= win_epoch AND e < win_epoch + 3600
+GROUP BY win_epoch, event_type
+""",
+)
+def q_sliding_window_agg(spark, sf_dir):
+    """Sliding (hopping) window: 1-hour windows every 30 minutes —
+    each event lands in 2 windows. Spark's window() expands rows
+    (overlap factor = length/slide) BEFORE the shuffle, then it's a
+    plain hash agg; state cost at 100TB is overlap x tumbling, which
+    is why production defaults keep slide >= length/4. The oracle
+    reproduces Spark's epoch-aligned window boundaries exactly."""
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").alias("win_start"), "event_type", "n"
+        )
+    )
+
+
 # ===========================================================================
 # Training-data quality gates: PII scrub, repetition, decontamination,
 # oracle-checked near-dup clustering
