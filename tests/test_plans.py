@@ -158,3 +158,15 @@ def test_approx_count_distinct_tracks_exact(spark, sf_dir):
         F.approx_count_distinct("o_custkey", 0.02).alias("approx"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.05, row
+
+
+def test_q19_disjunctive_stays_hash_join(spark, sf_dir):
+    """OR-of-ANDs across both sides must not degrade the equi-join:
+    the l_partkey hash join survives and the single-side brand/size
+    disjunction prunes the part scan."""
+    df = QUERIES["q19_disjunctive"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "Brand#12" in plan.split("Scan parquet")[0] or "p_brand" in plan
