@@ -2202,6 +2202,96 @@ QUERIES["pii_redact"] = QUERIES["pii_redact"]._replace(oracle=_pii_oracle())
 
 
 @q(
+    "training_pipeline",
+    oracle=None,  # composed below from the shared pattern table
+    headline=True,
+)
+def q_training_pipeline(spark, sf_dir):
+    """The END-TO-END training-data pipeline as ONE declarative plan:
+    PII-redact -> quality gate (>=20 tokens) -> normalized exact-dedup
+    (keep min doc_id per canonical hash) -> chunk into 64-token/
+    stride-48 windows -> per-source summary. Every stage is a stage the
+    suite also checks in isolation; this entry pins their COMPOSITION
+    (the thing a user actually runs). One shuffle for the dedup window,
+    one for the final rollup — redaction/gating/chunk-count are pure
+    projections fused into the scans by Catalyst."""
+    from transporter_spark.operators.text import pii_redact
+
+    docs = read_table(spark, sf_dir, "documents")
+    red = docs.select(
+        "doc_id", "source", pii_redact("text").alias("rtext")
+    )
+    toks = r"size(regexp_extract_all(rtext, '\\S+', 0))"
+    gated = red.withColumn("ntok", F.expr(toks)).filter(F.col("ntok") >= 20)
+    norm = gated.withColumn(
+        "nhash",
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("rtext"), r"[^a-z0-9\s]", " "),
+                    r"\s+",
+                    " ",
+                )
+            )
+        ),
+    )
+    kept = (
+        norm.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nhash").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        kept.withColumn("n_chunks", F.expr("(ntok - 1) div 48 + 1"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chunks").alias("n_chunks"),
+            F.sum("ntok").alias("total_tokens"),
+        )
+    )
+
+
+def _training_pipeline_oracle() -> str:
+    from transporter_spark.operators.text import pii_redact_sql
+
+    red = pii_redact_sql("text")
+    return f"""
+WITH red AS (
+  SELECT doc_id, source, {red} AS rtext FROM documents
+),
+gated AS (
+  SELECT doc_id, source, rtext,
+         len(regexp_extract_all(rtext, '\\S+')) AS ntok
+  FROM red WHERE len(regexp_extract_all(rtext, '\\S+')) >= 20
+),
+norm AS (
+  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(rtext),
+             '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS nhash
+  FROM gated
+),
+kept AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY nhash ORDER BY doc_id) AS rn
+    FROM norm
+  ) WHERE rn = 1
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM((ntok - 1) // 48 + 1) AS n_chunks,
+       SUM(ntok) AS total_tokens
+FROM kept GROUP BY source
+"""
+
+
+QUERIES["training_pipeline"] = QUERIES["training_pipeline"]._replace(
+    oracle=_training_pipeline_oracle()
+)
+
+
+@q(
     "repetition_stats",
     oracle="""
 WITH toks AS (
