@@ -792,6 +792,46 @@ def q_q18_large_orders(spark, sf_dir):
 
 
 @q(
+    "q10_returned_items",
+    oracle=f"""
+SELECT c_custkey, c_name,
+       {_DSUM('l_extendedprice * (1 - l_discount)')} AS revenue,
+       COUNT(*) AS n_items
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+  AND o_orderdate >= TIMESTAMP '1998-06-01'
+GROUP BY c_custkey, c_name
+""",
+)
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns, grouped by CUSTOMER —
+    unlike Q1/Q5 the aggregation key is high-cardinality (millions of
+    groups at scale), so the final agg is a real shuffle whose partial
+    combine barely compacts. The scale lever is the other direction:
+    the returnflag + orderdate filters push into the fact scans and cut
+    the join input before anything shuffles; nation broadcasts."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-06-01").cast("timestamp")
+    )
+    cust = read_table(spark, sf_dir, "customer")
+    nation = read_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(_dsum(rev).alias("revenue"), F.count("*").alias("n_items"))
+    )
+
+
+@q(
     "word_count",
     oracle="""
 SELECT w AS word, COUNT(*) AS n
