@@ -285,6 +285,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 42,
     verify: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
@@ -300,7 +301,9 @@ def minhash_lsh_pairs(
     size upstream if needed.
     """
     r = num_hashes // bands
-    sig = _materialize(minhash_signatures(df, text_col, id_col, n, num_hashes, seed))
+    sig = _materialize(
+        minhash_signatures(df, text_col, id_col, n, num_hashes, seed, portable)
+    )
     banded = sig.select(
         "id",
         F.explode(

@@ -1150,6 +1150,76 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+@q(
+    "minhash_lsh_portable",
+    oracle=None,  # generated below from the same hash family
+)
+def q_minhash_lsh_portable(spark, sf_dir):
+    """The SAME MinHash(64)+LSH(16)+verify pipeline value-checked end
+    to end: base hash switched to the portable md5-derived form so the
+    oracle can reproduce every signature, band bucket, candidate pair,
+    and verified Jaccard in SQL. This entry proves the LSH machinery
+    exactly; `minhash_lsh_pairs` (xxhash64, ~3x cheaper base hash)
+    stays the production/headline path with identical plumbing."""
+    from transporter_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=64, bands=16,
+        threshold=0.1, portable=True,
+    )
+
+
+def _minhash_portable_oracle() -> str:
+    from transporter_spark.operators.dedup import _MERSENNE, _hash_family
+
+    fam = _hash_family(64, 42)
+    mins = ",\n       ".join(
+        f"min(({a}::BIGINT * h + {b}) % {_MERSENNE}) AS mh_{i}"
+        for i, (a, b) in enumerate(fam)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        "SELECT doc_id, {i} AS band, {sig} AS bsig FROM sig".format(
+            i=i,
+            sig=" || ',' || ".join(f"mh_{4 * i + j}" for j in range(4)),
+        )
+        for i in range(16)
+    )
+    return (
+        _SHINGLES_SQL
+        + f""",
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT AS BIGINT) % {_MERSENNE} AS h
+  FROM sh),
+sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+bands AS ({band_selects}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2)
+SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.1
+"""
+    )
+
+
+QUERIES["minhash_lsh_portable"] = QUERIES["minhash_lsh_portable"]._replace(
+    oracle=_minhash_portable_oracle()
+)
+
+
 @q("simhash_pairs")
 def q_simhash(spark, sf_dir):
     """SimHash(32-bit) Hamming<=6 candidate pairs via pigeonhole banding.
