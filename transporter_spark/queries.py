@@ -1220,14 +1220,59 @@ QUERIES["minhash_lsh_portable"] = QUERIES["minhash_lsh_portable"]._replace(
 )
 
 
-@q("simhash_pairs")
+@q(
+    "simhash_pairs",
+    oracle=None,  # generated below — shares the portable token hash
+)
 def q_simhash(spark, sf_dir):
-    """SimHash(32-bit) Hamming<=6 candidate pairs via pigeonhole banding.
-    Rows-only check; sanity-tested against ngram Jaccard in pytest."""
+    """SimHash(32-bit) Hamming<=6 candidate pairs via pigeonhole
+    banding (8 chunks of 4 bits: any pair within radius 6 shares at
+    least one exact chunk). The token hash is the portable md5 form, so
+    fingerprints, band buckets, and Hamming distances are all
+    VALUE-CHECKED against the generated DuckDB oracle."""
     from transporter_spark.operators.dedup import simhash_pairs
 
     docs = read_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "text", "doc_id", bits=32, max_hamming=6, bands=8)
+
+
+def _simhash_oracle(bits: int = 32, bands: int = 8, max_hamming: int = 6) -> str:
+    width = bits // bands
+    sums = ",\n       ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j}::BIGINT ELSE 0 END)"
+        for j in range(bits)
+    )
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash >> {i * width}) & {(1 << width) - 1} AS chunk FROM fp"
+        for i in range(bands)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 8))::UBIGINT AS BIGINT) AS h
+  FROM tok),
+sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
+fp AS (SELECT doc_id, {fp} AS simhash FROM sums),
+banded AS ({band_selects})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+QUERIES["simhash_pairs"] = QUERIES["simhash_pairs"]._replace(
+    oracle=_simhash_oracle()
+)
 
 
 @q(
