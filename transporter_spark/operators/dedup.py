@@ -635,6 +635,7 @@ def dedup_clusters(
     n: int = 3,
     threshold: float = 0.5,
     use_lsh: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Full near-dup dedup decision: candidate pairs (LSH or exact) ->
     connected components -> one canonical doc per cluster (min id).
@@ -643,7 +644,9 @@ def dedup_clusters(
     avoid keeping two near-copies) — the component step closes that.
     """
     pairs = (
-        minhash_lsh_pairs(df, text_col, id_col, n, threshold=threshold)
+        minhash_lsh_pairs(
+            df, text_col, id_col, n, threshold=threshold, portable=portable
+        )
         if use_lsh
         else jaccard_pairs(df, text_col, id_col, n, threshold)
     )

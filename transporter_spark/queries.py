@@ -1170,7 +1170,10 @@ def q_minhash_lsh_portable(spark, sf_dir):
     )
 
 
-def _minhash_portable_oracle() -> str:
+def _minhash_portable_ctes() -> str:
+    """CTE chain ending in `mh_pairs` (id_a, id_b, jaccard): the whole
+    portable MinHash+LSH+verify pipeline as SQL, generated from the
+    SAME hash family the Spark operator bakes into its plan."""
     from transporter_spark.operators.dedup import _MERSENNE, _hash_family
 
     fam = _hash_family(64, 42)
@@ -1205,18 +1208,55 @@ inter AS (
   FROM cand c
   JOIN sh a ON a.doc_id = c.id_a
   JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s
-  GROUP BY 1, 2)
-SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
-FROM inter
-JOIN sizes sa ON id_a = sa.doc_id
-JOIN sizes sb ON id_b = sb.doc_id
-WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.1
-"""
+  GROUP BY 1, 2),
+mh_pairs AS (
+  SELECT id_a, id_b, i * 1.0 / (sa.sz + sb.sz - i) AS jaccard
+  FROM inter
+  JOIN sizes sa ON id_a = sa.doc_id
+  JOIN sizes sb ON id_b = sb.doc_id
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.1)"""
     )
 
 
 QUERIES["minhash_lsh_portable"] = QUERIES["minhash_lsh_portable"]._replace(
-    oracle=_minhash_portable_oracle()
+    oracle=_minhash_portable_ctes()
+    + "\nSELECT id_a, id_b, jaccard FROM mh_pairs"
+)
+
+
+@q(
+    "dedup_clusters_portable",
+    oracle=None,  # composed below: portable LSH pairs + recursive closure
+)
+def q_dedup_clusters_portable(spark, sf_dir):
+    """Near-dup CLUSTERING on the LSH path, value-checked end to end:
+    portable-hash MinHash+LSH pairs -> connected components ->
+    canonical min-id per cluster, against a generated DuckDB oracle
+    whose recursive CTE computes the same transitive closure over the
+    same pairs. Proves the production `dedup_clusters` pipeline shape
+    exactly (only the base hash differs there, for speed)."""
+    from transporter_spark.operators.dedup import dedup_clusters
+
+    docs = read_table(spark, sf_dir, "documents")
+    return dedup_clusters(docs, threshold=0.1, use_lsh=True, portable=True)
+
+
+QUERIES["dedup_clusters_portable"] = QUERIES["dedup_clusters_portable"]._replace(
+    oracle=_minhash_portable_ctes().replace("WITH", "WITH RECURSIVE", 1)
+    + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM mh_pairs
+),
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src
+)
+SELECT id AS doc_id, MIN(r) AS component, (MIN(r) = id) AS is_canonical
+FROM reach GROUP BY id
+"""
 )
 
 
