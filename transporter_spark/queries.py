@@ -792,6 +792,62 @@ def q_q18_large_orders(spark, sf_dir):
 
 
 @q(
+    "q7_nation_volume",
+    oracle=f"""
+SELECT supp_nation, cust_nation, l_year,
+       {_DSUM('volume')} AS revenue, COUNT(*) AS n
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def q_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: trade volume between a nation PAIR by year —
+    the nation dim joins twice under different keys (supplier side,
+    customer side), with a symmetric pair predicate that can only be
+    applied after both joins. Both nation branches broadcast; the
+    disjunctive pair filter prunes most rows right at those broadcast
+    joins, before the wide fact join output is aggregated."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+        ).filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+        ).filter(F.col("n_name").isin("NATION_1", "NATION_2"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        supp.join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(li, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(_dsum(vol).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+@q(
     "q10_returned_items",
     oracle=f"""
 SELECT c_custkey, c_name,
