@@ -792,6 +792,39 @@ def q_q18_large_orders(spark, sf_dir):
 
 
 @q(
+    "q6_forecast_revenue",
+    oracle=f"""
+SELECT {_DSUM('l_extendedprice * l_discount')} AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: the pure predicate-pushdown query — every
+    conjunct (date range, discount band, quantity cap) reaches the
+    parquet reader as a PushedFilter, so row groups outside the ranges
+    never decompress; what's left is a single map-side aggregate with
+    no shuffle beyond the 1-row final combine."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
     "q7_nation_volume",
     oracle=f"""
 SELECT supp_nation, cust_nation, l_year,
