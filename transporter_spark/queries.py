@@ -1849,7 +1849,7 @@ def q_having(spark, sf_dir):
     oracle="""
 SELECT o_orderkey, o_totalprice
 FROM orders
-WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
 """,
 )
 def q_scalar_subquery(spark, sf_dir):
@@ -1857,11 +1857,13 @@ def q_scalar_subquery(spark, sf_dir):
     avg(double) is order-dependent in general; here both engines
     compute avg over the same full column in one partition-merge —
     exact equality verified empirically, and the comparison threshold
-    makes last-bit drift irrelevant (no row sits within 1e-9 of 2x)."""
+    makes last-bit drift irrelevant (no row sits near 1.8x; the
+    factor is chosen so the result is NON-empty at every test SF —
+    an empty result would make this check vacuous)."""
     read_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_sc")
     return spark.sql(
         "SELECT o_orderkey, o_totalprice FROM _orders_sc "
-        "WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM _orders_sc)"
+        "WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM _orders_sc)"
     )
 
 
