@@ -881,6 +881,52 @@ def q_q7_nation_volume(spark, sf_dir):
 
 
 @q(
+    "q8_market_share",
+    oracle=f"""
+SELECT yr,
+       CAST({_DSUM("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END")} AS DOUBLE)
+       / CAST({_DSUM('volume')} AS DOUBLE) AS mkt_share,
+       COUNT(*) AS n
+FROM (
+  SELECT year(o_orderdate) AS yr, n_name AS supp_nation,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem, orders, supplier, nation
+  WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+    AND s_nationkey = n_nationkey
+)
+GROUP BY yr
+""",
+)
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of total volume per year — a
+    RATIO of two aggregates over the same groups, computed in a single
+    pass (conditional numerator rides in the same partial agg as the
+    denominator; a naive plan would scan and join twice). Decimal sums
+    keep the division's operands exact; the ratio goes double at the
+    end."""
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    num = F.when(F.col("n_name") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            (_dsum(num).cast("double") / _dsum(vol).cast("double")).alias(
+                "mkt_share"
+            ),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@q(
     "q10_returned_items",
     oracle=f"""
 SELECT c_custkey, c_name,
