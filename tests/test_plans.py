@@ -170,3 +170,13 @@ def test_q19_disjunctive_stays_hash_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "Brand#12" in plan.split("Scan parquet")[0] or "p_brand" in plan
+
+
+def test_training_pipeline_two_shuffles_one_scan(spark, sf_dir):
+    """The composed pipeline's scale claim: redact/gate/chunk-count are
+    fused projections over ONE documents scan; only the dedup window
+    and the final rollup exchange data."""
+    df = QUERIES["training_pipeline"].fn(spark, sf_dir)
+    plan = explain_str(df, "simple")
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 2, plan
