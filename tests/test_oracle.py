@@ -18,7 +18,10 @@ def _normalize(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        # shortest-roundtrip repr: bit-exact comparison, same strictness
+        # as the driver's value hash (output policy is decimal-exact
+        # sums cast to double, so both engines emit identical doubles)
+        return repr(v)
     # decimals, timestamps, dates, strings, ints -> canonical string
     return str(v)
 

@@ -299,12 +299,35 @@ def q_py_transform(spark, sf_dir):
 # scales in floating point (x * 10^12 overflows 53 bits) and drifts in
 # the last digits.
 
-def _dsum(col, scale: int = 12):
+def _dsum_dec(col, scale: int = 12):
+    """Exact decimal sum — the internal accumulation policy. Use this
+    form when the sum feeds further exact arithmetic (re-aggregation,
+    round) before reaching the output boundary."""
     return F.sum(col.cast("string").cast(f"decimal(38,{scale})"))
 
 
-def _DSUM(expr: str, scale: int = 12) -> str:
+def _dsum(col, scale: int = 12):
+    """Decimal-exact sum emitted as DOUBLE at the output boundary.
+
+    Summation stays decimal (associative, partition-invariant); the
+    final cast to double exists because Spark and DuckDB canonicalize
+    DECIMAL output differently in the driver harness, while an exact
+    decimal converts to the identical nearest IEEE double in both."""
+    return _dsum_dec(col, scale).cast("double")
+
+
+def _DSUM_DEC(expr: str, scale: int = 12) -> str:
     return f"SUM(CAST(CAST({expr} AS VARCHAR) AS DECIMAL(38,{scale})))"
+
+
+def _DSUM(expr: str, scale: int = 12) -> str:
+    # decimal -> double goes VIA STRING on the oracle side: DuckDB's
+    # direct DECIMAL(38,12)->DOUBLE cast scales in floating point and
+    # can be off by 1 ulp (measured: 292964.467299999979 -> 292964.4673
+    # instead of the correctly-rounded 292964.46729999996 that Spark's
+    # BigDecimal.doubleValue and Python's float(Decimal) both produce).
+    # VARCHAR->DOUBLE parse is correctly rounded in both engines.
+    return f"CAST(CAST({_DSUM_DEC(expr, scale)} AS VARCHAR) AS DOUBLE)"
 
 
 @q(
@@ -1018,12 +1041,12 @@ def q_salted_agg(spark, sf_dir):
         ev.withColumn("_salt", F.pmod(F.xxhash64("event_id"), F.lit(8)))
         .groupBy("user_id", "_salt")
         .agg(
-            _dsum(F.col("value")).alias("pv"),
+            _dsum_dec(F.col("value")).alias("pv"),
             F.count("*").alias("pn"),
         )
     )
     return phase1.groupBy("user_id").agg(
-        F.sum("pv").cast("decimal(38,12)").alias("total_value"),
+        F.sum("pv").cast("double").alias("total_value"),
         F.sum("pn").alias("n"),
     )
 
@@ -1034,8 +1057,8 @@ def q_salted_agg(spark, sf_dir):
 SELECT c_mktsegment,
        COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_positive,
        COUNT(*) FILTER (WHERE c_acctbal <= 0) AS n_nonpositive,
-       round(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,12)))
-             FILTER (WHERE c_acctbal > 0), 2) AS sum_positive,
+       CAST(CAST(round(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,12)))
+             FILTER (WHERE c_acctbal > 0), 2) AS VARCHAR) AS DOUBLE) AS sum_positive,
        COUNT(DISTINCT c_nationkey) AS n_nations
 FROM customer GROUP BY c_mktsegment
 """,
@@ -1053,7 +1076,7 @@ def q_conditional_agg(spark, sf_dir):
         F.round(
             F.sum(F.when(pos, F.col("c_acctbal").cast("string").cast("decimal(38,12)"))),
             2,
-        ).alias("sum_positive"),
+        ).cast("double").alias("sum_positive"),
         F.countDistinct("c_nationkey").alias("n_nations"),
     )
 
@@ -1064,7 +1087,7 @@ def q_conditional_agg(spark, sf_dir):
 SELECT n_name, c_mktsegment,
        GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS gid,
        COUNT(*) AS n,
-       round(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,12))), 2) AS bal
+       CAST(CAST(round(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,12))), 2) AS VARCHAR) AS DOUBLE) AS bal
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY GROUPING SETS ((n_name), (c_mktsegment), (n_name, c_mktsegment))
 """,
@@ -1090,7 +1113,7 @@ def q_grouping_sets(spark, sf_dir):
         F.count("*").alias("n"),
         F.round(
             F.sum(F.col("c_acctbal").cast("string").cast("decimal(38,12)")), 2
-        ).alias("bal"),
+        ).cast("double").alias("bal"),
     )
 
 
@@ -1632,7 +1655,7 @@ def q_media_features(spark, sf_dir):
     oracle="""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
        COUNT(*) AS n,
-       SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS sum_value
+       CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS sum_value
 FROM events GROUP BY 1, 2
 """,
 )
@@ -1651,7 +1674,9 @@ def q_stream_windowed_agg(spark, sf_dir):
         ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("string").cast("decimal(38,6)")).alias("sum_value"),
+            F.sum(F.col("value").cast("string").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(F.col("win.start").alias("win_start"), "event_type", "n", "sum_value")
     )
@@ -1741,7 +1766,7 @@ def q_json_functions(spark, sf_dir):
     "cube_agg",
     oracle="""
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-       SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,12))) AS sum_price
+       CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS sum_price
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
 )
@@ -1758,8 +1783,8 @@ def q_cube(spark, sf_dir):
     "grouped_pandas_udaf",
     oracle="""
 SELECT event_id, user_id,
-       value - (CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12)))
-                      OVER (PARTITION BY user_id) AS DOUBLE)
+       value - (CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12)))
+                      OVER (PARTITION BY user_id) AS VARCHAR) AS DOUBLE)
                 / COUNT(*) OVER (PARTITION BY user_id)) AS value_centered
 FROM events
 """,
@@ -1873,8 +1898,8 @@ def q_anti_join(spark, sf_dir):
 @q(
     "having_clause",
     oracle="""
-SELECT o_custkey, COUNT(*) AS n, 
-       SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,12))) AS total
+SELECT o_custkey, COUNT(*) AS n,
+       CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE) AS total
 FROM orders
 GROUP BY o_custkey
 HAVING COUNT(*) >= 15
@@ -1949,7 +1974,7 @@ def q_pivot(spark, sf_dir):
 SELECT event_id,
        md5(CAST(event_id AS VARCHAR)) AS _id,
        make_timestamp(epoch_ms(ts) * 1000) AS at,
-       CAST(CAST(value AS VARCHAR) AS DECIMAL(38,10)) AS amt,
+       CAST(CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,10)) AS VARCHAR) AS DOUBLE) AS amt,
        user_id AS n
 FROM events
 """,
@@ -1966,17 +1991,23 @@ def q_extended_json(spark, sf_dir):
     doc = F.format_string(
         '{"_id":{"$oid":"%s"},"at":{"$date":%s},"amt":{"$numberDecimal":"%s"},"n":{"$numberLong":"%s"}}',
         F.md5(F.col("event_id").cast("string")),
-        F.unix_millis("ts").cast("string"),
+        # ts may arrive as TIMESTAMP_NTZ from parquet; unix_millis needs
+        # LTZ — with the fixed UTC session timezone the cast is
+        # instant-preserving, matching DuckDB's naive-as-UTC epoch_ms
+        F.unix_millis(F.col("ts").cast("timestamp")).cast("string"),
         F.col("value").cast("string"),
         F.col("user_id").cast("string"),
     )
     staged = ev.select("event_id", doc.alias("doc"))
-    return staged.select(
+    out = staged.select(
         "event_id",
         *normalize_extended_json(
             "doc", {"_id": "oid", "at": "date", "amt": "decimal", "n": "long"}
         ),
     )
+    # graded boundary: decimal -> double (operator API keeps DecimalType;
+    # the driver harness canonicalizes decimals differently per engine)
+    return out.withColumn("amt", F.col("amt").cast("double"))
 
 
 @q(
@@ -2262,7 +2293,9 @@ def q_stream_stream_join(spark, sf_dir):
         .select(
             F.col("event_id").alias("signup_id"),
             F.col("user_id").alias("s_user"),
-            F.col("ts").alias("s_ts"),
+            # watermarks require TIMESTAMP (LTZ); parquet may yield NTZ.
+            # UTC session timezone makes the cast instant-preserving.
+            F.col("ts").cast("timestamp").alias("s_ts"),
         )
         .withWatermark("s_ts", "2 hours")
     )
@@ -2272,7 +2305,7 @@ def q_stream_stream_join(spark, sf_dir):
         .select(
             F.col("event_id").alias("error_id"),
             F.col("user_id").alias("e_user"),
-            F.col("ts").alias("e_ts"),
+            F.col("ts").cast("timestamp").alias("e_ts"),
         )
         .withWatermark("e_ts", "2 hours")
     )

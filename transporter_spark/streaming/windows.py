@@ -29,6 +29,11 @@ def windowed_counts(
         agg_cols.append(
             F.sum(F.col("value").cast("string").cast("decimal(38,6)")).alias("sum_value")
         )
+    # watermarks require TIMESTAMP (LTZ); parquet sources may yield NTZ.
+    # The engine pins the session timezone to UTC, so the cast is
+    # instant-preserving.
+    if dict(stream.dtypes).get(ts_col) == "timestamp_ntz":
+        stream = stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         stream.withWatermark(ts_col, watermark)
         .groupBy(F.window(ts_col, window_duration).alias("win"), *group_cols)
