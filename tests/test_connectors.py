@@ -101,6 +101,69 @@ def test_jsonl_tail_datasource_streams_appends(spark, tmp_path):
     assert sorted(r.op for r in second) == ["delete", "insert", "insert"]
 
 
+def test_tail_offset_never_lands_mid_line(tmp_path):
+    """latestOffset must end at the last complete newline: a producer
+    caught mid-append would otherwise split a record across two
+    micro-batches and both halves die in the poison-line skip."""
+    from transporter_spark.sources.datasource import (
+        JsonlTailStreamReader,
+        last_complete_offset,
+    )
+
+    feed = tmp_path / "feed.jsonl"
+    whole = json.dumps({"op": "insert", "data": {"id": 1}}) + "\n"
+    partial = '{"op":"insert","data":{"id":2'  # unterminated
+    feed.write_bytes((whole + partial).encode())
+
+    assert last_complete_offset(str(feed)) == len(whole)
+    r = JsonlTailStreamReader(None, {"path": str(feed)})
+    end = r.latestOffset()
+    assert end == {"pos": len(whole)}
+    rows = list(r.read(r.partitions(r.initialOffset(), end)[0]))
+    assert len(rows) == 1  # the complete record, intact
+
+    # producer finishes the line -> next batch picks up exactly the rest
+    with open(feed, "ab") as f:
+        f.write(b'}}\n')
+    end2 = r.latestOffset()
+    rows2 = list(r.read(r.partitions(end, end2)[0]))
+    assert len(rows2) == 1 and json.loads(rows2[0][3]) == {"id": 2}
+
+
+def test_tail_offset_no_newline_yet(tmp_path):
+    from transporter_spark.sources.datasource import last_complete_offset
+
+    feed = tmp_path / "f.jsonl"
+    feed.write_bytes(b'{"partial": tru')
+    assert last_complete_offset(str(feed)) == 0
+    assert last_complete_offset(str(tmp_path / "missing")) == 0
+
+
+def test_split_epoch_separates_upserts_from_deletes(spark):
+    """The epoch staging split (sources/jdbc.split_epoch): delete keys
+    must land in their OWN staging table — one shared table would make
+    the delete statement remove the epoch's own upserts."""
+    from transporter_spark.sources.jdbc import split_epoch
+
+    newest = spark.createDataFrame(
+        [
+            ("insert", 1, 10, "a"),
+            ("update", 2, 11, "b"),
+            ("delete", 3, 12, "c"),
+        ],
+        ["_op", "_ts", "id", "name"],
+    )
+    upserts, deletes = split_epoch(newest, ["id"])
+    assert sorted(upserts.columns) == ["id", "name"]
+    assert sorted(r.id for r in upserts.collect()) == [10, 11]
+    assert deletes.columns == ["id"]
+    assert [r.id for r in deletes.collect()] == [12]
+    # and the generated statements address distinct staging tables
+    up = upsert_sql("postgres", "t", ["id", "name"], ["id"], "t_staging_upsert_7")
+    de = delete_sql("postgres", "t", ["id"], "t_staging_delete_7")
+    assert "t_staging_upsert_7" in up and "t_staging_delete_7" in de
+
+
 # ---------------------------------------------------------------------------
 # bulk sink payload builders (ES _bulk / mongo bulkWrite / rabbitmq)
 # ---------------------------------------------------------------------------

@@ -98,6 +98,58 @@ def test_connected_components_merges_chains(spark):
     assert comp[99] == 99  # isolated vertex is its own component
 
 
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A chain longer than max_iter hops must raise, not silently split
+    one cluster into several (which would keep extra near-copies)."""
+    from transporter_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, vertices, max_iter=2)
+    # ...and enough rounds converges the same chain fine
+    comp = {
+        r.id: r.component
+        for r in connected_components(chain, vertices, max_iter=10).collect()
+    }
+    assert set(comp.values()) == {0}
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """Storage-backed lineage cuts (executor-loss durability at cluster
+    scale) must produce identical components to the local fast path."""
+    from transporter_spark.operators.dedup import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11]], "id long")
+    fast = connected_components(edges, vertices).collect()
+    durable = connected_components(
+        edges, vertices, reliable_checkpoint=True
+    ).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, durable))
+    import os
+
+    assert os.listdir(str(tmp_path / "ckpt"))  # checkpoints actually wrote
+
+
+def test_jaccard_pairs_cache_released(spark, sf_dir):
+    """The shingle frame persisted inside jaccard_pairs must be
+    releasable by the caller (long-lived sessions would otherwise
+    accumulate cached frames until executor storage evicts)."""
+    from transporter_spark.operators.dedup import jaccard_pairs, release_cached
+
+    docs = read_table(spark, sf_dir, "documents").limit(50)
+    pairs = jaccard_pairs(docs, threshold=0.2)
+    pairs.count()  # consume
+    cached = getattr(pairs, "_ts_cached", [])
+    assert cached and all(c.storageLevel.useMemory for c in cached)
+    release_cached(pairs)
+    assert all(not c.storageLevel.useMemory for c in cached)
+
+
 def test_dedup_clusters_on_documents(spark, sf_dir):
     from transporter_spark.operators.dedup import dedup_clusters, jaccard_pairs
 

@@ -97,18 +97,42 @@ def shingle_rows(
     return long.unionByName(short)
 
 
-def _materialize(df: DataFrame) -> DataFrame:
+def _materialize(df: DataFrame, reliable: bool = False) -> DataFrame:
     """Cut plan lineage before a self-join on an expression-heavy frame.
 
     Self-joining a deep tree (e.g. a 64-aggregate MinHash signature)
     makes Catalyst analyze + codegen the whole tree once PER BRANCH and
     per downstream stage — measured 60-200s of pure planning/compile on
     frames with ~5k rows. localCheckpoint replaces the plan with its
-    materialized RDD: downstream stages see a leaf. Cluster note: local
-    checkpoints don't survive executor loss; for long-lived production
-    jobs persist to reliable storage (df.checkpoint()) instead.
+    materialized RDD: downstream stages see a leaf.
+
+    reliable=True uses a storage-backed checkpoint instead (requires
+    spark.sparkContext.setCheckpointDir): local checkpoints have no
+    lineage, so an executor loss mid-iteration restarts the whole job —
+    at 1000-executor scale that's a when, not an if. The local bench
+    keeps the fast path by default.
     """
+    if reliable:
+        return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def release_cached(df: DataFrame) -> None:
+    """Unpersist every cached frame a dedup operator attached to its
+    result (see _shingle_frame). Call after the consuming action in
+    long-lived sessions — cached shingle frames otherwise accumulate
+    and evict useful executor storage."""
+    for cached in getattr(df, "_ts_cached", ()):
+        try:
+            cached.unpersist()
+        except Exception:
+            pass
+
+
+def _attach_cached(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    existing = list(getattr(result, "_ts_cached", ()))
+    result._ts_cached = existing + list(cached)
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -166,7 +190,13 @@ def _shingle_frame(
     if max_df is not None:
         keep = sh.groupBy("h").count().filter(F.col("count") <= max_df).select("h")
         sh = sh.join(keep, "h")
-    return sh.persist()
+    # MEMORY_AND_DISK: shingle frames are big relative to executor
+    # storage at corpus scale; spill beats recompute-three-times.
+    # Consumers attach this frame to their result (_attach_cached) so
+    # callers can release it with release_cached() after their action.
+    from pyspark import StorageLevel
+
+    return sh.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def jaccard_pairs(
@@ -192,7 +222,7 @@ def jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    return _jaccard_from_inter(inter, sizes, threshold)
+    return _attach_cached(_jaccard_from_inter(inter, sizes, threshold), sh)
 
 
 def _jaccard_from_inter(
@@ -362,7 +392,7 @@ def minhash_lsh_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
-    return _jaccard_from_inter(inter, sizes, threshold)
+    return _attach_cached(_jaccard_from_inter(inter, sizes, threshold), sh)
 
 
 # ---------------------------------------------------------------------------
@@ -568,7 +598,10 @@ def decontaminate(
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    edges: DataFrame, vertices: DataFrame, max_iter: int = 20
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation.
 
@@ -581,7 +614,14 @@ def connected_components(
 
     Dedup graphs are near-degenerate (tiny stars around a canonical
     doc), so the loop usually converges in 2-3 rounds regardless of
-    corpus size.
+    corpus size. A chain longer than max_iter hops would NOT converge —
+    the loop raises rather than silently splitting one cluster into
+    several (which would keep extra near-copies).
+
+    reliable_checkpoint=True cuts lineage to storage instead of
+    executor memory (set spark.sparkContext.setCheckpointDir first):
+    local checkpoints die with an executor, restarting the whole job at
+    cluster scale.
     """
     # Pre-partition both loop-invariant frames on their join keys ONCE:
     # localCheckpoint preserves the hash partitioning in the LogicalRDD,
@@ -592,12 +632,14 @@ def connected_components(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
         )
     )
-    sym = _materialize(sym.repartition(F.col("id_b")))
+    sym = _materialize(sym.repartition(F.col("id_b")), reliable_checkpoint)
     labels = _materialize(
         vertices.select(F.col("id"), F.col("id").alias("component")).repartition(
             F.col("id")
-        )
+        ),
+        reliable_checkpoint,
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.id_b == labels.id)
@@ -620,11 +662,17 @@ def connected_components(
                 ).alias("_changed"),
             )
         )
-        new_labels = _materialize(new_labels)
+        new_labels = _materialize(new_labels, reliable_checkpoint)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing): the duplicate graph has a "
+            f"chain longer than max_iter hops — raise max_iter"
+        )
     return labels
 
 
@@ -636,12 +684,18 @@ def dedup_clusters(
     threshold: float = 0.5,
     use_lsh: bool = True,
     portable: bool = False,
+    max_iter: int = 20,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Full near-dup dedup decision: candidate pairs (LSH or exact) ->
     connected components -> one canonical doc per cluster (min id).
     Returns (doc_id, component, is_canonical). Pair-level thresholds
     alone under-merge (A~B, B~C but A!~C must still be ONE group to
     avoid keeping two near-copies) — the component step closes that.
+
+    max_iter bounds the CC rounds (raises on non-convergence);
+    reliable_checkpoint swaps the loop's lineage cuts to storage-backed
+    checkpoints for executor-loss durability at cluster scale.
     """
     pairs = (
         minhash_lsh_pairs(
@@ -651,7 +705,17 @@ def dedup_clusters(
         else jaccard_pairs(df, text_col, id_col, n, threshold)
     )
     vertices = df.select(F.col(id_col).alias("id"))
-    comp = connected_components(pairs.select("id_a", "id_b"), vertices)
+    try:
+        comp = connected_components(
+            pairs.select("id_a", "id_b"),
+            vertices,
+            max_iter=max_iter,
+            reliable_checkpoint=reliable_checkpoint,
+        )
+    finally:
+        # connected_components materialized the pairs eagerly (lineage
+        # cut), so the shingle cache behind them can be dropped now
+        release_cached(pairs)
     return comp.select(
         F.col("id").alias(id_col),
         "component",

@@ -36,6 +36,37 @@ from pyspark.sql.types import StructType
 _SCHEMA = "op string, ts string, ns string, json string"
 
 
+def last_complete_offset(path: str) -> int:
+    """Byte position just after the file's last complete newline.
+
+    latestOffset must never land mid-line: a producer appending while we
+    stat the file would otherwise split a record across two micro-batches
+    and both halves would be dropped by the poison-line skip — losing a
+    row and breaking at-least-once replay (the reference's slot/queue
+    polling is record-oriented and cannot split records). Scanning back
+    from EOF keeps the offset on a record boundary; an unterminated tail
+    line is simply held back until its newline arrives.
+    """
+    try:
+        size = os.path.getsize(path)
+    except OSError:
+        return 0
+    if size == 0:
+        return 0
+    chunk = 1 << 16
+    with open(path, "rb") as f:
+        end = size
+        while end > 0:
+            start = max(0, end - chunk)
+            f.seek(start)
+            buf = f.read(end - start)
+            nl = buf.rfind(b"\n")
+            if nl != -1:
+                return start + nl + 1
+            end = start
+    return 0
+
+
 class _Range(InputPartition):
     def __init__(self, path: str, start: int, end: int):
         self.path = path
@@ -60,10 +91,7 @@ class JsonlTailStreamReader(DataSourceStreamReader):
         return {"pos": 0}
 
     def latestOffset(self) -> dict:
-        try:
-            return {"pos": os.path.getsize(self.path)}
-        except OSError:
-            return {"pos": 0}
+        return {"pos": last_complete_offset(self.path)}
 
     def partitions(self, start: dict, end: dict):
         if end["pos"] <= start["pos"]:

@@ -117,6 +117,21 @@ def delete_sql(dialect: str, table: str, keys: Sequence[str], staging: str) -> s
     raise ValueError(f"unknown dialect {dialect!r}")
 
 
+def split_epoch(newest: DataFrame, keys: Sequence[str]):
+    """Split an epoch's newest-per-key rows into (upserts, delete_keys).
+
+    Upserts carry full rows for ops != delete; deletes carry keys only.
+    Staging them in SEPARATE tables is load-bearing: one shared staging
+    table makes the epoch's delete statement remove every row the
+    upsert statement just wrote.
+    """
+    from pyspark.sql import functions as F
+
+    upserts = newest.filter(F.col("_op") != "delete").drop("_op", "_ts")
+    deletes = newest.filter(F.col("_op") == "delete").select(*keys)
+    return upserts, deletes
+
+
 def jdbc_cdc_sink(
     spark: SparkSession,
     url: str,
@@ -138,18 +153,24 @@ def jdbc_cdc_sink(
             F.lower("op").alias("_op"), F.col("ts").alias("_ts"), F.col("data.*")
         )
         newest = latest_per_key(flat, keys, ["_ts"])
-        staging = f"{table}_staging_{epoch_id}"
-        newest.drop("_op", "_ts").write.jdbc(
-            url, staging, mode="overwrite", properties=props
-        )
-        cols = [c for c in newest.columns if c not in ("_op", "_ts")]
+        upserts, deletes = split_epoch(newest, keys)
+        up_staging = f"{table}_staging_upsert_{epoch_id}"
+        del_staging = f"{table}_staging_delete_{epoch_id}"
+        upserts.write.jdbc(url, up_staging, mode="overwrite", properties=props)
+        deletes.write.jdbc(url, del_staging, mode="overwrite", properties=props)
+        cols = upserts.columns
         stmts = [
-            upsert_sql(dialect, table, cols, keys, staging),
-            delete_sql(dialect, table, keys, staging),
+            upsert_sql(dialect, table, cols, keys, up_staging),
+            delete_sql(dialect, table, keys, del_staging),
         ]
-        # execute via a raw JVM connection (no cursor API in PySpark)
+        # execute via a raw JVM connection (no cursor API in PySpark),
+        # authenticated with the same driver properties as the staging
+        # writes (user/password would otherwise be silently dropped)
         jvm = spark._jvm  # pragma: no cover - needs a live database
-        conn = jvm.java.sql.DriverManager.getConnection(url)
+        jprops = jvm.java.util.Properties()
+        for k, v in props.items():
+            jprops.setProperty(k, v)
+        conn = jvm.java.sql.DriverManager.getConnection(url, jprops)
         try:
             for s in stmts:
                 conn.createStatement().executeUpdate(s)

@@ -133,10 +133,12 @@ class PgDecodeTailStreamReader(DataSourceStreamReader):
         return {"pos": 0}
 
     def latestOffset(self) -> dict:
-        try:
-            return {"pos": os.path.getsize(self.path)}
-        except OSError:
-            return {"pos": 0}
+        # never land mid-line: a record split across micro-batches would
+        # be dropped by the parse-skip on both halves (see
+        # datasource.last_complete_offset)
+        from transporter_spark.sources.datasource import last_complete_offset
+
+        return {"pos": last_complete_offset(self.path)}
 
     def partitions(self, start: dict, end: dict):
         return [_Range(self.path, start["pos"], end["pos"])]

@@ -123,17 +123,41 @@ def cdc_upsert_sink(
     """
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
+        import shutil
+
+        base = table_path.rstrip("/")
         exists = os.path.exists(table_path)
         current = spark.read.parquet(table_path) if exists else None
         new_state = apply_cdc_batch(current, batch, keys, order_cols)
-        # materialize before overwrite (reading and overwriting the same
-        # path in one plan would race)
-        tmp = table_path.rstrip("/") + f"._epoch{epoch_id}"
-        new_state.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(table_path)
-        import shutil
-
-        shutil.rmtree(tmp, ignore_errors=True)
+        # Crash-safe swap: write the full new state to a versioned dir,
+        # then one atomic os.replace of a symlink makes it current. A
+        # crash at any point leaves either the old or the new state
+        # readable at table_path — never a half-deleted table (the
+        # previous overwrite-in-place lost everything if it died between
+        # Spark's delete and rewrite).
+        new_dir = base + f"._epoch{epoch_id}"
+        if exists and os.path.realpath(table_path) == os.path.realpath(new_dir):
+            # epoch replay: don't overwrite the dir we're reading from
+            new_dir += ".retry"
+        new_state.write.mode("overwrite").parquet(new_dir)
+        link_tmp = base + "._swap"
+        if os.path.islink(table_path) or not exists:
+            old_target = os.path.realpath(table_path) if exists else None
+            if os.path.lexists(link_tmp):
+                os.unlink(link_tmp)
+            os.symlink(new_dir, link_tmp)
+            os.replace(link_tmp, table_path)  # atomic on POSIX
+            if old_target and os.path.isdir(old_target):
+                shutil.rmtree(old_target, ignore_errors=True)
+        else:
+            # table_path is a real directory from an older layout: fall
+            # back to rename-aside (two renames, each atomic; a crash
+            # between them leaves the old state under .bak)
+            bak = base + "._bak"
+            shutil.rmtree(bak, ignore_errors=True)
+            os.rename(table_path, bak)
+            os.rename(new_dir, table_path)
+            shutil.rmtree(bak, ignore_errors=True)
 
     return apply
 
