@@ -209,6 +209,63 @@ def test_es_bulk_splits_at_max_actions_and_bytes():
     assert all(len(b) <= 100 or b.count("\n") == 2 for b in by_bytes)
 
 
+def test_es_version_sniff_and_dispatch():
+    """determineVersion (elasticsearch.go:139-175) + the constraint
+    registry (v1 '>=1.4,<2.0', v2 '>=2.0,<5.0', v5 '>=5.0')."""
+    from transporter_spark.sources.bulk import (
+        EsVersionError,
+        parse_es_version,
+        pick_es_client,
+    )
+
+    body = '{"name":"node-1","version":{"number":"5.6.16"}}'
+    assert parse_es_version(body) == "5.6.16"
+    with pytest.raises(EsVersionError, match="malformed JSON"):
+        parse_es_version("<html>not json</html>")
+    with pytest.raises(EsVersionError, match="missing version"):
+        parse_es_version('{"name":"x"}')
+
+    matrix = {
+        "1.4.0": "v1", "1.7.5": "v1",
+        "2.0.0": "v2", "2.4.6": "v2",
+        "5.0.0": "v5", "6.8.2": "v5", "7.17.0": "v5", "8.13.0": "v5",
+    }
+    for version, expected in matrix.items():
+        assert pick_es_client(version) == expected, version
+    with pytest.raises(EsVersionError, match="unsupported"):
+        pick_es_client("1.3.9")
+    with pytest.raises(EsVersionError, match="unparseable"):
+        pick_es_client("banana")
+
+
+def test_es_bulk_v2_typed_update_doc_and_delete_flush():
+    """v2 payload contract (clients/v2/writer.go:74-105): _type from ns,
+    _id stripped from bodies, update as a partial-doc action, delete
+    flushes pending actions into their own body first."""
+    bodies = list(es_bulk_payloads(_envelope_rows(), version="v2"))
+    # insert+update flushed as one body when the delete arrives; the
+    # delete then rides alone (flush-before-delete)
+    assert bodies == [
+        '{"index":{"_id":"1","_index":"db.users","_type":"db.users"}}\n'
+        '{"name":"a"}\n'
+        '{"update":{"_id":"2","_index":"db.users","_type":"db.users"}}\n'
+        '{"doc":{"name":"b"}}\n',
+        '{"delete":{"_id":"3","_index":"db.users","_type":"db.users"}}\n',
+    ]
+
+
+def test_es_bulk_v1_single_action_requests():
+    """v1 (clients/v1/writer.go:55-78): no bulk API — every action is
+    its own request body; _id stays in the document."""
+    bodies = list(es_bulk_payloads(_envelope_rows(), version="v1"))
+    assert len(bodies) == 3  # one per action, command passthrough dropped
+    assert bodies[0] == (
+        '{"index":{"_id":"1","_index":"db.users","_type":"db.users"}}\n'
+        '{"_id":1,"name":"a"}\n'
+    )
+    assert all(b.count("\n") <= 2 for b in bodies)
+
+
 def test_mongo_bulk_ops_replace_upsert_and_delete():
     batches = list(mongo_bulk_ops(_envelope_rows()))
     assert len(batches) == 1
@@ -391,6 +448,292 @@ def test_rethinkdb_bulk_splits_at_max_docs():
     rows = [{"op": "insert", "data": {"_id": i}} for i in range(2500)]
     ops = list(rethinkdb_bulk_ops(rows))
     assert [len(p) for _, p in ops] == [1000, 1000, 500]
+
+
+# ---------------------------------------------------------------------------
+# Mongo copy-scan + oplog contracts (adaptor/mongodb/reader.go)
+# ---------------------------------------------------------------------------
+
+def test_mongo_copy_query_merges_filters_and_resume():
+    """catQuery (reader.go:172-179): collection filter + _id>lastID."""
+    from transporter_spark.sources.mongo import copy_pipeline, copy_query
+
+    filters = {"users": {"active": True}}
+    assert copy_query("users", filters) == {"active": True}
+    assert copy_query("users", filters, last_id=42) == {
+        "active": True,
+        "_id": {"$gt": 42},
+    }
+    assert copy_query("other", filters) == {}
+    # the user filter can't override the resume predicate
+    poisoned = {"users": {"_id": {"$lt": 5}, "active": True}}
+    assert copy_query("users", poisoned, last_id=42)["_id"] == {"$gt": 42}
+    # connector form: $match + deterministic _id sort
+    pipe = json.loads(copy_pipeline("users", filters, last_id=7))
+    assert pipe == [
+        {"$match": {"active": True, "_id": {"$gt": 7}}},
+        {"$sort": {"_id": 1}},
+    ]
+    assert json.loads(copy_pipeline("other")) == [{"$sort": {"_id": 1}}]
+
+
+def test_mongo_requeryable_contract():
+    """reader.go:181-205: resumable re-query needs an _id index AND a
+    sortable sampled id type."""
+    import datetime
+
+    from transporter_spark.sources.mongo import requeryable, sortable_id
+
+    for ok in [b"\x01" * 12, "abc", 1.5, 7, datetime.datetime(2024, 1, 1)]:
+        assert sortable_id(ok), ok
+    for bad in [None, True, {"x": 1}, [1], (1,)]:
+        assert not sortable_id(bad), bad
+    assert requeryable(True, "oid")
+    assert not requeryable(False, "oid")  # no _id index
+    assert not requeryable(True, {"compound": 1})  # unsortable id
+
+
+def test_mongo_resume_point_modes():
+    from transporter_spark.sources.mongo import resume_point
+
+    rm = {"users": {"last_id": 99, "mode": "copy", "ts": 1700000000}}
+    assert resume_point(rm, "users") == (99, "copy", 1700000000)
+    assert resume_point(rm, "other") == (None, "copy", None)
+    assert resume_point(None, "users") == (None, "copy", None)
+
+
+def test_mongo_oplog_classification_and_update_refetch():
+    """i/d carry the doc; u RE-FETCHES the full current document by
+    o2._id (getOriginalDoc, reader.go:296-313) — full-replace updates,
+    never oplog deltas. Failed fetch skips, not fatal."""
+    from transporter_spark.sources.mongo import (
+        classify_oplog_entry,
+        oplog_query,
+        valid_op,
+    )
+
+    ts = 1700000123 << 32 | 5
+    store = {1: {"_id": 1, "name": "current-full-doc", "v": 9}}
+    fetches = []
+
+    def fetch(query):
+        fetches.append(query)
+        return store.get(query["_id"])
+
+    ins = classify_oplog_entry({"op": "i", "o": {"_id": 1, "v": 1}, "ts": ts}, "c", fetch)
+    assert ins == ("insert", {"_id": 1, "v": 1}, 1700000123)
+    dele = classify_oplog_entry({"op": "d", "o": {"_id": 1}, "ts": ts}, "c", fetch)
+    assert dele == ("delete", {"_id": 1}, 1700000123)
+    upd = classify_oplog_entry(
+        {"op": "u", "o": {"$set": {"v": 9}}, "o2": {"_id": 1}, "ts": ts},
+        "c",
+        fetch,
+        collection_filters={"c": {"active": True}},
+    )
+    # the emitted doc is the re-fetched FULL document, not the delta
+    assert upd == ("update", store[1], 1700000123)
+    assert fetches[-1] == {"active": True, "_id": 1}  # filter + _id query
+    # fetch miss -> skip; missing o2._id -> skip; command op -> skip
+    assert classify_oplog_entry({"op": "u", "o2": {"_id": 404}, "ts": ts}, "c", fetch) is None
+    assert classify_oplog_entry({"op": "u", "o2": {}, "ts": ts}, "c", fetch) is None
+    assert classify_oplog_entry({"op": "c", "o": {}, "ts": ts}, "c", fetch) is None
+    # tail query shapes (reader.go:230, :288)
+    assert oplog_query("db.c", 7) == {"ns": "db.c", "ts": {"$gte": 7}}
+    assert oplog_query(None, 7) == {"ts": {"$gte": 7}}
+    assert valid_op({"op": "i", "ns": "db.c"}, "db.c")
+    assert not valid_op({"op": "n", "ns": "db.c"}, "db.c")
+    assert not valid_op({"op": "i", "ns": "db.other"}, "db.c")
+
+
+# ---------------------------------------------------------------------------
+# MySQL binlog RowsEvent mapping (adaptor/mysql/tailer.go:222-400)
+# ---------------------------------------------------------------------------
+
+def test_binlog_event_type_to_op():
+    from transporter_spark.sources.binlog import map_rows_event
+
+    cols = [("id", "int"), ("name", "varchar")]
+    for etype, op in [
+        ("WRITE_ROWS_EVENTv1", "insert"),
+        ("WRITE_ROWS_EVENTv2", "insert"),
+        ("DELETE_ROWS_EVENTv1", "delete"),
+        ("DELETE_ROWS_EVENTv2", "delete"),
+    ]:
+        out = map_rows_event(
+            {"event_type": etype, "schema": "s", "table": "t", "rows": [[b"1", b"x"]]},
+            cols,
+        )
+        assert out == [(op, "s.t", {"id": 1, "name": "x"})]
+
+
+def test_binlog_update_emits_after_images_only():
+    """UPDATE rows arrive as [before, after] pairs; only after-images
+    flow (tailer.go:316-321) — full-row replace semantics."""
+    from transporter_spark.sources.binlog import map_rows_event
+
+    cols = [("recipe_id", "int"), ("recipe_name", "varchar")]
+    event = {
+        "event_type": "UPDATE_ROWS_EVENTv2",
+        "schema": "demo",
+        "table": "recipes",
+        "rows": [
+            [b"1", b"Tacos"], [b"1", b"Nachos"],      # pair 1
+            [b"2", b"Soup"], [b"2", b"Stew"],         # pair 2
+        ],
+    }
+    out = map_rows_event(event, cols)
+    assert out == [
+        ("update", "demo.recipes", {"recipe_id": 1, "recipe_name": "Nachos"}),
+        ("update", "demo.recipes", {"recipe_id": 2, "recipe_name": "Stew"}),
+    ]
+
+
+def test_binlog_ns_filter_and_skip_and_error():
+    from transporter_spark.sources.binlog import (
+        BinlogError,
+        BinlogSkip,
+        map_rows_event,
+    )
+
+    cols = [("id", "int")]
+    ev = {"event_type": "WRITE_ROWS_EVENTv2", "schema": "s", "table": "t", "rows": [[b"1"]]}
+    with pytest.raises(BinlogSkip):
+        map_rows_event(ev, cols, ns_filter=lambda ns: ns != "s.t")
+    with pytest.raises(BinlogSkip):  # non-rows event (e.g. QUERY_EVENT)
+        map_rows_event({"event_type": "QUERY_EVENT"}, cols)
+    with pytest.raises(BinlogError):  # unknown rows subtype
+        map_rows_event({"event_type": "WRITE_ROWS_EVENTv0"}, cols)
+
+
+def test_binlog_casify_types_and_geometry():
+    from transporter_spark.sources.binlog import backfill_columns, binlog_offset, casify_mysql
+
+    assert casify_mysql(b"12", "bigint") == 12
+    assert casify_mysql(b"1.5", "decimal") == 1.5
+    assert casify_mysql(b"abc", "varchar") == "abc"
+    assert casify_mysql(None, "int") is None
+    assert casify_mysql(b"\x05", "bit") == "101"
+    # geometry: 4-byte SRID prefix + WKB POINT(1 2) -> WKT (reader.go:225-237)
+    import struct
+
+    wkb = b"\x00\x00\x00\x00" + b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", 1.0, 2.0)
+    assert casify_mysql(wkb, "point") == "POINT (1 2)"
+    # positional backfill + schema-drift tail
+    doc = backfill_columns([b"7", b"x", b"extra"], [("id", "int"), ("name", "varchar")])
+    assert doc == {"id": 7, "name": "x", "_col2": "extra"}
+    assert binlog_offset("mysql-bin.000003", 154) == {"file": "mysql-bin.000003", "pos": 154}
+
+
+# ---------------------------------------------------------------------------
+# RethinkDB reader: scan + changefeed classification (reader.go:35-200)
+# ---------------------------------------------------------------------------
+
+class FakeRethinkClient:
+    """In-memory stand-in for the rethinkdb driver session: tables of
+    docs plus a queued changefeed. Records call order so tests can pin
+    the scan/tail handoff contract."""
+
+    def __init__(self, tables, changes=()):
+        self.tables = tables  # {name: [doc, ...]}
+        self.changes = list(changes)  # [(table, change_dict), ...]
+        self.calls = []
+
+    def table_list(self):
+        self.calls.append("table_list")
+        return list(self.tables)
+
+    def table_docs(self, name):
+        self.calls.append(f"scan:{name}")
+        return iter(self.tables[name])
+
+    def open_changefeeds(self, tables):
+        self.calls.append(f"feeds:{','.join(tables)}")
+
+    def next_change(self):
+        if not self.changes:
+            return None
+        return self.changes.pop(0)
+
+
+def test_rethink_classify_change_matrix():
+    """old_val/new_val presence -> op (reader.go:184-192)."""
+    from transporter_spark.sources.rethinkdb import (
+        RethinkChangeError,
+        classify_change,
+    )
+
+    assert classify_change({"old_val": {"id": 1}, "new_val": {"id": 1, "v": 2}}) == (
+        "update",
+        {"id": 1, "v": 2},
+    )
+    assert classify_change({"new_val": {"id": 9}}) == ("insert", {"id": 9})
+    assert classify_change({"old_val": {"id": 3}}) == ("delete", {"id": 3})
+    assert classify_change({"old_val": None, "new_val": None}) is None
+    with pytest.raises(RethinkChangeError, match="boom"):
+        classify_change({"error": "boom"})
+
+
+def test_rethink_scan_prunes_tables_by_ns():
+    """TableList + ns regex: non-matching tables are never read
+    (reader.go:83-105 whole-table pruning)."""
+    from transporter_spark.sources.rethinkdb import scan_rows
+
+    client = FakeRethinkClient(
+        {"users": [{"id": 1}], "audit": [{"id": 2}], "users_old": [{"id": 3}]}
+    )
+    rows = list(scan_rows(client, "users.*"))
+    assert [(r[0], r[2]) for r in rows] == [
+        ("insert", "users"),
+        ("insert", "users_old"),
+    ]
+    assert "scan:audit" not in client.calls
+
+
+def test_rethink_changefeed_copy_then_tail():
+    """First batch = full scan (copy), later batches = classified
+    changes; the changefeed opens BEFORE the scan drains so nothing in
+    between is lost (reader.go:122-146)."""
+    from transporter_spark.sources.rethinkdb import RethinkChangefeedStreamReader
+
+    client = FakeRethinkClient(
+        {"t": [{"id": 1}, {"id": 2}]},
+        changes=[
+            ("t", {"new_val": {"id": 3}}),
+            ("t", {"old_val": {"id": 1}, "new_val": {"id": 1, "v": 9}}),
+            ("t", {"old_val": {"id": 2}}),
+        ],
+    )
+    r = RethinkChangefeedStreamReader(client, initial_scan=True)
+    # handoff: feeds opened before any scan call
+    assert client.calls[:2] == ["table_list", "feeds:t"]
+
+    start = r.initialOffset()
+    end = r.latestOffset()
+    rows = list(r.read(r.partitions(start, end)[0]))
+    ops = [(row[0], json.loads(row[3]).get("id")) for row in rows]
+    assert ops == [
+        ("insert", 1),  # copy phase
+        ("insert", 2),
+        ("insert", 3),  # then the tail, classified
+        ("update", 1),
+        ("delete", 2),
+    ]
+    # retry over the same [start, end) re-reads identical rows
+    assert list(r.read(r.partitions(start, end)[0])) == rows
+    r.commit(end)
+    assert r._buffer == {}  # committed rows forgotten
+
+
+def test_rethink_changefeed_error_notification_raises():
+    from transporter_spark.sources.rethinkdb import (
+        RethinkChangeError,
+        RethinkChangefeedStreamReader,
+    )
+
+    client = FakeRethinkClient({"t": []}, changes=[("t", {"error": "cursor died"})])
+    r = RethinkChangefeedStreamReader(client, initial_scan=False)
+    with pytest.raises(RethinkChangeError, match="cursor died"):
+        r.latestOffset()
 
 
 # ---------------------------------------------------------------------------

@@ -44,6 +44,57 @@ def _dumps(doc: dict) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Elasticsearch version autodetection (elasticsearch.go:84-175)
+# ---------------------------------------------------------------------------
+
+class EsVersionError(ValueError):
+    """Version sniff failed or no client supports the cluster."""
+
+
+def parse_es_version(info_body) -> str:
+    """Extract the version from a `GET /` response body
+    (determineVersion, elasticsearch.go:139-175): malformed JSON and a
+    missing version.number are distinct, explicit errors."""
+    if isinstance(info_body, (str, bytes)):
+        try:
+            info = json.loads(info_body)
+        except json.JSONDecodeError:
+            raise EsVersionError(f"malformed JSON: {info_body!r}")
+    else:
+        info = info_body
+    number = (info or {}).get("version", {}).get("number", "")
+    if not number:
+        raise EsVersionError(f"missing version: {info_body!r}")
+    return number
+
+
+def pick_es_client(version: str) -> str:
+    """Version -> client generation, the reference's constraint registry
+    (clients/v1/writer.go:29 '>=1.4,<2.0', v2/writer.go:36 '>=2.0,<5.0',
+    v5/writer.go:37 '>=5.0')."""
+    try:
+        parts = tuple(int(p) for p in version.split(".")[:2])
+    except ValueError:
+        raise EsVersionError(f"unparseable version: {version!r}")
+    major, minor = (parts + (0, 0))[:2]
+    if major >= 5:
+        return "v5"
+    if major >= 2:
+        return "v2"
+    if (major, minor) >= (1, 4):
+        return "v1"
+    raise EsVersionError(f"unsupported client for version {version}")
+
+
+def sniff_es_client(url: str, timeout: float = 5.0) -> str:
+    """GET / then dispatch — gated, needs a live cluster."""
+    import urllib.request  # pragma: no cover - network
+
+    with urllib.request.urlopen(url, timeout=timeout) as resp:  # pragma: no cover
+        return pick_es_client(parse_es_version(resp.read()))
+
+
+# ---------------------------------------------------------------------------
 # Elasticsearch _bulk NDJSON
 # ---------------------------------------------------------------------------
 
@@ -55,41 +106,75 @@ def es_bulk_payloads(
     ns_field: str = "ns",
     max_actions: int = 1000,
     max_bytes: int = 2 * 1024 * 1024,
+    version: str = "v5",
 ) -> Iterator[str]:
     """Build Elasticsearch `_bulk` NDJSON bodies from envelope rows.
 
-    Each row is {op, ns, data: dict}. Insert/Update become an `index`
-    action (index-or-replace by `_id` — the reference's upsert
-    semantics, v5/writer.go:101-118); Delete becomes a `delete` action
-    (:120-135). Unknown ops pass through silently (reference contract:
+    Each row is {op, ns, data: dict}. Default (v5, clients/v5/writer.go:
+    95-125): Insert/Update become an `index` action (index-or-replace by
+    `_id` — the reference's upsert semantics); Delete becomes a `delete`
+    action. Unknown ops pass through silently (reference contract:
     unknown ops are acked, never fail the pipeline). Bodies are capped
     at `max_actions` / `max_bytes` — the reference's BulkProcessor
     thresholds (:60-65); the 5 s timer is the micro-batch trigger.
+
+    Version variants (pick with sniff_es_client / pick_es_client):
+
+    - ``v2`` (clients/v2/writer.go:74-105): the doc `_type` is the
+      namespace, `_id` is REMOVED from the body, Update is a real
+      `update` action with a `{"doc": ...}` partial body, and a Delete
+      flushes pending actions first (the reference flushes its
+      processor before queueing deletes) — so a delete always starts a
+      fresh body, preserving apply order across the 2-worker processor.
+    - ``v1`` (clients/v1/writer.go:55-78): no bulk API at all —
+      individual index/delete requests; each action is emitted as its
+      own single-action body, `_id` stays in the document.
     """
     lines: List[str] = []
     actions = 0
     size = 0
+    typed = version in ("v1", "v2")
     for row in rows:
         op = str(row.get(op_field, "insert")).lower()
-        data = row.get("data") or {}
-        idx = index or row.get(ns_field)
+        data = dict(row.get("data") or {})
+        ns = row.get(ns_field)
+        idx = index or ns
         doc_id = data.get(id_field, row.get(id_field))
+        flush_first = False
+        if typed and id_field in data and version == "v2":
+            del data[id_field]  # v2 moves _id to the action meta only
         if op in _DELETE_OPS:
-            entry = [_dumps({"delete": {"_index": idx, "_id": str(doc_id)}})]
+            meta = {"delete": {"_index": idx, "_id": str(doc_id)}}
+            if typed:
+                meta["delete"]["_type"] = ns
+            entry = [_dumps(meta)]
+            flush_first = version == "v2"  # flush-before-delete contract
         elif op in ("insert", "update"):
-            meta = {"index": {"_index": idx}}
-            if doc_id is not None:
-                meta["index"]["_id"] = str(doc_id)
-            entry = [_dumps(meta), _dumps(data)]
+            if version == "v2" and op == "update":
+                meta = {"update": {"_index": idx, "_type": ns}}
+                if doc_id is not None:
+                    meta["update"]["_id"] = str(doc_id)
+                entry = [_dumps(meta), _dumps({"doc": data})]
+            else:
+                meta = {"index": {"_index": idx}}
+                if typed:
+                    meta["index"]["_type"] = ns
+                if doc_id is not None:
+                    meta["index"]["_id"] = str(doc_id)
+                entry = [_dumps(meta), _dumps(data)]
         else:  # command/noop/unknown: pass through, never fail
             continue
         entry_bytes = sum(len(e) + 1 for e in entry)
-        if lines and (actions + 1 > max_actions or size + entry_bytes > max_bytes):
+        at_capacity = actions + 1 > max_actions or size + entry_bytes > max_bytes
+        if lines and (at_capacity or flush_first or version == "v1"):
             yield "\n".join(lines) + "\n"
             lines, actions, size = [], 0, 0
         lines.extend(entry)
         actions += 1
         size += entry_bytes
+        if version == "v1":  # one action per request
+            yield "\n".join(lines) + "\n"
+            lines, actions, size = [], 0, 0
     if lines:
         yield "\n".join(lines) + "\n"
 
@@ -99,14 +184,22 @@ def es_cdc_sink(
     index: Optional[str] = None,
     keys: Sequence[str] = ("_id",),
     timeout: float = 5.0,
+    version: str = "auto",
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: collapse the epoch last-writer-wins per key,
     then per-partition POST `_bulk` bodies to `{url}/_bulk`.
+
+    version="auto" sniffs the cluster generation from `GET /` once
+    (elasticsearch.go:84-137) and dispatches the matching payload
+    variant; pass "v1"/"v2"/"v5" to pin it.
 
     Gated: needs a reachable Elasticsearch. The write timeout mirrors
     the reference's per-write context timeout (pipeline/node.go:34).
     """
     from transporter_spark.streaming.cdc import latest_per_key
+
+    if version == "auto":  # pragma: no cover - needs live cluster
+        version = sniff_es_client(url, timeout)
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         newest = latest_per_key(
@@ -128,7 +221,7 @@ def es_cdc_sink(
                     d = r.asDict(recursive=True)
                     yield {"op": d["op"], "ns": d["ns"], "data": d["data"]}
 
-            for body in es_bulk_payloads(rows(), index=index):
+            for body in es_bulk_payloads(rows(), index=index, version=version):
                 req = urllib.request.Request(
                     url.rstrip("/") + "/_bulk",
                     data=body.encode(),
