@@ -99,7 +99,10 @@ def test_nanos_probe_ignores_spark_written_int96(spark, sf_dir, tmp_path):
     out = str(tmp_path / "events.parquet")
     ev.limit(100).write.parquet(out)
     again = read_table(spark, str(tmp_path), "events")
-    assert dict(again.dtypes)["ts"] == "timestamp"
+    # dtype must survive the round-trip as a timestamp (ltz or ntz per
+    # the source data), NEVER degrade to long via a misfired nanos probe
+    assert dict(again.dtypes)["ts"] == dict(ev.dtypes)["ts"]
+    assert dict(again.dtypes)["ts"].startswith("timestamp")
     orig = {r.event_id: r.ts for r in ev.limit(100).collect()}
     for r in again.collect():
         assert r.ts == orig[r.event_id]

@@ -632,6 +632,30 @@ def connected_components(
             F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
         )
     )
+    # Shuffle width for the loop: one task per core, NOT the global
+    # shuffle default — the loop runs 2-20 rounds of joins over frames
+    # that are tiny relative to the corpus (pairs + labels), and
+    # per-round scheduling overhead dominates with e.g. 200 near-empty
+    # partitions on a vanilla session. Scoping the conf (loop is
+    # synchronous) keeps the pre-partitioned frames and each round's
+    # join/agg on the SAME width, so the only per-round exchange stays
+    # the groupBy. At cluster scale defaultParallelism = total cores.
+    spark = edges.sparkSession
+    np = spark.sparkContext.defaultParallelism
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(np))
+    try:
+        return _cc_loop(sym, vertices, max_iter, reliable_checkpoint)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def _cc_loop(
+    sym: DataFrame,
+    vertices: DataFrame,
+    max_iter: int,
+    reliable_checkpoint: bool,
+) -> DataFrame:
     sym = _materialize(sym.repartition(F.col("id_b")), reliable_checkpoint)
     labels = _materialize(
         vertices.select(F.col("id"), F.col("id").alias("component")).repartition(

@@ -48,25 +48,40 @@ def run_available_now(
     stream_df: DataFrame,
     checkpoint_dir: Optional[str] = None,
     output_mode: str = "append",
+    state_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Run a streaming plan to exhaustion (Trigger.AvailableNow) into a
     memory sink and return the result as a batch DataFrame.
 
     This is the copy-phase semantics of the reference (read everything
     currently there, then stop — adaptor readers' copy mode) and the
-    harness that lets streaming plans join the DuckDB oracle gate."""
+    harness that lets streaming plans join the DuckDB oracle gate.
+
+    state_partitions sizes the stateful operators' shuffle (pinned into
+    the checkpoint at first run): streaming gets no AQE coalescing, so
+    a vanilla session's 200 partitions mean 200 state-store tasks per
+    stage regardless of data volume. Default: the cluster's core count
+    (one state task per core) — at real scale pass an explicit number
+    sized to state volume instead. Safe to set/restore around the run
+    because availableNow + awaitTermination is synchronous."""
     spark = stream_df.sparkSession
     name = "avail_" + uuid.uuid4().hex[:12]
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ts_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    parts = state_partitions or spark.sparkContext.defaultParallelism
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     return spark.table(name)
 
 
