@@ -172,6 +172,34 @@ def test_q19_disjunctive_stays_hash_join(spark, sf_dir):
     assert "Brand#12" in plan.split("Scan parquet")[0] or "p_brand" in plan
 
 
+def test_q2_subquery_decorrelated_to_aggregate_join(spark, sf_dir):
+    """The correlated min-price scalar subquery must be de-correlated
+    into ONE aggregate + join on l_partkey — per-row re-execution (or a
+    cartesian) would be O(parts) lineitem scans at cluster scale."""
+    df = QUERIES["q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan  # the min-price table, built once
+    # the p_size filter prunes part before any join
+    assert any(
+        "p_size" in l for l in plan.splitlines() if "PushedFilters" in l
+    ), "p_size filter not pushed to the part scan"
+
+
+def test_q21_exists_becomes_semi_and_anti_joins(spark, sf_dir):
+    """EXISTS -> left-semi, NOT EXISTS -> left-anti, both as hash joins
+    on l_orderkey (co-partitioned with the l1 shuffle) — no correlated
+    re-execution, no nested loop over lineitem."""
+    df = QUERIES["q21_waiting_suppliers"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    # the anti join's returnflag predicate prunes its lineitem branch
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_training_pipeline_two_shuffles_one_scan(spark, sf_dir):
     """The composed pipeline's scale claim: redact/gate/chunk-count are
     fused projections over ONE documents scan; only the dedup window
