@@ -78,9 +78,9 @@ _PRIORITY = [
     "repetition_stats",
     "decontaminate",
     "array_funcs",
-    # re-confirmations of round-1 greens (envelope + CDC apply anchor
-    # the §2.1/§2.5 rows)
-    "envelope",
+    # new this round: the IVF ANN scale path, value-checked
+    "ann_ivf_topk",
+    # re-confirmation of a round-1 green (§2.5 CDC apply anchor)
     "stream_cdc_apply",
 ]
 

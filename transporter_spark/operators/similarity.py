@@ -67,6 +67,7 @@ def ivf_index(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: Optional[int] = None,
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (IVF cell).
 
@@ -75,11 +76,18 @@ def ivf_index(
     any deterministic centroid set works — the engine shape is the same.
     Output is the corpus plus `cell`, typically written partitioned by
     cell so probes prune at the file level (partition pruning).
+
+    round_dp: round assignment similarities before ranking (with the
+    cell-asc tiebreak this makes assignments engine- and
+    partitioning-invariant — used by the oracle-checked query).
     """
     cen = centroids.select(
         F.col("centroid_id").alias("cell"),
         F.col("centroid_vec").cast("array<double>").alias("cen_vec"),
     )
+    sim = cosine_expr("vec", "cen_vec")
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
     scored = corpus.select(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("vec"),
@@ -87,7 +95,7 @@ def ivf_index(
         id_col,
         "vec",
         "cell",
-        cosine_expr("vec", "cen_vec").alias("sim"),
+        sim.alias("sim"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
     return (
@@ -105,6 +113,7 @@ def ann_ivf(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: Optional[int] = None,
 ) -> DataFrame:
     """IVF-bucketed ANN: search only each query's `nprobe` nearest cells.
 
@@ -112,7 +121,7 @@ def ann_ivf(
     the candidate join is an equi-join on `cell` — co-partitioned
     shuffle, no cross join. Candidate count ~= corpus * nprobe / n_cells.
     """
-    indexed = ivf_index(corpus, centroids, id_col, vec_col)
+    indexed = ivf_index(corpus, centroids, id_col, vec_col, round_dp)
     cen = centroids.select(
         F.col("centroid_id").alias("cell"),
         F.col("centroid_vec").cast("array<double>").alias("cen_vec"),
@@ -121,9 +130,12 @@ def ann_ivf(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qvec"),
     )
+    qsim = cosine_expr("qvec", "cen_vec")
+    if round_dp is not None:
+        qsim = F.round(qsim, round_dp)
     q_cells = (
         q.crossJoin(F.broadcast(cen))
-        .select("query_id", "qvec", "cell", cosine_expr("qvec", "cen_vec").alias("sim"))
+        .select("query_id", "qvec", "cell", qsim.alias("sim"))
         .withColumn(
             "rn",
             F.row_number().over(
@@ -136,10 +148,13 @@ def ann_ivf(
     cand = indexed.join(q_cells, "cell").filter(
         F.col("query_id") != F.col(id_col)
     )
+    final = cosine_expr("qvec", "vec")
+    if round_dp is not None:
+        final = F.round(final, round_dp)
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine_expr("qvec", "vec").alias("cosine"),
+        final.alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -1550,6 +1550,66 @@ def q_ann_topk(spark, sf_dir):
     )
 
 
+@q(
+    "ann_ivf_topk",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cen AS (SELECT vec_id AS cell, e AS cv FROM v WHERE vec_id IN (0, 1, 2, 3)),
+cos AS (  -- cell-assignment scores, 8dp-rounded for engine invariance
+  SELECT v.vec_id, v.e, cen.cell,
+         round(list_dot_product(v.e, cen.cv)
+               / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cen.cv, cen.cv))),
+               8) AS sim
+  FROM v CROSS JOIN cen),
+indexed AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM cos) WHERE rn = 1),
+q_cells AS (
+  SELECT vec_id AS query_id, e AS qe, cell FROM (
+    SELECT vec_id, e, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM cos WHERE vec_id < 10) WHERE rn <= 2),
+cand AS (
+  SELECT q.query_id, q.qe, i.vec_id AS neighbor_id, i.e AS ce
+  FROM q_cells q JOIN indexed i USING (cell)
+  WHERE q.query_id <> i.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_dot_product(qe, ce)
+               / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+               8) AS cosine
+  FROM cand)
+SELECT query_id, neighbor_id, cosine, rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN, value-checked end to end: 4 fixed centroid
+    vectors (vec_id 0-3), every vector assigned to its nearest cell,
+    each query probes its 2 nearest cells, exact cosine only within
+    candidates. The oracle replays the identical pipeline in SQL — same
+    centroids, same 8dp rounding, same cell/neighbor tiebreaks — so the
+    approximation itself is pinned, not just the plumbing. Scale shape:
+    centroids broadcast; candidates come from an equi-join on `cell`
+    (corpus * nprobe / n_cells rows), never a cross join; at 100TB the
+    index would be written partitioned-by-cell so probes prune files."""
+    from transporter_spark.operators.similarity import ann_ivf
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf(emb, queries, centroids, k=5, nprobe=2, round_dp=8)
+
+
 def _lang_id_oracle() -> str:
     """Generate the DuckDB lang-id expression from the SAME stopword
     constants the Spark operator uses — one source of truth."""
