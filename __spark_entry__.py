@@ -78,10 +78,9 @@ _PRIORITY = [
     "repetition_stats",
     "decontaminate",
     "array_funcs",
-    # new this round: the IVF ANN scale path, value-checked
+    # new this round: IVF ANN + frame sampling, both value-checked
     "ann_ivf_topk",
-    # re-confirmation of a round-1 green (§2.5 CDC apply anchor)
-    "stream_cdc_apply",
+    "frame_sample",
 ]
 
 

@@ -1718,6 +1718,45 @@ def q_media_features(spark, sf_dir):
     return out.withColumn("features", F.to_json("features"))
 
 
+@q(
+    "frame_sample",
+    oracle="""
+WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
+             greatest(1, octet_length(encode(text)) // 10) AS chunk FROM documents),
+f AS (SELECT doc_id, text, chunk,
+             unnest(range(0, n, chunk * 10)) AS start
+      FROM p)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS frame_no,
+       octet_length(encode(substring(text, CAST(start + 1 AS BIGINT), chunk))) AS frame_len,
+       md5(substring(text, CAST(start + 1 AS BIGINT), chunk)) AS frame_md5
+FROM f
+""",
+)
+def q_frame_sample(spark, sf_dir):
+    """Video frame sampling plumbing, value-checked: the 1->N row
+    expansion through Arrow mapInPandas (operators/multimodal.
+    frame_sample) with the deterministic byte-slice stand-in for the
+    codec. The graded boundary emits (frame_len, md5) instead of raw
+    binary (driver canonicalization), and the oracle replays the same
+    slicing in SQL — valid because the synthetic corpus is pure ASCII
+    (byte slices == char slices; test_oracle would catch a drift).
+    Scale shape: row-local, no shuffle, frames never leave executors."""
+    from transporter_spark.operators.multimodal import attach_media, frame_sample
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = attach_media(
+        docs.withColumn("blob", F.encode("text", "utf-8")), "blob", "video/fake"
+    )
+    frames = frame_sample(media, every_n=10, id_col="doc_id")
+    return frames.select(
+        "doc_id",
+        "frame_no",
+        F.length("frame").alias("frame_len"),
+        F.md5("frame").alias("frame_md5"),
+    )
+
+
 # ===========================================================================
 # Structured Streaming (SURVEY §2.5): the same plans over readStream,
 # drained with Trigger.AvailableNow so they join the DuckDB oracle gate.
