@@ -545,6 +545,78 @@ def test_mongo_oplog_classification_and_update_refetch():
     assert not valid_op({"op": "i", "ns": "db.other"}, "db.c")
 
 
+class FakeMongoClient:
+    """Injectable stand-in for pymongo: collections of docs + a queued
+    oplog. Applies the _id $gt resume predicate like a real find."""
+
+    def __init__(self, collections, oplog=()):
+        self.collections = collections  # {name: [doc sorted by _id]}
+        self.oplog = list(oplog)
+
+    def scan_docs(self, collection, query):
+        gt = query.get("_id", {}).get("$gt")
+        for doc in self.collections.get(collection, []):
+            if gt is None or doc["_id"] > gt:
+                yield doc
+
+    def next_oplog_entry(self):
+        return self.oplog.pop(0) if self.oplog else None
+
+    def fetch_doc(self, collection, query):
+        for doc in self.collections.get(collection, []):
+            if doc["_id"] == query["_id"]:
+                return doc
+        return None
+
+
+def test_mongo_oplog_reader_copy_then_tail_with_refetch():
+    """Copy phase scans from last_id, tail classifies oplog entries,
+    updates re-fetch the current full doc (reader.go:58-73, 216-313)."""
+    from transporter_spark.sources.mongo import MongoOplogStreamReader
+
+    ts = 1700000001 << 32
+    client = FakeMongoClient(
+        {"users": [{"_id": 1, "v": "a"}, {"_id": 2, "v": "b"}, {"_id": 3, "v": "c"}]},
+        oplog=[
+            {"op": "i", "ns": "db.users", "o": {"_id": 4, "v": "d"}, "ts": ts},
+            {"op": "u", "ns": "db.users", "o": {"$set": {"v": "B"}}, "o2": {"_id": 2}, "ts": ts},
+            {"op": "n", "ns": "db.users", "o": {}, "ts": ts},          # noop skipped
+            {"op": "i", "ns": "db.other", "o": {"_id": 9}, "ts": ts},  # other ns skipped
+            {"op": "d", "ns": "db.users", "o": {"_id": 1}, "ts": ts},
+        ],
+    )
+    # resume mid-copy: last_id=1 -> docs 2,3 only, then the tail
+    r = MongoOplogStreamReader(
+        client, "users", "db.users", resume=(1, "copy", None)
+    )
+    start, end = r.initialOffset(), r.latestOffset()
+    rows = list(r.read(r.partitions(start, end)[0]))
+    assert [(row[0], json.loads(row[3])["_id"]) for row in rows] == [
+        ("insert", 2), ("insert", 3),      # copy resumed past _id 1
+        ("insert", 4),                     # tail insert
+        ("update", 2),                     # update re-fetched full doc
+        ("delete", 1),
+    ]
+    # the update carried the CURRENT doc from the store, not the delta
+    upd = json.loads(rows[3][3])
+    assert upd == {"_id": 2, "v": "b"}
+    # retry-identical + commit-forgets (at-least-once buffer contract)
+    assert list(r.read(r.partitions(start, end)[0])) == rows
+    r.commit(end)
+    assert r._buffer == {}
+
+
+def test_mongo_oplog_reader_sync_mode_skips_copy():
+    from transporter_spark.sources.mongo import MongoOplogStreamReader
+
+    client = FakeMongoClient({"users": [{"_id": 1}]}, oplog=[])
+    r = MongoOplogStreamReader(
+        client, "users", "db.users", resume=(None, "sync", 1700000000)
+    )
+    end = r.latestOffset()
+    assert end == {"seq": 0}  # no copy rows: straight to (empty) tail
+
+
 # ---------------------------------------------------------------------------
 # MySQL binlog RowsEvent mapping (adaptor/mysql/tailer.go:222-400)
 # ---------------------------------------------------------------------------

@@ -108,6 +108,95 @@ def resume_point(
 # oplog tail
 # ---------------------------------------------------------------------------
 
+class MongoOplogStreamReader:
+    """Oplog tail as a driver-buffered streaming reader — the same
+    at-least-once buffer contract as sources/amqp.py and
+    sources/rethinkdb.py (DataSourceStreamReader-shaped: initialOffset/
+    latestOffset/partitions/read/commit), with the reference's
+    copy-then-tail startup (reader.go:58-73: Copy mode scans the
+    collection from last_id, then the tail starts from the saved
+    timestamp).
+
+    Client contract (injectable; production = pymongo or the
+    mongo-spark connector's change stream): ``scan_docs(collection,
+    query) -> iter of dict`` (sorted by _id), ``next_oplog_entry() ->
+    Optional[dict]``, ``fetch_doc(collection, query) ->
+    Optional[dict]``.
+    """
+
+    def __init__(
+        self,
+        client,
+        collection: str,
+        ns: str,
+        collection_filters: Optional[Dict[str, dict]] = None,
+        resume: Optional[Tuple[Any, str, Optional[int]]] = None,
+        max_per_batch: int = 10000,
+    ):
+        self.client = client
+        self.collection = collection
+        self.ns = ns
+        self.filters = collection_filters
+        self.max_per_batch = max_per_batch
+        last_id, mode, _ts = resume or (None, "copy", None)
+        self._scan_pending = mode == "copy"
+        self._last_id = last_id
+        self._seq = 0
+        self._buffer: Dict[int, Tuple[str, str, str, str]] = {}
+
+    def initialOffset(self) -> dict:
+        return {"seq": 0}
+
+    def _push(self, op: str, doc: dict, ts: int) -> None:
+        self._buffer[self._seq] = (
+            op,
+            str(ts or ""),
+            self.collection,
+            json.dumps(doc, sort_keys=True, default=str),
+        )
+        self._seq += 1
+
+    def latestOffset(self) -> dict:
+        if self._scan_pending:
+            query = copy_query(self.collection, self.filters, self._last_id)
+            for doc in self.client.scan_docs(self.collection, query):
+                self._push("insert", doc, 0)
+                if "_id" in doc:
+                    self._last_id = doc["_id"]
+            self._scan_pending = False
+        drained = 0
+        while drained < self.max_per_batch:
+            entry = self.client.next_oplog_entry()
+            if entry is None:
+                break
+            if not valid_op(entry, self.ns):
+                continue
+            classified = classify_oplog_entry(
+                entry,
+                self.collection,
+                lambda q: self.client.fetch_doc(self.collection, q),
+                self.filters,
+            )
+            if classified is None:
+                continue
+            op, doc, ts = classified
+            self._push(op, doc, ts)
+            drained += 1
+        return {"seq": self._seq}
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            [self._buffer[s] for s in range(start["seq"], end["seq"]) if s in self._buffer]
+        ]
+
+    def read(self, partition):
+        return iter(partition)
+
+    def commit(self, end: dict) -> None:
+        for s in [s for s in self._buffer if s < end["seq"]]:
+            del self._buffer[s]
+
+
 def oplog_query(ns: Optional[str], since_ts: int) -> dict:
     """Initial tail query {ns, ts: {$gte}} (reader.go:230); after a
     cursor death the re-query drops the ns clause and resumes from the
