@@ -88,6 +88,38 @@ def test_pipeline_requires_source_and_sink(spark):
         Pipeline("dup").source("dir", path="/x").source("dir", path="/y")
 
 
+def test_jdbc_source_kind_dispatches_through_registry(spark, sf_dir, monkeypatch):
+    """The DSL's `jdbc` source kind routes through sources.jdbc.read_jdbc
+    with the partitioned-read knobs (live DB gated; the dispatch and
+    envelope wrapping are what this pins)."""
+    from transporter_spark.sources import jdbc as jdbc_mod
+
+    seen = {}
+
+    def fake_read_jdbc(sp, url, table, **kw):
+        seen.update(url=url, table=table, **kw)
+        return read_table(sp, sf_dir, "nation")
+
+    monkeypatch.setattr(jdbc_mod, "read_jdbc", fake_read_jdbc)
+    event = (
+        Pipeline("jdbc-in")
+        .source(
+            "jdbc",
+            url="jdbc:postgresql://db/x",
+            table="nation",
+            partition_column="n_nationkey",
+            lower_bound=0,
+            upper_bound=25,
+        )
+        .save("memory", view="jdbc_out")
+        .run(spark)
+    )
+    assert seen["url"] == "jdbc:postgresql://db/x"
+    assert seen["partition_column"] == "n_nationkey"
+    assert event["rows"]["nation -> memory[0]"] == 25
+    assert spark.table("jdbc_out").count() == 25
+
+
 def test_nanos_probe_ignores_spark_written_int96(spark, sf_dir, tmp_path):
     """Round-trip guard: a table read via read_table (nanos converted)
     then re-written by Spark stores INT96/INT64-micros timestamps —

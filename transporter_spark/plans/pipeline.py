@@ -106,6 +106,21 @@ class Pipeline:
         if kind == "dataframe":  # tests / embedding
             ns = cfg.get("ns", "df")
             return {ns: to_envelope(cfg["df"], ns=ns)}
+        if kind == "jdbc":  # gated: needs a driver jar + reachable DB
+            from transporter_spark.sources import jdbc as jdbc_mod
+
+            ns = cfg.get("ns", cfg["table"])
+            df = jdbc_mod.read_jdbc(
+                spark,
+                cfg["url"],
+                cfg["table"],
+                partition_column=cfg.get("partition_column"),
+                num_partitions=int(cfg.get("num_partitions", 16)),
+                lower_bound=cfg.get("lower_bound"),
+                upper_bound=cfg.get("upper_bound"),
+                **cfg.get("options", {}),
+            )
+            return {ns: to_envelope(df, ns=ns)}
         raise ValueError(f"unknown source kind {kind!r}")
 
     def _apply_edge(self, df: DataFrame, ns: str, edge: _Edge) -> Optional[DataFrame]:
@@ -138,6 +153,11 @@ class Pipeline:
             out.createOrReplaceTempView(cfg.get("view", "out_{ns}").format(ns=ns))
             # temp view is lazy; force for metric parity
             return out.count()
+        elif kind == "jdbc":  # gated: append-mode write (CDC upsert via
+            # streaming foreachBatch + sources.jdbc.jdbc_cdc_sink)
+            out.write.mode(cfg.get("mode", "append")).jdbc(
+                cfg["url"], cfg.get("table", ns), properties=cfg.get("properties", {})
+            )
         else:
             raise ValueError(f"unknown sink kind {kind!r}")
         return obs.get["rows"] if obs.get else 0
