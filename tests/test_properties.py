@@ -186,3 +186,100 @@ def test_cdc_apply_order_insensitive_across_batch_splits(sess, updates, split_at
         return sorted(map(tuple, df.select("k", "seq", "v").collect()))
 
     assert canon(one) == canon(two) == canon(two_rev)
+
+
+# ---------------------------------------------------------------------------
+# round-2 connector contracts
+# ---------------------------------------------------------------------------
+
+@given(
+    filters=st.dictionaries(
+        st.sampled_from(["users", "orders"]),
+        st.dictionaries(
+            st.sampled_from(["active", "region", "tier"]),
+            st.one_of(st.booleans(), st.integers(-5, 5), st.text(max_size=4)),
+            max_size=3,
+        ),
+        max_size=2,
+    ),
+    last_id=st.one_of(st.none(), st.integers(0, 10**9), st.text(max_size=8)),
+)
+@_settings
+def test_mongo_copy_query_laws(filters, last_id):
+    """Resume predicate always wins; no filter key is ever lost; the
+    input filter dict is never mutated (catQuery, reader.go:172-179)."""
+    from transporter_spark.sources.mongo import copy_query
+
+    before = {c: dict(f) for c, f in filters.items()}
+    q = copy_query("users", filters, last_id)
+    if last_id is not None:
+        assert q["_id"] == {"$gt": last_id}
+    for k, v in filters.get("users", {}).items():
+        if k != "_id":
+            assert q[k] == v
+    assert filters == before  # pure
+
+
+@given(
+    rows=st.lists(
+        st.lists(
+            st.one_of(
+                st.binary(max_size=12),
+                st.text(max_size=12),
+                st.integers(-(2**31), 2**31),
+                st.none(),
+            ),
+            min_size=2,
+            max_size=2,
+        ),
+        min_size=0,
+        max_size=8,
+    ),
+)
+@_settings
+def test_binlog_update_pairing_law(rows):
+    """For any even-length row list, updates emit exactly the odd
+    indices (after-images), and insert/delete emit every row —
+    |updates| == |rows|/2 regardless of content."""
+    from transporter_spark.sources.binlog import map_rows_event
+
+    cols = [("a", "varchar"), ("b", "varchar")]
+    if len(rows) % 2 == 1:
+        rows = rows[:-1]
+    ev = {"schema": "s", "table": "t", "rows": rows}
+    upd = map_rows_event({**ev, "event_type": "UPDATE_ROWS_EVENTv2"}, cols)
+    ins = map_rows_event({**ev, "event_type": "WRITE_ROWS_EVENTv2"}, cols)
+    assert len(upd) == len(rows) // 2
+    assert len(ins) == len(rows)
+    assert all(op == "update" and ns == "s.t" for op, ns, _ in upd)
+
+
+@given(
+    changes=st.lists(
+        st.one_of(
+            st.fixed_dictionaries({"new_val": st.dictionaries(st.sampled_from(["id"]), st.integers(), min_size=1)}),
+            st.fixed_dictionaries({"old_val": st.dictionaries(st.sampled_from(["id"]), st.integers(), min_size=1)}),
+            st.fixed_dictionaries(
+                {
+                    "old_val": st.dictionaries(st.sampled_from(["id"]), st.integers(), min_size=1),
+                    "new_val": st.dictionaries(st.sampled_from(["id"]), st.integers(), min_size=1),
+                }
+            ),
+        ),
+        max_size=10,
+    )
+)
+@_settings
+def test_rethink_classification_total_on_valid_changes(changes):
+    """Every error-free notification with at least one value classifies
+    to exactly one op; op agrees with value presence."""
+    from transporter_spark.sources.rethinkdb import classify_change
+
+    for ch in changes:
+        op, doc = classify_change(ch)
+        if "old_val" in ch and "new_val" in ch:
+            assert op == "update" and doc == ch["new_val"]
+        elif "new_val" in ch:
+            assert op == "insert" and doc == ch["new_val"]
+        else:
+            assert op == "delete" and doc == ch["old_val"]
