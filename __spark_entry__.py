@@ -78,9 +78,11 @@ _PRIORITY = [
     "repetition_stats",
     "decontaminate",
     "array_funcs",
-    # new this round: IVF ANN + frame sampling, both value-checked
+    # new this round: IVF ANN + frame sampling + custom stateful
+    # streaming, all value-checked
     "ann_ivf_topk",
     "frame_sample",
+    "stream_stateful_count",
 ]
 
 

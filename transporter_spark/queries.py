@@ -2379,6 +2379,53 @@ def q_stream_dedup(spark, sf_dir):
 
 
 @q(
+    "stream_stateful_count",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+""",
+)
+def q_stream_stateful_count(spark, sf_dir):
+    """CUSTOM stateful streaming operator (applyInPandasWithState — the
+    §2.5 surface beyond built-in aggs): per-user running event count
+    kept in explicit group state across micro-batches, drained with
+    availableNow. The final projection takes max per user (the running
+    count is monotone), so the result is the exact per-user total no
+    matter how the file source splits batches — and equals plain
+    GROUP BY COUNT(*), which is the oracle. Scale shape: state lives in
+    the state store partitioned by user_id; one shuffle, no driver
+    state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from transporter_spark.streaming.sources import stream_table
+    from transporter_spark.streaming.windows import run_available_now
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n_events", LongType())]
+    )
+    state_schema = StructType([StructField("count", LongType())])
+
+    def count_events(key, pdf_iter, state):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [total]})
+
+    stream = stream_table(spark, sf_dir, "events").select("user_id", "event_id")
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        count_events,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_available_now(counted, output_mode="update")
+    return drained.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@q(
     "window_analytics",
     oracle="""
 SELECT event_id, user_id, value,
