@@ -83,6 +83,7 @@ _PRIORITY = [
     "ann_ivf_topk",
     "frame_sample",
     "stream_stateful_count",
+    "q15_top_supplier",
 ]
 
 

@@ -2132,6 +2132,59 @@ GROUP BY s_name
 
 
 @q(
+    "q15_top_supplier",
+    oracle=f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {_DSUM_DEC('l_extendedprice * (1 - l_discount)')} AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name,
+       CAST(CAST(total_rev AS VARCHAR) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+""",
+)
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: scalar subquery OVER AN AGGREGATED VIEW — the
+    supplier(s) achieving maximum revenue. The max comparison runs on
+    the exact decimal sums (bit-identical across engines and partition
+    orders), so ties and the winner are deterministic; only the output
+    column converts to double. Spark plan: one lineitem aggregation
+    reused for both the max (window over an empty partition = one
+    reduce) and the equality filter — no second scan; supplier
+    broadcasts."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    supp = read_table(spark, sf_dir, "supplier")
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _dsum_dec(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("total_rev")
+        )
+    )
+    w = Window.partitionBy()
+    top = (
+        rev.withColumn("_max", F.max("total_rev").over(w))
+        .filter(F.col("total_rev") == F.col("_max"))
+        .drop("_max")
+    )
+    return (
+        F.broadcast(supp)
+        .join(top, supp.s_suppkey == top.supplier_no)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@q(
     "pivot_table",
     oracle="""
 SELECT o_orderstatus,
