@@ -1699,12 +1699,39 @@ def q_multimodal_meta(spark, sf_dir):
     )
 
 
-@q("media_features")
+@q(
+    "media_features",
+    oracle="""
+WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+idx AS (SELECT doc_id, unnest(range(1, n + 1)) AS i FROM b),
+bytes AS (SELECT idx.doc_id, ascii(substring(b.text, CAST(i AS BIGINT), 1)) AS c
+          FROM idx JOIN b USING (doc_id)),
+agg AS (SELECT doc_id, SUM(c) AS s, MAX(c) AS mx, MIN(c) AS mn,
+               COUNT(*) FILTER (WHERE c > 127) AS n_gt,
+               COUNT(*) FILTER (WHERE c = 0) AS n_zero
+        FROM bytes GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n AS DOUBLE) AS f_len,
+       CASE WHEN b.n = 0 THEN 0.0 ELSE CAST(agg.s AS DOUBLE) / b.n END AS f_mean,
+       CAST(COALESCE(agg.mx, 0) AS DOUBLE) AS f_max,
+       CAST(COALESCE(agg.mn, 0) AS DOUBLE) AS f_min,
+       CAST(COALESCE(ascii(substring(b.text, 1, 1)), 0) AS DOUBLE) AS f_first,
+       CAST(COALESCE(ascii(substring(b.text, CAST(b.n AS BIGINT), 1)), 0) AS DOUBLE) AS f_last,
+       CASE WHEN b.n = 0 THEN 0.0 ELSE CAST(n_gt AS DOUBLE) / b.n END AS f_frac_gt127,
+       CASE WHEN b.n = 0 THEN 0.0 ELSE CAST(n_zero AS DOUBLE) / b.n END AS f_frac_zero
+FROM b LEFT JOIN agg USING (doc_id)
+""",
+)
 def q_media_features(spark, sf_dir):
     """Arrow-batched media decode/featurize plumbing over mapInPandas
     (decoder stubbed deterministically — no codec libs here; the Spark
-    contract — schema, batching, 1:1 row mapping — is real). Rows-only
-    driver check; exact feature values pinned in pytest."""
+    contract — schema, batching, 1:1 row mapping — is real). VALUE-
+    CHECKED: the graded boundary unpacks the feature vector into named
+    double columns and the oracle recomputes the same byte-histogram
+    features per-codepoint in SQL (valid on the pure-ASCII corpus,
+    where bytes == codepoints; drift caught by the oracle gate). The
+    byte sums and counts are exact integers, so the double divisions
+    are correctly rounded identically in both engines."""
     from transporter_spark.operators.multimodal import attach_media, decode_features
 
     docs = read_table(spark, sf_dir, "documents")
@@ -1712,10 +1739,14 @@ def q_media_features(spark, sf_dir):
         docs.withColumn("blob", F.encode("text", "utf-8")), "blob", "text/plain"
     )
     out = decode_features(media, id_col="doc_id", fake=True)
-    # graded boundary: the driver's pandas canonicalization can't hash
-    # array<double>; serialize for grading, keep the array type in the
-    # operator API (operators/multimodal.decode_features)
-    return out.withColumn("features", F.to_json("features"))
+    names = [
+        "f_len", "f_mean", "f_max", "f_min",
+        "f_first", "f_last", "f_frac_gt127", "f_frac_zero",
+    ]
+    return out.select(
+        "doc_id",
+        *[F.col("features")[i].alias(nm) for i, nm in enumerate(names)],
+    )
 
 
 @q(
@@ -2291,13 +2322,27 @@ def q_dedup_normalized(spark, sf_dir):
 @q("dedup_clusters", headline=True)
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERING: LSH candidate pairs -> connected components
-    -> canonical doc per cluster. Iterative (label propagation), hence
-    rows-only for the driver; convergence + canonical-is-min semantics
-    pinned in tests/test_dedup.py."""
+    -> canonical doc per cluster (xxhash64 fast path). Oracle = the
+    portable twin's recursive-CTE closure: exact-Jaccard verification
+    makes the surviving pair set hash-family-independent (same argument
+    as minhash_lsh_pairs), so the components are identical; convergence
+    + canonical-is-min semantics additionally pinned in
+    tests/test_dedup.py."""
     from transporter_spark.operators.dedup import dedup_clusters
 
     docs = read_table(spark, sf_dir, "documents")
     return dedup_clusters(docs, threshold=0.1, use_lsh=True)
+
+
+# same-oracle attachment as minhash_lsh_pairs (defined above with the
+# portable CTE chain): done after both entries exist
+def _attach_dedup_clusters_oracle():
+    QUERIES["dedup_clusters"] = QUERIES["dedup_clusters"]._replace(
+        oracle=QUERIES["dedup_clusters_portable"].oracle
+    )
+
+
+_attach_dedup_clusters_oracle()
 
 
 # ===========================================================================
