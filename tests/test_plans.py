@@ -200,6 +200,38 @@ def test_q21_exists_becomes_semi_and_anti_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing: orders and lineitem bucketed on
+    their join keys with equal bucket counts must SortMergeJoin with
+    ZERO shuffle exchanges — the recurring-join primitive at 100TB
+    (bucket i merges against bucket i locally). Broadcast disabled so
+    the bucket layout, not size, decides the plan."""
+    from transporter_spark.sources.files import write_bucketed
+
+    before_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = read_table(spark, sf_dir, "orders")
+        li = read_table(spark, sf_dir, "lineitem")
+        write_bucketed(o, "b_orders", "o_orderkey", buckets=8, sorted_by="o_orderkey")
+        write_bucketed(li, "b_lineitem", "l_orderkey", buckets=8, sorted_by="l_orderkey")
+        j = spark.table("b_lineitem").join(
+            spark.table("b_orders"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        # sanity: same join unbucketed DOES shuffle
+        plain = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan2 = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plan2
+        assert j.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before_thresh)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
 def test_training_pipeline_two_shuffles_one_scan(spark, sf_dir):
     """The composed pipeline's scale claim: redact/gate/chunk-count are
     fused projections over ONE documents scan; only the dedup window

@@ -111,3 +111,28 @@ def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSON-lines sink (reference adaptor/file/writer.go:21-35)."""
     df.write.mode(mode).json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sorted_by: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by its join key.
+
+    The co-located-join primitive for repeated big-big joins: two tables
+    bucketed on their join keys with the same bucket count join with
+    ZERO shuffle exchanges (SortMergeJoin reads bucket i against bucket
+    i directly — pinned in tests/test_plans.py). At 100TB this converts
+    every recurring fact-fact join from a full-network shuffle into a
+    local merge; the one-time bucketing write is the amortized cost.
+    Uses the session catalog (`saveAsTable`) — set
+    spark.sql.warehouse.dir appropriately on a cluster.
+    """
+    writer = df.write.bucketBy(buckets, key)
+    if sorted_by is not None:
+        writer = writer.sortBy(sorted_by)
+    writer.mode(mode).format("parquet").saveAsTable(table)
