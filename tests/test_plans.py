@@ -232,6 +232,41 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """Runtime skew handling: a join where one hot key owns 90% of rows
+    must come out of AQE as SortMergeJoin(skew=true) — the hot
+    partition split across tasks instead of one straggler. This is the
+    no-code-change half of the skew story (the salting rewrite,
+    `salted_agg`, is the aggregation half)."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    before = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(2_000_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        agg = big.join(small, "k").groupBy().count()
+        assert agg.collect()[0][0] == 2_000_000
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "SortMergeJoin(skew=true)" in plan, plan
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
+
+
 def test_training_pipeline_two_shuffles_one_scan(spark, sf_dir):
     """The composed pipeline's scale claim: redact/gate/chunk-count are
     fused projections over ONE documents scan; only the dedup window
