@@ -2163,6 +2163,45 @@ GROUP BY s_name
 
 
 @q(
+    "q17_small_quantity",
+    oracle=f"""
+SELECT {_DSUM('l_extendedprice')} / 7.0 AS avg_yearly,
+       COUNT(*) AS n
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_size <= 5
+  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+                          WHERE l2.l_partkey = p_partkey)
+""",
+)
+def q_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: correlated AVG threshold — revenue of
+    below-half-average-quantity orders for small parts. Catalyst
+    de-correlates the avg into one per-part aggregate joined back on
+    l_partkey (one extra lineitem aggregation, not O(parts) rescans).
+    Determinism: quantities are small integers, so sum and count are
+    exact and avg = exact/exact is the identical correctly-rounded
+    double in both engines; the 0.5x comparison then agrees bit-wise."""
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("_q17_lineitem")
+    read_table(spark, sf_dir, "part").createOrReplaceTempView("_q17_part")
+    # same decimal-exact sum policy as _DSUM, in Spark's dialect
+    # (STRING, not VARCHAR — Spark requires a length on VARCHAR)
+    dsum = (
+        "CAST(CAST(SUM(CAST(CAST(l_extendedprice AS STRING) "
+        "AS DECIMAL(38,12))) AS STRING) AS DOUBLE)"
+    )
+    return spark.sql(
+        f"""
+SELECT {dsum} / 7.0 AS avg_yearly,
+       COUNT(*) AS n
+FROM _q17_lineitem, _q17_part
+WHERE p_partkey = l_partkey AND p_size <= 5
+  AND l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM _q17_lineitem l2
+                          WHERE l2.l_partkey = p_partkey)
+"""
+    )
+
+
+@q(
     "q15_top_supplier",
     oracle=f"""
 WITH revenue AS (
