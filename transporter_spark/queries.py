@@ -210,6 +210,20 @@ def q_remap(spark, sf_dir):
 
 
 @q(
+    "pretty_passthrough",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q_pretty(spark, sf_dir):
+    """Debug pretty-printer — reference function/pretty/prettify.go:
+    34-42. The reference logs EVERY message (row-at-a-time luxury); at
+    scale that's an anti-pattern, so the operator logs a bounded sample
+    at plan-build time and must return the frame UNCHANGED — which is
+    exactly what the oracle checks (output == input)."""
+    region = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return build_operator("pretty", spaces=2, rows=3)(region)
+
+
+@q(
     "envelope",
     oracle=(
         f"SELECT {_EVENTS_OP_SQL} AS op, ts, 'app.events' AS ns, "
