@@ -39,6 +39,25 @@ def char_count(col: str = "text") -> Column:
     return F.length(F.col(col)).cast("long")
 
 
+#: GPT-2-style pre-tokenizer pattern, lookahead-free so the SAME regex
+#: runs in Java (Spark) and RE2 (DuckDB oracle): contraction suffixes,
+#: space-prefixed letter/digit/punct runs, whitespace runs. The
+#: original GPT-2 pattern's `\s+(?!\S)` branch needs lookahead (RE2
+#: lacks it); merging it into `\s+` only regroups trailing whitespace,
+#: and both engines regroup identically.
+BPE_PATTERN = r"'(s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(col: str = "text") -> Column:
+    """BPE-ish token count: the GPT-2 pre-tokenizer split (what a real
+    BPE tokenizer runs before merges), as a cost/budget estimator for
+    training pipelines. Pass the pattern as a LITERAL column —
+    embedding it in a SQL string would eat the backslashes."""
+    return F.size(F.regexp_extract_all(F.col(col), F.lit(BPE_PATTERN), 0)).cast(
+        "long"
+    )
+
+
 def punct_ratio(col: str = "text") -> Column:
     """Punctuation chars / total chars (0 for empty text)."""
     punct = F.size(F.expr(f"regexp_extract_all({col}, '[.,;:!?\\'\"()-]', 0)"))

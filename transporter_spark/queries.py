@@ -1764,6 +1764,33 @@ def q_media_features(spark, sf_dir):
 
 
 @q(
+    "bpe_token_stats",
+    oracle=r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_ws_tokens,
+       len(regexp_extract_all(text,
+           '''(s|t|re|ve|m|ll|d)| ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+'))::BIGINT AS n_bpe_tokens
+FROM documents
+""",
+)
+def q_bpe_token_stats(spark, sf_dir):
+    """Token counting for training-data budgeting: whitespace tokens
+    AND the GPT-2-style pre-tokenizer count (operators/text.
+    bpe_token_count) — the split a real BPE tokenizer applies before
+    merges, so this is the honest token-cost estimator. The regex is
+    lookahead-free so the identical pattern runs in both engines
+    (value-parity is the oracle check). Row-local, no shuffle."""
+    from transporter_spark.operators.text import bpe_token_count, token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_ws_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+@q(
     "frame_sample",
     oracle="""
 WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
