@@ -155,6 +155,54 @@ def frame_sample(
     return staged.mapInPandas(run, schema=schema)
 
 
+def resize_media(
+    df: DataFrame,
+    target_len: int = 64,
+    id_col: str = "doc_id",
+    content_col: str = "media.content",
+    fake: bool = True,
+) -> DataFrame:
+    """Media resize, stubbed: nearest-neighbor downsampling of the raw
+    byte signal to ``target_len`` bytes (out[i] = buf[i*n//T]) — the
+    deterministic 1-D stand-in for an image resize kernel. With
+    fake=False this is where a real PIL/ffmpeg scaler would run per
+    Arrow batch; the Spark contract (1:1 row mapping, binary in/out,
+    batch shape) is identical either way."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("orig_len", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media resizing unavailable in this environment; "
+                    "install codec libs and pass fake=False with them present"
+                )
+            out = {"doc_id": [], "resized": [], "orig_len": []}
+            for i, buf in zip(pdf["id"], pdf["content"]):
+                buf = buf or b""
+                n = len(buf)
+                resized = (
+                    bytes(buf[(j * n) // target_len] for j in range(target_len))
+                    if n
+                    else b""
+                )
+                out["doc_id"].append(int(i))
+                out["resized"].append(resized)
+                out["orig_len"].append(n)
+            yield pd.DataFrame(out)
+
+    staged = df.select(F.col(id_col).alias("id"), F.col(content_col).alias("content"))
+    return staged.mapInPandas(run, schema=schema)
+
+
 @register("media_features")
 def media_features(fake: bool = True) -> Callable[[DataFrame], DataFrame]:
     def apply(df: DataFrame) -> DataFrame:

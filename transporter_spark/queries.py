@@ -1791,6 +1791,37 @@ def q_bpe_token_stats(spark, sf_dir):
 
 
 @q(
+    "media_resize",
+    oracle="""
+WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS orig_len,
+       md5(CASE WHEN n = 0 THEN '' ELSE
+         array_to_string(list_transform(range(0, 64),
+            i -> substring(text, CAST((i * n) // 64 AS BIGINT) + 1, 1)), '')
+       END) AS resized_md5
+FROM b
+""",
+)
+def q_media_resize(spark, sf_dir):
+    """Media resize plumbing (operators/multimodal.resize_media):
+    nearest-neighbor byte downsampling to 64 bytes through Arrow
+    mapInPandas, the 1-D stand-in for an image resize kernel. The
+    graded boundary emits (orig_len, md5 of the resized bytes); the
+    oracle replays the same index arithmetic in SQL (ASCII corpus:
+    bytes == chars, drift caught by the gate). Row-local, no shuffle,
+    binary payloads never leave executors."""
+    from transporter_spark.operators.multimodal import attach_media, resize_media
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = attach_media(
+        docs.withColumn("blob", F.encode("text", "utf-8")), "blob", "image/fake"
+    )
+    out = resize_media(media, target_len=64, id_col="doc_id", fake=True)
+    return out.select("doc_id", "orig_len", F.md5("resized").alias("resized_md5"))
+
+
+@q(
     "frame_sample",
     oracle="""
 WITH p AS (SELECT doc_id, text, octet_length(encode(text)) AS n,
