@@ -2235,6 +2235,57 @@ GROUP BY s_name
 
 
 @q(
+    "running_total",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(SUM(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(38,12)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_total
+FROM orders
+""",
+)
+def q_running_total(spark, sf_dir):
+    """Explicit window FRAME spec (ROWS BETWEEN UNBOUNDED PRECEDING AND
+    CURRENT ROW): per-customer cumulative spend. The frame order is a
+    total order (o_orderdate, o_orderkey unique per row), so every
+    prefix — and its exact decimal sum — is engine- and partitioning-
+    invariant; each prefix converts to double at the boundary. One
+    shuffle on o_custkey."""
+    o = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("string").cast("decimal(38,12)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@q(
+    "except_all",
+    oracle="""
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT ALL
+SELECT c_nationkey FROM customer WHERE c_acctbal < 0
+""",
+)
+def q_except_all(spark, sf_dir):
+    """Multiset set-op (EXCEPT ALL): bag difference with multiplicity —
+    the variant `set_ops` (distinct semantics) doesn't cover. Spark
+    plans both as one hash aggregation over tagged counts."""
+    cust = read_table(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    negative = cust.filter(F.col("c_acctbal") < 0).select("c_nationkey")
+    return building.exceptAll(negative)
+
+
+@q(
     "q17_small_quantity",
     oracle=f"""
 SELECT {_DSUM('l_extendedprice')} / 7.0 AS avg_yearly,
