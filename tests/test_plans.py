@@ -275,3 +275,70 @@ def test_training_pipeline_two_shuffles_one_scan(spark, sf_dir):
     plan = explain_str(df, "simple")
     assert plan.count("Scan parquet") == 1
     assert plan.count("Exchange") == 2, plan
+
+
+def test_q4_exists_is_semi_join_not_reexecution(spark, sf_dir):
+    """Q4's correlated EXISTS must plan as one left-semi hash join on
+    l_orderkey (with the date inequality as a residual), never a
+    per-order subquery re-execution or a nested loop over lineitem."""
+    df = QUERIES["q4_order_priority"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
+    # the quarter filter is pushed into the orders scan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan
+
+
+def test_q9_pushes_like_filter_and_broadcasts_dims(spark, sf_dir):
+    """Q9's p_name LIKE '%widget%' prunes part BEFORE the join (pushed
+    as StringContains), and all three dimension tables broadcast —
+    lineitem is scanned exactly once with no shuffle on the fact side
+    before aggregation."""
+    df = QUERIES["q9_product_profit"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "StringContains(p_name,widget)" in plan, "LIKE not pushed to scan"
+    assert plan.count("BroadcastHashJoin") >= 3
+    # formatted explain prints each node twice (tree + details):
+    # 4 scans, one per table, no rescans
+    assert plan.count("Scan parquet") == 8
+
+
+def test_q13_left_outer_preserves_zero_order_customers(spark, sf_dir):
+    """Q13 needs a genuine outer join (zero-order customers keep
+    c_count=0) and two aggregation levels, each partial-combined."""
+    df = QUERIES["q13_customer_distribution"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftOuter" in plan, plan
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    """Q16's NOT IN must become a (null-aware) anti join against the
+    tiny exclusion list — broadcast, not a per-row lookup — and the
+    COUNT(DISTINCT) expands to a two-phase aggregate."""
+    df = QUERIES["q16_supplier_counts"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    """Q22: NOT EXISTS -> anti hash join on o_custkey; the average-
+    balance threshold is a one-row scalar subquery (broadcast), not a
+    recomputation per row."""
+    df = QUERIES["q22_idle_customers"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftAnti" in plan, plan
+    assert "Subquery" in plan or "scalar-subquery" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_stays_hash_joins(spark, sf_dir):
+    """Q20's nested INs must all lower to semi hash joins (part list
+    into lineitem, qualifying suppliers into supplier) with no
+    correlated re-execution and no nested loop."""
+    df = QUERIES["q20_promotion_suppliers"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert "LeftSemi" in plan, plan
+    assert "CartesianProduct" not in plan
