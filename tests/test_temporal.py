@@ -89,3 +89,36 @@ def test_rollup_lattice_daily_equals_direct(spark, sf_dir):
         .collect()
     }
     assert derived == direct
+
+
+def test_sessionize_splits_on_gap(spark):
+    from transporter_spark.operators.temporal import sessionize
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, 7, base),
+        (2, 7, base + dt.timedelta(minutes=10)),   # same session
+        (3, 7, base + dt.timedelta(minutes=41)),   # 31 min gap -> new
+        (4, 7, base + dt.timedelta(minutes=71)),   # exactly 30 min -> SAME
+        (5, 8, base),                              # other user starts at 1
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    out = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", "30 minutes").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_sessionize_partition_invariant(spark):
+    from transporter_spark.operators.temporal import sessionize
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id") * 1200).alias("ts"),  # 20 min apart
+    )
+    a = sorted(map(tuple, sessionize(df, "user_id", "ts").collect()))
+    b = sorted(map(tuple, sessionize(df.repartition(13), "user_id", "ts").collect()))
+    assert a == b

@@ -150,3 +150,41 @@ def rollup_lattice(
         .agg(F.sum("sum_value").alias("sum_value"), F.sum("n").alias("n"))
     )
     return {"hourly": hourly, "daily": daily}
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Batch sessionization: split each key's event stream into
+    sessions wherever the inter-event gap exceeds ``gap``; emit a
+    per-key session sequence number.
+
+    The batch twin of streaming ``session_window`` (streaming/
+    windows.py): new_session = (ts - lag(ts) > gap), session_seq =
+    running sum of the flags. Both windows share ONE shuffle on key —
+    Catalyst evaluates lag and the cumulative sum in a single
+    sort-within-partition pass. Gap comparison is on exact timestamp
+    arithmetic (no epoch float math), so engines can't disagree on
+    boundaries.
+
+    Scale: per-key ordering only (no global sort); skewed keys bound
+    the partition, same envelope as any per-entity window.
+    """
+    w = Window.partitionBy(key).orderBy(ts)
+    run = (
+        Window.partitionBy(key)
+        .orderBy(ts)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    new_sess = F.when(
+        F.lag(ts).over(w).isNull()
+        | (F.col(ts) - F.lag(ts).over(w) > gap_expr),
+        1,
+    ).otherwise(0)
+    return df.withColumn("_new", new_sess).withColumn(
+        "session_seq", F.sum("_new").over(run).cast("long")
+    ).drop("_new")

@@ -3608,3 +3608,85 @@ WHERE c_acctbal > (SELECT {dsum_bal} / COUNT(*)
 GROUP BY c_nationkey
 """
     )
+
+
+# ===========================================================================
+# Round-2 training-pipeline additions: domain capping, deterministic
+# shuffle, batch sessionization
+# ===========================================================================
+
+@q(
+    "domain_cap",
+    oracle="""
+SELECT doc_id, source, keep_rank
+FROM (SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS keep_rank
+      FROM documents) t
+WHERE keep_rank <= 15
+""",
+)
+def q_domain_cap(spark, sf_dir):
+    """Domain capping: at most 15 docs per source, selected by
+    portable md5 rank (operators/sampling.cap_per_group) — the guard
+    against one crawl domain dominating a pretraining mix. One shuffle
+    on source; deterministic across engines and cluster sizes."""
+    from transporter_spark.operators.sampling import cap_per_group
+
+    docs = read_table(spark, sf_dir, "documents")
+    return cap_per_group(docs, "source", "doc_id", 15).select(
+        "doc_id", "source", "keep_rank"
+    )
+
+
+@q(
+    "deterministic_shuffle",
+    oracle="""
+SELECT doc_id,
+       SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+       ROW_NUMBER() OVER (PARTITION BY SUBSTRING(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pos
+FROM documents
+""",
+)
+def q_deterministic_shuffle(spark, sf_dir):
+    """Reproducible global shuffle for training order WITHOUT a global
+    sort: shard = md5 hex prefix (16-way), pos = per-shard rank;
+    read order is pos-major round-robin over shards. The naive
+    ROW_NUMBER() OVER (ORDER BY rand) funnels 100 TB through one
+    partition — this shape is fully parallel and engine-portable
+    (operators/sampling.deterministic_shuffle)."""
+    from transporter_spark.operators.sampling import deterministic_shuffle
+
+    docs = read_table(spark, sf_dir, "documents")
+    return deterministic_shuffle(docs, "doc_id").select("doc_id", "shard", "pos")
+
+
+@q(
+    "sessionize_events",
+    oracle="""
+SELECT event_id, user_id, session_seq, ts
+FROM (SELECT event_id, user_id, ts,
+             SUM(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM (SELECT event_id, user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events) l) s
+""",
+)
+def q_sessionize_events(spark, sf_dir):
+    """Batch sessionization (operators/temporal.sessionize): 30-minute
+    inactivity gap splits each user's stream into numbered sessions —
+    the batch twin of the streaming session_window query. lag + running
+    sum share ONE shuffle on user_id; gap math is exact timestamp
+    arithmetic, so session boundaries are engine-invariant. (events.ts
+    is unique per user in the testdata, so the window order is total.)"""
+    from transporter_spark.operators.temporal import sessionize
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, "user_id", "ts", "30 minutes").select(
+        "event_id", "user_id", "session_seq", "ts"
+    )
