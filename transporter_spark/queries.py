@@ -3690,3 +3690,67 @@ def q_sessionize_events(spark, sf_dir):
     return sessionize(ev, "user_id", "ts", "30 minutes").select(
         "event_id", "user_id", "session_seq", "ts"
     )
+
+
+@q(
+    "map_funcs",
+    oracle="""
+SELECT user_id,
+       COUNT(DISTINCT event_type) AS n_types,
+       STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+       COUNT(*) AS total_events
+FROM events
+GROUP BY user_id
+""",
+)
+def q_map_funcs(spark, sf_dir):
+    """Map-typed column surface: per-user event_type -> count map built
+    with map_from_entries, then interrogated with map_keys /
+    map_values + higher-order aggregate — all JVM-side. The oracle
+    states the same facts relationally (map columns don't hash in the
+    driver harness, so the boundary emits scalars: key list as sorted
+    CSV, value sum as total). One shuffle (user_id, event_type) then a
+    map-side collapse to user_id."""
+    ev = read_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("event_type", "n")))
+            ).alias("m")
+        )
+        .select(
+            "user_id",
+            F.size(F.map_keys("m")).cast("long").alias("n_types"),
+            F.array_join(F.sort_array(F.map_keys("m")), ",").alias("types_csv"),
+            F.expr(
+                "aggregate(map_values(m), 0L, (acc, v) -> acc + v)"
+            ).alias("total_events"),
+        )
+    )
+
+
+@q(
+    "regexp_funcs",
+    oracle="""
+SELECT doc_id,
+       LEN(regexp_extract_all(text, '[0-9]+')) AS n_numbers,
+       regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+       LENGTH(regexp_replace(text, '[aeiou]', '', 'g')) AS len_novowels
+FROM documents
+""",
+)
+def q_regexp_funcs(spark, sf_dir):
+    """Regexp scalar surface (extract / extract_all / global replace)
+    over the documents corpus — the text-wrangling primitives every
+    cleaning pipeline leans on. Patterns restricted to the
+    Java-regex/RE2 common subset so both engines agree; row-local,
+    zero shuffle, whole-stage codegen."""
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"))).cast("long").alias("n_numbers"),
+        F.regexp_extract("text", "([A-Za-z]+)", 1).alias("first_word"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("len_novowels"),
+    )
