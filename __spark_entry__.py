@@ -85,9 +85,27 @@ _PRIORITY = [
     # new this round: IVF ANN + frame sampling, value-checked
     "ann_ivf_topk",
     "frame_sample",
-    # past the round-1 grading cap, still deliberately ordered
+    # past the round-1 grading cap, still deliberately ordered:
+    # round-2 additions first (no CORRECTNESS row yet), then the
+    # round-1-green re-confirmations
     "dedup_clusters_exact",
     "q15_top_supplier",
+    "q4_order_priority",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q16_supplier_counts",
+    "q20_promotion_suppliers",
+    "q22_idle_customers",
+    "domain_cap",
+    "deterministic_shuffle",
+    "sessionize_events",
+    "map_funcs",
+    "regexp_funcs",
+    "q17_small_quantity",
+    "running_total",
+    "except_all",
 ]
 
 
