@@ -1,0 +1,95 @@
+"""CLI parity (cmd/transporter/main.go:44-60): run/test/about/init +
+config parsing with the reference's textual ${FOO} env substitution
+(goja_builder.go:60-74)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from transporter_spark.cli import (
+    SAMPLE_CONFIG,
+    about,
+    describe,
+    load_config,
+    main,
+    pipeline_from_config,
+    substitute_env,
+)
+
+
+def test_substitute_env_is_textual_and_pre_parse():
+    raw = '{"path": "${BASE}/data", "keep": "${MISSING}"}'
+    out = substitute_env(raw, {"BASE": "/tmp/x"})
+    assert json.loads(out) == {"path": "/tmp/x/data", "keep": "${MISSING}"}
+
+
+def test_pipeline_from_config_steps_are_sequential(tmp_path):
+    cfg = {
+        "name": "p",
+        "source": {"kind": "dir", "path": "/d", "namespaces": "a|b"},
+        "steps": [
+            {"transform": {"op": "pick", "fields": ["x"]}},
+            {"save": {"kind": "parquet", "path": "/o1/{ns}"}},
+            {"transform": {"op": "omit", "fields": ["y"], "ns": "a"}},
+            {"save": {"kind": "jsonl", "path": "/o2/{ns}", "ns": "a"}},
+        ],
+    }
+    p = pipeline_from_config(cfg)
+    # first sink sees one transform, second sees both (builder parity)
+    assert [t[0] for t in p._sinks[0].transforms] == ["pick"]
+    assert [t[0] for t in p._sinks[1].transforms] == ["pick", "omit"]
+    assert p._sinks[1].ns_pattern == "a"
+
+
+def test_pipeline_from_config_rejects_sinkless():
+    with pytest.raises(ValueError):
+        pipeline_from_config({"source": {"kind": "dir", "path": "/d"}, "steps": []})
+
+
+def test_describe_resolves_without_spark():
+    d = describe(SAMPLE_CONFIG)
+    assert d["pipeline"] == "sample"
+    assert d["source"]["kind"] == "dir"
+    assert d["edges"][0]["transforms"][0]["op"] == "skip"
+
+
+def test_about_lists_registered_surface():
+    info = about()
+    assert "jsonl" in info["sources"] and "jsonl" in info["sinks"]
+    for op in ("pick", "omit", "rename", "skip", "opfilter", "remap", "goja", "js"):
+        assert op in info["operators"], op
+    doc = about("pick")
+    assert "operator" in doc and doc["doc"]
+
+
+def test_init_then_test_roundtrip(tmp_path, monkeypatch, capsys):
+    assert main(["init", str(tmp_path)]) == 0
+    monkeypatch.setenv("SF_DIR", "/root/testdata/sf0.001")
+    cfg = load_config(str(tmp_path / "pipeline.json"))
+    assert cfg["source"]["path"] == "/root/testdata/sf0.001"
+    assert main(["test", str(tmp_path / "pipeline.json")]) == 0
+    # re-init refuses to overwrite
+    assert main(["init", str(tmp_path)]) == 1
+
+
+def test_cli_run_end_to_end(tmp_path, spark, sf_dir, monkeypatch):
+    """`run` on a config file: dir source -> skip transform -> jsonl
+    sink, verified by reading the output back."""
+    cfg = {
+        "name": "e2e",
+        "source": {"kind": "dir", "path": "${SF_DIR}", "namespaces": "^nation$"},
+        "steps": [
+            {"transform": {"op": "skip", "field": "n_nationkey", "operator": "<", "match": 5}},
+            {"save": {"kind": "jsonl", "path": str(tmp_path / "out_{ns}")}},
+        ],
+    }
+    path = tmp_path / "pipeline.json"
+    path.write_text(json.dumps(cfg))
+    monkeypatch.setenv("SF_DIR", sf_dir)
+    monkeypatch.setattr("transporter_spark.cli._get_spark", lambda: spark)
+    assert main(["run", str(path)]) == 0
+    back = spark.read.json(str(tmp_path / "out_nation"))
+    assert back.count() == 5
+    assert set(r["n_nationkey"] for r in back.collect()) == {0, 1, 2, 3, 4}

@@ -1,0 +1,211 @@
+"""CLI — the `transporter` command analog (cmd/transporter/main.go:44-60).
+
+Subcommand parity:
+
+| reference (`transporter ...`)     | here (`python -m transporter_spark ...`) |
+|-----------------------------------|------------------------------------------|
+| run [pipeline.js]                 | run [pipeline.json]                      |
+| test [pipeline.js] (dry-run desc) | test [pipeline.json]                     |
+| about [adaptor]                   | about [name]                             |
+| init                              | init [dir]                               |
+| xlog current/oldest/show          | xlog current/oldest/show <checkpoint>    |
+| offset list/show/mark             | offset list/show/mark <checkpoint> ...   |
+
+The "query language" difference is deliberate: the reference evaluates
+a JavaScript DSL in a goja VM (cmd/transporter/goja_builder.go:31-56);
+here the pipeline spec is plain JSON handed to the same builder the
+Python API uses, so there is exactly one pipeline semantics. What IS
+kept verbatim is the textual `${FOO}` environment-variable substitution
+applied to the raw config before parsing (goja_builder.go:60-74).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+from typing import List, Optional
+
+from transporter_spark.plans.pipeline import Pipeline
+
+_ENV_RE = re.compile(r"\$\{(\w+)\}")
+
+SOURCE_KINDS = ("dir", "parquet", "jsonl", "dataframe", "jdbc")
+SINK_KINDS = ("parquet", "jsonl", "console", "memory", "jdbc")
+
+SAMPLE_CONFIG = {
+    "name": "sample",
+    "source": {"kind": "dir", "path": "${SF_DIR}", "namespaces": "lineitem|orders"},
+    "steps": [
+        {
+            "transform": {
+                "op": "skip",
+                "ns": "lineitem",
+                "field": "l_quantity",
+                "operator": ">",
+                "match": 10,
+            }
+        },
+        {"save": {"kind": "parquet", "path": "/tmp/out/{ns}"}},
+    ],
+}
+
+
+def substitute_env(raw: str, env: Optional[dict] = None) -> str:
+    """Textual `${FOO}` substitution on the raw config string — the
+    reference does this BEFORE parsing (goja_builder.go:60-74), so the
+    substitution is oblivious to JSON structure; unknown vars are left
+    as-is (matching os.Expand's with-default behavior there)."""
+    env = env if env is not None else dict(os.environ)
+    return _ENV_RE.sub(lambda m: str(env.get(m.group(1), m.group(0))), raw)
+
+
+def pipeline_from_config(cfg: dict) -> Pipeline:
+    """Build a Pipeline from a parsed config dict. `steps` is an
+    ordered list of {"transform": {...}} / {"save": {...}} entries —
+    the sequential Source().Transform().Save() chain of the reference's
+    DSL, one-to-one."""
+    p = Pipeline(cfg.get("name", "pipeline"))
+    src = dict(cfg["source"])
+    p.source(src.pop("kind"), **src)
+    for step in cfg.get("steps", []):
+        if "transform" in step and "save" in step:
+            raise ValueError("a step is either a transform or a save, not both")
+        if "transform" in step:
+            t = dict(step["transform"])
+            p.transform(t.pop("op"), ns=t.pop("ns", None), **t)
+        elif "save" in step:
+            s = dict(step["save"])
+            p.save(s.pop("kind"), ns=s.pop("ns", None), **s)
+        else:
+            raise ValueError(f"unknown step {step!r}")
+    if not p._sinks:
+        raise ValueError("pipeline config has no save step")
+    return p
+
+
+def load_config(path: str, env: Optional[dict] = None) -> dict:
+    with open(path) as f:
+        raw = f.read()
+    return json.loads(substitute_env(raw, env))
+
+
+def describe(cfg: dict) -> dict:
+    """`transporter test` analog: resolve and describe the pipeline
+    without running it (run.go `runTest` prints the node tree)."""
+    p = pipeline_from_config(cfg)
+    kind, scfg = p._source
+    return {
+        "pipeline": p.name,
+        "source": {"kind": kind, **{k: str(v) for k, v in scfg.items()}},
+        "edges": [
+            {
+                "sink": e.kind,
+                "ns": e.ns_pattern or ".*",
+                "transforms": [
+                    {"op": op, "ns": ns or ".*", **{k: str(v) for k, v in c.items()}}
+                    for op, ns, c in e.transforms
+                ],
+            }
+            for e in p._sinks
+        ],
+    }
+
+
+def about(name: Optional[str] = None) -> dict:
+    """`transporter about` analog: list every registered adaptor kind
+    and transform operator (adaptor/registry.go:10-33,
+    function/registry.go:22-45); with a name, show its doc."""
+    from transporter_spark.registry import OPERATORS, _ensure_loaded
+
+    _ensure_loaded()
+    if name:
+        if name in OPERATORS:
+            fac = OPERATORS[name]
+            return {"operator": name, "doc": (fac.__doc__ or "").strip()}
+        if name in SOURCE_KINDS or name in SINK_KINDS:
+            roles = [
+                r
+                for r, kinds in (("source", SOURCE_KINDS), ("sink", SINK_KINDS))
+                if name in kinds
+            ]
+            return {"adaptor": name, "roles": roles}
+        return {"error": f"unknown adaptor/operator {name!r}"}
+    return {
+        "sources": list(SOURCE_KINDS),
+        "sinks": list(SINK_KINDS),
+        "operators": sorted(OPERATORS),
+    }
+
+
+def _get_spark():
+    from transporter_spark.session import get_spark
+
+    return get_spark("transporter-spark-cli")
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = list(argv) if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 2
+    cmd, rest = argv[0], argv[1:]
+
+    if cmd == "run":
+        cfg = load_config(rest[0] if rest else "pipeline.json")
+        pipeline_from_config(cfg).run(_get_spark())
+        return 0
+
+    if cmd == "test":
+        cfg = load_config(rest[0] if rest else "pipeline.json")
+        print(json.dumps(describe(cfg), indent=2))
+        return 0
+
+    if cmd == "about":
+        print(json.dumps(about(rest[0] if rest else None), indent=2))
+        return 0
+
+    if cmd == "init":
+        target = os.path.join(rest[0] if rest else ".", "pipeline.json")
+        if os.path.exists(target):
+            print(f"{target} already exists", file=sys.stderr)
+            return 1
+        with open(target, "w") as f:
+            json.dump(SAMPLE_CONFIG, f, indent=2)
+        print(f"wrote {target}")
+        return 0
+
+    if cmd == "xlog":
+        from transporter_spark.tools import checkpoint_state
+
+        sub = rest[0] if rest else "show"
+        state = checkpoint_state(rest[1])
+        if sub == "current":
+            print(state["current_batch"])
+        elif sub == "oldest":
+            print(state["oldest_batch"])
+        else:
+            print(json.dumps(state, indent=2, default=str))
+        return 0
+
+    if cmd == "offset":
+        from transporter_spark.tools import list_offsets, mark_offset
+
+        sub = rest[0] if rest else "list"
+        if sub in ("list", "show"):
+            print(json.dumps(list_offsets(rest[1]), indent=2, default=str))
+        elif sub == "mark":
+            path = mark_offset(rest[1], int(rest[2]), rest[3:])
+            print(f"wrote {path}")
+        else:
+            print("usage: offset list|show|mark <checkpoint> [batch entries...]")
+            return 2
+        return 0
+
+    print(f"unknown subcommand {cmd!r}; one of run/test/about/init/xlog/offset")
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
