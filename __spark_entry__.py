@@ -103,6 +103,8 @@ _PRIORITY = [
     "sessionize_events",
     "map_funcs",
     "regexp_funcs",
+    "length_quantile_gate",
+    "rarity_score",
     "q17_small_quantity",
     "running_total",
     "except_all",

@@ -3754,3 +3754,84 @@ def q_regexp_funcs(spark, sf_dir):
         F.regexp_extract("text", "([A-Za-z]+)", 1).alias("first_word"),
         F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias("len_novowels"),
     )
+
+
+@q(
+    "length_quantile_gate",
+    oracle="""
+SELECT doc_id, lang, n_chars, pr
+FROM (SELECT doc_id, lang, n_chars,
+             PERCENT_RANK() OVER (PARTITION BY lang
+                                  ORDER BY n_chars, doc_id) AS pr
+      FROM documents) t
+WHERE pr >= 0.2
+""",
+)
+def q_length_quantile_gate(spark, sf_dir):
+    """Per-language quantile gate: drop the shortest 20% of docs
+    WITHIN each language — the standard fix for absolute-length
+    thresholds over-pruning terse languages. percent_rank over a total
+    order (n_chars, doc_id) is engine- and partition-invariant
+    (exact rational = rank/(n-1), identical double both sides). One
+    shuffle on lang; at 100 TB lang is low-cardinality but huge per
+    group — the window only needs the per-group sort, and an
+    approx_percentile threshold join is the spill-free alternative the
+    operator docstrings note."""
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        docs.select(
+            "doc_id", "lang", "n_chars", F.percent_rank().over(w).alias("pr")
+        )
+        .filter(F.col("pr") >= 0.2)
+    )
+
+
+@q(
+    "rarity_score",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, t.tok
+  FROM documents,
+       LATERAL (SELECT UNNEST(list_filter(
+           regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok) t),
+df AS (
+  SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
+SELECT toks.doc_id,
+       SUM(doc_freq) AS df_sum,
+       COUNT(*) AS n_toks,
+       CAST(SUM(doc_freq) AS DOUBLE) / COUNT(*) AS avg_df
+FROM toks JOIN df USING (tok)
+GROUP BY toks.doc_id
+""",
+)
+def q_rarity_score(spark, sf_dir):
+    """TF-IDF-lite rarity scoring: corpus-wide token document
+    frequency, joined back to score each doc by the mean df of its
+    tokens (low = rare/jargon-heavy, high = boilerplate) — the
+    two-pass explode -> aggregate -> join-back -> aggregate pipeline
+    every idf-style featurizer uses. Exact integer sums / counts, one
+    double division at the boundary. Scale shape: token df table
+    shuffles on tok (combine absorbs Zipf head); the join back is
+    tok-keyed; hot stopword tokens are the skew case AQE splits."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z]+"), lambda x: x != ""
+            )
+        ).alias("tok"),
+    )
+    df_tbl = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    return (
+        toks.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("doc_freq").alias("df_sum"),
+            F.count("*").alias("n_toks"),
+            (F.sum("doc_freq").cast("double") / F.count("*")).alias("avg_df"),
+        )
+    )
