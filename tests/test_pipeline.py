@@ -138,3 +138,68 @@ def test_nanos_probe_ignores_spark_written_int96(spark, sf_dir, tmp_path):
     orig = {r.event_id: r.ts for r in ev.limit(100).collect()}
     for r in again.collect():
         assert r.ts == orig[r.event_id]
+
+
+def test_run_stream_copy_then_resume_moves_only_delta(spark, tmp_path):
+    """Streaming pipeline execution (the reference's daemon mode):
+    copy phase drains everything; after appending new source lines, a
+    re-run with the SAME checkpoint root processes ONLY the delta —
+    the per-sink consumer-offset resume contract
+    (offset/logmanager.go:14-131, pipeline/node.go:269-356)."""
+    import json as _json
+
+    from transporter_spark.plans.pipeline import Pipeline
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(_json.dumps({"k": i, "v": f"r{i}"}) for i in range(10)) + "\n"
+    )
+
+    def mk():
+        return (
+            Pipeline("stream-e2e")
+            .source("jsonl", path=str(src), ns="app.rows")
+            .transform("skip", field="k", operator=">=", match=2)
+            .save("jsonl", path=str(tmp_path / "out"))
+        )
+
+    ev1 = mk().run_stream(spark, str(tmp_path / "ckpt"))
+    assert ev1["rows"]["app.rows -> jsonl[0]"] == 10  # source rows in epoch 1
+    out1 = spark.read.json(str(tmp_path / "out"))
+    assert out1.count() == 8  # k>=2 passed the filter
+
+    # tail phase: append one new file, same checkpoint -> only delta
+    (src / "b.jsonl").write_text(
+        "\n".join(_json.dumps({"k": i, "v": f"r{i}"}) for i in range(10, 14)) + "\n"
+    )
+    ev2 = mk().run_stream(spark, str(tmp_path / "ckpt"))
+    assert ev2["rows"]["app.rows -> jsonl[0]"] == 4  # NOT 14: resume, not re-copy
+    assert spark.read.json(str(tmp_path / "out")).count() == 12
+
+
+def test_run_stream_fanout_separate_offsets(spark, tmp_path):
+    """1 source -> 2 sinks: each edge owns a checkpoint (per-sink
+    offsets), so both drain independently in one run."""
+    import json as _json
+
+    from transporter_spark.plans.pipeline import Pipeline
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        "\n".join(_json.dumps({"k": i}) for i in range(6)) + "\n"
+    )
+    p = (
+        Pipeline("fanout")
+        .source("jsonl", path=str(src), ns="app.rows")
+        .save("jsonl", path=str(tmp_path / "o1"))
+        .transform("skip", field="k", operator="<", match=3)
+        .save("jsonl", path=str(tmp_path / "o2"))
+    )
+    p.run_stream(spark, str(tmp_path / "ckpt"))
+    assert spark.read.json(str(tmp_path / "o1")).count() == 6
+    assert spark.read.json(str(tmp_path / "o2")).count() == 3
+    import os
+
+    assert len(os.listdir(tmp_path / "ckpt")) == 2  # one offset dir per edge

@@ -154,7 +154,16 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if cmd == "run":
         cfg = load_config(rest[0] if rest else "pipeline.json")
-        pipeline_from_config(cfg).run(_get_spark())
+        p = pipeline_from_config(cfg)
+        stream = cfg.get("streaming")
+        if stream:
+            p.run_stream(
+                _get_spark(),
+                stream["checkpoint"],
+                available_now=stream.get("available_now", True),
+            )
+        else:
+            p.run(_get_spark())
         return 0
 
     if cmd == "test":
