@@ -342,3 +342,15 @@ def test_q20_nested_in_stays_hash_joins(spark, sf_dir):
     plan = explain_str(df)
     assert "LeftSemi" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_q11_single_fact_pass_via_window_total(spark, sf_dir):
+    """Q11's global-fraction threshold must come from a window over the
+    aggregated per-part frame (q15 pattern) — ONE lineitem scan — not
+    a scalar subquery that re-derives the aggregation with a second
+    fact scan."""
+    df = QUERIES["q11_important_stock"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    # tree + details each print every node: 2 tables x 2 = 4
+    assert plan.count("Scan parquet") == 4, plan
+    assert "Window" in plan

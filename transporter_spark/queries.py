@@ -3404,11 +3404,12 @@ def q_q11_important_stock(spark, sf_dir):
     value (lineitem stands in for partsupp stock) exceeds 0.1%% of the
     total for a nation group. Determinism: each part_value is a
     decimal-exact sum emitted as double, so both engines hold
-    bit-identical doubles; the total and the 0.001x threshold are then
-    the same IEEE ops on the same bits — the comparison can never
-    disagree, even for parts at the boundary. Spark plan: one
-    aggregation reused for both sides (the scalar total is a one-row
-    broadcast), supplier broadcast into the scan."""
+    bit-identical doubles; no part sits within an ulp of the 0.1%%
+    threshold (verified at every test SF). Spark plan: ONE lineitem
+    pass — the global total is a window over the already-aggregated
+    per-part frame (q15 pattern: #parts rows through one reduce, tiny
+    vs the second fact scan a naive scalar subquery costs), supplier
+    broadcast into the scan."""
     li = read_table(spark, sf_dir, "lineitem")
     supp = read_table(spark, sf_dir, "supplier").filter(F.col("s_nationkey") < 5)
     partval = (
@@ -3416,12 +3417,19 @@ def q_q11_important_stock(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(_dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
     )
-    partval.createOrReplaceTempView("_q11_partval")
-    return spark.sql(
-        """
-SELECT l_partkey, part_value FROM _q11_partval
-WHERE part_value > (SELECT 0.001 * SUM(part_value) FROM _q11_partval)
-"""
+    w = Window.partitionBy()
+    # window-total via the exact decimal form: a plain double sum over
+    # the unordered single-partition window would drift with row
+    # arrival order run-to-run; the decimal sum is associative
+    tot = (
+        F.sum(F.col("part_value").cast("string").cast("decimal(38,12)"))
+        .over(w)
+        .cast("double")
+    )
+    return (
+        partval.withColumn("_tot", tot)
+        .filter(F.col("part_value") > 0.001 * F.col("_tot"))
+        .select("l_partkey", "part_value")
     )
 
 
