@@ -283,3 +283,71 @@ def test_rethink_classification_total_on_valid_changes(changes):
             assert op == "insert" and doc == ch["new_val"]
         else:
             assert op == "delete" and doc == ch["old_val"]
+
+
+@_settings
+@given(
+    gaps=st.lists(st.integers(min_value=1, max_value=7200), min_size=1, max_size=25),
+)
+def test_sessionize_matches_sequential_reference(sess, gaps):
+    """sessionize == the obvious sequential algorithm: walk a user's
+    events in time order, increment the session counter whenever the
+    gap exceeds the threshold (> 1800s here)."""
+    import datetime as dt
+
+    from transporter_spark.operators.temporal import sessionize
+
+    t = dt.datetime(2024, 1, 1)
+    times = []
+    for g in gaps:
+        t = t + dt.timedelta(seconds=g)
+        times.append(t)
+    rows = [(i, 1, ts) for i, ts in enumerate(times)]
+    df = sess.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r["event_id"]: r["session_seq"]
+        for r in sessionize(df, "user_id", "ts", "30 minutes").collect()
+    }
+    expected, seq, prev = {}, 0, None
+    for i, ts in enumerate(times):
+        if prev is None or (ts - prev).total_seconds() > 1800:
+            seq += 1
+        expected[i] = seq
+        prev = ts
+    assert got == expected
+
+
+@_settings
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1,
+                  max_size=40, unique=True),
+    cap=st.integers(min_value=1, max_value=10),
+    ngroups=st.integers(min_value=1, max_value=4),
+)
+def test_cap_per_group_laws(sess, keys, cap, ngroups):
+    """(1) every group ends at most `cap` rows; (2) a group smaller
+    than cap is untouched; (3) the kept KEY SET is invariant under
+    input order (selection depends only on md5, not arrival)."""
+    import pyspark.sql.functions as F
+
+    from transporter_spark.operators.sampling import cap_per_group
+
+    rows = [(k, f"g{k % ngroups}") for k in keys]
+    df = sess.createDataFrame(rows, "k long, g string")
+    out = cap_per_group(df, "g", "k", cap).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r["g"], []).append(r["k"])
+    from collections import Counter
+
+    input_sizes = Counter(g for _, g in rows)
+    for g, kept in by_group.items():
+        assert len(kept) == min(cap, input_sizes[g])
+    kept_a = sorted(r["k"] for r in out)
+    kept_b = sorted(
+        r["k"]
+        for r in cap_per_group(
+            df.orderBy(F.col("k").desc()).repartition(5), "g", "k", cap
+        ).collect()
+    )
+    assert kept_a == kept_b
