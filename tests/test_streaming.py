@@ -265,3 +265,56 @@ def test_stream_drop_duplicates_removes_reingested_rows(spark, sf_dir, tmp_path)
         1
     ).write.mode("append").parquet(src)
     assert drain() == 3  # only id=3 added; duplicate id=1 suppressed
+
+
+def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
+    """Continuous-aggregate refresh: hourly partials maintained over 2
+    micro-batches, daily derived from them, must equal rollup_lattice
+    recomputed over ALL raw rows — bit-for-bit (decimal partials are
+    associative, so batch boundaries can't leak into results)."""
+    import json as _json
+
+    from transporter_spark.operators.temporal import rollup_lattice
+    from transporter_spark.streaming.windows import (
+        incremental_rollup_sink,
+        rollup_daily_from_state,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"ts": f"2024-01-0{1 + i % 2}T{i % 24:02d}:15:00", "k": f"g{i % 3}", "value": 0.1 * i}
+        for i in range(48)
+    ]
+    (src / "a.jsonl").write_text("\n".join(_json.dumps(r) for r in rows[:30]) + "\n")
+    (src / "b.jsonl").write_text("\n".join(_json.dumps(r) for r in rows[30:]) + "\n")
+
+    schema = "ts timestamp, k string, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    state = str(tmp_path / "hourly_state")
+    incremental_rollup_sink(
+        stream, state, checkpoint_dir=str(tmp_path / "ckpt"), keys=("k",)
+    )
+
+    batch = spark.read.schema(schema).json(str(src))
+    expect = rollup_lattice(batch, ts="ts", keys=("k",), value="value")
+
+    def canon(df):
+        return sorted(
+            (str(r[0]), r[1], str(r[2]), int(r[3])) for r in df.collect()
+        )
+
+    got_hourly = spark.read.parquet(state).select("hour", "k", "sum_value", "n")
+    assert canon(got_hourly) == canon(
+        expect["hourly"].select("hour", "k", "sum_value", "n")
+    )
+    got_daily = rollup_daily_from_state(spark, state, keys=("k",)).select(
+        "day", "k", "sum_value", "n"
+    )
+    assert canon(got_daily) == canon(
+        expect["daily"].select("day", "k", "sum_value", "n")
+    )
