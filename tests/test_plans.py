@@ -354,3 +354,21 @@ def test_q11_single_fact_pass_via_window_total(spark, sf_dir):
     # tree + details each print every node: 2 tables x 2 = 4
     assert plan.count("Scan parquet") == 4, plan
     assert "Window" in plan
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a lang='en' filter must become a
+    PartitionFilter (directories never listed), not a row filter — at
+    100 TB this is the difference between scanning one language's
+    files and scanning the corpus."""
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_by_lang")
+    docs.write.partitionBy("lang").parquet(out)
+    scan = spark.read.parquet(out).filter(F.col("lang") == "en").select("doc_id")
+    plan = explain_str(scan)
+    assert "PartitionFilters: [isnotnull(lang" in plan or "PartitionFilters: [" in plan
+    # the partition predicate must NOT appear as a post-scan Filter
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "lang" in pf_line, plan
+    n_en = docs.filter(F.col("lang") == "en").count()
+    assert scan.count() == n_en
