@@ -89,3 +89,31 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    """salted_join == plain join, row-for-row (inner and left), on a
+    deliberately skewed fact (half the rows share one hot key)."""
+    import pyspark.sql.functions as F
+
+    from transporter_spark.operators.relational import salted_join
+    from transporter_spark.sources.files import read_table
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    # skew it: fold half the supplier keys onto key 1
+    fact = li.withColumn(
+        "l_suppkey",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(1)).otherwise(F.col("l_suppkey")),
+    )
+    dim = read_table(spark, sf_dir, "supplier").withColumnRenamed("s_suppkey", "l_suppkey")
+
+    for how in ("inner", "left"):
+        plain = fact.join(dim, "l_suppkey", how)
+        salted = salted_join(fact, dim, "l_suppkey", salt_buckets=8, how=how)
+        assert sorted(map(tuple, plain.select(sorted(plain.columns)).collect())) == \
+               sorted(map(tuple, salted.select(sorted(salted.columns)).collect()))
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        salted_join(fact, dim, "l_suppkey", how="full")

@@ -89,3 +89,37 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join for when AQE can't save you: the fact side
+    salts its key into `salt_buckets` sub-keys, the dim side replicates
+    each row once per bucket, and the join runs on (key, salt) — a hot
+    fact key's rows land on `salt_buckets` reducers instead of one.
+
+    When to use over alternatives (the decision AQE makes for you when
+    it can): broadcast beats this whenever dim fits in memory; AQE
+    skew-split beats it when the skew is visible in shuffle stats at
+    runtime. Salting is for the remaining case — dim too big to
+    broadcast AND the skew introduced upstream of the final exchange
+    (e.g. the fact side arrives pre-partitioned on the hot key, so no
+    single exchange shows the imbalance). Cost: dim shuffles
+    `salt_buckets`x its size; fact pays nothing extra.
+
+    Only `how='inner'`/'left' are meaningful (dim replication makes
+    right/full-side null-extension ambiguous).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins only")
+    f = fact.withColumn("_salt", (F.rand(seed=7) * salt_buckets).cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = f.join(d, [key, "_salt"], how)
+    return out.drop("_salt")
