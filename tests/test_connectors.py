@@ -185,15 +185,41 @@ def _envelope_rows():
 
 
 def test_es_bulk_payload_exact_ndjson():
+    """v5 default (clients/v5/writer.go:76-127): typed actions, _id
+    popped into the meta, partial-doc update, flush-before-delete."""
     bodies = list(es_bulk_payloads(_envelope_rows()))
-    assert len(bodies) == 1
-    assert bodies[0] == (
-        '{"index":{"_id":"1","_index":"db.users"}}\n'
-        '{"_id":1,"name":"a"}\n'
-        '{"index":{"_id":"2","_index":"db.users"}}\n'
-        '{"_id":2,"name":"b"}\n'
-        '{"delete":{"_id":"3","_index":"db.users"}}\n'
-    )
+    assert bodies == [
+        '{"index":{"_id":"1","_index":"db.users","_type":"db.users"}}\n'
+        '{"name":"a"}\n'
+        '{"update":{"_id":"2","_index":"db.users","_type":"db.users"}}\n'
+        '{"doc":{"name":"b"}}\n',
+        '{"delete":{"_id":"3","_index":"db.users","_type":"db.users"}}\n',
+    ]
+
+
+def test_es_bulk_v5_parent_routing():
+    """v5 parent/child (clients/v5/writer.go:91-119): the parent_field
+    value is popped from the doc and becomes parent+routing on
+    index/update, routing-only on delete."""
+    rows = [
+        {"op": "insert", "ns": "db.msgs", "data": {"_id": 1, "t": "x", "pid": "u7"}},
+        {"op": "update", "ns": "db.msgs", "data": {"_id": 2, "t": "y", "pid": "u8"}},
+        {"op": "delete", "ns": "db.msgs", "data": {"_id": 3, "pid": "u9"}},
+        {"op": "insert", "ns": "db.msgs", "data": {"_id": 4, "t": "z"}},  # no parent
+    ]
+    bodies = list(es_bulk_payloads(rows, version="v5", parent_field="pid"))
+    assert bodies == [
+        '{"index":{"_id":"1","_index":"db.msgs","_type":"db.msgs","parent":"u7","routing":"u7"}}\n'
+        '{"t":"x"}\n'
+        '{"update":{"_id":"2","_index":"db.msgs","_type":"db.msgs","parent":"u8","routing":"u8"}}\n'
+        '{"doc":{"t":"y"}}\n',
+        '{"delete":{"_id":"3","_index":"db.msgs","_type":"db.msgs","routing":"u9"}}\n'
+        '{"index":{"_id":"4","_index":"db.msgs","_type":"db.msgs"}}\n'
+        '{"t":"z"}\n',
+    ]
+    # v2 never emits parent/routing even when configured
+    v2 = "".join(es_bulk_payloads(rows, version="v2", parent_field="pid"))
+    assert "parent" not in v2.replace('"pid"', "") and "routing" not in v2
 
 
 def test_es_bulk_splits_at_max_actions_and_bytes():

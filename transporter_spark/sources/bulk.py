@@ -107,33 +107,37 @@ def es_bulk_payloads(
     max_actions: int = 1000,
     max_bytes: int = 2 * 1024 * 1024,
     version: str = "v5",
+    parent_field: Optional[str] = None,
 ) -> Iterator[str]:
     """Build Elasticsearch `_bulk` NDJSON bodies from envelope rows.
 
-    Each row is {op, ns, data: dict}. Default (v5, clients/v5/writer.go:
-    95-125): Insert/Update become an `index` action (index-or-replace by
-    `_id` — the reference's upsert semantics); Delete becomes a `delete`
-    action. Unknown ops pass through silently (reference contract:
-    unknown ops are acked, never fail the pipeline). Bodies are capped
-    at `max_actions` / `max_bytes` — the reference's BulkProcessor
-    thresholds (:60-65); the 5 s timer is the micro-batch trigger.
+    Each row is {op, ns, data: dict}. Shared contract across the bulk
+    generations (clients/v5/writer.go:76-127, v2/writer.go:74-105):
+    `_type` = namespace, `_id` is read out of the doc and REMOVED from
+    the body, Insert is an `index` action (full replace by `_id`),
+    Update is a real `update` action with a `{"doc": ...}` partial
+    body, and a Delete flushes pending actions into their own body
+    first (the reference flushes its 2-worker BulkProcessor before
+    queueing deletes to preserve apply order). Unknown ops pass through
+    silently (acked, never fail the pipeline). Bodies are capped at
+    `max_actions` / `max_bytes` — the BulkProcessor thresholds
+    (v5/writer.go:60-65); the 5 s timer is the micro-batch trigger.
 
-    Version variants (pick with sniff_es_client / pick_es_client):
+    Version differences (pick with sniff_es_client / pick_es_client):
 
-    - ``v2`` (clients/v2/writer.go:74-105): the doc `_type` is the
-      namespace, `_id` is REMOVED from the body, Update is a real
-      `update` action with a `{"doc": ...}` partial body, and a Delete
-      flushes pending actions first (the reference flushes its
-      processor before queueing deletes) — so a delete always starts a
-      fresh body, preserving apply order across the 2-worker processor.
+    - ``v5`` only: parent/child support — ``parent_field`` names a doc
+      field whose value is popped and becomes `parent` + `routing` on
+      index/update actions and `routing` on deletes
+      (clients/v5/writer.go:91-119; `parent_id` conf at
+      elasticsearch.go:47).
     - ``v1`` (clients/v1/writer.go:55-78): no bulk API at all —
       individual index/delete requests; each action is emitted as its
-      own single-action body, `_id` stays in the document.
+      own single-action body, `_id` stays in the document, Update is a
+      full-replace Index call.
     """
     lines: List[str] = []
     actions = 0
     size = 0
-    typed = version in ("v1", "v2")
     for row in rows:
         op = str(row.get(op_field, "insert")).lower()
         data = dict(row.get("data") or {})
@@ -141,26 +145,43 @@ def es_bulk_payloads(
         idx = index or ns
         doc_id = data.get(id_field, row.get(id_field))
         flush_first = False
-        if typed and id_field in data and version == "v2":
-            del data[id_field]  # v2 moves _id to the action meta only
+        # every generation sets Type(namespace) and reads _id out of the
+        # doc; v2/v5 additionally REMOVE _id from the body
+        # (writer.go v5:86-89, v2:84-87; v1:58-61 keeps it)
+        if id_field in data and version in ("v2", "v5"):
+            del data[id_field]
+        # v5 parent/child: pop the configured field; its value becomes
+        # parent + routing on index/update, routing on delete
+        # (clients/v5/writer.go:91-119; ParentID conf elasticsearch.go:47)
+        pid = None
+        if version == "v5" and parent_field and parent_field in data:
+            pid = str(data.pop(parent_field))
         if op in _DELETE_OPS:
-            meta = {"delete": {"_index": idx, "_id": str(doc_id)}}
-            if typed:
-                meta["delete"]["_type"] = ns
+            meta = {"delete": {"_index": idx, "_id": str(doc_id), "_type": ns}}
+            if pid is not None:
+                meta["delete"]["routing"] = pid
             entry = [_dumps(meta)]
-            flush_first = version == "v2"  # flush-before-delete contract
+            # both bulk generations flush pending writes before a delete
+            # (the >1-worker ordering guard, v5:99-101, v2:92-94)
+            flush_first = version in ("v2", "v5")
         elif op in ("insert", "update"):
-            if version == "v2" and op == "update":
+            if version in ("v2", "v5") and op == "update":
+                # a real partial-document update action
+                # (NewBulkUpdateRequest().Doc, v5:115-121, v2:98-99)
                 meta = {"update": {"_index": idx, "_type": ns}}
                 if doc_id is not None:
                     meta["update"]["_id"] = str(doc_id)
+                if pid is not None:
+                    meta["update"]["parent"] = pid
+                    meta["update"]["routing"] = pid
                 entry = [_dumps(meta), _dumps({"doc": data})]
             else:
-                meta = {"index": {"_index": idx}}
-                if typed:
-                    meta["index"]["_type"] = ns
+                meta = {"index": {"_index": idx, "_type": ns}}
                 if doc_id is not None:
                     meta["index"]["_id"] = str(doc_id)
+                if pid is not None:
+                    meta["index"]["parent"] = pid
+                    meta["index"]["routing"] = pid
                 entry = [_dumps(meta), _dumps(data)]
         else:  # command/noop/unknown: pass through, never fail
             continue
