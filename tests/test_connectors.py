@@ -928,3 +928,19 @@ def test_pgdecode_tail_datasource_streams(spark, tmp_path):
     assert run_batch() == {
         (1, "insert"), (2, "insert"), (1, "update"), (2, "delete"),
     }
+
+
+def test_rethinkdb_prepare_keeps_existing_id_untouched():
+    """prepareDocument (writer.go:96-106): a doc that already carries
+    `id` is passed through unchanged — even when `_id` is also present
+    — and only an id-less doc gets the `_id` -> `id` rename."""
+    from transporter_spark.sources.bulk import rethinkdb_bulk_ops
+
+    rows = [
+        {"op": "insert", "ns": "t", "data": {"id": "keep", "_id": "shadow", "v": 1}},
+        {"op": "insert", "ns": "t", "data": {"_id": "renamed", "v": 2}},
+    ]
+    (kind, docs), = rethinkdb_bulk_ops(rows)
+    assert kind == "insert"
+    assert docs[0] == {"id": "keep", "_id": "shadow", "v": 1}
+    assert docs[1] == {"id": "renamed", "v": 2}

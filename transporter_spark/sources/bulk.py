@@ -420,7 +420,10 @@ def rethinkdb_bulk_ops(
 
     def prepare(data: dict) -> dict:
         doc = dict(data)
-        if id_field in doc:
+        # prepareDocument (:96-106): a doc that already has `id` is
+        # returned UNTOUCHED (even if `_id` is also present); only when
+        # `id` is absent does `_id` rename to `id`
+        if "id" not in doc and id_field in doc:
             doc["id"] = doc.pop(id_field)
         return doc
 
