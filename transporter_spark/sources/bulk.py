@@ -206,13 +206,15 @@ def es_cdc_sink(
     keys: Sequence[str] = ("_id",),
     timeout: float = 5.0,
     version: str = "auto",
+    parent_field: Optional[str] = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: collapse the epoch last-writer-wins per key,
     then per-partition POST `_bulk` bodies to `{url}/_bulk`.
 
     version="auto" sniffs the cluster generation from `GET /` once
     (elasticsearch.go:84-137) and dispatches the matching payload
-    variant; pass "v1"/"v2"/"v5" to pin it.
+    variant; pass "v1"/"v2"/"v5" to pin it. parent_field is the
+    `parent_id` config (elasticsearch.go:47) — v5 parent/child routing.
 
     Gated: needs a reachable Elasticsearch. The write timeout mirrors
     the reference's per-write context timeout (pipeline/node.go:34).
@@ -242,7 +244,9 @@ def es_cdc_sink(
                     d = r.asDict(recursive=True)
                     yield {"op": d["op"], "ns": d["ns"], "data": d["data"]}
 
-            for body in es_bulk_payloads(rows(), index=index, version=version):
+            for body in es_bulk_payloads(
+                rows(), index=index, version=version, parent_field=parent_field
+            ):
                 req = urllib.request.Request(
                     url.rstrip("/") + "/_bulk",
                     data=body.encode(),
