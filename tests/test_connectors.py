@@ -944,3 +944,18 @@ def test_rethinkdb_prepare_keeps_existing_id_untouched():
     assert kind == "insert"
     assert docs[0] == {"id": "keep", "_id": "shadow", "v": 1}
     assert docs[1] == {"id": "renamed", "v": 2}
+
+
+def test_pg_bind_value_arrays_and_json():
+    """writer.go:67-73: dicts/list-of-dicts -> JSON; plain lists ->
+    `{...}` PG array literal; scalars untouched."""
+    from transporter_spark.sources.jdbc import pg_bind_value
+
+    assert pg_bind_value({"a": 1}) == '{"a": 1}'
+    assert pg_bind_value([{"a": 1}, {"b": 2}]) == '[{"a": 1}, {"b": 2}]'
+    assert pg_bind_value([1, 2, 3]) == "{1,2,3}"
+    assert pg_bind_value(["x", "y"]) == '{"x","y"}'
+    assert pg_bind_value([]) == "{}"
+    assert pg_bind_value(7) == 7
+    assert pg_bind_value("s") == "s"
+    assert pg_bind_value(None) is None

@@ -178,3 +178,27 @@ def jdbc_cdc_sink(
             conn.close()
 
     return apply
+
+
+def pg_bind_value(value):
+    """Postgres writer value coercion (adaptor/postgres/writer.go:67-73,
+    applied identically in insert/update/delete paths :100-103,
+    :142-145): dict and list-of-dict values are JSON-encoded (for
+    json/jsonb columns); a plain list is JSON-encoded and rebraced
+    `[a, b]` -> `{a, b}` — the PostgreSQL array literal form. Scalars
+    pass through for the driver to bind.
+
+    Used when staging envelope docs for the epoch upsert so schema-less
+    documents land in typed json/array columns the way the reference's
+    row-at-a-time writer bound them.
+    """
+    import json as _json
+
+    if isinstance(value, dict) or (
+        isinstance(value, list) and value and all(isinstance(v, dict) for v in value)
+    ):
+        return _json.dumps(value, separators=(", ", ": "))
+    if isinstance(value, list):
+        inner = _json.dumps(value, separators=(",", ":"))[1:-1]
+        return "{" + inner + "}"
+    return value
