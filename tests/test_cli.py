@@ -93,3 +93,30 @@ def test_cli_run_end_to_end(tmp_path, spark, sf_dir, monkeypatch):
     back = spark.read.json(str(tmp_path / "out_nation"))
     assert back.count() == 5
     assert set(r["n_nationkey"] for r in back.collect()) == {0, 1, 2, 3, 4}
+
+
+def test_config_errors_are_loud():
+    """Misconfigurations fail fast with actionable messages — the
+    reference's builder errors at script-eval time the same way."""
+    import pytest
+
+    with pytest.raises(ValueError, match="either a transform or a save"):
+        pipeline_from_config(
+            {
+                "source": {"kind": "dir", "path": "/d"},
+                "steps": [{"transform": {"op": "pick"}, "save": {"kind": "jsonl"}}],
+            }
+        )
+    with pytest.raises(ValueError, match="unknown step"):
+        pipeline_from_config(
+            {"source": {"kind": "dir", "path": "/d"}, "steps": [{"bogus": {}}]}
+        )
+    # unknown operator surfaces the registered inventory at build time
+    from transporter_spark.registry import build_operator
+
+    with pytest.raises(KeyError, match="registered"):
+        build_operator("not_an_operator")
+
+
+def test_main_rejects_unknown_subcommand(capsys):
+    assert main(["frobnicate"]) == 2
