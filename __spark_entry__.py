@@ -105,6 +105,7 @@ _PRIORITY = [
     "regexp_funcs",
     "length_quantile_gate",
     "rarity_score",
+    "variant_json",
     "q17_small_quantity",
     "running_total",
     "except_all",

@@ -3843,3 +3843,34 @@ def q_rarity_score(spark, sf_dir):
             (F.sum("doc_freq").cast("double") / F.count("*")).alias("avg_df"),
         )
     )
+
+
+@q(
+    "variant_json",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+""",
+)
+def q_variant_json(spark, sf_dir):
+    """Schema-less document columns via Spark 4 VariantType — the
+    engine's modern answer to the reference's map[string]interface{}
+    payloads (SURVEY §1.1): parse once into a binary variant, extract
+    typed paths with variant_get (no per-row JSON re-parse in each
+    expression, unlike chained get_json_object). Row-local parse +
+    one low-cardinality aggregation shuffle; integer sums exact."""
+    ev = read_table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count("*").alias("n"),
+        )
+    )
