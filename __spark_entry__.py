@@ -106,6 +106,7 @@ _PRIORITY = [
     "length_quantile_gate",
     "rarity_score",
     "variant_json",
+    "scd2_history",
     "q17_small_quantity",
     "running_total",
     "except_all",

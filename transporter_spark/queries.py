@@ -3874,3 +3874,35 @@ def q_variant_json(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+@q(
+    "scd2_history",
+    oracle="""
+SELECT event_id, user_id, value AS v,
+       ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+       CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL THEN 1 ELSE 0 END AS is_current
+FROM events
+""",
+)
+def q_scd2_history(spark, sf_dir):
+    """SCD-type-2 versioning from a change stream: each per-key change
+    becomes a [valid_from, valid_to) interval row, open-ended for the
+    current version — what a CDC consumer materializes to query
+    "value as of T" (pairs with asof_join for the probe side). One
+    shuffle on the entity key; lead() and the is_current flag share
+    the same window sort. Order is total ((ts, event_id) unique), so
+    intervals are engine- and partition-invariant."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("value").alias("v"),
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
