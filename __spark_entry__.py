@@ -107,6 +107,7 @@ _PRIORITY = [
     "rarity_score",
     "variant_json",
     "scd2_history",
+    "gapfill_hourly",
     "q17_small_quantity",
     "running_total",
     "except_all",

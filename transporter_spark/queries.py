@@ -3906,3 +3906,65 @@ def q_scd2_history(spark, sf_dir):
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@q(
+    "gapfill_hourly",
+    oracle="""
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h,
+         COUNT(*) AS n, MAX(value) AS gauge
+  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+bounds AS (
+  SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY user_id),
+spine AS (
+  SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+  FROM bounds)
+SELECT s.user_id, CAST(s.h AS TIMESTAMP) AS h,
+       COALESCE(hourly.n, 0) AS n,
+       LAST_VALUE(hourly.gauge IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gauge
+FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h
+""",
+)
+def q_gapfill_hourly(spark, sf_dir):
+    """Time-series gap-fill (the hypertable `time_bucket_gapfill`):
+    per entity, a dense hourly spine from its first to last hour —
+    counts zero-filled, the gauge reading carried forward from the
+    last observed hour (LOCF). Mechanics: hourly agg -> per-key
+    sequence() spine exploded row-locally -> left join back ->
+    last(ignorenulls) window. Two shuffles total (hourly agg, spine
+    join) + the window reusing the join's key partitioning. Spine
+    size is bounded by (span-hours x entities), independent of raw
+    row count — the fan-out is the POINT (dense output), and it never
+    exceeds the rollup's own output times the gap fraction."""
+    ev = read_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"), F.max("value").alias("gauge"))
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("gauge", ignorenulls=True).over(w).alias("gauge"),
+        )
+    )
