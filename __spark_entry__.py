@@ -108,6 +108,7 @@ _PRIORITY = [
     "variant_json",
     "scd2_history",
     "gapfill_hourly",
+    "unpivot_long",
     "q17_small_quantity",
     "running_total",
     "except_all",

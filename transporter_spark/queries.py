@@ -3968,3 +3968,35 @@ def q_gapfill_hourly(spark, sf_dir):
             F.last("gauge", ignorenulls=True).over(w).alias("gauge"),
         )
     )
+
+
+@q(
+    "unpivot_long",
+    oracle="""
+WITH wide AS (
+  SELECT o_orderstatus,
+         COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS urgent,
+         COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS low
+  FROM orders GROUP BY o_orderstatus)
+SELECT o_orderstatus, 'urgent' AS priority, urgent AS n FROM wide
+UNION ALL
+SELECT o_orderstatus, 'low' AS priority, low AS n FROM wide
+""",
+)
+def q_unpivot_long(spark, sf_dir):
+    """UNPIVOT/melt — the inverse of `pivot_table`: wide per-status
+    priority counts back to (status, priority, n) long form via
+    DataFrame.unpivot (single Expand node, no join/union re-scan —
+    the oracle's UNION ALL spelling would scan the aggregate twice;
+    Spark's Expand emits both rows in one pass)."""
+    o = read_table(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).alias("low"),
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["urgent", "low"],
+        variableColumnName="priority",
+        valueColumnName="n",
+    )
