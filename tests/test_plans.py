@@ -372,3 +372,12 @@ def test_partitioned_write_prunes_partitions_on_read(spark, sf_dir, tmp_path):
     assert "lang" in pf_line, plan
     n_en = docs.filter(F.col("lang") == "en").count()
     assert scan.count() == n_en
+
+
+def test_gapfill_single_raw_scan(spark, sf_dir):
+    """Gap-fill must derive spine AND lookups from one events scan —
+    the naive spine-join shape re-aggregates raw twice."""
+    df = QUERIES["gapfill_hourly"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 2  # 1 scan x (tree + details)
+    assert "CartesianProduct" not in plan

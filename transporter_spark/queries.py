@@ -3932,41 +3932,43 @@ def q_gapfill_hourly(spark, sf_dir):
     """Time-series gap-fill (the hypertable `time_bucket_gapfill`):
     per entity, a dense hourly spine from its first to last hour —
     counts zero-filled, the gauge reading carried forward from the
-    last observed hour (LOCF). Mechanics: hourly agg -> per-key
-    sequence() spine exploded row-locally -> left join back ->
-    last(ignorenulls) window. Two shuffles total (hourly agg, spine
-    join) + the window reusing the join's key partitioning. Spine
-    size is bounded by (span-hours x entities), independent of raw
-    row count — the fan-out is the POINT (dense output), and it never
-    exceeds the rollup's own output times the gap fraction."""
+    last observed hour (LOCF). Mechanics — ONE raw scan by
+    construction (a naive spine-join re-derives the hourly aggregate
+    twice, i.e. two fact scans unless exchange reuse saves you):
+    hourly agg -> per-user roll-up carrying the observed hours as a
+    map + the [min,max] bounds -> sequence() spine exploded
+    row-locally with map lookups -> LOCF window that REUSES the
+    user_id partitioning of the roll-up (no extra exchange; plan has
+    exactly two shuffles). Per-user map size is bounded by the active
+    span in hours, independent of raw row count."""
     ev = read_table(spark, sf_dir, "events")
     hourly = (
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count("*").alias("n"), F.max("value").alias("gauge"))
     )
-    spine = (
-        hourly.groupBy("user_id")
-        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
-        )
+    per_user = hourly.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("h", F.struct("n", "gauge"))))
+        ).alias("m"),
+        F.min("h").alias("mn"),
+        F.max("h").alias("mx"),
+    )
+    dense = per_user.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        "m",
     )
     w = (
         Window.partitionBy("user_id")
         .orderBy("h")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return (
-        spine.join(hourly, ["user_id", "h"], "left")
-        .select(
-            "user_id",
-            "h",
-            F.coalesce("n", F.lit(0)).alias("n"),
-            F.last("gauge", ignorenulls=True).over(w).alias("gauge"),
-        )
+    cell = F.element_at("m", F.col("h"))
+    return dense.select(
+        "user_id",
+        "h",
+        F.coalesce(cell["n"], F.lit(0)).alias("n"),
+        F.last(cell["gauge"], ignorenulls=True).over(w).alias("gauge"),
     )
 
 
