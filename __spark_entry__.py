@@ -109,6 +109,7 @@ _PRIORITY = [
     "scd2_history",
     "gapfill_hourly",
     "unpivot_long",
+    "range_frame_window",
     "q17_small_quantity",
     "running_total",
     "except_all",

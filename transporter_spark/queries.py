@@ -4002,3 +4002,48 @@ def q_unpivot_long(spark, sf_dir):
         variableColumnName="priority",
         valueColumnName="n",
     )
+
+
+@q(
+    "range_frame_window",
+    oracle="""
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS n_last_hour,
+       CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,12)))
+            OVER (PARTITION BY user_id ORDER BY ts
+                  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            AS VARCHAR) AS DOUBLE) AS sum_last_hour
+FROM events
+""",
+)
+def q_range_frame_window(spark, sf_dir):
+    """RANGE window frames over event time — the per-row trailing-hour
+    aggregate (`running_total` covers ROWS frames; RANGE bounds by
+    VALUE distance, so ties and irregular spacing behave differently
+    and deserve their own check). The frame is defined purely by
+    timestamps, so the decimal-exact sum is partition-invariant even
+    though (user_id, ts) need not be unique: equal-ts rows share one
+    frame. One shuffle on user_id. The batch twin of the
+    `range_join_recent_count` bucketized join — same semantics, window
+    form."""
+    ev = read_table(spark, sf_dir, "events")
+    # frame arithmetic in MICROSECONDS: casting ts to long truncates to
+    # seconds, so a row 3600.5s back would land inside Spark's frame
+    # but outside DuckDB's exact INTERVAL — micros match both engines
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("string").cast("decimal(38,12)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_last_hour"),
+    )
