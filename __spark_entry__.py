@@ -110,6 +110,8 @@ _PRIORITY = [
     "gapfill_hourly",
     "unpivot_long",
     "range_frame_window",
+    "value_histogram",
+    "profile_columns",
     "q17_small_quantity",
     "running_total",
     "except_all",

@@ -4047,3 +4047,99 @@ def q_range_frame_window(spark, sf_dir):
         .cast("double")
         .alias("sum_last_hour"),
     )
+
+
+@q(
+    "value_histogram",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) + 1 AS bucket,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders
+GROUP BY 1
+""",
+)
+def q_value_histogram(spark, sf_dir):
+    """Equi-width value histogram (the width_bucket primitive, spelled
+    as its explicit formula so both engines run the identical IEEE
+    ops — DuckDB has no width_bucket, and two different internal
+    binning implementations could disagree by an ulp at bucket
+    edges). 24 buckets of 25000 over [0, 600000). Data-profiling
+    primitive behind skew detection; one low-cardinality aggregation
+    shuffle — at 100 TB the cheap first look that tells you whether a
+    join key needs salting."""
+    o = read_table(spark, sf_dir, "orders")
+    b = (F.floor(F.col("o_totalprice") / 25000.0).cast("long") + 1)
+    return (
+        o.groupBy(b.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@q(
+    "profile_columns",
+    oracle="""
+SELECT 'o_totalprice' AS col,
+       COUNT(*) AS n_rows,
+       COUNT(o_totalprice) AS n_nonnull,
+       COUNT(DISTINCT o_totalprice) AS n_distinct,
+       CAST(MIN(o_totalprice) AS VARCHAR) AS min_v,
+       CAST(MAX(o_totalprice) AS VARCHAR) AS max_v
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority',
+       COUNT(*), COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM orders
+UNION ALL
+SELECT 'o_custkey',
+       COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM orders
+""",
+)
+def q_profile_columns(spark, sf_dir):
+    """Table profiling (the df.summary() surface, made exact): per
+    column — row/non-null/distinct counts and min/max — the first
+    query every pipeline runs against a new 100 TB table. All three
+    column profiles compute in ONE scan/aggregation (Spark folds the
+    independent aggregates into a single pass; the oracle's UNION ALL
+    spelling scans three times — the engine shape is the point).
+    Values stringified at the boundary so one schema carries numeric
+    and text columns."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def prof(c):
+        return F.struct(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(c).alias("n_nonnull"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_v"),
+            F.max(c).cast("string").alias("max_v"),
+        ).alias(c)
+    wide = o.agg(prof("o_totalprice"), prof("o_orderpriority"), prof("o_custkey"))
+    stacked = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col"), F.col(c).alias("p")
+                    )
+                    for c in ("o_totalprice", "o_orderpriority", "o_custkey")
+                ]
+            )
+        ).alias("e")
+    )
+    return stacked.select(
+        F.col("e.col").alias("col"),
+        F.col("e.p.n_rows").alias("n_rows"),
+        F.col("e.p.n_nonnull").alias("n_nonnull"),
+        F.col("e.p.n_distinct").alias("n_distinct"),
+        F.col("e.p.min_v").alias("min_v"),
+        F.col("e.p.max_v").alias("max_v"),
+    )
