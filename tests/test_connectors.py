@@ -17,7 +17,7 @@ def test_upsert_sql_postgres():
     assert sql == (
         'INSERT INTO "users" ("id", "name", "bal") '
         'SELECT "id", "name", "bal" FROM "users_staging" '
-        'ON CONFLICT ("id") DO UPDATE SET "name" = EXCLUDED."name", '
+        'WHERE true ON CONFLICT ("id") DO UPDATE SET "name" = EXCLUDED."name", '
         '"bal" = EXCLUDED."bal"'
     )
 
@@ -959,3 +959,65 @@ def test_pg_bind_value_arrays_and_json():
     assert pg_bind_value(7) == 7
     assert pg_bind_value("s") == "s"
     assert pg_bind_value(None) is None
+
+
+def test_cdc_epoch_sql_composition_executes(spark):
+    """The ADVICE-r1 class of bug (epoch delete nuking the epoch's own
+    upserts) can only be caught by EXECUTING the composition — so run
+    it on a real SQL engine. SQLite speaks the postgres upsert dialect
+    (ON CONFLICT ... DO UPDATE SET ... EXCLUDED), so the generated
+    upsert statement runs VERBATIM; the delete is executed in IN-form
+    (SQLite lacks DELETE..USING) against the same separate delete
+    staging table, preserving the property under test: delete keys in
+    their own staging table never touch rows the upsert just wrote."""
+    import sqlite3
+
+    from transporter_spark.sources.jdbc import split_epoch, upsert_sql
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute('CREATE TABLE "users" ("id" INTEGER PRIMARY KEY, "name" TEXT)')
+
+    def run_epoch(epoch_rows, epoch_id):
+        batch = spark.createDataFrame(epoch_rows, "_op string, _ts long, id long, name string")
+        from transporter_spark.streaming.cdc import latest_per_key
+
+        newest = latest_per_key(batch, ["id"], ["_ts"])
+        upserts, deletes = split_epoch(newest, ["id"])
+        up_st, del_st = f"up_{epoch_id}", f"del_{epoch_id}"
+        conn.execute(f'CREATE TABLE "{up_st}" ("id" INTEGER, "name" TEXT)')
+        conn.execute(f'CREATE TABLE "{del_st}" ("id" INTEGER)')
+        conn.executemany(
+            f'INSERT INTO "{up_st}" VALUES (?, ?)',
+            [(r["id"], r["name"]) for r in upserts.collect()],
+        )
+        conn.executemany(
+            f'INSERT INTO "{del_st}" VALUES (?)',
+            [(r["id"],) for r in deletes.collect()],
+        )
+        # generated postgres upsert runs verbatim on sqlite
+        conn.execute(upsert_sql("postgres", "users", ["id", "name"], ["id"], up_st))
+        # delete in IN-form against the SEPARATE delete staging table
+        conn.execute(f'DELETE FROM "users" WHERE "id" IN (SELECT "id" FROM "{del_st}")')
+        conn.commit()
+
+    run_epoch(
+        [("insert", 1, 1, "a"), ("insert", 1, 2, "b"), ("insert", 1, 3, "c")], 1
+    )
+    assert conn.execute('SELECT "id","name" FROM "users" ORDER BY 1').fetchall() == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    # epoch 2: update 2, delete 1, insert 4 — and a late duplicate of
+    # the update that LWW must collapse before staging
+    run_epoch(
+        [
+            ("update", 2, 2, "b-old"),
+            ("update", 3, 2, "b-new"),
+            ("delete", 2, 1, None),
+            ("insert", 2, 4, "d"),
+        ],
+        2,
+    )
+    assert conn.execute('SELECT "id","name" FROM "users" ORDER BY 1').fetchall() == [
+        (2, "b-new"), (3, "c"), (4, "d"),
+    ]
+    conn.close()

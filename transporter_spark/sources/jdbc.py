@@ -90,9 +90,13 @@ def upsert_sql(
         conflict = ", ".join(q(k) for k in keys)
         sets = ", ".join(f"{q(c)} = EXCLUDED.{q(c)}" for c in non_keys)
         action = f"DO UPDATE SET {sets}" if non_keys else "DO NOTHING"
+        # WHERE true: a no-op on postgres, but it disambiguates the ON
+        # CONFLICT clause after a SELECT source for engines with the
+        # SQLite parser quirk — which lets the executable-composition
+        # test run this statement verbatim
         return (
             f"INSERT INTO {q(table)} ({cols}) SELECT {sel_cols} FROM {q(staging)} "
-            f"ON CONFLICT ({conflict}) {action}"
+            f"WHERE true ON CONFLICT ({conflict}) {action}"
         )
     if dialect == "mysql":
         sets = ", ".join(f"{q(c)} = VALUES({q(c)})" for c in non_keys) or (
