@@ -381,3 +381,12 @@ def test_gapfill_single_raw_scan(spark, sf_dir):
     plan = explain_str(df)
     assert plan.count("Scan parquet") == 2  # 1 scan x (tree + details)
     assert "CartesianProduct" not in plan
+
+
+def test_profile_columns_single_scan(spark, sf_dir):
+    """All column profiles must fold into ONE scan + one aggregation
+    (the oracle's UNION ALL spelling scans three times; the engine
+    shape is the point of the operator)."""
+    df = QUERIES["profile_columns"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 2  # 1 scan x (tree + details)
