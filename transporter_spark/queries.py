@@ -2566,7 +2566,8 @@ def q_range_join(spark, sf_dir):
     "rollup_lattice_daily",
     oracle="""
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
-       SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS sum_value,
+       CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,6))) AS DOUBLE)
+         AS sum_value,
        COUNT(*) AS n
 FROM events GROUP BY 1, 2
 """,
@@ -2576,13 +2577,21 @@ def q_rollup_lattice(spark, sf_dir):
     here is derived by reaggregating HOURLY partials, never re-reading
     raw rows — and the decimal-sum invariant makes it bit-identical to
     the direct daily aggregation the oracle computes. This is the
-    correctness core of incremental rollup refresh at 100TB."""
+    correctness core of incremental rollup refresh at 100TB.
+
+    The decimal partials stay decimal INSIDE the lattice (the
+    reaggregation invariant); only the output boundary casts to DOUBLE
+    so both engines render one canonical representation ("4043.85",
+    not Spark's "4043.850000" vs DuckDB-via-pandas float64)."""
     from transporter_spark.operators.temporal import rollup_lattice
 
     ev = read_table(spark, sf_dir, "events")
     lattice = rollup_lattice(ev, ts="ts", keys=["event_type"], value="value")
     return lattice["daily"].select(
-        F.col("day"), "event_type", "sum_value", F.col("n")
+        F.col("day"),
+        "event_type",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        F.col("n"),
     )
 
 
@@ -2942,14 +2951,18 @@ WITH toks AS (
 ),
 cum AS (
   SELECT doc_id, source, ntok,
-         SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
-                         ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         CAST(SUM(ntok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS cum_tokens
   FROM toks
 )
 -- integer floor-div: CAST(double AS BIGINT) in DuckDB ROUNDS (Spark
--- cast truncates) — keep the arithmetic integral on both sides
-SELECT source, (cum_tokens - ntok) // 2048 AS seq_id,
-       COUNT(*) AS n_docs, SUM(ntok) AS seq_tokens
+-- cast truncates) — keep the arithmetic integral on both sides.
+-- DuckDB SUMs over BIGINT widen to HUGEINT (→ float64 in pandas, so
+-- "30.0" vs Spark's "30" in the value hash): CAST back to BIGINT at
+-- every aggregate boundary.
+SELECT source, CAST((cum_tokens - ntok) // 2048 AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs, CAST(SUM(ntok) AS BIGINT) AS seq_tokens
 FROM cum GROUP BY source, seq_id
 """,
 )
@@ -3145,8 +3158,8 @@ kept AS (
   ) WHERE rn = 1
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM((ntok - 1) // 48 + 1) AS n_chunks,
-       SUM(ntok) AS total_tokens
+       CAST(SUM((ntok - 1) // 48 + 1) AS BIGINT) AS n_chunks,
+       CAST(SUM(ntok) AS BIGINT) AS total_tokens
 FROM kept GROUP BY source
 """
 
