@@ -20,9 +20,20 @@ from transporter_spark.cli import (
 
 
 def test_substitute_env_is_textual_and_pre_parse():
-    raw = '{"path": "${BASE}/data", "keep": "${MISSING}"}'
+    # unset vars become "" — the reference's os.Getenv-backed
+    # setConfigEnvironment behavior (goja_builder.go:60-74)
+    raw = '{"path": "${BASE}/data", "gone": "${MISSING}"}'
     out = substitute_env(raw, {"BASE": "/tmp/x"})
-    assert json.loads(out) == {"path": "/tmp/x/data", "keep": "${MISSING}"}
+    assert json.loads(out) == {"path": "/tmp/x/data", "gone": ""}
+
+
+def test_xlog_offset_bad_args_print_usage(capsys):
+    assert main(["xlog", "current"]) == 2
+    assert "usage: xlog" in capsys.readouterr().out
+    assert main(["offset", "show"]) == 2
+    assert "usage: offset" in capsys.readouterr().out
+    assert main(["offset", "mark", "/tmp/ckpt", "notanint"]) == 2
+    assert "usage: offset" in capsys.readouterr().out
 
 
 def test_pipeline_from_config_steps_are_sequential(tmp_path):

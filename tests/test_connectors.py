@@ -222,6 +222,20 @@ def test_es_bulk_v5_parent_routing():
     assert "parent" not in v2.replace('"pid"', "") and "routing" not in v2
 
 
+def test_es_bulk_v5_empty_parent_means_default_routing():
+    """The reference guards every parent/routing emit with pID != ""
+    (v5/writer.go:103,109,117): an empty-string or null parent value is
+    popped from the doc but routes with DEFAULT routing — never to the
+    '' shard key."""
+    rows = [
+        {"op": "insert", "ns": "db.m", "data": {"_id": 1, "t": "x", "pid": ""}},
+        {"op": "delete", "ns": "db.m", "data": {"_id": 2, "pid": None}},
+    ]
+    body = "".join(es_bulk_payloads(rows, version="v5", parent_field="pid"))
+    assert "routing" not in body and "parent" not in body
+    assert '"pid"' not in body  # still popped from the document body
+
+
 def test_es_bulk_splits_at_max_actions_and_bytes():
     rows = [
         {"op": "insert", "ns": "i", "data": {"_id": i, "v": "x" * 10}}

@@ -318,3 +318,28 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
     assert canon(got_daily) == canon(
         expect["daily"].select("day", "k", "sum_value", "n")
     )
+
+
+def test_incremental_rollup_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash after the state swap but
+    before the checkpoint commit re-delivers the SAME epoch on restart.
+    The _last_epoch marker (swapped atomically with the parquet it
+    describes) must make the replayed merge a no-op — no double-counted
+    sums or n."""
+    from transporter_spark.streaming.windows import rollup_merge_batch
+
+    batch = spark.createDataFrame(
+        [("2024-01-01T05:15:00", "g0", 1.5), ("2024-01-01T05:45:00", "g0", 2.5)],
+        "ts string, k string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    state = str(tmp_path / "hourly_state")
+
+    assert rollup_merge_batch(batch, 0, state, keys=("k",)) is True
+    first = sorted(map(tuple, spark.read.parquet(state).collect()))
+    # crash-replay of epoch 0: skipped, state bit-identical
+    assert rollup_merge_batch(batch, 0, state, keys=("k",)) is False
+    assert sorted(map(tuple, spark.read.parquet(state).collect())) == first
+    # a genuinely new epoch still merges
+    assert rollup_merge_batch(batch, 1, state, keys=("k",)) is True
+    [(_, _, s, n)] = spark.read.parquet(state).collect()
+    assert float(s) == 8.0 and n == 4

@@ -54,11 +54,13 @@ SAMPLE_CONFIG = {
 
 def substitute_env(raw: str, env: Optional[dict] = None) -> str:
     """Textual `${FOO}` substitution on the raw config string — the
-    reference does this BEFORE parsing (goja_builder.go:60-74), so the
-    substitution is oblivious to JSON structure; unknown vars are left
-    as-is (matching os.Expand's with-default behavior there)."""
+    reference does this BEFORE parsing (goja_builder.go:60-74,
+    setConfigEnvironment), so the substitution is oblivious to JSON
+    structure. Unset vars substitute to the EMPTY string, exactly like
+    the reference's os.Getenv-backed replacement — a missing env var
+    yields "" in the config, not a literal ${FOO}."""
     env = env if env is not None else dict(os.environ)
-    return _ENV_RE.sub(lambda m: str(env.get(m.group(1), m.group(0))), raw)
+    return _ENV_RE.sub(lambda m: str(env.get(m.group(1), "")), raw)
 
 
 def pipeline_from_config(cfg: dict) -> Pipeline:
@@ -189,6 +191,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         from transporter_spark.tools import checkpoint_state
 
         sub = rest[0] if rest else "show"
+        if len(rest) < 2:
+            print("usage: xlog current|oldest|show <checkpoint>")
+            return 2
         state = checkpoint_state(rest[1])
         if sub == "current":
             print(state["current_batch"])
@@ -201,14 +206,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     if cmd == "offset":
         from transporter_spark.tools import list_offsets, mark_offset
 
+        usage = "usage: offset list|show|mark <checkpoint> [batch entries...]"
         sub = rest[0] if rest else "list"
         if sub in ("list", "show"):
+            if len(rest) < 2:
+                print(usage)
+                return 2
             print(json.dumps(list_offsets(rest[1]), indent=2, default=str))
         elif sub == "mark":
+            if len(rest) < 3 or not rest[2].lstrip("-").isdigit():
+                print(usage)
+                return 2
             path = mark_offset(rest[1], int(rest[2]), rest[3:])
             print(f"wrote {path}")
         else:
-            print("usage: offset list|show|mark <checkpoint> [batch entries...]")
+            print(usage)
             return 2
         return 0
 

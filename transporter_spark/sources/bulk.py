@@ -155,7 +155,12 @@ def es_bulk_payloads(
         # (clients/v5/writer.go:91-119; ParentID conf elasticsearch.go:47)
         pid = None
         if version == "v5" and parent_field and parent_field in data:
-            pid = str(data.pop(parent_field))
+            v = data.pop(parent_field)
+            # the reference guards every parent/routing emit with
+            # pID != "" (v5/writer.go:103,109,117): an empty/absent
+            # parent means DEFAULT routing, never routing to the ''
+            # shard key
+            pid = str(v) if v not in (None, "") else None
         if op in _DELETE_OPS:
             meta = {"delete": {"_index": idx, "_id": str(doc_id), "_type": ns}}
             if pid is not None:

@@ -123,47 +123,79 @@ def incremental_rollup_sink(
     hour keys present in the batch, the classic delta-merge. State
     writes use the same swap discipline as cdc_upsert_sink (tmp +
     atomic pointer swap).
+
+    Replay safety: foreachBatch is at-least-once — a crash after the
+    state swap but before the checkpoint commit re-delivers the same
+    epoch on restart. The last-applied epoch_id is recorded in a
+    ``_last_epoch`` marker INSIDE the state dir (so it swaps atomically
+    with the parquet it describes; the leading underscore keeps Spark's
+    parquet reader from touching it), and a replayed epoch is a no-op.
     """
+
+    def merge(batch: DataFrame, epoch_id: int) -> None:
+        rollup_merge_batch(batch, epoch_id, state_dir, ts_col, keys, value)
+
+    run_foreach_batch_available_now(stream_df, merge, checkpoint_dir)
+
+
+def rollup_merge_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    ts_col: str = "ts",
+    keys: tuple = (),
+    value: str = "value",
+) -> bool:
+    """One delta-merge step of incremental_rollup_sink; returns False
+    when the epoch was already applied (micro-batch replay) and the
+    merge was skipped. Module-level so the replay contract is directly
+    testable without crashing a streaming query mid-commit."""
     import os
     import shutil
 
-    keys_l = list(keys)
+    marker = os.path.join(state_dir, "_last_epoch")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            last = int(fh.read().strip())
+        if epoch_id <= last:
+            return False
 
-    def merge(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        b = batch
-        if dict(b.dtypes).get(ts_col) == "timestamp_ntz":
-            b = b.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
-        partial = (
-            b.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour"), *keys_l)
+    keys_l = list(keys)
+    spark = batch.sparkSession
+    b = batch
+    if dict(b.dtypes).get(ts_col) == "timestamp_ntz":
+        b = b.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    partial = (
+        b.groupBy(F.date_trunc("hour", F.col(ts_col)).alias("hour"), *keys_l)
+        .agg(
+            F.sum(
+                F.col(value).cast("string").cast("decimal(38,6)")
+            ).alias("sum_value"),
+            F.count("*").alias("n"),
+        )
+    )
+    if os.path.isdir(state_dir):
+        prev = spark.read.parquet(state_dir)
+        merged = (
+            prev.unionByName(partial)
+            .groupBy("hour", *keys_l)
             .agg(
-                F.sum(
-                    F.col(value).cast("string").cast("decimal(38,6)")
-                ).alias("sum_value"),
-                F.count("*").alias("n"),
+                F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
+                F.sum("n").alias("n"),
             )
         )
-        if os.path.isdir(state_dir):
-            prev = spark.read.parquet(state_dir)
-            merged = (
-                prev.unionByName(partial)
-                .groupBy("hour", *keys_l)
-                .agg(
-                    F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
-                    F.sum("n").alias("n"),
-                )
-            )
-        else:
-            merged = partial
-        tmp = state_dir.rstrip("/") + f"._epoch{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        old = state_dir.rstrip("/") + "._old"
-        if os.path.isdir(state_dir):
-            os.rename(state_dir, old)
-        os.rename(tmp, state_dir)
-        shutil.rmtree(old, ignore_errors=True)
-
-    run_foreach_batch_available_now(stream_df, merge, checkpoint_dir)
+    else:
+        merged = partial
+    tmp = state_dir.rstrip("/") + f"._epoch{epoch_id}"
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_last_epoch"), "w") as fh:
+        fh.write(str(epoch_id))
+    old = state_dir.rstrip("/") + "._old"
+    if os.path.isdir(state_dir):
+        os.rename(state_dir, old)
+    os.rename(tmp, state_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return True
 
 
 def rollup_daily_from_state(spark: SparkSession, state_dir: str, keys: tuple = ()) -> DataFrame:
