@@ -135,6 +135,24 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
     assert os.listdir(str(tmp_path / "ckpt"))  # checkpoints actually wrote
 
 
+def test_minhash_lsh_reliable_checkpoint(spark, sf_dir, tmp_path):
+    """The LSH path's lineage cuts (signatures, banded rows, candidate
+    pairs) must honor reliable_checkpoint too — a localCheckpoint there
+    dies with an executor and restarts the whole dedup job at cluster
+    scale. Identical pairs either way, and the checkpoint dir is
+    actually used."""
+    from transporter_spark.operators.dedup import minhash_lsh_pairs
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    fast = minhash_lsh_pairs(docs).collect()
+    durable = minhash_lsh_pairs(docs, reliable_checkpoint=True).collect()
+    assert sorted(map(tuple, fast)) == sorted(map(tuple, durable))
+    import os
+
+    assert os.listdir(str(tmp_path / "ckpt"))
+
+
 def test_jaccard_pairs_cache_released(spark, sf_dir):
     """The shingle frame persisted inside jaccard_pairs must be
     releasable by the caller (long-lived sessions would otherwise

@@ -316,6 +316,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     verify: bool = True,
     portable: bool = False,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
@@ -329,10 +330,17 @@ def minhash_lsh_pairs(
     self-join on (band_id, band_signature). No cross join; bucket sizes
     are the only skew risk (identical boilerplate docs) — cap bucket
     size upstream if needed.
+
+    reliable_checkpoint=True swaps every lineage cut in this path
+    (signatures, banded rows, candidate pairs) from localCheckpoint to
+    a storage-backed checkpoint (setCheckpointDir first): local
+    checkpoints die with an executor, restarting the whole dedup job
+    at cluster scale.
     """
     r = num_hashes // bands
     sig = _materialize(
-        minhash_signatures(df, text_col, id_col, n, num_hashes, seed, portable)
+        minhash_signatures(df, text_col, id_col, n, num_hashes, seed, portable),
+        reliable_checkpoint,
     )
     banded = sig.select(
         "id",
@@ -350,7 +358,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bs"),
     ).select("id", "bs.band", "bs.bsig")
-    banded = _materialize(banded)
+    banded = _materialize(banded, reliable_checkpoint)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -374,7 +382,7 @@ def minhash_lsh_pairs(
     # re-tokenizing the other 99% was the dominant cost of this stage.
     # (Plain semi-join, not forced broadcast: AQE broadcasts it when the
     # candidate id list is small, falls back to shuffle when it isn't.)
-    cand = _materialize(cand)
+    cand = _materialize(cand, reliable_checkpoint)
     cand_ids = (
         cand.select(F.col("id_a").alias("_cid"))
         .unionByName(cand.select(F.col("id_b").alias("_cid")))
@@ -723,7 +731,13 @@ def dedup_clusters(
     """
     pairs = (
         minhash_lsh_pairs(
-            df, text_col, id_col, n, threshold=threshold, portable=portable
+            df,
+            text_col,
+            id_col,
+            n,
+            threshold=threshold,
+            portable=portable,
+            reliable_checkpoint=reliable_checkpoint,
         )
         if use_lsh
         else jaccard_pairs(df, text_col, id_col, n, threshold)
