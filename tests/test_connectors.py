@@ -1035,3 +1035,189 @@ def test_cdc_epoch_sql_composition_executes(spark):
         (2, "b-new"), (3, "c"), (4, "d"),
     ]
     conn.close()
+
+
+def test_mysql_cdc_epoch_sql_composition_executes(spark):
+    """Execute the MYSQL-dialect epoch composition (mysql/writer.go:
+    36-263 semantics): LWW-collapse -> separate upsert/delete staging
+    -> the GENERATED `ON DUPLICATE KEY UPDATE` statement. SQLite has no
+    mysql upsert syntax, so the statement runs through a pinned, purely
+    SYNTACTIC translation (backtick->dquote, VALUES(c)->EXCLUDED.c,
+    ON DUPLICATE KEY UPDATE->ON CONFLICT(pk) DO UPDATE SET) — the
+    column lists, staging-table SELECT, and update-set composition
+    under test are the generator's own output, executed verbatim."""
+    import re
+    import sqlite3
+
+    from transporter_spark.sources.jdbc import split_epoch, upsert_sql
+    from transporter_spark.streaming.cdc import latest_per_key
+
+    def to_sqlite(mysql_sql, keys):
+        s = re.sub(r"VALUES\(`([^`]+)`\)", r'EXCLUDED."\1"', mysql_sql)
+        s = s.replace("`", '"')
+        conflict = ", ".join(f'"{k}"' for k in keys)
+        return s.replace(
+            "ON DUPLICATE KEY UPDATE",
+            f"WHERE true ON CONFLICT ({conflict}) DO UPDATE SET",
+        )
+
+    conn = sqlite3.connect(":memory:")
+    conn.execute('CREATE TABLE "users" ("id" INTEGER PRIMARY KEY, "name" TEXT)')
+
+    def run_epoch(epoch_rows, epoch_id):
+        batch = spark.createDataFrame(
+            epoch_rows, "_op string, _ts long, id long, name string"
+        )
+        newest = latest_per_key(batch, ["id"], ["_ts"])
+        upserts, deletes = split_epoch(newest, ["id"])
+        up_st, del_st = f"up_{epoch_id}", f"del_{epoch_id}"
+        conn.execute(f'CREATE TABLE "{up_st}" ("id" INTEGER, "name" TEXT)')
+        conn.execute(f'CREATE TABLE "{del_st}" ("id" INTEGER)')
+        conn.executemany(
+            f'INSERT INTO "{up_st}" VALUES (?, ?)',
+            [(r["id"], r["name"]) for r in upserts.collect()],
+        )
+        conn.executemany(
+            f'INSERT INTO "{del_st}" VALUES (?)',
+            [(r["id"],) for r in deletes.collect()],
+        )
+        sql = upsert_sql("mysql", "users", ["id", "name"], ["id"], up_st)
+        conn.execute(to_sqlite(sql, ["id"]))
+        # delete in IN-form against the SEPARATE staging table (SQLite
+        # lacks mysql's DELETE..JOIN), preserving the property under
+        # test: delete keys never touch rows the upsert just wrote
+        conn.execute(
+            f'DELETE FROM "users" WHERE "id" IN (SELECT "id" FROM "{del_st}")'
+        )
+        conn.commit()
+
+    run_epoch(
+        [("insert", 1, 1, "a"), ("insert", 1, 2, "b"), ("insert", 1, 3, "c")], 1
+    )
+    assert conn.execute('SELECT "id","name" FROM "users" ORDER BY 1').fetchall() == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]
+    run_epoch(
+        [
+            ("update", 2, 2, "b-old"),
+            ("update", 3, 2, "b-new"),
+            ("delete", 2, 1, None),
+            ("insert", 2, 4, "d"),
+        ],
+        2,
+    )
+    assert conn.execute('SELECT "id","name" FROM "users" ORDER BY 1').fetchall() == [
+        (2, "b-new"), (3, "c"), (4, "d"),
+    ]
+    conn.close()
+
+
+def _envelope_batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "op string, ns string, ts long, data struct<_id:string,name:string>"
+    )
+
+
+_EPOCH_ROWS = [
+    ("insert", "db.users", 1, ("1", "a")),
+    ("update", "db.users", 2, ("2", "b-old")),
+    ("update", "db.users", 3, ("2", "b-new")),  # LWW must collapse b-old
+    ("delete", "db.users", 2, ("3", None)),
+    ("insert", "db.users", 1, ("4", "d")),
+]
+
+# after LWW collapse + apply: 1->a, 2->b-new, 4->d, 3 deleted
+_EPOCH_EXPECT = {"1": "a", "2": "b-new", "4": "d"}
+
+
+def test_es_cdc_sink_composition_executes(spark, tmp_path):
+    """Run the full es_cdc_sink epoch loop (LWW-collapse -> v5 bulk
+    NDJSON -> flush) against a recording transport (reference behavior:
+    adaptor/elasticsearch/clients/v5/writer.go:76-168). The fake writes
+    each POSTed body to disk (executors are separate processes);
+    replaying the recorded actions must land on the LWW state, and the
+    collapsed intermediate (b-old) must never hit the wire."""
+    import glob
+    import json as _json
+    import os
+    import uuid
+
+    from transporter_spark.sources.bulk import es_cdc_sink
+
+    rec = str(tmp_path / "rec")
+    os.makedirs(rec, exist_ok=True)
+
+    def fake_post(bulk_url, body):
+        assert bulk_url == "http://fake:9200/_bulk"
+        with open(os.path.join(rec, uuid.uuid4().hex), "w") as fh:
+            fh.write(body)
+        return {"errors": False}
+
+    apply = es_cdc_sink(
+        "http://fake:9200", version="v5", transport=fake_post
+    )
+    apply(_envelope_batch(spark, _EPOCH_ROWS), epoch_id=0)
+
+    state = {}
+    wire = ""
+    for path in glob.glob(os.path.join(rec, "*")):
+        with open(path) as fh:
+            body = fh.read()
+        wire += body
+        lines = body.strip().split("\n")
+        i = 0
+        while i < len(lines):
+            meta = _json.loads(lines[i])
+            if "delete" in meta:
+                state.pop(meta["delete"]["_id"], None)
+                i += 1
+            else:
+                action = "index" if "index" in meta else "update"
+                doc = _json.loads(lines[i + 1])
+                doc = doc.get("doc", doc)
+                state[meta[action]["_id"]] = doc.get("name")
+                i += 2
+    assert state == _EPOCH_EXPECT
+    assert "b-old" not in wire  # collapsed BEFORE payload building
+
+
+def test_mongo_cdc_sink_composition_executes(spark, tmp_path):
+    """Run the full mongo_cdc_sink epoch loop (LWW-collapse ->
+    bulkWrite op docs -> flush) against a recording bulk_writer
+    (reference behavior: adaptor/mongodb/bulk.go:38-152). Replaying
+    the recorded replaceOne/deleteOne ops must land on the LWW state."""
+    import glob
+    import json as _json
+    import os
+    import uuid
+
+    from transporter_spark.sources.bulk import mongo_cdc_sink
+
+    rec = str(tmp_path / "rec")
+    os.makedirs(rec, exist_ok=True)
+
+    def fake_writer(database, collection, ops):
+        with open(os.path.join(rec, uuid.uuid4().hex), "w") as fh:
+            _json.dump({"db": database, "coll": collection, "ops": ops}, fh)
+
+    apply = mongo_cdc_sink(
+        "mongodb://fake", "appdb", "users", bulk_writer=fake_writer
+    )
+    apply(_envelope_batch(spark, _EPOCH_ROWS), epoch_id=0)
+
+    state = {}
+    saw_old = False
+    for path in glob.glob(os.path.join(rec, "*")):
+        with open(path) as fh:
+            recd = _json.load(fh)
+        assert (recd["db"], recd["coll"]) == ("appdb", "users")
+        for o in recd["ops"]:
+            if "deleteOne" in o:
+                state.pop(o["deleteOne"]["filter"]["_id"], None)
+            else:
+                r = o["replaceOne"]
+                assert r["upsert"] is True
+                saw_old |= r["replacement"].get("name") == "b-old"
+                state[r["filter"]["_id"]] = r["replacement"].get("name")
+    assert state == _EPOCH_EXPECT
+    assert not saw_old  # collapsed BEFORE op building

@@ -212,6 +212,7 @@ def es_cdc_sink(
     timeout: float = 5.0,
     version: str = "auto",
     parent_field: Optional[str] = None,
+    transport: Optional[Callable[[str, str], dict]] = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: collapse the epoch last-writer-wins per key,
     then per-partition POST `_bulk` bodies to `{url}/_bulk`.
@@ -221,13 +222,19 @@ def es_cdc_sink(
     variant; pass "v1"/"v2"/"v5" to pin it. parent_field is the
     `parent_id` config (elasticsearch.go:47) — v5 parent/child routing.
 
-    Gated: needs a reachable Elasticsearch. The write timeout mirrors
-    the reference's per-write context timeout (pipeline/node.go:34).
+    `transport(bulk_url, ndjson_body) -> response dict` defaults to a
+    urllib POST; injectable so the LWW-collapse -> payload -> flush
+    composition is executable against a recording fake (the executed-
+    composition test pattern). Must be picklable — it ships to
+    executors. Gated on a reachable Elasticsearch otherwise. The write
+    timeout mirrors the reference's per-write context timeout
+    (pipeline/node.go:34).
     """
     from transporter_spark.streaming.cdc import latest_per_key
 
     if version == "auto":  # pragma: no cover - needs live cluster
         version = sniff_es_client(url, timeout)
+    post = transport or _es_http_transport(timeout)
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         newest = latest_per_key(
@@ -239,11 +246,6 @@ def es_cdc_sink(
         )
 
         def send_partition(it):
-            # self-contained closure: imports inside (executors may not
-            # have the repo on PYTHONPATH)
-            import json as _json
-            import urllib.request
-
             def rows():
                 for r in it:
                     d = r.asDict(recursive=True)
@@ -252,19 +254,31 @@ def es_cdc_sink(
             for body in es_bulk_payloads(
                 rows(), index=index, version=version, parent_field=parent_field
             ):
-                req = urllib.request.Request(
-                    url.rstrip("/") + "/_bulk",
-                    data=body.encode(),
-                    headers={"Content-Type": "application/x-ndjson"},
-                )
-                resp = urllib.request.urlopen(req, timeout=timeout)
-                out = _json.loads(resp.read())
+                out = post(url.rstrip("/") + "/_bulk", body)
                 if out.get("errors"):
                     raise RuntimeError(f"bulk errors in epoch {epoch_id}")
 
         newest.foreachPartition(send_partition)
 
     return apply
+
+
+def _es_http_transport(timeout: float) -> Callable[[str, str], dict]:
+    def post(bulk_url: str, body: str) -> dict:  # pragma: no cover - live ES
+        # self-contained: imports inside (executors may not have the
+        # repo on PYTHONPATH)
+        import json as _json
+        import urllib.request
+
+        req = urllib.request.Request(
+            bulk_url,
+            data=body.encode(),
+            headers={"Content-Type": "application/x-ndjson"},
+        )
+        resp = urllib.request.urlopen(req, timeout=timeout)
+        return _json.loads(resp.read())
+
+    return post
 
 
 # ---------------------------------------------------------------------------
@@ -323,13 +337,23 @@ def mongo_cdc_sink(
     database: str,
     collection: Optional[str] = None,
     keys: Sequence[str] = ("_id",),
+    bulk_writer: Optional[Callable[[str, str, List[dict]], None]] = None,
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: LWW-collapse the epoch, then per-partition
-    bulk_write(ordered=False) via pymongo. Gated on pymongo + a
-    reachable server; the official mongo-spark connector is the
-    preferred path when its jar is deployed — this sink is the
-    dependency-free fallback with identical semantics."""
+    bulk_write(ordered=False) via pymongo.
+
+    `bulk_writer(database, collection, ops) -> None` receives each
+    flushed op batch (the mongo_bulk_ops command documents) in order;
+    it defaults to a pymongo bulk_write and is injectable so the
+    LWW-collapse -> op-build -> flush composition executes against a
+    recording fake. Must be picklable — it ships to executors. Gated
+    on pymongo + a reachable server otherwise; the official
+    mongo-spark connector is the preferred path when its jar is
+    deployed — this sink is the dependency-free fallback with
+    identical semantics."""
     from transporter_spark.streaming.cdc import latest_per_key
+
+    write = bulk_writer or _pymongo_bulk_writer(uri)
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         newest = latest_per_key(
@@ -339,38 +363,44 @@ def mongo_cdc_sink(
         )
 
         def send_partition(it):
-            try:
-                import pymongo
-            except ImportError as e:  # pragma: no cover
-                raise RuntimeError("mongo_cdc_sink needs pymongo") from e
-            from pymongo import DeleteOne, ReplaceOne
-
             def rows():
                 for r in it:
                     d = r.asDict(recursive=True)
                     yield {"op": d["op"], "ns": d["ns"], "data": d["data"]}
 
-            client = pymongo.MongoClient(uri)
-            try:
-                coll = client[database][collection or "default"]
-                for ops in mongo_bulk_ops(rows()):
-                    reqs = [
-                        DeleteOne(o["deleteOne"]["filter"])
-                        if "deleteOne" in o
-                        else ReplaceOne(
-                            o["replaceOne"]["filter"],
-                            o["replaceOne"]["replacement"],
-                            upsert=True,
-                        )
-                        for o in ops
-                    ]
-                    coll.bulk_write(reqs, ordered=False)
-            finally:
-                client.close()
+            for ops in mongo_bulk_ops(rows()):
+                write(database, collection or "default", ops)
 
         newest.foreachPartition(send_partition)
 
     return apply
+
+
+def _pymongo_bulk_writer(uri: str) -> Callable[[str, str, List[dict]], None]:
+    def write(database: str, collection: str, ops: List[dict]) -> None:  # pragma: no cover - live mongo
+        try:
+            import pymongo
+        except ImportError as e:
+            raise RuntimeError("mongo_cdc_sink needs pymongo") from e
+        from pymongo import DeleteOne, ReplaceOne
+
+        reqs = [
+            DeleteOne(o["deleteOne"]["filter"])
+            if "deleteOne" in o
+            else ReplaceOne(
+                o["replaceOne"]["filter"],
+                o["replaceOne"]["replacement"],
+                upsert=True,
+            )
+            for o in ops
+        ]
+        client = pymongo.MongoClient(uri)
+        try:
+            client[database][collection].bulk_write(reqs, ordered=False)
+        finally:
+            client.close()
+
+    return write
 
 
 # ---------------------------------------------------------------------------
