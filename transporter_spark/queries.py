@@ -1269,14 +1269,22 @@ def q_dedup_exact(spark, sf_dir):
     """Exact dedup by content hash, keep-smallest-id. The corpus is the
     documents table unioned with a shifted copy of itself (the testdata
     has no exact dups), so the operator provably removes the clones.
-    Scale shape: one shuffle on md5 — uniform keys, no skew."""
+
+    Scale shape: the content fingerprint is computed BEFORE the dedup
+    window, so the shuffle carries (doc_id, 32-hex hash) — never the
+    document bodies. Deduping raw text columns directly works but
+    ships every byte of text through the exchange; at 100TB that IS
+    the job, so fingerprint-first is the canonical usage. One shuffle
+    on md5 — uniform keys, no skew."""
     from transporter_spark.operators.dedup import dedup_exact  # noqa: F401
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    clones = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    clones = docs.select((F.col("doc_id") + 100000).alias("doc_id"), "text_hash")
     corpus = docs.unionByName(clones)
-    kept = build_operator("dedup_exact", cols=["text"])(corpus)
-    return kept.select("doc_id", F.md5("text").alias("text_hash"))
+    kept = build_operator("dedup_exact", cols=["text_hash"])(corpus)
+    return kept.select("doc_id", "text_hash")
 
 
 @q(
