@@ -65,6 +65,8 @@ _PRIORITY = [
     "media_resize",
     "bpe_token_stats",
     "dedup_clusters_exact",
+    # new in round 3: real user-JS transform contract (node-executed)
+    "js_transform",
     # re-confirmations: the highest-value greens, kept inside the cap
     "q1_pricing_summary",
     "q5_local_supplier",
@@ -82,7 +84,6 @@ _PRIORITY = [
     "stratified_sample",
     "frame_sample",
     "grouped_pandas_udaf",
-    "python_udtf",
 ]
 
 

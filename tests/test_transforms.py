@@ -122,3 +122,118 @@ def test_envelope_roundtrip(plain, env):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, plain.collect()))
     meta = from_envelope(env, keep_meta=True)
     assert meta.columns[:3] == ["op", "ts", "ns"]
+
+
+# ---------------------------------------------------------------------------
+# user-JS transformer: the reference goja contract executed by node
+# (fixtures ported from function/gojajs/goja_test.go + testdata/*.js)
+# ---------------------------------------------------------------------------
+
+import shutil
+
+needs_node = pytest.mark.skipif(
+    shutil.which("node") is None, reason="no node executable"
+)
+
+_DOC = {"op": "insert", "ts": 1700000000000000, "ns": "collection",
+        "data": {"id": "id1", "name": "nick"}}
+
+
+def _run_one(js, doc=None):
+    from transporter_spark.operators.transforms import run_js_batch
+
+    [got] = run_js_batch(js, [dict(doc or _DOC)])
+    return got
+
+
+@needs_node
+def test_js_passthrough():
+    # goja_test.go "just pass through" / testdata/transformer.js
+    assert _run_one("function transform(doc) { return doc }") == _DOC
+
+
+@needs_node
+def test_js_delete_name_insert_and_delete_op():
+    # "delete the 'name' property" + "delete's should be processed the
+    # same" / testdata/delete_name.js
+    js = "function transform(doc) { delete doc['data']['name']; return doc }"
+    got = _run_one(js)
+    assert got["data"] == {"id": "id1"} and got["op"] == "insert"
+    got = _run_one(js, {**_DOC, "op": "delete"})
+    assert got["data"] == {"id": "id1"} and got["op"] == "delete"
+
+
+@needs_node
+def test_js_change_ns():
+    # "we should be able to change the namespace" / testdata/change_ns.js
+    got = _run_one("function transform(doc) { doc['ns'] = 'table'; return doc }")
+    assert got["ns"] == "table" and got["data"] == _DOC["data"]
+
+
+@needs_node
+def test_js_add_data():
+    # "we should be able to add an object to the bson" / testdata/add_data.js
+    got = _run_one(
+        'function transform(doc) { doc["data"]["added"] = '
+        '{"name":"batman","villain":"joker"}; return doc }'
+    )
+    assert got["data"]["added"] == {"name": "batman", "villain": "joker"}
+
+
+@needs_node
+def test_js_skip_and_invalid_end_to_end(env):
+    """End-to-end over Spark mapInPandas: testdata/skip.js drops every
+    row (op='s' -> ops.Skip via first-byte match, ops.go:45-62);
+    invalid_data.js (data no longer a map) raises the
+    ErrInvalidMessageType analog."""
+    skip_op = build_operator("js", source="function transform(doc) { doc['op'] = 's'; return doc }")
+    assert skip_op(env).count() == 0
+
+    bad = build_operator(
+        "js", source='function transform(doc) { doc["data"] = "not a map"; return doc }'
+    )
+    with pytest.raises(Exception, match="was not a map"):
+        bad(env).count()
+
+
+@needs_node
+def test_js_transform_end_to_end_mutates(env):
+    """A real .js file (reference user-script migration path): mutate a
+    field, drop one row by returning null, rewrite ns — verified
+    through the full mapInPandas + node pipeline."""
+    js = """
+function transform(doc) {
+  if (doc.data.id === 2) { return null; }
+  doc.data.name = doc.data.name.toUpperCase();
+  doc.ns = 'app.users_v2';
+  return doc;
+}
+"""
+    out = build_operator("js", source=js)(env)
+    rows = {
+        int(F_id): name
+        for F_id, name in (
+            (r["id"], r["name"])
+            for r in (
+                __import__("json").loads(x["data"]["json"]) for x in out.collect()
+            )
+        )
+    }
+    assert rows == {1: "ALICE", 3: "CAROL"}
+    assert {r["ns"] for r in out.collect()} == {"app.users_v2"}
+
+
+@needs_node
+def test_js_transform_from_file(tmp_path, env):
+    # the reference's filename= config (goja.go:44,62-84)
+    p = tmp_path / "transformer.js"
+    p.write_text("function transform(doc) { return doc }")
+    out = build_operator("js", filename=str(p))(env)
+    assert out.count() == env.count()
+
+
+def test_js_transform_empty_filename():
+    from transporter_spark.operators.transforms import js_transform
+
+    with pytest.raises(ValueError, match="no filename"):
+        js_transform()

@@ -295,6 +295,39 @@ def q_py_transform(spark, sf_dir):
     )
 
 
+@q(
+    "js_transform",
+    oracle=(
+        f"SELECT event_id, value * 2 AS doubled, 'app.events_v2' AS ns, op "
+        f"FROM (SELECT event_id, value, {_EVENTS_OP_SQL} AS op FROM events) "
+        f"WHERE op <> 'delete'"
+    ),
+)
+def q_js_transform(spark, sf_dir):
+    """The reference's ACTUAL user-JS contract (function/gojajs/
+    goja.go:53-126): a script defining `function transform(doc)` runs
+    unchanged — here the JS twin of py_transform's query, executed by
+    one node subprocess per Arrow batch (operators/transforms.
+    js_transform). Same oracle as py_transform: a migrating transporter
+    user's .js file produces identical results to the python path."""
+    js = """
+function transform(doc) {
+  if (doc.op === 'delete') { return null; }
+  doc.ns = 'app.events_v2';
+  doc.data = {event_id: doc.data.event_id, doubled: doc.data.value * 2};
+  return doc;
+}
+"""
+    env = _events_envelope(spark, sf_dir)
+    out = build_operator("js", source=js)(env)
+    return out.select(
+        F.get_json_object("data.json", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("data.json", "$.doubled").cast("double").alias("doubled"),
+        "ns",
+        "op",
+    )
+
+
 # ===========================================================================
 # §2.6 native relational surface (absent in the reference by design —
 # SURVEY.md §2.6; provided here as first-class engine capabilities)
