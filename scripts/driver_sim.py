@@ -1,0 +1,126 @@
+"""Simulate the grading driver: entry() + queries() vs oracle_sql() via DuckDB.
+
+Faithful to the driver's pandas path: DuckDB results come back via .df()
+(HUGEINT -> float64, DECIMAL -> float64) and Spark results via .toPandas(),
+then both are column-sorted, row-sorted, stringified per cell and compared.
+
+This pandas emulation matters: pytest's oracle (tests/test_oracle.py)
+uses fetchall(), which returns HUGEINT as Python int and hides the
+float64 rendering the driver actually hashes — 4 queries that passed
+pytest failed only under this sim (and would have hash-failed in
+grading). Run THIS before every round ships.
+
+Usage: python scripts/driver_sim.py [query_name ...]
+Env: SIM_MASTER (local[32]), SIM_SHUFFLE (32), SIM_SF_DIR (/root/testdata/sf0.01)
+"""
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+from pyspark.sql import SparkSession
+
+import __spark_entry__ as entry_mod
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_df(pdf):
+    cols = sorted(pdf.columns)
+    rows = []
+    for t in pdf[cols].itertuples(index=False, name=None):
+        row = []
+        for v in t:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                row.append("NULL" if v is None else "NaN")
+            elif isinstance(v, float):
+                row.append(repr(v))
+            else:
+                row.append(str(v))
+        rows.append(tuple(row))
+    rows.sort()
+    return rows
+
+
+def main():
+    sf_dir = os.environ.get("SIM_SF_DIR", "/root/testdata/sf0.01")
+    master = os.environ.get("SIM_MASTER", "local[32]")
+    shuffle = os.environ.get("SIM_SHUFFLE", "32")
+    only = set(sys.argv[1:])
+
+    spark = (
+        SparkSession.builder.master(master)
+        .appName("driver-sim")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "12g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    duck = duckdb.connect()
+    for t in TABLES:
+        duck.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    if not only:
+        df = entry_mod.entry(spark)
+        n = df.count()
+        print(f"entry(): {n} rows, schema={[f.name for f in df.schema.fields]}")
+        assert n >= 0
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    fails = []
+    for i, (name, fn) in enumerate(qs.items()):
+        if only and name not in only:
+            continue
+        if not only and i >= 50:
+            break
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            fails.append(name)
+            continue
+        if name not in oracles:
+            print(f"rows-only {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            dpdf = duck.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {type(e).__name__}: {e}")
+            fails.append(name)
+            continue
+        ok_cols = sorted(spdf.columns) == sorted(dpdf.columns)
+        ok_rows = len(spdf) == len(dpdf)
+        status = []
+        if not ok_cols:
+            status.append(f"cols spark={sorted(spdf.columns)} duck={sorted(dpdf.columns)}")
+        if not ok_rows:
+            status.append(f"rows spark={len(spdf)} duck={len(dpdf)}")
+        if ok_cols and ok_rows:
+            s, d = canon_df(spdf), canon_df(dpdf)
+            bad = [(a, b) for a, b in zip(s, d) if a != b]
+            if bad:
+                status.append(f"values: first diffs {bad[:2]}")
+        if status:
+            print(f"FAIL {name}: {'; '.join(status)}")
+            fails.append(name)
+        else:
+            print(f"ok   {name}: {len(spdf)} rows ({time.time()-t0:.1f}s)")
+
+    print(f"\n{'ALL GREEN' if not fails else 'FAILURES: ' + ', '.join(fails)}")
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -323,37 +323,53 @@ _JS_HARNESS = """
 """
 
 
+def _make_js_batch_runner(js_source: str, harness: str = _JS_HARNESS):
+    """Build the per-batch node runner as a CLOSURE so cloudpickle
+    serializes it by value (worker-closure invariant, see
+    multimodal.decode_features): a module-level function here would be
+    pickled as an import reference to this package, which breaks on
+    executors without the repo on PYTHONPATH."""
+    script = js_source + harness
+
+    def run_batch(docs):
+        import json as _json
+        import os as _os
+        import shutil as _shutil
+        import subprocess as _subprocess
+        import tempfile as _tempfile
+
+        node = _shutil.which("node")
+        if node is None:  # pragma: no cover - node is present in CI image
+            raise RuntimeError(
+                "js transform needs a `node` executable on every executor; "
+                "port the script to a python fn= (see README: js migration)"
+            )
+        with _tempfile.NamedTemporaryFile("w", suffix=".js", delete=False) as fh:
+            fh.write(script)
+            path = fh.name
+        try:
+            payload = "\n".join(_json.dumps(d, default=str) for d in docs)
+            proc = _subprocess.run(
+                [node, path], input=payload.encode(), capture_output=True
+            )
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"js transform failed: {proc.stderr.decode()[:2000]}"
+                )
+            return [_json.loads(l) for l in proc.stdout.decode().splitlines()]
+        finally:
+            _os.unlink(path)
+
+    return run_batch
+
+
 def run_js_batch(js_source: str, docs: List[dict]) -> List[Optional[dict]]:
     """Execute ``function transform(doc)`` from ``js_source`` over a
     batch of envelope docs in one node subprocess; returns the
     transformed docs (None where the script returned null). Pure
     helper so the reference's goja_test.go cases port as direct
     fixtures."""
-    import shutil
-    import subprocess
-    import tempfile
-
-    node = shutil.which("node")
-    if node is None:  # pragma: no cover - node is present in CI image
-        raise RuntimeError(
-            "js transform needs a `node` executable on every executor; "
-            "port the script to a python fn= (see README: js migration)"
-        )
-    with tempfile.NamedTemporaryFile("w", suffix=".js", delete=False) as fh:
-        fh.write(js_source + _JS_HARNESS)
-        path = fh.name
-    try:
-        payload = "\n".join(json.dumps(d, default=str) for d in docs)
-        proc = subprocess.run(
-            [node, path], input=payload.encode(), capture_output=True
-        )
-        if proc.returncode != 0:
-            raise RuntimeError(f"js transform failed: {proc.stderr.decode()[:2000]}")
-        return [json.loads(l) for l in proc.stdout.decode().splitlines()]
-    finally:
-        import os
-
-        os.unlink(path)
+    return _make_js_batch_runner(js_source)(docs)
 
 
 def js_transform(
@@ -392,7 +408,10 @@ def js_transform(
         ]
     )
 
+    batch_runner = _make_js_batch_runner(js_source)
+
     def run(batches):
+        import json
         import pandas as pd
 
         for pdf in batches:
@@ -408,7 +427,7 @@ def js_transform(
                 )
             ]
             rows = []
-            for got in run_js_batch(js_source, docs):
+            for got in batch_runner(docs):
                 if got is None or str(got.get("op", "")).startswith("s"):
                     continue
                 data = got.get("data")

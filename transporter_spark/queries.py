@@ -3491,8 +3491,8 @@ def q_q11_important_stock(spark, sf_dir):
     "q12_priority_lines",
     oracle="""
 SELECT l_linestatus,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders, lineitem
 WHERE o_orderkey = l_orderkey
   AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -3730,10 +3730,10 @@ def q_deterministic_shuffle(spark, sf_dir):
     oracle="""
 SELECT event_id, user_id, session_seq, ts
 FROM (SELECT event_id, user_id, ts,
-             SUM(CASE WHEN prev_ts IS NULL
+             CAST(SUM(CASE WHEN prev_ts IS NULL
                         OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       FROM (SELECT event_id, user_id, ts,
                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
             FROM events) l) s
@@ -3860,7 +3860,7 @@ WITH toks AS (
 df AS (
   SELECT tok, COUNT(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY tok)
 SELECT toks.doc_id,
-       SUM(doc_freq) AS df_sum,
+       CAST(SUM(doc_freq) AS BIGINT) AS df_sum,
        COUNT(*) AS n_toks,
        CAST(SUM(doc_freq) AS DOUBLE) / COUNT(*) AS avg_df
 FROM toks JOIN df USING (tok)
@@ -3903,7 +3903,7 @@ def q_rarity_score(spark, sf_dir):
     "variant_json",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
        COUNT(*) AS n
 FROM events
