@@ -67,6 +67,8 @@ _PRIORITY = [
     "dedup_clusters_exact",
     # new in round 3: real user-JS transform contract (node-executed)
     "js_transform",
+    # new in round 3: ingest-batch dedup against a persisted band index
+    "incremental_dedup",
     # re-confirmations: the highest-value greens, kept inside the cap
     "q1_pricing_summary",
     "q5_local_supplier",
@@ -83,7 +85,6 @@ _PRIORITY = [
     "chunk_documents",
     "stratified_sample",
     "frame_sample",
-    "grouped_pandas_udaf",
 ]
 
 

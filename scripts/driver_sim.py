@@ -40,7 +40,14 @@ def canon_df(pdf):
             elif isinstance(v, float):
                 row.append(repr(v))
             else:
-                row.append(str(v))
+                s = str(v)
+                # DATE columns arrive as datetime.date from Spark but
+                # datetime64 (midnight) from DuckDB's .df(); the real
+                # driver tolerates this (date_funcs was hash-green in
+                # r1), so normalize instead of false-positive on it.
+                if s.endswith(" 00:00:00"):
+                    s = s[:-9]
+                row.append(s)
         rows.append(tuple(row))
     rows.sort()
     return rows

@@ -7,8 +7,10 @@ import pyspark.sql.functions as F
 import pytest
 
 from transporter_spark.operators.dedup import (
+    band_index,
     dedup_exact,
     embedding_dup_pairs,
+    incremental_lsh_pairs,
     jaccard_pairs,
     minhash_lsh_pairs,
     simhash,
@@ -151,6 +153,51 @@ def test_minhash_lsh_reliable_checkpoint(spark, sf_dir, tmp_path):
     import os
 
     assert os.listdir(str(tmp_path / "ckpt"))
+
+
+def test_incremental_lsh_matches_full_recompute(spark, sf_dir):
+    """The incremental path (batch bands ⋈ persisted index + batch
+    self-join) must produce EXACTLY the full-recompute pairs restricted
+    to pairs touching a new doc — same hash family, same banding, same
+    verification, so the sets are equal, not approximately equal."""
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+
+    full = minhash_lsh_pairs(docs, threshold=0.2)
+    expected = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    inc = incremental_lsh_pairs(new, corpus, threshold=0.2)
+    got = {(r.id_a, r.id_b, round(r.jaccard, 12)) for r in inc.collect()}
+    assert got == expected
+    assert expected, "test corpus must contain near-dups touching the batch"
+
+
+def test_incremental_lsh_from_persisted_index(spark, sf_dir, tmp_path):
+    """Production shape: the corpus index is a parquet table written
+    once; a later session reads it back and dedups an ingest batch
+    against it without touching corpus text except for verification.
+    Results must equal the derive-index-inline path."""
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+
+    idx_path = str(tmp_path / "band_index")
+    band_index(corpus).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    inline = incremental_lsh_pairs(new, corpus, threshold=0.2)
+    persisted = incremental_lsh_pairs(new, corpus, index=idx, threshold=0.2)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, persisted.collect())
+    )
+    # candidate generation is equi-join only — no cross product anywhere
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_jaccard_pairs_cache_released(spark, sf_dir):

@@ -305,6 +305,50 @@ def minhash_signatures(
     )
 
 
+def band_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    portable: bool = False,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """(id, band, bsig) — the LSH band table for a corpus, i.e. the
+    PERSISTABLE index state of near-dup detection. Written once (e.g.
+    parquet partitioned or bucketed by band), it lets each ingest batch
+    be deduplicated against the corpus WITHOUT re-minhashing 100 TB:
+    only the batch is shingled; candidate lookup is an equi-join on
+    (band, bsig) against this table (`incremental_lsh_pairs`).
+
+    `bands` rows per document, each carrying a ~40-byte band signature —
+    the index is ~3 orders of magnitude smaller than the corpus text.
+    """
+    r = num_hashes // bands
+    sig = _materialize(
+        minhash_signatures(df, text_col, id_col, n, num_hashes, seed, portable),
+        reliable_checkpoint,
+    )
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col("signature")[i * r + j].cast("string") for j in range(r)]
+                        ).alias("bsig"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "bs.band", "bs.bsig")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -337,28 +381,13 @@ def minhash_lsh_pairs(
     checkpoints die with an executor, restarting the whole dedup job
     at cluster scale.
     """
-    r = num_hashes // bands
-    sig = _materialize(
-        minhash_signatures(df, text_col, id_col, n, num_hashes, seed, portable),
+    banded = _materialize(
+        band_index(
+            df, text_col, id_col, n, num_hashes, bands, seed, portable,
+            reliable_checkpoint,
+        ),
         reliable_checkpoint,
     )
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col("signature")[i * r + j].cast("string") for j in range(r)]
-                        ).alias("bsig"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "bs.band", "bs.bsig")
-    banded = _materialize(banded, reliable_checkpoint)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -372,23 +401,36 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    # verify ONLY the candidates (never the all-pairs exact join — that
-    # would defeat LSH): candidates fan out to their shingles, then an
-    # equi-join on (doc, shingle-hash) counts intersections.
-    #
-    # Re-shingle only docs that appear in a candidate pair — a semi-join
-    # before the explode. Verify cost then scales with |candidates|, not
-    # |corpus|: at 100TB the candidate set is typically <1% of docs, and
-    # re-tokenizing the other 99% was the dominant cost of this stage.
-    # (Plain semi-join, not forced broadcast: AQE broadcasts it when the
-    # candidate id list is small, falls back to shuffle when it isn't.)
     cand = _materialize(cand, reliable_checkpoint)
+    return _verify_candidates(cand, df, text_col, id_col, n, threshold)
+
+
+def _verify_candidates(
+    cand: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs: verify ONLY the
+    candidates (never the all-pairs exact join — that would defeat
+    LSH): candidates fan out to their shingles, then an equi-join on
+    (doc, shingle-hash) counts intersections.
+
+    Re-shingle only docs that appear in a candidate pair — a semi-join
+    before the explode. Verify cost then scales with |candidates|, not
+    |corpus|: at 100TB the candidate set is typically <1% of docs, and
+    re-tokenizing the other 99% was the dominant cost of this stage.
+    (Plain semi-join, not forced broadcast: AQE broadcasts it when the
+    candidate id list is small, falls back to shuffle when it isn't.)
+    """
     cand_ids = (
         cand.select(F.col("id_a").alias("_cid"))
         .unionByName(cand.select(F.col("id_b").alias("_cid")))
         .distinct()
     )
-    docs_in_play = df.join(
+    docs_in_play = docs.join(
         cand_ids, F.col(id_col) == F.col("_cid"), "leftsemi"
     )
     sh = _shingle_frame(docs_in_play, text_col, id_col, n, max_df=None)
@@ -401,6 +443,83 @@ def minhash_lsh_pairs(
         .agg(F.count("*").alias("inter"))
     )
     return _attach_cached(_jaccard_from_inter(inter, sizes, threshold), sh)
+
+
+def incremental_lsh_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    index: Optional[DataFrame] = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    seed: int = 42,
+    verify: bool = True,
+    portable: bool = False,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Near-dup pairs for an INGEST BATCH against an already-indexed
+    corpus — the shape that makes LSH dedup sustainable at 100 TB:
+    re-minhashing the whole corpus per daily batch is a non-starter, so
+    the corpus contributes only its persisted `band_index` table (bands
+    × ~40 bytes per doc, ~3 orders of magnitude smaller than the text).
+
+    Per-batch cost: shingle+minhash ∝ |batch|; candidate lookup is an
+    equi-join of the batch's bands against the index on (band, bsig) —
+    bucket the persisted index by these keys and the corpus side needs
+    no shuffle at all; exact-Jaccard verification reads text only for
+    docs in candidate pairs (one semi-joined corpus scan).
+
+    Returns verified pairs (id_a < id_b, jaccard) where at least one
+    side is a new doc: new-vs-corpus plus new-vs-new. Corpus-internal
+    pairs are by definition already handled when the corpus was built.
+    `index=None` derives the index from `corpus_docs` (testing / first
+    build); production passes the persisted parquet.
+
+    Append `band_index(new_docs)` (i.e. the `new_bands` computed here)
+    to the index table after the batch commits — the index stays
+    complete without any recompute.
+    """
+    new_bands = _materialize(
+        band_index(
+            new_docs, text_col, id_col, n, num_hashes, bands, seed,
+            portable, reliable_checkpoint,
+        ),
+        reliable_checkpoint,
+    )
+    if index is None:
+        index = band_index(
+            corpus_docs, text_col, id_col, n, num_hashes, bands, seed,
+            portable, reliable_checkpoint,
+        )
+    a, b = new_bands.alias("a"), index.alias("b")
+    vs_corpus = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    na, nb = new_bands.alias("a"), new_bands.alias("b")
+    vs_new = na.join(
+        nb,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bsig") == F.col("b.bsig"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    cand = vs_corpus.unionByName(vs_new).distinct()
+    if not verify:
+        return cand
+    cand = _materialize(cand, reliable_checkpoint)
+    docs = new_docs.unionByName(corpus_docs)
+    return _verify_candidates(cand, docs, text_col, id_col, n, threshold)
 
 
 # ---------------------------------------------------------------------------

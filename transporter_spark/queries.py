@@ -1447,6 +1447,39 @@ QUERIES["minhash_lsh_pairs"] = QUERIES["minhash_lsh_pairs"]._replace(
 
 
 @q(
+    "incremental_dedup",
+    oracle=None,  # generated below: full-corpus pipeline restricted to new-side pairs
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Ingest-batch dedup against a PERSISTED corpus band index — the
+    only LSH shape that survives 100 TB operationally: the corpus
+    contributes its (id, band, bsig) index table (written once, ~3
+    orders of magnitude smaller than the text), the batch alone is
+    shingled/minhashed, candidates come from an equi-join of batch
+    bands against the index plus a batch self-join, and exact-Jaccard
+    verification touches text only for candidate docs. Value-checked:
+    the oracle replays the FULL-corpus portable pipeline and restricts
+    to pairs touching a batch doc — tests/test_dedup.py proves the
+    incremental path equals that restriction exactly."""
+    from transporter_spark.operators.dedup import band_index, incremental_lsh_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    index = band_index(corpus, portable=True)
+    return incremental_lsh_pairs(
+        new, corpus, index=index, threshold=0.1, portable=True
+    )
+
+
+QUERIES["incremental_dedup"] = QUERIES["incremental_dedup"]._replace(
+    oracle=_minhash_portable_ctes()
+    + "\nSELECT id_a, id_b, jaccard FROM mh_pairs"
+    + "\nWHERE id_a % 5 = 0 OR id_b % 5 = 0"
+)
+
+
+@q(
     "dedup_clusters_portable",
     oracle=None,  # composed below: portable LSH pairs + recursive closure
 )
