@@ -67,8 +67,10 @@ _PRIORITY = [
     "dedup_clusters_exact",
     # new in round 3: real user-JS transform contract (node-executed)
     "js_transform",
-    # new in round 3: ingest-batch dedup against a persisted band index
+    # new in round 3: ingest-batch dedup against a persisted band index,
+    # and its streaming sink form (continuous corpus + index maintenance)
     "incremental_dedup",
+    "stream_ingest_dedup",
     # re-confirmations: the highest-value greens, kept inside the cap
     "q1_pricing_summary",
     "q5_local_supplier",
@@ -84,7 +86,6 @@ _PRIORITY = [
     "decontaminate",
     "chunk_documents",
     "stratified_sample",
-    "frame_sample",
 ]
 
 

@@ -518,7 +518,11 @@ def incremental_lsh_pairs(
     if not verify:
         return cand
     cand = _materialize(cand, reliable_checkpoint)
-    docs = new_docs.unionByName(corpus_docs)
+    # verification needs only (id, text); projecting first also keeps the
+    # union legal when batch and corpus carry different passenger columns
+    docs = new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
+        corpus_docs.select(F.col(id_col), F.col(text_col))
+    )
     return _verify_candidates(cand, docs, text_col, id_col, n, threshold)
 
 

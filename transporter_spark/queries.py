@@ -1516,6 +1516,39 @@ FROM reach GROUP BY id
 
 
 @q(
+    "stream_ingest_dedup",
+    oracle=None,  # generated below: canonical docs of the portable closure
+)
+def q_stream_ingest_dedup(spark, sf_dir):
+    """CONTINUOUS ingest dedup (streaming/ingest.py): the documents
+    stream drains through a foreachBatch sink that maintains the
+    dedup'd corpus plus its LSH band index with per-epoch atomic
+    commits — each batch is minhashed once and checked against the
+    persisted index, never against corpus text (except exact-Jaccard
+    verification of candidates). A single-epoch drain keeps exactly
+    the batch pipeline's canonical docs, which is what the oracle
+    replays (multi-epoch first-wins + replay idempotency are pinned in
+    tests/test_ingest_dedup.py — order-dependence is inherent to
+    streaming dedup, so the oracle gate uses the one-epoch case)."""
+    from transporter_spark.streaming.ingest import drain_documents_dedup
+
+    kept = drain_documents_dedup(
+        spark, sf_dir, threshold=0.1, portable=True
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+QUERIES["stream_ingest_dedup"] = QUERIES["stream_ingest_dedup"]._replace(
+    oracle=QUERIES["dedup_clusters_portable"].oracle.rstrip()
+    .replace(
+        "SELECT id AS doc_id, MIN(r) AS component, (MIN(r) = id) AS is_canonical\n"
+        "FROM reach GROUP BY id",
+        "SELECT id AS doc_id FROM reach GROUP BY id HAVING MIN(r) = id ORDER BY doc_id",
+    )
+)
+
+
+@q(
     "simhash_pairs",
     oracle=None,  # generated below — shares the portable token hash
 )
