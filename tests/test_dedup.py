@@ -265,6 +265,38 @@ def test_ann_ivf_recall_vs_brute_force(spark, sf_dir):
     assert recall >= 0.5, f"IVF recall collapsed: {recall}"
 
 
+def test_ann_ivf_persisted_index_with_partition_pruning(spark, sf_dir, tmp_path):
+    """The ANN twin of the dedup band_index pattern: the IVF assignment
+    table persists partitioned by cell and is probed without
+    recomputing assignments. Results must equal the inline path, and
+    the probe join must dynamically prune index partitions — at scale
+    only nprobe/n_cells of the corpus is even read."""
+    from transporter_spark.operators.similarity import (
+        ann_ivf,
+        ann_ivf_search,
+        ivf_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.limit(8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    queries = emb.filter(F.col("vec_id") % 37 == 0)
+
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_index(emb, centroids).write.partitionBy("cell").parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    inline = ann_ivf(emb, queries, centroids, k=5, nprobe=2)
+    persisted = ann_ivf_search(idx, queries, centroids, k=5, nprobe=2)
+    assert sorted(map(tuple, inline.collect())) == sorted(
+        map(tuple, persisted.collect())
+    )
+    plan = persisted._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_decontaminate_flags_only_overlapping_docs(spark):
     from transporter_spark.operators.dedup import decontaminate
 

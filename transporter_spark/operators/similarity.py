@@ -122,6 +122,34 @@ def ann_ivf(
     shuffle, no cross join. Candidate count ~= corpus * nprobe / n_cells.
     """
     indexed = ivf_index(corpus, centroids, id_col, vec_col, round_dp)
+    return ann_ivf_search(
+        indexed, queries, centroids, k, nprobe, id_col, vec_col, round_dp
+    )
+
+
+def ann_ivf_search(
+    indexed: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: Optional[int] = None,
+) -> DataFrame:
+    """Probe a PERSISTED IVF index: `indexed` is the (id, vec, cell)
+    table `ivf_index` produced — written once (partitioned by `cell`)
+    and reused across query batches, the ANN twin of the dedup
+    `band_index` pattern. New corpus vectors append incrementally:
+    assign them with `ivf_index` against the SAME centroid set and
+    append the rows; no existing assignment changes.
+
+    When the index parquet is partitioned by cell, the probe join
+    prunes at the file level: the query side's nprobe cells are few,
+    so Spark's dynamic partition pruning reads only those directories —
+    at 100 TB the scan cost is nprobe/n_cells of the corpus, before a
+    single row is decoded (pinned in tests/test_dedup.py).
+    """
     cen = centroids.select(
         F.col("centroid_id").alias("cell"),
         F.col("centroid_vec").cast("array<double>").alias("cen_vec"),

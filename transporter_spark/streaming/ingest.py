@@ -94,6 +94,12 @@ def ingest_dedup_batch(
         with open(marker) as fh:
             if epoch_id <= int(fh.read().strip()):
                 return False
+    # empty epochs happen (foreachBatch delivers them on idle triggers);
+    # rewriting the whole corpus/index for one would be a full-state IO
+    # storm at scale. Not advancing the marker is safe: replay of an
+    # empty epoch is vacuously idempotent.
+    if batch.isEmpty():
+        return False
 
     spark = batch.sparkSession
     if exists:
