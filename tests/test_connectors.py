@@ -1221,3 +1221,81 @@ def test_mongo_cdc_sink_composition_executes(spark, tmp_path):
                 state[r["filter"]["_id"]] = r["replacement"].get("name")
     assert state == _EPOCH_EXPECT
     assert not saw_old  # collapsed BEFORE op building
+
+
+def test_rethinkdb_cdc_sink_composition_executes(spark, tmp_path):
+    """Run the full rethinkdb epoch loop (LWW-collapse ->
+    rethinkdb_bulk_ops with its flush barriers -> apply) against a
+    recording apply_op (reference: adaptor/rethinkdb/writer.go:48-146).
+    Replaying the recorded insert-replace/delete ops must land on the
+    LWW state; `_id` is renamed `id` by prepareDocument parity."""
+    import glob
+    import json as _json
+    import os
+    import uuid
+
+    from transporter_spark.sources.bulk import rethinkdb_cdc_sink
+
+    rec = str(tmp_path / "rec")
+    os.makedirs(rec, exist_ok=True)
+
+    def fake_apply(database, table, kind, payload):
+        with open(os.path.join(rec, uuid.uuid4().hex), "w") as fh:
+            _json.dump(
+                {"db": database, "table": table, "kind": kind, "payload": payload},
+                fh,
+            )
+
+    apply = rethinkdb_cdc_sink("appdb", "users", apply_op=fake_apply)
+    apply(_envelope_batch(spark, _EPOCH_ROWS), epoch_id=0)
+
+    state = {}
+    saw_old = False
+    for path in glob.glob(os.path.join(rec, "*")):
+        with open(path) as fh:
+            recd = _json.load(fh)
+        assert (recd["db"], recd["table"]) == ("appdb", "users")
+        if recd["kind"] == "delete":
+            state.pop(recd["payload"], None)
+        else:
+            for doc in recd["payload"]:
+                assert "_id" not in doc  # prepareDocument rename
+                saw_old |= doc.get("name") == "b-old"
+                state[doc["id"]] = doc.get("name")
+    assert state == _EPOCH_EXPECT
+    assert not saw_old  # collapsed BEFORE op building
+
+
+def test_rabbitmq_sink_composition_executes(spark, tmp_path):
+    """Run the rabbitmq publish epoch end to end. Parity is the
+    OPPOSITE of the upsert sinks (rabbitmq/writer.go:34-58): every
+    Insert/Update publishes (including superseded intermediates — a
+    feed consumer is owed them), Deletes never publish, exchange = ns,
+    and bodies are the raw document JSON."""
+    import glob
+    import json as _json
+    import os
+    import uuid
+
+    from transporter_spark.sources.bulk import rabbitmq_sink
+
+    rec = str(tmp_path / "rec")
+    os.makedirs(rec, exist_ok=True)
+
+    def fake_publish(exchange, routing_key, body):
+        with open(os.path.join(rec, uuid.uuid4().hex), "w") as fh:
+            _json.dump({"ex": exchange, "rk": routing_key, "body": body}, fh)
+
+    apply = rabbitmq_sink(publisher=fake_publish, key_field="_id")
+    apply(_envelope_batch(spark, _EPOCH_ROWS), epoch_id=0)
+
+    published = []
+    for path in glob.glob(os.path.join(rec, "*")):
+        with open(path) as fh:
+            recd = _json.load(fh)
+        assert recd["ex"] == "db.users"
+        doc = _json.loads(recd["body"])
+        assert recd["rk"] == doc["_id"]  # key_field routing
+        published.append(doc.get("name"))
+    # all 4 insert/updates published (b-old AND b-new), delete ignored
+    assert sorted(p for p in published) == ["a", "b-new", "b-old", "d"]

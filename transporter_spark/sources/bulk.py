@@ -430,6 +430,47 @@ def rabbitmq_publish_payloads(
         yield (str(row.get(ns_field, "")), rk, _dumps(data))
 
 
+def rabbitmq_sink(
+    publisher: Callable[[str, str, str], None],
+    routing_key: str = "",
+    key_field: Optional[str] = None,
+) -> Callable[["DataFrame", int], None]:
+    """foreachBatch sink publishing an epoch to AMQP.
+
+    Unlike the upsert sinks there is NO LWW collapse: RabbitMQ is a
+    message feed, and the reference publishes every Insert/Update in
+    arrival order (rabbitmq/writer.go:34-58, Delete ignored) —
+    collapsing intermediate states would silently drop messages a
+    downstream consumer is owed. Rows are ts-ordered within each
+    partition (cross-partition order is undefined, exactly like the
+    reference's concurrent sessions).
+
+    `publisher(exchange, routing_key, body) -> None` must be picklable
+    (ships to executors); inject a recording fake to execute the
+    composition without a broker, or a pika-backed callable for real.
+    """
+
+    def apply(batch: "DataFrame", epoch_id: int) -> None:
+        staged = batch.select(
+            F.lower("op").alias("op"), "ns", "ts", "data"
+        ).sortWithinPartitions("ts")
+
+        def send_partition(it):
+            def rows():
+                for r in it:
+                    d = r.asDict(recursive=True)
+                    yield {"op": d["op"], "ns": d["ns"], "data": d["data"]}
+
+            for exchange, rk, body in rabbitmq_publish_payloads(
+                rows(), routing_key=routing_key, key_field=key_field
+            ):
+                publisher(exchange, rk, body)
+
+        staged.foreachPartition(send_partition)
+
+    return apply
+
+
 # ---------------------------------------------------------------------------
 # RethinkDB buffered insert-replace
 # ---------------------------------------------------------------------------
@@ -488,3 +529,48 @@ def rethinkdb_bulk_ops(
             yield ("delete", doc_id)
     if buf:
         yield ("insert", buf)
+
+
+def rethinkdb_cdc_sink(
+    database: str,
+    table: str,
+    keys: Sequence[str] = ("_id",),
+    apply_op: Optional[Callable[[str, str, str, object], None]] = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: LWW-collapse the epoch, then stream the
+    collapsed rows through `rethinkdb_bulk_ops` per partition — the
+    buffered insert-replace with update/delete flush barriers the
+    reference writer implements (adaptor/rethinkdb/writer.go:48-146).
+
+    `apply_op(database, table, kind, payload) -> None` receives each
+    ("insert", [docs]) / ("delete", id) in apply order; must be
+    picklable (ships to executors). Inject a recording fake to execute
+    the composition serverless, or a rethinkdb-driver callable for
+    real (gated: no server in this container)."""
+    from transporter_spark.streaming.cdc import latest_per_key
+
+    if apply_op is None:  # pragma: no cover - live rethinkdb
+        raise RuntimeError(
+            "rethinkdb_cdc_sink needs an apply_op callable (no rethinkdb "
+            "driver in this environment)"
+        )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        newest = latest_per_key(
+            batch.select(F.lower("op").alias("op"), "ns", "ts", "data"),
+            [f"data.{k}" for k in keys],
+            ["ts"],
+        )
+
+        def send_partition(it):
+            def rows():
+                for r in it:
+                    d = r.asDict(recursive=True)
+                    yield {"op": d["op"], "ns": d["ns"], "data": d["data"]}
+
+            for kind, payload in rethinkdb_bulk_ops(rows()):
+                apply_op(database, table, kind, payload)
+
+        newest.foreachPartition(send_partition)
+
+    return apply
