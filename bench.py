@@ -52,7 +52,7 @@ def main() -> None:
     max_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "8"))
     for name in ordered:
         query = headline[name]
-        best, n, runs = None, 0, 0
+        best, n, runs, improved = None, 0, 0, False
         while runs < repeats or (runs < max_repeats and improved):
             t0 = time.time()
             df = query.fn(spark, sf_dir)

@@ -233,6 +233,38 @@ def test_cdc_out_of_order_batches_no_resurrection(spark):
     assert got == {1: "newest"}  # stale update ignored, no resurrection
 
 
+def test_compact_tombstones_drops_only_expired_markers(spark):
+    """Tombstone GC (the Kafka-compaction / Delta-vacuum contract):
+    delete markers at-or-before the horizon are dropped, fresher ones
+    and all live rows survive — and the retention bound is load-bearing:
+    after compaction a staler-than-horizon update CAN resurrect, which
+    is exactly why horizon must not exceed the source's replay lag."""
+    from datetime import datetime
+
+    from transporter_spark.streaming.cdc import compact_tombstones
+
+    t1, t2, t3 = datetime(2024, 1, 1), datetime(2024, 1, 2), datetime(2024, 1, 3)
+    b = _env(
+        spark,
+        [
+            ("insert", t3, 1, "alive"),
+            ("delete", t1, 2, None),   # expired tombstone
+            ("delete", t3, 3, None),   # fresh tombstone
+        ],
+    )
+    state = apply_cdc_batch(None, b, keys=["user_id"])
+    compacted = compact_tombstones(state, t2)
+    ops = {r.user_id: r._op for r in compacted.collect()}
+    assert ops == {1: "live", 3: "delete"}  # expired marker gone
+    assert {r.user_id for r in live_rows(compacted).collect()} == {1}
+
+    # within-retention replay still safe: t1-or-older can no longer
+    # arrive by the horizon contract, t2.5-aged changes still guard
+    late = _env(spark, [("update", t2, 3, "zombie")])
+    after = live_rows(apply_cdc_batch(compacted, late, keys=["user_id"]))
+    assert {r.user_id for r in after.collect()} == {1}
+
+
 def test_stream_drop_duplicates_removes_reingested_rows(spark, sf_dir, tmp_path):
     """dropDuplicates on a stream: re-ingesting the same rows in a
     later file yields no new output rows (state remembers keys)."""

@@ -108,6 +108,22 @@ def live_rows(state: DataFrame) -> DataFrame:
     return state.filter(F.col("_op") != "delete").drop("_op", "_ts")
 
 
+def compact_tombstones(state: DataFrame, horizon) -> DataFrame:
+    """Tombstone GC — the Kafka-compaction / Delta-vacuum contract:
+    drop delete markers whose _ts is at or before ``horizon`` (a
+    timestamp literal or Column). Correctness bound: ``horizon`` must
+    not exceed the source's max replay lag — a tombstone may only be
+    dropped once no change OLDER than it can still arrive, otherwise a
+    late stale update would resurrect the deleted row. Live rows are
+    never touched; state size returns to ~#live keys."""
+    from pyspark.sql import Column
+
+    h = horizon if isinstance(horizon, Column) else F.lit(horizon).cast("timestamp")
+    return state.filter(
+        (F.col("_op") != "delete") | F.col("_ts").isNull() | (F.col("_ts") > h)
+    )
+
+
 def cdc_upsert_sink(
     spark: SparkSession,
     table_path: str,
