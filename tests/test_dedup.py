@@ -155,6 +155,35 @@ def test_minhash_lsh_reliable_checkpoint(spark, sf_dir, tmp_path):
     assert os.listdir(str(tmp_path / "ckpt"))
 
 
+def test_max_bucket_caps_boilerplate_blowup(spark, sf_dir):
+    """A boilerplate bucket of B identical docs contributes B²/2
+    candidates; max_bucket skips oversized (band, bsig) buckets so
+    pure-boilerplate pairs vanish while genuine near-dups (colliding
+    in small buckets) survive — the standard post-exact-dedup LSH skew
+    guard."""
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = spark.createDataFrame(
+        [(900000 + i, "standard legal boilerplate footer text repeated verbatim "
+          "across every page of the crawl " * 3) for i in range(30)],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(boiler)
+
+    uncapped = minhash_lsh_pairs(both, threshold=0.2)
+    capped = minhash_lsh_pairs(both, threshold=0.2, max_bucket=10)
+    unc = {(r.id_a, r.id_b) for r in uncapped.collect()}
+    cap = {(r.id_a, r.id_b) for r in capped.collect()}
+    boiler_ids = set(range(900000, 900030))
+    # uncapped: the 30 identical docs alone emit 435 pairs
+    assert len({p for p in unc if p[0] in boiler_ids}) == 435
+    # capped: every boilerplate band bucket holds 30 > 10 docs -> gone
+    assert not {p for p in cap if p[0] in boiler_ids or p[1] in boiler_ids}
+    # genuine corpus near-dups live in small buckets -> identical sets
+    assert {p for p in cap if p[0] not in boiler_ids} == {
+        p for p in unc if p[0] not in boiler_ids and p[1] not in boiler_ids
+    }
+
+
 def test_incremental_lsh_matches_full_recompute(spark, sf_dir):
     """The incremental path (batch bands ⋈ persisted index + batch
     self-join) must produce EXACTLY the full-recompute pairs restricted

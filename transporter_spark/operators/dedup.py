@@ -361,6 +361,7 @@ def minhash_lsh_pairs(
     verify: bool = True,
     portable: bool = False,
     reliable_checkpoint: bool = False,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding.
 
@@ -372,8 +373,16 @@ def minhash_lsh_pairs(
 
     Scale shape: signatures groupBy -> explode to `bands` rows per doc ->
     self-join on (band_id, band_signature). No cross join; bucket sizes
-    are the only skew risk (identical boilerplate docs) — cap bucket
-    size upstream if needed.
+    are the only skew risk.
+
+    max_bucket (scale knob): skip (band, bsig) buckets holding more
+    than max_bucket docs before the self-join — a bucket of B docs
+    contributes B²/2 candidates, and million-doc buckets are exactly
+    what identical boilerplate produces (a 1M-doc bucket alone is
+    5·10^11 pairs). Recall is lost only for pairs WHOSE EVERY shared
+    band is oversized; run exact `dedup_exact` first so identical docs
+    never reach LSH, and genuine near-dups keep colliding in their
+    rarer bands (same contract as `max_df` on the Jaccard path).
 
     reliable_checkpoint=True swaps every lineage cut in this path
     (signatures, banded rows, candidate pairs) from localCheckpoint to
@@ -388,6 +397,7 @@ def minhash_lsh_pairs(
         ),
         reliable_checkpoint,
     )
+    banded = _cap_buckets(banded, max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -403,6 +413,21 @@ def minhash_lsh_pairs(
         return cand
     cand = _materialize(cand, reliable_checkpoint)
     return _verify_candidates(cand, df, text_col, id_col, n, threshold)
+
+
+def _cap_buckets(banded: DataFrame, max_bucket: Optional[int]) -> DataFrame:
+    """Drop LSH buckets larger than max_bucket docs (see
+    minhash_lsh_pairs). One extra aggregation over the band table —
+    tiny next to the B² candidates an uncapped hot bucket would emit."""
+    if max_bucket is None:
+        return banded
+    ok = (
+        banded.groupBy("band", "bsig")
+        .count()
+        .filter(F.col("count") <= max_bucket)
+        .select("band", "bsig")
+    )
+    return banded.join(ok, ["band", "bsig"])
 
 
 def _verify_candidates(
@@ -459,6 +484,7 @@ def incremental_lsh_pairs(
     verify: bool = True,
     portable: bool = False,
     reliable_checkpoint: bool = False,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup pairs for an INGEST BATCH against an already-indexed
     corpus — the shape that makes LSH dedup sustainable at 100 TB:
@@ -494,6 +520,12 @@ def incremental_lsh_pairs(
             corpus_docs, text_col, id_col, n, num_hashes, bands, seed,
             portable, reliable_checkpoint,
         )
+    # max_bucket guards the INDEX side too: a boilerplate bucket of B
+    # corpus docs turns one new colliding doc into B candidates — at
+    # B=10^6 that's a verification explosion per batch doc. Same recall
+    # contract as minhash_lsh_pairs.
+    new_bands = _cap_buckets(new_bands, max_bucket)
+    index = _cap_buckets(index, max_bucket)
     a, b = new_bands.alias("a"), index.alias("b")
     vs_corpus = (
         a.join(
