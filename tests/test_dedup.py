@@ -155,6 +155,39 @@ def test_minhash_lsh_reliable_checkpoint(spark, sf_dir, tmp_path):
     assert os.listdir(str(tmp_path / "ckpt"))
 
 
+def test_incremental_exact_dedup_matches_full(spark, sf_dir):
+    """Exact dedup of an ingest batch against a persisted fingerprint
+    index must keep exactly the rows full dedup_exact over
+    corpus ∪ batch would keep from the batch (batch ids > corpus ids,
+    so smallest-id-wins favors the standing corpus — first-wins)."""
+    from transporter_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_dedup_exact,
+    )
+
+    corpus = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # batch: clones of corpus text, an in-batch duplicate pair, novel rows
+    clones = corpus.limit(10).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [(800000, "novel alpha"), (800001, "novel beta"), (800002, "novel alpha")],
+        "doc_id long, text string",
+    )
+    batch = clones.unionByName(novel)
+
+    idx = fingerprint_index(corpus, ["text"])
+    kept = incremental_dedup_exact(batch, idx, ["text"])
+    kept_ids = {r.doc_id for r in kept.collect()}
+
+    full = dedup_exact(cols=["text"])(corpus.unionByName(batch))
+    expect = {
+        r.doc_id for r in full.collect() if r.doc_id >= 700000
+    }
+    assert kept_ids == expect
+    assert kept_ids == {800000, 800001}  # clones gone, in-batch dup collapsed
+
+
 def test_max_bucket_caps_boilerplate_blowup(spark, sf_dir):
     """A boilerplate bucket of B identical docs contributes B²/2
     candidates; max_bucket skips oversized (band, bsig) buckets so

@@ -159,6 +159,45 @@ def dedup_exact(
     return apply
 
 
+def fingerprint_index(
+    df: DataFrame, cols: Sequence[str], id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fp) content-fingerprint table — the persistable state of
+    EXACT dedup, the cheap front of the incremental pipeline (run it
+    before LSH: identical docs then never reach minhash, which is also
+    what keeps `max_bucket` recall-safe). 32 bytes per doc; bucket or
+    partition by fp prefix for a shuffle-free probe join at scale."""
+    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    return df.select(F.col(id_col).alias("id"), fp.alias("fp"))
+
+
+def incremental_dedup_exact(
+    new_docs: DataFrame,
+    index: DataFrame,
+    cols: Sequence[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dedup an ingest batch against a persisted fingerprint
+    index: returns the batch rows whose content hash is absent from
+    the index AND smallest-id-unique within the batch. Cost per batch:
+    hash ∝ |batch| + one anti-join against the index (broadcast the
+    BATCH side at scale — the index is the big side and never moves).
+    Append `fingerprint_index(kept)` after commit, same discipline as
+    the LSH `band_index`."""
+    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
+    hashed = new_docs.withColumn("_fp", fp)
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    in_batch_first = (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    kept = in_batch_first.join(
+        index, in_batch_first["_fp"] == index["fp"], "left_anti"
+    )
+    return kept.drop("_fp")
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (exact similarity; the verifier for LSH paths)
 # ---------------------------------------------------------------------------
