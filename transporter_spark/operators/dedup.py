@@ -524,6 +524,7 @@ def incremental_lsh_pairs(
     portable: bool = False,
     reliable_checkpoint: bool = False,
     max_bucket: Optional[int] = None,
+    new_bands: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Near-dup pairs for an INGEST BATCH against an already-indexed
     corpus — the shape that makes LSH dedup sustainable at 100 TB:
@@ -547,13 +548,17 @@ def incremental_lsh_pairs(
     to the index table after the batch commits — the index stays
     complete without any recompute.
     """
-    new_bands = _materialize(
-        band_index(
-            new_docs, text_col, id_col, n, num_hashes, bands, seed,
-            portable, reliable_checkpoint,
-        ),
-        reliable_checkpoint,
-    )
+    # new_bands: pass the batch's already-materialized band table to
+    # avoid re-minhashing it (the ingest sink computes it once and also
+    # appends it to the index after commit)
+    if new_bands is None:
+        new_bands = _materialize(
+            band_index(
+                new_docs, text_col, id_col, n, num_hashes, bands, seed,
+                portable, reliable_checkpoint,
+            ),
+            reliable_checkpoint,
+        )
     if index is None:
         index = band_index(
             corpus_docs, text_col, id_col, n, num_hashes, bands, seed,

@@ -109,6 +109,11 @@ def ingest_dedup_batch(
         corpus = batch.limit(0)
         index = None
 
+    # band the batch ONCE: the pair search consumes these rows and the
+    # accepted subset appends to the index — no second minhash pass
+    batch_bands = band_index(
+        batch, text_col, id_col, n, num_hashes, bands, seed, portable
+    ).localCheckpoint(eager=True)
     pairs = incremental_lsh_pairs(
         batch,
         corpus.select(F.col(id_col), F.col(text_col)),
@@ -121,6 +126,7 @@ def ingest_dedup_batch(
         threshold=threshold,
         seed=seed,
         portable=portable,
+        new_bands=batch_bands,
     ).select("id_a", "id_b")
     try:
         batch_ids = batch.select(F.col(id_col).alias("id"))
@@ -159,11 +165,12 @@ def ingest_dedup_batch(
         )
 
         new_docs = corpus.unionByName(kept)
-        new_index = band_index(
-            kept, text_col, id_col, n, num_hashes, bands, seed, portable
+        kept_bands = batch_bands.join(
+            dropped, batch_bands["id"] == dropped["id"], "left_anti"
         )
-        if index is not None:
-            new_index = index.unionByName(new_index)
+        new_index = (
+            index.unionByName(kept_bands) if index is not None else kept_bands
+        )
 
         new_dir = base + f"._epoch{epoch_id}"
         if exists and os.path.realpath(base) == os.path.realpath(new_dir):
