@@ -70,6 +70,7 @@ _PRIORITY = [
     # new in round 3: ingest-batch dedup against a persisted band index,
     # and its streaming sink form (continuous corpus + index maintenance)
     "incremental_dedup",
+    "incremental_dedup_exact",
     "stream_ingest_dedup",
     # re-confirmations: the highest-value greens, kept inside the cap
     "q1_pricing_summary",
@@ -85,7 +86,6 @@ _PRIORITY = [
     "pii_redact",
     "decontaminate",
     "chunk_documents",
-    "stratified_sample",
 ]
 
 

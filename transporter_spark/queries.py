@@ -1480,6 +1480,50 @@ QUERIES["incremental_dedup"] = QUERIES["incremental_dedup"]._replace(
 
 
 @q(
+    "incremental_dedup_exact",
+    oracle="""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+new_batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0),
+cfp AS (SELECT DISTINCT md5(text) AS fp FROM corpus),
+ranked AS (
+  SELECT doc_id, md5(text) AS fp,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM new_batch)
+SELECT doc_id FROM ranked
+WHERE rn = 1 AND fp NOT IN (SELECT fp FROM cfp)
+ORDER BY doc_id
+""",
+)
+def q_incremental_dedup_exact(spark, sf_dir):
+    """Exact-dedup an ingest batch against the persisted fingerprint
+    index (operators/dedup.fingerprint_index + incremental_dedup_exact)
+    — the cheap front of the incremental pipeline: 32 bytes/doc of
+    index state, one anti-join where the index never moves (broadcast
+    the batch side at scale), smallest-id-wins inside the batch. The
+    batch deliberately re-ingests every 7th corpus doc under a shifted
+    id, so the index rejection path is exercised at every SF. md5 is
+    the portable fingerprint, so the oracle replays the whole decision
+    in SQL."""
+    from transporter_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_dedup_exact,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    reingested = corpus.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 5 == 0).unionByName(reingested)
+    kept = incremental_dedup_exact(new, fingerprint_index(corpus, ["text"]), ["text"])
+    return kept.select("doc_id").orderBy("doc_id")
+
+
+@q(
     "dedup_clusters_portable",
     oracle=None,  # composed below: portable LSH pairs + recursive closure
 )
