@@ -1,0 +1,176 @@
+"""Replication scaling probes backing README "Measured scaling".
+
+Re-runnable evidence that the operator plans survive scale-up: facts
+are replicated with SHIFTED keys (never duplicate dimension keys — a
+duplicated dim key fans every fact-dim join out N-fold, which is the
+probe equivalent of a hot-key blowup), then the headline operators run
+at 1x and Nx and the ratio is reported.
+
+Usage:
+    python scripts/probe_scale.py                 # all probes
+    python scripts/probe_scale.py incremental     # one probe by name
+
+Probes (each prints "<name>: 1x=<t>s Nx=<t>s ratio=<r>"):
+    incremental  fixed 500-doc batch vs 1x/10x indexed corpus — the
+                 per-batch cost must stay ~flat (the index does the work)
+    lsh          minhash_lsh_pairs at 1x/10x docs
+    clustering   dedup_clusters at 1x/10x docs (CC rounds ∝ diameter,
+                 not corpus)
+    q5           6-way join at 1x/10x facts (dims broadcast)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from transporter_spark.operators.dedup import (  # noqa: E402
+    band_index,
+    dedup_clusters,
+    incremental_lsh_pairs,
+    minhash_lsh_pairs,
+    release_cached,
+)
+from transporter_spark.session import get_spark  # noqa: E402
+from transporter_spark.sources.files import read_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+MULT = int(os.environ.get("PROBE_MULT", "10"))
+
+
+def _replicate(df, id_col, mult, shift=1_000_000):
+    parts = [
+        df.select((F.col(id_col) + i * shift).alias(id_col), *[
+            c for c in df.columns if c != id_col
+        ])
+        for i in range(mult)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.localCheckpoint(eager=True)
+
+
+def _best(fn, repeats=3):
+    best = None
+    for _ in range(repeats):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return best
+
+
+def probe_incremental(spark):
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    batch = docs.limit(500).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+    times = {}
+    for mult in (1, MULT):
+        corpus = _replicate(docs, "doc_id", mult)
+        idx_path = f"/tmp/probe_idx_{mult}x"
+        band_index(corpus).write.mode("overwrite").partitionBy("band").parquet(idx_path)
+        idx = spark.read.parquet(idx_path)
+
+        def run():
+            pairs = incremental_lsh_pairs(batch, corpus, index=idx, threshold=0.2)
+            pairs.count()
+            release_cached(pairs)
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
+def probe_lsh(spark):
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    times = {}
+    for mult in (1, MULT):
+        corpus = _replicate(docs, "doc_id", mult)
+
+        def run():
+            pairs = minhash_lsh_pairs(corpus, threshold=0.2)
+            pairs.count()
+            release_cached(pairs)
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
+def probe_clustering(spark):
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    times = {}
+    for mult in (1, MULT):
+        corpus = _replicate(docs, "doc_id", mult)
+        times[mult] = _best(
+            lambda: dedup_clusters(corpus, threshold=0.2).count(), repeats=1
+        )
+    return times[1], times[MULT]
+
+
+def probe_q5(spark):
+    from transporter_spark.queries import QUERIES
+
+    times = {}
+    # q5 at 1x straight from the testdata; Nx via shifted-key replication
+    # of both fact sides (orders/lineitem), dims single-copy
+    def run_1x():
+        QUERIES["q5_local_supplier"].fn(spark, SF_DIR).collect()
+
+    times[1] = _best(run_1x)
+    orders = _replicate(read_table(spark, SF_DIR, "orders"), "o_orderkey", MULT)
+    li = read_table(spark, SF_DIR, "lineitem")
+    li_r = _replicate(li, "l_orderkey", MULT)
+    orders.createOrReplaceTempView("_probe_orders")
+    li_r.createOrReplaceTempView("_probe_lineitem")
+    # replaying the full query text against views is overkill here; the
+    # probe's point is the join shape, measured directly:
+    cust = read_table(spark, SF_DIR, "customer")
+    supp = read_table(spark, SF_DIR, "supplier")
+    nat = read_table(spark, SF_DIR, "nation")
+    reg = read_table(spark, SF_DIR, "region")
+
+    def run_nx():
+        nr = nat.join(reg.filter(F.col("r_name") == "ASIA"), F.col("n_regionkey") == F.col("r_regionkey"))
+        (
+            li_r.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(supp, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+            .collect()
+        )
+
+    times[MULT] = _best(run_nx, repeats=1)
+    return times[1], times[MULT]
+
+
+PROBES = {
+    "incremental": probe_incremental,
+    "lsh": probe_lsh,
+    "clustering": probe_clustering,
+    "q5": probe_q5,
+}
+
+
+def main():
+    only = set(sys.argv[1:])
+    spark = get_spark("scale-probes")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name, probe in PROBES.items():
+        if only and name not in only:
+            continue
+        t1, tn = probe(spark)
+        print(f"{name}: 1x={t1:.2f}s {MULT}x={tn:.2f}s ratio={tn / t1:.2f}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
