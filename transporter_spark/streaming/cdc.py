@@ -139,8 +139,6 @@ def cdc_upsert_sink(
     """
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        import shutil
-
         base = table_path.rstrip("/")
         exists = os.path.exists(table_path)
         current = spark.read.parquet(table_path) if exists else None
@@ -156,26 +154,39 @@ def cdc_upsert_sink(
             # epoch replay: don't overwrite the dir we're reading from
             new_dir += ".retry"
         new_state.write.mode("overwrite").parquet(new_dir)
-        link_tmp = base + "._swap"
-        if os.path.islink(table_path) or not exists:
-            old_target = os.path.realpath(table_path) if exists else None
-            if os.path.lexists(link_tmp):
-                os.unlink(link_tmp)
-            os.symlink(new_dir, link_tmp)
-            os.replace(link_tmp, table_path)  # atomic on POSIX
-            if old_target and os.path.isdir(old_target):
-                shutil.rmtree(old_target, ignore_errors=True)
-        else:
-            # table_path is a real directory from an older layout: fall
-            # back to rename-aside (two renames, each atomic; a crash
-            # between them leaves the old state under .bak)
-            bak = base + "._bak"
-            shutil.rmtree(bak, ignore_errors=True)
-            os.rename(table_path, bak)
-            os.rename(new_dir, table_path)
-            shutil.rmtree(bak, ignore_errors=True)
+        swap_current(table_path, new_dir)
 
     return apply
+
+
+def swap_current(table_path: str, new_dir: str) -> None:
+    """Make ``new_dir`` current at ``table_path`` via one atomic symlink
+    replace; legacy real-directory layouts fall back to rename-aside
+    (two renames — a crash between them leaves the old state under
+    ._bak, recoverable, and every later commit is symlink-atomic)."""
+    import shutil
+
+    base = table_path.rstrip("/")
+    exists = os.path.exists(base)
+    if os.path.islink(base) or not exists:
+        old_target = os.path.realpath(base) if exists else None
+        link_tmp = base + "._swap"
+        if os.path.lexists(link_tmp):
+            os.unlink(link_tmp)
+        os.symlink(new_dir, link_tmp)
+        os.replace(link_tmp, base)  # atomic on POSIX
+        if (
+            old_target
+            and os.path.isdir(old_target)
+            and os.path.realpath(base) != old_target
+        ):
+            shutil.rmtree(old_target, ignore_errors=True)
+    else:
+        bak = base + "._bak"
+        shutil.rmtree(bak, ignore_errors=True)
+        os.rename(base, bak)
+        os.rename(new_dir, base)
+        shutil.rmtree(bak, ignore_errors=True)
 
 
 def read_cdc_table(spark: SparkSession, table_path: str) -> DataFrame:

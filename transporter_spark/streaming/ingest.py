@@ -30,7 +30,6 @@ message/ops/ops.go:64-74).
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 from typing import Optional
 
@@ -39,19 +38,11 @@ from pyspark.sql import functions as F
 
 
 def _swap_current(state_dir: str, new_dir: str) -> None:
-    """Make ``new_dir`` the current state via atomic symlink replace."""
-    base = state_dir.rstrip("/")
-    exists = os.path.exists(base)
-    old_target = os.path.realpath(base) if exists else None
-    link_tmp = base + "._swap"
-    if os.path.lexists(link_tmp):
-        os.unlink(link_tmp)
-    os.symlink(new_dir, link_tmp)
-    os.replace(link_tmp, base)  # atomic on POSIX
-    if old_target and os.path.isdir(old_target) and os.path.realpath(
-        base
-    ) != old_target:
-        shutil.rmtree(old_target, ignore_errors=True)
+    """Make ``new_dir`` the current state via atomic symlink replace
+    (shared commit discipline — streaming/cdc.swap_current)."""
+    from transporter_spark.streaming.cdc import swap_current
+
+    swap_current(state_dir, new_dir)
 
 
 def ingest_dedup_batch(

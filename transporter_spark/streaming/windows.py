@@ -151,7 +151,6 @@ def rollup_merge_batch(
     merge was skipped. Module-level so the replay contract is directly
     testable without crashing a streaming query mid-commit."""
     import os
-    import shutil
 
     marker = os.path.join(state_dir, "_last_epoch")
     if os.path.isfile(marker):
@@ -190,11 +189,12 @@ def rollup_merge_batch(
     merged.write.mode("overwrite").parquet(tmp)
     with open(os.path.join(tmp, "_last_epoch"), "w") as fh:
         fh.write(str(epoch_id))
-    old = state_dir.rstrip("/") + "._old"
-    if os.path.isdir(state_dir):
-        os.rename(state_dir, old)
-    os.rename(tmp, state_dir)
-    shutil.rmtree(old, ignore_errors=True)
+    # one atomic symlink replace makes (parquet + epoch marker) current
+    # together — a crash at any point leaves a readable consistent state
+    # (the previous two-rename swap had a window with NO current dir)
+    from transporter_spark.streaming.cdc import swap_current
+
+    swap_current(state_dir, tmp)
     return True
 
 
