@@ -180,10 +180,12 @@ def incremental_dedup_exact(
     """Exact-dedup an ingest batch against a persisted fingerprint
     index: returns the batch rows whose content hash is absent from
     the index AND smallest-id-unique within the batch. Cost per batch:
-    hash ∝ |batch| + one anti-join against the index (broadcast the
-    BATCH side at scale — the index is the big side and never moves).
-    Append `fingerprint_index(kept)` after commit, same discipline as
-    the LSH `band_index`."""
+    hash ∝ |batch| + one anti-join on fp. The anti-join builds on the
+    index side, so Spark plans a sort-merge anti join shuffling 32-byte
+    keys (never document bodies); bucket the persisted index table by
+    fp and the index side needs no shuffle at all — only the batch
+    moves. Append `fingerprint_index(kept)` after commit, same
+    discipline as the LSH `band_index`."""
     fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
     hashed = new_docs.withColumn("_fp", fp)
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))

@@ -1502,8 +1502,9 @@ def q_incremental_dedup_exact(spark, sf_dir):
     """Exact-dedup an ingest batch against the persisted fingerprint
     index (operators/dedup.fingerprint_index + incremental_dedup_exact)
     — the cheap front of the incremental pipeline: 32 bytes/doc of
-    index state, one anti-join where the index never moves (broadcast
-    the batch side at scale), smallest-id-wins inside the batch. The
+    index state, one sort-merge anti join on fp carrying 32-byte keys
+    (fp-bucket the index table for a shuffle-free index side),
+    smallest-id-wins inside the batch. The
     batch deliberately re-ingests every 7th corpus doc under a shifted
     id, so the index rejection path is exercised at every SF. md5 is
     the portable fingerprint, so the oracle replays the whole decision
