@@ -232,6 +232,65 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_fingerprint_index_bucketed_anti_join_shuffles_batch_only(
+    spark, sf_dir, tmp_path
+):
+    """The incremental exact-dedup plan claim, pinned: with the
+    persisted fingerprint index bucketed by fp, the anti-join shuffles
+    ONLY the batch side — the index (the 100TB side) is read in place.
+    One hashpartitioning exchange in the plan, not two."""
+    import re
+
+    from transporter_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_dedup_exact,
+    )
+    from transporter_spark.sources.files import write_bucketed
+
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # the auto rule drops bucketed scans it judges unprofitable at these
+    # toy sizes; production pins it off for index tables
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        # bucket count must equal the shuffle width or Spark re-shuffles
+        # the bucketed side to match the other side's partitioning
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(
+            fingerprint_index(corpus, ["text"]),
+            "b_fp_index",
+            "fp",
+            buckets=buckets,
+            sorted_by="fp",
+        )
+        idx = spark.table("b_fp_index")
+        kept = incremental_dedup_exact(batch, idx, ["text"])
+        plan = kept._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        assert not re.findall(r"Exchange hashpartitioning\(fp#", plan), plan
+        assert len(re.findall(r"Exchange hashpartitioning\(_fp#", plan)) == 1, plan
+        # and the result is unchanged vs the unbucketed index
+        plain = incremental_dedup_exact(
+            batch, fingerprint_index(corpus, ["text"]), ["text"]
+        )
+        assert sorted(r.doc_id for r in kept.collect()) == sorted(
+            r.doc_id for r in plain.collect()
+        )
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS b_fp_index")
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """Runtime skew handling: a join where one hot key owns 90% of rows
     must come out of AQE as SortMergeJoin(skew=true) — the hot

@@ -184,8 +184,11 @@ def incremental_dedup_exact(
     index side, so Spark plans a sort-merge anti join shuffling 32-byte
     keys (never document bodies); bucket the persisted index table by
     fp and the index side needs no shuffle at all — only the batch
-    moves. Append `fingerprint_index(kept)` after commit, same
-    discipline as the LSH `band_index`."""
+    moves (bucket count must equal spark.sql.shuffle.partitions and
+    autoBucketedScan pinned off for index tables, else the planner
+    re-shuffles the bucketed side — pinned in tests/test_plans.py).
+    Append `fingerprint_index(kept)` after commit, same discipline as
+    the LSH `band_index`."""
     fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
     hashed = new_docs.withColumn("_fp", fp)
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))
