@@ -291,6 +291,55 @@ def test_fingerprint_index_bucketed_anti_join_shuffles_batch_only(
         spark.sql("DROP TABLE IF EXISTS b_fp_index")
 
 
+def test_band_index_bucketed_probe_shuffles_batch_only(spark, sf_dir, tmp_path):
+    """The incremental LSH plan claim, pinned: with the persisted band
+    index bucketed on (band, bsig), the ingest batch's candidate probe
+    reads the index in place — zero index-side exchange, only the
+    batch's band rows shuffle."""
+    import re
+
+    from transporter_spark.operators.dedup import band_index
+    from transporter_spark.sources.files import write_bucketed
+
+    before = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 5 != 0)
+        batch = docs.filter(F.col("doc_id") % 5 == 0)
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        write_bucketed(
+            band_index(corpus), "b_band_index", ["band", "bsig"], buckets=buckets
+        )
+        idx = spark.table("b_band_index")
+        nb = band_index(batch).alias("a")
+        cand = nb.join(
+            idx.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan, plan
+        # every exchange hashes the batch side's (band, bsig), none the index's
+        exchanges = re.findall(r"Exchange hashpartitioning\(band#(\d+)", plan)
+        idx_band_id = re.search(r"FileScan parquet[^\n]*b_band_index\[[^\]]*band#(\d+)", plan)
+        assert idx_band_id, plan
+        assert idx_band_id.group(1) not in exchanges, plan
+        assert len(exchanges) == 1, plan
+        assert cand.count() > 0
+    finally:
+        for k, v in before.items():
+            spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS b_band_index")
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """Runtime skew handling: a join where one hot key owns 90% of rows
     must come out of AQE as SortMergeJoin(skew=true) — the hot

@@ -116,7 +116,7 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def write_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key,
     buckets: int = 32,
     sorted_by: Optional[str] = None,
     mode: str = "overwrite",
@@ -131,8 +131,12 @@ def write_bucketed(
     local merge; the one-time bucketing write is the amortized cost.
     Uses the session catalog (`saveAsTable`) — set
     spark.sql.warehouse.dir appropriately on a cluster.
+
+    key may be a single column name or a list (composite bucket keys —
+    e.g. the LSH band index buckets on (band, bsig)).
     """
-    writer = df.write.bucketBy(buckets, key)
+    keys = [key] if isinstance(key, str) else list(key)
+    writer = df.write.bucketBy(buckets, *keys)
     if sorted_by is not None:
         writer = writer.sortBy(sorted_by)
     writer.mode(mode).format("parquet").saveAsTable(table)
