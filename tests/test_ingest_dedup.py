@@ -70,6 +70,28 @@ def test_cross_epoch_first_wins_and_index_grows(spark, sf_dir, tmp_path):
     assert n1 + originals.count() == corpus.count()
 
 
+def test_multi_epoch_corpus_is_near_dup_free(spark, sf_dir, tmp_path):
+    """The sink's core promise, as an invariant over a 3-epoch drain:
+    re-running the SAME LSH over the final accepted corpus finds ZERO
+    verified pairs. (Cross-epoch: a doc sharing a band with an accepted
+    doc is rejected at ingest; within-epoch: only component canonicals
+    survive — so any surviving pair would be a sink bug, not recall
+    loss, since detection uses the identical hash family.)"""
+    from transporter_spark.operators.dedup import minhash_lsh_pairs
+
+    state = str(tmp_path / "state")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    thirds = [
+        docs.filter(F.col("doc_id") % 3 == i) for i in range(3)
+    ]
+    for epoch, part in enumerate(thirds):
+        ingest_dedup_batch(part, epoch, state, threshold=0.2)
+    corpus = read_ingest_corpus(spark, state)
+    assert 0 < corpus.count() < n  # something accepted, something rejected
+    assert minhash_lsh_pairs(corpus, threshold=0.2).count() == 0
+
+
 def test_epoch_replay_is_noop(spark, sf_dir, tmp_path):
     """foreachBatch is at-least-once: re-delivering an applied epoch
     must change nothing (returns False, corpus byte-identical)."""
