@@ -70,6 +70,30 @@ def test_cross_epoch_first_wins_and_index_grows(spark, sf_dir, tmp_path):
     assert n1 + originals.count() == corpus.count()
 
 
+def test_cross_epoch_redelivery_of_same_id_not_duplicated(spark, sf_dir, tmp_path):
+    """At-least-once sources can re-deliver earlier data in a LATER
+    epoch (the epoch marker only stops same-epoch replay). A
+    re-delivered doc shares its id with an accepted row and the LSH
+    self-pair filter would hide it — the sink must drop it by id, not
+    re-accept it."""
+    state = str(tmp_path / "state")
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    e1 = docs.limit(30)
+    assert ingest_dedup_batch(e1, 0, state, threshold=0.5)
+    n1 = read_ingest_corpus(spark, state).count()
+    idx1 = read_ingest_index(spark, state).count()
+    # epoch 1's rows re-delivered wholesale inside epoch 2, plus one new doc
+    novel = spark.createDataFrame(
+        [(990000, "entirely new content " + " ".join(f"w{j}" for j in range(25)))],
+        "doc_id long, text string",
+    )
+    assert ingest_dedup_batch(e1.unionByName(novel), 1, state, threshold=0.5)
+    corpus = read_ingest_corpus(spark, state)
+    assert corpus.count() == n1 + 1
+    assert corpus.groupBy("doc_id").count().filter("count > 1").count() == 0
+    assert read_ingest_index(spark, state).count() == idx1 + 16
+
+
 def test_multi_epoch_corpus_is_near_dup_free(spark, sf_dir, tmp_path):
     """The sink's core promise, as an invariant over a 3-epoch drain:
     re-running the SAME LSH over the final accepted corpus finds ZERO

@@ -96,6 +96,19 @@ def ingest_dedup_batch(
     if exists:
         corpus = spark.read.parquet(os.path.join(base, "docs"))
         index = spark.read.parquet(os.path.join(base, "index"))
+        # At-least-once SOURCES can re-deliver earlier data in a LATER
+        # epoch (the epoch marker only catches same-epoch replay). A
+        # re-delivered doc shares its id with an accepted row, and the
+        # LSH self-pair filter (id_a != id_b) would hide it — so it
+        # would be re-accepted and duplicate the id in the corpus.
+        # Drop already-accepted ids up front: one anti-join on the key.
+        batch = batch.join(
+            corpus.select(F.col(id_col).alias("_seen")),
+            F.col(id_col) == F.col("_seen"),
+            "left_anti",
+        )
+        if batch.isEmpty():
+            return False
     else:
         corpus = batch.limit(0)
         index = None
