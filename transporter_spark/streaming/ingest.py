@@ -9,8 +9,10 @@ corpus re-scan), accepted docs and their bands are appended, and the
 whole two-table state (corpus + index) commits atomically per epoch.
 
 Drop policy (deterministic, first-wins): a batch doc is rejected when
-(a) exact-Jaccard-verified against any already-accepted corpus doc at
-``threshold``, or (b) it is a non-canonical member (not the min id) of
+(a) its id is already accepted (cross-epoch re-delivery from an
+at-least-once source — the epoch marker only stops same-epoch replay),
+(b) exact-Jaccard-verified against any already-accepted corpus doc at
+``threshold``, or (c) it is a non-canonical member (not the min id) of
 a within-batch near-dup component. Streaming dedup is inherently
 order-dependent — the earlier epoch's doc wins; a single-epoch drain
 degenerates to batch ``dedup_clusters`` canonical selection (the

@@ -130,6 +130,15 @@ def incremental_rollup_sink(
     ``_last_epoch`` marker INSIDE the state dir (so it swaps atomically
     with the parquet it describes; the leading underscore keeps Spark's
     parquet reader from touching it), and a replayed epoch is a no-op.
+
+    Limit (inherent to aggregation sinks): rows a source re-delivers
+    under NEW offsets are indistinguishable from new data and WILL
+    double-count — that's a source-duplication problem no aggregating
+    sink can repair. Deduplicate upstream (keyed
+    dropDuplicatesWithinWatermark) when feeding from an at-least-once
+    source; the keyed sinks (cdc_upsert_sink, the ingest dedup sink)
+    are replay-proof on their own because their merges are idempotent
+    per key.
     """
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
