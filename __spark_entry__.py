@@ -27,65 +27,71 @@ def entry(spark: SparkSession) -> DataFrame:
 # fixed this round — then (b) 17 re-confirmations of high-value greens.
 # Everything after slot 50 was proven green in round 1 or 2 and is
 # unchanged since.
+# Rotation rule (adopted round 4, VERDICT r3 item 3): any query whose
+# implementation or oracle changed since its last green CORRECTNESS row
+# takes a slot in 1-50; remaining slots go to the STALEST greens (graded
+# in r1/r2 but not since). Everything green in r3 on unchanged code
+# keeps its certification and rotates out.
 _PRIORITY = [
-    # flagship (hash-failed r2 on oracle HUGEINT rendering — fixed)
-    "training_pipeline",
-    # the other two r2 hash-fails (boundary-cast fixes, need fresh green)
-    "pack_sequences",
-    "rollup_lattice_daily",
-    # TPC-H shapes never driver-graded (pytest+plan-pinned only)
-    "q4_order_priority",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    "q20_promotion_suppliers",
-    "q22_idle_customers",
-    # round-2 temporal / profiling / sampling set, never driver-graded
-    "scd2_history",
-    "gapfill_hourly",
-    "sessionize_events",
-    "value_histogram",
-    "profile_columns",
-    "domain_cap",
-    "deterministic_shuffle",
-    "length_quantile_gate",
-    "rarity_score",
-    "variant_json",
-    "map_funcs",
-    "regexp_funcs",
-    "range_frame_window",
-    "running_total",
-    "unpivot_long",
-    "except_all",
-    "pretty_passthrough",
-    "media_resize",
-    "bpe_token_stats",
-    "dedup_clusters_exact",
-    # new in round 3: real user-JS transform contract (node-executed)
-    "js_transform",
-    # new in round 3: ingest-batch dedup against a persisted band index,
-    # and its streaming sink form (continuous corpus + index maintenance)
-    "incremental_dedup",
-    "incremental_dedup_exact",
+    # --- changed since last green: must re-grade on current code ---
+    # round 4: append-only manifest commit + fps re-delivery guard +
+    # single-epoch assert (streaming/ingest.py rewrite)
     "stream_ingest_dedup",
-    # re-confirmations: the highest-value greens, kept inside the cap
-    "q1_pricing_summary",
-    "q5_local_supplier",
-    "minhash_lsh_pairs",
-    "dedup_clusters",
-    "ann_ivf_topk",
-    "stream_stateful_count",
-    "stream_windowed_agg",
-    "stream_stream_join",
-    "stream_dedup",
-    "asof_join",
-    "pii_redact",
-    "decontaminate",
-    "chunk_documents",
+    # round 4: incremental_lsh_pairs verification now drops corpus rows
+    # whose id re-appears in the batch (ADVICE r3)
+    "incremental_dedup",
+    # changed r3 (fingerprint-before-shuffle, commit cc2eed7) — green row
+    # predates the change
+    "dedup_exact",
+    # commit path changed r3 (3506791) + round-4 swap_current retention
+    "stream_cdc_apply",
+    # --- stalest greens: last graded r1/r2, unchanged code ---
+    "pick",
+    "omit",
+    "rename",
+    "skip_gt",
+    "skip_numeric_string",
+    "skip_eq",
+    "skip_regex",
+    "opfilter",
+    "remap",
+    "envelope",
+    "ns_filter",
+    "py_transform",
+    "q3_shipping_priority",
+    "join_region_rollup",
+    "window_topn",
+    "sort_limit",
+    "set_ops",
+    "distinct_agg",
+    "scalar_funcs",
+    "cdc_lww_dedup",
+    "windowed_agg",
+    "session_window",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "word_count",
+    "salted_agg",
+    "conditional_agg",
+    "grouping_sets",
+    "full_outer_join",
+    "date_funcs",
+    "stats_agg",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_portable",
+    "dedup_clusters_portable",
+    "simhash_pairs",
+    "embedding_dup_pairs",
+    "ann_cosine_topk",
+    "text_stats",
+    "multimodal_meta",
+    "media_features",
+    "q19_disjunctive",
+    "cube_agg",
 ]
 
 

@@ -646,6 +646,107 @@ def test_mongo_oplog_reader_copy_then_tail_with_refetch():
     assert r._buffer == {}
 
 
+def test_mongo_oplog_reader_crash_resume_cycle():
+    """The full source lifecycle the reference runs (pipeline/node.go:
+    269-415, adaptor/mongodb/reader.go:58-73): fresh copy -> crash ->
+    resume MID-COPY from the committed last_id -> tail -> crash ->
+    resume in SYNC mode from the saved ts. Deliveries are at-least-once
+    (the copy/tail overlap re-delivers), resume points bound the
+    re-delivery window to the uncommitted suffix, and an idempotent
+    LWW apply of everything delivered converges to the true state —
+    the source-side analog of the executed sink compositions below."""
+    from transporter_spark.sources.mongo import MongoOplogStreamReader, resume_point
+
+    def ids(rows):
+        return [(op, json.loads(body)["_id"]) for op, _ts, _coll, body in rows]
+
+    def drain(reader):
+        start, end = reader.initialOffset(), reader.latestOffset()
+        rows = list(reader.read(reader.partitions(start, end)[0]))
+        reader.commit(end)
+        return rows, end
+
+    delivered = []
+
+    # --- run 1: fresh start, copy phase only; crash after commit -----
+    client = FakeMongoClient(
+        {"users": [{"_id": i, "v": f"v{i}"} for i in (1, 2, 3)]}, oplog=[]
+    )
+    r1 = MongoOplogStreamReader(client, "users", "db.users")
+    rows, end = drain(r1)
+    delivered += rows
+    assert ids(rows) == [("insert", 1), ("insert", 2), ("insert", 3)]
+    assert end == {"seq": 3} and r1._buffer == {}  # commit forgot the batch
+    # the durable resume entry the commit log would hold (reader.go:58-66)
+    resume_map = {"users": {"last_id": r1._last_id, "mode": "copy"}}
+    assert resume_map["users"]["last_id"] == 3
+
+    # --- downtime: docs 4,5 inserted, doc 2 updated; oplog has them --
+    ts1 = 1700000100 << 32
+    client2 = FakeMongoClient(
+        {"users": [
+            {"_id": 1, "v": "v1"}, {"_id": 2, "v": "V2"},
+            {"_id": 3, "v": "v3"}, {"_id": 4, "v": "v4"}, {"_id": 5, "v": "v5"},
+        ]},
+        oplog=[
+            {"op": "i", "ns": "db.users", "o": {"_id": 4, "v": "v4"}, "ts": ts1},
+            {"op": "i", "ns": "db.users", "o": {"_id": 5, "v": "v5"}, "ts": ts1 + 1},
+            {"op": "u", "ns": "db.users", "o": {"$set": {"v": "V2"}},
+             "o2": {"_id": 2}, "ts": ts1 + 2},
+        ],
+    )
+
+    # --- run 2: resume mid-copy from last_id=3 ----------------------
+    r2 = MongoOplogStreamReader(
+        client2, "users", "db.users",
+        resume=resume_point(resume_map, "users"),
+    )
+    rows, end = drain(r2)
+    delivered += rows
+    # copy re-scans ONLY _id>3 (no re-delivery of committed 1..3), then
+    # the tail re-delivers 4,5 (copy/tail overlap — at-least-once by
+    # design; reader.go tails from the ts saved BEFORE the copy) and
+    # the update arrives as the re-fetched CURRENT document
+    assert ids(rows) == [
+        ("insert", 4), ("insert", 5),          # copy resumed past 3
+        ("insert", 4), ("insert", 5),          # tail overlap
+        ("update", 2),
+    ]
+    assert json.loads(rows[-1][3]) == {"_id": 2, "v": "V2"}
+    last_ts = max(int(r[1]) for r in rows if r[1])
+    # copy complete -> the commit log flips the entry to sync mode
+    resume_map["users"] = {"mode": "sync", "ts": last_ts}
+
+    # --- run 3: crash again; sync-mode resume skips the copy --------
+    client3 = FakeMongoClient(
+        {"users": client2.collections["users"]},
+        oplog=[{"op": "d", "ns": "db.users", "o": {"_id": 1}, "ts": ts1 + 3}],
+    )
+    last_id, mode, ts = resume_point(resume_map, "users")
+    assert (last_id, mode, ts) == (None, "sync", last_ts)
+    r3 = MongoOplogStreamReader(
+        client3, "users", "db.users", resume=(last_id, mode, ts)
+    )
+    rows, end = drain(r3)
+    delivered += rows
+    assert ids(rows) == [("delete", 1)]  # no copy rows: tail only
+
+    # --- convergence: idempotent LWW apply of ALL deliveries --------
+    state = {}
+    for op, _ts, _coll, body in delivered:
+        doc = json.loads(body)
+        if op == "delete":
+            state.pop(doc["_id"], None)
+        else:
+            state[doc["_id"]] = doc
+    assert state == {
+        2: {"_id": 2, "v": "V2"},
+        3: {"_id": 3, "v": "v3"},
+        4: {"_id": 4, "v": "v4"},
+        5: {"_id": 5, "v": "v5"},
+    }
+
+
 def test_mongo_oplog_reader_sync_mode_skips_copy():
     from transporter_spark.sources.mongo import MongoOplogStreamReader
 

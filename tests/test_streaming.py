@@ -309,6 +309,7 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
     from transporter_spark.operators.temporal import rollup_lattice
     from transporter_spark.streaming.windows import (
         incremental_rollup_sink,
+        read_rollup_state,
         rollup_daily_from_state,
     )
 
@@ -340,7 +341,7 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
             (str(r[0]), r[1], str(r[2]), int(r[3])) for r in df.collect()
         )
 
-    got_hourly = spark.read.parquet(state).select("hour", "k", "sum_value", "n")
+    got_hourly = read_rollup_state(spark, state).select("hour", "k", "sum_value", "n")
     assert canon(got_hourly) == canon(
         expect["hourly"].select("hour", "k", "sum_value", "n")
     )
@@ -353,12 +354,15 @@ def test_incremental_rollup_equals_batch_recompute(spark, tmp_path):
 
 
 def test_incremental_rollup_replay_is_idempotent(spark, tmp_path):
-    """foreachBatch is at-least-once: a crash after the state swap but
-    before the checkpoint commit re-delivers the SAME epoch on restart.
-    The _last_epoch marker (swapped atomically with the parquet it
-    describes) must make the replayed merge a no-op — no double-counted
-    sums or n."""
-    from transporter_spark.streaming.windows import rollup_merge_batch
+    """foreachBatch is at-least-once: a crash after the state commit
+    but before the checkpoint commit re-delivers the SAME epoch on
+    restart. The epoch in the manifest (committed atomically with the
+    segment mapping it describes) must make the replayed merge a no-op
+    — no double-counted sums or n."""
+    from transporter_spark.streaming.windows import (
+        read_rollup_state,
+        rollup_merge_batch,
+    )
 
     batch = spark.createDataFrame(
         [("2024-01-01T05:15:00", "g0", 1.5), ("2024-01-01T05:45:00", "g0", 2.5)],
@@ -367,11 +371,111 @@ def test_incremental_rollup_replay_is_idempotent(spark, tmp_path):
     state = str(tmp_path / "hourly_state")
 
     assert rollup_merge_batch(batch, 0, state, keys=("k",)) is True
-    first = sorted(map(tuple, spark.read.parquet(state).collect()))
+    first = sorted(map(tuple, read_rollup_state(spark, state).collect()))
     # crash-replay of epoch 0: skipped, state bit-identical
     assert rollup_merge_batch(batch, 0, state, keys=("k",)) is False
-    assert sorted(map(tuple, spark.read.parquet(state).collect())) == first
+    assert sorted(map(tuple, read_rollup_state(spark, state).collect())) == first
     # a genuinely new epoch still merges
     assert rollup_merge_batch(batch, 1, state, keys=("k",)) is True
-    [(_, _, s, n)] = spark.read.parquet(state).collect()
+    [(_, _, s, n)] = read_rollup_state(spark, state).collect()
     assert float(s) == 8.0 and n == 4
+
+
+def test_rollup_delta_merge_touches_only_batch_hours(spark, tmp_path):
+    """SCALE.md's delta-merge claim, now structural (VERDICT r3 item
+    4): an epoch reads only the segments its hour keys map to, writes
+    one segment holding only those hours, and leaves every other hour's
+    files byte-untouched."""
+    import os
+
+    from transporter_spark.streaming.state import SegmentStore
+    from transporter_spark.streaming.windows import (
+        read_rollup_state,
+        rollup_merge_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "ts string, k string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    state = str(tmp_path / "hourly_state")
+    # epoch 0: 24 hours of data
+    rollup_merge_batch(
+        mk([(f"2024-01-01T{h:02d}:10:00", "g", 1.0) for h in range(24)]),
+        0, state, keys=("k",),
+    )
+    store = SegmentStore(state)
+
+    def files():
+        out = {}
+        root = os.path.join(state, "segments")
+        for dp, _d, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(dp, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = files()
+    # epoch 1 touches ONE hour
+    rollup_merge_batch(mk([("2024-01-01T05:20:00", "g", 2.0)]), 1, state, keys=("k",))
+    after = files()
+    assert {k: after[k] for k in before} == before  # untouched hours intact
+    new = [k for k in after if k not in before]
+    assert new and all(k.split(os.sep)[0] == "hourly-e1" for k in new)
+    # the new segment holds ONLY the touched hour
+    seg = spark.read.parquet(store.seg_path("hourly-e1"))
+    assert [str(r.hour) for r in seg.select("hour").distinct().collect()] == [
+        "2024-01-01 05:00:00"
+    ]
+    # manifest: only the touched key remaps; reads prune to mapped segments
+    mapping = store.keyed_mapping("hourly")
+    assert mapping["2024-01-01 05"] == "hourly-e1"
+    assert all(v == "hourly-e0" for k, v in mapping.items() if k != "2024-01-01 05")
+    assert store.keyed_paths("hourly", ["2024-01-01 07"]) == {
+        "hourly-e0": ["2024-01-01 07"]
+    }
+    # merged values are exact; the stale hour-05 row in e0 is invisible
+    rows = {
+        str(r.hour): (float(r.sum_value), r.n)
+        for r in read_rollup_state(spark, state).collect()
+    }
+    assert rows["2024-01-01 05:00:00"] == (3.0, 2)
+    assert rows["2024-01-01 06:00:00"] == (1.0, 1)
+    assert len(rows) == 24
+
+
+def test_rollup_compaction_drops_stale_rows(spark, tmp_path):
+    """compact_rollup_state: one segment, stale rows gone for good,
+    content identical, epoch unchanged."""
+    from transporter_spark.streaming.state import SegmentStore
+    from transporter_spark.streaming.windows import (
+        compact_rollup_state,
+        read_rollup_state,
+        rollup_merge_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "ts string, k string, value double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    state = str(tmp_path / "hourly_state")
+    rollup_merge_batch(
+        mk([("2024-01-01T05:10:00", "g", 1.0), ("2024-01-01T06:10:00", "g", 1.0)]),
+        0, state, keys=("k",),
+    )
+    rollup_merge_batch(mk([("2024-01-01T05:20:00", "g", 2.0)]), 1, state, keys=("k",))
+    before = sorted(map(tuple, read_rollup_state(spark, state).collect()))
+    assert compact_rollup_state(spark, state)
+    store = SegmentStore(state)
+    assert len(set(store.keyed_mapping("hourly").values())) == 1
+    assert store.last_epoch() == 1
+    assert sorted(map(tuple, read_rollup_state(spark, state).collect())) == before
+    # already compact -> no-op
+    assert not compact_rollup_state(spark, state)
+    # compacted segment no longer carries the stale epoch-0 hour-05 row
+    [seg] = set(store.keyed_mapping("hourly").values())
+    raw = spark.read.parquet(store.seg_path(seg))
+    assert raw.count() == 2

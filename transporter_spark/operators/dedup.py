@@ -600,10 +600,16 @@ def incremental_lsh_pairs(
         return cand
     cand = _materialize(cand, reliable_checkpoint)
     # verification needs only (id, text); projecting first also keeps the
-    # union legal when batch and corpus carry different passenger columns
-    docs = new_docs.select(F.col(id_col), F.col(text_col)).unionByName(
-        corpus_docs.select(F.col(id_col), F.col(text_col))
+    # union legal when batch and corpus carry different passenger columns.
+    # Corpus rows whose id also appears in the batch are dropped before
+    # the union (anti-join on the key): a caller that did NOT pre-filter
+    # re-delivered docs would otherwise double the shared ids' shingle
+    # rows and corrupt the verified Jaccard values.
+    new_sel = new_docs.select(F.col(id_col), F.col(text_col))
+    corpus_sel = corpus_docs.select(F.col(id_col), F.col(text_col)).join(
+        new_docs.select(F.col(id_col)), [id_col], "left_anti"
     )
+    docs = new_sel.unionByName(corpus_sel)
     return _verify_candidates(cand, docs, text_col, id_col, n, threshold)
 
 

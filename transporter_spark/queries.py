@@ -1449,6 +1449,7 @@ QUERIES["minhash_lsh_pairs"] = QUERIES["minhash_lsh_pairs"]._replace(
 @q(
     "incremental_dedup",
     oracle=None,  # generated below: full-corpus pipeline restricted to new-side pairs
+    headline=True,
 )
 def q_incremental_dedup(spark, sf_dir):
     """Ingest-batch dedup against a PERSISTED corpus band index — the
@@ -1481,6 +1482,7 @@ QUERIES["incremental_dedup"] = QUERIES["incremental_dedup"]._replace(
 
 @q(
     "incremental_dedup_exact",
+    headline=True,
     oracle="""
 WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
 new_batch AS (
@@ -1574,11 +1576,15 @@ def q_stream_ingest_dedup(spark, sf_dir):
     the batch pipeline's canonical docs, which is what the oracle
     replays (multi-epoch first-wins + replay idempotency are pinned in
     tests/test_ingest_dedup.py — order-dependence is inherent to
-    streaming dedup, so the oracle gate uses the one-epoch case)."""
+    streaming dedup, so the oracle gate uses the one-epoch case;
+    assert_single_epoch makes a future multi-file documents table fail
+    loudly instead of hash-mismatching). The commit is append-only:
+    per-epoch IO ∝ |kept batch| (segments + manifest), never the
+    standing corpus."""
     from transporter_spark.streaming.ingest import drain_documents_dedup
 
     kept = drain_documents_dedup(
-        spark, sf_dir, threshold=0.1, portable=True
+        spark, sf_dir, threshold=0.1, portable=True, assert_single_epoch=True
     )
     return kept.select("doc_id").orderBy("doc_id")
 

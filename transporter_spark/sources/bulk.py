@@ -407,6 +407,35 @@ def _pymongo_bulk_writer(uri: str) -> Callable[[str, str, List[dict]], None]:
 # RabbitMQ publish payloads
 # ---------------------------------------------------------------------------
 
+def _make_rabbitmq_payloads(
+    routing_key: str = "",
+    key_field: Optional[str] = None,
+    op_field: str = "op",
+    ns_field: str = "ns",
+) -> Callable[[Iterable[dict]], Iterator[Tuple[str, str, str]]]:
+    """Factory building the payload generator as a CLOSURE so the sink's
+    foreachPartition function captures it BY VALUE (worker-closure
+    invariant, transforms._make_js_batch_runner): a module-level
+    generator would cloudpickle as an import reference to this package,
+    which breaks on executors without the repo on PYTHONPATH."""
+
+    def payloads(rows: Iterable[dict]) -> Iterator[Tuple[str, str, str]]:
+        import json as _json
+
+        for row in rows:
+            op = str(row.get(op_field, "insert")).lower()
+            if op not in ("insert", "update"):
+                continue
+            data = row.get("data") or {}
+            rk = str(data.get(key_field, routing_key)) if key_field else routing_key
+            body = _json.dumps(
+                data, sort_keys=True, separators=(",", ":"), default=str
+            )
+            yield (str(row.get(ns_field, "")), rk, body)
+
+    return payloads
+
+
 def rabbitmq_publish_payloads(
     rows: Iterable[dict],
     routing_key: str = "",
@@ -421,13 +450,9 @@ def rabbitmq_publish_payloads(
     field when `key_field` is set; Insert/Update published as JSON;
     Delete silently ignored (the one sink where parity means
     at-least-once publish, not exactly-once apply)."""
-    for row in rows:
-        op = str(row.get(op_field, "insert")).lower()
-        if op not in ("insert", "update"):
-            continue
-        data = row.get("data") or {}
-        rk = str(data.get(key_field, routing_key)) if key_field else routing_key
-        yield (str(row.get(ns_field, "")), rk, _dumps(data))
+    return _make_rabbitmq_payloads(routing_key, key_field, op_field, ns_field)(
+        rows
+    )
 
 
 def rabbitmq_sink(
@@ -450,6 +475,11 @@ def rabbitmq_sink(
     composition without a broker, or a pika-backed callable for real.
     """
 
+    # built once, captured by the partition closure BY VALUE (nested
+    # def from a factory — never a module-level name, which would need
+    # this package importable on executors)
+    payloads = _make_rabbitmq_payloads(routing_key=routing_key, key_field=key_field)
+
     def apply(batch: "DataFrame", epoch_id: int) -> None:
         staged = batch.select(
             F.lower("op").alias("op"), "ns", "ts", "data"
@@ -461,9 +491,7 @@ def rabbitmq_sink(
                     d = r.asDict(recursive=True)
                     yield {"op": d["op"], "ns": d["ns"], "data": d["data"]}
 
-            for exchange, rk, body in rabbitmq_publish_payloads(
-                rows(), routing_key=routing_key, key_field=key_field
-            ):
+            for exchange, rk, body in payloads(rows()):
                 publisher(exchange, rk, body)
 
         staged.foreachPartition(send_partition)
@@ -474,6 +502,51 @@ def rabbitmq_sink(
 # ---------------------------------------------------------------------------
 # RethinkDB buffered insert-replace
 # ---------------------------------------------------------------------------
+
+def _make_rethinkdb_ops(
+    id_field: str = "_id",
+    op_field: str = "op",
+    max_docs: int = 1000,
+) -> Callable[[Iterable[dict]], Iterator[Tuple[str, object]]]:
+    """Factory building the ops generator as a closure for by-value
+    pickling into foreachPartition (same rationale as
+    ``_make_rabbitmq_payloads``)."""
+
+    def ops(rows: Iterable[dict]) -> Iterator[Tuple[str, object]]:
+        def prepare(data: dict) -> dict:
+            doc = dict(data)
+            # prepareDocument (:96-106): a doc that already has `id` is
+            # returned UNTOUCHED (even if `_id` is also present); only
+            # when `id` is absent does `_id` rename to `id`
+            if "id" not in doc and id_field in doc:
+                doc["id"] = doc.pop(id_field)
+            return doc
+
+        buf: List[dict] = []
+        for row in rows:
+            op = str(row.get(op_field, "insert")).lower()
+            data = row.get("data") or {}
+            if op == "insert":
+                buf.append(prepare(data))
+                if len(buf) >= max_docs:
+                    yield ("insert", buf)
+                    buf = []
+            elif op == "update":
+                if buf:
+                    yield ("insert", buf)
+                    buf = []
+                yield ("insert", [prepare(data)])
+            elif op == "delete":
+                if buf:
+                    yield ("insert", buf)
+                    buf = []
+                doc_id = data.get(id_field, row.get(id_field))
+                yield ("delete", doc_id)
+        if buf:
+            yield ("insert", buf)
+
+    return ops
+
 
 def rethinkdb_bulk_ops(
     rows: Iterable[dict],
@@ -497,38 +570,7 @@ def rethinkdb_bulk_ops(
     inside foreachBatch, identical semantics, unit-testable without a
     server.
     """
-
-    def prepare(data: dict) -> dict:
-        doc = dict(data)
-        # prepareDocument (:96-106): a doc that already has `id` is
-        # returned UNTOUCHED (even if `_id` is also present); only when
-        # `id` is absent does `_id` rename to `id`
-        if "id" not in doc and id_field in doc:
-            doc["id"] = doc.pop(id_field)
-        return doc
-
-    buf: List[dict] = []
-    for row in rows:
-        op = str(row.get(op_field, "insert")).lower()
-        data = row.get("data") or {}
-        if op == "insert":
-            buf.append(prepare(data))
-            if len(buf) >= max_docs:
-                yield ("insert", buf)
-                buf = []
-        elif op == "update":
-            if buf:
-                yield ("insert", buf)
-                buf = []
-            yield ("insert", [prepare(data)])
-        elif op == "delete":
-            if buf:
-                yield ("insert", buf)
-                buf = []
-            doc_id = data.get(id_field, row.get(id_field))
-            yield ("delete", doc_id)
-    if buf:
-        yield ("insert", buf)
+    return _make_rethinkdb_ops(id_field, op_field, max_docs)(rows)
 
 
 def rethinkdb_cdc_sink(
@@ -555,6 +597,10 @@ def rethinkdb_cdc_sink(
             "driver in this environment)"
         )
 
+    # by-value capture for the partition closure (worker-closure
+    # invariant — see _make_rabbitmq_payloads)
+    bulk_ops = _make_rethinkdb_ops()
+
     def apply(batch: DataFrame, epoch_id: int) -> None:
         newest = latest_per_key(
             batch.select(F.lower("op").alias("op"), "ns", "ts", "data"),
@@ -568,7 +614,7 @@ def rethinkdb_cdc_sink(
                     d = r.asDict(recursive=True)
                     yield {"op": d["op"], "ns": d["ns"], "data": d["data"]}
 
-            for kind, payload in rethinkdb_bulk_ops(rows()):
+            for kind, payload in bulk_ops(rows()):
                 apply_op(database, table, kind, payload)
 
         newest.foreachPartition(send_partition)

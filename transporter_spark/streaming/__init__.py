@@ -13,6 +13,7 @@ never had (watermarks, tumbling/session windows).
 
 from transporter_spark.streaming.sources import stream_table, stream_envelope
 from transporter_spark.streaming.cdc import apply_cdc_batch, cdc_upsert_sink
+from transporter_spark.streaming.state import SegmentStore
 from transporter_spark.streaming.windows import (
     windowed_counts,
     run_available_now,
@@ -23,6 +24,7 @@ __all__ = [
     "stream_envelope",
     "apply_cdc_batch",
     "cdc_upsert_sink",
+    "SegmentStore",
     "windowed_counts",
     "run_available_now",
 ]

@@ -163,7 +163,15 @@ def swap_current(table_path: str, new_dir: str) -> None:
     """Make ``new_dir`` current at ``table_path`` via one atomic symlink
     replace; legacy real-directory layouts fall back to rename-aside
     (two renames — a crash between them leaves the old state under
-    ._bak, recoverable, and every later commit is symlink-atomic)."""
+    ._bak, recoverable, and every later commit is symlink-atomic).
+
+    Version retention (one-epoch delay): the JUST-REPLACED version dir
+    is kept on disk — a lazy DataFrame or concurrent reader that
+    resolved the symlink before the swap can still complete its action
+    against the old files. Older sibling versions (``<base>._*`` dirs
+    from commits before the previous one) are deleted instead; naming
+    discipline: version dirs live next to ``base`` with a ``base._``
+    prefix, nothing else may use that prefix."""
     import shutil
 
     base = table_path.rstrip("/")
@@ -175,12 +183,20 @@ def swap_current(table_path: str, new_dir: str) -> None:
             os.unlink(link_tmp)
         os.symlink(new_dir, link_tmp)
         os.replace(link_tmp, base)  # atomic on POSIX
-        if (
-            old_target
-            and os.path.isdir(old_target)
-            and os.path.realpath(base) != old_target
-        ):
-            shutil.rmtree(old_target, ignore_errors=True)
+        keep = {os.path.realpath(base)}
+        if old_target:
+            keep.add(old_target)
+        parent = os.path.dirname(base) or "."
+        prefix = os.path.basename(base) + "._"
+        for entry in os.listdir(parent):
+            p = os.path.join(parent, entry)
+            if (
+                entry.startswith(prefix)
+                and os.path.isdir(p)
+                and not os.path.islink(p)
+                and os.path.realpath(p) not in keep
+            ):
+                shutil.rmtree(p, ignore_errors=True)
     else:
         bak = base + "._bak"
         shutil.rmtree(bak, ignore_errors=True)

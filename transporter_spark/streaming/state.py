@@ -1,0 +1,224 @@
+"""Manifest-committed segment store: the append-only state layout
+shared by the continuous-ingest dedup sink (streaming/ingest.py) and
+the incremental rollup sink (streaming/windows.py).
+
+Why it exists: a foreachBatch sink that rewrites its whole state every
+epoch does O(|state|) IO per batch — total IO over a stream's life is
+quadratic, which at a 100 TB corpus with hourly batches means
+rewriting 100 TB per hour. The fix is the commit discipline of every
+transactional table format (and of the reference's own commitlog —
+segments are appended, never rewritten, commitlog/commitlog.go:170-183;
+hourly compaction merges old segments, commitlog/compactor.go:35-116):
+
+- data lives in immutable parquet SEGMENT directories under
+  ``base/segments/<name>/``;
+- a tiny ``MANIFEST.json`` names the live segments per table and the
+  last applied epoch; it becomes current via one atomic
+  ``os.replace`` — per-epoch IO is the new segments plus one small
+  file, never the standing state;
+- segments dropped by a commit (compaction, keyed remap) are retained
+  for ONE more commit before deletion, so a lazy DataFrame or
+  concurrent reader that resolved paths from the previous manifest
+  never hits FileNotFoundException mid-action;
+- segment dirs present on disk but referenced by no manifest (a crash
+  between segment write and manifest commit) are garbage-collected by
+  the same delayed mechanism.
+
+Two table shapes:
+
+- LIST tables (``tables``): an ordered list of segments whose union is
+  the table — the append-only corpus/index shape. Append = write one
+  segment, commit the extended list.
+- KEYED tables (``keyed``): a mapping ``key -> segment`` where each
+  key's CURRENT rows live in the mapped segment (the segment may also
+  hold stale rows for keys since remapped — readers filter by the
+  materialized ``_seg_key`` column). This is the delta-merge shape:
+  a batch touching k keys reads only the segments those k keys map to
+  and writes one segment holding only those keys' merged rows.
+
+Single-writer by contract (one streaming query owns a state dir —
+Spark's own checkpoint guarantees this); readers are lock-free.
+On object stores swap the whole layout for Delta/Iceberg — the sink
+batch functions' outputs are the exact MERGE/APPEND sources either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Dict, List, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST = "MANIFEST.json"
+SEGMENTS = "segments"
+SEG_KEY = "_seg_key"
+
+
+class SegmentStore:
+    """Filesystem-backed manifest + segment layout (see module doc)."""
+
+    def __init__(self, base: str):
+        self.base = base.rstrip("/")
+
+    # -- paths ----------------------------------------------------------
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.base, MANIFEST)
+
+    def seg_path(self, name: str) -> str:
+        return os.path.join(self.base, SEGMENTS, name)
+
+    def fresh_name(self, stem: str) -> str:
+        """A segment name not yet on disk (compaction retries must not
+        overwrite a directory a lazy reader may be consuming)."""
+        name, i = stem, 0
+        while os.path.exists(self.seg_path(name)):
+            i += 1
+            name = f"{stem}.{i}"
+        return name
+
+    # -- manifest -------------------------------------------------------
+    def manifest(self) -> Optional[dict]:
+        try:
+            with open(self.manifest_path) as fh:
+                return json.load(fh)
+        except FileNotFoundError:
+            return None
+
+    def last_epoch(self) -> Optional[int]:
+        m = self.manifest()
+        return None if m is None else int(m["epoch"])
+
+    # -- list tables ----------------------------------------------------
+    def table_segments(self, table: str) -> List[str]:
+        m = self.manifest() or {}
+        return list(m.get("tables", {}).get(table, []))
+
+    def table_paths(self, table: str) -> List[str]:
+        return [self.seg_path(s) for s in self.table_segments(table)]
+
+    def read(self, spark: SparkSession, table: str) -> Optional[DataFrame]:
+        """Union of a list table's live segments (None when absent)."""
+        paths = self.table_paths(table)
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    # -- keyed tables ---------------------------------------------------
+    def keyed_mapping(self, table: str) -> Dict[str, str]:
+        m = self.manifest() or {}
+        return dict(m.get("keyed", {}).get(table, {}))
+
+    def keyed_paths(
+        self, table: str, keys: Optional[Sequence[str]] = None
+    ) -> Dict[str, List[str]]:
+        """segment name -> the requested keys currently mapped to it.
+        Segments holding none of the requested keys are absent — this
+        IS the pruning: a reader touches only mapped segments."""
+        mapping = self.keyed_mapping(table)
+        wanted = set(mapping) if keys is None else set(keys) & set(mapping)
+        by_seg: Dict[str, List[str]] = {}
+        for k in sorted(wanted):
+            by_seg.setdefault(mapping[k], []).append(k)
+        return by_seg
+
+    def read_keyed(
+        self,
+        spark: SparkSession,
+        table: str,
+        keys: Optional[Sequence[str]] = None,
+    ) -> Optional[DataFrame]:
+        """CURRENT rows for the requested keys (all keys when None).
+        Each segment is filtered to the keys still mapped to it, so
+        stale rows (keys remapped by a later delta-merge) never
+        surface. Retains the ``_seg_key`` column."""
+        by_seg = self.keyed_paths(table, keys)
+        if not by_seg:
+            return None
+        parts = [
+            spark.read.parquet(self.seg_path(seg)).filter(
+                F.col(SEG_KEY).isin(ks)
+            )
+            for seg, ks in sorted(by_seg.items())
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # -- commit ---------------------------------------------------------
+    def commit(
+        self,
+        epoch: int,
+        tables: Optional[Dict[str, List[str]]] = None,
+        keyed: Optional[Dict[str, Dict[str, str]]] = None,
+    ) -> None:
+        """Make (tables, keyed) the current state at ``epoch`` via one
+        atomic manifest replace. Complete-dict semantics: callers pass
+        the full new segment lists/mappings (a table omitted from BOTH
+        arguments keeps its previous entry).
+
+        GC discipline (one-commit delay): the PREVIOUS manifest's
+        ``gc`` list is purged first — those dirs were already
+        unreferenced by the manifest readers currently see, so deleting
+        them is safe at any crash point. Then every on-disk segment the
+        NEW manifest does not reference (just-dropped segments AND
+        orphans from crashed commits) goes on the new ``gc`` list, to
+        be purged by the commit after this one.
+        """
+        prev = self.manifest() or {}
+        for name in prev.get("gc", []):
+            shutil.rmtree(self.seg_path(name), ignore_errors=True)
+
+        new_tables = dict(prev.get("tables", {}))
+        if tables:
+            new_tables.update(tables)
+        new_keyed = dict(prev.get("keyed", {}))
+        if keyed:
+            new_keyed.update(keyed)
+
+        referenced = {s for segs in new_tables.values() for s in segs}
+        referenced |= {s for m in new_keyed.values() for s in m.values()}
+        seg_root = os.path.join(self.base, SEGMENTS)
+        on_disk = set(os.listdir(seg_root)) if os.path.isdir(seg_root) else set()
+        gc = sorted(on_disk - referenced)
+
+        manifest = {
+            "epoch": int(epoch),
+            "tables": new_tables,
+            "keyed": new_keyed,
+            "gc": gc,
+        }
+        os.makedirs(self.base, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self.manifest_path)  # atomic on POSIX
+
+    # -- compaction -----------------------------------------------------
+    def compact_table(self, spark: SparkSession, table: str) -> Optional[str]:
+        """Merge a LIST table's segments into one (returns the new
+        segment name, or None when there is nothing to compact). The
+        caller commits; until then nothing changed. Content-preserving
+        by construction: the new segment is exactly the union read."""
+        segs = self.table_segments(table)
+        if len(segs) <= 1:
+            return None
+        df = self.read(spark, table)
+        name = self.fresh_name(f"{table}-compact{self.last_epoch()}")
+        df.write.mode("overwrite").parquet(self.seg_path(name))
+        return name
+
+    def compact_keyed(self, spark: SparkSession, table: str) -> Optional[str]:
+        """Merge a KEYED table's current rows into one segment,
+        dropping stale rows for good. Returns the new segment name (all
+        keys remap to it), or None when already a single segment."""
+        if len(set(self.keyed_mapping(table).values())) <= 1:
+            return None
+        df = self.read_keyed(spark, table)
+        name = self.fresh_name(f"{table}-compact{self.last_epoch()}")
+        df.write.mode("overwrite").parquet(self.seg_path(name))
+        return name

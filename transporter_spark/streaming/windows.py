@@ -119,17 +119,18 @@ def incremental_rollup_sink(
     (associative), so merge order / batch boundaries cannot change the
     result — maintained-incrementally == recomputed-from-scratch,
     bit-for-bit (pinned by test). Scale shape: per batch, one shuffle
-    of #touched-hours x #keys partial rows; the state merge touches the
-    hour keys present in the batch, the classic delta-merge. State
-    writes use the same swap discipline as cdc_upsert_sink (tmp +
-    atomic pointer swap).
+    of #touched-hours x #keys partial rows; the state merge READS only
+    the segments the batch's hour keys map to and WRITES one segment
+    holding only those hours' merged rows (the keyed manifest store,
+    streaming/state.SegmentStore) — the classic delta-merge, with
+    per-epoch IO ∝ #touched hours, never O(state). Compact with
+    ``compact_rollup_state`` when segments accumulate.
 
     Replay safety: foreachBatch is at-least-once — a crash after the
-    state swap but before the checkpoint commit re-delivers the same
-    epoch on restart. The last-applied epoch_id is recorded in a
-    ``_last_epoch`` marker INSIDE the state dir (so it swaps atomically
-    with the parquet it describes; the leading underscore keeps Spark's
-    parquet reader from touching it), and a replayed epoch is a no-op.
+    state commit but before the checkpoint commit re-delivers the same
+    epoch on restart. The last-applied epoch_id lives in the manifest
+    (one atomic ``os.replace`` commits epoch + segment mapping
+    together), and a replayed epoch is a no-op.
 
     Limit (inherent to aggregation sinks): rows a source re-delivers
     under NEW offsets are indistinguishable from new data and WILL
@@ -158,15 +159,21 @@ def rollup_merge_batch(
     """One delta-merge step of incremental_rollup_sink; returns False
     when the epoch was already applied (micro-batch replay) and the
     merge was skipped. Module-level so the replay contract is directly
-    testable without crashing a streaming query mid-commit."""
-    import os
+    testable without crashing a streaming query mid-commit.
 
-    marker = os.path.join(state_dir, "_last_epoch")
-    if os.path.isfile(marker):
-        with open(marker) as fh:
-            last = int(fh.read().strip())
-        if epoch_id <= last:
-            return False
+    Hour-scoped by construction: the batch's partials name the touched
+    hour keys; only the segments those keys map to are read (keyed
+    manifest lookup — untouched hours' segments are never opened), the
+    merged rows for exactly those hours go to ONE new segment, and the
+    manifest remaps the touched keys atomically. The touched-hour
+    key list is a driver-side collect — bounded by the batch's time
+    span (#hours), metadata-sized, never row data."""
+    from transporter_spark.streaming.state import SEG_KEY, SegmentStore
+
+    store = SegmentStore(state_dir)
+    last = store.last_epoch()
+    if last is not None and epoch_id <= last:
+        return False
 
     keys_l = list(keys)
     spark = batch.sparkSession
@@ -181,9 +188,16 @@ def rollup_merge_batch(
             ).alias("sum_value"),
             F.count("*").alias("n"),
         )
+        .withColumn(SEG_KEY, F.date_format("hour", "yyyy-MM-dd HH"))
+        .localCheckpoint(eager=True)  # consumed twice: key list + merge
     )
-    if os.path.isdir(state_dir):
-        prev = spark.read.parquet(state_dir)
+    touched = [r[0] for r in partial.select(SEG_KEY).distinct().collect()]
+    if not touched:  # empty epoch: nothing to merge, replay is vacuous
+        return False
+    prev = store.read_keyed(spark, "hourly", keys=touched)
+    if prev is None:
+        merged = partial
+    else:
         merged = (
             prev.unionByName(partial)
             .groupBy("hour", *keys_l)
@@ -191,26 +205,47 @@ def rollup_merge_batch(
                 F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
                 F.sum("n").alias("n"),
             )
+            .withColumn(SEG_KEY, F.date_format("hour", "yyyy-MM-dd HH"))
         )
-    else:
-        merged = partial
-    tmp = state_dir.rstrip("/") + f"._epoch{epoch_id}"
-    merged.write.mode("overwrite").parquet(tmp)
-    with open(os.path.join(tmp, "_last_epoch"), "w") as fh:
-        fh.write(str(epoch_id))
-    # one atomic symlink replace makes (parquet + epoch marker) current
-    # together — a crash at any point leaves a readable consistent state
-    # (the previous two-rename swap had a window with NO current dir)
-    from transporter_spark.streaming.cdc import swap_current
+    seg = f"hourly-e{epoch_id}"
+    merged.write.mode("overwrite").parquet(store.seg_path(seg))
+    mapping = store.keyed_mapping("hourly")
+    for k in touched:
+        mapping[k] = seg
+    store.commit(epoch_id, keyed={"hourly": mapping})
+    return True
 
-    swap_current(state_dir, tmp)
+
+def read_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained hourly partials (current rows only — stale rows
+    left behind in partially-remapped segments are filtered out by the
+    keyed read)."""
+    from transporter_spark.streaming.state import SEG_KEY, SegmentStore
+
+    return SegmentStore(state_dir).read_keyed(spark, "hourly").drop(SEG_KEY)
+
+
+def compact_rollup_state(spark: SparkSession, state_dir: str) -> bool:
+    """Merge the hourly state's segments into one, dropping stale rows
+    for good (same discipline as ingest.compact_ingest_state). Returns
+    False when already compact."""
+    from transporter_spark.streaming.state import SegmentStore
+
+    store = SegmentStore(state_dir)
+    if store.manifest() is None:
+        return False
+    name = store.compact_keyed(spark, "hourly")
+    if name is None:
+        return False
+    mapping = {k: name for k in store.keyed_mapping("hourly")}
+    store.commit(store.last_epoch(), keyed={"hourly": mapping})
     return True
 
 
 def rollup_daily_from_state(spark: SparkSession, state_dir: str, keys: tuple = ()) -> DataFrame:
     """Derive the daily resolution from maintained hourly partials —
     never from raw (decimal partials make this exact)."""
-    hourly = spark.read.parquet(state_dir)
+    hourly = read_rollup_state(spark, state_dir)
     return (
         hourly.groupBy(F.date_trunc("day", F.col("hour")).alias("day"), *keys)
         .agg(
