@@ -43,7 +43,7 @@ _PRIORITY = [
     # changed r3 (fingerprint-before-shuffle, commit cc2eed7) — green row
     # predates the change
     "dedup_exact",
-    # commit path changed r3 (3506791) + round-4 swap_current retention
+    # commit path changed r3 (3506791) + round-4 LSM append-only rebuild
     "stream_cdc_apply",
     # --- stalest greens: last graded r1/r2, unchanged code ---
     "pick",

@@ -13,6 +13,11 @@ Usage:
 Probes (each prints "<name>: 1x=<t>s Nx=<t>s ratio=<r>"):
     incremental  fixed 500-doc batch vs 1x/10x indexed corpus — the
                  per-batch cost must stay ~flat (the index does the work)
+    ingest_commit  one ingest-dedup EPOCH (fixed batch) against a 1x vs
+                 10x pre-seeded state — with the append-only manifest
+                 commit, per-epoch wall time and bytes written must stay
+                 ~flat (the pre-round-4 design rewrote the whole corpus
+                 per epoch: time and IO grew with the corpus)
     lsh          minhash_lsh_pairs at 1x/10x docs
     clustering   dedup_clusters at 1x/10x docs (CC rounds ∝ diameter,
                  not corpus)
@@ -87,6 +92,42 @@ def probe_incremental(spark):
     return times[1], times[MULT]
 
 
+def probe_ingest_commit(spark):
+    """Fixed batch through ONE continuous-ingest epoch against a 1x vs
+    Nx standing corpus. Reports wall time; also prints the bytes the
+    epoch wrote (must track the batch, not the corpus)."""
+    import tempfile
+
+    from transporter_spark.streaming.ingest import ingest_dedup_batch
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    batch = docs.limit(500).select(
+        (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+    ).localCheckpoint(eager=True)
+
+    def du(path):
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    times = {}
+    for mult in (1, MULT):
+        corpus = _replicate(docs, "doc_id", mult)
+        state = tempfile.mkdtemp(prefix=f"probe_ingest_{mult}x_") + "/state"
+        ingest_dedup_batch(corpus, 0, state, threshold=0.2)  # seed, untimed
+        before = du(state)
+        t0 = time.time()
+        ingest_dedup_batch(batch, 1, state, threshold=0.2)
+        times[mult] = time.time() - t0
+        print(
+            f"  ingest_commit {mult}x: epoch wrote "
+            f"{(du(state) - before) / 1024:.0f} KiB "
+            f"(standing state {before / 1024:.0f} KiB)"
+        )
+    return times[1], times[MULT]
+
+
 def probe_lsh(spark):
     docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
     times = {}
@@ -154,6 +195,7 @@ def probe_q5(spark):
 
 PROBES = {
     "incremental": probe_incremental,
+    "ingest_commit": probe_ingest_commit,
     "lsh": probe_lsh,
     "clustering": probe_clustering,
     "q5": probe_q5,

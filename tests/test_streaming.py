@@ -265,6 +265,105 @@ def test_compact_tombstones_drops_only_expired_markers(spark):
     assert {r.user_id for r in after.collect()} == {1}
 
 
+def test_cdc_sink_commit_is_append_only_and_replay_safe(spark, tmp_path):
+    """Round-4 LSM rebuild: each epoch appends ONE collapsed segment
+    (pre-existing files byte-untouched — per-epoch IO ∝ batch, not
+    state), a replayed epoch is a no-op, and merge-on-read equals the
+    chained apply_cdc_batch state."""
+    import os
+
+    from datetime import datetime
+
+    from transporter_spark.streaming.cdc import (
+        cdc_upsert_sink,
+        read_cdc_state,
+        read_cdc_table,
+    )
+    from transporter_spark.streaming.state import SegmentStore
+
+    t1, t2, t3 = datetime(2024, 1, 1), datetime(2024, 1, 2), datetime(2024, 1, 3)
+    target = str(tmp_path / "cdc")
+    sink = cdc_upsert_sink(spark, target, keys=["user_id"])
+    store = SegmentStore(target)
+
+    def files():
+        out = {}
+        root = os.path.join(target, "segments")
+        for dp, _d, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(dp, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    sink(_env(spark, [("insert", t1, 1, "a"), ("insert", t1, 2, "b")]), 0)
+    before = files()
+    # epoch 1: newer update for 1, delete 2 — only a delta-e1 segment
+    sink(_env(spark, [("update", t2, 1, "a2"), ("delete", t3, 2, None)]), 1)
+    after = files()
+    assert {k: after[k] for k in before} == before
+    assert all(
+        k.split(os.sep)[0] == "delta-e1" for k in after if k not in before
+    )
+    assert store.table_segments("delta") == ["delta-e0", "delta-e1"]
+    # replay of epoch 1: no new segment, state unchanged
+    sink(_env(spark, [("update", t2, 1, "DOUBLE"), ("delete", t3, 2, None)]), 1)
+    assert files() == after
+    # merge-on-read == chained apply_cdc_batch
+    chained = apply_cdc_batch(
+        apply_cdc_batch(
+            None, _env(spark, [("insert", t1, 1, "a"), ("insert", t1, 2, "b")]),
+            keys=["user_id"],
+        ),
+        _env(spark, [("update", t2, 1, "a2"), ("delete", t3, 2, None)]),
+        keys=["user_id"],
+    )
+    got = {
+        (r.user_id, r._op, r.v) for r in read_cdc_state(spark, target).collect()
+    }
+    want = {(r.user_id, r._op, r.v) for r in chained.collect()}
+    assert got == want
+    assert {(r.user_id, r.v) for r in read_cdc_table(spark, target).collect()} == {
+        (1, "a2")
+    }
+
+
+def test_cdc_compaction_folds_segments_and_gcs_tombstones(spark, tmp_path):
+    """compact_cdc_table: one segment after, identical live state, the
+    expired tombstone gone (horizon), fresh tombstone retained; a
+    pre-compaction reader still completes (one-commit retention)."""
+    from datetime import datetime
+
+    from transporter_spark.streaming.cdc import (
+        cdc_upsert_sink,
+        compact_cdc_table,
+        read_cdc_state,
+        read_cdc_table,
+    )
+    from transporter_spark.streaming.state import SegmentStore
+
+    t1, t2, t3 = datetime(2024, 1, 1), datetime(2024, 1, 2), datetime(2024, 1, 3)
+    target = str(tmp_path / "cdc")
+    sink = cdc_upsert_sink(spark, target, keys=["user_id"])
+    sink(_env(spark, [("insert", t1, 1, "a"), ("insert", t1, 3, "c")]), 0)
+    sink(_env(spark, [("delete", t1, 3, None), ("update", t3, 1, "a3")]), 1)
+    sink(_env(spark, [("delete", t3, 4, None)]), 2)
+
+    lazy = read_cdc_table(spark, target)
+    live_before = {(r.user_id, r.v) for r in lazy.collect()}
+    assert compact_cdc_table(spark, target, tombstone_horizon=t2)
+    store = SegmentStore(target)
+    assert len(store.table_segments("delta")) == 1
+    assert store.last_epoch() == 2  # compaction never advances the epoch
+    assert {(r.user_id, r.v) for r in read_cdc_table(spark, target).collect()} == live_before
+    ops = {r.user_id: r._op for r in read_cdc_state(spark, target).collect()}
+    assert ops == {1: "live", 4: "delete"}  # user 3's expired marker GC'd
+    # pre-compaction reader still completes (segments gc'd next commit)
+    assert {(r.user_id, r.v) for r in lazy.collect()} == live_before
+    # nothing further to fold
+    assert not compact_cdc_table(spark, target)
+
+
 def test_stream_drop_duplicates_removes_reingested_rows(spark, sf_dir, tmp_path):
     """dropDuplicates on a stream: re-ingesting the same rows in a
     later file yields no new output rows (state remembers keys)."""

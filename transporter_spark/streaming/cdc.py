@@ -29,14 +29,15 @@ state carries its CDC metadata:
   Kafka compaction / Delta vacuum.)
 
 `apply_cdc_batch` is a pure DataFrame function; `cdc_upsert_sink`
-wires it into foreachBatch maintaining a parquet directory (the
-demo-grade store — on Delta/Iceberg the same merge becomes MERGE INTO
-with the identical _ts guard); `read_cdc_table` reads the live rows.
+wires it into foreachBatch as an LSM over the manifest/segment store —
+one appended segment per epoch (IO ∝ |batch|), merge-on-read /
+merge-on-compaction (on Delta/Iceberg the same per-epoch segment
+becomes a MERGE INTO source with the identical _ts guard);
+`read_cdc_table` reads the live rows.
 """
 
 from __future__ import annotations
 
-import os
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -130,80 +131,93 @@ def cdc_upsert_sink(
     keys: List[str],
     order_cols: Optional[List[str]] = None,
 ):
-    """foreachBatch function maintaining a parquet CDC table from an
-    envelope stream. Epoch = the reference's bulk-flush boundary
-    (message/ops/ops.go:64-74 Flush command); the write is a full
-    atomic swap per epoch. Production sinks swap this for MERGE INTO
-    on a transactional table format — apply_cdc_batch's output is the
-    exact merge source either way.
+    """foreachBatch function maintaining a CDC table from an envelope
+    stream, LSM-style over the manifest/segment store
+    (streaming/state.SegmentStore): each epoch appends ONE segment —
+    the batch collapsed to its newest row per key, tagged ``_epoch`` —
+    and the merge to current state happens at READ time (or at
+    compaction), newest (``_ts``, order_cols, ``_epoch``) per key.
+
+    Why: the previous design re-merged and rewrote the FULL state every
+    epoch — O(|state|) IO per batch, quadratic over the stream's life.
+    Append-per-epoch is the reference's own commitlog discipline
+    (commitlog/commitlog.go:170-183; epoch = the bulk-flush boundary,
+    message/ops/ops.go:64-74) and the LSM/Delta-change-feed shape:
+    per-epoch IO ∝ |batch|, read cost grows with segment count until
+    ``compact_cdc_table`` folds them (compactor parity:
+    commitlog/compactor.go:35-116).
+
+    Ordering parity with ``apply_cdc_batch``: cross-epoch ties on
+    (_ts + order_cols) resolve to the LATER epoch — exactly the
+    change-beats-state ``_prio`` rule, so replays and out-of-order
+    epochs behave identically (pinned by the multi-epoch and
+    no-resurrection tests). A replayed epoch is skipped outright via
+    the manifest epoch. Production sinks on Delta/Iceberg replace the
+    read-side window with MERGE INTO per epoch — the collapsed epoch
+    segment is the exact merge source.
     """
+    from transporter_spark.streaming.state import SegmentStore
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        base = table_path.rstrip("/")
-        exists = os.path.exists(table_path)
-        current = spark.read.parquet(table_path) if exists else None
-        new_state = apply_cdc_batch(current, batch, keys, order_cols)
-        # Crash-safe swap: write the full new state to a versioned dir,
-        # then one atomic os.replace of a symlink makes it current. A
-        # crash at any point leaves either the old or the new state
-        # readable at table_path — never a half-deleted table (the
-        # previous overwrite-in-place lost everything if it died between
-        # Spark's delete and rewrite).
-        new_dir = base + f"._epoch{epoch_id}"
-        if exists and os.path.realpath(table_path) == os.path.realpath(new_dir):
-            # epoch replay: don't overwrite the dir we're reading from
-            new_dir += ".retry"
-        new_state.write.mode("overwrite").parquet(new_dir)
-        swap_current(table_path, new_dir)
+        store = SegmentStore(table_path)
+        last = store.last_epoch()
+        if last is not None and epoch_id <= last:
+            return  # at-least-once replay: appending again would double
+        if batch.isEmpty():
+            return
+        delta = apply_cdc_batch(None, batch, keys, order_cols).withColumn(
+            "_epoch", F.lit(int(epoch_id))
+        )
+        name = f"delta-e{epoch_id}"
+        delta.write.mode("overwrite").parquet(store.seg_path(name))
+        store.commit(
+            epoch_id,
+            tables={"delta": store.table_segments("delta") + [name]},
+            meta={"keys": list(keys), "order_cols": list(order_cols or [])},
+        )
 
     return apply
 
 
-def swap_current(table_path: str, new_dir: str) -> None:
-    """Make ``new_dir`` current at ``table_path`` via one atomic symlink
-    replace; legacy real-directory layouts fall back to rename-aside
-    (two renames — a crash between them leaves the old state under
-    ._bak, recoverable, and every later commit is symlink-atomic).
+def read_cdc_state(spark: SparkSession, table_path: str) -> DataFrame:
+    """Merge-on-read of the CDC segment log: newest row per key across
+    all epoch segments, INCLUDING tombstones (the maintained-state
+    equivalent of chaining apply_cdc_batch over every epoch)."""
+    from transporter_spark.streaming.state import SegmentStore
 
-    Version retention (one-epoch delay): the JUST-REPLACED version dir
-    is kept on disk — a lazy DataFrame or concurrent reader that
-    resolved the symlink before the swap can still complete its action
-    against the old files. Older sibling versions (``<base>._*`` dirs
-    from commits before the previous one) are deleted instead; naming
-    discipline: version dirs live next to ``base`` with a ``base._``
-    prefix, nothing else may use that prefix."""
-    import shutil
+    store = SegmentStore(table_path)
+    meta = store.meta()
+    segs = store.read(spark, "delta")
+    order = ["_ts"] + [
+        c for c in meta.get("order_cols", []) if c not in ("ts", "_ts")
+    ] + ["_epoch"]
+    return latest_per_key(segs, meta["keys"], order)
 
-    base = table_path.rstrip("/")
-    exists = os.path.exists(base)
-    if os.path.islink(base) or not exists:
-        old_target = os.path.realpath(base) if exists else None
-        link_tmp = base + "._swap"
-        if os.path.lexists(link_tmp):
-            os.unlink(link_tmp)
-        os.symlink(new_dir, link_tmp)
-        os.replace(link_tmp, base)  # atomic on POSIX
-        keep = {os.path.realpath(base)}
-        if old_target:
-            keep.add(old_target)
-        parent = os.path.dirname(base) or "."
-        prefix = os.path.basename(base) + "._"
-        for entry in os.listdir(parent):
-            p = os.path.join(parent, entry)
-            if (
-                entry.startswith(prefix)
-                and os.path.isdir(p)
-                and not os.path.islink(p)
-                and os.path.realpath(p) not in keep
-            ):
-                shutil.rmtree(p, ignore_errors=True)
-    else:
-        bak = base + "._bak"
-        shutil.rmtree(bak, ignore_errors=True)
-        os.rename(base, bak)
-        os.rename(new_dir, base)
-        shutil.rmtree(bak, ignore_errors=True)
+
+def compact_cdc_table(
+    spark: SparkSession, table_path: str, tombstone_horizon=None
+) -> bool:
+    """Fold the epoch segments into one materialized-state segment
+    (optionally GC-ing tombstones at or before ``tombstone_horizon`` —
+    see compact_tombstones for the replay-lag correctness bound).
+    Committed via the atomic manifest swap; replaced segments survive
+    one more commit for concurrent readers. Returns False when already
+    compact."""
+    from transporter_spark.streaming.state import SegmentStore
+
+    store = SegmentStore(table_path)
+    if store.manifest() is None:
+        return False
+    state = read_cdc_state(spark, table_path)
+    if tombstone_horizon is not None:
+        state = compact_tombstones(state, tombstone_horizon)
+    if len(store.table_segments("delta")) <= 1 and tombstone_horizon is None:
+        return False
+    name = store.fresh_name(f"delta-compact{store.last_epoch()}")
+    state.write.mode("overwrite").parquet(store.seg_path(name))
+    store.commit(store.last_epoch(), tables={"delta": [name]})
+    return True
 
 
 def read_cdc_table(spark: SparkSession, table_path: str) -> DataFrame:
-    return live_rows(spark.read.parquet(table_path))
+    return live_rows(read_cdc_state(spark, table_path)).drop("_epoch")

@@ -150,16 +150,25 @@ class SegmentStore:
         return out
 
     # -- commit ---------------------------------------------------------
+    def meta(self) -> dict:
+        m = self.manifest() or {}
+        return dict(m.get("meta", {}))
+
     def commit(
         self,
         epoch: int,
         tables: Optional[Dict[str, List[str]]] = None,
         keyed: Optional[Dict[str, Dict[str, str]]] = None,
+        meta: Optional[dict] = None,
     ) -> None:
         """Make (tables, keyed) the current state at ``epoch`` via one
         atomic manifest replace. Complete-dict semantics: callers pass
         the full new segment lists/mappings (a table omitted from BOTH
         arguments keeps its previous entry).
+
+        ``meta`` carries small reader-facing parameters (e.g. the CDC
+        key columns) — merged over the previous meta, committed in the
+        same atomic replace.
 
         GC discipline (one-commit delay): the PREVIOUS manifest's
         ``gc`` list is purged first — those dirs were already
@@ -179,6 +188,9 @@ class SegmentStore:
         new_keyed = dict(prev.get("keyed", {}))
         if keyed:
             new_keyed.update(keyed)
+        new_meta = dict(prev.get("meta", {}))
+        if meta:
+            new_meta.update(meta)
 
         referenced = {s for segs in new_tables.values() for s in segs}
         referenced |= {s for m in new_keyed.values() for s in m.values()}
@@ -190,6 +202,7 @@ class SegmentStore:
             "epoch": int(epoch),
             "tables": new_tables,
             "keyed": new_keyed,
+            "meta": new_meta,
             "gc": gc,
         }
         os.makedirs(self.base, exist_ok=True)
