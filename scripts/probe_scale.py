@@ -93,17 +93,30 @@ def probe_incremental(spark):
 
 
 def probe_ingest_commit(spark):
-    """Fixed batch through ONE continuous-ingest epoch against a 1x vs
-    Nx standing corpus. Reports wall time; also prints the bytes the
-    epoch wrote (must track the batch, not the corpus)."""
+    """Mixed batch (250 corpus clones + 250 novel docs) through ONE
+    continuous-ingest epoch against a 1x vs Nx standing state, seeded
+    DIRECTLY (segments + manifest — seeding through the sink would
+    dedup the replicas away and shrink the state back to 1x). Reports
+    wall time; also prints the bytes the epoch wrote, which must track
+    the KEPT batch, not the (Nx) corpus."""
     import tempfile
 
+    from transporter_spark.operators.dedup import band_index, fingerprint_index
     from transporter_spark.streaming.ingest import ingest_dedup_batch
+    from transporter_spark.streaming.state import SegmentStore
 
     docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    batch = docs.limit(500).select(
+    clones = docs.limit(250).select(
         (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
-    ).localCheckpoint(eager=True)
+    )
+    novel = spark.range(250).select(
+        (F.col("id") + 90_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", *[F.concat(F.lit(f"nov{j}x"), F.col("id").cast("string"))
+                   for j in range(30)]
+        ).alias("text"),
+    )
+    batch = clones.unionByName(novel).localCheckpoint(eager=True)
 
     def du(path):
         total = 0
@@ -115,7 +128,11 @@ def probe_ingest_commit(spark):
     for mult in (1, MULT):
         corpus = _replicate(docs, "doc_id", mult)
         state = tempfile.mkdtemp(prefix=f"probe_ingest_{mult}x_") + "/state"
-        ingest_dedup_batch(corpus, 0, state, threshold=0.2)  # seed, untimed
+        store = SegmentStore(state)
+        corpus.write.parquet(store.seg_path("docs-e0"))
+        band_index(corpus).write.parquet(store.seg_path("index-e0"))
+        fingerprint_index(corpus, ["text"]).write.parquet(store.seg_path("fps-e0"))
+        store.commit(0, tables={t: [f"{t}-e0"] for t in ("docs", "index", "fps")})
         before = du(state)
         t0 = time.time()
         ingest_dedup_batch(batch, 1, state, threshold=0.2)
