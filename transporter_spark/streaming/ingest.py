@@ -248,16 +248,30 @@ def dedup_ingest_sink(
     stream_df: DataFrame,
     state_dir: str,
     checkpoint_dir: Optional[str] = None,
+    compact_every: Optional[int] = None,
     **kw,
 ) -> None:
     """Drain a document stream through the continuous-dedup sink
     (availableNow); state at ``state_dir`` is readable between and
     after runs via :func:`read_ingest_corpus` / :func:`read_ingest_index`.
-    """
+
+    ``compact_every=N`` folds the segment log every N applied epochs —
+    the operational loop of the reference's scheduled compactor
+    (pipeline/node.go:417-436 runs it hourly): without it a long-lived
+    stream accumulates one segment per table per epoch. Compaction is
+    content-preserving and runs INSIDE the epoch's foreachBatch slot,
+    so a crash between merge and compaction just leaves the log one
+    fold behind — never inconsistent."""
     from transporter_spark.streaming.windows import run_foreach_batch_available_now
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
-        ingest_dedup_batch(batch, epoch_id, state_dir, **kw)
+        applied = ingest_dedup_batch(batch, epoch_id, state_dir, **kw)
+        if (
+            applied
+            and compact_every
+            and (epoch_id + 1) % compact_every == 0
+        ):
+            compact_ingest_state(batch.sparkSession, state_dir)
 
     run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
 
