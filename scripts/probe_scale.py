@@ -18,6 +18,9 @@ Probes (each prints "<name>: 1x=<t>s Nx=<t>s ratio=<r>"):
                  commit, per-epoch wall time and bytes written must stay
                  ~flat (the pre-round-4 design rewrote the whole corpus
                  per epoch: time and IO grew with the corpus)
+    cdc_commit   one CDC-upsert epoch (fixed batch) against a 1x vs 10x
+                 standing LSM state — same flat-commit claim for the
+                 round-4 append-per-epoch CDC sink
     lsh          minhash_lsh_pairs at 1x/10x docs
     clustering   dedup_clusters at 1x/10x docs (CC rounds ∝ diameter,
                  not corpus)
@@ -145,6 +148,59 @@ def probe_ingest_commit(spark):
     return times[1], times[MULT]
 
 
+def probe_cdc_commit(spark):
+    """One CDC-upsert epoch (fixed 10k-row envelope batch) against a 1x
+    vs Nx standing LSM state. With the round-4 append-per-epoch sink the
+    wall time and bytes written must stay ~flat (the pre-round-4 design
+    re-merged and rewrote the full state every epoch)."""
+    import tempfile
+
+    from transporter_spark.envelope import to_envelope
+    from transporter_spark.streaming.cdc import cdc_upsert_sink
+
+    ev = read_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+    def env(df):
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return to_envelope(
+            df, ns="t", op="insert", ts_col="ts",
+            payload_cols=["event_id", "user_id", "event_type", "value"],
+        )
+
+    batch = env(
+        ev.limit(10000).select(
+            "event_id", (F.col("user_id") + 50_000_000).alias("user_id"),
+            "event_type", "value", "ts",
+        )
+    ).localCheckpoint(eager=True)
+
+    def du(path):
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        return total
+
+    times = {}
+    for mult in (1, MULT):
+        seed = env(_replicate(ev, "user_id", mult))
+        target = tempfile.mkdtemp(prefix=f"probe_cdc_{mult}x_") + "/table"
+        sink = cdc_upsert_sink(spark, target, keys=["user_id"])
+        sink(seed, 0)
+        before = du(target)
+        t0 = time.time()
+        sink(batch, 1)
+        times[mult] = time.time() - t0
+        print(
+            f"  cdc_commit {mult}x: epoch wrote "
+            f"{(du(target) - before) / 1024:.0f} KiB "
+            f"(standing state {before / 1024:.0f} KiB)"
+        )
+    return times[1], times[MULT]
+
+
 def probe_lsh(spark):
     docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
     times = {}
@@ -213,6 +269,7 @@ def probe_q5(spark):
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
+    "cdc_commit": probe_cdc_commit,
     "lsh": probe_lsh,
     "clustering": probe_clustering,
     "q5": probe_q5,
