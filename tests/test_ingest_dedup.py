@@ -278,16 +278,15 @@ def test_sink_scheduled_compaction_through_stream(spark, sf_dir, tmp_path):
 def test_redelivery_guard_reads_only_fingerprint_index(spark, sf_dir, tmp_path):
     """VERDICT r3 item 5: the cross-epoch re-delivery membership test
     anti-joins the 32 B/doc fps index — the executed plan scans fps
-    segments only, never corpus text/docs or the band index."""
+    segments only, never corpus text/docs or the band index. Pinned
+    against redelivery_guard, the function the sink itself calls."""
+    from transporter_spark.streaming.ingest import redelivery_guard
+
     state = str(tmp_path / "state")
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     ingest_dedup_batch(docs.limit(30), 0, state, threshold=0.5)
     fps = read_ingest_fingerprints(spark, state)
-    guarded = docs.limit(50).join(
-        fps.select(F.col("id").alias("_seen_id")),
-        F.col("doc_id") == F.col("_seen_id"),
-        "left_anti",
-    )
+    guarded = redelivery_guard(docs.limit(50), fps, "doc_id")
     sc = guarded.sparkSession.sparkContext
     plan = sc._jvm.PythonSQLUtils.explainString(
         guarded._jdf.queryExecution(), "formatted"

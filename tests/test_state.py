@@ -76,6 +76,23 @@ def test_commit_preserves_unnamed_tables_and_keyed(spark, tmp_path):
     assert m["gc"] == []
 
 
+def test_epoch_regression_raises_instead_of_dropping(spark, tmp_path):
+    """epoch_already_applied: same-epoch replay skips, but a BACKWARDS
+    epoch counter (fresh checkpoint against existing state) raises —
+    silently skipping would discard genuinely new batches until the
+    counter caught up."""
+    import pytest
+
+    store = SegmentStore(str(tmp_path / "st"))
+    assert store.epoch_already_applied(0) is False  # no state yet
+    _write(spark, store, "t-e5", [(1, "a")])
+    store.commit(5, tables={"t": ["t-e5"]})
+    assert store.epoch_already_applied(5) is True   # replay of last
+    assert store.epoch_already_applied(6) is False  # next epoch
+    with pytest.raises(ValueError, match="epoch counter went backwards"):
+        store.epoch_already_applied(0)
+
+
 def test_fresh_name_skips_existing_dirs(spark, tmp_path):
     store = SegmentStore(str(tmp_path / "st"))
     _write(spark, store, "t-compact0", [(1, "a")])

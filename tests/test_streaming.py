@@ -360,8 +360,35 @@ def test_cdc_compaction_folds_segments_and_gcs_tombstones(spark, tmp_path):
     assert ops == {1: "live", 4: "delete"}  # user 3's expired marker GC'd
     # pre-compaction reader still completes (segments gc'd next commit)
     assert {(r.user_id, r.v) for r in lazy.collect()} == live_before
-    # nothing further to fold
+    # nothing further to fold; a horizon that expires nothing is ALSO a
+    # no-op (no O(state) rewrite per maintenance call)
     assert not compact_cdc_table(spark, target)
+    assert not compact_cdc_table(spark, target, tombstone_horizon=t2)
+    # the fresh tombstone expires under a later horizon -> real work
+    assert compact_cdc_table(spark, target, tombstone_horizon=t3)
+    ops = {r.user_id: r._op for r in read_cdc_state(spark, target).collect()}
+    assert ops == {1: "live"}
+
+
+def test_cdc_sink_in_slot_compaction_bounds_segments(spark, tmp_path):
+    """compact_every on the sink itself: the segment log folds inside
+    the epoch slot once it reaches the bound (the only concurrency-safe
+    place — the sink is the single writer)."""
+    from datetime import datetime
+
+    from transporter_spark.streaming.cdc import cdc_upsert_sink, read_cdc_table
+    from transporter_spark.streaming.state import SegmentStore
+
+    t = datetime(2024, 1, 1)
+    target = str(tmp_path / "cdc")
+    sink = cdc_upsert_sink(spark, target, keys=["user_id"], compact_every=2)
+    for epoch in range(4):
+        sink(_env(spark, [("insert", t, 100 + epoch, f"v{epoch}")]), epoch)
+    store = SegmentStore(target)
+    assert len(store.table_segments("delta")) < 4
+    assert {(r.user_id, r.v) for r in read_cdc_table(spark, target).collect()} == {
+        (100, "v0"), (101, "v1"), (102, "v2"), (103, "v3")
+    }
 
 
 def test_stream_drop_duplicates_removes_reingested_rows(spark, sf_dir, tmp_path):
@@ -528,13 +555,17 @@ def test_rollup_delta_merge_touches_only_batch_hours(spark, tmp_path):
     assert [str(r.hour) for r in seg.select("hour").distinct().collect()] == [
         "2024-01-01 05:00:00"
     ]
-    # manifest: only the touched key remaps; reads prune to mapped segments
+    # manifest: only the touched key remaps; reads prune to mapped
+    # segments. Keys are the hour's epoch seconds (timezone-immune).
+    from datetime import datetime, timezone
+
+    def key(h):
+        return str(int(datetime(2024, 1, 1, h, tzinfo=timezone.utc).timestamp()))
+
     mapping = store.keyed_mapping("hourly")
-    assert mapping["2024-01-01 05"] == "hourly-e1"
-    assert all(v == "hourly-e0" for k, v in mapping.items() if k != "2024-01-01 05")
-    assert store.keyed_paths("hourly", ["2024-01-01 07"]) == {
-        "hourly-e0": ["2024-01-01 07"]
-    }
+    assert mapping[key(5)] == "hourly-e1"
+    assert all(v == "hourly-e0" for k, v in mapping.items() if k != key(5))
+    assert store.keyed_paths("hourly", [key(7)]) == {"hourly-e0": [key(7)]}
     # merged values are exact; the stale hour-05 row in e0 is invisible
     rows = {
         str(r.hour): (float(r.sum_value), r.n)

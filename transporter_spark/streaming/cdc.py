@@ -130,6 +130,7 @@ def cdc_upsert_sink(
     table_path: str,
     keys: List[str],
     order_cols: Optional[List[str]] = None,
+    compact_every: Optional[int] = None,
 ):
     """foreachBatch function maintaining a CDC table from an envelope
     stream, LSM-style over the manifest/segment store
@@ -155,14 +156,21 @@ def cdc_upsert_sink(
     the manifest epoch. Production sinks on Delta/Iceberg replace the
     read-side window with MERGE INTO per epoch — the collapsed epoch
     segment is the exact merge source.
+
+    ``compact_every=N`` folds the log inside the epoch slot whenever it
+    reaches N segments (single-writer by construction — never race an
+    out-of-band compactor against a live sink, the manifest
+    read-modify-write is not concurrent-writer safe).
     """
     from transporter_spark.streaming.state import SegmentStore
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         store = SegmentStore(table_path)
-        last = store.last_epoch()
-        if last is not None and epoch_id <= last:
-            return  # at-least-once replay: appending again would double
+        # replay of the last epoch: appending again would double-apply.
+        # A BACKWARDS epoch counter raises instead of silently dropping
+        # new data (state.epoch_already_applied).
+        if store.epoch_already_applied(epoch_id):
+            return
         if batch.isEmpty():
             return
         delta = apply_cdc_batch(None, batch, keys, order_cols).withColumn(
@@ -175,6 +183,8 @@ def cdc_upsert_sink(
             tables={"delta": store.table_segments("delta") + [name]},
             meta={"keys": list(keys), "order_cols": list(order_cols or [])},
         )
+        if compact_every and len(store.table_segments("delta")) >= compact_every:
+            compact_cdc_table(spark, table_path)
 
     return apply
 
@@ -188,6 +198,11 @@ def read_cdc_state(spark: SparkSession, table_path: str) -> DataFrame:
     store = SegmentStore(table_path)
     meta = store.meta()
     segs = store.read(spark, "delta")
+    if segs is None or "keys" not in meta:
+        raise FileNotFoundError(
+            f"no committed CDC state at {table_path!r}: the sink has "
+            "not applied any non-empty epoch yet"
+        )
     order = ["_ts"] + [
         c for c in meta.get("order_cols", []) if c not in ("ts", "_ts")
     ] + ["_epoch"]
@@ -201,18 +216,23 @@ def compact_cdc_table(
     (optionally GC-ing tombstones at or before ``tombstone_horizon`` —
     see compact_tombstones for the replay-lag correctness bound).
     Committed via the atomic manifest swap; replaced segments survive
-    one more commit for concurrent readers. Returns False when already
-    compact."""
+    one more commit for concurrent readers. Returns False (writing
+    nothing) when already compact and no tombstone is expired — safe to
+    call on a maintenance schedule without O(state) rewrites per call."""
     from transporter_spark.streaming.state import SegmentStore
 
     store = SegmentStore(table_path)
     if store.manifest() is None:
         return False
     state = read_cdc_state(spark, table_path)
+    if len(store.table_segments("delta")) <= 1:
+        if tombstone_horizon is None:
+            return False
+        expired = state.count() - compact_tombstones(state, tombstone_horizon).count()
+        if expired == 0:
+            return False
     if tombstone_horizon is not None:
         state = compact_tombstones(state, tombstone_horizon)
-    if len(store.table_segments("delta")) <= 1 and tombstone_horizon is None:
-        return False
     name = store.fresh_name(f"delta-compact{store.last_epoch()}")
     state.write.mode("overwrite").parquet(store.seg_path(name))
     store.commit(store.last_epoch(), tables={"delta": [name]})

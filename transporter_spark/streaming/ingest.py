@@ -101,7 +101,7 @@ def ingest_dedup_batch(
 
     store = SegmentStore(state_dir)
     manifest = store.manifest()
-    if manifest is not None and epoch_id <= int(manifest["epoch"]):
+    if store.epoch_already_applied(epoch_id):
         return False
     # empty epochs happen (foreachBatch delivers them on idle triggers);
     # not advancing the marker is safe: replay of an empty epoch is
@@ -113,19 +113,7 @@ def ingest_dedup_batch(
     if manifest is not None:
         corpus = store.read(spark, "docs")
         index = store.read(spark, "index")
-        # At-least-once SOURCES can re-deliver earlier data in a LATER
-        # epoch (the epoch marker only catches same-epoch replay). A
-        # re-delivered doc shares its id with an accepted row, and the
-        # LSH self-pair filter (id_a != id_b) would hide it — so it
-        # would be re-accepted and duplicate the id in the corpus.
-        # Membership test = anti-join against the 32 B/doc fingerprint
-        # index — never a scan of corpus text or the docs table at all.
-        fps = store.read(spark, "fps")
-        batch = batch.join(
-            fps.select(F.col("id").alias("_seen_id")),
-            F.col(id_col) == F.col("_seen_id"),
-            "left_anti",
-        )
+        batch = redelivery_guard(batch, store.read(spark, "fps"), id_col)
         if batch.isEmpty():
             return False
     else:
@@ -221,6 +209,23 @@ def ingest_dedup_batch(
     return True
 
 
+def redelivery_guard(batch: DataFrame, fps: DataFrame, id_col: str) -> DataFrame:
+    """Drop batch rows whose id is already accepted. At-least-once
+    SOURCES can re-deliver earlier data in a LATER epoch (the epoch
+    marker only catches same-epoch replay); a re-delivered doc shares
+    its id with an accepted row, and the LSH self-pair filter
+    (id_a != id_b) would hide it — so it would be re-accepted and
+    duplicate the id in the corpus. Membership test = anti-join against
+    the 32 B/doc fingerprint index — never a scan of corpus text or the
+    docs table at all (plan-pinned in tests/test_ingest_dedup.py
+    against THIS function, the path the sink runs)."""
+    return batch.join(
+        fps.select(F.col("id").alias("_seen_id")),
+        F.col(id_col) == F.col("_seen_id"),
+        "left_anti",
+    )
+
+
 def compact_ingest_state(spark: SparkSession, state_dir: str) -> bool:
     """Merge each table's epoch segments into one (reference parity:
     the hourly commitlog compactor, commitlog/compactor.go:35-116).
@@ -255,13 +260,15 @@ def dedup_ingest_sink(
     (availableNow); state at ``state_dir`` is readable between and
     after runs via :func:`read_ingest_corpus` / :func:`read_ingest_index`.
 
-    ``compact_every=N`` folds the segment log every N applied epochs —
-    the operational loop of the reference's scheduled compactor
-    (pipeline/node.go:417-436 runs it hourly): without it a long-lived
-    stream accumulates one segment per table per epoch. Compaction is
-    content-preserving and runs INSIDE the epoch's foreachBatch slot,
-    so a crash between merge and compaction just leaves the log one
-    fold behind — never inconsistent."""
+    ``compact_every=N`` folds the segment log whenever it reaches N
+    segments — the operational loop of the reference's scheduled
+    compactor (pipeline/node.go:417-436 runs it hourly): without it a
+    long-lived stream accumulates one segment per table per applied
+    epoch. Counting SEGMENTS (not epoch ids) makes the schedule immune
+    to empty/replayed epochs. Compaction is content-preserving and runs
+    INSIDE the epoch's foreachBatch slot (single-writer by
+    construction), so a crash between merge and compaction just leaves
+    the log one fold behind — never inconsistent."""
     from transporter_spark.streaming.windows import run_foreach_batch_available_now
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
@@ -269,7 +276,7 @@ def dedup_ingest_sink(
         if (
             applied
             and compact_every
-            and (epoch_id + 1) % compact_every == 0
+            and len(SegmentStore(state_dir).table_segments("docs")) >= compact_every
         ):
             compact_ingest_state(batch.sparkSession, state_dir)
 
@@ -281,16 +288,26 @@ def ingest_last_epoch(state_dir: str) -> Optional[int]:
     return SegmentStore(state_dir).last_epoch()
 
 
+def _read_required(spark: SparkSession, state_dir: str, table: str) -> DataFrame:
+    df = SegmentStore(state_dir).read(spark, table)
+    if df is None:
+        raise FileNotFoundError(
+            f"no committed ingest state at {state_dir!r} (table {table!r}): "
+            "the sink has not applied any non-empty epoch yet"
+        )
+    return df
+
+
 def read_ingest_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
-    return SegmentStore(state_dir).read(spark, "docs")
+    return _read_required(spark, state_dir, "docs")
 
 
 def read_ingest_index(spark: SparkSession, state_dir: str) -> DataFrame:
-    return SegmentStore(state_dir).read(spark, "index")
+    return _read_required(spark, state_dir, "index")
 
 
 def read_ingest_fingerprints(spark: SparkSession, state_dir: str) -> DataFrame:
-    return SegmentStore(state_dir).read(spark, "fps")
+    return _read_required(spark, state_dir, "fps")
 
 
 def drain_documents_dedup(

@@ -92,6 +92,30 @@ class SegmentStore:
         m = self.manifest()
         return None if m is None else int(m["epoch"])
 
+    def epoch_already_applied(self, epoch_id: int) -> bool:
+        """Replay check shared by every sink. Spark's foreachBatch
+        re-delivers at most the LAST uncommitted epoch under the SAME
+        id (same checkpoint ⇒ monotone ids), so ``epoch_id == last`` is
+        a legitimate replay → skip. ``epoch_id < last`` can only mean
+        the epoch counter restarted (checkpoint deleted or a different
+        query pointed at this state) — silently skipping would discard
+        GENUINELY NEW data until the counter caught up, so that raises
+        instead: resume with the original checkpoint, or start a fresh
+        state dir."""
+        last = self.last_epoch()
+        if last is None or epoch_id > last:
+            return False
+        if epoch_id == last:
+            return True
+        raise ValueError(
+            f"epoch counter went backwards at {self.base}: got epoch "
+            f"{epoch_id} but state is at {last}. This sink's state is "
+            "bound to one streaming checkpoint; restarting with a fresh "
+            "checkpoint against existing state would silently drop new "
+            "batches. Keep the original checkpointLocation, or point "
+            "the query at a new state dir."
+        )
+
     # -- list tables ----------------------------------------------------
     def table_segments(self, table: str) -> List[str]:
         m = self.manifest() or {}

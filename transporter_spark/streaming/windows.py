@@ -171,8 +171,7 @@ def rollup_merge_batch(
     from transporter_spark.streaming.state import SEG_KEY, SegmentStore
 
     store = SegmentStore(state_dir)
-    last = store.last_epoch()
-    if last is not None and epoch_id <= last:
+    if store.epoch_already_applied(epoch_id):
         return False
 
     keys_l = list(keys)
@@ -188,7 +187,12 @@ def rollup_merge_batch(
             ).alias("sum_value"),
             F.count("*").alias("n"),
         )
-        .withColumn(SEG_KEY, F.date_format("hour", "yyyy-MM-dd HH"))
+        # segment key = the hour's epoch seconds: instant-based, so the
+        # persisted mapping is immune to session-timezone changes
+        # between runs (a date_format key would remap the same instant
+        # to a different string under a different timeZone and
+        # double-materialize the hour)
+        .withColumn(SEG_KEY, F.col("hour").cast("long").cast("string"))
         .localCheckpoint(eager=True)  # consumed twice: key list + merge
     )
     touched = [r[0] for r in partial.select(SEG_KEY).distinct().collect()]
@@ -205,7 +209,7 @@ def rollup_merge_batch(
                 F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
                 F.sum("n").alias("n"),
             )
-            .withColumn(SEG_KEY, F.date_format("hour", "yyyy-MM-dd HH"))
+            .withColumn(SEG_KEY, F.col("hour").cast("long").cast("string"))
         )
     seg = f"hourly-e{epoch_id}"
     merged.write.mode("overwrite").parquet(store.seg_path(seg))
@@ -222,7 +226,13 @@ def read_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame:
     keyed read)."""
     from transporter_spark.streaming.state import SEG_KEY, SegmentStore
 
-    return SegmentStore(state_dir).read_keyed(spark, "hourly").drop(SEG_KEY)
+    hourly = SegmentStore(state_dir).read_keyed(spark, "hourly")
+    if hourly is None:
+        raise FileNotFoundError(
+            f"no committed rollup state at {state_dir!r}: the sink has "
+            "not applied any non-empty epoch yet"
+        )
+    return hourly.drop(SEG_KEY)
 
 
 def compact_rollup_state(spark: SparkSession, state_dir: str) -> bool:
