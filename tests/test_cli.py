@@ -129,5 +129,46 @@ def test_config_errors_are_loud():
         build_operator("not_an_operator")
 
 
+def test_cli_state_show_and_compact(tmp_path, spark, monkeypatch, capsys):
+    """`state show` summarizes a sink's manifest (epoch, segment/file
+    counts, gc backlog); `state compact` folds the log offline and is
+    idempotent. Driven against a real 2-epoch CDC state."""
+    from datetime import datetime
+
+    from transporter_spark.streaming.cdc import cdc_upsert_sink, read_cdc_table
+
+    t = datetime(2024, 1, 1)
+    target = str(tmp_path / "cdc")
+    sink = cdc_upsert_sink(spark, target, keys=["user_id"])
+
+    def env_of(epoch):
+        df = spark.createDataFrame(
+            [("insert", t, 10 + epoch, f"v{epoch}")],
+            "op string, ts timestamp, user_id long, v string",
+        )
+        return df.selectExpr("op", "ts", "'t' as ns", "struct(user_id, v) as data")
+
+    for epoch in range(2):
+        sink(env_of(epoch), epoch)
+
+    monkeypatch.setattr("transporter_spark.cli._get_spark", lambda: spark)
+    assert main(["state", "show", target]) == 0
+    summary = json.loads(capsys.readouterr().out)
+    assert summary["epoch"] == 1
+    assert summary["tables"]["delta"]["segments"] == 2
+    assert summary["meta"]["keys"] == ["user_id"]
+
+    assert main(["state", "compact", target]) == 0
+    assert "compacted" in capsys.readouterr().out
+    assert main(["state", "compact", target]) == 0
+    assert "already compact" in capsys.readouterr().out
+    assert {(r.user_id, r.v) for r in read_cdc_table(spark, target).collect()} == {
+        (10, "v0"), (11, "v1")
+    }
+    # bad args / missing state
+    assert main(["state", "show"]) == 2
+    assert main(["state", "show", str(tmp_path / "nope")]) == 1
+
+
 def test_main_rejects_unknown_subcommand(capsys):
     assert main(["frobnicate"]) == 2

@@ -10,6 +10,8 @@ Subcommand parity:
 | init                              | init [dir]                               |
 | xlog current/oldest/show          | xlog current/oldest/show <checkpoint>    |
 | offset list/show/mark             | offset list/show/mark <checkpoint> ...   |
+| (no analog: commitlog compactor   | state show/compact <state_dir> — inspect |
+|  runs only inside the pipeline)   | or fold a sink's manifest/segment state  |
 
 The "query language" difference is deliberate: the reference evaluates
 a JavaScript DSL in a goja VM (cmd/transporter/goja_builder.go:31-56);
@@ -224,7 +226,71 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 2
         return 0
 
-    print(f"unknown subcommand {cmd!r}; one of run/test/about/init/xlog/offset")
+    if cmd == "state":
+        from transporter_spark.streaming.state import SegmentStore
+
+        usage = "usage: state show|compact <state_dir>"
+        sub = rest[0] if rest else "show"
+        if len(rest) < 2:
+            print(usage)
+            return 2
+        store = SegmentStore(rest[1])
+        manifest = store.manifest()
+        if manifest is None:
+            print(f"no committed state at {rest[1]!r}", file=sys.stderr)
+            return 1
+        if sub == "show":
+            # manifest + per-segment file counts: the operator's view of
+            # log growth (reference analog: the xlog/offset inspectors)
+            summary = {
+                "epoch": manifest["epoch"],
+                "tables": {
+                    t: {
+                        "segments": len(segs),
+                        "files": sum(
+                            len(os.listdir(store.seg_path(s)))
+                            for s in segs
+                            if os.path.isdir(store.seg_path(s))
+                        ),
+                    }
+                    for t, segs in manifest.get("tables", {}).items()
+                },
+                "keyed": {
+                    t: {"keys": len(m), "segments": len(set(m.values()))}
+                    for t, m in manifest.get("keyed", {}).items()
+                },
+                "meta": manifest.get("meta", {}),
+                "gc_pending": len(manifest.get("gc", [])),
+            }
+            print(json.dumps(summary, indent=2))
+            return 0
+        if sub == "compact":
+            # ONLY safe while no sink is writing this state (the
+            # manifest read-modify-write is single-writer); live
+            # streams should use the sinks' compact_every instead
+            spark = _get_spark()
+            folded = False
+            for t in manifest.get("tables", {}):
+                name = store.compact_table(spark, t)
+                if name is not None:
+                    store.commit(manifest["epoch"], tables={t: [name]})
+                    folded = True
+            for t in manifest.get("keyed", {}):
+                name = store.compact_keyed(spark, t)
+                if name is not None:
+                    store.commit(
+                        manifest["epoch"],
+                        keyed={t: {k: name for k in store.keyed_mapping(t)}},
+                    )
+                    folded = True
+            print("compacted" if folded else "already compact")
+            return 0
+        print(usage)
+        return 2
+
+    print(
+        f"unknown subcommand {cmd!r}; one of run/test/about/init/xlog/offset/state"
+    )
     return 2
 
 
