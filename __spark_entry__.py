@@ -45,6 +45,9 @@ _PRIORITY = [
     "dedup_exact",
     # commit path changed r3 (3506791) + round-4 LSM append-only rebuild
     "stream_cdc_apply",
+    # NEW round 4: continuous IVF index maintenance (vector twin of the
+    # ingest-dedup sink) — new queries must take a slot
+    "stream_ann_index",
     # --- stalest greens: last graded r1/r2, unchanged code ---
     "pick",
     "omit",
@@ -91,7 +94,6 @@ _PRIORITY = [
     "multimodal_meta",
     "media_features",
     "q19_disjunctive",
-    "cube_agg",
 ]
 
 

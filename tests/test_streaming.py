@@ -391,6 +391,100 @@ def test_cdc_sink_in_slot_compaction_bounds_segments(spark, tmp_path):
     }
 
 
+def _centroids(spark, sf_dir):
+    from transporter_spark.sources.files import read_table
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+
+
+def test_ann_sink_multi_epoch_equals_batch_index(spark, sf_dir, tmp_path):
+    """3-epoch drain of the embeddings through the ANN sink == batch
+    ivf_index over everything (fixed centroids make assignment pure, so
+    epoch boundaries can't leak); commits are append-only (pre-existing
+    files byte-identical); a re-delivered vector is dropped by id."""
+    import os
+
+    from transporter_spark.operators.similarity import ivf_index
+    from transporter_spark.sources.files import read_table
+    from transporter_spark.streaming.vectors import (
+        ann_index_batch,
+        read_ann_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cen = _centroids(spark, sf_dir)
+    state = str(tmp_path / "ann")
+
+    def files():
+        out = {}
+        root = os.path.join(state, "segments")
+        for dp, _d, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(dp, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    for epoch in range(3):
+        before = files() if epoch else {}
+        assert ann_index_batch(
+            emb.filter(F.col("vec_id") % 3 == epoch), epoch, state, cen, round_dp=8
+        )
+        after = files()
+        assert {k: after[k] for k in before} == before  # append-only
+    # replay + re-delivery: epoch 3 re-ships epoch-0 vectors -> all
+    # dropped by the id guard, nothing appended
+    n = read_ann_index(spark, state).count()
+    assert not ann_index_batch(
+        emb.filter(F.col("vec_id") % 3 == 0), 3, state, cen, round_dp=8
+    )
+    got = read_ann_index(spark, state)
+    assert got.count() == n == emb.count()
+    expect = ivf_index(emb, cen, round_dp=8)
+    assert sorted((r.vec_id, r.cell) for r in got.collect()) == sorted(
+        (r.vec_id, r.cell) for r in expect.collect()
+    )
+
+
+def test_ann_sink_compaction_and_search(spark, sf_dir, tmp_path):
+    """compact_ann_index folds the log content-preservingly, and
+    searching the maintained index equals searching the batch index."""
+    from transporter_spark.operators.similarity import ann_ivf, ann_ivf_search
+    from transporter_spark.sources.files import read_table
+    from transporter_spark.streaming.state import SegmentStore
+    from transporter_spark.streaming.vectors import (
+        ann_index_batch,
+        compact_ann_index,
+        read_ann_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cen = _centroids(spark, sf_dir)
+    state = str(tmp_path / "ann")
+    for epoch in range(2):
+        ann_index_batch(
+            emb.filter(F.col("vec_id") % 2 == epoch), epoch, state, cen, round_dp=8
+        )
+    assert compact_ann_index(spark, state)
+    assert not compact_ann_index(spark, state)
+    store = SegmentStore(state)
+    assert all(len(store.table_segments(t)) == 1 for t in ("cells", "ids"))
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ann_ivf_search(
+        read_ann_index(spark, state), queries, cen, k=5, nprobe=2, round_dp=8
+    )
+    expect = ann_ivf(emb, queries, cen, k=5, nprobe=2, round_dp=8)
+    canon = lambda df: sorted(  # noqa: E731
+        (r.query_id, r.neighbor_id, float(r.cosine), r.rank) for r in df.collect()
+    )
+    assert canon(got) == canon(expect)
+
+
 def test_stream_drop_duplicates_removes_reingested_rows(spark, sf_dir, tmp_path):
     """dropDuplicates on a stream: re-ingesting the same rows in a
     later file yields no new output rows (state remembers keys)."""

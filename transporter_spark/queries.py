@@ -1782,6 +1782,40 @@ def q_ann_ivf(spark, sf_dir):
     return ann_ivf(emb, queries, centroids, k=5, nprobe=2, round_dp=8)
 
 
+@q(
+    "stream_ann_index",
+    oracle=None,  # assigned below: identical to ann_ivf_topk — the
+    # stream-maintained index holds exactly the batch ivf_index rows
+    # (same fixed centroids, same 8dp rounding), so the search output
+    # is bit-identical to the batch pipeline the oracle replays
+)
+def q_stream_ann_index(spark, sf_dir):
+    """CONTINUOUS IVF index maintenance (streaming/vectors.py): the
+    embeddings stream drains through a foreachBatch sink that assigns
+    each batch to fixed centroids and APPENDS the assignments as
+    manifest-committed segments (per-epoch IO ∝ batch — the vector twin
+    of the continuous-dedup sink), then the maintained index serves the
+    same nprobe=2 search as the batch `ann_ivf_topk` query. Append-only
+    state, replay no-op, id-based re-delivery guard, and multi-epoch ==
+    batch equality are pinned in tests/test_streaming.py."""
+    from transporter_spark.operators.similarity import ann_ivf_search
+    from transporter_spark.streaming.vectors import drain_embeddings_index
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    index = drain_embeddings_index(spark, sf_dir, centroids, round_dp=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf_search(index, queries, centroids, k=5, nprobe=2, round_dp=8)
+
+
+QUERIES["stream_ann_index"] = QUERIES["stream_ann_index"]._replace(
+    oracle=QUERIES["ann_ivf_topk"].oracle
+)
+
+
 def _lang_id_oracle() -> str:
     """Generate the DuckDB lang-id expression from the SAME stopword
     constants the Spark operator uses — one source of truth."""
