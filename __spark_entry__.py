@@ -96,6 +96,15 @@ _PRIORITY = [
     "q19_disjunctive",
 ]
 
+# Next rotation batch (round 5+): the remaining r1/r2 greens not yet
+# re-graded since — rotate into slots as space frees up: cube_agg,
+# percentiles, exists_subquery, anti_join_not_in, scalar_subquery,
+# q2_min_cost_supplier, q21_waiting_suppliers, window_analytics,
+# stream_static_join, json_functions, grouped_pandas_udaf, python_udtf,
+# having_clause, pivot_table, extended_json_normalize, dedup_normalized,
+# range_join_recent_count, sliding_window_agg, collect_agg,
+# stratified_sample, repetition_stats, array_funcs, frame_sample.
+
 
 def _ordered():
     seen = set(_PRIORITY)

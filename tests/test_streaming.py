@@ -670,6 +670,26 @@ def test_rollup_delta_merge_touches_only_batch_hours(spark, tmp_path):
     assert len(rows) == 24
 
 
+def test_rollup_rejects_foreign_seg_key_format(spark, tmp_path):
+    """A state whose hour-key derivation differs from this engine's
+    fails LOUDLY at merge time — a silent mismatch would split the same
+    hour across two keys and duplicate rows per hour forever."""
+    import pytest
+
+    from transporter_spark.streaming.state import SegmentStore
+    from transporter_spark.streaming.windows import rollup_merge_batch
+
+    batch = spark.createDataFrame(
+        [("2024-01-01T05:15:00", "g", 1.0)], "ts string, k string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    state = str(tmp_path / "hourly_state")
+    assert rollup_merge_batch(batch, 0, state, keys=("k",))
+    store = SegmentStore(state)
+    store.commit(store.last_epoch(), meta={"seg_key": "legacy-date-string"})
+    with pytest.raises(ValueError, match="seg_key format"):
+        rollup_merge_batch(batch, 1, state, keys=("k",))
+
+
 def test_rollup_compaction_drops_stale_rows(spark, tmp_path):
     """compact_rollup_state: one segment, stale rows gone for good,
     content identical, epoch unchanged."""

@@ -231,7 +231,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         usage = "usage: state show|compact <state_dir>"
         sub = rest[0] if rest else "show"
-        if len(rest) < 2:
+        if sub not in ("show", "compact") or len(rest) < 2:
             print(usage)
             return 2
         store = SegmentStore(rest[1])
@@ -264,12 +264,18 @@ def main(argv: Optional[List[str]] = None) -> int:
             }
             print(json.dumps(summary, indent=2))
             return 0
-        if sub == "compact":
-            # ONLY safe while no sink is writing this state (the
-            # manifest read-modify-write is single-writer); live
-            # streams should use the sinks' compact_every instead
-            spark = _get_spark()
-            folded = False
+        # compact — ONLY safe while no sink is writing this state (the
+        # manifest read-modify-write is single-writer); live streams
+        # should use the sinks' compact_every instead
+        spark = _get_spark()
+        folded = False
+        if "keys" in manifest.get("meta", {}):
+            # a CDC state: the generic fold would keep every superseded
+            # version per key forever — use the LWW-aware compactor
+            from transporter_spark.streaming.cdc import compact_cdc_table
+
+            folded = compact_cdc_table(spark, rest[1])
+        else:
             for t in manifest.get("tables", {}):
                 name = store.compact_table(spark, t)
                 if name is not None:
@@ -283,10 +289,8 @@ def main(argv: Optional[List[str]] = None) -> int:
                         keyed={t: {k: name for k in store.keyed_mapping(t)}},
                     )
                     folded = True
-            print("compacted" if folded else "already compact")
-            return 0
-        print(usage)
-        return 2
+        print("compacted" if folded else "already compact")
+        return 0
 
     print(
         f"unknown subcommand {cmd!r}; one of run/test/about/init/xlog/offset/state"

@@ -40,7 +40,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _KNOWN_OPS = ("insert", "update", "delete")
@@ -117,8 +117,6 @@ def compact_tombstones(state: DataFrame, horizon) -> DataFrame:
     dropped once no change OLDER than it can still arrive, otherwise a
     late stale update would resurrect the deleted row. Live rows are
     never touched; state size returns to ~#live keys."""
-    from pyspark.sql import Column
-
     h = horizon if isinstance(horizon, Column) else F.lit(horizon).cast("timestamp")
     return state.filter(
         (F.col("_op") != "delete") | F.col("_ts").isNull() | (F.col("_ts") > h)
@@ -228,8 +226,19 @@ def compact_cdc_table(
     if len(store.table_segments("delta")) <= 1:
         if tombstone_horizon is None:
             return False
-        expired = state.count() - compact_tombstones(state, tombstone_horizon).count()
-        if expired == 0:
+        # one early-exit probe for any expired tombstone (the complement
+        # of compact_tombstones' keep-predicate), not two full scans
+        h = (
+            tombstone_horizon
+            if isinstance(tombstone_horizon, Column)
+            else F.lit(tombstone_horizon).cast("timestamp")
+        )
+        expired = state.filter(
+            (F.col("_op") == "delete")
+            & F.col("_ts").isNotNull()
+            & (F.col("_ts") <= h)
+        )
+        if expired.isEmpty():
             return False
     if tombstone_horizon is not None:
         state = compact_tombstones(state, tombstone_horizon)

@@ -52,7 +52,6 @@ def ann_index_batch(
     one broadcast-centroid assignment over |batch| vectors + the
     segment append — the standing index is never read except for the
     8 B/vector id guard, and never rewritten."""
-    from transporter_spark.operators.dedup import release_cached  # noqa: F401
     from transporter_spark.operators.similarity import ivf_index
     from transporter_spark.streaming.ingest import redelivery_guard
 

@@ -148,6 +148,12 @@ def incremental_rollup_sink(
     run_foreach_batch_available_now(stream_df, merge, checkpoint_dir)
 
 
+# hour keys are the hour's epoch seconds (instant-based, timezone-
+# immune); bump this marker if the derivation ever changes so old
+# states fail loudly instead of silently splitting hours across keys
+_SEG_KEY_FORMAT = "epoch_seconds"
+
+
 def rollup_merge_batch(
     batch: DataFrame,
     epoch_id: int,
@@ -173,6 +179,17 @@ def rollup_merge_batch(
     store = SegmentStore(state_dir)
     if store.epoch_already_applied(epoch_id):
         return False
+    # key-format guard: the persisted hour->segment mapping only works
+    # if every writer derives keys the same way. A format drift would
+    # SILENTLY split an hour across two keys (duplicate rows per hour),
+    # so an unknown marker fails loudly instead.
+    fmt = store.meta().get("seg_key")
+    if fmt is not None and fmt != _SEG_KEY_FORMAT:
+        raise ValueError(
+            f"rollup state at {state_dir!r} uses seg_key format {fmt!r}; "
+            f"this engine writes {_SEG_KEY_FORMAT!r} — recompute the "
+            "state (or compact with the writing version) before merging"
+        )
 
     keys_l = list(keys)
     spark = batch.sparkSession
@@ -216,7 +233,11 @@ def rollup_merge_batch(
     mapping = store.keyed_mapping("hourly")
     for k in touched:
         mapping[k] = seg
-    store.commit(epoch_id, keyed={"hourly": mapping})
+    store.commit(
+        epoch_id,
+        keyed={"hourly": mapping},
+        meta={"seg_key": _SEG_KEY_FORMAT},
+    )
     return True
 
 
