@@ -48,6 +48,9 @@ _PRIORITY = [
     # NEW round 4: continuous IVF index maintenance (vector twin of the
     # ingest-dedup sink) — new queries must take a slot
     "stream_ann_index",
+    # NEW round 4: chunk-granular cross-doc repeated-text removal (the
+    # scalable exact-substring-dedup / boilerplate-pruning step)
+    "repeated_chunk_prune",
     # --- stalest greens: last graded r1/r2, unchanged code ---
     "pick",
     "omit",
@@ -93,12 +96,11 @@ _PRIORITY = [
     "text_stats",
     "multimodal_meta",
     "media_features",
-    "q19_disjunctive",
 ]
 
 # Next rotation batch (round 5+): the remaining r1/r2 greens not yet
-# re-graded since — rotate into slots as space frees up: cube_agg,
-# percentiles, exists_subquery, anti_join_not_in, scalar_subquery,
+# re-graded since — rotate into slots as space frees up: q19_disjunctive,
+# cube_agg, percentiles, exists_subquery, anti_join_not_in, scalar_subquery,
 # q2_min_cost_supplier, q21_waiting_suppliers, window_analytics,
 # stream_static_join, json_functions, grouped_pandas_udaf, python_udtf,
 # having_clause, pivot_table, extended_json_normalize, dedup_normalized,

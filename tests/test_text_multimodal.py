@@ -115,3 +115,30 @@ def test_repetition_stats_flags_degenerate_docs(spark):
     assert rows[1].top_token_ratio == 1.0 and rows[1].n_distinct == 1
     assert rows[2].top_token_ratio == 0.2 and rows[2].distinct_ratio == 1.0
     assert rows[3].n_tokens == 0 and rows[3].distinct_ratio == 0.0
+
+
+def test_prune_repeated_chunks_drops_boilerplate_keeps_unique(spark):
+    """Chunk-granular cross-doc repeated-text removal: an aligned chunk
+    shared by >= boilerplate_df docs disappears everywhere (a doc made
+    only of it comes back EMPTY, not absent); unique chunks survive in
+    original order; chunking is 10-token aligned with a short tail."""
+    from transporter_spark.operators.text import prune_repeated_chunks
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one aligned chunk
+    rows = [(i, boiler + " " + f"unique u{i} " * 2) for i in range(4)]
+    rows.append((100, boiler))                      # nothing but boilerplate
+    rows.append((101, "solo content only here"))    # untouched short doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {
+        r.doc_id: r.kept_text
+        for r in prune_repeated_chunks(df, boilerplate_df=5).collect()
+    }
+    assert len(out) == 6                      # every input doc emitted
+    assert out[100] == ""                     # fully boilerplate -> empty
+    assert out[101] == "solo content only here"
+    for i in range(4):
+        # the shared leading chunk is gone; the doc-specific tail stays
+        assert out[i] == f"unique u{i} unique u{i}" + " "
+        # NB trailing token: 'unique u0 unique u0 ' split on ' ' has a
+        # trailing '' token in the final chunk, preserved verbatim

@@ -231,3 +231,64 @@ def text_stats(col: str = "text") -> Callable[[DataFrame], DataFrame]:
         )
 
     return apply
+
+
+def prune_repeated_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+    boilerplate_df: int = 5,
+) -> DataFrame:
+    """Cross-document repeated-text removal at chunk granularity — the
+    scalable form of exact-substring dedup (suffix arrays don't
+    distribute; token-aligned chunk hashing is what 100 TB pipelines
+    actually run, the CCNet/RefinedWeb boilerplate-removal step): drop
+    every aligned ``chunk_tokens``-token chunk that appears verbatim in
+    ``boilerplate_df`` or more documents, and reassemble each document
+    from its surviving chunks (original order, single-space joined).
+    Returns (id_col, kept_text) for EVERY input document — a fully
+    boilerplate document comes back with kept_text ''.
+
+    Distributed shape: chunking is a per-row expression (sequence/
+    slice — no token explode, no shuffle), so the exchange unit is the
+    CHUNK row (~1/chunk_tokens of the token stream). Document frequency
+    is one groupBy with map-side combine on the chunk's xxhash64 (64-bit
+    keys through the exchange, never chunk text — same discipline as the
+    shingle frame); membership is an equi-join on the hash; reassembly
+    is one groupBy per doc over surviving chunk rows. Total: two
+    shuffles beyond the scan, both on compact keys.
+    """
+    arr = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(F.size(arr) / F.lit(chunk_tokens)).cast("int")
+    chunk_structs = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_idx"),
+            F.concat_ws(
+                " ", F.slice(arr, i * chunk_tokens + 1, chunk_tokens)
+            ).alias("chunk"),
+        ),
+    )
+    chunks = df.select(
+        F.col(id_col), F.explode(chunk_structs).alias("c")
+    ).select(id_col, "c.chunk_idx", "c.chunk", F.xxhash64("c.chunk").alias("h"))
+    boiler = (
+        chunks.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= boilerplate_df)
+        .select("h")
+    )
+    kept = chunks.join(boiler, "h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))),
+                lambda s: s.chunk,
+            ),
+        ).alias("kept_text")
+    )
+    return df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce("kept_text", F.lit("")).alias("kept_text")
+    )

@@ -3243,6 +3243,48 @@ def _pii_input_sql() -> str:
 
 
 @q(
+    "repeated_chunk_prune",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, pos, ls[pos] AS tok,
+         CAST((pos - 1) // 10 AS BIGINT) AS chunk_idx
+  FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents) d,
+       UNNEST(generate_series(1, array_length(ls))) AS t(pos)
+),
+chunks AS (
+  SELECT doc_id, chunk_idx, string_agg(tok, ' ' ORDER BY pos) AS chunk
+  FROM toks GROUP BY doc_id, chunk_idx
+),
+df AS (SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chunk),
+kept AS (
+  SELECT c.doc_id, c.chunk_idx, c.chunk
+  FROM chunks c JOIN df USING (chunk) WHERE df.n_docs < 5
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS kept_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.kept_text, '') AS kept_text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_repeated_chunk_prune(spark, sf_dir):
+    """Cross-document repeated-text removal (the scalable exact-
+    substring-dedup step — CCNet/RefinedWeb boilerplate pruning):
+    aligned 10-token chunks occurring verbatim in >=5 documents are
+    dropped and each document reassembled from its survivors. The
+    oracle replays the identical chunking/df/reassembly in SQL over raw
+    chunk strings; the engine exchanges 64-bit chunk hashes instead —
+    value-identical absent an xxhash64 collision."""
+    from transporter_spark.operators.text import prune_repeated_chunks
+
+    docs = read_table(spark, sf_dir, "documents")
+    return prune_repeated_chunks(
+        docs, chunk_tokens=10, boilerplate_df=5
+    )
+
+
+@q(
     "pii_redact",
     oracle=None,  # filled below — needs the operator's pattern table
 )
