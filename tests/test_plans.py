@@ -498,3 +498,31 @@ def test_profile_columns_single_scan(spark, sf_dir):
     df = QUERIES["profile_columns"].fn(spark, sf_dir)
     plan = explain_str(df)
     assert plan.count("Scan parquet") == 2  # 1 scan x (tree + details)
+
+
+def test_repeated_chunk_prune_two_scans_no_cartesian(spark, sf_dir):
+    """Chunk-prune's scale shape: the chunk frame is cached and shared
+    by its two consumers (df count + anti-join), so documents TEXT is
+    scanned exactly once; the only other scan is the id-only projection
+    for the every-doc guarantee. No cartesian anywhere."""
+    from transporter_spark.operators.dedup import release_cached
+
+    df = QUERIES["repeated_chunk_prune"].fn(spark, sf_dir)
+    try:
+        import re
+
+        plan = explain_str(df)
+        assert "CartesianProduct" not in plan
+        # exactly TWO distinct scan nodes: the full-width scan (inside
+        # the cached InMemoryRelation, so chunking runs once for both
+        # consumers) and the id-only projection for the every-doc
+        # guarantee. An uncached re-chunking would add a third node.
+        scan_ids = set(re.findall(r"\((\d+)\) Scan parquet", plan))
+        assert len(scan_ids) == 2, plan
+        assert "InMemoryRelation" in plan  # chunk frame is cached
+        # the id-only scan must be column-pruned to the key
+        schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert any("text" not in s for s in schemas), schemas
+        assert df.count() > 0
+    finally:
+        release_cached(df)

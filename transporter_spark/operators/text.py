@@ -250,29 +250,51 @@ def prune_repeated_chunks(
     Returns (id_col, kept_text) for EVERY input document — a fully
     boilerplate document comes back with kept_text ''.
 
-    Distributed shape: chunking is a per-row expression (sequence/
-    slice — no token explode, no shuffle), so the exchange unit is the
-    CHUNK row (~1/chunk_tokens of the token stream). Document frequency
-    is one groupBy with map-side combine on the chunk's xxhash64 (64-bit
-    keys through the exchange, never chunk text — same discipline as the
-    shingle frame); membership is an equi-join on the hash; reassembly
-    is one groupBy per doc over surviving chunk rows. Total: two
-    shuffles beyond the scan, both on compact keys.
+    Distributed shape: chunking is a per-row expression over a
+    MATERIALIZED token array (the lambda references the `_arr` column,
+    never an inlined split — each text tokenizes once; unlike
+    overlapping shingles, aligned chunks touch each token once, so the
+    HOF cost is linear and the explode-free form wins over
+    posexplode+groupBy, which would add a chunk-forming shuffle). The
+    chunk frame is cached because TWO consumers need it (df count +
+    anti-join) — without it the corpus is scanned and re-chunked twice.
+    Exchanges beyond the cached text scan carry only 64-bit hashes,
+    ids, and surviving chunk rows: (h, id) distinct-expand, h for the
+    df agg/anti-join, id for reassembly; the trailing every-doc
+    guarantee adds one id-only scan. Pinned in tests/test_plans.py:
+    exactly one full-width scan + one id-only scan, no cartesian.
+    Callers can free the cached frame with
+    ``operators.dedup.release_cached``.
     """
-    arr = F.split(F.col(text_col), " ")
-    n_chunks = F.ceil(F.size(arr) / F.lit(chunk_tokens)).cast("int")
-    chunk_structs = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.struct(
-            i.cast("long").alias("chunk_idx"),
-            F.concat_ws(
-                " ", F.slice(arr, i * chunk_tokens + 1, chunk_tokens)
-            ).alias("chunk"),
+    from pyspark import StorageLevel
+
+    from transporter_spark.operators.dedup import _attach_cached
+
+    # null text tokenizes to an empty array (non-ANSI Spark's
+    # size(NULL)=-1 would otherwise make sequence(0,-1) DESCEND and
+    # emit two phantom empty chunks)
+    arr = F.when(
+        F.col(text_col).isNull(), F.array().cast("array<string>")
+    ).otherwise(F.split(F.col(text_col), " "))
+    with_arr = df.select(F.col(id_col), arr.alias("_arr"))
+    n_chunks = F.ceil(F.size(F.col("_arr")) / F.lit(chunk_tokens)).cast("int")
+    chunk_structs = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("chunk_idx"),
+                F.concat_ws(
+                    " ", F.slice(F.col("_arr"), i * chunk_tokens + 1, chunk_tokens)
+                ).alias("chunk"),
+            ),
         ),
+    ).otherwise(F.array().cast("array<struct<chunk_idx:bigint,chunk:string>>"))
+    chunks = (
+        with_arr.select(F.col(id_col), F.explode(chunk_structs).alias("c"))
+        .select(id_col, "c.chunk_idx", "c.chunk", F.xxhash64("c.chunk").alias("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    chunks = df.select(
-        F.col(id_col), F.explode(chunk_structs).alias("c")
-    ).select(id_col, "c.chunk_idx", "c.chunk", F.xxhash64("c.chunk").alias("h"))
     boiler = (
         chunks.groupBy("h")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
@@ -289,6 +311,7 @@ def prune_repeated_chunks(
             ),
         ).alias("kept_text")
     )
-    return df.select(id_col).join(rebuilt, id_col, "left").select(
+    out = df.select(id_col).join(rebuilt, id_col, "left").select(
         id_col, F.coalesce("kept_text", F.lit("")).alias("kept_text")
     )
+    return _attach_cached(out, chunks)
