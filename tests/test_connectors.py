@@ -937,6 +937,66 @@ def test_rethink_changefeed_copy_then_tail():
     assert r._buffer == {}  # committed rows forgotten
 
 
+def test_rethink_changefeed_restart_rescans_and_converges():
+    """Changefeeds are push cursors with NO replayable offset (unlike a
+    binlog/oplog), so a crash discards the buffer and a restart
+    re-enters the COPY phase against the CURRENT table with a fresh
+    feed (reader.go:122-146) — re-delivering already-committed rows.
+    That is the at-least-once contract: pin that an idempotent LWW
+    apply of everything delivered across the crash converges to the
+    live table state."""
+    from transporter_spark.sources.rethinkdb import RethinkChangefeedStreamReader
+
+    def drain(reader):
+        start, end = reader.initialOffset(), reader.latestOffset()
+        rows = list(reader.read(reader.partitions(start, end)[0]))
+        reader.commit(end)
+        return rows
+
+    delivered = []
+
+    # run 1: copy {1,2}, feed delivers insert 3; commit; CRASH
+    c1 = FakeRethinkClient(
+        {"t": [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}]},
+        changes=[("t", {"new_val": {"id": 3, "v": "c"}})],
+    )
+    r1 = RethinkChangefeedStreamReader(c1, initial_scan=True)
+    rows = drain(r1)
+    delivered += rows
+    assert [(op, json.loads(b)["id"]) for op, _, _, b in rows] == [
+        ("insert", 1), ("insert", 2), ("insert", 3)
+    ]
+
+    # downtime: doc 1 updated. Restart: the scan sees the CURRENT
+    # table (1 updated, 2, 3) — committed rows are re-delivered, the
+    # update arrives as a plain copy row, and a live delete of 2 flows
+    # through the fresh feed afterward.
+    c2 = FakeRethinkClient(
+        {"t": [{"id": 1, "v": "a2"}, {"id": 2, "v": "b"}, {"id": 3, "v": "c"}]},
+        changes=[("t", {"old_val": {"id": 2, "v": "b"}})],
+    )
+    r2 = RethinkChangefeedStreamReader(c2, initial_scan=True)
+    assert c2.calls[:2] == ["table_list", "feeds:t"]  # feed before scan
+    rows = drain(r2)
+    delivered += rows
+    ops = [(op, json.loads(b)["id"]) for op, _, _, b in rows]
+    assert ops == [
+        ("insert", 1), ("insert", 2), ("insert", 3),  # re-copy (dupes)
+        ("delete", 2),                                 # live tail
+    ]
+
+    # idempotent LWW apply of the full at-least-once feed converges to
+    # the live table
+    state = {}
+    for op, _ts, _tbl, body in delivered:
+        doc = json.loads(body)
+        if op == "delete":
+            state.pop(doc["id"], None)
+        else:
+            state[doc["id"]] = doc
+    assert state == {1: {"id": 1, "v": "a2"}, 3: {"id": 3, "v": "c"}}
+
+
 def test_rethink_changefeed_error_notification_raises():
     from transporter_spark.sources.rethinkdb import (
         RethinkChangeError,
