@@ -275,6 +275,49 @@ def test_sink_scheduled_compaction_through_stream(spark, sf_dir, tmp_path):
     assert len(plain_store.table_segments("docs")) == n_epochs
 
 
+def test_two_drains_same_checkpoint_continue_epochs(spark, sf_dir, tmp_path):
+    """The production loop: drain, stop, new data arrives, drain AGAIN
+    with the SAME checkpoint + state. Spark continues epoch ids from
+    the checkpoint, so the epoch-regression guard must NOT fire, the
+    second drain must apply only the new file, and the corpus must stay
+    id-unique. (A fresh checkpoint against the same state is the
+    error case — pinned at the store level in test_state.py.)"""
+    from transporter_spark.streaming.ingest import dedup_ingest_sink
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    state = str(tmp_path / "state")
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        dedup_ingest_sink(stream, state, checkpoint_dir=ckpt, threshold=0.2)
+
+    drain()
+    e1 = ingest_last_epoch(state)
+    n1 = read_ingest_corpus(spark, state).count()
+    # new data lands; same checkpoint resumes and processes ONLY it
+    novel = spark.createDataFrame(
+        [(800000 + i, "resumed batch doc " + " ".join(f"r{i}q{j}" for j in range(25)))
+         for i in range(5)],
+        "doc_id long, text string",
+    )
+    novel.coalesce(1).write.mode("append").parquet(src)
+    drain()
+    assert ingest_last_epoch(state) > e1  # epochs continued forward
+    corpus = read_ingest_corpus(spark, state)
+    assert corpus.count() == n1 + 5
+    assert corpus.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
 def test_redelivery_guard_reads_only_fingerprint_index(spark, sf_dir, tmp_path):
     """VERDICT r3 item 5: the cross-epoch re-delivery membership test
     anti-joins the 32 B/doc fps index — the executed plan scans fps
