@@ -315,3 +315,22 @@ def prune_repeated_chunks(
         id_col, F.coalesce("kept_text", F.lit("")).alias("kept_text")
     )
     return _attach_cached(out, chunks)
+
+
+@register("prune_boilerplate")
+def prune_boilerplate(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+    boilerplate_df: int = 5,
+) -> Callable[[DataFrame], DataFrame]:
+    """Registry/pipeline face of :func:`prune_repeated_chunks` — drop
+    aligned chunks repeated across >= boilerplate_df docs, reassemble
+    survivors as (id_col, kept_text)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return prune_repeated_chunks(
+            df, text_col, id_col, chunk_tokens, boilerplate_df
+        )
+
+    return apply
