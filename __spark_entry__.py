@@ -51,6 +51,9 @@ _PRIORITY = [
     # NEW round 4: chunk-granular cross-doc repeated-text removal (the
     # scalable exact-substring-dedup / boilerplate-pruning step)
     "repeated_chunk_prune",
+    # NEW round 4: SimHash incremental form (batch vs persisted banded
+    # fingerprint index — completes the incremental-dedup family)
+    "incremental_simhash",
     # --- stalest greens: last graded r1/r2, unchanged code ---
     "pick",
     "omit",
@@ -95,11 +98,11 @@ _PRIORITY = [
     "ann_cosine_topk",
     "text_stats",
     "multimodal_meta",
-    "media_features",
 ]
 
 # Next rotation batch (round 5+): the remaining r1/r2 greens not yet
-# re-graded since — rotate into slots as space frees up: q19_disjunctive,
+# re-graded since — rotate into slots as space frees up: media_features,
+# q19_disjunctive,
 # cube_agg, percentiles, exists_subquery, anti_join_not_in, scalar_subquery,
 # q2_min_cost_supplier, q21_waiting_suppliers, window_analytics,
 # stream_static_join, json_functions, grouped_pandas_udaf, python_udtf,

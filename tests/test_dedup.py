@@ -377,3 +377,51 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert rows[1].contaminated and rows[1].n_shared >= 1
     assert not rows[2].contaminated and rows[2].n_shared == 0
     assert rows[3].contaminated  # shares "quick brown fox jumps over"
+
+
+def test_incremental_simhash_matches_full_and_reads_no_text(spark, sf_dir, tmp_path):
+    """SimHash incremental form: (a) EXACT equality with the full
+    recompute restricted to batch-touching pairs — pigeonhole recall is
+    guaranteed (bands > max_hamming), not probabilistic; (b) with the
+    index persisted to parquet, the probe plan reads TEXT only from the
+    batch side — verification is pure fingerprint arithmetic."""
+    from transporter_spark.operators.dedup import (
+        incremental_simhash_pairs,
+        simhash_index,
+        simhash_pairs,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new_ids = {r.doc_id for r in new.select("doc_id").collect()}
+
+    full = simhash_pairs(docs, bits=32, max_hamming=6, bands=8)
+    expected = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in full.collect()
+        if r.id_a in new_ids or r.id_b in new_ids
+    }
+    assert expected, "corpus must contain hamming-near pairs touching the batch"
+
+    idx_path = str(tmp_path / "simhash_idx")
+    simhash_index(corpus, bits=32, bands=8).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    inc = incremental_simhash_pairs(new, index, bits=32, max_hamming=6, bands=8)
+    got = {(r.id_a, r.id_b, r.hamming) for r in inc.collect()}
+    assert got == expected
+
+    sc = inc.sparkSession.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(
+        inc._jdf.queryExecution(), "formatted"
+    )
+    # the probe plan never reads a text column: the index parquet scan
+    # carries (id, simhash, band, chunk) only, and the batch side joins
+    # through its materialized fingerprint frame (at most its own text
+    # scan would appear if materialization changed — never the corpus)
+    text_scans = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "text" in l
+    ]
+    assert len(text_scans) <= 1, plan
+    assert "simhash_idx" in plan  # the persisted index is what's probed
+    assert "CartesianProduct" not in plan

@@ -655,23 +655,22 @@ def simhash(
     return agg.select("id", fp.alias("simhash"))
 
 
-def simhash_pairs(
+def simhash_index(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 32,
-    max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """Near-dup candidate pairs: docs whose simhash differs in at most
-    `max_hamming` bits. Pigeonhole banding: split the fingerprint into
-    `bands` > max_hamming chunks; any pair within the radius shares at
-    least one exact chunk -> equi-join on (band, chunk), verify true
-    hamming distance with bit_count(xor)."""
-    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    """(id, simhash, band, chunk) — the banded-fingerprint table, i.e.
+    the PERSISTABLE index state of SimHash near-dup detection (the
+    SimHash twin of `band_index`): `bands` rows of ~20 bytes per doc.
+    Written once (bucket/partition by (band, chunk) at scale), it lets
+    each ingest batch probe for Hamming-near corpus docs WITHOUT
+    re-fingerprinting the corpus (`incremental_simhash_pairs`)."""
     width = bits // bands
     fp = _materialize(simhash(df, text_col, id_col, bits))
-    banded = fp.select(
+    return fp.select(
         "id",
         "simhash",
         F.explode(
@@ -688,24 +687,112 @@ def simhash_pairs(
             )
         ).alias("bc"),
     ).select("id", "simhash", "bc.band", "bc.chunk")
-    a, b = banded.alias("a"), banded.alias("b")
+
+
+def _simhash_verified(cand: DataFrame, max_hamming: int) -> DataFrame:
+    """(id_a, id_b, a.simhash, b.simhash) candidate rows -> verified
+    distinct pairs; pure fingerprint arithmetic, no text."""
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+        cand.select(
+            "id_a",
+            "id_b",
             F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
             ).cast("long").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup candidate pairs: docs whose simhash differs in at most
+    `max_hamming` bits. Pigeonhole banding: split the fingerprint into
+    `bands` > max_hamming chunks; any pair within the radius shares at
+    least one exact chunk -> equi-join on (band, chunk), verify true
+    hamming distance with bit_count(xor)."""
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    banded = simhash_index(df, text_col, id_col, bits, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.simhash").alias("sim_a"),
+        F.col("b.simhash").alias("sim_b"),
+    )
+    return _simhash_verified(cand, max_hamming)
+
+
+def incremental_simhash_pairs(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+    new_banded: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Hamming-near pairs for an INGEST BATCH against a persisted
+    `simhash_index` — the cheapest member of the incremental-dedup
+    family: only the batch is tokenized/fingerprinted, candidates come
+    from a (band, chunk) equi-join against the index, and verification
+    is bit_count(xor) over the fingerprints BOTH tables already carry —
+    corpus TEXT is never read at any stage (plan-pinned). Pigeonhole
+    recall is exact (bands > max_hamming guarantees every within-radius
+    pair shares a chunk), so the result equals the full-corpus
+    `simhash_pairs` restricted to pairs touching a batch doc.
+
+    Returns (id_a < id_b, hamming), new-vs-corpus plus new-vs-new.
+    Append `new_banded` (disjoint ids assumed — run the id/fp
+    re-delivery guard first, as the ingest sink does) to the index
+    after commit."""
+    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    if new_banded is None:
+        new_banded = _materialize(
+            simhash_index(new_docs, text_col, id_col, bits, bands)
+        )
+    a, b = new_banded.alias("a"), index.alias("b")
+    vs_corpus = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            # xor is symmetric: side order doesn't matter for hamming
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+    )
+    na, nb = new_banded.alias("a"), new_banded.alias("b")
+    vs_new = na.join(
+        nb,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.simhash").alias("sim_a"),
+        F.col("b.simhash").alias("sim_b"),
+    )
+    return _simhash_verified(vs_corpus.unionByName(vs_new), max_hamming)
 
 
 # ---------------------------------------------------------------------------

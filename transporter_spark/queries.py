@@ -1655,6 +1655,41 @@ QUERIES["simhash_pairs"] = QUERIES["simhash_pairs"]._replace(
 
 
 @q(
+    "incremental_simhash",
+    oracle=None,  # assigned below: full-corpus simhash pairs restricted
+    # to pairs touching a batch doc — pigeonhole recall is EXACT, so the
+    # incremental split is equality, not approximation
+)
+def q_incremental_simhash(spark, sf_dir):
+    """Ingest-batch SimHash dedup against a PERSISTED banded-fingerprint
+    index (operators/dedup.simhash_index) — the cheapest incremental
+    family member: only the batch is tokenized, candidates come from a
+    (band, chunk) equi-join against the index, and verification is
+    bit_count(xor) over fingerprints both tables already carry — corpus
+    TEXT is never read at any stage (plan-pinned in tests). bands=8 >
+    max_hamming=6 makes pigeonhole recall exact, so the oracle is the
+    full-corpus replay restricted to batch-side pairs."""
+    from transporter_spark.operators.dedup import (
+        incremental_simhash_pairs,
+        simhash_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    index = simhash_index(corpus, bits=32, bands=8)
+    return incremental_simhash_pairs(
+        new, index, bits=32, max_hamming=6, bands=8
+    )
+
+
+QUERIES["incremental_simhash"] = QUERIES["incremental_simhash"]._replace(
+    oracle=_simhash_oracle().rstrip()
+    + "\n  AND (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)"
+)
+
+
+@q(
     "embedding_dup_pairs",
     oracle="""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
