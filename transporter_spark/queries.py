@@ -3279,6 +3279,7 @@ def _pii_input_sql() -> str:
 
 @q(
     "repeated_chunk_prune",
+    headline=True,  # tracked from round 4 (new-capability baseline)
     oracle="""
 WITH toks AS (
   SELECT doc_id, pos, ls[pos] AS tok,
