@@ -142,3 +142,21 @@ def test_prune_repeated_chunks_drops_boilerplate_keeps_unique(spark):
         assert out[i] == f"unique u{i} unique u{i}" + " "
         # NB trailing token: 'unique u0 unique u0 ' split on ' ' has a
         # trailing '' token in the final chunk, preserved verbatim
+
+
+def test_prune_boilerplate_registry_factory(spark):
+    """The registered pipeline face builds from config and matches the
+    direct operator call."""
+    from transporter_spark.operators.text import prune_repeated_chunks
+    from transporter_spark.registry import build_operator
+
+    boiler = " ".join(f"c{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(i, boiler + f" tail t{i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    via_registry = build_operator("prune_boilerplate", boilerplate_df=5)(df)
+    direct = prune_repeated_chunks(df, boilerplate_df=5)
+    assert sorted(map(tuple, via_registry.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
