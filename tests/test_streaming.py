@@ -670,6 +670,50 @@ def test_rollup_delta_merge_touches_only_batch_hours(spark, tmp_path):
     assert len(rows) == 24
 
 
+def test_rollup_sink_in_slot_compaction(spark, tmp_path):
+    """compact_every on the rollup sink: a 3-epoch drain folds the
+    keyed log on schedule, state content identical to an uncompacted
+    drain, segment count bounded."""
+    import json as _json
+
+    from transporter_spark.streaming.state import SegmentStore
+    from transporter_spark.streaming.windows import (
+        incremental_rollup_sink,
+        read_rollup_state,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        {"ts": f"2024-01-01T{i % 24:02d}:15:00", "k": f"g{i % 2}", "value": 0.5 * i}
+        for i in range(30)
+    ]
+    for i in range(3):
+        (src / f"{i}.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in rows[i * 10:(i + 1) * 10]) + "\n"
+        )
+    schema = "ts timestamp, k string, value double"
+
+    def drain(state, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(str(src))
+        )
+        incremental_rollup_sink(
+            stream, state, checkpoint_dir=str(tmp_path / f"ckpt{state[-1]}"),
+            keys=("k",), **kw
+        )
+        return sorted(map(tuple, read_rollup_state(spark, state).collect()))
+
+    plain = drain(str(tmp_path / "p"))
+    compacted = drain(str(tmp_path / "c"), compact_every=2)
+    assert compacted == plain
+    n_plain = len(set(SegmentStore(str(tmp_path / "p")).keyed_mapping("hourly").values()))
+    n_comp = len(set(SegmentStore(str(tmp_path / "c")).keyed_mapping("hourly").values()))
+    assert n_comp < n_plain == 3
+
+
 def test_rollup_rejects_foreign_seg_key_format(spark, tmp_path):
     """A state whose hour-key derivation differs from this engine's
     fails LOUDLY at merge time — a silent mismatch would split the same

@@ -108,6 +108,7 @@ def incremental_rollup_sink(
     ts_col: str = "ts",
     keys: tuple = (),
     value: str = "value",
+    compact_every: Optional[int] = None,
 ) -> None:
     """Continuous-aggregate maintenance (the hypertable refresh loop,
     batch twin: operators/temporal.rollup_lattice): each micro-batch's
@@ -123,8 +124,9 @@ def incremental_rollup_sink(
     the segments the batch's hour keys map to and WRITES one segment
     holding only those hours' merged rows (the keyed manifest store,
     streaming/state.SegmentStore) — the classic delta-merge, with
-    per-epoch IO ∝ #touched hours, never O(state). Compact with
-    ``compact_rollup_state`` when segments accumulate.
+    per-epoch IO ∝ #touched hours, never O(state). ``compact_every=N``
+    folds the log in-slot when it reaches N segments (or call
+    ``compact_rollup_state`` offline between runs).
 
     Replay safety: foreachBatch is at-least-once — a crash after the
     state commit but before the checkpoint commit re-delivers the same
@@ -143,7 +145,15 @@ def incremental_rollup_sink(
     """
 
     def merge(batch: DataFrame, epoch_id: int) -> None:
-        rollup_merge_batch(batch, epoch_id, state_dir, ts_col, keys, value)
+        applied = rollup_merge_batch(batch, epoch_id, state_dir, ts_col, keys, value)
+        if applied and compact_every:
+            from transporter_spark.streaming.state import SegmentStore
+
+            segs = set(SegmentStore(state_dir).keyed_mapping("hourly").values())
+            # in-slot fold at the segment bound (single-writer by
+            # construction — same schedule as the dedup and CDC sinks)
+            if len(segs) >= compact_every:
+                compact_rollup_state(batch.sparkSession, state_dir)
 
     run_foreach_batch_available_now(stream_df, merge, checkpoint_dir)
 
