@@ -30,6 +30,7 @@ contract is pinned independent of that wiring, like pgdecode.py.
 
 from __future__ import annotations
 
+import json
 from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple
 
 # event-type name -> op; version suffixes as in go-mysql/replication
@@ -142,3 +143,99 @@ def binlog_offset(file: str, position: int) -> dict:
     monotone per (file, position), the streaming-source offset contract
     (same role as the jsonl_tail byte position)."""
     return {"file": file, "pos": int(position)}
+
+
+def _offset_key(offset: dict) -> Tuple[str, int]:
+    """Total order over binlog positions: file names rotate with a
+    zero-padded numeric suffix (mysql-bin.000001, .000002, ...), so
+    lexicographic file order + position is the binlog's own order."""
+    return (offset["file"], int(offset["pos"]))
+
+
+from pyspark.sql.datasource import (  # noqa: E402 - narrative header first
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+
+class _Span(InputPartition):
+    """Rows ride inside the partition (the binlog client lives on the
+    driver, executors never open a replication socket). The binlog is a
+    durable log, so a retried range re-reads identical events — the
+    requeryable contract of sources/datasource.py."""
+
+    def __init__(self, rows):
+        self.rows = rows
+
+
+class BinlogTailStreamReader(DataSourceStreamReader):
+    """MySQL binlog tail with (file, pos) offsets — the engine side of
+    the reference's mysql CDC tailer (adaptor/mysql/tailer.go:41-77
+    resume bootstrap, :222-400 event mapping).
+
+    Client contract (injectable; production wiring would sit on a
+    replication client, none ships in this container):
+
+    - ``master_status() -> (file, pos)`` — SHOW MASTER STATUS.
+    - ``events_between(start, end) -> [((file, pos), event_dict), ...]``
+      — every binlog event whose END offset falls in (start, end],
+      in log order. Re-querying the same range yields identical
+      events (the binlog is durable — this is what makes the offsets
+      replayable where AMQP's are not).
+    - ``columns(schema, table) -> [(name, data_type), ...]`` — the
+      INFORMATION_SCHEMA backfill (COLUMNS_QUERY), cached per table
+      for the reader's lifetime.
+
+    ``resume=(file, pos)`` starts the tail at a saved offset; None
+    tails from the current master status (changes from before the
+    reader existed are the copy phase's job — the reference captures
+    the status BEFORE the copy SELECT starts, so the copy/tail overlap
+    re-delivers rather than loses, same as the mongo reader).
+    """
+
+    def __init__(self, client, ns_filter=None, resume=None):
+        self.client = client
+        self.ns_filter = ns_filter
+        if resume is None:
+            resume = client.master_status()
+        self._start = binlog_offset(*resume)
+        self._columns: Dict[Tuple[str, str], List[Tuple[str, str]]] = {}
+
+    def initialOffset(self) -> dict:
+        return dict(self._start)
+
+    def latestOffset(self) -> dict:
+        return binlog_offset(*self.client.master_status())
+
+    def _table_columns(self, schema: str, table: str):
+        key = (schema, table)
+        if key not in self._columns:
+            self._columns[key] = list(self.client.columns(schema, table))
+        return self._columns[key]
+
+    def partitions(self, start: dict, end: dict):
+        rows: List[Tuple[str, str, str, str]] = []
+        if _offset_key(end) > _offset_key(start):
+            for (file, pos), event in self.client.events_between(
+                (start["file"], start["pos"]), (end["file"], end["pos"])
+            ):
+                try:
+                    mapped = map_rows_event(
+                        event,
+                        self._table_columns(event["schema"], event["table"]),
+                        self.ns_filter,
+                    )
+                except BinlogSkip:
+                    continue
+                ts = str(event.get("ts", ""))
+                for op, ns, doc in mapped:
+                    rows.append(
+                        (op, ts, ns, json.dumps(doc, sort_keys=True, default=str))
+                    )
+        return [_Span(rows)]
+
+    def read(self, partition: _Span):
+        return iter(partition.rows)
+
+    def commit(self, end: dict) -> None:
+        pass  # the binlog is the log; nothing buffered to forget
