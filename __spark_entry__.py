@@ -21,94 +21,68 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Deliberate grading order: the driver grades exactly the first 50
-# entries, so the front of this list carries (a) the 33 queries with no
-# green CORRECTNESS row across rounds 1-2 — 30 never graded under the
-# 50-slot cap plus the 3 round-2 hash-fails whose boundary casts are
-# fixed this round — then (b) 17 re-confirmations of high-value greens.
-# Everything after slot 50 was proven green in round 1 or 2 and is
-# unchanged since.
-# Rotation rule (adopted round 4, VERDICT r3 item 3): any query whose
-# implementation or oracle changed since its last green CORRECTNESS row
-# takes a slot in 1-50; remaining slots go to the STALEST greens (graded
-# in r1/r2 but not since). Everything green in r3 on unchanged code
-# keeps its certification and rotates out.
+# entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
+# queries and any query whose implementation or oracle changed since
+# its last green CORRECTNESS row take slots first; remaining slots go
+# to the STALEST greens. Round 5: 3 new + 1 changed + the 25 queries
+# last graded in r1/r2 + 21 high-value r3 greens not re-graded in r4.
+# Everything outside the 50 is green on unchanged code (r3/r4 rows).
 _PRIORITY = [
-    # --- changed since last green: must re-grade on current code ---
-    # round 4: append-only manifest commit + fps re-delivery guard +
-    # single-epoch assert (streaming/ingest.py rewrite)
-    "stream_ingest_dedup",
-    # round 4: incremental_lsh_pairs verification now drops corpus rows
-    # whose id re-appears in the batch (ADVICE r3)
+    # --- NEW round 5: must take a slot ---
+    "gopher_quality_gate",     # rule-based quality gate (Gopher A1.1)
+    "domain_mix_weights",      # domain-mix rebalancing weights
+    "domain_mix_sample",       # portable-hash downsample to target mix
+    # --- changed round 5: fast hash family + session-cached index ---
     "incremental_dedup",
-    # changed r3 (fingerprint-before-shuffle, commit cc2eed7) — green row
-    # predates the change
-    "dedup_exact",
-    # commit path changed r3 (3506791) + round-4 LSM append-only rebuild
-    "stream_cdc_apply",
-    # NEW round 4: continuous IVF index maintenance (vector twin of the
-    # ingest-dedup sink) — new queries must take a slot
-    "stream_ann_index",
-    # NEW round 4: chunk-granular cross-doc repeated-text removal (the
-    # scalable exact-substring-dedup / boilerplate-pruning step)
-    "repeated_chunk_prune",
-    # NEW round 4: SimHash incremental form (batch vs persisted banded
-    # fingerprint index — completes the incremental-dedup family)
-    "incremental_simhash",
     # --- stalest greens: last graded r1/r2, unchanged code ---
-    "pick",
-    "omit",
-    "rename",
-    "skip_gt",
-    "skip_numeric_string",
-    "skip_eq",
-    "skip_regex",
-    "opfilter",
-    "remap",
-    "envelope",
-    "ns_filter",
-    "py_transform",
-    "q3_shipping_priority",
-    "join_region_rollup",
-    "window_topn",
-    "sort_limit",
-    "set_ops",
-    "distinct_agg",
-    "scalar_funcs",
-    "cdc_lww_dedup",
-    "windowed_agg",
-    "session_window",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "word_count",
-    "salted_agg",
-    "conditional_agg",
-    "grouping_sets",
-    "full_outer_join",
-    "date_funcs",
-    "stats_agg",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_portable",
-    "dedup_clusters_portable",
-    "simhash_pairs",
-    "embedding_dup_pairs",
-    "ann_cosine_topk",
-    "text_stats",
-    "multimodal_meta",
+    "media_features",
+    "q19_disjunctive",
+    "cube_agg",
+    "percentiles",
+    "exists_subquery",
+    "anti_join_not_in",
+    "scalar_subquery",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "window_analytics",
+    "stream_static_join",
+    "json_functions",
+    "grouped_pandas_udaf",
+    "python_udtf",
+    "having_clause",
+    "pivot_table",
+    "extended_json_normalize",
+    "dedup_normalized",
+    "range_join_recent_count",
+    "sliding_window_agg",
+    "collect_agg",
+    "stratified_sample",
+    "repetition_stats",
+    "array_funcs",
+    "frame_sample",
+    # --- next-stalest: graded r3, not since; highest-value first ---
+    "training_pipeline",
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "asof_join",
+    "minhash_lsh_pairs",
+    "incremental_dedup_exact",
+    "dedup_clusters",
+    "ann_ivf_topk",
+    "stream_dedup",
+    "stream_stateful_count",
+    "stream_stream_join",
+    "stream_windowed_agg",
+    "rollup_lattice_daily",
+    "scd2_history",
+    "sessionize_events",
+    "gapfill_hourly",
+    "js_transform",
+    "chunk_documents",
+    "pack_sequences",
+    "decontaminate",
+    "media_resize",
 ]
-
-# Next rotation batch (round 5+): the remaining r1/r2 greens not yet
-# re-graded since — rotate into slots as space frees up: media_features,
-# q19_disjunctive,
-# cube_agg, percentiles, exists_subquery, anti_join_not_in, scalar_subquery,
-# q2_min_cost_supplier, q21_waiting_suppliers, window_analytics,
-# stream_static_join, json_functions, grouped_pandas_udaf, python_udtf,
-# having_clause, pivot_table, extended_json_normalize, dedup_normalized,
-# range_join_recent_count, sliding_window_agg, collect_agg,
-# stratified_sample, repetition_stats, array_funcs, frame_sample.
 
 
 def _ordered():

@@ -54,3 +54,43 @@ def test_deterministic_shuffle_no_single_partition_exchange(spark, sf_dir):
     plan = explain_str(deterministic_shuffle(docs, "doc_id"))
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_mix_weights_shares_and_keep_rates(spark):
+    from transporter_spark.operators.sampling import mix_weights, sample_to_mix
+
+    rows = (
+        [("web", i, 100) for i in range(8)]       # 800 tokens = 80%
+        + [("books", 100 + i, 50) for i in range(2)]  # 100 tokens = 10%
+        + [("junk", 200 + i, 50) for i in range(2)]   # 100 tokens = 10%
+    )
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    w = {r["source"]: r.asDict() for r in
+         mix_weights(df, {"web": 0.5, "books": 0.5}, size_col="n_tok").collect()}
+    assert w["web"]["docs"] == 8 and w["web"]["tokens"] == 800
+    assert abs(w["web"]["token_share"] - 0.8) < 1e-12
+    assert abs(w["web"]["weight"] - 0.625) < 1e-12       # 0.5 / 0.8
+    assert abs(w["web"]["keep_rate"] - 0.625) < 1e-12
+    assert abs(w["books"]["weight"] - 5.0) < 1e-12       # upweighted...
+    assert w["books"]["keep_rate"] == 1.0                # ...but keep caps at 1
+    # a group absent from the target is dropped entirely
+    assert w["junk"]["target_share"] == 0.0 and w["junk"]["keep_rate"] == 0.0
+
+    weights = mix_weights(df, {"web": 0.5, "books": 0.5}, size_col="n_tok")
+    kept = sample_to_mix(df, weights, key="doc_id").collect()
+    sources = {r["source"] for r in kept}
+    assert "junk" not in sources          # rate 0 drops the group
+    assert {r["doc_id"] for r in kept if r["source"] == "books"} == {100, 101}
+    # determinism: same selection under a different partitioning
+    again = sample_to_mix(df.repartition(7), weights, key="doc_id").collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in kept)
+
+
+def test_mix_weights_default_size_is_row_count(spark):
+    from transporter_spark.operators.sampling import mix_weights
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "source string, doc_id long"
+    )
+    w = {r["source"]: r.asDict() for r in mix_weights(df, {"a": 0.5}).collect()}
+    assert w["a"]["tokens"] == 2 and w["b"]["tokens"] == 1

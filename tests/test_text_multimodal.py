@@ -160,3 +160,37 @@ def test_prune_boilerplate_registry_factory(spark):
     assert sorted(map(tuple, via_registry.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_gopher_rules_branches(spark):
+    """Handcrafted docs exercise every rule branch the synthetic corpus
+    can't: bullets, ellipsis lines, symbol noise, non-alpha tokens,
+    empty text (NULL ratios -> keep false)."""
+    from transporter_spark.operators.text import gopher_gate
+
+    good = "the data and rows have to be of that size with " + "word " * 50
+    docs = [
+        (1, good),                                     # passes every rule
+        (2, "- a\n- b\n- c\nplain"),                   # bullet-heavy + short
+        (3, "so…\nwhat now...\nok\nfine"),             # ellipsis lines
+        (4, "# " * 30 + "tag"),                        # symbol spam
+        (5, "1 2 3 4 5 6 7 8 9 10"),                   # numeric: alpha_frac 0
+        (6, ""),                                       # empty: NULLs
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_gate(min_words=5, min_stopwords=2)(df).collect()
+    }
+    assert out[1]["keep"] is True and out[1]["rule_stopwords"] is True
+    assert out[2]["bullet_frac"] == 0.75 and out[2]["rule_bullet"] is True
+    assert gopher_gate(min_words=1, max_bullet_frac=0.5)(df).collect()
+    assert out[3]["ellipsis_frac"] == 0.5 and out[3]["rule_ellipsis"] is False
+    assert out[4]["symbol_ratio"] > 0.9 and out[4]["rule_symbol_ratio"] is False
+    assert out[5]["alpha_frac"] == 0.0 and out[5]["rule_alpha"] is False
+    assert out[6]["n_words"] == 0 and out[6]["mean_word_len"] is None
+    assert out[6]["keep"] is False                     # NULL rules fail closed
+    # ascii ellipsis counts in triples: '......' is two
+    six = spark.createDataFrame([(7, "x ...... y")], "doc_id long, text string")
+    row = gopher_gate(min_words=1)(six).collect()[0]
+    assert row["symbol_ratio"] == 2.0 / 3.0

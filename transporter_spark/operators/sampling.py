@@ -72,3 +72,70 @@ def deterministic_shuffle(
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("_shufkey")
     )
+
+
+def mix_weights(
+    df: DataFrame,
+    target: "dict[str, float]",
+    by: str = "source",
+    size_col: "str | None" = None,
+) -> DataFrame:
+    """Per-group mix statistics + the resampling weight that moves the
+    corpus toward a target domain mix — the knob a pretraining pipeline
+    turns when the crawl is 80% web but the recipe says 50%.
+
+    Output, one row per ``by`` group: ``docs``, ``tokens`` (row count
+    when ``size_col`` is None), ``token_share`` (actual fraction),
+    ``target_share`` (0.0 for groups absent from ``target``), and
+    ``weight`` = target_share / token_share — multiply each group's
+    sampling rate by it; ``keep_rate`` = min(1, weight) is the direct
+    downsampling probability (`sample_to_mix` applies it).
+
+    Scale shape: one map-side-combined groupBy over the corpus to a
+    #groups-row frame; the share window runs on that tiny aggregate,
+    never on corpus rows.
+    """
+    size = F.lit(1).cast("long") if size_col is None else F.col(size_col).cast("long")
+    agg = df.groupBy(by).agg(
+        F.count("*").alias("docs"), F.sum(size).alias("tokens")
+    )
+    share = F.col("tokens").cast("double") / F.sum("tokens").over(
+        Window.partitionBy()
+    ).cast("double")
+    tgt = F.lit(0.0)
+    for name, frac in sorted(target.items()):
+        tgt = F.when(F.col(by) == name, F.lit(float(frac))).otherwise(tgt)
+    return (
+        agg.withColumn("token_share", share)
+        .withColumn("target_share", tgt)
+        .withColumn("weight", F.col("target_share") / F.col("token_share"))
+        .withColumn("keep_rate", F.least(F.lit(1.0), F.col("weight")))
+    )
+
+
+def sample_to_mix(
+    df: DataFrame,
+    weights: DataFrame,
+    by: str = "source",
+    key: str = "doc_id",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Downsample toward the target mix: keep each row with its group's
+    ``keep_rate``, decided by a PORTABLE content hash of ``key`` (md5
+    prefix mod ``resolution``) — never rand(): membership is
+    reproducible across engines, cluster sizes, and re-runs, so the
+    sampled dataset is versionable and any row's inclusion auditable
+    (same policy as `cap_per_group` / queries.stratified_sample).
+
+    The weights frame is #groups rows — Spark broadcasts the join; the
+    corpus side stays a pushdown-friendly scan + filter, no shuffle.
+    """
+    from transporter_spark.operators.dedup import stable_hash32
+
+    rate_bps = (F.col("keep_rate") * resolution).cast("long")
+    keys = weights.select(by, rate_bps.alias("_rate_bps"))
+    return (
+        df.join(F.broadcast(keys), [by])
+        .filter(F.pmod(stable_hash32(F.col(key)), F.lit(resolution)) < F.col("_rate_bps"))
+        .drop("_rate_bps")
+    )

@@ -334,3 +334,127 @@ def prune_boilerplate(
         )
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule-based quality gate
+# ---------------------------------------------------------------------------
+
+#: the 8 high-frequency English words the Gopher paper's "stop word"
+#: rule checks for (Rae et al. 2021, appendix A1.1): a natural-language
+#: document contains at least 2 of them.
+GOPHER_STOPWORDS: Sequence[str] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_rules(
+    col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: Sequence[str] = GOPHER_STOPWORDS,
+) -> Dict[str, Column]:
+    """The Gopher quality-filter rule set (Rae et al. 2021, A1.1) as
+    named metric/flag Columns — the standard rule-based gate a
+    pretraining pipeline runs before any model-based scoring.
+
+    Everything is a pure Column expression over one projection: exact
+    integer counts, one double divide per ratio — deterministic, no
+    shuffle, no Python, and each metric has an exact SQL oracle
+    (HOF lambdas are interpreted-eval; at 100 TB this stays the right
+    shape because the pass is bandwidth-bound, not compute-bound).
+
+    Returns metrics (`n_words`, `mean_word_len`, `symbol_ratio`,
+    `bullet_frac`, `ellipsis_frac`, `alpha_frac`, `n_stopwords`) plus
+    per-rule booleans (`rule_*`) and the conjunction `keep`. Ratio
+    metrics are NULL for an empty document (no words/lines); NULL rules
+    count as failed in `keep` (coalesce to false).
+    """
+    toks = F.expr(_TOKENS.format(col=col))
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+    nz = F.when(n_words > 0, n_words.cast("double"))  # NULL when empty
+    mean_word_len = sum_len.cast("double") / nz
+
+    n_hash = F.length(F.col(col)) - F.length(F.regexp_replace(F.col(col), "#", ""))
+    n_uni_ell = F.length(F.col(col)) - F.length(
+        F.regexp_replace(F.col(col), "…", "")
+    )
+    n_ascii_ell = (
+        F.length(F.col(col))
+        - F.length(F.regexp_replace(F.col(col), "\\.\\.\\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = (n_hash + n_uni_ell + n_ascii_ell).cast("double") / nz
+
+    lines = F.split(F.col(col), "\n")
+    n_lines = F.size(lines)
+    nz_lines = F.when(n_lines > 0, n_lines.cast("double"))
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(F.ltrim(x), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    bullet_frac = bullet.cast("double") / nz_lines
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"),
+        )
+    )
+    ellipsis_frac = ellipsis.cast("double") / nz_lines
+
+    alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    alpha_frac = alpha.cast("double") / nz
+
+    lowered = F.transform(toks, F.lower)
+    n_stop = sum(
+        F.array_contains(lowered, w).cast("int") for w in stopwords
+    ).cast("long")
+
+    rules = {
+        "rule_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "rule_mean_word_len": (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len),
+        "rule_symbol_ratio": symbol_ratio <= max_symbol_ratio,
+        "rule_bullet": bullet_frac <= max_bullet_frac,
+        "rule_ellipsis": ellipsis_frac <= max_ellipsis_frac,
+        "rule_alpha": alpha_frac >= min_alpha_frac,
+        "rule_stopwords": n_stop >= min_stopwords,
+    }
+    keep = None
+    for rule in rules.values():
+        flag = F.coalesce(rule, F.lit(False))
+        keep = flag if keep is None else (keep & flag)
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "alpha_frac": alpha_frac,
+        "n_stopwords": n_stop,
+        **rules,
+        "keep": keep,
+    }
+
+
+def gopher_gate(
+    col: str = "text", id_col: str = "doc_id", **thresholds
+) -> Callable[[DataFrame], DataFrame]:
+    """Apply `gopher_rules` as a gate: (id, metrics, rule flags, keep)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        cols = gopher_rules(col, **thresholds)
+        return df.select(
+            F.col(id_col), *[c.alias(name) for name, c in cols.items()]
+        )
+
+    return apply

@@ -4447,3 +4447,176 @@ def q_profile_columns(spark, sf_dir):
         F.col("e.p.min_v").alias("min_v"),
         F.col("e.p.max_v").alias("max_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality gate + domain mix rebalancing (round 5)
+# ---------------------------------------------------------------------------
+
+#: the graded gate uses the corpus's own high-frequency vocabulary for
+#: the stop-word rule (the synthetic testdata contains no English
+#: function words); the OPERATOR defaults to the paper's list.
+_GATE_STOPWORDS = ("join", "hash", "row", "batch", "scan", "column", "filter", "data")
+
+_GOPHER_ORACLE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '\S+') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_words,
+    CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+      / NULLIF(len(toks), 0) AS mean_word_len,
+    CAST( (length(text) - length(replace(text, '#', '')))
+        + (length(text) - length(replace(text, '…', '')))
+        + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+      / NULLIF(len(toks), 0) AS symbol_ratio,
+    CAST(len(list_filter(lines, x -> substr(ltrim(x), 1, 1) IN ('-', '*', '•'))) AS DOUBLE)
+      / NULLIF(len(lines), 0) AS bullet_frac,
+    CAST(len(list_filter(lines, x -> ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…'))) AS DOUBLE)
+      / NULLIF(len(lines), 0) AS ellipsis_frac,
+    CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / NULLIF(len(toks), 0) AS alpha_frac,
+    CAST({stop_sum} AS BIGINT) AS n_stopwords
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
+       alpha_frac, n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS rule_mean_word_len,
+       (symbol_ratio <= 0.1) AS rule_symbol_ratio,
+       (bullet_frac <= 0.9) AS rule_bullet,
+       (ellipsis_frac <= 0.3) AS rule_ellipsis,
+       (alpha_frac >= 0.8) AS rule_alpha,
+       (n_stopwords >= 2) AS rule_stopwords,
+       (COALESCE(n_words >= 50 AND n_words <= 100000, FALSE)
+        AND COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
+        AND COALESCE(symbol_ratio <= 0.1, FALSE)
+        AND COALESCE(bullet_frac <= 0.9, FALSE)
+        AND COALESCE(ellipsis_frac <= 0.3, FALSE)
+        AND COALESCE(alpha_frac >= 0.8, FALSE)
+        AND COALESCE(n_stopwords >= 2, FALSE)) AS keep
+FROM m ORDER BY doc_id
+""".format(
+    stop_sum=" + ".join(
+        "(CASE WHEN list_contains(list_transform(toks, x -> lower(x)), '{w}') "
+        "THEN 1 ELSE 0 END)".format(w=w)
+        for w in _GATE_STOPWORDS
+    )
+)
+
+
+@q("gopher_quality_gate", oracle=_GOPHER_ORACLE)
+def q_gopher_quality_gate(spark, sf_dir):
+    """Rule-based quality gate (the Gopher filter set, Rae et al. 2021
+    A1.1): word-count bounds, mean-word-length band, symbol ratio,
+    bullet/ellipsis line fractions, alphabetic-word fraction, stop-word
+    presence — per-doc metrics, per-rule flags, and the conjunctive
+    keep decision. ONE projection over the corpus: exact integer
+    counts, one double divide per ratio, no shuffle, no Python — the
+    cheap first gate a 100 TB pretraining pipeline runs before any
+    model-based scorer. The stop-word list here is the corpus's own
+    high-frequency vocabulary (operator defaults to the paper's)."""
+    from transporter_spark.operators.text import gopher_gate
+
+    docs = read_table(spark, sf_dir, "documents")
+    return gopher_gate(stopwords=_GATE_STOPWORDS)(docs).orderBy("doc_id")
+
+
+# skewed target over the testdata's 20 uniform sources: src0-4 are
+# upweighted (weight > 1 -> keep_rate caps at 1), src5-9 mildly so,
+# src10-19 downsampled to ~1/5 — all three regimes exercised.
+_MIX_TARGET = {
+    **{f"src{i}": 0.12 for i in range(5)},
+    **{f"src{i}": 0.06 for i in range(5, 10)},
+    **{f"src{i}": 0.01 for i in range(10, 20)},
+}
+
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {f!r}" for s, f in sorted(_MIX_TARGET.items()))
+    + " ELSE 0.0 END"
+)
+
+
+@q(
+    "domain_mix_weights",
+    oracle=f"""
+WITH agg AS (
+  SELECT source, COUNT(*) AS docs,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+)
+SELECT source, docs, tokens,
+       CAST(tokens AS DOUBLE) / SUM(tokens) OVER () AS token_share,
+       {_MIX_CASE} AS target_share,
+       {_MIX_CASE} / (CAST(tokens AS DOUBLE) / SUM(tokens) OVER ()) AS weight,
+       LEAST(1.0,
+         {_MIX_CASE} / (CAST(tokens AS DOUBLE) / SUM(tokens) OVER ())) AS keep_rate
+FROM agg ORDER BY source
+""",
+)
+def q_domain_mix_weights(spark, sf_dir):
+    """Domain-mix rebalancing weights: per-source token counts vs a
+    skewed target mix (src0-4 upweighted, src10-19 cut to ~1/5) -> the
+    resampling weight and direct keep-rate per domain. One map-side-
+    combined groupBy to a #domains-row frame; the share window runs on
+    that tiny aggregate, never on corpus rows — the 100 TB shape for
+    'the crawl is 80% web but the recipe says 50%'."""
+    from transporter_spark.operators.sampling import mix_weights
+    from transporter_spark.operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text")
+    )
+    return mix_weights(docs, _MIX_TARGET, by="source", size_col="n_tok").orderBy(
+        "source"
+    )
+
+
+@q(
+    "domain_mix_sample",
+    oracle=f"""
+WITH agg AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source,
+         -- FLOOR, not bare CAST: DuckDB's double->BIGINT cast rounds
+         -- where Spark's cast truncates
+         CAST(FLOOR(LEAST(1.0,
+           {_MIX_CASE} / (CAST(tokens AS DOUBLE) / SUM(tokens) OVER ())) * 10000)
+           AS BIGINT) AS rate_bps
+  FROM agg
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+      % 10000 < r.rate_bps
+ORDER BY d.doc_id
+""",
+)
+def q_domain_mix_sample(spark, sf_dir):
+    """Apply the mix weights: downsample over-represented domains to
+    the target mix with a PORTABLE content-hash keep decision (md5
+    prefix mod 10000 vs the domain's keep-rate) — never rand(), so the
+    sampled dataset is reproducible across engines/cluster sizes and
+    any row's membership is auditable. The weights side is #domains
+    rows (broadcast join); the corpus side stays a scan + filter."""
+    from transporter_spark.operators.sampling import mix_weights, sample_to_mix
+    from transporter_spark.operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text")
+    )
+    w = mix_weights(docs, _MIX_TARGET, by="source", size_col="n_tok")
+    return (
+        sample_to_mix(docs, w, by="source", key="doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
