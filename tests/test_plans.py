@@ -5,6 +5,8 @@ pins a property that would silently regress otherwise (a judge — or a
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -526,3 +528,48 @@ def test_repeated_chunk_prune_two_scans_no_cartesian(spark, sf_dir):
         assert df.count() > 0
     finally:
         release_cached(df)
+
+
+def test_gopher_gate_single_scan_no_shuffle(spark, sf_dir):
+    """The quality gate is one projection pass: a single parquet scan,
+    zero exchanges (the whole point of a rule-based first gate — at
+    100 TB it runs at read bandwidth)."""
+    df = QUERIES["gopher_quality_gate"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    body = plan.split("== Physical Plan ==")[-1]
+    # orderBy at the boundary is presentation; the only exchange is the
+    # final rangepartitioning for the sort — never a hash shuffle
+    assert "hashpartitioning" not in body
+    assert body.count("rangepartitioning") == 1
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1
+    read_schema = [l for l in body.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_domain_mix_weights_single_corpus_shuffle(spark, sf_dir):
+    """One map-side-combined groupBy over the corpus; the share window
+    runs on the #domains-row aggregate (a single-partition exchange of
+    20 rows, not corpus rows)."""
+    df = QUERIES["domain_mix_weights"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1
+    # partial + final HashAggregate = map-side combine before the shuffle
+    assert body.count("HashAggregate") >= 2
+    # exactly ONE hash shuffle (the groupBy on source); the window's
+    # exchange is a single-partition move of the 20-row aggregate
+    assert body.count("hashpartitioning") == 1, body
+
+
+def test_domain_mix_sample_broadcasts_weights(spark, sf_dir):
+    """The weights side (#domains rows) broadcasts; the corpus side is
+    never hash-exchanged for the join — scan + filter + broadcast join
+    only."""
+    df = QUERIES["domain_mix_sample"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body
+    assert "SortMergeJoin" not in body
+    # the only hash shuffle in the whole plan feeds the tiny weights
+    # aggregate; corpus rows go scan -> broadcast join directly
+    assert body.count("hashpartitioning") == 1, body
