@@ -1485,7 +1485,7 @@ def q_incremental_dedup(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     index = _INC_INDEX_CACHE.get(key)
     if index is None:
         index = band_index(corpus).cache()

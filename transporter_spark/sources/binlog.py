@@ -153,6 +153,7 @@ def _offset_key(offset: dict) -> Tuple[str, int]:
 
 
 from pyspark.sql.datasource import (  # noqa: E402 - narrative header first
+    DataSource,
     DataSourceStreamReader,
     InputPartition,
 )
@@ -239,3 +240,35 @@ class BinlogTailStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         pass  # the binlog is the log; nothing buffered to forget
+
+
+class BinlogDataSource(DataSource):
+    """readStream.format("mysql_binlog") — production wiring via a
+    replication client (e.g. the public pymysqlreplication package;
+    none ships in this container, so the constructor import-gates
+    exactly like the rethink/amqp sources and tests drive
+    BinlogTailStreamReader with a recording fake instead).
+
+    Options: ``host``, ``port``, ``user``, ``password``, ``ns``
+    (schema.table regex), ``file``/``pos`` (saved resume offset; both
+    unset tails from the current master status).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "mysql_binlog"
+
+    def schema(self) -> str:
+        return "op string, ts string, ns string, json string"
+
+    def streamReader(self, schema) -> BinlogTailStreamReader:
+        try:  # pragma: no cover - no replication client in container
+            from pymysqlreplication import BinLogStreamReader as _Repl  # type: ignore # noqa: F401
+        except ImportError as e:
+            raise RuntimeError(
+                "mysql_binlog requires a replication client library "
+                "(e.g. pymysqlreplication)"
+            ) from e
+        raise NotImplementedError(  # pragma: no cover - live DB wiring
+            "live binlog wiring requires a running MySQL server"
+        )
