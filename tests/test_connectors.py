@@ -1701,3 +1701,48 @@ def test_pgdecode_reader_copy_tail_crash_resume_cycle(tmp_path):
         1: {"id": 1, "v": "A"},
         3: {"id": 3, "v": "c"},
     }
+
+
+def test_binlog_reader_nonrows_events_without_schema_are_skipped():
+    """ROTATE/FORMAT_DESCRIPTION/QUERY events carry no schema/table;
+    classification must skip them BEFORE any schema access or
+    INFORMATION_SCHEMA lookup (tailer.go:246-251 filter-first), and a
+    filtered table must trigger no columns() call either."""
+    from transporter_spark.sources.binlog import BinlogTailStreamReader
+
+    f1 = "mysql-bin.000001"
+    client = FakeBinlogClient(
+        tables={},
+        log=[
+            ((f1, 10), {"event_type": "ROTATE_EVENT"}),              # no schema/table
+            ((f1, 20), {"event_type": "FORMAT_DESCRIPTION_EVENT"}),  # no schema/table
+            ((f1, 30), {"event_type": "QUERY_EVENT", "schema": "db"}),
+            ((f1, 40), {"event_type": "WRITE_ROWS_EVENTv2", "schema": "db",
+                        "table": "audit", "rows": [["9"]]}),         # ns-filtered
+            ((f1, 50), {"event_type": "WRITE_ROWS_EVENTv2", "schema": "db",
+                        "table": "users", "rows": [["1"]]}),
+        ],
+        columns={("db", "users"): [("id", "int")]},
+    )
+    r = BinlogTailStreamReader(
+        client, ns_filter=lambda ns: ns == "db.users", resume=(f1, 4)
+    )
+    rows = list(r.read(r.partitions(r.initialOffset(), r.latestOffset())[0]))
+    assert [(op, ns) for op, _ts, ns, _b in rows] == [("insert", "db.users")]
+    # the filtered audit table never reached INFORMATION_SCHEMA
+    assert client.column_queries == [("db", "users")]
+
+
+def test_binlog_offset_order_survives_suffix_widening():
+    """MySQL widens the binlog suffix past 999999 (no wrap): the offset
+    order must treat mysql-bin.1000000 as AFTER mysql-bin.999999 —
+    lexicographic comparison would wedge the stream silently."""
+    from transporter_spark.sources.binlog import _offset_key, binlog_offset
+
+    a = binlog_offset("mysql-bin.999999", 500)
+    b = binlog_offset("mysql-bin.1000000", 4)
+    assert _offset_key(b) > _offset_key(a)
+    # and within a file, position still orders
+    assert _offset_key(binlog_offset("mysql-bin.000002", 9)) > _offset_key(
+        binlog_offset("mysql-bin.000002", 4)
+    )

@@ -94,3 +94,24 @@ def test_mix_weights_default_size_is_row_count(spark):
     )
     w = {r["source"]: r.asDict() for r in mix_weights(df, {"a": 0.5}).collect()}
     assert w["a"]["tokens"] == 2 and w["b"]["tokens"] == 1
+
+
+def test_mix_weights_zero_token_group_is_dropped_not_kept(spark):
+    """A group whose token sum is 0 must not crash (ANSI divide) and
+    must come out with keep_rate 0 — a NULL weight through F.least
+    would otherwise silently keep the whole group."""
+    from transporter_spark.operators.sampling import mix_weights, sample_to_mix
+
+    # doc_ids 6 and 9: md5-prefix mod 10000 = 940 and 9006, straddling
+    # group a's keep_rate 0.5 threshold (target 0.5 / share 1.0)
+    df = spark.createDataFrame(
+        [("a", 6, 10), ("a", 9, 10), ("b", 2, 0), ("b", 3, 0)],
+        "source string, doc_id long, n_tok long",
+    )
+    w = mix_weights(df, {"a": 0.5, "b": 0.5}, size_col="n_tok")
+    rows = {r["source"]: r.asDict() for r in w.collect()}
+    assert rows["b"]["token_share"] == 0.0
+    assert rows["b"]["weight"] is None
+    assert rows["b"]["keep_rate"] == 0.0
+    kept = sample_to_mix(df, w, key="doc_id").collect()
+    assert [(r["source"], r["doc_id"]) for r in kept] == [("a", 6)]

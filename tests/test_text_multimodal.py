@@ -176,6 +176,7 @@ def test_gopher_rules_branches(spark):
         (4, "# " * 30 + "tag"),                        # symbol spam
         (5, "1 2 3 4 5 6 7 8 9 10"),                   # numeric: alpha_frac 0
         (6, ""),                                       # empty: NULLs
+        (8, None),                                     # NULL text
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = {
@@ -184,12 +185,21 @@ def test_gopher_rules_branches(spark):
     }
     assert out[1]["keep"] is True and out[1]["rule_stopwords"] is True
     assert out[2]["bullet_frac"] == 0.75 and out[2]["rule_bullet"] is True
-    assert gopher_gate(min_words=1, max_bullet_frac=0.5)(df).collect()
+    # a tighter threshold flips doc 2's bullet rule
+    strict = {
+        r["doc_id"]: r.asDict()
+        for r in gopher_gate(min_words=1, max_bullet_frac=0.5)(df).collect()
+    }
+    assert strict[2]["rule_bullet"] is False
     assert out[3]["ellipsis_frac"] == 0.5 and out[3]["rule_ellipsis"] is False
     assert out[4]["symbol_ratio"] > 0.9 and out[4]["rule_symbol_ratio"] is False
     assert out[5]["alpha_frac"] == 0.0 and out[5]["rule_alpha"] is False
     assert out[6]["n_words"] == 0 and out[6]["mean_word_len"] is None
     assert out[6]["keep"] is False                     # NULL rules fail closed
+    # NULL text: every metric NULL (incl. n_stopwords — the oracle
+    # mirrors this), keep false
+    assert out[8]["n_words"] is None and out[8]["n_stopwords"] is None
+    assert out[8]["keep"] is False
     # ascii ellipsis counts in triples: '......' is two
     six = spark.createDataFrame([(7, "x ...... y")], "doc_id long, text string")
     row = gopher_gate(min_words=1)(six).collect()[0]

@@ -99,17 +99,28 @@ def mix_weights(
     agg = df.groupBy(by).agg(
         F.count("*").alias("docs"), F.sum(size).alias("tokens")
     )
-    share = F.col("tokens").cast("double") / F.sum("tokens").over(
-        Window.partitionBy()
-    ).cast("double")
+    total = F.sum("tokens").over(Window.partitionBy()).cast("double")
+    # explicit zero guards, not try_divide: ANSI mode (Spark 4 default)
+    # makes x/0 an error, and a NULL weight through F.least would turn
+    # keep_rate into 1.0 (least skips NULLs) — a token-less group must
+    # end up dropped (keep_rate 0), never kept wholesale.
+    share = F.when(total > 0, F.col("tokens").cast("double") / total)
     tgt = F.lit(0.0)
     for name, frac in sorted(target.items()):
         tgt = F.when(F.col(by) == name, F.lit(float(frac))).otherwise(tgt)
+    weight = F.when(
+        F.col("token_share") > 0, F.col("target_share") / F.col("token_share")
+    )
     return (
         agg.withColumn("token_share", share)
         .withColumn("target_share", tgt)
-        .withColumn("weight", F.col("target_share") / F.col("token_share"))
-        .withColumn("keep_rate", F.least(F.lit(1.0), F.col("weight")))
+        .withColumn("weight", weight)
+        .withColumn(
+            "keep_rate",
+            F.when(
+                F.col("weight").isNotNull(), F.least(F.lit(1.0), F.col("weight"))
+            ).otherwise(F.lit(0.0)),
+        )
     )
 
 

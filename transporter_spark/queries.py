@@ -4480,7 +4480,10 @@ m AS (
       / NULLIF(len(lines), 0) AS ellipsis_frac,
     CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
       / NULLIF(len(toks), 0) AS alpha_frac,
-    CAST({stop_sum} AS BIGINT) AS n_stopwords
+    -- NULL text => NULL count, matching Spark's array_contains(NULL)
+    -- (the bare CASE sum would yield 0 and hash-diverge on NULL rows)
+    CAST(CASE WHEN toks IS NULL THEN NULL ELSE {stop_sum} END AS BIGINT)
+      AS n_stopwords
   FROM base
 )
 SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,

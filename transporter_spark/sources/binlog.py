@@ -145,11 +145,17 @@ def binlog_offset(file: str, position: int) -> dict:
     return {"file": file, "pos": int(position)}
 
 
-def _offset_key(offset: dict) -> Tuple[str, int]:
-    """Total order over binlog positions: file names rotate with a
-    zero-padded numeric suffix (mysql-bin.000001, .000002, ...), so
-    lexicographic file order + position is the binlog's own order."""
-    return (offset["file"], int(offset["pos"]))
+def _offset_key(offset: dict) -> Tuple[str, int, int]:
+    """Total order over binlog positions. File names rotate with a
+    numeric suffix (mysql-bin.000001, .000002, ...) that MySQL WIDENS
+    past 999999 instead of wrapping — plain lexicographic comparison
+    would order mysql-bin.1000000 before mysql-bin.999999 and wedge
+    the stream silently, so the suffix is compared numerically."""
+    name = offset["file"]
+    base, _, seq = name.rpartition(".")
+    if seq.isdigit():
+        return (base, int(seq), int(offset["pos"]))
+    return (name, -1, int(offset["pos"]))
 
 
 from pyspark.sql.datasource import (  # noqa: E402 - narrative header first
@@ -217,17 +223,26 @@ class BinlogTailStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         rows: List[Tuple[str, str, str, str]] = []
         if _offset_key(end) > _offset_key(start):
-            for (file, pos), event in self.client.events_between(
+            for (_file, _pos), event in self.client.events_between(
                 (start["file"], start["pos"]), (end["file"], end["pos"])
             ):
+                # classify/filter BEFORE any INFORMATION_SCHEMA work
+                # (tailer.go:246-251): non-rows events (ROTATE, XID,
+                # FORMAT_DESCRIPTION, QUERY) carry no schema/table, and
+                # filtered tables must trigger no columns() lookup.
+                # map_rows_event with empty columns performs exactly
+                # those checks without touching the row payloads.
                 try:
-                    mapped = map_rows_event(
-                        event,
-                        self._table_columns(event["schema"], event["table"]),
-                        self.ns_filter,
+                    map_rows_event(
+                        {**event, "rows": []}, (), self.ns_filter
                     )
                 except BinlogSkip:
                     continue
+                mapped = map_rows_event(
+                    event,
+                    self._table_columns(event["schema"], event["table"]),
+                    self.ns_filter,
+                )
                 ts = str(event.get("ts", ""))
                 for op, ns, doc in mapped:
                     rows.append(
@@ -243,15 +258,21 @@ class BinlogTailStreamReader(DataSourceStreamReader):
 
 
 class BinlogDataSource(DataSource):
-    """readStream.format("mysql_binlog") — production wiring via a
-    replication client (e.g. the public pymysqlreplication package;
-    none ships in this container, so the constructor import-gates
-    exactly like the rethink/amqp sources and tests drive
-    BinlogTailStreamReader with a recording fake instead).
+    """readStream.format("mysql_binlog") — format registration for the
+    binlog tail.
 
-    Options: ``host``, ``port``, ``user``, ``password``, ``ns``
-    (schema.table regex), ``file``/``pos`` (saved resume offset; both
-    unset tails from the current master status).
+    There is deliberately NO live wiring behind this format: the
+    recommended Spark production path for MySQL CDC is Debezium ->
+    Kafka -> ``readStream.format("kafka")`` (module header), and no
+    replication client ships in this container. Deployments that want
+    a direct tail implement the three-method client contract
+    documented on ``BinlogTailStreamReader`` (master_status /
+    events_between / columns — e.g. over the public
+    pymysqlreplication package) and construct the reader directly;
+    ``streamReader`` here raises with that guidance rather than
+    pretending options it does not read. The offset, resume, rotation,
+    and event-mapping semantics are fully exercised by the
+    recording-fake lifecycle tests (tests/test_connectors.py).
     """
 
     @classmethod
@@ -262,13 +283,9 @@ class BinlogDataSource(DataSource):
         return "op string, ts string, ns string, json string"
 
     def streamReader(self, schema) -> BinlogTailStreamReader:
-        try:  # pragma: no cover - no replication client in container
-            from pymysqlreplication import BinLogStreamReader as _Repl  # type: ignore # noqa: F401
-        except ImportError as e:
-            raise RuntimeError(
-                "mysql_binlog requires a replication client library "
-                "(e.g. pymysqlreplication)"
-            ) from e
-        raise NotImplementedError(  # pragma: no cover - live DB wiring
-            "live binlog wiring requires a running MySQL server"
+        raise RuntimeError(
+            "mysql_binlog has no built-in live wiring: tail via "
+            "Debezium->Kafka (readStream.format('kafka')), or build "
+            "BinlogTailStreamReader with a client implementing "
+            "master_status/events_between/columns"
         )
