@@ -32,6 +32,7 @@ _PRIORITY = [
     "gopher_quality_gate",     # rule-based quality gate (Gopher A1.1)
     "domain_mix_weights",      # domain-mix rebalancing weights
     "domain_mix_sample",       # portable-hash downsample to target mix
+    "semantic_decontaminate",  # embedding-space eval-leakage gate
     # --- changed round 5: fast hash family + session-cached index ---
     "incremental_dedup",
     # --- stalest greens: last graded r1/r2, unchanged code ---
@@ -81,7 +82,6 @@ _PRIORITY = [
     "chunk_documents",
     "pack_sequences",
     "decontaminate",
-    "media_resize",
 ]
 
 

@@ -425,3 +425,28 @@ def test_incremental_simhash_matches_full_and_reads_no_text(spark, sf_dir, tmp_p
     assert len(text_scans) <= 1, plan
     assert "simhash_idx" in plan  # the persisted index is what's probed
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_decontaminate_best_match_and_ties(spark):
+    from transporter_spark.operators.similarity import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0]), (30, [1.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [
+            (1, [2.0, 0.0]),    # cosine 1.0 with bench 10 AND 30 -> tie, min id
+            (2, [1.0, 1.0]),    # cosine ~0.707 with all three
+            (3, [-1.0, 0.0]),   # negative with 10/30, 0 with 20 -> clean
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in semantic_decontaminate(train, bench, threshold=0.5).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["best_bench_id"] == 10      # deterministic tiebreak
+    assert out[1]["max_cosine"] == 1.0
+    assert abs(out[2]["max_cosine"] - 2 ** -0.5) < 1e-12

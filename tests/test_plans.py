@@ -573,3 +573,18 @@ def test_domain_mix_sample_broadcasts_weights(spark, sf_dir):
     # the only hash shuffle in the whole plan feeds the tiny weights
     # aggregate; corpus rows go scan -> broadcast join directly
     assert body.count("hashpartitioning") == 1, body
+
+
+def test_semantic_decontaminate_broadcasts_bench_and_prunes_window(spark, sf_dir):
+    """Benchmark side broadcasts (BNLJ BuildRight); the cosine threshold
+    sits in the join condition so only hits materialize; WindowGroupLimit
+    runs below the exchange (map-side best-per-id prune) so the only
+    hash shuffle carries at most one row per contaminated id."""
+    df = QUERIES["semantic_decontaminate"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "BroadcastNestedLoopJoin" in body and "BuildRight" in body
+    assert body.count("hashpartitioning") == 1
+    # the rank<=1 prune appears below the exchange (formatted plan lists
+    # the partial WindowGroupLimit as a higher node id than the Exchange)
+    assert "WindowGroupLimit" in body
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 2

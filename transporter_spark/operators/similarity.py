@@ -205,3 +205,53 @@ def ann_topk(
         return ann_brute_force(df, df.filter(queries_filter), k, id_col, vec_col)
 
     return apply
+
+
+def semantic_decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    round_dp: "int | None" = None,
+) -> DataFrame:
+    """Embedding-space decontamination: flag training vectors whose
+    embedding lies within cosine ``threshold`` of ANY benchmark/eval
+    vector — the semantic complement of the n-gram `decontaminate`
+    gate (paraphrased eval leakage shares no n-grams but is
+    embedding-close).
+
+    Returns one row per contaminated training doc: (id, best_bench_id,
+    max_cosine) — the strongest benchmark match, ties broken by bench
+    id so the output is deterministic across partitionings.
+
+    Scale shape: benchmark embedding sets are thousands of rows (tiny)
+    — Spark broadcasts them; the training corpus streams once through
+    a nested-loop score + per-id window on the few above-threshold
+    hits. No corpus-side shuffle before the filter; the window moves
+    only contaminated rows. ``round_dp`` rounds the cosine BEFORE the
+    threshold/ranking for cross-engine float stability (same policy as
+    `ann_brute_force` oracles).
+    """
+    t = train.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
+    b = bench.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).cast("array<double>").alias("bvec"),
+    )
+    cos = cosine_expr("vec", "bvec")
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    scored = t.join(F.broadcast(b)).select("id", "bench_id", cos.alias("cosine"))
+    hits = scored.filter(F.col("cosine") >= threshold)
+    w = Window.partitionBy("id").orderBy(F.desc("cosine"), F.asc("bench_id"))
+    return (
+        hits.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "id",
+            F.col("bench_id").alias("best_bench_id"),
+            F.col("cosine").alias("max_cosine"),
+        )
+    )

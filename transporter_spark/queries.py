@@ -4623,3 +4623,42 @@ def q_domain_mix_sample(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+@q(
+    "semantic_decontaminate",
+    oracle="""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+b AS (SELECT vec_id, e FROM v WHERE vec_id % 10 = 0),
+t AS (SELECT vec_id, e FROM v WHERE vec_id % 10 <> 0),
+scored AS (
+  SELECT t.vec_id AS vec_id, b.vec_id AS bench_id,
+         round(list_dot_product(t.e, b.e)
+               / (sqrt(list_dot_product(t.e, t.e))
+                  * sqrt(list_dot_product(b.e, b.e))), 8) AS cosine
+  FROM t CROSS JOIN b),
+hits AS (SELECT * FROM scored WHERE cosine >= 0.35)
+SELECT vec_id AS id, bench_id AS best_bench_id, cosine AS max_cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, bench_id) AS rn
+      FROM hits)
+WHERE rn = 1 ORDER BY id
+""",
+)
+def q_semantic_decontaminate(spark, sf_dir):
+    """Embedding-space decontamination: training vectors within cosine
+    0.35 of any benchmark vector (every 10th vec plays the eval set),
+    each with its strongest benchmark match — the semantic complement
+    of the n-gram `decontaminate` gate (paraphrased leakage shares no
+    n-grams but is embedding-close). Benchmark side broadcasts (eval
+    sets are tiny); the corpus streams once; the dedup-to-best window
+    moves only above-threshold hits. Cosine rounded to 8dp before the
+    threshold for cross-engine float stability."""
+    from transporter_spark.operators.similarity import semantic_decontaminate
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 10 == 0)
+    train = emb.filter(F.col("vec_id") % 10 != 0)
+    return semantic_decontaminate(
+        train, bench, threshold=0.35, round_dp=8
+    ).orderBy("id")
