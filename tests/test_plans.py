@@ -588,3 +588,20 @@ def test_semantic_decontaminate_broadcasts_bench_and_prunes_window(spark, sf_dir
     # the partial WindowGroupLimit as a higher node id than the Exchange)
     assert "WindowGroupLimit" in body
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 2
+
+
+def test_curation_pipeline_two_corpus_shuffles(spark, sf_dir):
+    """Composed gate -> dedup -> mix-sample: the gate is a filter on
+    the scan (no exchange of its own), dedup contributes the one
+    corpus-wide hash shuffle (32-hex fingerprint window), the weights
+    aggregate adds the only other hash exchange, and the weights join
+    back to the corpus broadcasts."""
+    df = QUERIES["curation_pipeline"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body and "SortMergeJoin" not in body
+    assert "CartesianProduct" not in body
+    # the only hash-exchange keys in the whole plan: the dedup window's
+    # 32-hex fingerprint (_h) and the weights aggregate's source —
+    # the gate itself contributes no exchange
+    keys = {p.split("#")[0] for p in set(re.findall(r"hashpartitioning\((\w+#\d+)", body))}
+    assert keys == {"_h", "source"}, keys

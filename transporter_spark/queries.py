@@ -4458,7 +4458,9 @@ def q_profile_columns(spark, sf_dir):
 #: function words); the OPERATOR defaults to the paper's list.
 _GATE_STOPWORDS = ("join", "hash", "row", "batch", "scan", "column", "filter", "data")
 
-_GOPHER_ORACLE = r"""
+# CTE block shared by the standalone gate query and the curation
+# pipeline composition below
+_GOPHER_CTES = r"""
 WITH base AS (
   SELECT doc_id, text,
          regexp_extract_all(text, '\S+') AS toks,
@@ -4485,7 +4487,25 @@ m AS (
     CAST(CASE WHEN toks IS NULL THEN NULL ELSE {stop_sum} END AS BIGINT)
       AS n_stopwords
   FROM base
+)""".format(
+    stop_sum=" + ".join(
+        "(CASE WHEN list_contains(list_transform(toks, x -> lower(x)), '{w}') "
+        "THEN 1 ELSE 0 END)".format(w=w)
+        for w in _GATE_STOPWORDS
+    )
 )
+
+_GOPHER_KEEP_SQL = """(COALESCE(n_words >= 50 AND n_words <= 100000, FALSE)
+        AND COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
+        AND COALESCE(symbol_ratio <= 0.1, FALSE)
+        AND COALESCE(bullet_frac <= 0.9, FALSE)
+        AND COALESCE(ellipsis_frac <= 0.3, FALSE)
+        AND COALESCE(alpha_frac >= 0.8, FALSE)
+        AND COALESCE(n_stopwords >= 2, FALSE))"""
+
+_GOPHER_ORACLE = (
+    _GOPHER_CTES
+    + f"""
 SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
        alpha_frac, n_stopwords,
        (n_words >= 50 AND n_words <= 100000) AS rule_word_count,
@@ -4495,20 +4515,9 @@ SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, ellipsis_frac,
        (ellipsis_frac <= 0.3) AS rule_ellipsis,
        (alpha_frac >= 0.8) AS rule_alpha,
        (n_stopwords >= 2) AS rule_stopwords,
-       (COALESCE(n_words >= 50 AND n_words <= 100000, FALSE)
-        AND COALESCE(mean_word_len >= 3.0 AND mean_word_len <= 10.0, FALSE)
-        AND COALESCE(symbol_ratio <= 0.1, FALSE)
-        AND COALESCE(bullet_frac <= 0.9, FALSE)
-        AND COALESCE(ellipsis_frac <= 0.3, FALSE)
-        AND COALESCE(alpha_frac >= 0.8, FALSE)
-        AND COALESCE(n_stopwords >= 2, FALSE)) AS keep
+       {_GOPHER_KEEP_SQL} AS keep
 FROM m ORDER BY doc_id
-""".format(
-    stop_sum=" + ".join(
-        "(CASE WHEN list_contains(list_transform(toks, x -> lower(x)), '{w}') "
-        "THEN 1 ELSE 0 END)".format(w=w)
-        for w in _GATE_STOPWORDS
-    )
+"""
 )
 
 
@@ -4662,3 +4671,60 @@ def q_semantic_decontaminate(spark, sf_dir):
     return semantic_decontaminate(
         train, bench, threshold=0.35, round_dp=8
     ).orderBy("id")
+
+
+_CURATION_ORACLE = (
+    _GOPHER_CTES
+    + f""",
+gated AS (SELECT doc_id FROM m WHERE {_GOPHER_KEEP_SQL}),
+gdocs AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d JOIN gated USING (doc_id)),
+ranked AS (
+  SELECT doc_id, text, source,
+         ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM gdocs),
+dd AS (SELECT doc_id, text, source FROM ranked WHERE rn = 1),
+agg AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
+  FROM dd GROUP BY source),
+rates AS (
+  SELECT source,
+         CAST(FLOOR(LEAST(1.0,
+           {_MIX_CASE} / (CAST(tokens AS DOUBLE) / SUM(tokens) OVER ())) * 10000)
+           AS BIGINT) AS rate_bps
+  FROM agg)
+SELECT dd.doc_id, dd.source
+FROM dd JOIN rates r ON dd.source = r.source
+WHERE CAST(('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+      % 10000 < r.rate_bps
+ORDER BY dd.doc_id
+"""
+)
+
+
+@q("curation_pipeline", oracle=_CURATION_ORACLE)
+def q_curation_pipeline(spark, sf_dir):
+    """The round-5 operators composed end-to-end, the way a pretraining
+    corpus is actually curated: Gopher rule gate (pure scan filter) ->
+    exact dedup (one 32-byte-key shuffle, smallest id wins) -> domain
+    mix weights on the SURVIVING corpus -> portable-hash downsample to
+    the target mix. Each stage's scale shape is individually
+    plan-pinned; composed, the corpus crosses exactly two hash
+    shuffles (dedup window + the tiny weights aggregate) and the gate
+    filter sits directly on the scan."""
+    from transporter_spark.operators.dedup import dedup_exact
+    from transporter_spark.operators.sampling import mix_weights, sample_to_mix
+    from transporter_spark.operators.text import gopher_rules, token_count
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    keep = gopher_rules(stopwords=_GATE_STOPWORDS)["keep"]
+    deduped = dedup_exact(["text"])(docs.filter(keep))
+    with_tok = deduped.withColumn("n_tok", token_count("text"))
+    w = mix_weights(with_tok, _MIX_TARGET, by="source", size_col="n_tok")
+    return (
+        sample_to_mix(with_tok, w, by="source", key="doc_id")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
