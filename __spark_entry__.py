@@ -34,6 +34,7 @@ _PRIORITY = [
     "domain_mix_sample",       # portable-hash downsample to target mix
     "semantic_decontaminate",  # embedding-space eval-leakage gate
     "curation_pipeline",       # gate -> dedup -> mix-sample composed
+    "stream_curation",         # the same gate inside the ingest sink
     # --- changed round 5: fast hash family + session-cached index ---
     "incremental_dedup",
     # --- stalest greens: last graded r1/r2, unchanged code ---
@@ -80,7 +81,6 @@ _PRIORITY = [
     "sessionize_events",
     "gapfill_hourly",
     "js_transform",
-    "chunk_documents",
     "decontaminate",
 ]
 

@@ -340,3 +340,54 @@ def test_redelivery_guard_reads_only_fingerprint_index(spark, sf_dir, tmp_path):
     # dropped as within-batch near-dups and must NOT be filtered)
     n_accepted = read_ingest_corpus(spark, state).count()
     assert guarded.count() == 50 - n_accepted
+
+
+def test_pre_filter_gates_docs_out_of_all_state(spark, tmp_path):
+    """The streaming gate→dedup order: a doc failing pre_filter is
+    never minhashed and never enters corpus, index, OR fps state —
+    across epochs — while passing docs flow through dedup unchanged.
+    An epoch whose every row is gated out applies nothing (replay-safe
+    no-op, same contract as an empty epoch)."""
+    import pyspark.sql.functions as F
+
+    from transporter_spark.streaming.ingest import (
+        ingest_dedup_batch,
+        ingest_last_epoch,
+        read_ingest_corpus,
+        read_ingest_fingerprints,
+        read_ingest_index,
+    )
+
+    state = str(tmp_path / "state")
+
+    def long(c):
+        return " ".join(f"tok{c}x{i}" for i in range(40))
+
+    e1 = spark.createDataFrame(
+        [
+            (1, long("a")),                 # passes
+            (2, "short junk"),              # gated out (< 10 tokens)
+            (3, long("a")),                 # passes but exact-dups doc 1
+        ],
+        "doc_id long, text string",
+    )
+    from transporter_spark.operators.text import token_count
+
+    gate = token_count("text") >= 10
+    assert ingest_dedup_batch(e1, 0, state, threshold=0.1, pre_filter=gate)
+    ids = {r.doc_id for r in read_ingest_corpus(spark, state).collect()}
+    assert ids == {1}                        # 2 gated, 3 deduped
+    assert {r.id for r in read_ingest_index(spark, state).collect()} == {1}
+    assert {r.id for r in read_ingest_fingerprints(spark, state).collect()} == {1}
+
+    # an all-gated epoch applies nothing and does not advance the marker
+    e2 = spark.createDataFrame([(4, "tiny")], "doc_id long, text string")
+    assert not ingest_dedup_batch(e2, 1, state, threshold=0.1, pre_filter=gate)
+    assert ingest_last_epoch(state) == 0
+
+    # later epochs still gate before dedup
+    e3 = spark.createDataFrame(
+        [(5, long("b")), (6, "nope")], "doc_id long, text string"
+    )
+    assert ingest_dedup_batch(e3, 2, state, threshold=0.1, pre_filter=gate)
+    assert {r.doc_id for r in read_ingest_corpus(spark, state).collect()} == {1, 5}

@@ -4728,3 +4728,46 @@ def q_curation_pipeline(spark, sf_dir):
         .select("doc_id", "source")
         .orderBy("doc_id")
     )
+
+
+# streaming curation: the ingest-dedup closure restricted to docs that
+# pass the Gopher gate. Composed mechanically: gate CTEs in front, the
+# proven stream_ingest_dedup oracle's `documents` references rewired to
+# the gated subset (toks chain AND the reach seed).
+_STREAM_CURATION_ORACLE = (
+    "WITH RECURSIVE "
+    + _GOPHER_CTES.strip()[len("WITH ") :]
+    + f""",
+gated_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN (SELECT doc_id FROM m WHERE {_GOPHER_KEEP_SQL}) g USING (doc_id)),
+"""
+    + QUERIES["stream_ingest_dedup"]
+    .oracle.replace("FROM documents", "FROM gated_docs")
+    .replace("WITH RECURSIVE ", "", 1)
+    .lstrip()
+)
+
+
+@q("stream_curation", oracle=_STREAM_CURATION_ORACLE)
+def q_stream_curation(spark, sf_dir):
+    """CONTINUOUS curation: the ingest-dedup sink with the Gopher gate
+    as its pre-filter — the streaming twin of curation_pipeline's
+    gate→dedup order. Gated-out docs are never minhashed, never hit
+    the re-delivery guard, and never enter the corpus/index/fps state;
+    everything else is the proven append-only continuous-dedup path.
+    The oracle replays the gate + the one-epoch dedup-closure
+    equivalence entirely in SQL."""
+    from transporter_spark.operators.text import gopher_rules
+    from transporter_spark.streaming.ingest import drain_documents_dedup
+
+    keep = gopher_rules(stopwords=_GATE_STOPWORDS)["keep"]
+    kept = drain_documents_dedup(
+        spark,
+        sf_dir,
+        threshold=0.1,
+        portable=True,
+        assert_single_epoch=True,
+        pre_filter=keep,
+    )
+    return kept.select("doc_id").orderBy("doc_id")

@@ -76,11 +76,18 @@ def ingest_dedup_batch(
     seed: int = 42,
     portable: bool = False,
     max_iter: int = 20,
+    pre_filter=None,
 ) -> bool:
     """One epoch of continuous dedup; returns False when the epoch was
     already applied (micro-batch replay) and the merge was skipped.
     Module-level so the replay contract is directly testable without
     crashing a streaming query mid-commit.
+
+    ``pre_filter`` (a Column predicate, e.g. the Gopher gate's ``keep``
+    from operators.text.gopher_rules) drops rows BEFORE any dedup work
+    — the streaming form of curation_pipeline's gate→dedup order:
+    gated-out docs are never minhashed, never guarded, never enter the
+    corpus/index/fps state.
 
     Scale shape per batch: shingle/minhash ∝ |batch|; candidates =
     batch bands ⋈ index equi-join (+ batch self-join); verification
@@ -108,6 +115,10 @@ def ingest_dedup_batch(
     # vacuously idempotent.
     if batch.isEmpty():
         return False
+    if pre_filter is not None:
+        batch = batch.filter(pre_filter)
+        if batch.isEmpty():
+            return False
 
     spark = batch.sparkSession
     if manifest is not None:
