@@ -25,6 +25,8 @@ Probes (each prints "<name>: 1x=<t>s Nx=<t>s ratio=<r>"):
     clustering   dedup_clusters at 1x/10x docs (CC rounds ∝ diameter,
                  not corpus)
     q5           6-way join at 1x/10x facts (dims broadcast)
+    semantic     semantic_decontaminate with a FIXED benchmark set at
+                 1x/10x train vectors — must scale ~linearly in train
 """
 
 from __future__ import annotations
@@ -266,6 +268,29 @@ def probe_q5(spark):
     return times[1], times[MULT]
 
 
+def probe_semantic(spark):
+    """Fixed benchmark set (500 vecs) vs a 1x/Nx training corpus: the
+    scoring loop is |train| x |bench| dot products, so wall time must
+    scale ~linearly in the TRAIN side (never quadratically — the bench
+    side is the broadcast constant)."""
+    from transporter_spark.operators.similarity import semantic_decontaminate
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    bench = emb.filter(F.col("vec_id") % 10 == 0).localCheckpoint(eager=True)
+    train0 = emb.filter(F.col("vec_id") % 10 != 0)
+    times = {}
+    for mult in (1, MULT):
+        train = _replicate(train0, "vec_id", mult)
+
+        def run():
+            semantic_decontaminate(
+                train, bench, threshold=0.35, round_dp=8
+            ).count()
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -273,6 +298,7 @@ PROBES = {
     "lsh": probe_lsh,
     "clustering": probe_clustering,
     "q5": probe_q5,
+    "semantic": probe_semantic,
 }
 
 
