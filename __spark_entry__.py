@@ -24,8 +24,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 5: 3 new + 1 changed + the 25 queries
-# last graded in r1/r2 + 21 high-value r3 greens not re-graded in r4.
+# to the STALEST greens. Round 5: 6 new + 2 changed + the 25 queries
+# last graded in r1/r2 + 17 high-value r3 greens not re-graded in r4.
 # Everything outside the 50 is green on unchanged code (r3/r4 rows).
 _PRIORITY = [
     # --- NEW round 5: must take a slot ---
@@ -35,8 +35,10 @@ _PRIORITY = [
     "semantic_decontaminate",  # embedding-space eval-leakage gate
     "curation_pipeline",       # gate -> dedup -> mix-sample composed
     "stream_curation",         # the same gate inside the ingest sink
-    # --- changed round 5: fast hash family + session-cached index ---
-    "incremental_dedup",
+    # --- changed round 5 ---
+    "incremental_dedup",       # fast hash family + session-cached index
+    "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:
+                               # re-grade its no-filter path on current code
     # --- stalest greens: last graded r1/r2, unchanged code ---
     "media_features",
     "q19_disjunctive",
@@ -81,7 +83,6 @@ _PRIORITY = [
     "sessionize_events",
     "gapfill_hourly",
     "js_transform",
-    "decontaminate",
 ]
 
 

@@ -450,3 +450,21 @@ def test_semantic_decontaminate_best_match_and_ties(spark):
     assert out[1]["best_bench_id"] == 10      # deterministic tiebreak
     assert out[1]["max_cosine"] == 1.0
     assert abs(out[2]["max_cosine"] - 2 ** -0.5) < 1e-12
+
+
+def test_semantic_decontaminate_zero_norm_vector_is_skipped(spark):
+    """An all-zero embedding (empty doc / padding row) has undefined
+    cosine: under ANSI mode the unguarded division would kill the job;
+    the guard yields NULL, which falls out of the threshold filter."""
+    from transporter_spark.operators.similarity import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 0.0])],   # zero-norm BENCH vec too
+        "vec_id long, embedding array<double>",
+    )
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_decontaminate(train, bench, threshold=0.5).collect()
+    assert [(r["id"], r["best_bench_id"]) for r in out] == [(1, 10)]

@@ -265,7 +265,11 @@ def semantic_decontaminate(
     dot = F.expr(
         "aggregate(zip_with(vec, bvec, (x, y) -> x * y), 0D, (s, v) -> s + v)"
     )
-    cos = dot / (F.col("_tn") * F.col("_bn"))
+    # zero-norm guard (ANSI mode makes x/0 an error): an all-zero
+    # embedding (empty doc / padding row) has undefined cosine — NULL
+    # here, which then falls out of the >= threshold filter.
+    denom = F.col("_tn") * F.col("_bn")
+    cos = F.when(denom > 0, dot / denom)
     if round_dp is not None:
         cos = F.round(cos, round_dp)
     scored = t.join(F.broadcast(b)).select("id", "bench_id", cos.alias("cosine"))

@@ -18,6 +18,7 @@ dims, aggregate before join where possible, never collect to driver).
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Dict, NamedTuple, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1446,9 +1447,11 @@ QUERIES["minhash_lsh_pairs"] = QUERIES["minhash_lsh_pairs"]._replace(
 )
 
 
-# persisted-corpus band index, built once per (session, sf_dir) — see
-# q_incremental_dedup docstring. Tiny (bands x ~40 B per corpus doc);
-# dies with the session, so it can never go stale across testdata swaps.
+# persisted-corpus band index, built once per (session, sf_dir,
+# source-file mtime) — see q_incremental_dedup docstring. Tiny (bands
+# x ~40 B per corpus doc); dies with the session, and the mtime key
+# means an in-place testdata regeneration rebuilds (and unpersists)
+# rather than serving a stale index.
 _INC_INDEX_CACHE: dict = {}
 
 
@@ -1485,9 +1488,16 @@ def q_incremental_dedup(spark, sf_dir):
     docs = read_table(spark, sf_dir, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
-    key = (spark.sparkContext.applicationId, sf_dir)
+    src = os.path.join(sf_dir, "documents.parquet")
+    mtime = os.path.getmtime(src) if os.path.exists(src) else 0
+    key = (spark.sparkContext.applicationId, sf_dir, mtime)
     index = _INC_INDEX_CACHE.get(key)
     if index is None:
+        for old in [k for k in _INC_INDEX_CACHE if k[:2] == key[:2]]:
+            try:  # superseded by a testdata rewrite: release the cache
+                _INC_INDEX_CACHE.pop(old).unpersist()
+            except Exception:
+                pass
         index = band_index(corpus).cache()
         index.count()  # one-time index build ("write" of the persisted state)
         _INC_INDEX_CACHE[key] = index
