@@ -596,12 +596,24 @@ def test_curation_pipeline_two_corpus_shuffles(spark, sf_dir):
     corpus-wide hash shuffle (32-hex fingerprint window), the weights
     aggregate adds the only other hash exchange, and the weights join
     back to the corpus broadcasts."""
+    from transporter_spark.operators.dedup import release_cached
+
     df = QUERIES["curation_pipeline"].fn(spark, sf_dir)
-    body = explain_str(df).split("== Physical Plan ==")[-1]
-    assert "BroadcastHashJoin" in body and "SortMergeJoin" not in body
-    assert "CartesianProduct" not in body
-    # the only hash-exchange keys in the whole plan: the dedup window's
-    # 32-hex fingerprint (_h) and the weights aggregate's source —
-    # the gate itself contributes no exchange
-    keys = {p.split("#")[0] for p in set(re.findall(r"hashpartitioning\((\w+#\d+)", body))}
-    assert keys == {"_h", "source"}, keys
+    try:
+        body = explain_str(df).split("== Physical Plan ==")[-1]
+        assert "BroadcastHashJoin" in body and "SortMergeJoin" not in body
+        assert "CartesianProduct" not in body
+        # the only hash-exchange keys in the whole plan: the dedup
+        # window's 32-hex fingerprint (_h) and the weights aggregate's
+        # source — the gate itself contributes no exchange
+        keys = {
+            p.split("#")[0]
+            for p in set(re.findall(r"hashpartitioning\((\w+#\d+)", body))
+        }
+        assert keys == {"_h", "source"}, keys
+        # the gated+deduped corpus is cached and shared by BOTH
+        # consumers: ONE corpus scan total, not one per consumer
+        assert "InMemoryRelation" in body
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1
+    finally:
+        release_cached(df)

@@ -4729,15 +4729,22 @@ def q_curation_pipeline(spark, sf_dir):
     from transporter_spark.operators.sampling import mix_weights, sample_to_mix
     from transporter_spark.operators.text import gopher_rules, token_count
 
+    from transporter_spark.operators.dedup import _attach_cached
+
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     keep = gopher_rules(stopwords=_GATE_STOPWORDS)["keep"]
     deduped = dedup_exact(["text"])(docs.filter(keep))
-    with_tok = deduped.withColumn("n_tok", token_count("text"))
+    # cache the gated+deduped corpus: BOTH consumers (the weights
+    # aggregate and the sampled output) read it — uncached, the gate
+    # scan and the dedup shuffle would run twice. MEMORY_AND_DISK
+    # spills at scale; consumers release via release_cached.
+    with_tok = deduped.withColumn("n_tok", token_count("text")).cache()
     w = mix_weights(with_tok, _MIX_TARGET, by="source", size_col="n_tok")
-    return (
+    return _attach_cached(
         sample_to_mix(with_tok, w, by="source", key="doc_id")
         .select("doc_id", "source")
-        .orderBy("doc_id")
+        .orderBy("doc_id"),
+        with_tok,
     )
 
 
