@@ -122,3 +122,68 @@ def test_sessionize_partition_invariant(spark):
     a = sorted(map(tuple, sessionize(df, "user_id", "ts").collect()))
     b = sorted(map(tuple, sessionize(df.repartition(13), "user_id", "ts").collect()))
     assert a == b
+
+
+def test_asof_join_forward_and_nearest_directions(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)), (2, 100, _ts(14)), (3, 100, _ts(100)),
+         (4, 200, _ts(5))],
+        "event_id long, k long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, _ts(0), "a"), (100, _ts(10), "b"), (100, _ts(20), "c"),
+         (200, _ts(1), "early")],
+        "k long, ts timestamp, v string",
+    )
+    fwd = {
+        r.event_id: r.v
+        for r in asof_join(left, right, on=["k"], direction="forward").collect()
+    }
+    assert fwd[1] == "b"    # equal timestamp eligible (>=)
+    assert fwd[2] == "c"    # oldest at-or-after 14
+    assert fwd[3] is None   # nothing after 100
+    assert fwd[4] is None   # right exists only BEFORE (forward finds none)
+
+    near = {
+        r.event_id: r.v
+        for r in asof_join(left, right, on=["k"], direction="nearest").collect()
+    }
+    assert near[1] == "b"   # exact match
+    assert near[2] == "b"   # 4 back vs 6 forward -> backward
+    assert near[3] == "c"   # only backward exists
+    assert near[4] == "early"  # only backward exists for key 200
+    # tie: 15 is 5 from b(10) and 5 from c(20) -> backward wins (pandas)
+    tie = spark.createDataFrame(
+        [(9, 100, _ts(15))], "event_id long, k long, ts timestamp"
+    )
+    row = asof_join(tie, right, on=["k"], direction="nearest").collect()[0]
+    assert row.v == "b"
+
+
+def test_asof_join_forward_and_nearest_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, 1, _ts(0))], "event_id long, k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(120), "far")], "k long, ts timestamp, v string"
+    )
+    out = asof_join(
+        left, right, on=["k"], direction="forward", tolerance="1 hour"
+    ).collect()[0]
+    assert out.v is None    # 2h ahead exceeds tolerance
+    out = asof_join(
+        left, right, on=["k"], direction="nearest", tolerance="1 hour"
+    ).collect()[0]
+    assert out.v is None    # nearest respects per-side tolerance too
+    out = asof_join(
+        left, right, on=["k"], direction="nearest", tolerance="3 hour"
+    ).collect()[0]
+    assert out.v == "far"
+
+
+def test_asof_join_unknown_direction_raises(spark):
+    import pytest as _pytest
+
+    left = spark.createDataFrame([(1, 1, _ts(0))], "e long, k long, ts timestamp")
+    with _pytest.raises(ValueError):
+        asof_join(left, left, on=["k"], direction="sideways")

@@ -32,21 +32,33 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Optional[Sequence[str]] = None,
     tolerance: Optional[str] = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the newest right row with
-    ``right.ts <= left.ts`` (per key) — the trade-enrichment /
-    dimension-versioning join.
+    """For every left row, attach the matching right row per key — the
+    trade-enrichment / dimension-versioning join, with pandas
+    merge_asof's full direction surface:
+
+    - ``backward`` (default): newest right with ``right.ts <= left.ts``
+    - ``forward``: oldest right with ``right.ts >= left.ts``
+    - ``nearest``: whichever of the two is closer in time (ties go
+      backward, pandas semantics)
 
     Algorithm (merge-asof, shuffle-once): tag and union both sides,
     window over (key) ordered by (ts, side) with side=right first on
     ties... actually side ordering: a right row AT the same ts is
-    eligible (<=), so rights sort BEFORE lefts at equal ts. Carry the
-    last non-null right payload forward; keep left rows.
+    eligible (<= / >=), so rights sort BEFORE lefts at equal ts. Carry
+    the last non-null right payload forward (backward) or backward
+    over a descending sort (forward); keep left rows. ``nearest`` runs
+    BOTH windows over the one union — same single shuffle, two sorts —
+    then picks per row.
 
     tolerance: optional max staleness (e.g. '1 hour') — matches
     pandas merge_asof's tolerance and keeps the result NULL when the
-    newest right row is too old.
+    matched right row is too far away (applied per side before the
+    nearest choice).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction!r}")
     on = list(on)
     right_cols = list(right_cols) if right_cols is not None else [
         c for c in right.columns if c not in on and c != right_ts
@@ -65,18 +77,56 @@ def asof_join(
             rt = rt.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     lt = lt.withColumn("_rpayload", F.lit(None).cast(rt.schema["_rpayload"].dataType))
     unioned = lt.select(rt.columns).unionByName(rt)
-    w = (
+    frame = (Window.unboundedPreceding, Window.currentRow)
+    w_back = (
+        Window.partitionBy(*on).orderBy("_t", "_side").rowsBetween(*frame)
+    )
+    w_fwd = (
         Window.partitionBy(*on)
-        .orderBy("_t", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        .orderBy(F.col("_t").desc(), "_side")
+        .rowsBetween(*frame)
     )
-    carried = unioned.withColumn(
-        "_r", F.last("_rpayload", ignorenulls=True).over(w)
-    )
+
+    def _gate(col, fresh):
+        return F.when(fresh, col) if tolerance is not None else col
+
+    tol = F.expr(f"INTERVAL {tolerance}") if tolerance is not None else None
+    if direction == "backward":
+        carried = unioned.withColumn(
+            "_r", F.last("_rpayload", ignorenulls=True).over(w_back)
+        )
+        if tolerance is not None:
+            carried = carried.withColumn(
+                "_r", _gate(F.col("_r"), F.col("_r._rts") >= F.col("_t") - tol)
+            )
+    elif direction == "forward":
+        carried = unioned.withColumn(
+            "_r", F.last("_rpayload", ignorenulls=True).over(w_fwd)
+        )
+        if tolerance is not None:
+            carried = carried.withColumn(
+                "_r", _gate(F.col("_r"), F.col("_r._rts") <= F.col("_t") + tol)
+            )
+    else:  # nearest: both candidates from the one shuffled union
+        carried = unioned.withColumn(
+            "_rb", F.last("_rpayload", ignorenulls=True).over(w_back)
+        ).withColumn("_rf", F.last("_rpayload", ignorenulls=True).over(w_fwd))
+        if tolerance is not None:
+            carried = carried.withColumn(
+                "_rb", _gate(F.col("_rb"), F.col("_rb._rts") >= F.col("_t") - tol)
+            ).withColumn(
+                "_rf", _gate(F.col("_rf"), F.col("_rf._rts") <= F.col("_t") + tol)
+            )
+        back_dist = F.col("_t") - F.col("_rb._rts")
+        fwd_dist = F.col("_rf._rts") - F.col("_t")
+        carried = carried.withColumn(
+            "_r",
+            F.when(F.col("_rb").isNull(), F.col("_rf"))
+            .when(F.col("_rf").isNull(), F.col("_rb"))
+            .when(fwd_dist < back_dist, F.col("_rf"))  # tie -> backward
+            .otherwise(F.col("_rb")),
+        )
     out = carried.filter(F.col("_side") == 1)
-    if tolerance is not None:
-        fresh = F.col("_r._rts") >= F.col("_t") - F.expr(f"INTERVAL {tolerance}")
-        out = out.withColumn("_r", F.when(fresh, F.col("_r")))
     keep = [c for c in left.columns]
     return out.select(
         *keep,

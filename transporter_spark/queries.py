@@ -4789,3 +4789,75 @@ def q_stream_curation(spark, sf_dir):
         pre_filter=keep,
     )
     return kept.select("doc_id").orderBy("doc_id")
+
+
+@q(
+    "asof_join_forward",
+    oracle="""
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts, value AS signup_value FROM events
+           WHERE event_type = 'signup')
+SELECT l.event_id, l.user_id, l.ts, r.signup_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
+""",
+)
+def q_asof_join_forward(spark, sf_dir):
+    """Forward as-of join (pandas merge_asof direction='forward'):
+    each purchase gets the user's OLDEST signup value at-or-after its
+    timestamp — "the next action after this event". Same merge-asof
+    shape as the backward join (union + ONE shuffle + carry over a
+    descending sort), never an inequality nested loop. Oracle:
+    DuckDB's native ASOF with the inequality flipped."""
+    from transporter_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    return asof_join(
+        left, right, on=["user_id"], right_cols=["signup_value"],
+        direction="forward",
+    )
+
+
+@q(
+    "asof_join_nearest",
+    oracle="""
+WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     r AS (SELECT user_id, ts AS rts, value AS signup_value FROM events
+           WHERE event_type = 'signup'),
+cand AS (
+  SELECT l.event_id, r.signup_value,
+         ROW_NUMBER() OVER (
+           PARTITION BY l.event_id
+           ORDER BY ABS(epoch(l.ts) - epoch(r.rts)),
+                    CASE WHEN r.rts <= l.ts THEN 0 ELSE 1 END) AS rn
+  FROM l JOIN r USING (user_id))
+SELECT l.event_id, l.user_id, l.ts, c.signup_value
+FROM l LEFT JOIN (SELECT event_id, signup_value FROM cand WHERE rn = 1) c
+USING (event_id)
+""",
+)
+def q_asof_join_nearest(spark, sf_dir):
+    """Nearest as-of join (pandas merge_asof direction='nearest'):
+    each purchase gets whichever signup — before or after — is closer
+    in time, ties resolved backward (pandas semantics). BOTH
+    candidates come from the ONE shuffled union (two window sorts,
+    one exchange); the oracle ranks the same choice with a correlated
+    window over the key join."""
+    from transporter_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    return asof_join(
+        left, right, on=["user_id"], right_cols=["signup_value"],
+        direction="nearest",
+    )
