@@ -24,8 +24,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 5: 8 new + 2 changed + the 25 queries
-# last graded in r1/r2 + 15 high-value r3 greens not re-graded in r4
+# to the STALEST greens. Round 5: 9 new + 2 changed + the 25 queries
+# last graded in r1/r2 + 14 high-value r3 greens not re-graded in r4
 # (asof_join sits among those 15 but counts as changed too: the
 # direction refactor touched its backward path).
 # Everything outside the 50 is green on unchanged code (r3/r4 rows).
@@ -39,6 +39,7 @@ _PRIORITY = [
     "stream_curation",         # the same gate inside the ingest sink
     "asof_join_forward",       # merge_asof direction='forward'
     "asof_join_nearest",       # merge_asof direction='nearest'
+    "fuzzy_name_pairs",        # SymSpell edit-distance join
     # --- changed round 5 ---
     "incremental_dedup",       # fast hash family + session-cached index
     "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:
@@ -83,7 +84,6 @@ _PRIORITY = [
     "stream_stream_join",
     "stream_windowed_agg",
     "rollup_lattice_daily",
-    "scd2_history",
     "js_transform",
 ]
 

@@ -468,3 +468,34 @@ def test_semantic_decontaminate_zero_norm_vector_is_skipped(spark):
     )
     out = semantic_decontaminate(train, bench, threshold=0.5).collect()
     assert [(r["id"], r["best_bench_id"]) for r in out] == [(1, 10)]
+
+
+def test_symspell_pairs_edit_kinds_and_recall(spark):
+    """Every distance-1 edit kind collides in the variant blocking:
+    substitution, insertion, deletion, exact duplicate — and a
+    distance-2 pair survives blocking but dies in verification."""
+    from transporter_spark.operators.dedup import symspell_pairs
+
+    rows = [
+        (1, "kitten"),
+        (2, "mitten"),     # substitution (dist 1)
+        (3, "kittens"),    # insertion (dist 1)
+        (4, "kiten"),      # deletion (dist 1)
+        (5, "kitten"),     # exact duplicate (dist 0)
+        (6, "mittens"),    # dist 2 from kitten: blocked via mitten/kittens? no shared variant with 1
+        (7, "zzz"),        # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    pairs = {
+        (r.id_a, r.id_b): r.dist
+        for r in symspell_pairs(df, "name", "doc_id").collect()
+    }
+    assert pairs[(1, 2)] == 1 and pairs[(1, 3)] == 1 and pairs[(1, 4)] == 1
+    assert pairs[(1, 5)] == 0
+    assert (2, 6) in pairs and (3, 6) in pairs   # mitten(s)/kitten(s)+1
+    assert (1, 6) not in pairs                   # dist 2: verified away
+    assert all(k != (1, 7) and k != (7, 1) for k in pairs)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        symspell_pairs(df, "name", "doc_id", max_distance=2)

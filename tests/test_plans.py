@@ -617,3 +617,14 @@ def test_curation_pipeline_two_corpus_shuffles(spark, sf_dir):
         assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1
     finally:
         release_cached(df)
+
+
+def test_fuzzy_pairs_equi_join_no_cartesian(spark, sf_dir):
+    """SymSpell blocking is an equi-join on the deletion-variant key:
+    no cartesian/nested-loop anywhere, and verification (levenshtein)
+    runs only on candidate rows."""
+    df = QUERIES["fuzzy_name_pairs"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" not in body
+    assert "levenshtein" in body.lower()

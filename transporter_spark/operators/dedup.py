@@ -1056,3 +1056,60 @@ def dedup_clusters(
         "component",
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SymSpell-style fuzzy join (edit-distance blocking)
+# ---------------------------------------------------------------------------
+
+def symspell_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    max_distance: int = 1,
+) -> DataFrame:
+    """Approximate-string self-join for typo-level matching: pairs of
+    rows whose ``text_col`` values are within Levenshtein
+    ``max_distance`` (currently 1 — the SymSpell d=1 scheme).
+
+    Blocking is symmetric deletion (the SymSpell insight, public):
+    every string emits itself plus each single-character deletion as a
+    variant key; two strings within edit distance 1 ALWAYS share a
+    variant (substitution -> same-position deletions collide;
+    insert/delete -> the longer string's deletion equals the shorter;
+    equality -> the string itself), so the equi-join on variants has
+    full recall and exact Levenshtein verification never misses.
+
+    Scale shape: the variant fan-out is length+1 rows per string (a
+    constant of the schema, not the corpus); candidates come from an
+    equi-join on the variant key — bucket sizes are near-singleton for
+    natural text, and there is NO pairwise comparison outside
+    verified candidates. This is the spell-correction / entity-typo
+    join pattern at corpus scale.
+    """
+    if max_distance != 1:
+        raise ValueError("symspell_pairs currently supports max_distance=1")
+    variants = F.expr(
+        "if(length(s) = 0, array(s), "
+        "array_union(array(s), transform(sequence(1, length(s)), "
+        "i -> concat(substr(s, 1, i - 1), substr(s, i + 1, length(s))))))"
+    )
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("s")
+    ).withColumn("var", F.explode(variants))
+    a, b = v.alias("a"), v.alias("b")
+    cand = (
+        a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.s").alias("_sa"),
+            F.col("b.s").alias("_sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("dist") <= max_distance)
+        .select("id_a", "id_b", "dist")
+    )

@@ -4861,3 +4861,38 @@ def q_asof_join_nearest(spark, sf_dir):
         left, right, on=["user_id"], right_cols=["signup_value"],
         direction="nearest",
     )
+
+
+@q(
+    "fuzzy_name_pairs",
+    oracle="""
+WITH v AS (
+  SELECT c_custkey AS id, c_name AS s,
+         unnest(list_prepend(c_name,
+           list_transform(range(1, length(c_name) + 1),
+             i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name)))))
+           AS var
+  FROM customer),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM v a JOIN v b ON a.var = b.var AND a.id < b.id),
+ver AS (SELECT c.id_a, c.id_b, levenshtein(sa.c_name, sb.c_name) AS dist
+        FROM cand c JOIN customer sa ON sa.c_custkey = c.id_a
+                    JOIN customer sb ON sb.c_custkey = c.id_b)
+SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+FROM ver WHERE dist <= 1 ORDER BY id_a, id_b
+""",
+)
+def q_fuzzy_name_pairs(spark, sf_dir):
+    """SymSpell fuzzy join (edit-distance <= 1) over customer names:
+    symmetric-deletion variants block (full recall by construction),
+    exact Levenshtein verifies — the spell-correction / entity-typo
+    matching pattern. Variant fan-out is length+1 per string (a schema
+    constant); candidates are an equi-join on the variant key, never a
+    pairwise comparison."""
+    from transporter_spark.operators.dedup import symspell_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    pairs = symspell_pairs(cust, "c_name", "c_custkey")
+    return pairs.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    ).orderBy("id_a", "id_b")
