@@ -40,6 +40,10 @@ _PRIORITY = [
     "asof_join_forward",       # merge_asof direction='forward'
     "asof_join_nearest",       # merge_asof direction='nearest'
     "fuzzy_name_pairs",        # SymSpell edit-distance join
+    "temperature_mix_weights", # share^alpha mix smoothing
+    "balanced_shards",         # token-balanced snake sharding
+    "dsir_select",             # hashed-ngram importance resampling
+    "kmeans_update",           # Lloyd centroid-update partials
     # --- changed round 5 ---
     "incremental_dedup",       # fast hash family + session-cached index
     "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:
@@ -70,12 +74,12 @@ _PRIORITY = [
     "repetition_stats",
     "array_funcs",
     "frame_sample",
-    # --- next-stalest: graded r3, not since; highest-value first ---
+    # --- next-stalest: graded r3, not since; highest-value first.
+    # (q1_pricing_summary / q5_local_supplier / asof_join /
+    # minhash_lsh_pairs rotated OUT this round to make room for the 4
+    # late-round-5 queries: all four are byte-identical since r1 and
+    # were green r3 — the least-stale unchanged rows in the list.) ---
     "training_pipeline",
-    "q1_pricing_summary",
-    "q5_local_supplier",
-    "asof_join",
-    "minhash_lsh_pairs",
     "incremental_dedup_exact",
     "dedup_clusters",
     "ann_ivf_topk",

@@ -628,3 +628,64 @@ def test_fuzzy_pairs_equi_join_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in body
     assert "BroadcastNestedLoopJoin" not in body
     assert "levenshtein" in body.lower()
+
+
+def test_temperature_weights_single_corpus_shuffle(spark, sf_dir):
+    """Same contract as mix_weights: one map-side-combined groupBy over
+    the corpus; pow/renormalization windows touch only the #domains-row
+    aggregate."""
+    df = QUERIES["temperature_mix_weights"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1
+    assert body.count("HashAggregate") >= 2
+    assert body.count("hashpartitioning") == 1, body
+
+
+def test_balanced_shards_no_corpus_hash_exchange(spark, sf_dir):
+    """The scalable zipWithIndex: ONE range exchange positions the
+    corpus, local numbering is an Arrow mapInPandas — there must be NO
+    hashpartitioning anywhere (a pid-window formulation would re-
+    exchange the whole corpus) and no single-partition global sort
+    below the numbering step."""
+    df = QUERIES["balanced_shards"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "hashpartitioning" not in body, body
+    assert "MapInPandas" in body
+    # exchanges: the one rank-positioning range exchange (AQE prints it
+    # twice — initial + final plan of the cached subtree) + the
+    # presentation sort
+    assert body.count("rangepartitioning") <= 3
+    read_schema = [l for l in body.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema  # token counts computed in the scan pass
+
+
+def test_dsir_single_corpus_tokenization_and_broadcast_scores(spark, sf_dir):
+    """DSIR: the corpus is tokenized once (the cached occurrence frame
+    feeds BOTH the raw histogram and the scoring join — visible as
+    InMemoryRelation), the B-row score table broadcasts, and no
+    cartesian/nested-loop appears anywhere."""
+    df = QUERIES["dsir_select"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "BroadcastHashJoin" in body
+    assert "InMemoryRelation" in body
+    # raw corpus text scanned once (cached occ); the only other text
+    # scan is the small target slice
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) <= 2
+    # top-n is a bounded heap, not a global sort of the score frame
+    assert "TakeOrderedAndProject" in body
+
+
+def test_kmeans_update_broadcast_assign_tiny_final_agg(spark, sf_dir):
+    """Centroid update: centroids broadcast for assignment (never a
+    shuffled join), the per-vector argmin prunes map-side
+    (WindowGroupLimit), and the only exchanges are the per-vector
+    window plus the k x dims final aggregate — both with map-side
+    partial aggregation."""
+    df = QUERIES["kmeans_update"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" in body and "BuildRight" in body
+    assert "WindowGroupLimit" in body
+    assert body.count("hashpartitioning") <= 2, body
+    assert body.count("HashAggregate") >= 2

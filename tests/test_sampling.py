@@ -115,3 +115,114 @@ def test_mix_weights_zero_token_group_is_dropped_not_kept(spark):
     assert rows["b"]["keep_rate"] == 0.0
     kept = sample_to_mix(df, w, key="doc_id").collect()
     assert [(r["source"], r["doc_id"]) for r in kept] == [("a", 6)]
+
+
+def test_temperature_weights_boost_tail_flatten_head(spark):
+    """alpha<1 moves mass from the dominant domain to the tail: the big
+    domain's keep_rate drops below 1, the tail's weight exceeds 1, and
+    temp shares still sum to 1."""
+    from transporter_spark.operators.sampling import temperature_weights
+
+    rows = [("web", i, 100) for i in range(9)] + [("books", 100, 100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tok long")
+    w = {r["source"]: r.asDict() for r in temperature_weights(df, 0.3).collect()}
+    assert abs(w["web"]["temp_share"] + w["books"]["temp_share"] - 1.0) < 1e-6
+    assert w["web"]["weight"] < 1.0 < w["books"]["weight"]
+    assert w["web"]["keep_rate"] < 1.0 and w["books"]["keep_rate"] == 1.0
+
+
+def test_temperature_alpha_one_is_identity_mix(spark):
+    from transporter_spark.operators.sampling import temperature_weights
+
+    df = spark.createDataFrame(
+        [("a", 1, 30), ("b", 2, 70)], "source string, doc_id long, n_tok long"
+    )
+    w = {r["source"]: r.asDict() for r in temperature_weights(df, 1.0).collect()}
+    for g in ("a", "b"):
+        assert abs(w[g]["weight"] - 1.0) < 1e-7
+        assert abs(w[g]["temp_share"] - w[g]["token_share"]) < 1e-7
+
+
+def test_global_rank_matches_window_and_is_partition_invariant(spark):
+    """The offset+mapInPandas rank equals a single-partition window
+    rank, under two different input partitionings."""
+    from transporter_spark.operators.sampling import global_rank
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 100) for i in range(200)], "id long, v long"
+    )
+    expected = df.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("v"), F.asc("id"))).cast("long"),
+    )
+    for parts in (1, 13):
+        got = global_rank(df.repartition(parts), "v", "id", ascending=False)
+        assert sorted(got.select("id", "rank").collect()) == sorted(
+            expected.select("id", "rank").collect()
+        )
+
+
+def test_balanced_shards_token_balance_beats_hash_sharding(spark):
+    """Snake assignment: every shard gets the same row count (n divides
+    evenly) and token totals within a tight band — the property hash
+    sharding doesn't give under size skew."""
+    from transporter_spark.operators.sampling import balanced_shards
+
+    # heavy-tailed sizes: a few huge docs, many small
+    rows = [(i, 10_000 if i < 8 else 50 + i % 40) for i in range(160)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tok long")
+    out = balanced_shards(df, "n_tok", "doc_id", 8)
+    agg = {
+        r["shard"]: (r["rows"], r["tok"])
+        for r in out.groupBy("shard")
+        .agg(F.count("*").alias("rows"), F.sum("n_tok").alias("tok"))
+        .collect()
+    }
+    assert set(agg) == set(range(8))
+    assert len({rows for rows, _ in agg.values()}) == 1  # equal row counts
+    toks = [t for _, t in agg.values()]
+    assert max(toks) - min(toks) <= max(toks) * 0.05
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Docs sharing the target's vocabulary outscore disjoint-vocab
+    docs; the target slice itself ranks on top."""
+    from transporter_spark.operators.selection import dsir_select
+
+    tgt_text = "alpha beta gamma delta alpha beta"
+    rows = (
+        [(i, tgt_text) for i in range(5)]
+        + [(10 + i, "alpha beta gamma zeta") for i in range(3)]
+        + [(20 + i, "omega psi chi phi upsilon tau") for i in range(5)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    target = df.filter(F.col("doc_id") < 5)
+    top = dsir_select(df, target, n=8, buckets=256)
+    picked = {r["doc_id"] for r in top.collect()}
+    assert picked == {0, 1, 2, 3, 4, 10, 11, 12}
+    scores = {r["doc_id"]: r["dsir_score"] for r in top.collect()}
+    assert scores[0] > scores[10]
+
+
+def test_kmeans_update_partials_reconstruct_means(spark):
+    """sum/n per (cell, dim) equals the per-cluster component mean of
+    the vectors assigned by nearest-centroid; counts are identical for
+    every dim of a cell."""
+    from transporter_spark.operators.similarity import kmeans_update
+
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.0, 1.0]),          # centroids
+        (2, [0.9, 0.1]), (3, [0.8, 0.0]),          # near centroid 0
+        (4, [0.1, 0.9]),                            # near centroid 1
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cen = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    out = {(r["cell"], r["dim"]): (r["sum_val"], r["n"])
+           for r in kmeans_update(df, cen).collect()}
+    assert out[(0, 0)][1] == 3 and out[(1, 0)][1] == 2
+    assert abs(out[(0, 0)][0] - (1.0 + 0.9 + 0.8)) < 1e-6
+    assert abs(out[(1, 1)][0] - (1.0 + 0.9)) < 1e-6

@@ -150,3 +150,155 @@ def sample_to_mix(
         .filter(F.pmod(stable_hash32(F.col(key)), F.lit(resolution)) < F.col("_rate_bps"))
         .drop("_rate_bps")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    alpha: float = 0.3,
+    by: str = "source",
+    size_col: "str | None" = None,
+) -> DataFrame:
+    """Temperature-scaled mix weights: target share of group i is
+    share_i^alpha / sum_j share_j^alpha — the standard smoothing for
+    multilingual / multi-domain pretraining mixes (alpha=1 keeps the
+    natural mix, alpha=0 is uniform, alpha~0.3 boosts the tail without
+    flattening the head; the exponent-sampling scheme popularized by
+    multilingual NMT and mT5). Unlike `mix_weights` there is no
+    hand-written target dict: the target is derived from the corpus
+    itself, so the same alpha works as the corpus drifts.
+
+    Output per group: docs, tokens, token_share, temp_share, weight
+    (= temp_share / token_share) and keep_rate — same contract as
+    `mix_weights`, so `sample_to_mix` applies unchanged.
+
+    All derived doubles are rounded to 8dp: pow/division may differ by
+    1 ulp across engines, and the window sums run in engine-chosen
+    order; at 8dp both render identically. Scale shape: identical to
+    `mix_weights` — one map-side-combined groupBy to a #groups-row
+    frame; windows touch only that tiny aggregate.
+    """
+    size = F.lit(1).cast("long") if size_col is None else F.col(size_col).cast("long")
+    agg = df.groupBy(by).agg(
+        F.count("*").alias("docs"), F.sum(size).alias("tokens")
+    )
+    everything = Window.partitionBy()
+    total = F.sum("tokens").over(everything).cast("double")
+    share = F.when(total > 0, F.col("tokens").cast("double") / total)
+    powed = F.when(
+        F.col("token_share").isNotNull(), F.pow(F.col("token_share"), F.lit(alpha))
+    )
+    temp = F.col("_pow") / F.sum("_pow").over(everything)
+    weight = F.when(
+        F.col("token_share") > 0, F.col("temp_share") / F.col("token_share")
+    )
+    return (
+        agg.withColumn("token_share", share)
+        .withColumn("_pow", powed)
+        .withColumn("temp_share", F.round(temp, 8))
+        .withColumn("weight", F.round(weight, 8))
+        .withColumn("token_share", F.round("token_share", 8))
+        .withColumn(
+            "keep_rate",
+            F.when(
+                F.col("weight").isNotNull(), F.least(F.lit(1.0), F.col("weight"))
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("_pow")
+    )
+
+
+def global_rank(
+    df: DataFrame,
+    order_col: str,
+    tie_col: str,
+    ascending: bool = False,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact global 1-based rank over (order_col, tie_col) WITHOUT a
+    single-partition window — the scalable zipWithIndex:
+
+    1. `repartitionByRange` on the total order (range exchange),
+    2. per-partition row counts -> cumulative offsets (a #partitions-
+       row collect — bounded by cluster size, never by data),
+    3. rank = partition offset + intra-partition row_number.
+
+    The rank is fully determined by the total order, NOT by where the
+    sampled range boundaries land, so the result is identical across
+    cluster sizes and re-runs. A plain `row_number() OVER (ORDER BY
+    ...)` funnels 100 TB through ONE task; this shape sorts each range
+    partition independently — the same plan Spark uses for a global
+    `orderBy`, plus one tiny counting job.
+    """
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+        F.col(tie_col).asc(),
+    ]
+    ranged = df.repartitionByRange(*order).sortWithinPartitions(*order)
+    ranged.persist()
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    # Arrow-batched local numbering: each partition knows its global
+    # base, batches arrive in the sorted partition order, a running
+    # counter spans batches. A `row_number() OVER (PARTITION BY pid)`
+    # window would be equivalent but re-exchanges the whole corpus on
+    # pid (Catalyst can't see that range partitioning already clusters
+    # it); mapInPandas keeps the second pass exchange-free.
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        list(ranged.schema.fields) + [StructField(rank_col, LongType())]
+    )
+
+    def _number(iterator):
+        import numpy as np
+        from pyspark import TaskContext
+
+        base = offsets.get(TaskContext.get().partitionId(), 0)
+        seen = 0
+        for pdf in iterator:
+            n = len(pdf)
+            pdf[rank_col] = np.arange(
+                base + seen + 1, base + seen + n + 1, dtype="int64"
+            )
+            seen += n
+            yield pdf
+
+    return ranged.mapInPandas(_number, out_schema)
+
+
+def balanced_shards(
+    df: DataFrame,
+    size_col: str,
+    key: str,
+    n_shards: int,
+) -> DataFrame:
+    """Assign rows to ``n_shards`` output shards with near-equal total
+    ``size_col`` per shard — the writer-side step that keeps training
+    shards token-balanced so no data-loader rank starves (plain
+    hash-sharding balances row COUNTS; long-document skew then leaves
+    shards 2-3x apart in tokens).
+
+    Boustrophedon (snake) assignment over the size-descending global
+    rank: block k of ``n_shards`` consecutive ranks is dealt left-to-
+    right, block k+1 right-to-left, so each shard gets one doc per
+    block and alternating ends of the size ordering — the classic
+    greedy-equivalent balancing for sorted items, deterministic and
+    coordination-free once the rank exists (`global_rank` provides it
+    without a single-partition sort).
+    """
+    ranked = global_rank(df, size_col, key, ascending=False)
+    block = ((F.col("rank") - 1) / n_shards).cast("long")
+    pos = F.pmod(F.col("rank") - 1, F.lit(n_shards))
+    shard = F.when(
+        block % 2 == 0, pos
+    ).otherwise(F.lit(n_shards - 1) - pos)
+    return ranked.withColumn("shard", shard.cast("long"))

@@ -284,3 +284,45 @@ def semantic_decontaminate(
             F.col("cosine").alias("max_cosine"),
         )
     )
+
+
+def kmeans_update(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: Optional[int] = 8,
+    comp_dp: int = 6,
+) -> DataFrame:
+    """One Lloyd iteration's centroid-update partials: assign every
+    vector to its nearest centroid (`ivf_index` — broadcast centroids,
+    one corpus scan, per-vector window over k rows), then emit the
+    MERGEABLE partial per (cell, dim): exact component sum + member
+    count. The new centroid is sum/n — division is left to the caller
+    (presentation), so the output stays exact and re-aggregable, the
+    same discipline as a partial aggregate's (sum, count) pair.
+
+    Exactness policy: components are rounded to ``comp_dp`` decimals
+    and summed as DECIMAL(38,12) via the string cast (the repo-wide
+    `_dsum` policy) — decimal addition is associative, so the sums are
+    identical across partitionings and engines; a float sum would
+    depend on reduction order. Scale shape: posexplode keeps
+    (cell, dim) keys at k x dims — the groupBy is map-side combined
+    into a tiny frame regardless of corpus size.
+    """
+    assigned = ivf_index(corpus, centroids, id_col, vec_col, round_dp)
+    comp = assigned.select(
+        "cell", F.posexplode("vec").alias("dim", "comp")
+    )
+    dec = (
+        F.round(F.col("comp"), comp_dp)
+        .cast("string")
+        .cast("decimal(38,12)")
+    )
+    return (
+        comp.groupBy("cell", "dim")
+        .agg(
+            F.sum(dec).cast("string").cast("double").alias("sum_val"),
+            F.count("*").alias("n"),
+        )
+    )

@@ -4896,3 +4896,225 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     return pairs.select(
         "id_a", "id_b", F.col("dist").cast("long").alias("dist")
     ).orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# round-5 late additions: temperature mixing, balanced shards, DSIR
+# selection, k-means centroid update (training-data curation surface)
+# ===========================================================================
+
+_TW_RAW_SHARE = (
+    "CASE WHEN SUM(tokens) OVER () > 0 "
+    "THEN CAST(tokens AS DOUBLE) / SUM(tokens) OVER () END"
+)
+
+
+@q(
+    "temperature_mix_weights",
+    oracle=f"""
+WITH agg AS (
+  SELECT source, COUNT(*) AS docs,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+sh AS (SELECT *, {_TW_RAW_SHARE} AS raw_share FROM agg),
+p AS (
+  SELECT *, CASE WHEN raw_share IS NOT NULL THEN pow(raw_share, 0.3) END AS pw
+  FROM sh
+),
+t AS (SELECT *, round(pw / SUM(pw) OVER (), 8) AS temp_share FROM p),
+w AS (
+  SELECT *, CASE WHEN raw_share > 0
+                 THEN round(temp_share / raw_share, 8) END AS weight
+  FROM t
+)
+SELECT source, docs, tokens,
+       round(raw_share, 8) AS token_share, temp_share, weight,
+       CASE WHEN weight IS NOT NULL THEN LEAST(1.0, weight)
+            ELSE 0.0 END AS keep_rate
+FROM w ORDER BY source
+""",
+)
+def q_temperature_mix_weights(spark, sf_dir):
+    """Temperature-scaled domain mixing (share^0.3 renormalized — the
+    exponent-smoothing scheme of multilingual NMT / mT5): boosts tail
+    domains without a hand-written target dict, so the same alpha keeps
+    working as the corpus drifts. Same 100 TB shape as `mix_weights`:
+    one map-side-combined groupBy to a #domains-row frame; pow/share
+    windows run on that tiny aggregate only. Derived doubles rounded to
+    8dp — pow may differ by 1 ulp across engines."""
+    from transporter_spark.operators.sampling import temperature_weights
+    from transporter_spark.operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text")
+    )
+    return temperature_weights(docs, alpha=0.3, by="source", size_col="n_tok").orderBy(
+        "source"
+    )
+
+
+@q(
+    "balanced_shards",
+    oracle="""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tok,
+         CAST(row_number() OVER (ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rank
+  FROM d
+)
+SELECT doc_id, n_tok, rank,
+       CAST(CASE WHEN ((rank - 1) // 8) % 2 = 0
+                 THEN (rank - 1) % 8
+                 ELSE 7 - ((rank - 1) % 8) END AS BIGINT) AS shard
+FROM r ORDER BY rank
+""",
+    headline=True,
+)
+def q_balanced_shards(spark, sf_dir):
+    """Token-balanced output sharding: snake-deal docs (by descending
+    token count) into 8 shards so every data-loader rank gets near-
+    equal tokens — hash-sharding balances row counts, which long-doc
+    skew turns into 2-3x token imbalance. The global rank comes from
+    `global_rank` (range-repartition + per-partition offsets — the
+    scalable zipWithIndex), NEVER a single-partition row_number: at
+    100 TB the oracle's `OVER (ORDER BY ...)` would funnel everything
+    through one task; the engine shape sorts range partitions
+    independently plus one #partitions-row counting job."""
+    from transporter_spark.operators.sampling import balanced_shards
+    from transporter_spark.operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text")
+    )
+    return balanced_shards(
+        docs.select("doc_id", "n_tok"), "n_tok", "doc_id", 8
+    ).orderBy("rank")
+
+
+_DSIR_B = 1024
+
+@q(
+    "dsir_select",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT AS BIGINT) % {_DSIR_B}
+           AS bucket
+  FROM grams
+),
+tgt AS (
+  SELECT bucket, COUNT(*) AS t_cnt FROM b
+  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY bucket
+),
+rawh AS (SELECT bucket, COUNT(*) AS r_cnt FROM b GROUP BY bucket),
+allb AS (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS bucket),
+sc AS (
+  SELECT allb.bucket,
+         COALESCE(t_cnt, 0) AS t_cnt, COALESCE(r_cnt, 0) AS r_cnt
+  FROM allb LEFT JOIN tgt ON allb.bucket = tgt.bucket
+            LEFT JOIN rawh ON allb.bucket = rawh.bucket
+),
+tot AS (SELECT SUM(t_cnt) AS tt, SUM(r_cnt) AS rt FROM sc),
+scores AS (
+  SELECT bucket,
+         ((t_cnt + 1) * 1000000000) // (tt + {_DSIR_B})
+         - ((r_cnt + 1) * 1000000000) // (rt + {_DSIR_B}) AS score
+  FROM sc, tot
+),
+occ AS (SELECT doc_id, bucket, COUNT(*) AS occ FROM b GROUP BY 1, 2),
+wts AS (
+  SELECT doc_id, CAST(SUM(occ * score) AS BIGINT) AS dsir_score
+  FROM occ JOIN scores USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, dsir_score, sel_rank FROM (
+  SELECT doc_id, dsir_score,
+         CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS BIGINT)
+           AS sel_rank
+  FROM wts
+) WHERE sel_rank <= 100 ORDER BY sel_rank
+""",
+    headline=True,
+)
+def q_dsir_select(spark, sf_dir):
+    """DSIR-style data selection (hashed-n-gram importance resampling,
+    Xie et al. 2023): pick the 100 raw docs whose unigram+bigram hash
+    buckets look most like the English target slice. Scoring is FIXED-
+    POINT INTEGER (parts-per-1e9 smoothed probabilities, exact integer
+    division on both engines) so the selection is bit-reproducible —
+    see operators/selection.py for why the paper's float log-ratio is
+    kept behind a flag. 100 TB shape: the target histogram is tiny by
+    definition, the raw histogram is one map-side-combined groupBy to
+    1024 rows, scoring broadcasts that B-row table, and the top-n is
+    TakeOrdered over the #docs-row score frame — document text is
+    never shuffled or sorted."""
+    from transporter_spark.operators.selection import dsir_select
+
+    docs = read_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_select(docs, target, n=100, buckets=_DSIR_B)
+    return out.orderBy("sel_rank")
+
+
+@q(
+    "kmeans_update",
+    oracle=f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cen AS (SELECT vec_id AS cell, e AS cv FROM v WHERE vec_id IN (0, 1, 2, 3)),
+cos AS (
+  SELECT v.vec_id, v.e, cen.cell,
+         round(list_dot_product(v.e, cen.cv)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(cen.cv, cen.cv))),
+               8) AS sim
+  FROM v CROSS JOIN cen),
+assigned AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS rn
+    FROM cos) WHERE rn = 1),
+comp AS (
+  SELECT cell, i - 1 AS dim, e[i] AS comp
+  FROM (SELECT cell, e, unnest(generate_series(1, len(e))) AS i FROM assigned)
+)
+SELECT cell, CAST(dim AS BIGINT) AS dim,
+       {_DSUM('round(comp, 6)')} AS sum_val,
+       COUNT(*) AS n
+FROM comp GROUP BY cell, dim ORDER BY cell, dim
+""",
+)
+def q_kmeans_update(spark, sf_dir):
+    """One Lloyd iteration's centroid update as a MERGEABLE partial:
+    assign every embedding to its nearest of 4 fixed centroids (same
+    broadcast-assignment shape ann_ivf_topk pins), emit per-(cell,dim)
+    exact decimal component sums + member counts; sum/n is the new
+    centroid, division left to the caller so the partial stays exact
+    and re-aggregable. Float means would depend on reduction order —
+    decimal addition is associative, so the result is identical across
+    partitionings and engines (the repo-wide `_dsum` policy). The
+    groupBy keys are k x dims — tiny regardless of corpus size."""
+    from transporter_spark.operators.similarity import kmeans_update
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cen = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    out = kmeans_update(emb, cen, round_dp=8)
+    return out.select(
+        "cell", F.col("dim").cast("long").alias("dim"), "sum_val", "n"
+    ).orderBy("cell", "dim")
