@@ -291,6 +291,51 @@ def probe_semantic(spark):
     return times[1], times[MULT]
 
 
+def probe_dsir(spark):
+    """Fixed small target slice vs a 1x/Nx raw corpus: DSIR cost is one
+    tokenization pass over raw (cached occ frame) + a B-row broadcast —
+    wall time must scale ~linearly in raw, never with raw x target."""
+    from transporter_spark.operators.selection import dsir_select
+
+    docs = read_table(spark, SF_DIR, "documents")
+    target = docs.filter(F.col("lang") == "en").localCheckpoint(eager=True)
+    times = {}
+    for mult in (1, MULT):
+        raw = _replicate(docs, "doc_id", mult)
+
+        def run():
+            # the operator persists its occ frame and CacheManager
+            # matches identical plans across repeats — clear so every
+            # repeat pays the cold tokenization pass the claim is about
+            spark.catalog.clearCache()
+            dsir_select(raw, target, n=100).count()
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
+def probe_shards(spark):
+    """balanced_shards at 1x/Nx rows: one range exchange + local
+    numbering + a #partitions-row counting job — ~linear, no
+    single-task funnel to blow up at Nx."""
+    from transporter_spark.operators.sampling import balanced_shards
+    from transporter_spark.operators.text import token_count
+
+    docs = read_table(spark, SF_DIR, "documents").withColumn(
+        "n_tok", token_count("text")
+    ).select("doc_id", "n_tok")
+    times = {}
+    for mult in (1, MULT):
+        df = _replicate(docs, "doc_id", mult)
+
+        def run():
+            spark.catalog.clearCache()  # global_rank persists; see dsir
+            balanced_shards(df, "n_tok", "doc_id", 8).count()
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -299,6 +344,8 @@ PROBES = {
     "clustering": probe_clustering,
     "q5": probe_q5,
     "semantic": probe_semantic,
+    "dsir": probe_dsir,
+    "shards": probe_shards,
 }
 
 
