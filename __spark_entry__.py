@@ -24,10 +24,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 5: 9 new + 2 changed + the 25 queries
-# last graded in r1/r2 + 14 high-value r3 greens not re-graded in r4
-# (asof_join sits among those 15 but counts as changed too: the
-# direction refactor touched its backward path).
+# to the STALEST greens. Round 5: 13 new + 3 changed (incremental_dedup,
+# stream_ingest_dedup, asof_join — its backward path was touched by the
+# direction refactor) + the 25 queries last graded in r1/r2 + 9
+# high-value r3 greens.
 # Everything outside the 50 is green on unchanged code (r3/r4 rows).
 _PRIORITY = [
     # --- NEW round 5: must take a slot ---
@@ -74,11 +74,15 @@ _PRIORITY = [
     "repetition_stats",
     "array_funcs",
     "frame_sample",
+    # --- changed round 5 (late): asof_join's backward path was
+    # refactored by the direction work (merge_asof parity commit) —
+    # changed-since-green, so it KEEPS a slot ---
+    "asof_join",
     # --- next-stalest: graded r3, not since; highest-value first.
-    # (q1_pricing_summary / q5_local_supplier / asof_join /
-    # minhash_lsh_pairs rotated OUT this round to make room for the 4
-    # late-round-5 queries: all four are byte-identical since r1 and
-    # were green r3 — the least-stale unchanged rows in the list.) ---
+    # (q1_pricing_summary / q5_local_supplier / minhash_lsh_pairs /
+    # stream_windowed_agg rotated OUT to make room for the 4 late
+    # round-5 queries: all four byte-identical since their r3 green —
+    # the least-stale unchanged rows in the list.) ---
     "training_pipeline",
     "incremental_dedup_exact",
     "dedup_clusters",
@@ -86,7 +90,6 @@ _PRIORITY = [
     "stream_dedup",
     "stream_stateful_count",
     "stream_stream_join",
-    "stream_windowed_agg",
     "rollup_lattice_daily",
     "js_transform",
 ]

@@ -228,13 +228,25 @@ def global_rank(
     ...)` funnels 100 TB through ONE task; this shape sorts each range
     partition independently — the same plan Spark uses for a global
     `orderBy`, plus one tiny counting job.
+
+    Cache contract: the ranged frame is persisted (memory-and-disk)
+    because the collected offsets describe THAT materialization's
+    partition layout. If the cache is dropped and the exchange
+    recomputed under a different layout, the numbering pass detects
+    the count mismatch and FAILS the job — never silently mis-ranks.
+    In long-lived sessions call `dedup.release_cached(result)` after
+    the consuming action.
     """
+    from pyspark import StorageLevel
+
+    from transporter_spark.operators.dedup import _attach_cached
+
     order = [
         F.col(order_col).asc() if ascending else F.col(order_col).desc(),
         F.col(tie_col).asc(),
     ]
     ranged = df.repartitionByRange(*order).sortWithinPartitions(*order)
-    ranged.persist()
+    ranged.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))
@@ -262,7 +274,9 @@ def global_rank(
         import numpy as np
         from pyspark import TaskContext
 
-        base = offsets.get(TaskContext.get().partitionId(), 0)
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        expected = counts.get(pid, 0)
         seen = 0
         for pdf in iterator:
             n = len(pdf)
@@ -271,8 +285,15 @@ def global_rank(
             )
             seen += n
             yield pdf
+        if seen != expected:
+            raise RuntimeError(
+                f"global_rank: partition {pid} materialized {seen} rows "
+                f"but the offsets were built from {expected} — the "
+                "cached range layout was recomputed differently "
+                "(cache evicted / executor lost). Re-run the rank."
+            )
 
-    return ranged.mapInPandas(_number, out_schema)
+    return _attach_cached(ranged.mapInPandas(_number, out_schema), ranged)
 
 
 def balanced_shards(
@@ -296,7 +317,9 @@ def balanced_shards(
     without a single-partition sort).
     """
     ranked = global_rank(df, size_col, key, ascending=False)
-    block = ((F.col("rank") - 1) / n_shards).cast("long")
+    # integer `div`, not `/`: double division + truncation drifts past
+    # 2^53 ranks, and the DuckDB-oracle semantics are integer `//`
+    block = F.expr(f"(rank - 1) div {int(n_shards)}")
     pos = F.pmod(F.col("rank") - 1, F.lit(n_shards))
     shard = F.when(
         block % 2 == 0, pos

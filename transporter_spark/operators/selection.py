@@ -36,15 +36,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from transporter_spark.operators.dedup import stable_hash32, tokens
+from transporter_spark.operators.dedup import _attach_cached, stable_hash32
+from transporter_spark.operators.text import _TOKENS
 
 _SCALE = 1_000_000_000  # parts-per-1e9 fixed point
 
 
 def _grams(text_col: str) -> F.Column:
     """Unigrams + bigrams of the whitespace tokenization, as one array
-    (with duplicates — occurrence counts carry evidence)."""
-    toks = f"regexp_extract_all({text_col}, '\\\\S+', 0)"
+    (with duplicates — occurrence counts carry evidence). Tokenizer is
+    the repo-wide `text._TOKENS` — DSIR buckets must never diverge
+    from token_count/dedup tokenization."""
+    toks = _TOKENS.format(col=text_col)
     bi = (
         f"CASE WHEN size({toks}) < 2 THEN array() "
         f"ELSE transform(sequence(1, size({toks}) - 1), "
@@ -160,16 +163,22 @@ def dsir_select(
     cut is total).
 
     The corpus is tokenized ONCE: the (id, bucket, occ) frame is
-    cached and reused for both the raw histogram (a groupBy over it —
-    never a second text pass) and the per-doc scoring join. The target
-    is small by definition, so its separate histogram pass is cheap.
-    The final top-n is orderBy+limit, which compiles to
-    TakeOrderedAndProject (bounded per-partition heaps) over the
-    #docs-row score frame — document text is never globally sorted;
-    the rank window then touches only the n returned rows.
+    cached (memory-and-disk, so pressure spills instead of evicting —
+    an evicted occ would silently re-pay the tokenization pass) and
+    reused for both the raw histogram (a groupBy over it — never a
+    second text pass) and the per-doc scoring join. The target is
+    small by definition, so its separate histogram pass is cheap.
+    In long-lived sessions call `dedup.release_cached(result)` after
+    the consuming action — the cache is attached for that. The final
+    top-n is orderBy+limit, which compiles to TakeOrderedAndProject
+    (bounded per-partition heaps) over the #docs-row score frame —
+    document text is never globally sorted; the rank window then
+    touches only the n returned rows.
     """
+    from pyspark import StorageLevel
+
     occ = doc_bucket_occurrences(raw, text_col, id_col, buckets)
-    occ.persist()
+    occ.persist(StorageLevel.MEMORY_AND_DISK)
     raw_hist = occ.groupBy("bucket").agg(F.sum("occ").alias("cnt"))
     t_hist = bucket_histogram(target, text_col, buckets)
     scores = dsir_weights(
@@ -177,4 +186,5 @@ def dsir_select(
     )
     top = scores.orderBy(F.desc("dsir_score"), F.asc(id_col)).limit(n)
     w = Window.partitionBy().orderBy(F.desc("dsir_score"), F.asc(id_col))
-    return top.withColumn("sel_rank", F.row_number().over(w).cast("long"))
+    out = top.withColumn("sel_rank", F.row_number().over(w).cast("long"))
+    return _attach_cached(out, occ)
