@@ -26,8 +26,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # its last green CORRECTNESS row take slots first; remaining slots go
 # to the STALEST greens. Round 5: 13 new + 3 changed (incremental_dedup,
 # stream_ingest_dedup, asof_join — its backward path was touched by the
-# direction refactor) + the 25 queries last graded in r1/r2 + 9
-# high-value r3 greens.
+# direction refactor) + the 25 queries last graded in r1/r2 + 8
+# high-value r3 greens (js_transform rotated out late: unchanged since
+# its r3 green).
 # Everything outside the 50 is green on unchanged code (r3/r4 rows).
 _PRIORITY = [
     # --- NEW round 5: must take a slot ---
@@ -44,6 +45,7 @@ _PRIORITY = [
     "balanced_shards",         # token-balanced snake sharding
     "dsir_select",             # hashed-ngram importance resampling
     "kmeans_update",           # Lloyd centroid-update partials
+    "dataset_split",           # insertion-stable train/val/test split
     # --- changed round 5 ---
     "incremental_dedup",       # fast hash family + session-cached index
     "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:
@@ -91,7 +93,6 @@ _PRIORITY = [
     "stream_stateful_count",
     "stream_stream_join",
     "rollup_lattice_daily",
-    "js_transform",
 ]
 
 

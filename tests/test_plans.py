@@ -689,3 +689,12 @@ def test_kmeans_update_broadcast_assign_tiny_final_agg(spark, sf_dir):
     assert "WindowGroupLimit" in body
     assert body.count("hashpartitioning") <= 2, body
     assert body.count("HashAggregate") >= 2
+
+
+def test_dataset_split_pure_projection(spark, sf_dir):
+    """The split is a projection over the scan: zero hash exchanges,
+    one parquet scan, only the presentation sort's range exchange."""
+    df = QUERIES["dataset_split"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "hashpartitioning" not in body
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1

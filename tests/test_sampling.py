@@ -226,3 +226,23 @@ def test_kmeans_update_partials_reconstruct_means(spark):
     assert out[(0, 0)][1] == 3 and out[(1, 0)][1] == 2
     assert abs(out[(0, 0)][0] - (1.0 + 0.9 + 0.8)) < 1e-6
     assert abs(out[(1, 1)][0] - (1.0 + 0.9)) < 1e-6
+
+
+def test_split_dataset_covers_range_and_is_insertion_stable(spark):
+    """Every row lands in exactly one split, fractions come out near
+    the request, and adding rows never moves an existing row's split."""
+    from transporter_spark.operators.sampling import split_dataset
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    out = split_dataset(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["cnt"]
+              for r in out.groupBy("split").agg(F.count("*").alias("cnt")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 2000 - 0.8) < 0.05
+    before = {r["k"]: r["split"] for r in out.collect()}
+    grown = split_dataset(
+        spark.range(4000).withColumnRenamed("id", "k"),
+        "k", {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    after = {r["k"]: r["split"] for r in grown.collect()}
+    assert all(after[k] == v for k, v in before.items())

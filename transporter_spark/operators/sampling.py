@@ -325,3 +325,38 @@ def balanced_shards(
         block % 2 == 0, pos
     ).otherwise(F.lit(n_shards - 1) - pos)
     return ranked.withColumn("shard", shard.cast("long"))
+
+
+def split_dataset(
+    df: DataFrame,
+    key: str,
+    splits: "dict[str, float]",
+    resolution: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test (or any named) split: each row's
+    split is decided by its PORTABLE content hash (md5 prefix mod
+    ``resolution``) against cumulative split boundaries — never
+    rand(), so membership is stable across engines, cluster sizes,
+    re-runs, and INSERTIONS: adding new rows never moves an existing
+    row between splits (the property a versioned eval set needs —
+    rand()-based splits silently leak eval rows into train on every
+    regeneration).
+
+    ``splits`` maps name -> fraction; fractions are converted to
+    integer boundaries in ``resolution``-ths (floor, remainder goes to
+    the LAST split in insertion order, so boundaries always cover the
+    full hash range). Scale shape: a pure projection — no shuffle, no
+    coordination; pushdown-friendly when filtered to one split.
+    """
+    from transporter_spark.operators.dedup import stable_hash32
+
+    names = list(splits)
+    bounds, acc = [], 0
+    for name in names[:-1]:
+        acc += int(splits[name] * resolution)
+        bounds.append(acc)
+    h = F.pmod(stable_hash32(F.col(key)), F.lit(resolution))
+    expr = F.lit(names[-1])
+    for name, bound in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(h < bound, F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -5118,3 +5118,32 @@ def q_kmeans_update(spark, sf_dir):
     return out.select(
         "cell", F.col("dim").cast("long").alias("dim"), "sum_val", "n"
     ).orderBy("cell", "dim")
+
+
+@q(
+    "dataset_split",
+    oracle="""
+SELECT doc_id, lang,
+       CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                 AS BIGINT) % 10000 < 9000 THEN 'train'
+            WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                 AS BIGINT) % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents ORDER BY doc_id
+""",
+)
+def q_dataset_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/val/test split by portable content
+    hash — never rand(): membership is stable across engines, cluster
+    sizes, re-runs, AND insertions (new rows never move an existing
+    row between splits, so the eval set can't leak into train on
+    regeneration — the failure mode of every rand()-based split).
+    Scale shape: a pure projection, zero shuffles."""
+    from transporter_spark.operators.sampling import split_dataset
+
+    docs = read_table(spark, sf_dir, "documents")
+    return split_dataset(
+        docs.select("doc_id", "lang"),
+        "doc_id",
+        {"train": 0.90, "val": 0.05, "test": 0.05},
+    ).orderBy("doc_id")
