@@ -499,3 +499,26 @@ def test_symspell_pairs_edit_kinds_and_recall(spark):
 
     with _pytest.raises(ValueError):
         symspell_pairs(df, "name", "doc_id", max_distance=2)
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    ~1.0, Jaccard well below it; direction names the contained side."""
+    from transporter_spark.operators.dedup import containment_pairs, jaccard_pairs, release_cached
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = containment_pairs(df, threshold=0.9)
+    rows = cont.collect()
+    release_cached(cont)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"], r["direction"]) == (1, 2, "a_in_b")
+    assert r["containment"] == 1.0
+    jac = jaccard_pairs(df, threshold=0.9)
+    assert jac.count() == 0  # symmetric score dilutes the quote away
+    release_cached(jac)

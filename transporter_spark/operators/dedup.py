@@ -269,6 +269,58 @@ def jaccard_pairs(
     return _attach_cached(_jaccard_from_inter(inter, sizes, threshold), sh)
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """All pairs (a < b) with n-gram CONTAINMENT >= threshold, where
+    containment = |A∩B| / min(|A|,|B|) — the asymmetric complement to
+    `jaccard_pairs`: a short document quoted inside a long one scores
+    near 1.0 here while its Jaccard is diluted to ~|A|/|B| (the reason
+    dataset-dedup pipelines run containment AFTER symmetric near-dup:
+    it is what catches boilerplate wrappers and embedded quotes).
+
+    Same distributed shape as `jaccard_pairs` (shared `_shingle_frame`
+    cache, 64-bit shingle-hash equi-join, map-side-combined
+    intersection counts, `max_df` stop-shingle cap) — only the final
+    scoring differs. Returns (id_a, id_b, containment, direction)
+    where direction = 'a_in_b' when A is the smaller (more contained)
+    side, else 'b_in_a'.
+    """
+    sh = _shingle_frame(df, text_col, id_col, n, max_df)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    scored = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.col("inter").cast("double")
+            / F.least("sz_a", "sz_b").cast("double"),
+        )
+        .withColumn(
+            "direction",
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.lit("a_in_b")).otherwise(
+                F.lit("b_in_a")
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "direction")
+    )
+    return _attach_cached(scored, sh)
+
+
 def _jaccard_from_inter(
     inter: DataFrame, sizes: DataFrame, threshold: float
 ) -> DataFrame:

@@ -5147,3 +5147,38 @@ def q_dataset_split(spark, sf_dir):
         "doc_id",
         {"train": 0.90, "val": 0.05, "test": 0.05},
     ).orderBy("doc_id")
+
+
+@q(
+    "containment_pairs",
+    oracle=_SHINGLES_SQL
+    + """,
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       i * 1.0 / LEAST(sa.sz, sb.sz) AS containment,
+       CASE WHEN sa.sz <= sb.sz THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+FROM inter
+JOIN sizes sa ON id_a = sa.doc_id
+JOIN sizes sb ON id_b = sb.doc_id
+WHERE i * 1.0 / LEAST(sa.sz, sb.sz) >= 0.5
+ORDER BY id_a, id_b
+""",
+)
+def q_containment_pairs(spark, sf_dir):
+    """n-gram CONTAINMENT pairs (|A∩B| / min(|A|,|B|) >= 0.5): the
+    asymmetric complement to ngram_jaccard_pairs — a short doc quoted
+    inside a long one scores ~1.0 here while its Jaccard dilutes to
+    ~|A|/|B|; this is the pass that catches boilerplate wrappers and
+    embedded quotes after symmetric near-dup ran. Same scale shape
+    (shared shingle cache, hash equi-join, max_df cap available)."""
+    from transporter_spark.operators.dedup import containment_pairs
+
+    docs = read_table(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
