@@ -47,6 +47,7 @@ _PRIORITY = [
     "kmeans_update",           # Lloyd centroid-update partials
     "dataset_split",           # insertion-stable train/val/test split
     "containment_pairs",       # asymmetric n-gram overlap (quotes)
+    "stream_kmeans_update",    # continuous centroid-partial sink
     # --- changed round 5 ---
     "incremental_dedup",       # fast hash family + session-cached index
     "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:
@@ -90,7 +91,6 @@ _PRIORITY = [
     "dedup_clusters",
     "ann_ivf_topk",
     "stream_dedup",
-    "stream_stateful_count",
     "stream_stream_join",
     "rollup_lattice_daily",
 ]

@@ -767,3 +767,75 @@ def test_rollup_compaction_drops_stale_rows(spark, tmp_path):
     [seg] = set(store.keyed_mapping("hourly").values())
     raw = spark.read.parquet(store.seg_path(seg))
     assert raw.count() == 2
+
+
+def test_kmeans_sink_multi_epoch_equals_batch_update(spark, sf_dir, tmp_path):
+    """3-epoch drain of the embeddings through the centroid-partial
+    sink == batch kmeans_update over everything, bit-for-bit (decimal
+    partials are associative, so epoch boundaries can't change sums);
+    a replayed epoch is a no-op; state stays k x dims rows."""
+    from transporter_spark.operators.similarity import kmeans_update
+    from transporter_spark.sources.files import read_table
+    from transporter_spark.streaming.kmeans import (
+        kmeans_merge_batch,
+        read_kmeans_state,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cen = _centroids(spark, sf_dir)
+    state = str(tmp_path / "km")
+    for epoch in range(3):
+        assert kmeans_merge_batch(
+            emb.filter(F.col("vec_id") % 3 == epoch), epoch, state, cen
+        )
+    # replay of epoch 2 is a no-op (manifest epoch guard)
+    before = read_kmeans_state(spark, state).collect()
+    assert not kmeans_merge_batch(
+        emb.filter(F.col("vec_id") % 3 == 2), 2, state, cen
+    )
+    got = read_kmeans_state(spark, state)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, before))
+    expect = kmeans_update(emb, cen)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    assert got.count() == expect.count()  # k x dims, not per-vector
+
+
+def test_kmeans_sink_delta_merge_touches_only_batch_cells(spark, tmp_path):
+    """Epochs that hit DISJOINT cells leave the untouched cells'
+    segments alone (keyed manifest: each cell maps to the segment that
+    last wrote it); compaction then folds the split log to one segment
+    without changing what the reader sees. (When a batch touches every
+    cell — the common small-k case — each merge already collapses the
+    table and compaction is a no-op by design.)"""
+    from transporter_spark.streaming.kmeans import (
+        compact_kmeans_state,
+        kmeans_merge_batch,
+        read_kmeans_state,
+    )
+    from transporter_spark.streaming.state import SegmentStore
+
+    # two orthogonal centroids; epoch i's vectors sit on centroid i
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    state = str(tmp_path / "km2")
+    for epoch, vec in enumerate(([1.0, 0.05], [0.05, 1.0])):
+        batch = spark.createDataFrame(
+            [(epoch * 10 + i, vec) for i in range(3)],
+            "vec_id long, embedding array<float>",
+        )
+        assert kmeans_merge_batch(batch, epoch, state, cen)
+    store = SegmentStore(state)
+    mapping = store.keyed_mapping("partials")
+    # cell 0 still maps to epoch-0's segment: epoch 1 never rewrote it
+    assert mapping["0"] == "partials-e0" and mapping["1"] == "partials-e1"
+    before = sorted(map(tuple, read_kmeans_state(spark, state).collect()))
+    assert compact_kmeans_state(spark, state)
+    after = sorted(map(tuple, read_kmeans_state(spark, state).collect()))
+    assert after == before
+    live = set(SegmentStore(state).keyed_mapping("partials").values())
+    assert len(live) == 1
+    assert not compact_kmeans_state(spark, state)  # already compact

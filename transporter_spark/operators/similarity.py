@@ -310,6 +310,27 @@ def kmeans_update(
     (cell, dim) keys at k x dims — the groupBy is map-side combined
     into a tiny frame regardless of corpus size.
     """
+    p = kmeans_partials(corpus, centroids, id_col, vec_col, round_dp, comp_dp)
+    return p.select(
+        "cell",
+        "dim",
+        F.col("sum_dec").cast("string").cast("double").alias("sum_val"),
+        "n",
+    )
+
+
+def kmeans_partials(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: Optional[int] = 8,
+    comp_dp: int = 6,
+) -> DataFrame:
+    """`kmeans_update`'s internal mergeable form: (cell, dim,
+    sum_dec DECIMAL(38,12), n). Kept decimal so downstream merges
+    (the streaming sink's delta-merge) stay associative; the double
+    boundary cast happens once, at presentation."""
     assigned = ivf_index(corpus, centroids, id_col, vec_col, round_dp)
     comp = assigned.select(
         "cell", F.posexplode("vec").alias("dim", "comp")
@@ -321,8 +342,6 @@ def kmeans_update(
     )
     return (
         comp.groupBy("cell", "dim")
-        .agg(
-            F.sum(dec).cast("string").cast("double").alias("sum_val"),
-            F.count("*").alias("n"),
-        )
+        .agg(F.sum(dec).cast("decimal(38,12)").alias("sum_dec"),
+             F.count("*").alias("n"))
     )

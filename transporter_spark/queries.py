@@ -5182,3 +5182,36 @@ def q_containment_pairs(spark, sf_dir):
     return containment_pairs(
         docs, "text", "doc_id", n=3, threshold=0.5
     ).orderBy("id_a", "id_b")
+
+
+@q(
+    "stream_kmeans_update",
+    oracle=None,  # assigned below: identical to kmeans_update — decimal
+    # partials are associative, so the stream-maintained table equals
+    # the batch recompute bit-for-bit regardless of epoch boundaries
+)
+def q_stream_kmeans_update(spark, sf_dir):
+    """CONTINUOUS centroid-partial maintenance (streaming/kmeans.py):
+    the embeddings stream drains through a foreachBatch sink that
+    assigns each batch to the fixed centroids and DELTA-MERGES its
+    k x dims decimal partials into the standing (cell, dim) table —
+    state stays k x dims rows forever, per-epoch work ∝ batch. Decimal
+    associativity makes maintained == batch-recomputed exact (pinned
+    multi-epoch in tests/test_streaming.py), so this query shares
+    `kmeans_update`'s oracle verbatim."""
+    from transporter_spark.streaming.kmeans import drain_embeddings_kmeans
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cen = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    state = drain_embeddings_kmeans(spark, sf_dir, cen)
+    return state.select(
+        "cell", F.col("dim").cast("long").alias("dim"), "sum_val", "n"
+    ).orderBy("cell", "dim")
+
+
+QUERIES["stream_kmeans_update"] = QUERIES["stream_kmeans_update"]._replace(
+    oracle=QUERIES["kmeans_update"].oracle
+)

@@ -1,0 +1,180 @@
+"""Continuous k-means centroid-partial maintenance: keep the
+(cell, dim) -> (component sum, member count) table current from an
+embedding stream — the update-side twin of the continuous ANN index
+sink (streaming/vectors.py assigns and stores the vectors; this sink
+maintains what the next centroid refresh needs, without storing
+anything per-vector).
+
+Why this is the 100 TB shape: the centroid update is a MERGEABLE
+aggregate — per micro-batch, assign only the batch's vectors to the
+fixed centroids (broadcast, pure per vector) and delta-merge the
+batch's k x dims decimal partials into the standing table. State size
+is k x dims rows FOREVER, independent of how many vectors streamed
+through; per-epoch work is one batch assignment plus a metadata-sized
+merge. Decimal sums are associative, so the maintained table equals
+the batch recompute over all vectors bit-for-bit (pinned by test) —
+the same exactness discipline as the rollup sink's hourly partials.
+
+The actual centroid refresh (sum/n per cell, then re-assignment) stays
+a deliberate batch step, exactly like the ANN sink's centroid-refresh
+line: every production IVF/k-means system separates "accumulate
+evidence cheaply" from "move the centroids".
+
+Replay/restart semantics are the SegmentStore contract: the applied
+epoch lives in the manifest (atomic commit), replayed epochs are
+no-ops, a backwards epoch counter raises. Like every aggregating sink,
+rows re-delivered under NEW offsets double-count — deduplicate
+upstream when the source is at-least-once (the rollup sink documents
+the same inherent limit).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transporter_spark.streaming.state import SegmentStore
+
+# one segment key per centroid cell: a batch touches at most k cells,
+# so the keyed manifest reads/writes only those (metadata-sized either
+# way — the whole table is k x dims rows)
+_SEG_KEY_FORMAT = "cell_id"
+
+
+def kmeans_merge_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> bool:
+    """One delta-merge step; returns False when the epoch was already
+    applied (micro-batch replay) or the batch was empty. Module-level
+    so the replay contract is testable without a streaming query."""
+    from pyspark.sql.functions import broadcast
+
+    from transporter_spark.operators.similarity import kmeans_partials
+    from transporter_spark.streaming.state import SEG_KEY
+
+    store = SegmentStore(state_dir)
+    if store.epoch_already_applied(epoch_id):
+        return False
+    fmt = store.meta().get("seg_key")
+    if fmt is not None and fmt != _SEG_KEY_FORMAT:
+        raise ValueError(
+            f"kmeans state at {state_dir!r} uses seg_key format {fmt!r}; "
+            f"this engine writes {_SEG_KEY_FORMAT!r} — recompute the "
+            "state before merging"
+        )
+    partial = (
+        kmeans_partials(batch, broadcast(centroids), id_col, vec_col)
+        .withColumn(SEG_KEY, F.col("cell").cast("string"))
+        .localCheckpoint(eager=True)  # consumed twice: key list + merge
+    )
+    touched = [r[0] for r in partial.select(SEG_KEY).distinct().collect()]
+    if not touched:
+        return False
+    spark = batch.sparkSession
+    prev = store.read_keyed(spark, "partials", keys=touched)
+    if prev is None:
+        merged = partial
+    else:
+        merged = (
+            prev.unionByName(partial)
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum("sum_dec").cast("decimal(38,12)").alias("sum_dec"),
+                F.sum("n").alias("n"),
+            )
+            .withColumn(SEG_KEY, F.col("cell").cast("string"))
+        )
+    seg = f"partials-e{epoch_id}"
+    merged.write.mode("overwrite").parquet(store.seg_path(seg))
+    mapping = store.keyed_mapping("partials")
+    for k in touched:
+        mapping[k] = seg
+    store.commit(
+        epoch_id,
+        keyed={"partials": mapping},
+        meta={"seg_key": _SEG_KEY_FORMAT},
+    )
+    return True
+
+
+def kmeans_ingest_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    centroids: DataFrame,
+    checkpoint_dir: Optional[str] = None,
+    compact_every: Optional[int] = None,
+    **kw,
+) -> None:
+    """Drain an embedding stream into the maintained centroid-partial
+    table (availableNow). ``compact_every``: fold the segment log at N
+    segments, in-slot (single-writer), like the other continuous
+    sinks."""
+    from transporter_spark.streaming.windows import run_foreach_batch_available_now
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        applied = kmeans_merge_batch(batch, epoch_id, state_dir, centroids, **kw)
+        if applied and compact_every:
+            segs = set(SegmentStore(state_dir).keyed_mapping("partials").values())
+            if len(segs) >= compact_every:
+                compact_kmeans_state(batch.sparkSession, state_dir)
+
+    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def read_kmeans_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained partials at the `kmeans_update` output boundary:
+    (cell, dim, sum_val DOUBLE via the exact string hop, n)."""
+    from transporter_spark.streaming.state import SEG_KEY
+
+    df = SegmentStore(state_dir).read_keyed(spark, "partials")
+    if df is None:
+        raise FileNotFoundError(
+            f"no committed kmeans state at {state_dir!r}: the sink has "
+            "not applied any non-empty epoch yet"
+        )
+    return df.select(
+        "cell",
+        "dim",
+        F.col("sum_dec").cast("string").cast("double").alias("sum_val"),
+        "n",
+    )
+
+
+def compact_kmeans_state(spark: SparkSession, state_dir: str) -> bool:
+    """Fold the partial-segment log into one segment, dropping stale
+    rows for good (same discipline as compact_rollup_state). Returns
+    False when already compact."""
+    store = SegmentStore(state_dir)
+    if store.manifest() is None:
+        return False
+    name = store.compact_keyed(spark, "partials")
+    if name is None:
+        return False
+    mapping = {k: name for k in store.keyed_mapping("partials")}
+    store.commit(store.last_epoch(), keyed={"partials": mapping})
+    return True
+
+
+def drain_embeddings_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: DataFrame,
+    state_dir: Optional[str] = None,
+    **kw,
+) -> DataFrame:
+    """Convenience: stream the embeddings table through the sink and
+    return the maintained partials (used by the graded query)."""
+    from transporter_spark.streaming.sources import stream_table
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_kmeans_") + "/state"
+    emb = stream_table(spark, sf_dir, "embeddings")
+    kmeans_ingest_sink(emb, state, centroids, **kw)
+    return read_kmeans_state(spark, state)
