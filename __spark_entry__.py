@@ -24,11 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 5: 13 new + 3 changed (incremental_dedup,
+# to the STALEST greens. Round 5: 16 new + 3 changed (incremental_dedup,
 # stream_ingest_dedup, asof_join — its backward path was touched by the
-# direction refactor) + the 25 queries last graded in r1/r2 + 8
-# high-value r3 greens (js_transform and training_pipeline rotated out
-# late: both unchanged since their r3 greens).
+# direction refactor) + the 25 queries last graded in r1/r2 + 6
+# high-value r3 greens = 50. Rotated OUT this round to make room, all
+# unchanged since their r3 green rows: q1_pricing_summary,
+# q5_local_supplier, minhash_lsh_pairs, stream_windowed_agg,
+# training_pipeline, stream_stateful_count, js_transform.
 # Everything outside the 50 is green on unchanged code (r3/r4 rows).
 _PRIORITY = [
     # --- NEW round 5: must take a slot ---
@@ -82,11 +84,8 @@ _PRIORITY = [
     # refactored by the direction work (merge_asof parity commit) —
     # changed-since-green, so it KEEPS a slot ---
     "asof_join",
-    # --- next-stalest: graded r3, not since; highest-value first.
-    # (q1_pricing_summary / q5_local_supplier / minhash_lsh_pairs /
-    # stream_windowed_agg rotated OUT to make room for the 4 late
-    # round-5 queries: all four byte-identical since their r3 green —
-    # the least-stale unchanged rows in the list.) ---
+    # --- next-stalest: graded r3, not since; highest-value first
+    # (the rotated-out set is listed in the header comment) ---
     "incremental_dedup_exact",
     "dedup_clusters",
     "ann_ivf_topk",

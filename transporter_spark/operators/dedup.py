@@ -258,6 +258,17 @@ def jaccard_pairs(
     join) -> count intersections -> Jaccard from |A|,|B|,|A∩B|.
     Returns (id_a, id_b, jaccard).
     """
+    sh, inter, sizes = _inter_sizes(df, text_col, id_col, n, max_df)
+    return _attach_cached(_jaccard_from_inter(inter, sizes, threshold), sh)
+
+
+def _inter_sizes(df, text_col, id_col, n, max_df):
+    """Shared candidate construction for the exact-overlap scorers
+    (jaccard_pairs / containment_pairs): cached shingle frame, per-doc
+    shingle sizes, and intersection counts from the 64-bit-hash
+    self-equi-join with the a.id < b.id dedup condition. One place, so
+    the join shape / max_df interaction can never diverge between the
+    two scorers."""
     sh = _shingle_frame(df, text_col, id_col, n, max_df)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -266,7 +277,7 @@ def jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    return _attach_cached(_jaccard_from_inter(inter, sizes, threshold), sh)
+    return sh, inter, sizes
 
 
 def containment_pairs(
@@ -291,14 +302,7 @@ def containment_pairs(
     where direction = 'a_in_b' when A is the smaller (more contained)
     side, else 'b_in_a'.
     """
-    sh = _shingle_frame(df, text_col, id_col, n, max_df)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    sh, inter, sizes = _inter_sizes(df, text_col, id_col, n, max_df)
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
     scored = (

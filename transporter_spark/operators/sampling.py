@@ -324,7 +324,14 @@ def balanced_shards(
     shard = F.when(
         block % 2 == 0, pos
     ).otherwise(F.lit(n_shards - 1) - pos)
-    return ranked.withColumn("shard", shard.cast("long"))
+    from transporter_spark.operators.dedup import _attach_cached
+
+    # re-attach global_rank's cache handle: withColumn returns a fresh
+    # DataFrame object, and release_cached reads a Python attribute
+    return _attach_cached(
+        ranked.withColumn("shard", shard.cast("long")),
+        *getattr(ranked, "_ts_cached", ()),
+    )
 
 
 def split_dataset(
@@ -350,10 +357,15 @@ def split_dataset(
     """
     from transporter_spark.operators.dedup import stable_hash32
 
+    from decimal import Decimal
+
     names = list(splits)
     bounds, acc = [], 0
     for name in names[:-1]:
-        acc += int(splits[name] * resolution)
+        # floor on the DECIMAL value, not the binary float: 0.57 is
+        # 0.56999... in binary, so int(0.57 * 10000) silently lands at
+        # 5699 — one bucket below the documented rational floor
+        acc += int(Decimal(str(splits[name])) * resolution)
         bounds.append(acc)
     h = F.pmod(stable_hash32(F.col(key)), F.lit(resolution))
     expr = F.lit(names[-1])

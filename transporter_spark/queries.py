@@ -4988,12 +4988,13 @@ def q_balanced_shards(spark, sf_dir):
     from transporter_spark.operators.sampling import balanced_shards
     from transporter_spark.operators.text import token_count
 
+    from transporter_spark.operators.dedup import _attach_cached
+
     docs = read_table(spark, sf_dir, "documents").withColumn(
         "n_tok", token_count("text")
     )
-    return balanced_shards(
-        docs.select("doc_id", "n_tok"), "n_tok", "doc_id", 8
-    ).orderBy("rank")
+    out = balanced_shards(docs.select("doc_id", "n_tok"), "n_tok", "doc_id", 8)
+    return _attach_cached(out.orderBy("rank"), *getattr(out, "_ts_cached", ()))
 
 
 _DSIR_B = 1024
@@ -5064,10 +5065,15 @@ def q_dsir_select(spark, sf_dir):
     never shuffled or sorted."""
     from transporter_spark.operators.selection import dsir_select
 
+    from transporter_spark.operators.dedup import _attach_cached
+
     docs = read_table(spark, sf_dir, "documents")
     target = docs.filter(F.col("lang") == "en")
     out = dsir_select(docs, target, n=100, buckets=_DSIR_B)
-    return out.orderBy("sel_rank")
+    # orderBy returns a fresh object; keep the release handle on it
+    return _attach_cached(
+        out.orderBy("sel_rank"), *getattr(out, "_ts_cached", ())
+    )
 
 
 @q(
@@ -5178,10 +5184,13 @@ def q_containment_pairs(spark, sf_dir):
     (shared shingle cache, hash equi-join, max_df cap available)."""
     from transporter_spark.operators.dedup import containment_pairs
 
+    from transporter_spark.operators.dedup import _attach_cached
+
     docs = read_table(spark, sf_dir, "documents")
-    return containment_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.5
-    ).orderBy("id_a", "id_b")
+    out = containment_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return _attach_cached(
+        out.orderBy("id_a", "id_b"), *getattr(out, "_ts_cached", ())
+    )
 
 
 @q(

@@ -60,31 +60,12 @@ def kmeans_merge_batch(
     from transporter_spark.operators.similarity import kmeans_partials
     from transporter_spark.streaming.state import SEG_KEY
 
-    store = SegmentStore(state_dir)
-    if store.epoch_already_applied(epoch_id):
-        return False
-    fmt = store.meta().get("seg_key")
-    if fmt is not None and fmt != _SEG_KEY_FORMAT:
-        raise ValueError(
-            f"kmeans state at {state_dir!r} uses seg_key format {fmt!r}; "
-            f"this engine writes {_SEG_KEY_FORMAT!r} — recompute the "
-            "state before merging"
-        )
-    partial = (
-        kmeans_partials(batch, broadcast(centroids), id_col, vec_col)
-        .withColumn(SEG_KEY, F.col("cell").cast("string"))
-        .localCheckpoint(eager=True)  # consumed twice: key list + merge
-    )
-    touched = [r[0] for r in partial.select(SEG_KEY).distinct().collect()]
-    if not touched:
-        return False
-    spark = batch.sparkSession
-    prev = store.read_keyed(spark, "partials", keys=touched)
-    if prev is None:
-        merged = partial
-    else:
-        merged = (
-            prev.unionByName(partial)
+    partial = kmeans_partials(batch, broadcast(centroids), id_col, vec_col
+                              ).withColumn(SEG_KEY, F.col("cell").cast("string"))
+
+    def remerge(prev, part):
+        return (
+            prev.unionByName(part)
             .groupBy("cell", "dim")
             .agg(
                 F.sum("sum_dec").cast("decimal(38,12)").alias("sum_dec"),
@@ -92,17 +73,11 @@ def kmeans_merge_batch(
             )
             .withColumn(SEG_KEY, F.col("cell").cast("string"))
         )
-    seg = f"partials-e{epoch_id}"
-    merged.write.mode("overwrite").parquet(store.seg_path(seg))
-    mapping = store.keyed_mapping("partials")
-    for k in touched:
-        mapping[k] = seg
-    store.commit(
-        epoch_id,
-        keyed={"partials": mapping},
-        meta={"seg_key": _SEG_KEY_FORMAT},
+
+    return SegmentStore(state_dir).keyed_delta_merge(
+        batch.sparkSession, "partials", partial, remerge, epoch_id,
+        _SEG_KEY_FORMAT,
     )
-    return True
 
 
 def kmeans_ingest_sink(

@@ -235,6 +235,59 @@ class SegmentStore:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         os.replace(tmp, self.manifest_path)  # atomic on POSIX
 
+    # -- delta merge ------------------------------------------------------
+    def keyed_delta_merge(
+        self,
+        spark: SparkSession,
+        table: str,
+        partial: DataFrame,
+        remerge,
+        epoch_id: int,
+        seg_key_format: str,
+    ) -> bool:
+        """The shared delta-merge step every keyed aggregation sink
+        runs (hourly rollup, k-means partials): epoch-replay guard,
+        seg_key-format guard, touched-key collect (metadata-sized by
+        contract — the partial's SEG_KEY cardinality is the sink's
+        delta width), keyed read of ONLY the touched segments,
+        re-aggregate via the caller's ``remerge(prev, partial)``
+        (which must recompute SEG_KEY on its output), one new segment,
+        atomic remap+commit. Returns False when the epoch was already
+        applied or the batch was empty.
+
+        Keeping this in ONE place is the point: the replay semantics,
+        the loud format-mismatch failure, and the write-then-remap
+        commit discipline must never drift between sinks.
+        """
+        if self.epoch_already_applied(epoch_id):
+            return False
+        fmt = self.meta().get("seg_key")
+        if fmt is not None and fmt != seg_key_format:
+            raise ValueError(
+                f"{table} state at {self.base!r} uses seg_key format "
+                f"{fmt!r}; this engine writes {seg_key_format!r} — "
+                "recompute the state (or compact with the writing "
+                "version) before merging"
+            )
+        # consumed twice (key list + merge) — cut lineage once
+        partial = partial.localCheckpoint(eager=True)
+        touched = [r[0] for r in partial.select(SEG_KEY).distinct().collect()]
+        if not touched:  # empty epoch: nothing to merge, replay vacuous
+            return False
+        prev = self.read_keyed(spark, table, keys=touched)
+        merged = partial if prev is None else remerge(prev, partial)
+        seg = f"{table}-e{epoch_id}"
+        merged.write.mode("overwrite").parquet(self.seg_path(seg))
+        mapping = self.keyed_mapping(table)
+        for k in touched:
+            mapping[k] = seg
+        self.commit(
+            epoch_id,
+            keyed={table: mapping},
+            meta={"seg_key": seg_key_format},
+        )
+        return True
+
     # -- compaction -----------------------------------------------------
     def compact_table(self, spark: SparkSession, table: str) -> Optional[str]:
         """Merge a LIST table's segments into one (returns the new

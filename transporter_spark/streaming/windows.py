@@ -186,23 +186,7 @@ def rollup_merge_batch(
     span (#hours), metadata-sized, never row data."""
     from transporter_spark.streaming.state import SEG_KEY, SegmentStore
 
-    store = SegmentStore(state_dir)
-    if store.epoch_already_applied(epoch_id):
-        return False
-    # key-format guard: the persisted hour->segment mapping only works
-    # if every writer derives keys the same way. A format drift would
-    # SILENTLY split an hour across two keys (duplicate rows per hour),
-    # so an unknown marker fails loudly instead.
-    fmt = store.meta().get("seg_key")
-    if fmt is not None and fmt != _SEG_KEY_FORMAT:
-        raise ValueError(
-            f"rollup state at {state_dir!r} uses seg_key format {fmt!r}; "
-            f"this engine writes {_SEG_KEY_FORMAT!r} — recompute the "
-            "state (or compact with the writing version) before merging"
-        )
-
     keys_l = list(keys)
-    spark = batch.sparkSession
     b = batch
     if dict(b.dtypes).get(ts_col) == "timestamp_ntz":
         b = b.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
@@ -220,17 +204,11 @@ def rollup_merge_batch(
         # to a different string under a different timeZone and
         # double-materialize the hour)
         .withColumn(SEG_KEY, F.col("hour").cast("long").cast("string"))
-        .localCheckpoint(eager=True)  # consumed twice: key list + merge
     )
-    touched = [r[0] for r in partial.select(SEG_KEY).distinct().collect()]
-    if not touched:  # empty epoch: nothing to merge, replay is vacuous
-        return False
-    prev = store.read_keyed(spark, "hourly", keys=touched)
-    if prev is None:
-        merged = partial
-    else:
-        merged = (
-            prev.unionByName(partial)
+
+    def remerge(prev, part):
+        return (
+            prev.unionByName(part)
             .groupBy("hour", *keys_l)
             .agg(
                 F.sum("sum_value").cast("decimal(38,6)").alias("sum_value"),
@@ -238,17 +216,13 @@ def rollup_merge_batch(
             )
             .withColumn(SEG_KEY, F.col("hour").cast("long").cast("string"))
         )
-    seg = f"hourly-e{epoch_id}"
-    merged.write.mode("overwrite").parquet(store.seg_path(seg))
-    mapping = store.keyed_mapping("hourly")
-    for k in touched:
-        mapping[k] = seg
-    store.commit(
-        epoch_id,
-        keyed={"hourly": mapping},
-        meta={"seg_key": _SEG_KEY_FORMAT},
+
+    # the epoch/format guards, touched-key pruning, and write+remap
+    # commit live in ONE place for every keyed aggregation sink
+    return SegmentStore(state_dir).keyed_delta_merge(
+        batch.sparkSession, "hourly", partial, remerge, epoch_id,
+        _SEG_KEY_FORMAT,
     )
-    return True
 
 
 def read_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame:
