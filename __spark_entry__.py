@@ -50,6 +50,7 @@ _PRIORITY = [
     "dataset_split",           # insertion-stable train/val/test split
     "containment_pairs",       # asymmetric n-gram overlap (quotes)
     "stream_kmeans_update",    # continuous centroid-partial sink
+    "lm_perplexity_gate",      # CCNet bigram-LM head/middle/tail gate
     # --- changed round 5 ---
     "incremental_dedup",       # fast hash family + session-cached index
     "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:

@@ -698,3 +698,26 @@ def test_dataset_split_pure_projection(spark, sf_dir):
     body = explain_str(df).split("== Physical Plan ==")[-1]
     assert "hashpartitioning" not in body
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1
+
+
+def test_lm_perplexity_gate_two_scans_no_cartesian(spark, sf_dir):
+    """Bigram-LM gate: the corpus TEXT is scanned once (the cached occ
+    frame feeds the count tables AND the scoring join); the only other
+    scan is pruned to (doc_id, lang) for the rank join-back. The sole
+    nested-loop join is the broadcast of the 1-row vocab-size frame;
+    all corpus-sized shuffles carry integer keys, never token
+    strings."""
+    df = QUERIES["lm_perplexity_gate"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    # one wide text scan + one (doc_id, lang) scan
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 2
+    assert "struct<doc_id:bigint,lang:string>" in body.replace(" ", "")
+    # the only BNLJ is the broadcast 1-row vsize cross join
+    assert (
+        len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", body))) == 1
+    )
+    # no exchange ships token strings: every hashpartitioning key set
+    # is ids/int keys (ctx_key/bg_key/doc_id/lang)
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", body):
+        assert "c1#" not in keys and "c2#" not in keys and "p#" not in keys

@@ -246,3 +246,132 @@ def test_split_dataset_covers_range_and_is_insertion_stable(spark):
     )
     after = {r["k"]: r["split"] for r in grown.collect()}
     assert all(after[k] == v for k, v in before.items())
+
+
+# ---------------------------------------------------------------------------
+# bigram-LM perplexity gate (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def _h32(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _py_lm_scores(texts: dict) -> dict:
+    """Pure-Python replication of bigram_lm_scores' fixed-point math."""
+    from collections import Counter
+
+    occ = {}  # (doc, ctx, bg) -> n
+    for d, t in texts.items():
+        toks = t.split() if t else []
+        for a, b in zip(toks, toks[1:]):
+            k = (d, _h32(a), _h32(a + " " + b))
+            occ[k] = occ.get(k, 0) + 1
+    c12 = Counter()
+    for (_, ctx, bg), n in occ.items():
+        c12[(ctx, bg)] += n
+    c1 = Counter()
+    for (ctx, _), n in c12.items():
+        c1[ctx] += n
+    v = len(c1)
+    p = {k: ((c12[k] + 1) * 1_000_000_000) // (c1[k[0]] + v) for k in c12}
+    out = {}
+    for (d, ctx, bg), n in occ.items():
+        s, c = out.get(d, (0, 0))
+        out[d] = (s + n * p[(ctx, bg)], c + n)
+    return {d: (c, s // c) for d, (s, c) in out.items()}
+
+
+def test_bigram_lm_scores_match_exact_python_replay(spark):
+    from transporter_spark.operators.dedup import release_cached
+    from transporter_spark.operators.selection import bigram_lm_scores
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the cat",
+        3: "a dog barked at the cat",
+        4: "completely unrelated vocabulary here now",
+        5: "the cat sat on the mat",  # duplicate of 1 -> same score
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    scored = bigram_lm_scores(df)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"]) for r in scored.collect()
+    }
+    release_cached(scored)
+    assert got == _py_lm_scores(texts)
+    assert got[1] == got[5]
+
+
+def test_lm_perplexity_gate_buckets_and_fail_closed(spark):
+    from transporter_spark.operators.dedup import release_cached
+    from transporter_spark.operators.selection import lm_perplexity_gate
+
+    rows = [
+        (1, "en", "the cat sat on the mat and the cat sat again"),
+        (2, "en", "the cat sat on the mat and the dog sat again"),
+        (3, "en", "a dog barked at the cat on the mat yesterday"),
+        (4, "en", "zzz qqq vvv kkk jjj www"),  # least typical
+        (5, "en", None),  # null text -> fail closed
+        (6, "en", "single"),  # no bigrams -> fail closed
+        (7, "de", "ein hund bellt"),  # own language partition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = lm_perplexity_gate(df)
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    release_cached(out)
+
+    for d in (5, 6):
+        assert got[d]["n_bigrams"] == 0
+        assert got[d]["lm_score"] is None
+        assert got[d]["ppl_bucket"] == "tail"
+        assert got[d]["keep"] is False
+    # en group has 6 docs: integer tertiles = 2 head, 2 middle, 2 tail
+    en = [g for g in got.values() if g["lang"] == "en"]
+    from collections import Counter
+
+    assert Counter(g["ppl_bucket"] for g in en) == {
+        "head": 2,
+        "middle": 2,
+        "tail": 2,
+    }
+    # ranks follow score desc: every head score >= every middle score
+    head = [g["lm_score"] for g in en if g["ppl_bucket"] == "head"]
+    mid = [g["lm_score"] for g in en if g["ppl_bucket"] == "middle"]
+    assert min(head) >= max(mid)
+    # de group: 1 doc -> rank 1 is head, kept
+    assert got[7]["ppl_bucket"] == "head" and got[7]["keep"] is True
+    # partition invariance
+    again = lm_perplexity_gate(df.repartition(13))
+    got2 = {r["doc_id"]: r.asDict() for r in again.collect()}
+    release_cached(again)
+    assert got == got2
+
+
+def test_lm_logprob_flag_orders_like_fixed_point(spark):
+    """The float log-prob path (paper-style) agrees with the graded
+    fixed-point path on ORDERING for well-separated docs."""
+    from transporter_spark.operators.dedup import release_cached
+    from transporter_spark.operators.selection import bigram_lm_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "xx yy zz qq ww ee"),
+        ],
+        "doc_id long, text string",
+    )
+    fixed = bigram_lm_scores(df)
+    fx = {r["doc_id"]: r["lm_score"] for r in fixed.collect()}
+    release_cached(fixed)
+    fl = bigram_lm_scores(df, log_prob=True)
+    lp = {r["doc_id"]: r["lm_logprob"] for r in fl.collect()}
+    release_cached(fl)
+    assert all(v < 0 for v in lp.values())
+    assert (fx[1] > fx[3]) and (lp[1] > lp[3])
+    assert lp[1] == lp[2]

@@ -188,3 +188,151 @@ def dsir_select(
     w = Window.partitionBy().orderBy(F.desc("dsir_score"), F.asc(id_col))
     out = top.withColumn("sel_rank", F.row_number().over(w).cast("long"))
     return _attach_cached(out, occ)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity bucketing (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    log_prob: bool = False,
+) -> DataFrame:
+    """Per-document likelihood under a bigram LM fit on the corpus
+    itself (the CCNet recipe, Wenzek et al. 2020, with the corpus as
+    its own LM training set): P(w2|w1) Laplace-smoothed over observed
+    context types, one score per document.
+
+    Engine-exact scoring (same policy as `dsir_select`): the graded
+    score is FIXED-POINT — per-bigram probability scaled to parts-per-
+    1e9 with exact integer division, per-doc score = integer mean over
+    its bigram occurrences. Higher = more typical of the corpus;
+    documents a perplexity filter would call "tail" (high perplexity)
+    score LOW. ``log_prob=True`` switches to the paper's float mean
+    ln P(w2|w1) for when cross-engine bit-equality is not required.
+    Headroom note (mirrors DSIR): the scaled numerator overflows int64
+    once a single bigram type exceeds ~9e9 occurrences; shard the count
+    tables (the LM only needs relative frequencies) past that.
+
+    Smoothing vocabulary = number of distinct CONTEXT types (each
+    conditional distribution is smoothed over the same support size);
+    this keeps every statistic derivable from the ONE (doc, ctx, bigram,
+    occ) frame — the single tokenization pass everything reuses.
+
+    100 TB shape: the occurrence frame carries (id, 2 int keys, count)
+    — never token strings — through its shuffles; count tables are
+    vocab-sized (map-side-combined groupBys over the cached occ frame);
+    the score join is vocab ⋈ vocab then occ ⋈ scores on integer keys;
+    the final aggregate combines map-side on id. No all-pairs joins,
+    nothing collected to the driver. Returns
+    (id, n_bigrams BIGINT, lm_score BIGINT | lm_logprob DOUBLE) for
+    docs with >= 1 bigram; callers LEFT-join it back to fail closed on
+    empty/null text. Caller releases the attached cache via
+    `dedup.release_cached` after the consuming action.
+    """
+    from pyspark import StorageLevel
+
+    toks = _TOKENS.format(col=text_col)
+    pairs_expr = (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 1), "
+        f"i -> struct(element_at({toks}, i) AS c1, "
+        f"element_at({toks}, i + 1) AS c2)) END"
+    )
+    pairs = df.select(
+        F.col(id_col), F.explode(F.expr(pairs_expr)).alias("p")
+    ).select(
+        id_col,
+        stable_hash32(F.col("p.c1")).alias("ctx_key"),
+        stable_hash32(F.concat_ws(" ", "p.c1", "p.c2")).alias("bg_key"),
+    )
+    occ = pairs.groupBy(id_col, "ctx_key", "bg_key").agg(
+        F.count("*").alias("occ")
+    )
+    occ.persist(StorageLevel.MEMORY_AND_DISK)
+
+    c12 = occ.groupBy("ctx_key", "bg_key").agg(F.sum("occ").alias("c12"))
+    c1 = c12.groupBy("ctx_key").agg(F.sum("c12").alias("c1"))
+    vtab = c1.agg(F.count("*").alias("vsize"))  # 1 row: #context types
+    denom = F.col("c1") + F.col("vsize")
+    if log_prob:
+        p_col = F.log((F.col("c12") + 1) / denom).alias("p_val")
+    else:
+        p_col = F.expr(
+            f"(CAST(c12 + 1 AS BIGINT) * {_SCALE}) div (c1 + vsize)"
+        ).alias("p_val")
+    scores = (
+        c12.join(c1, "ctx_key")
+        .join(F.broadcast(vtab))
+        .select("ctx_key", "bg_key", p_col)
+    )
+    agg = (
+        occ.join(scores, ["ctx_key", "bg_key"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").alias("n_bigrams"),
+            F.sum(F.col("occ") * F.col("p_val")).alias("_ll"),
+        )
+    )
+    if log_prob:
+        out = agg.select(
+            id_col,
+            "n_bigrams",
+            (F.col("_ll") / F.col("n_bigrams")).alias("lm_logprob"),
+        )
+    else:
+        out = agg.select(
+            id_col,
+            "n_bigrams",
+            F.expr("_ll div n_bigrams").alias("lm_score"),
+        )
+    return _attach_cached(out, occ)
+
+
+def lm_perplexity_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by: str = "lang",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every document under the
+    corpus bigram LM, then split each ``by``-group (language, as in the
+    paper) into head / middle / tail thirds by score — tail = highest
+    perplexity = least corpus-typical. keep drops the tail and fails
+    closed on docs with no bigrams (empty/null/1-token text).
+
+    Tertile boundaries are INTEGER arithmetic on (row_number, group
+    count) — (rank-1)*3 < n — never a float quantile, so the split is
+    bit-reproducible across engines and cluster sizes. The per-group
+    total order is rank over (score desc, id): groups are language-
+    sized (the CCNet sharding unit); for a single monster group,
+    pre-shard by a hash byte and union — boundaries stay exact because
+    membership is rank-based, not value-based.
+    """
+    scored = bigram_lm_scores(df, text_col, id_col)
+    base = df.select(id_col, by).join(scored, id_col, "left")
+    # sentinel -1 sorts no-bigram docs to the tail deterministically on
+    # both engines (scores are >= 0), independent of NULL-order defaults
+    order_key = F.coalesce(F.col("lm_score"), F.lit(-1))
+    w = Window.partitionBy(by).orderBy(order_key.desc(), F.col(id_col))
+    ranked = base.withColumn(
+        "_rk", F.row_number().over(w).cast("long")
+    ).withColumn("_n", F.count("*").over(Window.partitionBy(by)))
+    bucket = (
+        F.when(F.col("lm_score").isNull(), F.lit("tail"))
+        .when((F.col("_rk") - 1) * 3 < F.col("_n"), F.lit("head"))
+        .when((F.col("_rk") - 1) * 3 < 2 * F.col("_n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    out = ranked.select(
+        id_col,
+        by,
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+        "lm_score",
+        bucket.alias("ppl_bucket"),
+        (F.col("lm_score").isNotNull() & (bucket != "tail")).alias("keep"),
+    )
+    return _attach_cached(out, *getattr(scored, "_ts_cached", ()))

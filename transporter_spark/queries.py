@@ -5224,3 +5224,83 @@ def q_stream_kmeans_update(spark, sf_dir):
 QUERIES["stream_kmeans_update"] = QUERIES["stream_kmeans_update"]._replace(
     oracle=QUERIES["kmeans_update"].oracle
 )
+
+
+_LM_PPL_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+pairs AS (
+  SELECT doc_id, t[i] AS c1, t[i + 1] AS c2
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(c1), 1, 8))::UBIGINT AS BIGINT) AS ctx_key,
+         CAST(('0x' || substr(md5(c1 || ' ' || c2), 1, 8))::UBIGINT AS BIGINT)
+           AS bg_key
+  FROM pairs
+),
+occ AS (
+  SELECT doc_id, ctx_key, bg_key, COUNT(*) AS occ FROM keyed GROUP BY 1, 2, 3
+),
+c12 AS (SELECT ctx_key, bg_key, SUM(occ) AS c12 FROM occ GROUP BY 1, 2),
+c1t AS (SELECT ctx_key, SUM(c12) AS c1 FROM c12 GROUP BY 1),
+v AS (SELECT COUNT(*) AS vsize FROM c1t),
+sc AS (
+  SELECT c12.ctx_key, c12.bg_key,
+         ((c12 + 1) * 1000000000) // (c1 + vsize) AS p_val
+  FROM c12 JOIN c1t ON c12.ctx_key = c1t.ctx_key, v
+),
+doc AS (
+  SELECT occ.doc_id,
+         CAST(SUM(occ) AS BIGINT) AS n_bigrams,
+         CAST(SUM(occ * p_val) // SUM(occ) AS BIGINT) AS lm_score
+  FROM occ JOIN sc ON occ.ctx_key = sc.ctx_key AND occ.bg_key = sc.bg_key
+  GROUP BY 1
+),
+ranked AS (
+  SELECT d.doc_id, d.lang,
+         COALESCE(doc.n_bigrams, 0) AS n_bigrams, doc.lm_score,
+         row_number() OVER (PARTITION BY d.lang
+             ORDER BY COALESCE(doc.lm_score, -1) DESC, d.doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY d.lang) AS n
+  FROM documents d LEFT JOIN doc ON d.doc_id = doc.doc_id
+),
+bucketed AS (
+  SELECT doc_id, lang, n_bigrams, lm_score,
+         CASE WHEN lm_score IS NULL THEN 'tail'
+              WHEN (rk - 1) * 3 < n THEN 'head'
+              WHEN (rk - 1) * 3 < 2 * n THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM ranked
+)
+SELECT doc_id, lang, n_bigrams, lm_score, ppl_bucket,
+       (lm_score IS NOT NULL AND ppl_bucket <> 'tail') AS keep
+FROM bucketed ORDER BY doc_id
+"""
+
+
+@q("lm_perplexity_gate", oracle=_LM_PPL_ORACLE, headline=True)
+def q_lm_perplexity_gate(spark, sf_dir):
+    """CCNet-style perplexity filter (Wenzek et al. 2020): fit a bigram
+    LM on the corpus, score every document, split each language into
+    head/middle/tail thirds by score, keep = not tail (tail = highest
+    perplexity = least corpus-typical; the classic pretraining quality
+    cut after the rule gate). Scoring is FIXED-POINT integer (parts-
+    per-1e9 smoothed probabilities — same policy as dsir_select) and
+    the tertile boundary is integer rank arithmetic, so the verdicts
+    are bit-reproducible across engines and cluster sizes. 100 TB
+    shape: ONE tokenization pass feeds a cached (doc, ctx, bigram, occ)
+    frame; count tables are vocab-sized map-side-combined groupBys;
+    shuffles carry integer keys, never token strings; the per-lang
+    rank runs over (id, score) pairs only."""
+    from transporter_spark.operators.dedup import _attach_cached
+    from transporter_spark.operators.selection import lm_perplexity_gate
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = lm_perplexity_gate(docs)
+    return _attach_cached(
+        out.orderBy("doc_id"), *getattr(out, "_ts_cached", ())
+    )
