@@ -24,7 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 5: 16 new + 3 changed (incremental_dedup,
+# to the STALEST greens. Round 5: 19 new + 3 changed (incremental_dedup,
 # stream_ingest_dedup, asof_join — its backward path was touched by the
 # direction refactor) + the 25 queries last graded in r1/r2 + 6
 # high-value r3 greens = 50. Rotated OUT this round to make room, all
@@ -51,6 +51,8 @@ _PRIORITY = [
     "containment_pairs",       # asymmetric n-gram overlap (quotes)
     "stream_kmeans_update",    # continuous centroid-partial sink
     "lm_perplexity_gate",      # CCNet bigram-LM head/middle/tail gate
+    "hll_distinct",            # HyperLogLog register sketch, engine-exact
+    "hll_merge_shards",        # shard sketches merged == whole (oracle-proved)
     # --- changed round 5 ---
     "incremental_dedup",       # fast hash family + session-cached index
     "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:

@@ -5304,3 +5304,83 @@ def q_lm_perplexity_gate(spark, sf_dir):
     return _attach_cached(
         out.orderBy("doc_id"), *getattr(out, "_ts_cached", ())
     )
+
+
+# ===========================================================================
+# Mergeable cardinality sketches (operators/sketches.py)
+# ===========================================================================
+
+def _hll_oracle(item_sql: str, by_sql: str, by_name: str, table: str,
+                where: str = "") -> str:
+    from transporter_spark.operators.sketches import (
+        hll_estimate_sql,
+        hll_oracle_ctes,
+    )
+
+    src = f"(SELECT * FROM {table} {where})" if where else table
+    return (
+        "WITH "
+        + hll_oracle_ctes(item_sql, by_sql, src)
+        + f"""
+SELECT grp AS {by_name}, n_buckets, v0, sum_scaled, {hll_estimate_sql()}
+FROM hest ORDER BY {by_name}"""
+    )
+
+
+@q(
+    "hll_distinct",
+    oracle=_hll_oracle("user_id", "event_type", "event_type", "events"),
+    headline=True,
+)
+def q_hll_distinct(spark, sf_dir):
+    """Distinct users per event type via a HyperLogLog register sketch
+    (operators/sketches.py; Flajolet et al. 2007). Reference parity:
+    the reference's COUNT(DISTINCT) surface (adaptor SQL passthrough)
+    — here re-expressed as the sketch every engine uses at scale.
+    100 TB shape: ONE map-side-combined groupBy builds <=512 registers
+    per group (the partial aggregate IS the sketch — shuffle carries
+    registers, never values); the estimate runs on the register table.
+    The oracle replays the register build bit-for-bit (portable 60-bit
+    md5-prefix hash, integer bit-length rho, exact BIGINT harmonic
+    denominator) so the ESTIMATE itself is engine-exact, not just
+    approximately close."""
+    from transporter_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    reg = hll_register_table(ev, "user_id", by=["event_type"])
+    return hll_estimate(reg, by=["event_type"]).orderBy("event_type")
+
+
+@q(
+    "hll_merge_shards",
+    oracle=_hll_oracle("event_id", "event_type", "event_type", "events"),
+    headline=False,
+)
+def q_hll_merge_shards(spark, sf_dir):
+    """Shard-parallel sketch merge: build INDEPENDENT register tables
+    over the even- and odd-keyed halves of events, then hll_merge
+    (union + per-register MAX). The oracle is the single-pass sketch
+    over the WHOLE table — passing the hash gate PROVES merge is exact
+    (merge(sketch(A), sketch(B)) == sketch(A u B)), the property that
+    makes shard/day/stream-epoch rollup of distinct counts trivial at
+    100 TB. This grouping (~2000 distinct event_ids per type) also
+    exercises the raw-estimator branch; hll_distinct (~150 users)
+    exercises the linear-counting branch."""
+    from transporter_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_register_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    even = ev.where(F.col("event_id") % 2 == 0)
+    odd = ev.where(F.col("event_id") % 2 == 1)
+    merged = hll_merge(
+        hll_register_table(even, "event_id", by=["event_type"]),
+        hll_register_table(odd, "event_id", by=["event_type"]),
+        by=["event_type"],
+    )
+    return hll_estimate(merged, by=["event_type"]).orderBy("event_type")
