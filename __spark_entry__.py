@@ -53,6 +53,7 @@ _PRIORITY = [
     "lm_perplexity_gate",      # CCNet bigram-LM head/middle/tail gate
     "hll_distinct",            # HyperLogLog register sketch, engine-exact
     "hll_merge_shards",        # shard sketches merged == whole (oracle-proved)
+    "stream_hll_distinct",     # continuous register max-merge sink
     # --- changed round 5 ---
     "incremental_dedup",       # fast hash family + session-cached index
     "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:

@@ -1,0 +1,126 @@
+"""Continuous HLL sink (streaming/sketches.py): maintained state ==
+batch sketch across epoch boundaries, replay no-op, the idempotent
+re-delivery property the sum-based sinks cannot have, append-only
+commits, and compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from transporter_spark.operators.sketches import (
+    hll_estimate,
+    hll_register_table,
+)
+from transporter_spark.sources.files import read_table
+from transporter_spark.streaming.sketches import (
+    compact_hll_state,
+    hll_merge_batch,
+    read_hll_state,
+)
+from transporter_spark.streaming.state import SegmentStore
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_multi_epoch_drain_equals_batch_sketch(spark, sf_dir, tmp_path):
+    """3-epoch merge == single-pass register table over everything,
+    row-for-row (max-merge associativity); replayed epoch is a no-op;
+    state is register-bounded, never per-item."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id",
+                                                    "event_type")
+    state = str(tmp_path / "hll")
+    for epoch in range(3):
+        assert hll_merge_batch(
+            ev.filter(F.col("event_id") % 3 == epoch), epoch, state,
+            "user_id", ["event_type"],
+        )
+    before = _rows(read_hll_state(spark, state))
+    assert not hll_merge_batch(  # replay guard
+        ev.filter(F.col("event_id") % 3 == 2), 2, state,
+        "user_id", ["event_type"],
+    )
+    assert _rows(read_hll_state(spark, state)) == before
+    assert before == _rows(hll_register_table(ev, "user_id", ["event_type"]))
+    assert len(before) <= 5 * 512
+
+
+def test_redelivery_under_new_epoch_is_harmless(spark, sf_dir, tmp_path):
+    """The property that distinguishes this sink from rollup/kmeans:
+    re-delivering ALREADY-APPLIED rows under a NEW epoch (at-least-once
+    source after a source-side crash) leaves the state bit-identical —
+    max(rho, rho) == rho. Sum-based sinks double-count here."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id",
+                                                    "event_type")
+    state = str(tmp_path / "hll")
+    assert hll_merge_batch(ev, 0, state, "user_id", ["event_type"])
+    before = _rows(read_hll_state(spark, state))
+    # same rows again, NEW epoch id -> applied, but a no-op on content
+    assert hll_merge_batch(
+        ev.filter(F.col("event_id") % 2 == 0), 1, state,
+        "user_id", ["event_type"],
+    )
+    assert _rows(read_hll_state(spark, state)) == before
+
+
+def test_commit_is_append_only_and_compaction_folds(spark, sf_dir, tmp_path):
+    """Epochs hitting DISJOINT groups append segments (pre-existing
+    files byte-untouched — the keyed manifest leaves untouched groups'
+    segments alone); compaction then folds the split log to one segment
+    without changing what the reader sees. (When a batch touches every
+    group — the common case — each merge already collapses the table
+    and compaction is a no-op by design, as in the kmeans sink.)"""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id",
+                                                    "event_type")
+    state = str(tmp_path / "hll")
+    root = os.path.join(state, "segments")
+
+    def files():
+        out = {}
+        for dp, _d, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(dp, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    assert hll_merge_batch(
+        ev.filter(F.col("event_type").isin("click", "error")), 0, state,
+        "user_id", ["event_type"],
+    )
+    snap = files()
+    assert hll_merge_batch(
+        ev.filter(~F.col("event_type").isin("click", "error")), 1, state,
+        "user_id", ["event_type"],
+    )
+    after = files()
+    assert all(after.get(k) == v for k, v in snap.items()), (
+        "pre-existing segment files were rewritten"
+    )
+    before_rows = _rows(read_hll_state(spark, state))
+    assert compact_hll_state(spark, state)
+    store = SegmentStore(state)
+    assert len(set(store.keyed_mapping("registers").values())) == 1
+    assert _rows(read_hll_state(spark, state)) == before_rows
+    assert not compact_hll_state(spark, state)  # already compact
+
+
+def test_estimate_over_maintained_state_matches_batch(spark, sf_dir, tmp_path):
+    """End shape: estimates from the maintained registers equal the
+    batch-path estimates exactly (shared hll_estimate)."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id",
+                                                    "event_type")
+    state = str(tmp_path / "hll")
+    for epoch in range(2):
+        hll_merge_batch(
+            ev.filter(F.col("event_id") % 2 == epoch), epoch, state,
+            "user_id", ["event_type"],
+        )
+    got = hll_estimate(read_hll_state(spark, state), by=["event_type"])
+    want = hll_estimate(
+        hll_register_table(ev, "user_id", ["event_type"]), by=["event_type"]
+    )
+    assert _rows(got) == _rows(want)

@@ -5384,3 +5384,27 @@ def q_hll_merge_shards(spark, sf_dir):
         by=["event_type"],
     )
     return hll_estimate(merged, by=["event_type"]).orderBy("event_type")
+
+
+@q("stream_hll_distinct", oracle=None, headline=False)
+def q_stream_hll_distinct(spark, sf_dir):
+    """CONTINUOUS distinct-count maintenance (streaming/sketches.py):
+    the events stream drains through a foreachBatch sink that sketches
+    each batch (one map-side-combined groupBy, <= 512 register rows per
+    group) and MAX-merges it into the standing register table — state
+    stays groups x 512 rows forever, per-epoch work ∝ batch. Register
+    MAX is associative AND idempotent, so the maintained state equals
+    the batch-built sketch bit-for-bit regardless of epoch boundaries
+    or re-delivery (pinned multi-epoch in tests/test_streaming.py) —
+    which is why this query shares `hll_distinct`'s engine-exact
+    oracle verbatim."""
+    from transporter_spark.operators.sketches import hll_estimate
+    from transporter_spark.streaming.sketches import drain_events_hll
+
+    reg = drain_events_hll(spark, sf_dir)
+    return hll_estimate(reg, by=["event_type"]).orderBy("event_type")
+
+
+QUERIES["stream_hll_distinct"] = QUERIES["stream_hll_distinct"]._replace(
+    oracle=QUERIES["hll_distinct"].oracle
+)
