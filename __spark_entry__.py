@@ -54,6 +54,7 @@ _PRIORITY = [
     "hll_distinct",            # HyperLogLog register sketch, engine-exact
     "hll_merge_shards",        # shard sketches merged == whole (oracle-proved)
     "stream_hll_distinct",     # continuous register max-merge sink
+    "cms_topk_users",          # Count-Min heavy hitters, engine-exact
     # --- changed round 5 ---
     "incremental_dedup",       # fast hash family + session-cached index
     "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:

@@ -116,3 +116,80 @@ def test_sparse_register_count_bounded(spark, sf_dir):
         .collect()
     )
     assert counts and all(r["count"] <= (1 << DEFAULT_P) for r in counts)
+
+
+# --- Count-Min sketch ---
+
+
+def test_cms_overestimates_never_under(spark, sf_dir):
+    """The CMS guarantee: est >= true count for EVERY item (collisions
+    only inflate), and est is within eps*N (e/w ~ 0.27% of 10k events)
+    for all but a delta fraction — at this w, exact for most items."""
+    from transporter_spark.operators.sketches import (
+        DEFAULT_W,
+        cms_estimate,
+        cms_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    est = {
+        r["user_id"]: r["est"]
+        for r in cms_estimate(cms_table(ev, "user_id"), ev, "user_id").collect()
+    }
+    true = {
+        r["user_id"]: r["c"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("c")).collect()
+    }
+    n = sum(true.values())
+    assert set(est) == set(true)
+    assert all(est[k] >= t for k, t in true.items())
+    import math
+
+    eps_bound = math.e / DEFAULT_W * n
+    within = sum(1 for k, t in true.items() if est[k] - t <= eps_bound)
+    assert within / len(true) > 0.9
+
+
+def test_cms_merge_is_exact_and_mass_preserving(spark, sf_dir):
+    """merge(cms(A), cms(B)) == cms(A ++ B) cell-for-cell, and every
+    row of the merged sketch sums to the total occurrence count."""
+    from transporter_spark.operators.sketches import (
+        DEFAULT_D,
+        cms_merge,
+        cms_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    whole = cms_table(ev, "user_id")
+    merged = cms_merge(
+        cms_table(ev.where(F.col("event_id") % 2 == 0), "user_id"),
+        cms_table(ev.where(F.col("event_id") % 2 == 1), "user_id"),
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    n = ev.where(F.col("user_id").isNotNull()).count()
+    rows = merged.groupBy("row_idx").agg(F.sum("cnt").alias("s")).collect()
+    assert len(rows) == DEFAULT_D and all(r["s"] == n for r in rows)
+
+
+def test_cms_plan_build_combines_and_estimate_broadcasts(spark, sf_dir):
+    """Build: one exchange, partial_count before it (shuffle capped at
+    d x w rows per mapper). Estimate: the sketch side is broadcast —
+    no shuffle keyed on the sketch, no CartesianProduct."""
+    import re
+
+    from transporter_spark.operators.sketches import cms_estimate, cms_table
+
+    def nodes(plan, name):
+        return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+    ev = read_table(spark, sf_dir, "events")
+    sketch = cms_table(ev, "user_id")
+    plan = explain_str(sketch)
+    assert nodes(plan, "Exchange") == 1, plan
+    assert "partial_count" in plan
+    assert plan.index("partial_count") < plan.index("ENSURE_REQUIREMENTS")
+    est_plan = explain_str(cms_estimate(sketch, ev, "user_id"))
+    assert "BroadcastHashJoin" in est_plan, est_plan
+    assert "CartesianProduct" not in est_plan

@@ -176,3 +176,115 @@ def hll_estimate_sql(p: int = DEFAULT_P) -> str:
         f"AND v0 > 0 THEN round({m} * ln(CAST({m} AS DOUBLE) / v0), 6) "
         f"ELSE round(CAST({c!r} AS DOUBLE) / sum_scaled, 6) END AS estimate"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005): fixed d x w counter
+# table; cell-wise SUM merge; point estimate = min over the d salted
+# rows. All-integer, so engine-exact by construction — the oracle
+# replays the build bit-for-bit.
+# ---------------------------------------------------------------------------
+
+#: defaults: 3 rows x 1024 columns -> eps = e/w ~ 0.27% of total count,
+#: delta = e^-d ~ 5%. 3072 BIGINTs per sketch regardless of corpus size.
+DEFAULT_D = 3
+DEFAULT_W = 1024
+
+
+def _cms_cell(col: Column, row_idx: int, w: int) -> Column:
+    """Row-salted portable cell hash: md5 over 'i:item'. DuckDB twin:
+    CAST(('0x' || substr(md5(i || ':' || x), 1, 15))::UBIGINT AS
+    BIGINT) % w."""
+    salted = F.concat_ws(":", F.lit(row_idx).cast("string"), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long") % w
+    ).alias("cell")
+
+
+def cms_table(
+    df: DataFrame,
+    item_col: str,
+    d: int = DEFAULT_D,
+    w: int = DEFAULT_W,
+) -> DataFrame:
+    """(row_idx, cell, cnt) counter table over the item occurrences —
+    the sketch itself. ONE map-side-combined groupBy: each mapper emits
+    at most d x w partial cells however large its split, so the shuffle
+    is sketch-sized, never corpus-sized. NULL items are skipped."""
+    base = df.where(F.col(item_col).isNotNull())
+    cells = F.array(
+        *[_cms_cell(F.col(item_col), i, w) for i in range(d)]
+    )
+    return (
+        base.select(F.posexplode(cells).alias("row_idx", "cell"))
+        .groupBy("row_idx", "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two sketches: union + cell-wise SUM. Exact —
+    merge(cms(A), cms(B)) == cms(A ++ B) (multiset concatenation), the
+    algebra that makes shard/epoch rollup of frequency tables free."""
+    return (
+        a.unionByName(b)
+        .groupBy("row_idx", "cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    d: int = DEFAULT_D,
+    w: int = DEFAULT_W,
+) -> DataFrame:
+    """Point-frequency estimates for ``items`` (one row per distinct
+    item): est = MIN over the d row counters, the classic one-sided
+    estimator (est >= true count always; pinned by test). The sketch is
+    <= d x w rows -> broadcast; per-item work is d lookups regardless
+    of corpus size. Items never seen by the sketch estimate 0 via the
+    left join."""
+    cand = items.select(F.col(item_col)).where(
+        F.col(item_col).isNotNull()
+    ).distinct()
+    cells = F.array(*[_cms_cell(F.col(item_col), i, w) for i in range(d)])
+    probes = cand.select(
+        item_col, F.posexplode(cells).alias("row_idx", "cell")
+    )
+    joined = probes.join(
+        F.broadcast(sketch), on=["row_idx", "cell"], how="left"
+    ).withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    return (
+        joined.groupBy(item_col)
+        .agg(F.min("cnt").cast("long").alias("est"))
+    )
+
+
+def cms_oracle_ctes(
+    item_sql: str, table: str, d: int = DEFAULT_D, w: int = DEFAULT_W
+) -> str:
+    """DuckDB CTE block replaying build + estimate (CTEs `cms` — the
+    counter table — and `cms_est`: one estimate row per distinct item)."""
+    return f"""
+occ AS (
+  SELECT {item_sql} AS item FROM {table} WHERE {item_sql} IS NOT NULL
+),
+cms AS (
+  SELECT i AS row_idx,
+         CAST(('0x' || substr(md5(i || ':' || CAST(item AS VARCHAR)), 1, 15))
+              ::UBIGINT AS BIGINT) % {w} AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM occ CROSS JOIN (SELECT unnest(generate_series(0, {d - 1})) AS i)
+  GROUP BY 1, 2
+),
+cms_est AS (
+  SELECT item, CAST(MIN(cnt) AS BIGINT) AS est
+  FROM (SELECT DISTINCT item FROM occ) items
+  CROSS JOIN (SELECT unnest(generate_series(0, {d - 1})) AS i)
+  JOIN cms ON cms.row_idx = i
+   AND cms.cell = CAST(('0x' || substr(md5(i || ':' || CAST(item AS VARCHAR)),
+                        1, 15))::UBIGINT AS BIGINT) % {w}
+  GROUP BY 1
+)"""

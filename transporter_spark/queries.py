@@ -5408,3 +5408,36 @@ def q_stream_hll_distinct(spark, sf_dir):
 QUERIES["stream_hll_distinct"] = QUERIES["stream_hll_distinct"]._replace(
     oracle=QUERIES["hll_distinct"].oracle
 )
+
+
+def _cms_oracle() -> str:
+    from transporter_spark.operators.sketches import cms_oracle_ctes
+
+    return (
+        "WITH " + cms_oracle_ctes("user_id", "events") + """
+SELECT item AS user_id, est FROM cms_est
+ORDER BY est DESC, user_id LIMIT 20"""
+    )
+
+
+@q("cms_topk_users", oracle=_cms_oracle(), headline=False)
+def q_cms_topk_users(spark, sf_dir):
+    """Heavy hitters from a Count-Min sketch (operators/sketches.py;
+    Cormode & Muthukrishnan 2005): estimate every user's event count
+    from the fixed 3x1024 counter table and rank. 100 TB shape: the
+    build is ONE map-side-combined groupBy whose shuffle is capped at
+    d x w rows per mapper (the partial aggregate IS the sketch); the
+    estimate probes d broadcast-joined cells per candidate — corpus
+    size never appears after the scan. All-integer, so the sketch AND
+    the estimates are engine-exact (oracle replays the build); the
+    one-sided est >= truth guarantee is pinned in tests."""
+    from transporter_spark.operators.sketches import cms_estimate, cms_table
+
+    ev = read_table(spark, sf_dir, "events")
+    sketch = cms_table(ev, "user_id")
+    est = cms_estimate(sketch, ev, "user_id")
+    return (
+        est.select(F.col("user_id"), F.col("est"))
+        .orderBy(F.desc("est"), "user_id")
+        .limit(20)
+    )
