@@ -336,6 +336,33 @@ def probe_shards(spark):
     return times[1], times[MULT]
 
 
+def probe_sketches(spark):
+    """HLL register build + estimate at 1x/Nx events: the groupBy's
+    map-side combine caps the exchange at 2^p register rows per group
+    per mapper, so cost is ONE scan pass — wall must scale ~linearly in
+    rows (never with distinct-count or group fan-out), and the estimate
+    runs on the register table alone."""
+    from transporter_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_table,
+    )
+
+    ev = read_table(spark, SF_DIR, "events").select("event_id", "user_id",
+                                                    "event_type")
+    times = {}
+    for mult in (1, MULT):
+        df = _replicate(ev, "event_id", mult)
+
+        def run():
+            hll_estimate(
+                hll_register_table(df, "user_id", ["event_type"]),
+                by=["event_type"],
+            ).count()
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -346,6 +373,7 @@ PROBES = {
     "semantic": probe_semantic,
     "dsir": probe_dsir,
     "shards": probe_shards,
+    "sketches": probe_sketches,
 }
 
 
