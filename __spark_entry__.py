@@ -24,13 +24,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 5: 19 new + 3 changed (incremental_dedup,
+# to the STALEST greens. Round 5: 21 new + 3 changed (incremental_dedup,
 # stream_ingest_dedup, asof_join — its backward path was touched by the
-# direction refactor) + the 25 queries last graded in r1/r2 + 6
-# high-value r3 greens = 50. Rotated OUT this round to make room, all
-# unchanged since their r3 green rows: q1_pricing_summary,
+# direction refactor) + 26 stalest greens = 50. The list below carries
+# 55 names so intent is explicit: the LAST FIVE (dedup_clusters,
+# ann_ivf_topk, stream_dedup, stream_stream_join, rollup_lattice_daily)
+# spill past the graded window — they, like q1_pricing_summary,
 # q5_local_supplier, minhash_lsh_pairs, stream_windowed_agg,
-# training_pipeline, stream_stateful_count, js_transform.
+# training_pipeline, stream_stateful_count, js_transform, are rotated
+# OUT this round, all unchanged since their r3 green rows.
 # Everything outside the 50 is green on unchanged code (r3/r4 rows).
 _PRIORITY = [
     # --- NEW round 5: must take a slot ---

@@ -28,11 +28,21 @@ from transporter_spark.registry import register
 # building blocks
 # ---------------------------------------------------------------------------
 
+def stable_hash(col: Column, nibbles: int = 8) -> Column:
+    """Portable hash: first ``nibbles`` hex digits of md5 as a bigint
+    (0 .. 16^nibbles - 1; nibbles <= 15 keeps it in int64). The ONE
+    audited Spark/DuckDB twin — DuckDB side:
+    CAST(('0x' || substr(md5(CAST(x AS VARCHAR)), 1, nibbles))::UBIGINT
+    AS BIGINT). Used at 8 nibbles by the dedup family and 15 (60 bits)
+    by the sketches."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), 1, nibbles), 16, 10
+    ).cast("long")
+
+
 def stable_hash32(col: Column) -> Column:
-    """Portable 32-bit hash: first 8 hex digits of md5 as a bigint
-    (0 .. 2^32-1). Same value computable in DuckDB:
-    CAST(from_hex-style conv of substr(md5(x),1,8) — see tests)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    """Portable 32-bit hash: `stable_hash` at its 8-nibble default."""
+    return stable_hash(col)
 
 
 def tokens(col_name: str) -> Column:

@@ -28,19 +28,29 @@ from typing import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from transporter_spark.operators.dedup import stable_hash
+
 #: default precision: 2^9 = 512 registers — ~4.6% standard error,
 #: 512 ints per group. Raise p for tighter bounds; everything below
 #: derives from it.
 DEFAULT_P = 9
 
 
+def _hll_constants(p: int):
+    """(m, w, c): register count, hash-tail width, and the estimator's
+    numerator constant alpha_m * m^2 * 2^(w+1). The ONE definition both
+    the Spark estimator and the oracle SQL derive from — duplicating it
+    would let the two sides drift apart silently."""
+    m = 1 << p
+    w = 60 - p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return m, w, alpha * m * m * float(1 << (w + 1))
+
+
 def _hash60(col: Column) -> Column:
-    """Portable 60-bit item hash: first 15 hex chars of md5 as BIGINT.
-    DuckDB twin: CAST(('0x' || substr(md5(x), 1, 15))::UBIGINT AS
-    BIGINT)."""
-    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
-        "long"
-    )
+    """Portable 60-bit item hash: `stable_hash` (the audited md5-prefix
+    Spark/DuckDB twin, operators/dedup.py) at 15 nibbles."""
+    return stable_hash(col, nibbles=15)
 
 
 def hll_register_table(
@@ -96,10 +106,7 @@ def hll_estimate(
     standard small-range linear-counting correction (m * ln(m / v0)
     when raw <= 2.5m and v0 > 0), rounded to 6dp. Runs on the
     m-rows-per-group register table — never on corpus data."""
-    m = 1 << p
-    w = 60 - p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    c = alpha * m * m * float(1 << (w + 1))  # numerator constant
+    m, w, c = _hll_constants(p)
     g = registers.groupBy(*by).agg(
         F.count("*").alias("n_buckets"),
         F.sum(
@@ -135,10 +142,7 @@ def hll_oracle_ctes(
     oracle parity (shared verbatim by the graded queries so the two
     sides can never drift). Produces CTEs `reg` (the register table)
     and `hest` (the estimate)."""
-    m = 1 << p
-    w = 60 - p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    c = alpha * m * m * float(1 << (w + 1))
+    m, w, _ = _hll_constants(p)
     return f"""
 h AS (
   SELECT {by_sql} AS grp,
@@ -166,10 +170,7 @@ hest AS (
 def hll_estimate_sql(p: int = DEFAULT_P) -> str:
     """SELECT-list fragments completing `hll_oracle_ctes`'s `hest` into
     the estimate columns (same constants, same single division)."""
-    m = 1 << p
-    w = 60 - p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    c = alpha * m * m * float(1 << (w + 1))
+    m, _w, c = _hll_constants(p)
     return (
         f"CAST({c!r} AS DOUBLE) / sum_scaled AS hll_raw, "
         f"CASE WHEN CAST({c!r} AS DOUBLE) / sum_scaled <= {2.5 * m!r} "
@@ -196,9 +197,7 @@ def _cms_cell(col: Column, row_idx: int, w: int) -> Column:
     CAST(('0x' || substr(md5(i || ':' || x), 1, 15))::UBIGINT AS
     BIGINT) % w."""
     salted = F.concat_ws(":", F.lit(row_idx).cast("string"), col.cast("string"))
-    return (
-        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long") % w
-    ).alias("cell")
+    return (stable_hash(salted, nibbles=15) % w).alias("cell")
 
 
 def cms_table(

@@ -5310,17 +5310,15 @@ def q_lm_perplexity_gate(spark, sf_dir):
 # Mergeable cardinality sketches (operators/sketches.py)
 # ===========================================================================
 
-def _hll_oracle(item_sql: str, by_sql: str, by_name: str, table: str,
-                where: str = "") -> str:
+def _hll_oracle(item_sql: str, by_sql: str, by_name: str, table: str) -> str:
     from transporter_spark.operators.sketches import (
         hll_estimate_sql,
         hll_oracle_ctes,
     )
 
-    src = f"(SELECT * FROM {table} {where})" if where else table
     return (
         "WITH "
-        + hll_oracle_ctes(item_sql, by_sql, src)
+        + hll_oracle_ctes(item_sql, by_sql, table)
         + f"""
 SELECT grp AS {by_name}, n_buckets, v0, sum_scaled, {hll_estimate_sql()}
 FROM hest ORDER BY {by_name}"""
@@ -5395,7 +5393,7 @@ def q_stream_hll_distinct(spark, sf_dir):
     stays groups x 512 rows forever, per-epoch work ∝ batch. Register
     MAX is associative AND idempotent, so the maintained state equals
     the batch-built sketch bit-for-bit regardless of epoch boundaries
-    or re-delivery (pinned multi-epoch in tests/test_streaming.py) —
+    or re-delivery (pinned multi-epoch in tests/test_streaming_sketches.py) —
     which is why this query shares `hll_distinct`'s engine-exact
     oracle verbatim."""
     from transporter_spark.operators.sketches import hll_estimate

@@ -46,6 +46,13 @@ _SEG_KEY_FORMAT = "group_value"
 _STORE_NAME = "registers"
 
 
+def _seg_key(by):
+    """All `by` columns joined unit-separated — distinct groups must
+    never collide onto one segment key, or the keyed manifest's
+    touched-group pruning silently coarsens to the by[0] fan-out."""
+    return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in by])
+
+
 def hll_merge_batch(
     batch: DataFrame,
     epoch_id: int,
@@ -60,7 +67,7 @@ def hll_merge_batch(
     from transporter_spark.streaming.state import SEG_KEY
 
     part = hll_register_table(batch, item_col, by, p).withColumn(
-        SEG_KEY, F.col(by[0]).cast("string")
+        SEG_KEY, _seg_key(by)
     )
 
     def remerge(prev, part):
@@ -68,7 +75,7 @@ def hll_merge_batch(
             prev.unionByName(part)
             .groupBy(*by, "bucket")
             .agg(F.max("rho").alias("rho"))
-            .withColumn(SEG_KEY, F.col(by[0]).cast("string"))
+            .withColumn(SEG_KEY, _seg_key(by))
         )
 
     return SegmentStore(state_dir).keyed_delta_merge(
