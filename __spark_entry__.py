@@ -24,12 +24,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 5: 21 new + 3 changed (incremental_dedup,
+# to the STALEST greens. Round 5: 22 new + 3 changed (incremental_dedup,
 # stream_ingest_dedup, asof_join — its backward path was touched by the
-# direction refactor) + 26 stalest greens = 50. The list below carries
-# 55 names so intent is explicit: the LAST FIVE (dedup_clusters,
-# ann_ivf_topk, stream_dedup, stream_stream_join, rollup_lattice_daily)
-# spill past the graded window — they, like q1_pricing_summary,
+# direction refactor) + 25 stalest greens = 50. The list below carries
+# 56 names so intent is explicit: the LAST SIX (incremental_dedup_exact,
+# dedup_clusters, ann_ivf_topk, stream_dedup, stream_stream_join,
+# rollup_lattice_daily) spill past the graded window — they, like
+# q1_pricing_summary,
 # q5_local_supplier, minhash_lsh_pairs, stream_windowed_agg,
 # training_pipeline, stream_stateful_count, js_transform, are rotated
 # OUT this round, all unchanged since their r3 green rows.
@@ -57,6 +58,7 @@ _PRIORITY = [
     "hll_merge_shards",        # shard sketches merged == whole (oracle-proved)
     "stream_hll_distinct",     # continuous register max-merge sink
     "cms_topk_users",          # Count-Min heavy hitters, engine-exact
+    "ddsketch_quantiles",      # log-binned mergeable quantile sketch
     # --- changed round 5 ---
     "incremental_dedup",       # fast hash family + session-cached index
     "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:

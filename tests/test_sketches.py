@@ -193,3 +193,84 @@ def test_cms_plan_build_combines_and_estimate_broadcasts(spark, sf_dir):
     est_plan = explain_str(cms_estimate(sketch, ev, "user_id"))
     assert "BroadcastHashJoin" in est_plan, est_plan
     assert "CartesianProduct" not in est_plan
+
+
+# --- log-binned quantile sketch ---
+
+
+def test_dd_quantile_within_relative_error(spark, sf_dir):
+    """est must be within the bin-width guarantee (<= 2^-sub_bits
+    relative, ~3.2%) of the TRUE order statistic it targets —
+    the ceil(q*n)-th smallest value per group."""
+    import math
+
+    from transporter_spark.operators.sketches import (
+        DD_FRACS,
+        dd_bins,
+        dd_quantiles,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+    est = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in dd_quantiles(
+            dd_bins(ev, "value", by=["event_type"]), by=["event_type"]
+        ).collect()
+    }
+    vals = {}
+    for r in ev.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    eps = 2 ** -5 + 0.002
+    for g, xs in vals.items():
+        xs.sort()
+        for frac, label in DD_FRACS:
+            t = -((-frac * len(xs)) // 100)  # ceil
+            true = xs[t - 1]
+            got = est[(g, label)]
+            assert abs(got - true) / true <= eps, (g, label, got, true)
+
+
+def test_dd_merge_exact_and_underflow_bin(spark):
+    """merge(dd(A), dd(B)) == dd(A ++ B) bin-for-bin; zeros land in the
+    (0, 0) underflow bin; negatives and NULLs are excluded."""
+    from transporter_spark.operators.sketches import dd_bins, dd_merge
+
+    rows = [(i, v) for i, v in enumerate(
+        [0.0, 0.0, 0.25, 1.5, 3.0, 700.125, None, -2.0]
+    )]
+    df = spark.createDataFrame(rows, "id long, value double")
+    whole = dd_bins(df, "value", by=[])
+    merged = dd_merge(
+        dd_bins(df.where(F.col("id") % 2 == 0), "value", by=[]),
+        dd_bins(df.where(F.col("id") % 2 == 1), "value", by=[]),
+        by=[],
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    got = {(r["bin_e"], r["bin_sub"]): r["cnt"] for r in whole.collect()}
+    assert got.get((0, 0)) == 2          # the two zeros
+    assert sum(got.values()) == 6        # NULL and negative excluded
+
+
+def test_dd_build_plan_one_combined_shuffle(spark, sf_dir):
+    """Bin build: ONE exchange with partial_count before it (the bin
+    table, never values, crosses the wire); quantile walk adds window
+    work on the tiny bin table plus the broadcast frac frame only —
+    no shuffle keyed on corpus rows, no cartesian."""
+    import re
+
+    from transporter_spark.operators.sketches import dd_bins, dd_quantiles
+
+    def nodes(plan, name):
+        return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+    ev = read_table(spark, sf_dir, "events")
+    bins = dd_bins(ev, "value", by=["event_type"])
+    plan = explain_str(bins)
+    assert nodes(plan, "Exchange") == 1, plan
+    assert "partial_count" in plan
+    assert plan.index("partial_count") < plan.index("ENSURE_REQUIREMENTS")
+    qplan = explain_str(dd_quantiles(bins, by=["event_type"]))
+    assert "CartesianProduct" not in qplan
+    assert "BroadcastNestedLoopJoin" in qplan  # the 5-row frac frame

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from transporter_spark.operators.dedup import stable_hash
@@ -286,4 +286,170 @@ cms_est AS (
    AND cms.cell = CAST(('0x' || substr(md5(i || ':' || CAST(item AS VARCHAR)),
                         1, 15))::UBIGINT AS BIGINT) % {w}
   GROUP BY 1
+)"""
+
+
+# ---------------------------------------------------------------------------
+# Log-binned quantile sketch (DDSketch-shaped: Masson et al. 2019, but
+# with all-INTEGER binning — bit-length + top sub_bits of the scaled
+# mantissa instead of floor(log_gamma(x)), so bin assignment is
+# engine-exact: no float log whose last ulp could flip a boundary).
+# Bins merge by count SUM; quantiles read off the cumulative bin walk.
+# Relative error <= 2^-sub_bits within a bin (~3% at the default 5).
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale: values are floored at 2^-20 granularity (exact
+#: power-of-two scaling of the double mantissa — no rounding).
+DEFAULT_SCALE_BITS = 20
+#: sub-bin resolution: top 5 mantissa bits -> <=3.2% relative error.
+DEFAULT_SUB_BITS = 5
+
+
+def dd_bins(
+    df: DataFrame,
+    value_col: str,
+    by: Sequence[str],
+    scale_bits: int = DEFAULT_SCALE_BITS,
+    sub_bits: int = DEFAULT_SUB_BITS,
+) -> DataFrame:
+    """(by..., bin_e, bin_sub, cnt) log-bin histogram — the sketch.
+    ONE map-side-combined groupBy; at most ~64 * 2^sub_bits bins per
+    group regardless of input size. NULL and negative values are
+    excluded (like DDSketch's positive store; split sign streams and
+    run twice for signed data). v = floor(value * 2^scale_bits);
+    bin_e = bitlength(v) (0 for v = 0 — the underflow bin), bin_sub =
+    the sub_bits bits after the leading one."""
+    two_s = 1 << scale_bits
+    base = df.where(
+        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+    ).select(
+        *by,
+        F.expr(
+            f"cast(floor({value_col} * {two_s}) as bigint)"
+        ).alias("_v"),
+    )
+    e = F.when(F.col("_v") == 0, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("_v")))
+    ).cast("int")
+    binned = base.select(*by, "_v", e.alias("_e")).select(
+        *by,
+        F.col("_e").cast("long").alias("bin_e"),
+        F.when(F.col("_v") == 0, F.lit(0)).otherwise(
+            F.expr(
+                f"shiftright(_v, cast(greatest(_e - 1 - {sub_bits}, 0) as int))"
+                f" - shiftleft(1L, cast(_e - 1 - greatest(_e - 1 - {sub_bits}, 0) as int))"
+            )
+        ).cast("long").alias("bin_sub"),
+    )
+    return binned.groupBy(*by, "bin_e", "bin_sub").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+def dd_merge(a: DataFrame, b: DataFrame, by: Sequence[str]) -> DataFrame:
+    """Merge two bin histograms: union + count SUM. Exact —
+    merge(dd(A), dd(B)) == dd(A ++ B) bin-for-bin."""
+    return (
+        a.unionByName(b)
+        .groupBy(*by, "bin_e", "bin_sub")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+#: (percent, label) quantile probes shared by the operator and oracle.
+DD_FRACS = ((25, "p25"), (50, "p50"), (75, "p75"), (90, "p90"), (99, "p99"))
+
+
+def dd_quantiles(
+    bins: DataFrame,
+    by: Sequence[str],
+    scale_bits: int = DEFAULT_SCALE_BITS,
+    sub_bits: int = DEFAULT_SUB_BITS,
+) -> DataFrame:
+    """Quantile estimates per group from the bin table: walk bins in
+    (bin_e, bin_sub) order; quantile q lands in the bin holding the
+    ceil(q*n)-th value (cum >= t AND cum - cnt < t picks exactly one
+    bin). Estimate = the bin's midpoint — an exact integer divided by
+    2^(scale_bits+1), a power of two, so the double is bit-identical on
+    every engine with NO rounding step. Runs entirely on the bin table
+    (<= ~2k rows per group); the corpus is never re-read."""
+    spark = bins.sparkSession
+    fr = spark.createDataFrame(list(DD_FRACS), "frac long, q string")
+    w = (
+        Window.partitionBy(*by).orderBy("bin_e", "bin_sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bins.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*by))
+    )
+    t = F.expr("(frac * n + 99) div 100")
+    picked = (
+        cum.crossJoin(F.broadcast(fr))
+        .withColumn("t", t)
+        .where((F.col("cum") >= F.col("t")) & (F.col("cum") - F.col("cnt") < F.col("t")))
+    )
+    shift = f"cast(greatest(bin_e - 1 - {sub_bits}, 0) as int)"
+    lo = (
+        f"CASE WHEN bin_e = 0 THEN 0 ELSE "
+        f"shiftleft(1L, cast(bin_e - 1 as int)) + shiftleft(bin_sub, {shift}) END"
+    )
+    width = f"CASE WHEN bin_e = 0 THEN 0 ELSE shiftleft(1L, {shift}) END"
+    est = F.expr(f"2 * ({lo}) + ({width})") / F.lit(
+        float(1 << (scale_bits + 1))
+    )
+    return picked.select(
+        *by, "q", est.alias("est"), "bin_e", "bin_sub",
+    )
+
+
+def dd_oracle_ctes(
+    value_sql: str,
+    by_sql: str,
+    table: str,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+    sub_bits: int = DEFAULT_SUB_BITS,
+) -> str:
+    """DuckDB CTE block replaying binning + quantile walk (CTEs `ddb` —
+    the bin table — and `ddq`: one row per group x quantile, columns
+    grp, q, est, bin_e, bin_sub)."""
+    two_s = 1 << scale_bits
+    fracs = ", ".join(f"({f}, '{l}')" for f, l in DD_FRACS)
+    return f"""
+ddv AS (
+  SELECT {by_sql} AS grp,
+         CAST(floor({value_sql} * {two_s}) AS BIGINT) AS v
+  FROM {table}
+  WHERE {value_sql} IS NOT NULL AND {value_sql} >= 0
+),
+dde AS (
+  SELECT grp, v,
+         CASE WHEN v = 0 THEN 0 ELSE length(bin(v)) END AS e
+  FROM ddv
+),
+ddb AS (
+  SELECT grp, CAST(e AS BIGINT) AS bin_e,
+         CAST(CASE WHEN v = 0 THEN 0 ELSE
+           (v >> greatest(e - 1 - {sub_bits}, 0))
+           - (1::BIGINT << (e - 1 - greatest(e - 1 - {sub_bits}, 0))) END
+         AS BIGINT) AS bin_sub,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM dde GROUP BY 1, 2, 3
+),
+ddc AS (
+  SELECT grp, bin_e, bin_sub, cnt,
+         SUM(cnt) OVER (PARTITION BY grp ORDER BY bin_e, bin_sub) AS cum,
+         SUM(cnt) OVER (PARTITION BY grp) AS n
+  FROM ddb
+),
+ddq AS (
+  SELECT grp, q, bin_e, bin_sub,
+         (2 * (CASE WHEN bin_e = 0 THEN 0 ELSE
+                 (1::BIGINT << CAST(bin_e - 1 AS INT))
+                 + (bin_sub << greatest(CAST(bin_e AS INT) - 1 - {sub_bits}, 0)) END)
+            + (CASE WHEN bin_e = 0 THEN 0 ELSE
+                 1::BIGINT << greatest(CAST(bin_e AS INT) - 1 - {sub_bits}, 0) END))
+           / CAST({float(1 << (scale_bits + 1))!r} AS DOUBLE) AS est
+  FROM ddc CROSS JOIN (SELECT * FROM (VALUES {fracs}) f(frac, q))
+  WHERE cum >= (frac * n + 99) // 100
+    AND cum - cnt < (frac * n + 99) // 100
 )"""

@@ -5439,3 +5439,32 @@ def q_cms_topk_users(spark, sf_dir):
         .orderBy(F.desc("est"), "user_id")
         .limit(20)
     )
+
+
+def _dd_oracle() -> str:
+    from transporter_spark.operators.sketches import dd_oracle_ctes
+
+    return (
+        "WITH " + dd_oracle_ctes("value", "event_type", "events") + """
+SELECT grp AS event_type, q, est, bin_e, bin_sub FROM ddq
+ORDER BY event_type, q"""
+    )
+
+
+@q("ddsketch_quantiles", oracle=_dd_oracle(), headline=False)
+def q_ddsketch_quantiles(spark, sf_dir):
+    """Value quantiles (p25..p99) per event type from a mergeable
+    log-binned sketch (operators/sketches.py; DDSketch-shaped, Masson
+    et al. 2019 — but binned by INTEGER bit-length + top mantissa bits,
+    so bin assignment is engine-exact with no float log). 100 TB shape:
+    exact percentiles need a per-group sort of the corpus; this is ONE
+    map-side-combined groupBy to <= ~2k bins per group (<=3.2% relative
+    error), bins merge by SUM across shards/days/epochs, and the
+    quantile walk runs on the bin table alone. The estimate divides an
+    exact integer by a power of two — bit-identical across engines, no
+    rounding step, which the oracle hash-gate proves."""
+    from transporter_spark.operators.sketches import dd_bins, dd_quantiles
+
+    ev = read_table(spark, sf_dir, "events")
+    bins = dd_bins(ev, "value", by=["event_type"])
+    return dd_quantiles(bins, by=["event_type"]).orderBy("event_type", "q")
