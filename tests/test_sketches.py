@@ -274,3 +274,41 @@ def test_dd_build_plan_one_combined_shuffle(spark, sf_dir):
     qplan = explain_str(dd_quantiles(bins, by=["event_type"]))
     assert "CartesianProduct" not in qplan
     assert "BroadcastNestedLoopJoin" in qplan  # the 5-row frac frame
+
+
+def test_sketch_registry_factories_match_direct_calls(spark, sf_dir):
+    """The pipeline-config faces (distinct_sketch / quantile_sketch /
+    heavy_hitters) produce exactly what the direct operator calls do."""
+    from transporter_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+        dd_bins,
+        dd_quantiles,
+        hll_register_table,
+    )
+    from transporter_spark.registry import build_operator
+
+    ev = read_table(spark, sf_dir, "events")
+    via = build_operator("distinct_sketch", item_col="user_id",
+                         by=["event_type"])(ev)
+    direct = hll_estimate(
+        hll_register_table(ev, "user_id", ["event_type"]), ["event_type"]
+    )
+    assert sorted(map(tuple, via.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    via_q = build_operator("quantile_sketch", value_col="value",
+                           by=["event_type"])(ev)
+    direct_q = dd_quantiles(dd_bins(ev, "value", ["event_type"]),
+                            ["event_type"])
+    assert sorted(map(tuple, via_q.collect())) == sorted(
+        map(tuple, direct_q.collect())
+    )
+    via_h = build_operator("heavy_hitters", item_col="user_id", k=5)(ev)
+    direct_h = (
+        cms_estimate(cms_table(ev, "user_id"), ev, "user_id")
+        .orderBy(F.desc("est"), "user_id").limit(5)
+    )
+    assert [tuple(r) for r in via_h.collect()] == [
+        tuple(r) for r in direct_h.collect()
+    ]

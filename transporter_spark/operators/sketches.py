@@ -453,3 +453,66 @@ ddq AS (
   WHERE cum >= (frac * n + 99) // 100
     AND cum - cnt < (frac * n + 99) // 100
 )"""
+
+
+# ---------------------------------------------------------------------------
+# registry faces (pipeline-config operators, like the reference's
+# function registry — function/all/all.go)
+# ---------------------------------------------------------------------------
+
+from typing import Callable, Optional  # noqa: E402
+
+from transporter_spark.registry import register  # noqa: E402
+
+
+@register("distinct_sketch")
+def distinct_sketch_op(
+    item_col: str,
+    by: Sequence[str] = (),
+    p: int = DEFAULT_P,
+) -> Callable[[DataFrame], DataFrame]:
+    """Registry/pipeline face of the HLL family: per-group distinct
+    estimate (build + estimate in one step)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return hll_estimate(
+            hll_register_table(df, item_col, list(by), p), list(by), p
+        )
+
+    return apply
+
+
+@register("quantile_sketch")
+def quantile_sketch_op(
+    value_col: str,
+    by: Sequence[str] = (),
+    scale_bits: int = DEFAULT_SCALE_BITS,
+    sub_bits: int = DEFAULT_SUB_BITS,
+) -> Callable[[DataFrame], DataFrame]:
+    """Registry/pipeline face of the log-binned quantile sketch:
+    per-group p25..p99 estimates."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return dd_quantiles(
+            dd_bins(df, value_col, list(by), scale_bits, sub_bits),
+            list(by), scale_bits, sub_bits,
+        )
+
+    return apply
+
+
+@register("heavy_hitters")
+def heavy_hitters_op(
+    item_col: str,
+    k: int = 20,
+    d: int = DEFAULT_D,
+    w: int = DEFAULT_W,
+) -> Callable[[DataFrame], DataFrame]:
+    """Registry/pipeline face of the Count-Min sketch: top-k items by
+    estimated frequency."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        est = cms_estimate(cms_table(df, item_col, d, w), df, item_col, d, w)
+        return est.orderBy(F.desc("est"), item_col).limit(k)
+
+    return apply

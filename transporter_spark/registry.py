@@ -57,6 +57,7 @@ _OPERATOR_MODULES = (
     "transporter_spark.operators.similarity",
     "transporter_spark.operators.multimodal",
     "transporter_spark.operators.relational",
+    "transporter_spark.operators.sketches",
 )
 
 _loaded = False
