@@ -5451,7 +5451,7 @@ ORDER BY event_type, q"""
     )
 
 
-@q("ddsketch_quantiles", oracle=_dd_oracle(), headline=False)
+@q("ddsketch_quantiles", oracle=_dd_oracle(), headline=True)
 def q_ddsketch_quantiles(spark, sf_dir):
     """Value quantiles (p25..p99) per event type from a mergeable
     log-binned sketch (operators/sketches.py; DDSketch-shaped, Masson
