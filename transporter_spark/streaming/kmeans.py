@@ -127,15 +127,7 @@ def compact_kmeans_state(spark: SparkSession, state_dir: str) -> bool:
     """Fold the partial-segment log into one segment, dropping stale
     rows for good (same discipline as compact_rollup_state). Returns
     False when already compact."""
-    store = SegmentStore(state_dir)
-    if store.manifest() is None:
-        return False
-    name = store.compact_keyed(spark, "partials")
-    if name is None:
-        return False
-    mapping = {k: name for k in store.keyed_mapping("partials")}
-    store.commit(store.last_epoch(), keyed={"partials": mapping})
-    return True
+    return SegmentStore(state_dir).compact_keyed_commit(spark, "partials")
 
 
 def drain_embeddings_kmeans(

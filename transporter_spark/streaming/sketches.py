@@ -126,15 +126,7 @@ def compact_hll_state(spark: SparkSession, state_dir: str) -> bool:
     """Fold the register-segment log into one segment, dropping stale
     rows for good (same discipline as compact_kmeans_state). Returns
     False when already compact."""
-    store = SegmentStore(state_dir)
-    if store.manifest() is None:
-        return False
-    name = store.compact_keyed(spark, _STORE_NAME)
-    if name is None:
-        return False
-    mapping = {k: name for k in store.keyed_mapping(_STORE_NAME)}
-    store.commit(store.last_epoch(), keyed={_STORE_NAME: mapping})
-    return True
+    return SegmentStore(state_dir).compact_keyed_commit(spark, _STORE_NAME)
 
 
 def drain_events_hll(

@@ -312,3 +312,18 @@ class SegmentStore:
         name = self.fresh_name(f"{table}-compact{self.last_epoch()}")
         df.write.mode("overwrite").parquet(self.seg_path(name))
         return name
+
+    def compact_keyed_commit(self, spark: SparkSession, table: str) -> bool:
+        """compact_keyed + remap every key + manifest commit in one
+        step — the whole compaction for sinks whose state is a single
+        keyed table (rollup hours, kmeans cells, HLL groups). Returns
+        False when there is no committed state or it is already
+        compact."""
+        if self.manifest() is None:
+            return False
+        name = self.compact_keyed(spark, table)
+        if name is None:
+            return False
+        mapping = {k: name for k in self.keyed_mapping(table)}
+        self.commit(self.last_epoch(), keyed={table: mapping})
+        return True

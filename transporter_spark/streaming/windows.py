@@ -246,15 +246,7 @@ def compact_rollup_state(spark: SparkSession, state_dir: str) -> bool:
     False when already compact."""
     from transporter_spark.streaming.state import SegmentStore
 
-    store = SegmentStore(state_dir)
-    if store.manifest() is None:
-        return False
-    name = store.compact_keyed(spark, "hourly")
-    if name is None:
-        return False
-    mapping = {k: name for k in store.keyed_mapping("hourly")}
-    store.commit(store.last_epoch(), keyed={"hourly": mapping})
-    return True
+    return SegmentStore(state_dir).compact_keyed_commit(spark, "hourly")
 
 
 def rollup_daily_from_state(spark: SparkSession, state_dir: str, keys: tuple = ()) -> DataFrame:
