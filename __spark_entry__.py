@@ -24,12 +24,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 5: 22 new + 3 changed (incremental_dedup,
+# to the STALEST greens. Round 5: 23 new + 3 changed (incremental_dedup,
 # stream_ingest_dedup, asof_join — its backward path was touched by the
-# direction refactor) + 25 stalest greens = 50. The list below carries
-# 56 names so intent is explicit: the LAST SIX (incremental_dedup_exact,
+# direction refactor) + 24 stalest greens = 50. The list below carries
+# 57 names so intent is explicit: the LAST SEVEN (frame_sample — the
+# least-stale of the r1/r2 backfill — then incremental_dedup_exact,
 # dedup_clusters, ann_ivf_topk, stream_dedup, stream_stream_join,
-# rollup_lattice_daily) spill past the graded window — they, like
+# rollup_lattice_daily, all r3 greens) sit past the graded window —
+# they, like
 # q1_pricing_summary,
 # q5_local_supplier, minhash_lsh_pairs, stream_windowed_agg,
 # training_pipeline, stream_stateful_count, js_transform, are rotated
@@ -59,10 +61,13 @@ _PRIORITY = [
     "stream_hll_distinct",     # continuous register max-merge sink
     "cms_topk_users",          # Count-Min heavy hitters, engine-exact
     "ddsketch_quantiles",      # log-binned mergeable quantile sketch
+    "dd_quantile_gate",        # sketch-thresholded per-lang length gate
     # --- changed round 5 ---
     "incremental_dedup",       # fast hash family + session-cached index
     "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:
                                # re-grade its no-filter path on current code
+    "asof_join",               # backward path touched by the direction
+                               # refactor — changed-since-green keeps a slot
     # --- stalest greens: last graded r1/r2, unchanged code ---
     "media_features",
     "q19_disjunctive",
@@ -88,13 +93,8 @@ _PRIORITY = [
     "stratified_sample",
     "repetition_stats",
     "array_funcs",
+    # --- past the graded window from here down (see header) ---
     "frame_sample",
-    # --- changed round 5 (late): asof_join's backward path was
-    # refactored by the direction work (merge_asof parity commit) —
-    # changed-since-green, so it KEEPS a slot ---
-    "asof_join",
-    # --- next-stalest: graded r3, not since; highest-value first
-    # (the rotated-out set is listed in the header comment) ---
     "incremental_dedup_exact",
     "dedup_clusters",
     "ann_ivf_topk",

@@ -312,3 +312,26 @@ def test_sketch_registry_factories_match_direct_calls(spark, sf_dir):
     assert [tuple(r) for r in via_h.collect()] == [
         tuple(r) for r in direct_h.collect()
     ]
+
+
+def test_dd_quantile_gate_tracks_exact_cut_and_plan(spark, sf_dir):
+    """The sketch-thresholded gate keeps ~90% per language (within the
+    bin-width tolerance of the exact percent_rank cut), and its plan
+    has NO per-group sort or window over corpus rows — the property
+    that separates it from length_quantile_gate at 100 TB. The corpus
+    side joins the broadcast threshold frame."""
+    from transporter_spark.queries import QUERIES
+
+    df = QUERIES["dd_quantile_gate"].fn(spark, sf_dir)
+    rows = df.collect()
+    by_lang = {}
+    for r in rows:
+        k, tot = by_lang.get(r["lang"], (0, 0))
+        by_lang[r["lang"]] = (k + (1 if r["keep"] else 0), tot + 1)
+    for lang, (k, tot) in by_lang.items():
+        assert 0.84 <= k / tot <= 0.96, (lang, k, tot)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    # the only Window/Sort allowed is inside the tiny bin-table branch;
+    # the final orderBy is presentation. No window over corpus rows:
+    assert "percent_rank" not in plan

@@ -5468,3 +5468,47 @@ def q_ddsketch_quantiles(spark, sf_dir):
     ev = read_table(spark, sf_dir, "events")
     bins = dd_bins(ev, "value", by=["event_type"])
     return dd_quantiles(bins, by=["event_type"]).orderBy("event_type", "q")
+
+
+def _dd_gate_oracle() -> str:
+    from transporter_spark.operators.sketches import dd_oracle_ctes
+
+    return (
+        "WITH " + dd_oracle_ctes("n_chars", "lang", "documents") + """
+SELECT d.doc_id, d.lang, d.n_chars, ddq.est AS thr,
+       d.n_chars <= ddq.est AS keep
+FROM documents d
+JOIN ddq ON ddq.grp = d.lang AND ddq.q = 'p90'
+ORDER BY d.doc_id"""
+    )
+
+
+@q("dd_quantile_gate", oracle=_dd_gate_oracle(), headline=False)
+def q_dd_quantile_gate(spark, sf_dir):
+    """Per-language length gate thresholded by the QUANTILE SKETCH —
+    the 100 TB path for `length_quantile_gate`: the exact gate's
+    percent_rank needs a per-group sort of the corpus; this derives the
+    p90 cut from the mergeable bin table (one map-side-combined groupBy)
+    and applies it as a broadcast join + filter — no corpus sort, no
+    window, two scans total. The threshold is the sketch's engine-exact
+    midpoint estimate, so verdicts are bit-reproducible across engines
+    and cluster sizes (<=3.2% boundary tolerance vs the exact cut is
+    the documented trade; pinned in tests)."""
+    from transporter_spark.operators.sketches import dd_bins, dd_quantiles
+
+    docs = read_table(spark, sf_dir, "documents")
+    thr = (
+        dd_quantiles(dd_bins(docs, "n_chars", by=["lang"]), by=["lang"])
+        .where(F.col("q") == "p90")
+        .select("lang", F.col("est").alias("thr"))
+    )
+    return (
+        docs.join(F.broadcast(thr), "lang")
+        .select(
+            "doc_id", "lang",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            "thr",
+            (F.col("n_chars") <= F.col("thr")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
