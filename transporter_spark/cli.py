@@ -282,13 +282,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     store.commit(manifest["epoch"], tables={t: [name]})
                     folded = True
             for t in manifest.get("keyed", {}):
-                name = store.compact_keyed(spark, t)
-                if name is not None:
-                    store.commit(
-                        manifest["epoch"],
-                        keyed={t: {k: name for k in store.keyed_mapping(t)}},
-                    )
-                    folded = True
+                folded = store.compact_keyed_commit(spark, t) or folded
         print("compacted" if folded else "already compact")
         return 0
 
