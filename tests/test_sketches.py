@@ -335,3 +335,31 @@ def test_dd_quantile_gate_tracks_exact_cut_and_plan(spark, sf_dir):
     # the only Window/Sort allowed is inside the tiny bin-table branch;
     # the final orderBy is presentation. No window over corpus rows:
     assert "percent_rank" not in plan
+
+
+def test_dd_domain_exclusions_match_oracle(spark):
+    """NaN, negative, and over-ceiling (>= 2^(62-scale_bits)) values
+    are excluded IDENTICALLY by the Spark build and the DuckDB oracle —
+    the class of row that would otherwise crash the oracle (int64
+    conversion) while Spark silently saturate-binned it."""
+    import duckdb
+
+    from transporter_spark.operators.sketches import dd_bins, dd_oracle_ctes
+
+    rows = [
+        (0, 1.0), (1, float("nan")), (2, -3.0), (3, 1e13), (4, 5e12),
+        (5, 0.5), (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, value double")
+    got = sorted(
+        (r["bin_e"], r["bin_sub"], r["cnt"])
+        for r in dd_bins(df, "value", by=[]).collect()
+    )
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(
+        rows, columns=["id", "value"]
+    ))
+    sql = ("WITH " + dd_oracle_ctes("value", "1", "t")
+           + "\nSELECT bin_e, bin_sub, cnt FROM ddb ORDER BY 1, 2")
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert got == want and len(got) == 2  # only 1.0 and 0.5 survive

@@ -23,12 +23,13 @@ hash below ~2^57 distinct items.
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Callable, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from transporter_spark.operators.dedup import stable_hash
+from transporter_spark.registry import register
 
 #: default precision: 2^9 = 512 registers — ~4.6% standard error,
 #: 512 ints per group. Raise p for tighter bounds; everything below
@@ -314,14 +315,24 @@ def dd_bins(
 ) -> DataFrame:
     """(by..., bin_e, bin_sub, cnt) log-bin histogram — the sketch.
     ONE map-side-combined groupBy; at most ~64 * 2^sub_bits bins per
-    group regardless of input size. NULL and negative values are
-    excluded (like DDSketch's positive store; split sign streams and
-    run twice for signed data). v = floor(value * 2^scale_bits);
-    bin_e = bitlength(v) (0 for v = 0 — the underflow bin), bin_sub =
-    the sub_bits bits after the leading one."""
+    group regardless of input size. Domain = [0, 2^(62-scale_bits))
+    (~4.4e12 at defaults — keeps every shift and the midpoint
+    arithmetic inside int64 on BOTH engines): NULL, NaN, negative, and
+    over-ceiling values are excluded IDENTICALLY here and in the
+    oracle, so the two sides can never diverge on them (like DDSketch's
+    positive store; split sign streams / rescale for other domains).
+    v = floor(value * 2^scale_bits); bin_e = bitlength(v) (0 for v = 0
+    — the underflow bin: values below 2^-scale_bits quantize there, so
+    the relative-error guarantee is max(2^-sub_bits relative,
+    ~2^-scale_bits absolute)), bin_sub = the sub_bits bits after the
+    leading one."""
     two_s = 1 << scale_bits
+    lim = float(1 << (62 - scale_bits))
     base = df.where(
-        F.col(value_col).isNotNull() & (F.col(value_col) >= 0)
+        F.col(value_col).isNotNull()
+        & ~F.expr(f"isnan(cast({value_col} as double))")
+        & (F.col(value_col) >= 0)
+        & (F.col(value_col) < lim)
     ).select(
         *by,
         F.expr(
@@ -419,7 +430,10 @@ ddv AS (
   SELECT {by_sql} AS grp,
          CAST(floor({value_sql} * {two_s}) AS BIGINT) AS v
   FROM {table}
-  WHERE {value_sql} IS NOT NULL AND {value_sql} >= 0
+  WHERE {value_sql} IS NOT NULL
+    AND NOT isnan(CAST({value_sql} AS DOUBLE))
+    AND {value_sql} >= 0
+    AND {value_sql} < {float(1 << (62 - scale_bits))!r}
 ),
 dde AS (
   SELECT grp, v,
@@ -459,11 +473,6 @@ ddq AS (
 # registry faces (pipeline-config operators, like the reference's
 # function registry — function/all/all.go)
 # ---------------------------------------------------------------------------
-
-from typing import Callable, Optional  # noqa: E402
-
-from transporter_spark.registry import register  # noqa: E402
-
 
 @register("distinct_sketch")
 def distinct_sketch_op(
