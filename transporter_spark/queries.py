@@ -5512,3 +5512,75 @@ def q_dd_quantile_gate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _sketch_profile_oracle() -> str:
+    from transporter_spark.operators.sketches import (
+        dd_oracle_ctes,
+        hll_estimate_sql,
+        hll_oracle_ctes,
+    )
+
+    def hll_block(item):
+        return (
+            f"SELECT 'distinct_{item}' AS metric, event_type, estimate AS value "
+            f"FROM (WITH {hll_oracle_ctes(item, 'event_type', 'events')}\n"
+            f"SELECT grp AS event_type, {hll_estimate_sql()} FROM hest)"
+        )
+
+    dd_block = (
+        "SELECT 'value_' || q AS metric, event_type, est AS value "
+        f"FROM (WITH {dd_oracle_ctes('value', 'event_type', 'events')}\n"
+        "SELECT grp AS event_type, q, est FROM ddq "
+        "WHERE q IN ('p50', 'p90', 'p99'))"
+    )
+    return (
+        hll_block("user_id") + "\nUNION ALL\n" + hll_block("event_id")
+        + "\nUNION ALL\n" + dd_block
+        + "\nORDER BY metric, event_type"
+    )
+
+
+@q("sketch_profile", oracle=_sketch_profile_oracle(), headline=False)
+def q_sketch_profile(spark, sf_dir):
+    """One-pass-shaped table profiling from the sketch family: distinct
+    counts per column (HLL) and value quantiles (log-bin sketch) in a
+    single (metric, group, value) frame — what `DESCRIBE`-at-100-TB
+    looks like when exact answers would shuffle the corpus. Each branch
+    is the already-graded sketch (scan-bounded, register/bin-sized
+    shuffles); the composition is a union of metadata-sized frames, and
+    every emitted VALUE is engine-exact (oracle = union of the three
+    sketch replays)."""
+    from transporter_spark.operators.sketches import (
+        dd_bins,
+        dd_quantiles,
+        hll_estimate,
+        hll_register_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events")
+
+    def hll_branch(item):
+        return hll_estimate(
+            hll_register_table(ev, item, ["event_type"]), ["event_type"]
+        ).select(
+            F.lit(f"distinct_{item}").alias("metric"),
+            "event_type",
+            F.col("estimate").alias("value"),
+        )
+
+    qs = (
+        dd_quantiles(dd_bins(ev, "value", ["event_type"]), ["event_type"])
+        .where(F.col("q").isin("p50", "p90", "p99"))
+        .select(
+            F.concat(F.lit("value_"), F.col("q")).alias("metric"),
+            "event_type",
+            F.col("est").alias("value"),
+        )
+    )
+    return (
+        hll_branch("user_id")
+        .unionByName(hll_branch("event_id"))
+        .unionByName(qs)
+        .orderBy("metric", "event_type")
+    )
