@@ -5543,14 +5543,15 @@ def _sketch_profile_oracle() -> str:
 
 @q("sketch_profile", oracle=_sketch_profile_oracle(), headline=False)
 def q_sketch_profile(spark, sf_dir):
-    """One-pass-shaped table profiling from the sketch family: distinct
-    counts per column (HLL) and value quantiles (log-bin sketch) in a
-    single (metric, group, value) frame — what `DESCRIBE`-at-100-TB
-    looks like when exact answers would shuffle the corpus. Each branch
-    is the already-graded sketch (scan-bounded, register/bin-sized
-    shuffles); the composition is a union of metadata-sized frames, and
-    every emitted VALUE is engine-exact (oracle = union of the three
-    sketch replays)."""
+    """Table profiling from the sketch family: distinct counts per
+    column (HLL) and value quantiles (log-bin sketch) in a single
+    (metric, group, value) frame — what `DESCRIBE`-at-100-TB looks
+    like when exact answers would shuffle the corpus. Each branch is
+    the already-graded sketch: three COLUMN-PRUNED scans of the same
+    table (cache the 4-column projection to make it literally one pass
+    when it fits), register/bin-sized shuffles, and a union of
+    metadata-sized frames on top. Every emitted VALUE is engine-exact
+    (oracle = union of the three sketch replays)."""
     from transporter_spark.operators.sketches import (
         dd_bins,
         dd_quantiles,
