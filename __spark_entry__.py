@@ -24,14 +24,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 5: 24 new + 3 changed (incremental_dedup,
+# to the STALEST greens. Round 5: 25 new + 3 changed (incremental_dedup,
 # stream_ingest_dedup, asof_join — its backward path was touched by the
-# direction refactor) + 23 stalest greens = 50. The list below carries
-# 58 names so intent is explicit: the LAST EIGHT (array_funcs and
-# frame_sample — the two least-stale of the r1/r2 backfill — then
-# incremental_dedup_exact, dedup_clusters, ann_ivf_topk, stream_dedup,
-# stream_stream_join, rollup_lattice_daily, all r3 greens) sit past
-# the graded window — they, like
+# direction refactor) + 22 stalest greens = 50. The list below carries
+# 59 names so intent is explicit: the LAST NINE (repetition_stats,
+# array_funcs, frame_sample — the three least-stale of the r1/r2
+# backfill — then incremental_dedup_exact, dedup_clusters,
+# ann_ivf_topk, stream_dedup, stream_stream_join, rollup_lattice_daily,
+# all r3 greens) sit past the graded window — they, like
 # q1_pricing_summary,
 # q5_local_supplier, minhash_lsh_pairs, stream_windowed_agg,
 # training_pipeline, stream_stateful_count, js_transform, are rotated
@@ -63,6 +63,7 @@ _PRIORITY = [
     "ddsketch_quantiles",      # log-binned mergeable quantile sketch
     "dd_quantile_gate",        # sketch-thresholded per-lang length gate
     "sketch_profile",          # one-pass HLL+quantile table profile
+    "stream_dd_quantiles",     # continuous quantile sink (bin SUM-merge)
     # --- changed round 5 ---
     "incremental_dedup",       # fast hash family + session-cached index
     "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:
@@ -92,8 +93,8 @@ _PRIORITY = [
     "sliding_window_agg",
     "collect_agg",
     "stratified_sample",
-    "repetition_stats",
     # --- past the graded window from here down (see header) ---
+    "repetition_stats",
     "array_funcs",
     "frame_sample",
     "incremental_dedup_exact",

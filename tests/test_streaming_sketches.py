@@ -124,3 +124,38 @@ def test_estimate_over_maintained_state_matches_batch(spark, sf_dir, tmp_path):
         hll_register_table(ev, "user_id", ["event_type"]), by=["event_type"]
     )
     assert _rows(got) == _rows(want)
+
+
+def test_dd_sink_multi_epoch_equals_batch_and_replay_safe(spark, sf_dir,
+                                                          tmp_path):
+    """3-epoch SUM-delta-merge of the bin histogram == single-pass
+    dd_bins over everything, bin-for-bin; replayed epoch is a no-op;
+    quantiles from maintained state == batch-path quantiles exactly."""
+    from transporter_spark.operators.sketches import (
+        dd_bins,
+        dd_quantiles,
+    )
+    from transporter_spark.streaming.sketches import (
+        dd_merge_batch,
+        read_dd_state,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value",
+                                                    "event_type")
+    state = str(tmp_path / "dd")
+    for epoch in range(3):
+        assert dd_merge_batch(
+            ev.filter(F.col("event_id") % 3 == epoch), epoch, state,
+            "value", ["event_type"],
+        )
+    before = _rows(read_dd_state(spark, state))
+    assert not dd_merge_batch(  # replay guard
+        ev.filter(F.col("event_id") % 3 == 2), 2, state,
+        "value", ["event_type"],
+    )
+    assert _rows(read_dd_state(spark, state)) == before
+    assert before == _rows(dd_bins(ev, "value", ["event_type"]))
+    got = dd_quantiles(read_dd_state(spark, state), by=["event_type"])
+    want = dd_quantiles(dd_bins(ev, "value", ["event_type"]),
+                        by=["event_type"])
+    assert _rows(got) == _rows(want)

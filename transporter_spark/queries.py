@@ -5585,3 +5585,27 @@ def q_sketch_profile(spark, sf_dir):
         .unionByName(qs)
         .orderBy("metric", "event_type")
     )
+
+
+@q("stream_dd_quantiles", oracle=None, headline=False)
+def q_stream_dd_quantiles(spark, sf_dir):
+    """CONTINUOUS quantile maintenance (streaming/sketches.py): the
+    events stream drains through a foreachBatch sink that log-bins each
+    batch and SUM-delta-merges the histogram into the standing keyed
+    state — continuous p50/p99 monitoring with <= groups x ~2k rows of
+    state forever, per-epoch work ∝ batch. Count SUMs are associative,
+    so the maintained bins equal the batch build bit-for-bit (pinned
+    multi-epoch in tests/test_streaming_sketches.py) — this query
+    shares `ddsketch_quantiles`' engine-exact oracle verbatim. Unlike
+    the HLL sink, SUM-merge is NOT idempotent: at-least-once
+    re-delivery double-counts (the rollup sink's documented limit)."""
+    from transporter_spark.operators.sketches import dd_quantiles
+    from transporter_spark.streaming.sketches import drain_events_dd
+
+    bins = drain_events_dd(spark, sf_dir)
+    return dd_quantiles(bins, by=["event_type"]).orderBy("event_type", "q")
+
+
+QUERIES["stream_dd_quantiles"] = QUERIES["stream_dd_quantiles"]._replace(
+    oracle=QUERIES["ddsketch_quantiles"].oracle
+)
