@@ -363,3 +363,54 @@ def test_dd_domain_exclusions_match_oracle(spark):
            + "\nSELECT bin_e, bin_sub, cnt FROM ddb ORDER BY 1, 2")
     want = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert got == want and len(got) == 2  # only 1.0 and 0.5 survive
+
+
+def test_sketch_oracle_parity_at_non_default_params(spark, sf_dir):
+    """The parametrized oracle builders must track the Spark side at
+    EVERY parameter choice, not just the graded defaults — pin p=7 HLL,
+    d=2/w=256 CMS, and scale_bits=12/sub_bits=3 quantile bins against
+    in-process DuckDB on the same rows."""
+    import duckdb
+
+    from transporter_spark.operators.sketches import (
+        cms_oracle_ctes,
+        cms_table,
+        dd_bins,
+        dd_oracle_ctes,
+        hll_oracle_ctes,
+        hll_register_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    pdf = ev.toPandas()
+    con = duckdb.connect()
+    con.register("events", pdf)
+
+    reg = sorted(
+        map(tuple, hll_register_table(ev, "user_id", ["event_type"], p=7)
+            .collect())
+    )
+    want = sorted(map(tuple, con.execute(
+        "WITH " + hll_oracle_ctes("user_id", "event_type", "events", p=7)
+        + "\nSELECT grp, bucket, rho FROM reg"
+    ).fetchall()))
+    assert reg == want
+
+    cms = sorted(map(tuple, cms_table(ev, "user_id", d=2, w=256).collect()))
+    want = sorted(map(tuple, con.execute(
+        "WITH " + cms_oracle_ctes("user_id", "events", d=2, w=256)
+        + "\nSELECT row_idx, cell, cnt FROM cms"
+    ).fetchall()))
+    assert cms == want
+
+    bins = sorted(map(tuple, dd_bins(
+        ev, "value", ["event_type"], scale_bits=12, sub_bits=3
+    ).collect()))
+    want = sorted(map(tuple, con.execute(
+        "WITH " + dd_oracle_ctes("value", "event_type", "events",
+                                 scale_bits=12, sub_bits=3)
+        + "\nSELECT grp, bin_e, bin_sub, cnt FROM ddb"
+    ).fetchall()))
+    assert bins == want
