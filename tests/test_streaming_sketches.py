@@ -159,3 +159,52 @@ def test_dd_sink_multi_epoch_equals_batch_and_replay_safe(spark, sf_dir,
     want = dd_quantiles(dd_bins(ev, "value", ["event_type"]),
                         by=["event_type"])
     assert _rows(got) == _rows(want)
+
+
+def test_mixed_sketch_parameters_raise_loudly(spark, sf_dir, tmp_path):
+    """Sketch parameters live in the seg-key format string: an epoch
+    merged at different p (or scale/sub bits) hits the SegmentStore's
+    format-mismatch ValueError instead of silently mixing incompatible
+    register/bin domains."""
+    import pytest
+
+    from transporter_spark.streaming.sketches import dd_merge_batch
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id",
+                                                    "value", "event_type")
+    state = str(tmp_path / "hll")
+    assert hll_merge_batch(ev, 0, state, "user_id", ["event_type"], p=9)
+    with pytest.raises(ValueError, match="seg_key format"):
+        hll_merge_batch(ev, 1, state, "user_id", ["event_type"], p=7)
+    dstate = str(tmp_path / "dd")
+    assert dd_merge_batch(ev, 0, dstate, "value", ["event_type"])
+    with pytest.raises(ValueError, match="seg_key format"):
+        dd_merge_batch(ev, 1, dstate, "value", ["event_type"],
+                       scale_bits=12, sub_bits=3)
+
+
+def test_compact_dd_state_folds_disjoint_epochs(spark, sf_dir, tmp_path):
+    """The quantile state's compaction twin: disjoint-group epochs
+    split the log; compact_dd_state folds it without changing what the
+    reader sees."""
+    from transporter_spark.streaming.sketches import (
+        compact_dd_state,
+        dd_merge_batch,
+        read_dd_state,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value",
+                                                    "event_type")
+    state = str(tmp_path / "dd")
+    assert dd_merge_batch(
+        ev.filter(F.col("event_type").isin("click", "error")), 0, state,
+        "value", ["event_type"],
+    )
+    assert dd_merge_batch(
+        ev.filter(~F.col("event_type").isin("click", "error")), 1, state,
+        "value", ["event_type"],
+    )
+    before = _rows(read_dd_state(spark, state))
+    assert compact_dd_state(spark, state)
+    assert _rows(read_dd_state(spark, state)) == before
+    assert not compact_dd_state(spark, state)

@@ -1,49 +1,67 @@
-"""Continuous distinct-count maintenance: keep a per-group HyperLogLog
-register table current from a stream — the sketch twin of the k-means
-partial sink (streaming/kmeans.py), for COUNT DISTINCT instead of
-centroid sums.
+"""Continuous sketch maintenance: keep per-group HyperLogLog registers
+(distinct counts) and log-bin histograms (quantiles) current from a
+stream — the sketch twins of the k-means partial sink
+(streaming/kmeans.py).
 
-Why this is the 100 TB shape: the register table is a MERGEABLE
-aggregate with the strongest merge algebra in the engine — per-register
-MAX is associative, commutative AND idempotent. Per micro-batch, sketch
-only the batch (one map-side-combined groupBy, <= 2^p rows per group)
-and max-merge it into the standing state; state stays <= groups x 2^p
-rows forever, per-epoch work ∝ |batch|. Idempotence buys what the
-sum-based sinks (rollup, kmeans) cannot have: rows RE-DELIVERED under
-new offsets are harmless — max(rho, rho) == rho — so an at-least-once
-source needs no upstream dedup for this sink (pinned by test). The
-maintained state equals the batch-built sketch over everything streamed
-bit-for-bit, which is why the graded query shares `hll_distinct`'s
-engine-exact oracle.
+Why this is the 100 TB shape: both sketches are MERGEABLE aggregates.
+Per micro-batch, sketch only the batch (one map-side-combined groupBy,
+bounded rows per group) and delta-merge into the standing state; state
+stays <= groups x sketch-size rows forever, per-epoch work ∝ |batch|.
+The merge algebra differs — and the difference is the operational
+contract:
+
+- HLL registers merge by per-register MAX: associative, commutative
+  AND idempotent. Rows RE-DELIVERED under new offsets are harmless
+  (max(rho, rho) == rho), so an at-least-once source needs no upstream
+  dedup for the distinct-count sink (pinned by test) — a guarantee the
+  sum-based sinks cannot offer.
+- Bin histograms merge by count SUM: associative but NOT idempotent —
+  re-delivery double-counts (the rollup sink's documented limit);
+  deduplicate upstream when the source is at-least-once.
+
+Either way the maintained state equals the batch-built sketch
+bit-for-bit, which is why both graded stream queries share their batch
+twins' engine-exact oracles verbatim.
+
+Sketch PARAMETERS (HLL p; quantile scale_bits/sub_bits) are recorded in
+the state's seg-key format string: an epoch merged at different
+parameters hits the SegmentStore's loud format-mismatch error instead
+of silently mixing incompatible register/bin domains.
 
 Replay/restart semantics are the SegmentStore contract: applied epoch
 in the manifest (atomic commit), replayed epochs are no-ops, a
 backwards epoch counter raises.
 
 Reference parity: the reference keeps running per-namespace counters in
-its pipeline metrics (pipeline/pipeline.go events); a mergeable
-distinct sketch is the scale-correct generalization of that running
-state to distinct counting.
+its pipeline metrics (pipeline/pipeline.go events); mergeable sketches
+are the scale-correct generalization of that running state to distinct
+counting and percentile monitoring.
 """
 
 from __future__ import annotations
 
 import tempfile
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transporter_spark.operators.sketches import (
     DEFAULT_P,
+    DEFAULT_SCALE_BITS,
+    DEFAULT_SUB_BITS,
+    dd_bins,
+    dd_merge,
+    hll_merge,
     hll_register_table,
 )
 from transporter_spark.streaming.state import SegmentStore
 
 # one segment key per group value: a batch touches only the groups it
-# contains, so the keyed manifest rewrites only those groups' registers
+# contains, so the keyed manifest rewrites only those groups' segments
 _SEG_KEY_FORMAT = "group_value"
-_STORE_NAME = "registers"
+_HLL_STORE = "registers"
+_BINS_STORE = "bins"
 
 
 def _seg_key(by):
@@ -53,6 +71,70 @@ def _seg_key(by):
     return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in by])
 
 
+def _keyed_sketch_merge(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    store: str,
+    partial: DataFrame,
+    merge_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    by: Sequence[str],
+    fmt: str,
+) -> bool:
+    """The ONE delta-merge step both sketch sinks run: attach the seg
+    key, remerge touched groups via the operators-module merge (never a
+    re-implementation that could drift), commit under the parameterized
+    format string. False when the epoch was already applied or the
+    batch was empty."""
+    from transporter_spark.streaming.state import SEG_KEY
+
+    part = partial.withColumn(SEG_KEY, _seg_key(by))
+
+    def remerge(prev, part):
+        return merge_fn(prev, part).withColumn(SEG_KEY, _seg_key(by))
+
+    return SegmentStore(state_dir).keyed_delta_merge(
+        batch.sparkSession, store, part, remerge, epoch_id, fmt
+    )
+
+
+def _keyed_sketch_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    store: str,
+    apply_merge: Callable[[DataFrame, int], bool],
+    checkpoint_dir: Optional[str],
+    compact_every: Optional[int],
+) -> None:
+    """availableNow drain + in-slot compaction at compact_every
+    segments (single-writer), shared by both sketch sinks."""
+    from transporter_spark.streaming.windows import run_foreach_batch_available_now
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        if apply_merge(batch, epoch_id) and compact_every:
+            st = SegmentStore(state_dir)
+            if len(set(st.keyed_mapping(store).values())) >= compact_every:
+                st.compact_keyed_commit(batch.sparkSession, store)
+
+    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def _read_state(spark: SparkSession, state_dir: str, store: str) -> DataFrame:
+    from transporter_spark.streaming.state import SEG_KEY
+
+    df = SegmentStore(state_dir).read_keyed(spark, store)
+    if df is None:
+        raise FileNotFoundError(
+            f"no committed {store} state at {state_dir!r}: the sink has "
+            "not applied any non-empty epoch yet"
+        )
+    return df.drop(SEG_KEY)
+
+
+# ---------------------------------------------------------------------------
+# distinct counts (HLL register max-merge)
+# ---------------------------------------------------------------------------
+
 def hll_merge_batch(
     batch: DataFrame,
     epoch_id: int,
@@ -61,26 +143,13 @@ def hll_merge_batch(
     by: Sequence[str],
     p: int = DEFAULT_P,
 ) -> bool:
-    """One max-merge step; returns False when the epoch was already
-    applied (micro-batch replay) or the batch was empty. Module-level
-    so the replay contract is testable without a streaming query."""
-    from transporter_spark.streaming.state import SEG_KEY
-
-    part = hll_register_table(batch, item_col, by, p).withColumn(
-        SEG_KEY, _seg_key(by)
-    )
-
-    def remerge(prev, part):
-        return (
-            prev.unionByName(part)
-            .groupBy(*by, "bucket")
-            .agg(F.max("rho").alias("rho"))
-            .withColumn(SEG_KEY, _seg_key(by))
-        )
-
-    return SegmentStore(state_dir).keyed_delta_merge(
-        batch.sparkSession, _STORE_NAME, part, remerge, epoch_id,
-        _SEG_KEY_FORMAT,
+    """One register max-merge step (module-level so the replay contract
+    is testable without a streaming query)."""
+    return _keyed_sketch_merge(
+        batch, epoch_id, state_dir, _HLL_STORE,
+        hll_register_table(batch, item_col, by, p),
+        lambda a, b: hll_merge(a, b, by),
+        by, f"{_SEG_KEY_FORMAT}/hll_p={p}",
     )
 
 
@@ -93,40 +162,24 @@ def hll_sketch_sink(
     compact_every: Optional[int] = None,
     p: int = DEFAULT_P,
 ) -> None:
-    """Drain a stream into the maintained register table (availableNow).
-    ``compact_every``: fold the segment log at N segments, in-slot
-    (single-writer), like the other continuous sinks."""
-    from transporter_spark.streaming.windows import run_foreach_batch_available_now
-
-    def apply(batch: DataFrame, epoch_id: int) -> None:
-        applied = hll_merge_batch(batch, epoch_id, state_dir, item_col, by, p)
-        if applied and compact_every:
-            segs = set(SegmentStore(state_dir).keyed_mapping(_STORE_NAME).values())
-            if len(segs) >= compact_every:
-                compact_hll_state(batch.sparkSession, state_dir)
-
-    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+    """Drain a stream into the maintained register table."""
+    _keyed_sketch_sink(
+        stream_df, state_dir, _HLL_STORE,
+        lambda b, e: hll_merge_batch(b, e, state_dir, item_col, by, p),
+        checkpoint_dir, compact_every,
+    )
 
 
 def read_hll_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained register table (by..., bucket, rho) — feed it to
     operators.sketches.hll_estimate for the current distinct counts."""
-    from transporter_spark.streaming.state import SEG_KEY
-
-    df = SegmentStore(state_dir).read_keyed(spark, _STORE_NAME)
-    if df is None:
-        raise FileNotFoundError(
-            f"no committed sketch state at {state_dir!r}: the sink has "
-            "not applied any non-empty epoch yet"
-        )
-    return df.drop(SEG_KEY)
+    return _read_state(spark, state_dir, _HLL_STORE)
 
 
 def compact_hll_state(spark: SparkSession, state_dir: str) -> bool:
-    """Fold the register-segment log into one segment, dropping stale
-    rows for good (same discipline as compact_kmeans_state). Returns
-    False when already compact."""
-    return SegmentStore(state_dir).compact_keyed_commit(spark, _STORE_NAME)
+    """Fold the register-segment log into one segment. False when
+    already compact."""
+    return SegmentStore(state_dir).compact_keyed_commit(spark, _HLL_STORE)
 
 
 def drain_events_hll(
@@ -148,17 +201,8 @@ def drain_events_hll(
 
 
 # ---------------------------------------------------------------------------
-# Continuous quantile maintenance: the log-bin histogram is
-# SUM-mergeable (like the rollup/kmeans partials — NOT idempotent:
-# re-delivered rows double-count; dedup upstream for at-least-once
-# sources, exactly the rollup sink's documented limit). State stays
-# <= groups x ~2k bins forever; per-epoch work ∝ |batch|. The
-# maintained bins equal the batch build bit-for-bit, so the graded
-# query shares ddsketch_quantiles' engine-exact oracle.
+# quantiles (log-bin histogram SUM-delta-merge)
 # ---------------------------------------------------------------------------
-
-_BINS_STORE = "bins"
-
 
 def dd_merge_batch(
     batch: DataFrame,
@@ -166,34 +210,16 @@ def dd_merge_batch(
     state_dir: str,
     value_col: str,
     by: Sequence[str],
-    scale_bits: Optional[int] = None,
-    sub_bits: Optional[int] = None,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+    sub_bits: int = DEFAULT_SUB_BITS,
 ) -> bool:
-    """One bin-histogram delta-merge step; False when the epoch was
-    already applied or the batch was empty."""
-    from transporter_spark.operators.sketches import (
-        DEFAULT_SCALE_BITS,
-        DEFAULT_SUB_BITS,
-        dd_bins,
-    )
-    from transporter_spark.streaming.state import SEG_KEY
-
-    part = dd_bins(
-        batch, value_col, by,
-        scale_bits or DEFAULT_SCALE_BITS, sub_bits or DEFAULT_SUB_BITS,
-    ).withColumn(SEG_KEY, _seg_key(by))
-
-    def remerge(prev, part):
-        return (
-            prev.unionByName(part)
-            .groupBy(*by, "bin_e", "bin_sub")
-            .agg(F.sum("cnt").alias("cnt"))
-            .withColumn(SEG_KEY, _seg_key(by))
-        )
-
-    return SegmentStore(state_dir).keyed_delta_merge(
-        batch.sparkSession, _BINS_STORE, part, remerge, epoch_id,
-        _SEG_KEY_FORMAT,
+    """One bin-histogram delta-merge step (module-level for the replay
+    contract; plain defaulted ints so 0 is a usable value)."""
+    return _keyed_sketch_merge(
+        batch, epoch_id, state_dir, _BINS_STORE,
+        dd_bins(batch, value_col, by, scale_bits, sub_bits),
+        lambda a, b: dd_merge(a, b, by),
+        by, f"{_SEG_KEY_FORMAT}/dd_s={scale_bits}.{sub_bits}",
     )
 
 
@@ -204,36 +230,31 @@ def dd_sketch_sink(
     by: Sequence[str],
     checkpoint_dir: Optional[str] = None,
     compact_every: Optional[int] = None,
+    scale_bits: int = DEFAULT_SCALE_BITS,
+    sub_bits: int = DEFAULT_SUB_BITS,
 ) -> None:
-    """Drain a stream into the maintained bin histogram (availableNow);
-    feed read_dd_state to operators.sketches.dd_quantiles for current
+    """Drain a stream into the maintained bin histogram; feed
+    read_dd_state to operators.sketches.dd_quantiles for current
     percentiles — continuous p50/p99 monitoring without storing a row
     per observation."""
-    from transporter_spark.streaming.windows import run_foreach_batch_available_now
-
-    def apply(batch: DataFrame, epoch_id: int) -> None:
-        applied = dd_merge_batch(batch, epoch_id, state_dir, value_col, by)
-        if applied and compact_every:
-            segs = set(SegmentStore(state_dir).keyed_mapping(_BINS_STORE).values())
-            if len(segs) >= compact_every:
-                SegmentStore(state_dir).compact_keyed_commit(
-                    batch.sparkSession, _BINS_STORE
-                )
-
-    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+    _keyed_sketch_sink(
+        stream_df, state_dir, _BINS_STORE,
+        lambda b, e: dd_merge_batch(
+            b, e, state_dir, value_col, by, scale_bits, sub_bits
+        ),
+        checkpoint_dir, compact_every,
+    )
 
 
 def read_dd_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained bin histogram (by..., bin_e, bin_sub, cnt)."""
-    from transporter_spark.streaming.state import SEG_KEY
+    return _read_state(spark, state_dir, _BINS_STORE)
 
-    df = SegmentStore(state_dir).read_keyed(spark, _BINS_STORE)
-    if df is None:
-        raise FileNotFoundError(
-            f"no committed bin state at {state_dir!r}: the sink has "
-            "not applied any non-empty epoch yet"
-        )
-    return df.drop(SEG_KEY)
+
+def compact_dd_state(spark: SparkSession, state_dir: str) -> bool:
+    """Fold the bin-segment log into one segment. False when already
+    compact."""
+    return SegmentStore(state_dir).compact_keyed_commit(spark, _BINS_STORE)
 
 
 def drain_events_dd(
