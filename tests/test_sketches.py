@@ -414,3 +414,81 @@ def test_sketch_oracle_parity_at_non_default_params(spark, sf_dir):
         + "\nSELECT grp, bin_e, bin_sub, cnt FROM ddb"
     ).fetchall()))
     assert bins == want
+
+
+# --- Bloom membership sketch ---
+
+
+def test_bloom_no_false_negatives_and_null_probe(spark, sf_dir):
+    """The Bloom guarantee: every member (and every exact copy of one)
+    probes true — no false negatives, ever. NULL items are skipped on
+    build and non-members on probe."""
+    from transporter_spark.operators.sketches import (
+        bloom_contains,
+        bloom_words,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    members = docs.filter(F.col("source") == "src0")
+    words = bloom_words(members, "text")
+    verdicts = {
+        r.doc_id: r.member
+        for r in bloom_contains(words, docs, "text", ["doc_id"]).collect()
+    }
+    for r in members.select("doc_id").collect():
+        assert verdicts[r.doc_id], f"false negative for member {r.doc_id}"
+    # a NULL-text probe row is a non-member, not an error / missing row
+    probe = docs.limit(3).withColumn("text", F.lit(None).cast("string"))
+    out = bloom_contains(words, probe, "text", ["doc_id"]).collect()
+    assert len(out) == 3 and all(r.member is False for r in out)
+    # NULL members are skipped: word table unchanged
+    with_null = members.unionByName(
+        members.limit(1).withColumn("text", F.lit(None).cast("string"))
+    )
+    a = sorted(map(tuple, words.collect()))
+    b = sorted(map(tuple, bloom_words(with_null, "text").collect()))
+    assert a == b
+
+
+def test_bloom_merge_exact_and_idempotent(spark, sf_dir):
+    """merge(bloom(A), bloom(B)) == bloom(A ∪ B) word-for-word, and
+    merging a sketch with itself is a no-op (bit-OR idempotence) — the
+    algebra the continuous sink's re-delivery guarantee rests on."""
+    from transporter_spark.operators.sketches import bloom_merge, bloom_words
+
+    docs = read_table(spark, sf_dir, "documents")
+    whole = sorted(map(tuple, bloom_words(docs, "text").collect()))
+    a = bloom_words(docs.filter(F.col("doc_id") % 2 == 0), "text")
+    b = bloom_words(docs.filter(F.col("doc_id") % 2 != 0), "text")
+    assert sorted(map(tuple, bloom_merge(a, b).collect())) == whole
+    aa = bloom_words(docs, "text")
+    assert sorted(map(tuple, bloom_merge(aa, aa).collect())) == whole
+
+
+def test_bloom_plan_build_combines_and_probe_broadcasts(spark, sf_dir):
+    """Build = ONE map-side-combined groupBy (shuffle capped at m/32
+    word rows per mapper); probe = broadcast join of the word table +
+    one id regroup — corpus size never appears after the scans. Word
+    count is bounded by m/32 regardless of member count."""
+    import re
+
+    from transporter_spark.operators.sketches import (
+        DEFAULT_M_BITS,
+        bloom_contains,
+        bloom_words,
+    )
+
+    def nodes(plan, name):
+        return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = bloom_words(docs, "text")
+    plan = explain_str(words)
+    assert nodes(plan, "Exchange") == 1, plan
+    assert "partial_bit_or" in plan, "no map-side OR combine"
+    assert plan.index("partial_bit_or") < plan.index("ENSURE_REQUIREMENTS")
+    assert words.count() <= DEFAULT_M_BITS // 32
+    probe = bloom_contains(words, docs, "text", ["doc_id"])
+    pplan = explain_str(probe)
+    assert "BroadcastHashJoin" in pplan, pplan
+    assert "CartesianProduct" not in pplan and "SortMergeJoin" not in pplan

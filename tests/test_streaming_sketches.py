@@ -208,3 +208,71 @@ def test_compact_dd_state_folds_disjoint_epochs(spark, sf_dir, tmp_path):
     assert compact_dd_state(spark, state)
     assert _rows(read_dd_state(spark, state)) == before
     assert not compact_dd_state(spark, state)
+
+
+# --- Bloom membership sink ---
+
+
+def test_bloom_sink_multi_epoch_equals_batch_and_redelivery_safe(
+    spark, sf_dir, tmp_path
+):
+    """3-epoch OR-merge == single-pass word table (OR associativity);
+    replayed epoch is a no-op; and — the HLL-class property the SUM
+    sinks cannot have — re-delivering already-applied rows under a NEW
+    epoch leaves the state bit-identical (x | x == x)."""
+    from transporter_spark.operators.sketches import bloom_words
+    from transporter_spark.streaming.sketches import (
+        bloom_merge_batch,
+        read_bloom_state,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = str(tmp_path / "bloom")
+    for epoch in range(3):
+        assert bloom_merge_batch(
+            docs.filter(F.col("doc_id") % 3 == epoch), epoch, state, "text"
+        )
+    got = _rows(read_bloom_state(spark, state))
+    assert got == _rows(bloom_words(docs, "text"))
+    assert not bloom_merge_batch(  # replay guard
+        docs.filter(F.col("doc_id") % 3 == 2), 2, state, "text"
+    )
+    # at-least-once re-delivery under a NEW epoch: state unchanged
+    assert bloom_merge_batch(docs, 3, state, "text")
+    assert _rows(read_bloom_state(spark, state)) == got
+
+
+def test_bloom_sink_mixed_parameters_raise_loudly(spark, sf_dir, tmp_path):
+    """Bloom geometry lives in the seg-key format string: merging an
+    epoch at different m/k hits the loud format-mismatch error instead
+    of silently OR-ing incompatible bit domains."""
+    import pytest
+
+    from transporter_spark.streaming.sketches import bloom_merge_batch
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = str(tmp_path / "bloom")
+    assert bloom_merge_batch(docs, 0, state, "text")
+    with pytest.raises(ValueError, match="seg_key format"):
+        bloom_merge_batch(docs, 1, state, "text", m_bits=1 << 12, k=2)
+
+
+def test_seg_key_is_injective_over_group_tuples(spark):
+    """The ADVICE r5 finding: the old concat_ws seg key skipped NULLs
+    (NULL collided with '') and couldn't distinguish separator bytes
+    inside values. The netstring encoding keeps every distinct group
+    tuple on its own segment key."""
+    from transporter_spark.streaming.sketches import _seg_key
+
+    rows = [
+        (None, None), (None, ""), ("", None), ("", ""),
+        ("a\x1fb", "c"), ("a", "b\x1fc"), ("a\x1f", "bc"),
+        ("v1:x", "y"), ("v1:", "xy"),
+    ]
+    df = spark.createDataFrame(rows, "c1 string, c2 string")
+    keys = [
+        r.k for r in df.select(_seg_key(["c1", "c2"]).alias("k")).collect()
+    ]
+    assert len(set(keys)) == len(rows), keys
+    # empty `by` -> one constant global group key
+    assert df.select(_seg_key([]).alias("k")).distinct().count() == 1

@@ -470,6 +470,180 @@ ddq AS (
 
 
 # ---------------------------------------------------------------------------
+# Bloom-filter membership sketch (Bloom 1970): k salted bit positions
+# per item OR-ed into a fixed m-bit array. The membership member of the
+# sketch family — the scale path for decontamination blocklists and
+# incremental exact dedup: ~m/n bits per key instead of the key itself,
+# and the word-level bit-OR merge is associative, commutative AND
+# idempotent (like the HLL register MAX, unlike the SUM sinks), so
+# shard/epoch/re-delivered sketches all union exactly. One-sided error:
+# no false negatives ever; false-positive rate ~ (1 - e^(-kn/m))^k.
+#
+# Engine-exact by construction: positions come from the audited
+# md5-prefix hash (`stable_hash`, the Spark/DuckDB twin) salted per
+# probe exactly like the Count-Min rows ('i:item'), and the bit array
+# is stored as 32-bit words in BIGINTs (bit index < 32 keeps every
+# shifted value positive and well under int64 on BOTH engines — no
+# sign-bit or overflow edge anywhere). The oracle replays the build
+# and the probe bit-for-bit.
+# ---------------------------------------------------------------------------
+
+#: default geometry: 2^15 bits (1024 words) x 4 probes -> ~1.2e-5
+#: false-positive rate at 500 members; 8 KiB per sketch regardless of
+#: member count. Size m at ~10 bits per expected member for ~1% FPR.
+DEFAULT_M_BITS = 1 << 15
+DEFAULT_K = 4
+
+_BLOOM_WORD = 32  # bits per stored word; see module comment above
+
+
+def _bloom_positions(col: Column, k: int, m_bits: int) -> Column:
+    """Array of the k salted bit positions for an item — md5-prefix
+    hash of 'i:item' mod m (the CMS `_cms_cell` salt recipe). DuckDB
+    twin: CAST(('0x' || substr(md5(i || ':' || x), 1, 15))::UBIGINT AS
+    BIGINT) % m_bits."""
+    return F.array(
+        *[
+            stable_hash(
+                F.concat_ws(":", F.lit(i).cast("string"), col.cast("string")),
+                nibbles=15,
+            )
+            % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_words(
+    df: DataFrame,
+    item_col: str,
+    by: Sequence[str] = (),
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
+) -> DataFrame:
+    """(by..., word_idx, word) sparse word table — the sketch itself:
+    word = bit-OR of 1 << (pos % 32) over every member position landing
+    in that word. ONE map-side-combined groupBy: each mapper emits at
+    most m_bits/32 partial words per group however large its split, so
+    the shuffle is sketch-sized, never corpus-sized. NULL items are
+    skipped (set-membership semantics). Output rows only for non-zero
+    words (sparse; the probe treats absent words as 0)."""
+    by = list(by)
+    base = df.where(F.col(item_col).isNotNull())
+    pos = base.select(
+        *by,
+        F.explode(_bloom_positions(F.col(item_col), k, m_bits)).alias("_pos"),
+    )
+    return (
+        pos.select(
+            *by,
+            F.expr(f"_pos div {_BLOOM_WORD}").cast("long").alias("word_idx"),
+            F.expr(
+                f"shiftleft(1L, cast(_pos % {_BLOOM_WORD} as int))"
+            ).alias("_bit"),
+        )
+        .groupBy(*by, "word_idx")
+        .agg(F.bit_or("_bit").cast("long").alias("word"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame, by: Sequence[str] = ()) -> DataFrame:
+    """Merge two word tables: union + word-level bit-OR. Exact AND
+    idempotent — merge(bloom(A), bloom(B)) == bloom(A ∪ B), and
+    re-merging the same sketch is a no-op (x | x == x), the property
+    that makes the continuous sink safe under at-least-once
+    re-delivery with no upstream dedup."""
+    return (
+        a.unionByName(b)
+        .groupBy(*list(by), "word_idx")
+        .agg(F.bit_or("word").cast("long").alias("word"))
+    )
+
+
+def bloom_contains(
+    words: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    id_cols: Sequence[str],
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
+) -> DataFrame:
+    """Membership verdict per probe row: member = ALL k probe bits set
+    (no false negatives; false positives at the documented rate). The
+    sketch is <= m_bits/32 rows -> broadcast; per-probe work is k word
+    lookups regardless of member count. NULL items are non-members
+    (empty-set semantics). Returns (id_cols..., member boolean)."""
+    id_cols = list(id_cols)
+    pos = probes.where(F.col(item_col).isNotNull()).select(
+        *id_cols,
+        F.explode(_bloom_positions(F.col(item_col), k, m_bits)).alias("_pos"),
+    )
+    probed = pos.withColumn(
+        "word_idx", F.expr(f"_pos div {_BLOOM_WORD}").cast("long")
+    ).join(F.broadcast(words), "word_idx", "left")
+    # right-shift by a COLUMN count needs F.expr; integer div by the
+    # probe bit's power of two is the same thing and reads cleanly
+    hit = F.expr(
+        f"(coalesce(word, 0L) div shiftleft(1L, cast(_pos % {_BLOOM_WORD} as int))) % 2"
+    )
+    per_probe = probed.select(*id_cols, hit.alias("_hit"))
+    out = per_probe.groupBy(*id_cols).agg(
+        (F.min("_hit") == 1).alias("member")
+    )
+    # probes with NULL item explode to zero rows -> restore as False
+    return (
+        probes.select(*id_cols)
+        .join(out, id_cols, "left")
+        .select(
+            *id_cols, F.coalesce("member", F.lit(False)).alias("member")
+        )
+    )
+
+
+def bloom_oracle_ctes(
+    member_sql: str,
+    member_table: str,
+    probe_sql: str,
+    probe_id_sql: str,
+    probe_table: str,
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
+) -> str:
+    """DuckDB CTE block replaying build + probe (CTEs `bwords` — the
+    word table — and `bmem`: one (pid, member) row per probe row).
+    Same salted positions, same 32-bit words, same all-bits-set test."""
+    return f"""
+bpos AS (
+  SELECT CAST(('0x' || substr(md5(i || ':' || CAST({member_sql} AS VARCHAR)),
+               1, 15))::UBIGINT AS BIGINT) % {m_bits} AS pos
+  FROM {member_table}
+  CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i)
+  WHERE {member_sql} IS NOT NULL
+),
+bwords AS (
+  SELECT pos // {_BLOOM_WORD} AS word_idx,
+         CAST(bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INT)) AS BIGINT)
+           AS word
+  FROM bpos GROUP BY 1
+),
+bprobe AS (
+  SELECT {probe_id_sql} AS pid,
+         CAST(('0x' || substr(md5(i || ':' || CAST({probe_sql} AS VARCHAR)),
+               1, 15))::UBIGINT AS BIGINT) % {m_bits} AS pos
+  FROM {probe_table}
+  CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i)
+  WHERE {probe_sql} IS NOT NULL
+),
+bmem AS (
+  SELECT p.pid,
+         MIN((COALESCE(w.word, 0) // (1::BIGINT << CAST(p.pos % {_BLOOM_WORD} AS INT))) % 2)
+           = 1 AS member
+  FROM bprobe p LEFT JOIN bwords w ON p.pos // {_BLOOM_WORD} = w.word_idx
+  GROUP BY 1
+)"""
+
+
+# ---------------------------------------------------------------------------
 # registry faces (pipeline-config operators, like the reference's
 # function registry — function/all/all.go)
 # ---------------------------------------------------------------------------

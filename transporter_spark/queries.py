@@ -5609,3 +5609,76 @@ def q_stream_dd_quantiles(spark, sf_dir):
 QUERIES["stream_dd_quantiles"] = QUERIES["stream_dd_quantiles"]._replace(
     oracle=QUERIES["ddsketch_quantiles"].oracle
 )
+
+
+def _bloom_oracle() -> str:
+    from transporter_spark.operators.sketches import bloom_oracle_ctes
+
+    return (
+        "WITH "
+        + bloom_oracle_ctes(
+            "text",
+            "(SELECT text FROM documents WHERE source = 'src0')",
+            "d.text",
+            "d.doc_id",
+            "documents d",
+        )
+        + """
+SELECT d.doc_id, d.source, COALESCE(m.member, FALSE) AS member
+FROM documents d LEFT JOIN bmem m ON m.pid = d.doc_id
+ORDER BY d.doc_id"""
+    )
+
+
+@q("bloom_member", oracle=_bloom_oracle(), headline=False)
+def q_bloom_member(spark, sf_dir):
+    """Bloom-filter membership probe (operators/sketches.py; Bloom
+    1970) — the sketch family's membership member and the scale path
+    for decontamination blocklists / incremental exact dedup: the
+    'src0' shard plays the eval set, its documents' text is OR-ed into
+    a fixed 2^15-bit word table, and EVERY document probes it for a
+    contamination verdict. 100 TB shape: the build is ONE map-side-
+    combined groupBy capped at m/32 word rows per mapper (the partial
+    aggregate IS the sketch); the probe broadcasts the <= 1024-row
+    word table and does k integer lookups per document — corpus size
+    never appears after the scans, and the blocklist state is 8 KiB
+    regardless of member count. No false negatives ever (every src0
+    doc and every exact copy of one flags true); false positives at
+    the documented ~(1-e^(-kn/m))^k rate — identically on both sides,
+    because the all-integer build/probe replays bit-for-bit in the
+    oracle."""
+    from transporter_spark.operators.sketches import bloom_contains, bloom_words
+
+    docs = read_table(spark, sf_dir, "documents")
+    words = bloom_words(docs.filter(F.col("source") == "src0"), "text")
+    return bloom_contains(words, docs, "text", ["doc_id", "source"]).orderBy(
+        "doc_id"
+    )
+
+
+@q("stream_bloom", oracle=None, headline=False)
+def q_stream_bloom(spark, sf_dir):
+    """CONTINUOUS blocklist maintenance (streaming/sketches.py): the
+    eval shard streams through a foreachBatch sink that Bloom-sketches
+    each batch and bit-OR-merges the words into the standing state —
+    membership against everything ever ingested at m_bits of state
+    forever, per-epoch work ∝ batch. Word OR is associative AND
+    idempotent (like the HLL register MAX, unlike the SUM sinks), so
+    the maintained state equals the batch-built sketch bit-for-bit
+    regardless of epoch boundaries or at-least-once re-delivery
+    (pinned multi-epoch in tests/test_streaming_sketches.py) — which
+    is why this query probes the MAINTAINED words and shares
+    `bloom_member`'s engine-exact oracle verbatim."""
+    from transporter_spark.operators.sketches import bloom_contains
+    from transporter_spark.streaming.sketches import drain_documents_bloom
+
+    words = drain_documents_bloom(spark, sf_dir, where="source = 'src0'")
+    docs = read_table(spark, sf_dir, "documents")
+    return bloom_contains(words, docs, "text", ["doc_id", "source"]).orderBy(
+        "doc_id"
+    )
+
+
+QUERIES["stream_bloom"] = QUERIES["stream_bloom"]._replace(
+    oracle=QUERIES["bloom_member"].oracle
+)

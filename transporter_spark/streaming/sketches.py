@@ -58,17 +58,36 @@ from transporter_spark.operators.sketches import (
 from transporter_spark.streaming.state import SegmentStore
 
 # one segment key per group value: a batch touches only the groups it
-# contains, so the keyed manifest rewrites only those groups' segments
-_SEG_KEY_FORMAT = "group_value"
+# contains, so the keyed manifest rewrites only those groups' segments.
+# ".v2" = the injective netstring key encoding below — a state written
+# under the old concat_ws encoding raises the store's loud
+# format-mismatch error instead of silently splitting groups.
+_SEG_KEY_FORMAT = "group_value.v2"
 _HLL_STORE = "registers"
 _BINS_STORE = "bins"
+_BLOOM_STORE = "bloom"
 
 
 def _seg_key(by):
-    """All `by` columns joined unit-separated — distinct groups must
-    never collide onto one segment key, or the keyed manifest's
-    touched-group pruning silently coarsens to the by[0] fan-out."""
-    return F.concat_ws("\x1f", *[F.col(c).cast("string") for c in by])
+    """All `by` columns encoded as concatenated netstrings — injective
+    over group tuples, which the keyed manifest's touched-group pruning
+    depends on ("distinct groups must never collide"). Each component
+    is length-prefixed ('v<len>:<value>', NULL -> 'n'), making the
+    concatenation prefix-free: a NULL never collides with '' (the old
+    concat_ws skipped NULLs) and embedded separator bytes can't splice
+    across components. An empty `by` yields the constant key 'g'
+    (one global group)."""
+    if not by:
+        return F.lit("g")
+    parts = []
+    for c in by:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.when(s.isNull(), F.lit("n")).otherwise(
+                F.concat(F.lit("v"), F.length(s).cast("string"), F.lit(":"), s)
+            )
+        )
+    return F.concat(*parts)
 
 
 def _keyed_sketch_merge(
@@ -273,3 +292,93 @@ def drain_events_dd(
     ev = stream_table(spark, sf_dir, "events")
     dd_sketch_sink(ev, state, value_col, list(by), **kw)
     return read_dd_state(spark, state)
+
+
+# ---------------------------------------------------------------------------
+# membership (Bloom word bit-OR-merge)
+# ---------------------------------------------------------------------------
+
+def bloom_merge_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    item_col: str,
+    by: Sequence[str] = (),
+    k: Optional[int] = None,
+    m_bits: Optional[int] = None,
+) -> bool:
+    """One word bit-OR-merge step (module-level for the replay
+    contract). Like the HLL register MAX — and unlike the SUM sinks —
+    the merge is IDEMPOTENT, so rows re-delivered under new offsets by
+    an at-least-once source are harmless (x | x == x; pinned in
+    tests/test_streaming_sketches.py)."""
+    from transporter_spark.operators.sketches import (
+        DEFAULT_K,
+        DEFAULT_M_BITS,
+        bloom_merge,
+        bloom_words,
+    )
+
+    k = DEFAULT_K if k is None else k
+    m_bits = DEFAULT_M_BITS if m_bits is None else m_bits
+    return _keyed_sketch_merge(
+        batch, epoch_id, state_dir, _BLOOM_STORE,
+        bloom_words(batch, item_col, by, k, m_bits),
+        lambda a, b: bloom_merge(a, b, by),
+        by, f"{_SEG_KEY_FORMAT}/bloom_m={m_bits}.k={k}",
+    )
+
+
+def bloom_sketch_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    item_col: str,
+    by: Sequence[str] = (),
+    checkpoint_dir: Optional[str] = None,
+    compact_every: Optional[int] = None,
+    k: Optional[int] = None,
+    m_bits: Optional[int] = None,
+) -> None:
+    """Drain a stream into the maintained word table — the continuous
+    blocklist: feed read_bloom_state to operators.sketches
+    .bloom_contains to probe membership (decontamination, exact-dup
+    candidacy) against everything ever ingested, at m_bits of state
+    per group forever."""
+    _keyed_sketch_sink(
+        stream_df, state_dir, _BLOOM_STORE,
+        lambda b, e: bloom_merge_batch(b, e, state_dir, item_col, by, k, m_bits),
+        checkpoint_dir, compact_every,
+    )
+
+
+def read_bloom_state(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained word table (by..., word_idx, word)."""
+    return _read_state(spark, state_dir, _BLOOM_STORE)
+
+
+def compact_bloom_state(spark: SparkSession, state_dir: str) -> bool:
+    """Fold the word-segment log into one segment. False when already
+    compact."""
+    return SegmentStore(state_dir).compact_keyed_commit(spark, _BLOOM_STORE)
+
+
+def drain_documents_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    item_col: str = "text",
+    where: Optional[str] = None,
+    state_dir: Optional[str] = None,
+    **kw,
+) -> DataFrame:
+    """Convenience: stream the documents table (optionally filtered —
+    e.g. the eval shard of a decontamination blocklist) through the
+    Bloom sink and return the maintained word table (used by the
+    graded query)."""
+    from transporter_spark.streaming.sources import stream_table
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_bloom_") + "/state"
+    docs = stream_table(spark, sf_dir, "documents")
+    if where is not None:
+        docs = docs.where(where)
+    bloom_sketch_sink(docs, state, item_col, **kw)
+    return read_bloom_state(spark, state)
