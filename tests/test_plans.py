@@ -721,3 +721,34 @@ def test_lm_perplexity_gate_two_scans_no_cartesian(spark, sf_dir):
     # is ids/int keys (ctx_key/bg_key/doc_id/lang)
     for keys in re.findall(r"hashpartitioning\(([^)]*)\)", body):
         assert "c1#" not in keys and "c2#" not in keys and "p#" not in keys
+
+
+def test_asof_join_plan_is_one_exchange(spark, sf_dir):
+    """merge-asof contract (operators/temporal.py:27, re-pinned after
+    the r5 direction refactor): the tagged UNION of both sides crosses
+    exactly ONE hash exchange on the key — never an inequality
+    nested-loop join. `nearest` derives BOTH direction candidates from
+    that one shuffled union (two window sorts, zero extra exchanges)."""
+    ev = read_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("value").alias("signup_value")
+    )
+    from transporter_spark.operators.temporal import asof_join
+
+    for direction, n_windows in (("backward", 1), ("forward", 1),
+                                 ("nearest", 2)):
+        df = asof_join(left, right, on=["user_id"],
+                       right_cols=["signup_value"], direction=direction)
+        body = explain_str(df).split("== Physical Plan ==")[-1]
+        assert len(set(re.findall(r"\((\d+)\) Exchange", body))) == 1, (
+            direction, body)
+        assert "user_id" in re.search(r"hashpartitioning\(([^)]*)\)",
+                                      body).group(1), direction
+        assert len(set(re.findall(r"\((\d+)\) Window", body))) == n_windows, (
+            direction, body)
+        for bad in ("BroadcastNestedLoopJoin", "CartesianProduct",
+                    "SortMergeJoin"):
+            assert bad not in body, (direction, bad)
