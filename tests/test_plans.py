@@ -752,3 +752,22 @@ def test_asof_join_plan_is_one_exchange(spark, sf_dir):
         for bad in ("BroadcastNestedLoopJoin", "CartesianProduct",
                     "SortMergeJoin"):
             assert bad not in body, (direction, bad)
+
+
+def test_repeated_span_prune_plan_shape(spark, sf_dir):
+    """Unaligned substring dedup (operators/text.py
+    prune_repeated_spans): token rows cross ONE doc-keyed exchange to
+    form windows (the cached frame both consumers share); the rest of
+    the plan moves only 64-bit hashes + (doc, pos) regroups — exactly
+    4 exchanges total (window, distinct-df partial, hash join,
+    coverage regroup), 2 parquet scans (text + the ids-only
+    every-doc guarantee), no cartesian, no HOF-built shingles."""
+    df = QUERIES["repeated_span_prune"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert len(set(re.findall(r"\((\d+)\) Exchange", body))) == 4, body
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 2, body
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in body, bad
+    from transporter_spark.operators.dedup import release_cached
+
+    release_cached(df)

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from transporter_spark.registry import register
@@ -332,6 +332,117 @@ def prune_boilerplate(
         return prune_repeated_chunks(
             df, text_col, id_col, chunk_tokens, boilerplate_df
         )
+
+    return apply
+
+
+def prune_repeated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """UNALIGNED exact-substring dedup — the Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better")
+    standard that :func:`prune_repeated_chunks` approximates: hash the
+    ``window_tokens``-token window starting at EVERY token offset, and
+    excise every token covered by a window whose text occurs in
+    ``min_df`` or more documents. Because windows are content-defined
+    (one per offset, not per aligned chunk), a repeated passage is
+    caught wherever it sits: two documents sharing it at different
+    offsets — the case the aligned chunker structurally misses (pinned
+    in tests) — both lose exactly the passage. A repeated run of
+    L >= W tokens produces L-W+1 repeated windows whose union covers
+    exactly its L tokens, so excision boundaries are token-exact, not
+    chunk-rounded. Documents shorter than ``window_tokens`` have no
+    window and are never pruned (the paper's minimum-match length).
+    Returns (id_col, kept_text) for EVERY input document.
+
+    Distributed shape (the suffix array of the paper's single-node
+    formulation does not distribute; rolling per-offset hashing is the
+    standard cluster form): tokens come from ONE codegen'd posexplode
+    (no higher-order functions — the `shingle_rows` lesson, measured
+    3x), window strings from W-1 lead()s over the (doc, pos) window —
+    whose exchange is the ONE full token-row shuffle; the per-offset
+    frame is cached because TWO consumers read it (df count + the
+    coverage join). Beyond that cached frame the exchanges carry only
+    64-bit window hashes (df groupBy + the repeated-hash join — the
+    join ships token rows once, keyed by hash) and the (doc, pos)
+    regroup for coverage/reassembly. Coverage itself is a window MAX
+    over the previous W-1 offsets — no explosion of a span into W
+    covered-position rows. Callers free the cached frame with
+    ``operators.dedup.release_cached``.
+    """
+    from pyspark import StorageLevel
+
+    from transporter_spark.operators.dedup import _attach_cached
+
+    W = window_tokens
+    arr = F.when(
+        F.col(text_col).isNull(), F.array().cast("array<string>")
+    ).otherwise(F.split(F.col(text_col), " "))
+    tok = df.select(
+        F.col(id_col), F.posexplode(arr).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", i).over(w) for i in range(1, W)]
+    rows = tok.select(
+        id_col,
+        "pos",
+        "tok",
+        # a full window exists only where the last lead is defined
+        F.when(
+            leads[-1].isNotNull(),
+            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)),
+        ).alias("h"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    rep = (
+        rows.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_df)
+        .select("h", F.lit(1).alias("_rep"))
+    )
+    flagged = rows.join(rep, "h", "left")
+    cov_w = (
+        Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(W - 1), 0)
+    )
+    covered = flagged.withColumn(
+        "_cov", F.max(F.coalesce(F.col("_rep"), F.lit(0))).over(cov_w)
+    )
+    rebuilt = (
+        covered.where(F.col("_cov") == 0)
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("kept_text")
+        )
+    )
+    out = df.select(id_col).join(rebuilt, id_col, "left").select(
+        id_col, F.coalesce("kept_text", F.lit("")).alias("kept_text")
+    )
+    return _attach_cached(out, rows)
+
+
+@register("prune_repeated_spans")
+def prune_repeated_spans_op(
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+    min_df: int = 2,
+) -> Callable[[DataFrame], DataFrame]:
+    """Registry/pipeline face of :func:`prune_repeated_spans` —
+    offset-independent repeated-passage excision at window_tokens
+    granularity."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return prune_repeated_spans(df, text_col, id_col, window_tokens, min_df)
 
     return apply
 

@@ -3352,6 +3352,53 @@ def q_repeated_chunk_prune(spark, sf_dir):
 
 
 @q(
+    "repeated_span_prune",
+    headline=True,  # tracked from round 6 (new-capability baseline)
+    oracle="""
+WITH spanw AS (
+  SELECT doc_id, pos - 1 AS pos, ls[pos] AS tok,
+         CASE WHEN pos + 9 <= array_length(ls)
+              THEN array_to_string(ls[pos : pos + 9], ' ') END AS wstr
+  FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents) d,
+       UNNEST(generate_series(1, array_length(ls))) AS t(pos)
+),
+rep AS (
+  SELECT wstr FROM spanw WHERE wstr IS NOT NULL
+  GROUP BY wstr HAVING COUNT(DISTINCT doc_id) >= 2
+),
+cov AS (
+  SELECT sp.doc_id, sp.pos, sp.tok,
+         MAX(CASE WHEN rep.wstr IS NOT NULL THEN 1 ELSE 0 END) OVER
+           (PARTITION BY sp.doc_id ORDER BY sp.pos
+            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS c
+  FROM spanw sp LEFT JOIN rep ON sp.wstr = rep.wstr
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS kept_text
+  FROM cov WHERE c = 0 GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(r.kept_text, '') AS kept_text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+""",
+)
+def q_repeated_span_prune(spark, sf_dir):
+    """UNALIGNED exact-substring dedup (operators/text.py
+    prune_repeated_spans; Lee et al. 2021): a 10-token window is hashed
+    at EVERY token offset, windows whose text recurs in >= 2 documents
+    mark their tokens, and each document is reassembled from the
+    uncovered tokens — catching repeated passages wherever they sit,
+    including at offsets the aligned chunker (`repeated_chunk_prune`)
+    structurally misses (pinned in tests/test_dedup.py). The oracle
+    replays per-offset windowing / df / coverage / excision in SQL over
+    raw window strings; the engine exchanges 64-bit hashes instead —
+    value-identical absent an xxhash64 collision."""
+    from transporter_spark.operators.text import prune_repeated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return prune_repeated_spans(docs, window_tokens=10, min_df=2)
+
+
+@q(
     "pii_redact",
     oracle=None,  # filled below — needs the operator's pattern table
 )
