@@ -771,3 +771,17 @@ def test_repeated_span_prune_plan_shape(spark, sf_dir):
     from transporter_spark.operators.dedup import release_cached
 
     release_cached(df)
+
+
+def test_classifier_gate_one_tokenization_broadcast_weights(spark, sf_dir):
+    """Classifier gate: ONE wide text scan (the exploded-gram groupBy)
+    plus one doc_id-pruned scan for the every-doc join-back; the B-row
+    weight table arrives by broadcast (range leaf, no scan); no
+    cartesian; no exchange ships gram strings."""
+    df = QUERIES["classifier_quality_gate"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 2, body
+    assert "BroadcastHashJoin" in body
+    assert "CartesianProduct" not in body
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", body):
+        assert "g#" not in keys, keys

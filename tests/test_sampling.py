@@ -375,3 +375,53 @@ def test_lm_logprob_flag_orders_like_fixed_point(spark):
     assert all(v < 0 for v in lp.values())
     assert (fx[1] > fx[3]) and (lp[1] > lp[3])
     assert lp[1] == lp[2]
+
+
+def test_classifier_gate_scores_exactly_and_fails_closed(spark):
+    """Hashed linear classifier: the per-doc score equals the
+    hand-computed integer dot product of gram-bucket counts with the
+    derived weight table; empty/null-text docs keep=False with a NULL
+    score (fail closed); verdicts split both ways on real-ish text."""
+    from transporter_spark.operators.selection import (
+        CLF_BUCKETS,
+        classifier_quality_gate,
+        clf_weight_table,
+    )
+
+    rows = [(0, "alpha beta gamma"), (1, "delta"), (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in classifier_quality_gate(df).collect()}
+    assert len(out) == 4
+    for d in (2, 3):
+        assert out[d].keep is False and out[d].clf_score is None
+        assert out[d].n_grams == 0
+    # doc 0: grams = 3 unigrams + 2 bigrams
+    assert out[0].n_grams == 5 and out[1].n_grams == 1
+
+    import hashlib
+
+    weights = {
+        r.bucket: r.weight for r in clf_weight_table(spark).collect()
+    }
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % CLF_BUCKETS
+    expect0 = sum(
+        weights[bucket(g)]
+        for g in ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+    )
+    assert out[0].clf_score == expect0
+    assert out[0].keep is (expect0 >= 0)
+    # weight derivation parity with the hash twin
+    for b in (0, 1, 4095):
+        h = int(hashlib.md5(f"w:{b}".encode()).hexdigest()[:8], 16)
+        assert weights[b] == h % 2001 - 1000
+
+
+def test_classifier_gate_splits_corpus_both_ways(spark, sf_dir):
+    from transporter_spark.operators.selection import classifier_quality_gate
+    from transporter_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    verdicts = classifier_quality_gate(docs).groupBy("keep").count().collect()
+    counts = {r.keep: r["count"] for r in verdicts}
+    assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0

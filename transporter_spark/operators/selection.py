@@ -336,3 +336,79 @@ def lm_perplexity_gate(
         (F.col("lm_score").isNotNull() & (bucket != "tail")).alias("keep"),
     )
     return _attach_cached(out, *getattr(scored, "_ts_cached", ()))
+
+
+# ---------------------------------------------------------------------------
+# Hashed linear quality classifier (fasttext-shaped)
+# ---------------------------------------------------------------------------
+
+#: classifier geometry: feature space = 4096 hashed unigram+bigram
+#: buckets; weights span [-1000, 1000]. Both constants are baked into
+#: the weight-table derivation, so they version with it.
+CLF_BUCKETS = 4096
+CLF_WEIGHT_SPAN = 1000
+
+
+def clf_weight_table(spark, buckets: int = CLF_BUCKETS) -> DataFrame:
+    """The published weight table: one integer weight per feature
+    bucket, derived deterministically from the audited md5-prefix hash
+    of 'w:<bucket>' (uniform in [-1000, 1000]). This stands in for a
+    released fasttext-style classifier's weight vector — the shape
+    (hashed n-gram features -> linear weights) is the real deployment
+    artifact; the VALUES here are a fixed, engine-replayable stand-in
+    the oracle derives identically, so verdict parity checks the whole
+    scoring path, not just row counts. Swapping in real released
+    weights = replacing this one function with a lookup table."""
+    return spark.range(buckets).select(
+        F.col("id").cast("long").alias("bucket"),
+        (
+            stable_hash32(F.concat(F.lit("w:"), F.col("id").cast("string")))
+            % (2 * CLF_WEIGHT_SPAN + 1)
+            - CLF_WEIGHT_SPAN
+        ).cast("long").alias("weight"),
+    )
+
+
+def classifier_quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = CLF_BUCKETS,
+    threshold: int = 0,
+) -> DataFrame:
+    """Model-based quality gate (the fasttext-classifier step of
+    CCNet/RedPajama-style curation, after the rule gates): featurize
+    each document into hashed unigram+bigram bucket counts (the SAME
+    `_grams`/`stable_hash32` featurization DSIR uses — one shared
+    definition), dot with the published integer weight table, keep
+    documents scoring >= ``threshold``. The dot product is EXACT
+    INTEGER arithmetic (the DSIR fixed-point discipline): verdicts are
+    bit-reproducible across engines, cluster sizes, and re-runs.
+    Documents with no grams (empty/null text) fail closed.
+
+    100 TB shape: ONE tokenization pass (the exploded-gram groupBy on
+    (id, bucket)); the B-row weight table is broadcast onto the
+    per-(doc, bucket) counts and summed per doc with map-side combine
+    on id — nothing corpus-sized shuffles on anything but doc_id, and
+    the score join moves integer keys only. Returns
+    (id_col, n_grams BIGINT, clf_score BIGINT | NULL, keep BOOL)
+    for EVERY input document.
+    """
+    occ = doc_bucket_occurrences(df, text_col, id_col, buckets)
+    weights = clf_weight_table(df.sparkSession, buckets)
+    scores = (
+        occ.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("occ").cast("long").alias("n_grams"),
+            F.sum(F.col("occ") * F.col("weight")).cast("long").alias("clf_score"),
+        )
+    )
+    return df.select(id_col).join(scores, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+        "clf_score",
+        F.coalesce(
+            F.col("clf_score") >= threshold, F.lit(False)
+        ).alias("keep"),
+    )

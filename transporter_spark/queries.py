@@ -5329,6 +5329,62 @@ FROM bucketed ORDER BY doc_id
 """
 
 
+_CLF_ORACLE = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(t) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+cb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 8))::UBIGINT AS BIGINT) % 4096
+           AS bucket
+  FROM grams
+),
+wt AS (
+  SELECT b AS bucket,
+         CAST(('0x' || substr(md5('w:' || b), 1, 8))::UBIGINT AS BIGINT)
+           % 2001 - 1000 AS weight
+  FROM (SELECT unnest(generate_series(0, 4095)) AS b)
+),
+occ AS (SELECT doc_id, bucket, COUNT(*) AS occ FROM cb GROUP BY 1, 2),
+sc AS (
+  SELECT doc_id, CAST(SUM(occ) AS BIGINT) AS n_grams,
+         CAST(SUM(occ * weight) AS BIGINT) AS clf_score
+  FROM occ JOIN wt USING (bucket) GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(sc.n_grams, 0) AS n_grams, sc.clf_score,
+       COALESCE(sc.clf_score >= 0, FALSE) AS keep
+FROM documents d LEFT JOIN sc USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+@q("classifier_quality_gate", oracle=_CLF_ORACLE, headline=False)
+def q_classifier_quality_gate(spark, sf_dir):
+    """Model-based quality gate (operators/selection.py
+    classifier_quality_gate) — the fasttext-classifier step a CCNet/
+    RedPajama-style pipeline runs after the rule gates: hashed
+    unigram+bigram features (DSIR's exact featurization, one shared
+    definition) dotted with a published integer weight table, keep =
+    score >= 0, fail closed on gram-less docs. The dot product is
+    exact integer arithmetic, so verdicts are bit-reproducible across
+    engines and cluster sizes — the weight table is derived by the
+    SAME md5 formula on both sides, so the oracle checks the whole
+    scoring path. 100 TB shape: one tokenization pass, broadcast B-row
+    weights, map-side-combined per-doc sum; no corpus-sized shuffle on
+    anything but doc_id."""
+    from transporter_spark.operators.selection import classifier_quality_gate
+
+    docs = read_table(spark, sf_dir, "documents")
+    return classifier_quality_gate(docs).orderBy("doc_id")
+
+
 @q("lm_perplexity_gate", oracle=_LM_PPL_ORACLE, headline=True)
 def q_lm_perplexity_gate(spark, sf_dir):
     """CCNet-style perplexity filter (Wenzek et al. 2020): fit a bigram
