@@ -785,3 +785,23 @@ def test_classifier_gate_one_tokenization_broadcast_weights(spark, sf_dir):
     assert "CartesianProduct" not in body
     for keys in re.findall(r"hashpartitioning\(([^)]*)\)", body):
         assert "g#" not in keys, keys
+
+
+def test_bm25_one_exploded_pass_broadcast_stats(spark, sf_dir):
+    """BM25: the exploded term pass is filtered by a BROADCAST join on
+    the query-term set BEFORE any aggregation (dl rides along each
+    surviving row — no second wide text scan beyond the single-row
+    corpus-stats aggregate); term stats come back by broadcast; the
+    only nested-loop join is the broadcast 1-row stats cross join; the
+    rank window partitions by query_id, never a single global sort of
+    scores."""
+    df = QUERIES["bm25_select"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "BroadcastHashJoin" in body
+    assert "SortMergeJoin" not in body and "CartesianProduct" not in body
+    assert (
+        len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", body))) <= 1
+    )
+    # two text scans total: the exploded pass + the stats aggregate
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 2, body
+    assert "hashpartitioning(query_id" in body, body

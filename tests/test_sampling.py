@@ -425,3 +425,33 @@ def test_classifier_gate_splits_corpus_both_ways(spark, sf_dir):
     verdicts = classifier_quality_gate(docs).groupBy("keep").count().collect()
     counts = {r.keep: r["count"] for r in verdicts}
     assert counts.get(True, 0) > 0 and counts.get(False, 0) > 0
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    """BM25 sanity on a hand-built corpus: a document matching more
+    (and rarer) query terms outranks one matching fewer; rk is dense
+    per query and capped at k; a query whose terms miss every doc
+    returns no rows for that query."""
+    from transporter_spark.operators.selection import bm25_select
+
+    docs = spark.createDataFrame(
+        [
+            (0, "apple banana cherry date"),
+            (1, "apple banana filler filler filler filler"),
+            (2, "apple filler filler filler filler filler"),
+            (3, "unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [("qa", "apple banana cherry"), ("qb", "zebra")],
+        "query_id string, query_text string",
+    )
+    out = bm25_select(docs, queries, k=3).collect()
+    qa = sorted(
+        [(r.rk, r.doc_id, r.bm25_score) for r in out if r.query_id == "qa"]
+    )
+    assert [d for _, d, _ in qa] == [0, 1, 2]  # 3 terms > 2 > 1 matched
+    assert qa[0][2] > qa[1][2] > qa[2][2] > 0
+    assert not [r for r in out if r.query_id == "qb"]  # no matches
+    assert not [r for r in out if r.doc_id == 3]

@@ -412,3 +412,109 @@ def classifier_quality_gate(
             F.col("clf_score") >= threshold, F.lit(False)
         ).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 scored retrieval selection
+# ---------------------------------------------------------------------------
+
+
+def bm25_select(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 (Robertson et al., Okapi
+    TREC-3) at the standard k1=1.2, b=0.75 — the retrieval-scored
+    selection step (pairs with ANN for embedding-space selection).
+    ``queries`` is a small (query_id, query_text) frame; terms are its
+    distinct whitespace tokens (query term frequency ignored, the
+    common implementation choice).
+
+    Engine-exact scoring (the DSIR fixed-point discipline): the float
+    formula idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) is cleared of
+    ALL floats by multiplying through by 10*total_tokens (k1=6/5,
+    b=3/4, avgdl=total/N are exact rationals):
+
+        term_score = (idf_ppm * 22*tf * total)
+                     div (10*tf*total + 3*total + 9*dl*N)
+
+    with idf_ppm = ((2*(N-df)+1) * 1e6) div (2*df+1) — the Robertson-
+    Sparck-Jones ratio (N-df+0.5)/(df+0.5) in exact integer parts-per-
+    million rather than its log (libm `ln` differs across engines in
+    the last ulp, enough to flip a top-k boundary; the ratio is
+    monotone in the log so per-term ordering is preserved, and the
+    scaled sum is reproducible bit-for-bit — the property a versioned
+    selection needs). Headroom: the score numerator stays inside int64
+    up to ~4e18 / (idf_ppm * 22 * max_tf) corpus tokens (~1e9 tokens
+    at worst-case idf); shard the corpus stats past that (BM25 only
+    needs df/N/total ratios).
+
+    100 TB shape: ONE exploded corpus pass restricted to query terms
+    by a broadcast semi-join BEFORE any aggregation (per-doc length
+    rides along each surviving row, so no second wide scan for dl);
+    corpus-wide N/total come from one column-pruned single-row
+    aggregate; df and the per-term stats are query-term-sized and
+    broadcast back; the final top-k is a rank window PARTITIONED BY
+    query (bounded by #queries x matched docs, never a global sort).
+    Returns (query_id, doc_id, bm25_score, rk) with rk <= k, ties
+    broken by doc_id.
+    """
+    from transporter_spark.operators.text import _TOKENS
+
+    toks = _TOKENS.format(col=text_col)
+    qterms = (
+        queries.select(
+            "query_id",
+            F.explode(
+                F.array_distinct(F.expr(_TOKENS.format(col="query_text")))
+            ).alias("term"),
+        )
+    )
+    term_set = qterms.select("term").distinct()
+    exploded = docs.select(
+        F.col(id_col),
+        F.expr(f"size({toks})").cast("long").alias("dl"),
+        F.explode(F.expr(toks)).alias("term"),
+    )
+    occ = (
+        exploded.join(F.broadcast(term_set), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"), F.min("dl").alias("dl"))
+    )
+    # df as a window COUNT over the (already query-term-sized) occ
+    # frame: a separate groupBy would re-derive occ's subtree — i.e.
+    # re-scan and re-explode the corpus — unless cached
+    occ = occ.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+    )
+    stats = docs.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.expr(f"size({toks})")).cast("long").alias("total"),
+    )
+    scored = (
+        occ.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_ppm",
+            F.expr("((2 * (n_docs - df) + 1) * 1000000L) div (2 * df + 1)"),
+        )
+        .withColumn(
+            "term_score",
+            F.expr(
+                "(idf_ppm * 22 * tf * total)"
+                " div (10 * tf * total + 3 * total + 9 * dl * n_docs)"
+            ),
+        )
+    )
+    per_query = scored.join(F.broadcast(qterms), "term").groupBy(
+        "query_id", id_col
+    ).agg(F.sum("term_score").cast("long").alias("bm25_score"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25_score"), F.asc(id_col)
+    )
+    return (
+        per_query.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )

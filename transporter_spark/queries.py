@@ -5329,6 +5329,87 @@ FROM bucketed ORDER BY doc_id
 """
 
 
+# the ONE query-set definition both the Spark side and the oracle SQL
+# derive from (terms are the corpus's own vocabulary — synthetic
+# testdata has no English words)
+_BM25_QUERIES = (
+    ("q1", "customer join query"),
+    ("q2", "vector scan table"),
+    ("q3", "spark merge sort fast"),
+)
+
+
+def _bm25_oracle() -> str:
+    pairs = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, text in _BM25_QUERIES
+        for t in dict.fromkeys(text.split())
+    )
+    return rf"""
+WITH qt AS (SELECT * FROM (VALUES {pairs}) q(query_id, term)),
+dtok AS (
+  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS dl,
+         unnest(regexp_extract_all(text, '\S+')) AS term
+  FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(MIN(dl) AS BIGINT) AS dl
+  FROM dtok WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2
+),
+dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM occ GROUP BY 1),
+ts AS (
+  SELECT o.doc_id, o.term, o.tf, o.dl, s.n_docs, s.total,
+         ((2 * (s.n_docs - d.df) + 1) * 1000000) // (2 * d.df + 1) AS idf_ppm
+  FROM occ o JOIN dft d USING (term) CROSS JOIN stats s
+),
+sc AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(SUM((t.idf_ppm * 22 * t.tf * t.total)
+              // (10 * t.tf * t.total + 3 * t.total + 9 * t.dl * t.n_docs))
+           AS BIGINT) AS bm25_score
+  FROM ts t JOIN qt q USING (term) GROUP BY 1, 2
+),
+rnk AS (
+  SELECT query_id, doc_id, bm25_score,
+         CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY bm25_score DESC, doc_id) AS BIGINT) AS rk
+  FROM sc
+)
+SELECT query_id, doc_id, bm25_score, rk FROM rnk WHERE rk <= 10
+ORDER BY query_id, rk
+"""
+
+
+@q("bm25_select", oracle=_bm25_oracle(), headline=False)
+def q_bm25_select(spark, sf_dir):
+    """BM25 scored retrieval selection (operators/selection.py
+    bm25_select; Robertson et al. Okapi, k1=1.2 b=0.75): top-10
+    documents per query for a fixed 3-query set over the corpus
+    vocabulary. Scoring is ENGINE-EXACT fixed-point: the formula is
+    cleared of floats by multiplying through by 10*total_tokens, and
+    idf is the Robertson-Sparck-Jones ratio in integer ppm (monotone
+    in the log it replaces), so the ranking replays bit-for-bit in
+    SQL. 100 TB shape: one exploded corpus pass restricted to query
+    terms by broadcast semi-join before aggregation (dl rides along,
+    no second wide scan), one single-row corpus-stats aggregate,
+    broadcast term stats, rank window partitioned by query — no
+    global sort, nothing corpus-sized shuffled on anything but
+    doc_id."""
+    from transporter_spark.operators.selection import bm25_select
+
+    docs = read_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    return bm25_select(docs, queries, k=10).orderBy("query_id", "rk")
+
+
 _CLF_ORACLE = r"""
 WITH toks AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
