@@ -24,85 +24,83 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 5: 25 new + 3 changed (incremental_dedup,
-# stream_ingest_dedup, asof_join — its backward path was touched by the
-# direction refactor) + 22 stalest greens = 50. The list below carries
-# 59 names so intent is explicit: the LAST NINE (repetition_stats,
-# array_funcs, frame_sample — the three least-stale of the r1/r2
-# backfill — then incremental_dedup_exact, dedup_clusters,
-# ann_ivf_topk, stream_dedup, stream_stream_join, rollup_lattice_daily,
-# all r3 greens) sit past the graded window — they, like
-# q1_pricing_summary,
-# q5_local_supplier, minhash_lsh_pairs, stream_windowed_agg,
-# training_pipeline, stream_stateful_count, js_transform, are rotated
-# OUT this round, all unchanged since their r3 green rows.
-# Everything outside the 50 is green on unchanged code (r3/r4 rows).
+# to the STALEST greens. Round 6: 6 new + 4 changed (the keyed-sink
+# seg-key encoding fix touched stream_hll_distinct/stream_dd_quantiles;
+# the ingest pre_filter-callable + partition-scoping change touched
+# stream_ingest_dedup/stream_curation) + 40 stalest greens = 50. The
+# stale cohort VERDICT r5 named has 50 members (3 r2 + 47 r3); the 40
+# slots take the r2 trio first, then 37 of the r3 greens — the TEN
+# spilled to round 7 (listed past the window below) are the simplest
+# unchanged scalar/window/set ops: map_funcs, regexp_funcs, except_all,
+# unpivot_long, running_total, range_frame_window, pretty_passthrough,
+# value_histogram, deterministic_shuffle, domain_cap.
+# Everything outside the 50 is green on unchanged code (r3-r5 rows).
 _PRIORITY = [
-    # --- NEW round 5: must take a slot ---
-    "gopher_quality_gate",     # rule-based quality gate (Gopher A1.1)
-    "domain_mix_weights",      # domain-mix rebalancing weights
-    "domain_mix_sample",       # portable-hash downsample to target mix
-    "semantic_decontaminate",  # embedding-space eval-leakage gate
-    "curation_pipeline",       # gate -> dedup -> mix-sample composed
-    "stream_curation",         # the same gate inside the ingest sink
-    "asof_join_forward",       # merge_asof direction='forward'
-    "asof_join_nearest",       # merge_asof direction='nearest'
-    "fuzzy_name_pairs",        # SymSpell edit-distance join
-    "temperature_mix_weights", # share^alpha mix smoothing
-    "balanced_shards",         # token-balanced snake sharding
-    "dsir_select",             # hashed-ngram importance resampling
-    "kmeans_update",           # Lloyd centroid-update partials
-    "dataset_split",           # insertion-stable train/val/test split
-    "containment_pairs",       # asymmetric n-gram overlap (quotes)
-    "stream_kmeans_update",    # continuous centroid-partial sink
-    "lm_perplexity_gate",      # CCNet bigram-LM head/middle/tail gate
-    "hll_distinct",            # HyperLogLog register sketch, engine-exact
-    "hll_merge_shards",        # shard sketches merged == whole (oracle-proved)
-    "stream_hll_distinct",     # continuous register max-merge sink
-    "cms_topk_users",          # Count-Min heavy hitters, engine-exact
-    "ddsketch_quantiles",      # log-binned mergeable quantile sketch
-    "dd_quantile_gate",        # sketch-thresholded per-lang length gate
-    "sketch_profile",          # one-pass HLL+quantile table profile
-    "stream_dd_quantiles",     # continuous quantile sink (bin SUM-merge)
-    # --- changed round 5 ---
-    "incremental_dedup",       # fast hash family + session-cached index
-    "stream_ingest_dedup",     # ingest_dedup_batch gained pre_filter:
-                               # re-grade its no-filter path on current code
-    "asof_join",               # backward path touched by the direction
-                               # refactor — changed-since-green keeps a slot
-    # --- stalest greens: last graded r1/r2, unchanged code ---
-    "media_features",
-    "q19_disjunctive",
-    "cube_agg",
-    "percentiles",
-    "exists_subquery",
-    "anti_join_not_in",
-    "scalar_subquery",
-    "q2_min_cost_supplier",
-    "q21_waiting_suppliers",
-    "window_analytics",
-    "stream_static_join",
-    "json_functions",
-    "grouped_pandas_udaf",
-    "python_udtf",
-    "having_clause",
-    "pivot_table",
-    "extended_json_normalize",
-    "dedup_normalized",
-    "range_join_recent_count",
-    "sliding_window_agg",
-    "collect_agg",
-    "stratified_sample",
-    # --- past the graded window from here down (see header) ---
-    "repetition_stats",
+    # --- NEW round 6: must take a slot ---
+    "repeated_span_prune",      # unaligned exact-substring dedup (Lee et al.)
+    "bloom_member",             # Bloom membership sketch, engine-exact
+    "stream_bloom",             # continuous blocklist (idempotent OR-merge)
+    "classifier_quality_gate",  # hashed linear (fasttext-shaped) gate
+    "bm25_select",              # integer-exact Okapi BM25 top-k retrieval
+    "stream_curation_full",     # gopher+LM+dd gate stack in the ingest sink
+    # --- changed round 6 ---
+    "stream_hll_distinct",      # seg-key netstring encoding (v2 format)
+    "stream_dd_quantiles",      # seg-key netstring encoding (v2 format)
+    "stream_ingest_dedup",      # pre_filter callable + partition scoping
+    "stream_curation",          # same ingest path
+    # --- stalest greens: last graded r2, unchanged code ---
     "array_funcs",
     "frame_sample",
-    "incremental_dedup_exact",
-    "dedup_clusters",
+    "repetition_stats",
+    # --- stalest greens: last graded r3, unchanged code ---
     "ann_ivf_topk",
-    "stream_dedup",
-    "stream_stream_join",
+    "bpe_token_stats",
+    "chunk_documents",
+    "decontaminate",
+    "dedup_clusters",
+    "dedup_clusters_exact",
+    "gapfill_hourly",
+    "incremental_dedup_exact",
+    "js_transform",
+    "length_quantile_gate",
+    "media_resize",
+    "minhash_lsh_pairs",
+    "pack_sequences",
+    "pii_redact",
+    "profile_columns",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q1_pricing_summary",
+    "q20_promotion_suppliers",
+    "q22_idle_customers",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q9_product_profit",
+    "rarity_score",
     "rollup_lattice_daily",
+    "scd2_history",
+    "sessionize_events",
+    "stream_dedup",
+    "stream_stateful_count",
+    "stream_stream_join",
+    "stream_windowed_agg",
+    "training_pipeline",
+    "variant_json",
+    # --- past the graded window from here down (spilled to r7) ---
+    "map_funcs",
+    "regexp_funcs",
+    "except_all",
+    "unpivot_long",
+    "running_total",
+    "range_frame_window",
+    "pretty_passthrough",
+    "value_histogram",
+    "deterministic_shuffle",
+    "domain_cap",
 ]
 
 

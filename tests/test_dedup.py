@@ -522,3 +522,38 @@ def test_containment_catches_subset_jaccard_misses(spark):
     jac = jaccard_pairs(df, threshold=0.9)
     assert jac.count() == 0  # symmetric score dilutes the quote away
     release_cached(jac)
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "sfd", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_incremental_fast_equals_portable(spark, sfd):
+    """The r5 ADVICE standing sweep: the graded incremental_dedup path
+    runs the fast xxhash64 family against an oracle that replays the
+    md5-portable pipeline — equality of the exact-Jaccard-verified
+    survivor sets is an LSH banding RECALL property (documented at the
+    cache-key logic in queries.py), not a construction guarantee. Pin
+    it at two scales so a future threshold/bands change that breaks
+    the assumption fails HERE before the driver's oracle row does."""
+    from transporter_spark.operators.dedup import (
+        incremental_lsh_pairs,
+        release_cached,
+    )
+    from transporter_spark.sources.files import read_table
+
+    docs = read_table(spark, sfd, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    out = {}
+    for portable in (False, True):
+        pairs = incremental_lsh_pairs(
+            new, corpus, threshold=0.1, portable=portable
+        )
+        out[portable] = sorted(
+            (r.id_a, r.id_b, round(r.jaccard, 9)) for r in pairs.collect()
+        )
+        release_cached(pairs)
+    assert out[False] == out[True] and out[False]

@@ -312,6 +312,13 @@ def test_sketch_registry_factories_match_direct_calls(spark, sf_dir):
     assert [tuple(r) for r in via_h.collect()] == [
         tuple(r) for r in direct_h.collect()
     ]
+    from transporter_spark.operators.sketches import bloom_words
+
+    docs = read_table(spark, sf_dir, "documents")
+    via_b = build_operator("membership_sketch", item_col="text")(docs)
+    assert sorted(map(tuple, via_b.collect())) == sorted(
+        map(tuple, bloom_words(docs, "text").collect())
+    )
 
 
 def test_dd_quantile_gate_tracks_exact_cut_and_plan(spark, sf_dir):

@@ -699,3 +699,20 @@ def heavy_hitters_op(
         return est.orderBy(F.desc("est"), item_col).limit(k)
 
     return apply
+
+
+@register("membership_sketch")
+def membership_sketch_op(
+    item_col: str,
+    by: Sequence[str] = (),
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
+) -> Callable[[DataFrame], DataFrame]:
+    """Registry/pipeline face of the Bloom family: build the per-group
+    word table (feed it to `bloom_contains` to probe, or persist it as
+    a blocklist)."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        return bloom_words(df, item_col, list(by), k, m_bits)
+
+    return apply

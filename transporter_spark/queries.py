@@ -1490,6 +1490,17 @@ def q_incremental_dedup(spark, sf_dir):
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
     src = os.path.join(sf_dir, "documents.parquet")
     mtime = os.path.getmtime(src) if os.path.exists(src) else 0
+    # RECALL ASSUMPTION (ADVICE r5): the cached index uses the fast
+    # xxhash64 family while the oracle replays the md5-portable
+    # pipeline — equality of the survivor sets relies on LSH banding
+    # recall at threshold=0.1 with 16 bands x 4 rows (a 0.1-Jaccard
+    # pair collides in >=1 band with p ~ 1-(1-0.1^4)^16; the testdata's
+    # near-dup pairs sit far above the threshold, where both families
+    # recall them). It holds empirically (green at sf0.001/0.01/0.1,
+    # pinned by tests/test_dedup.py::test_incremental_fast_equals_portable
+    # at two scales) rather than by construction: CHANGING threshold /
+    # bands / num_hashes here re-opens the question — re-run that
+    # sweep before trusting the oracle row.
     key = (spark.sparkContext.applicationId, sf_dir, mtime)
     index = _INC_INDEX_CACHE.get(key)
     if index is None:
