@@ -760,12 +760,16 @@ def test_repeated_span_prune_plan_shape(spark, sf_dir):
     form windows (the cached frame both consumers share); the rest of
     the plan moves only 64-bit hashes + (doc, pos) regroups — exactly
     4 exchanges total (window, distinct-df partial, hash join,
-    coverage regroup), 2 parquet scans (text + the ids-only
-    every-doc guarantee), no cartesian, no HOF-built shingles."""
+    coverage regroup) — 3 when the planner's statistics turn the
+    repeated-hash join into a broadcast (size estimates shift when
+    neighbouring tests have materialized caches, so pin the range,
+    not the statistic-dependent choice) — at most 2 parquet scans
+    (text + the ids-only every-doc guarantee; fewer when a prior
+    cache covers one), no cartesian, no HOF-built shingles."""
     df = QUERIES["repeated_span_prune"].fn(spark, sf_dir)
     body = explain_str(df).split("== Physical Plan ==")[-1]
-    assert len(set(re.findall(r"\((\d+)\) Exchange", body))) == 4, body
-    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 2, body
+    assert 3 <= len(set(re.findall(r"\((\d+)\) Exchange", body))) <= 4, body
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) <= 2, body
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in body, bad
     from transporter_spark.operators.dedup import release_cached
@@ -790,18 +794,15 @@ def test_classifier_gate_one_tokenization_broadcast_weights(spark, sf_dir):
 def test_bm25_one_exploded_pass_broadcast_stats(spark, sf_dir):
     """BM25: the exploded term pass is filtered by a BROADCAST join on
     the query-term set BEFORE any aggregation (dl rides along each
-    surviving row — no second wide text scan beyond the single-row
-    corpus-stats aggregate); term stats come back by broadcast; the
-    only nested-loop join is the broadcast 1-row stats cross join; the
-    rank window partitions by query_id, never a single global sort of
-    scores."""
+    surviving row — no second wide text scan; the corpus stats are ONE
+    eager single-row aggregate whose constants are inlined into the
+    plan, so no stats join of any kind survives); the rank window
+    partitions by query_id, never a single global sort of scores."""
     df = QUERIES["bm25_select"].fn(spark, sf_dir)
     body = explain_str(df).split("== Physical Plan ==")[-1]
     assert "BroadcastHashJoin" in body
     assert "SortMergeJoin" not in body and "CartesianProduct" not in body
-    assert (
-        len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", body))) <= 1
-    )
-    # two text scans total: the exploded pass + the stats aggregate
-    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 2, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    # ONE text scan in the returned plan: the exploded term pass
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1, body
     assert "hashpartitioning(query_id" in body, body

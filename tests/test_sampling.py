@@ -455,3 +455,38 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert qa[0][2] > qa[1][2] > qa[2][2] > 0
     assert not [r for r in out if r.query_id == "qb"]  # no matches
     assert not [r for r in out if r.doc_id == 3]
+
+
+def test_bm25_overflow_guard_raises_loudly(spark, monkeypatch):
+    """The review-found silent-wrap hazard: when the worst-case score
+    numerator would exceed int64, bm25_select raises instead of
+    letting Spark's non-ANSI arithmetic wrap to garbage rankings. The
+    bound is driven by the corpus stats, so fake an enormous corpus by
+    patching the stats row."""
+    import pytest
+
+    import transporter_spark.operators.selection as sel
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a c")], "doc_id long, text string"
+    )
+    queries = spark.createDataFrame(
+        [("q", "a")], "query_id string, query_text string"
+    )
+    real_agg = type(docs).agg
+
+    class FakeRow:
+        n_docs, total, dl_max = 10_000_000, 1_000_000_000_000, 100_000
+
+    def fake_agg(self, *a, **k):
+        out = real_agg(self, *a, **k)
+
+        class FakeDF:
+            def collect(self_inner):
+                return [FakeRow()]
+
+        return FakeDF() if "n_docs" in str(a) else out
+
+    monkeypatch.setattr(type(docs), "agg", fake_agg)
+    with pytest.raises(ValueError, match="headroom"):
+        sel.bm25_select(docs, queries)

@@ -499,3 +499,32 @@ def test_bloom_plan_build_combines_and_probe_broadcasts(spark, sf_dir):
     pplan = explain_str(probe)
     assert "BroadcastHashJoin" in pplan, pplan
     assert "CartesianProduct" not in pplan and "SortMergeJoin" not in pplan
+
+
+def test_bloom_contains_grouped_words_and_mismatch_error(spark, sf_dir):
+    """The review-found contract hole: a GROUPED word table must be
+    probed with the same `by` — each probe row tests against ITS
+    group's sketch (members of src0 are members of the src0 bloom but
+    not of src1's); passing a grouped table without `by` raises
+    instead of silently breaking no-false-negatives."""
+    import pytest
+
+    from transporter_spark.operators.sketches import (
+        bloom_contains,
+        bloom_words,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    grouped = bloom_words(docs, "text", by=["source"])
+    out = {
+        r.doc_id: r.member
+        for r in bloom_contains(
+            grouped, docs, "text", ["doc_id"], by=["source"]
+        ).collect()
+    }
+    # every doc is a member of its OWN source's bloom
+    assert all(out.values()) and len(out) == docs.count()
+    with pytest.raises(ValueError, match="grouping columns"):
+        bloom_contains(grouped, docs, "text", ["doc_id"])

@@ -279,3 +279,24 @@ def test_prune_repeated_spans_registry_factory(spark):
     assert sorted(map(tuple, via_registry.collect())) == sorted(
         map(tuple, direct.collect())
     )
+
+
+def test_prune_repeated_spans_window_one_and_validation(spark):
+    """W=1 = exact repeated-token excision (the review-found edge):
+    tokens appearing in >= min_df docs vanish everywhere, singletons
+    survive; W=0 raises."""
+    import pytest
+
+    from transporter_spark.operators.text import prune_repeated_spans
+
+    df = spark.createDataFrame(
+        [(0, "common alpha common"), (1, "common beta")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.kept_text
+        for r in prune_repeated_spans(df, window_tokens=1, min_df=2).collect()
+    }
+    assert out == {0: "alpha", 1: "beta"}
+    with pytest.raises(ValueError, match="window_tokens"):
+        prune_repeated_spans(df, window_tokens=0)

@@ -447,23 +447,31 @@ def bm25_select(
     the last ulp, enough to flip a top-k boundary; the ratio is
     monotone in the log so per-term ordering is preserved, and the
     scaled sum is reproducible bit-for-bit — the property a versioned
-    selection needs). Headroom: the score numerator stays inside int64
-    up to ~4e18 / (idf_ppm * 22 * max_tf) corpus tokens (~1e9 tokens
-    at worst-case idf); shard the corpus stats past that (BM25 only
-    needs df/N/total ratios).
+    selection needs). Headroom (GUARDED, not just documented): the
+    worst-case numerator is idf_max * 22 * tf_max * total with
+    idf_max = (2(N-1)+1)*1e6 div 3 ~ 0.67e6*N for a df=1 term and
+    tf_max <= max document length, i.e. it grows like N * total — a
+    1e7-doc corpus with a rare query term overflows int64 LONG before
+    ~1e9 tokens (Spark's non-ANSI arithmetic would wrap silently to
+    garbage rankings). This function therefore computes the bound from
+    the same single-row stats aggregate and RAISES when
+    idf_max * 22 * dl_max * total >= 2^63; shard the corpus stats (or
+    reduce the idf scale) past that — BM25 only needs df/N/total
+    ratios.
 
     100 TB shape: ONE exploded corpus pass restricted to query terms
     by a broadcast semi-join BEFORE any aggregation (per-doc length
     rides along each surviving row, so no second wide scan for dl);
-    corpus-wide N/total come from one column-pruned single-row
-    aggregate; df and the per-term stats are query-term-sized and
-    broadcast back; the final top-k is a rank window PARTITIONED BY
-    query (bounded by #queries x matched docs, never a global sort).
-    Returns (query_id, doc_id, bm25_score, rk) with rk <= k, ties
-    broken by doc_id.
+    corpus-wide N/total/dl_max come from one column-pruned single-row
+    aggregate, collected (one metadata-sized driver row, like
+    sampling.py's partition counts) both for the overflow guard and to
+    inline the constants into the plan — no stats cross join; df and
+    the per-term stats are query-term-sized and broadcast back; the
+    final top-k is a rank window PARTITIONED BY query (bounded by
+    #queries x matched docs, never a global sort). Returns
+    (query_id, doc_id, bm25_score, rk) with rk <= k, ties broken by
+    doc_id.
     """
-    from transporter_spark.operators.text import _TOKENS
-
     toks = _TOKENS.format(col=text_col)
     qterms = (
         queries.select(
@@ -490,21 +498,30 @@ def bm25_select(
     occ = occ.withColumn(
         "df", F.count("*").over(Window.partitionBy("term")).cast("long")
     )
-    stats = docs.agg(
+    st = docs.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.expr(f"size({toks})")).cast("long").alias("total"),
-    )
+        F.max(F.expr(f"size({toks})")).cast("long").alias("dl_max"),
+    ).collect()[0]
+    n_docs, total, dl_max = st.n_docs, st.total or 0, st.dl_max or 0
+    idf_max = ((2 * (n_docs - 1) + 1) * 1_000_000) // 3 if n_docs else 0
+    if idf_max * 22 * dl_max * total >= 1 << 63:
+        raise ValueError(
+            f"bm25_select int64 headroom exceeded: worst-case numerator "
+            f"idf_max({idf_max}) * 22 * dl_max({dl_max}) * total({total}) "
+            "would overflow — shard the corpus stats or reduce the idf "
+            "scale (see docstring)"
+        )
     scored = (
-        occ.crossJoin(F.broadcast(stats))
-        .withColumn(
+        occ.withColumn(
             "idf_ppm",
-            F.expr("((2 * (n_docs - df) + 1) * 1000000L) div (2 * df + 1)"),
+            F.expr(f"((2 * ({n_docs} - df) + 1) * 1000000L) div (2 * df + 1)"),
         )
         .withColumn(
             "term_score",
             F.expr(
-                "(idf_ppm * 22 * tf * total)"
-                " div (10 * tf * total + 3 * total + 9 * dl * n_docs)"
+                f"(idf_ppm * 22 * tf * {total}L)"
+                f" div (10 * tf * {total}L + 3 * {total}L + 9 * dl * {n_docs}L)"
             ),
         )
     )

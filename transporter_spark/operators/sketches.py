@@ -567,20 +567,37 @@ def bloom_contains(
     id_cols: Sequence[str],
     k: int = DEFAULT_K,
     m_bits: int = DEFAULT_M_BITS,
+    by: Sequence[str] = (),
 ) -> DataFrame:
     """Membership verdict per probe row: member = ALL k probe bits set
     (no false negatives; false positives at the documented rate). The
     sketch is <= m_bits/32 rows -> broadcast; per-probe work is k word
     lookups regardless of member count. NULL items are non-members
-    (empty-set semantics). Returns (id_cols..., member boolean)."""
+    (empty-set semantics). Returns (id_cols..., member boolean).
+
+    For a GROUPED word table (built with ``by``), pass the SAME ``by``
+    here and include those columns in ``probes`` — each probe row is
+    then tested against ITS group's sketch. The column check below is
+    load-bearing: joining a grouped table on word_idx alone would test
+    every probe against every group's word and silently break the
+    no-false-negatives guarantee."""
     id_cols = list(id_cols)
+    by = list(by)
+    expect = set(by) | {"word_idx", "word"}
+    if set(words.columns) != expect:
+        raise ValueError(
+            f"word table columns {sorted(words.columns)} do not match the "
+            f"probe's expectation {sorted(expect)}: a sketch built with "
+            "grouping columns must be probed with the same by=[...]"
+        )
     pos = probes.where(F.col(item_col).isNotNull()).select(
         *id_cols,
+        *[c for c in by if c not in id_cols],
         F.explode(_bloom_positions(F.col(item_col), k, m_bits)).alias("_pos"),
     )
     probed = pos.withColumn(
         "word_idx", F.expr(f"_pos div {_BLOOM_WORD}").cast("long")
-    ).join(F.broadcast(words), "word_idx", "left")
+    ).join(F.broadcast(words), by + ["word_idx"], "left")
     # right-shift by a COLUMN count needs F.expr; integer div by the
     # probe bit's power of two is the same thing and reads cleanly
     hit = F.expr(
@@ -709,8 +726,8 @@ def membership_sketch_op(
     m_bits: int = DEFAULT_M_BITS,
 ) -> Callable[[DataFrame], DataFrame]:
     """Registry/pipeline face of the Bloom family: build the per-group
-    word table (feed it to `bloom_contains` to probe, or persist it as
-    a blocklist)."""
+    word table (feed it to `bloom_contains` — with the SAME ``by`` when
+    grouped — to probe, or persist it as a blocklist)."""
 
     def apply(df: DataFrame) -> DataFrame:
         return bloom_words(df, item_col, list(by), k, m_bits)

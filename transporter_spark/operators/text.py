@@ -385,16 +385,19 @@ def prune_repeated_spans(
     tok = df.select(
         F.col(id_col), F.posexplode(arr).alias("pos", "tok")
     )
+    if W < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {W}")
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, W)]
+    # a full window exists only where the last lead is defined; at
+    # W=1 (exact repeated-token excision) every position has one
+    full = leads[-1].isNotNull() if leads else F.lit(True)
     rows = tok.select(
         id_col,
         "pos",
         "tok",
-        # a full window exists only where the last lead is defined
         F.when(
-            leads[-1].isNotNull(),
-            F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads)),
+            full, F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads))
         ).alias("h"),
     ).persist(StorageLevel.MEMORY_AND_DISK)
     rep = (

@@ -72,8 +72,12 @@ def ingest_dedup_batch(batch: DataFrame, epoch_id: int, state_dir: str,
     stage across the gate/minhash/CC stages regardless of batch size
     (the memory-sink drain in streaming/windows.py already does this;
     measured multi-minute -> seconds on the full-gate curation drain).
-    Set/restore is safe: foreachBatch delivers epochs synchronously on
-    the driver."""
+    CONSTRAINT: the set/restore mutates the shared session conf, so it
+    assumes ONE drain at a time on the session — the same single-writer
+    discipline SegmentStore already imposes on the state directory.
+    Two interleaved epochs on different threads could restore the
+    wrong value; run concurrent drains on separate sessions
+    (`spark.newSession()` shares the context but scopes the conf)."""
     spark = batch.sparkSession
     before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(

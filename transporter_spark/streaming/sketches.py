@@ -47,9 +47,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from transporter_spark.operators.sketches import (
+    DEFAULT_K,
+    DEFAULT_M_BITS,
     DEFAULT_P,
     DEFAULT_SCALE_BITS,
     DEFAULT_SUB_BITS,
+    bloom_merge,
+    bloom_words,
     dd_bins,
     dd_merge,
     hll_merge,
@@ -304,23 +308,14 @@ def bloom_merge_batch(
     state_dir: str,
     item_col: str,
     by: Sequence[str] = (),
-    k: Optional[int] = None,
-    m_bits: Optional[int] = None,
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
 ) -> bool:
     """One word bit-OR-merge step (module-level for the replay
     contract). Like the HLL register MAX — and unlike the SUM sinks —
     the merge is IDEMPOTENT, so rows re-delivered under new offsets by
     an at-least-once source are harmless (x | x == x; pinned in
     tests/test_streaming_sketches.py)."""
-    from transporter_spark.operators.sketches import (
-        DEFAULT_K,
-        DEFAULT_M_BITS,
-        bloom_merge,
-        bloom_words,
-    )
-
-    k = DEFAULT_K if k is None else k
-    m_bits = DEFAULT_M_BITS if m_bits is None else m_bits
     return _keyed_sketch_merge(
         batch, epoch_id, state_dir, _BLOOM_STORE,
         bloom_words(batch, item_col, by, k, m_bits),
@@ -336,8 +331,8 @@ def bloom_sketch_sink(
     by: Sequence[str] = (),
     checkpoint_dir: Optional[str] = None,
     compact_every: Optional[int] = None,
-    k: Optional[int] = None,
-    m_bits: Optional[int] = None,
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
 ) -> None:
     """Drain a stream into the maintained word table — the continuous
     blocklist: feed read_bloom_state to operators.sketches
