@@ -363,6 +363,54 @@ def probe_sketches(spark):
     return times[1], times[MULT]
 
 
+def probe_bloom(spark):
+    """Bloom build + full-corpus probe at 1x/Nx members: the build's
+    map-side OR combine caps the exchange at m/32 word rows per mapper
+    and the probe broadcasts the fixed-size word table — wall must
+    scale ~linearly in rows while the sketch stays m bits regardless
+    of member count."""
+    from transporter_spark.operators.sketches import (
+        bloom_contains,
+        bloom_words,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    times = {}
+    for mult in (1, MULT):
+        df = _replicate(docs, "doc_id", mult)
+
+        def run():
+            words = bloom_words(df, "text")
+            bloom_contains(words, df, "text", ["doc_id"]).where(
+                F.col("member")
+            ).count()
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
+def probe_spans(spark):
+    """repeated-span prune at 1x/Nx docs: per-offset windowing is one
+    token-row shuffle + hash-only exchanges, so wall must scale
+    ~linearly in corpus tokens (the suffix-array formulation it
+    replaces is superlinear and single-node)."""
+    from transporter_spark.operators.dedup import release_cached
+    from transporter_spark.operators.text import prune_repeated_spans
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    times = {}
+    for mult in (1, MULT):
+        df = _replicate(docs, "doc_id", mult)
+
+        def run():
+            out = prune_repeated_spans(df, window_tokens=10, min_df=2)
+            out.count()
+            release_cached(out)
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -374,6 +422,8 @@ PROBES = {
     "dsir": probe_dsir,
     "shards": probe_shards,
     "sketches": probe_sketches,
+    "bloom": probe_bloom,
+    "spans": probe_spans,
 }
 
 
