@@ -276,3 +276,80 @@ def test_seg_key_is_injective_over_group_tuples(spark):
     assert len(set(keys)) == len(rows), keys
     # empty `by` -> one constant global group key
     assert df.select(_seg_key([]).alias("k")).distinct().count() == 1
+
+
+# --- span-df index sink ---
+
+
+def test_span_index_multi_epoch_equals_batch_and_replay_safe(
+    spark, sf_dir, tmp_path
+):
+    """3-epoch drain == single-pass span_df_index row-for-row (df SUM
+    across doc-disjoint epochs is exact — documents are atomic rows);
+    replayed epoch is a no-op; a W-mismatched epoch raises instead of
+    mixing hash domains."""
+    import pytest
+
+    from transporter_spark.operators.text import span_df_index
+    from transporter_spark.streaming.spans import (
+        read_span_index,
+        span_index_merge_batch,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = str(tmp_path / "spandf")
+    for epoch in range(3):
+        assert span_index_merge_batch(
+            docs.filter(F.col("doc_id") % 3 == epoch), epoch, state
+        )
+    got = _rows(read_span_index(spark, state))
+    assert got == _rows(span_df_index(docs))
+    assert not span_index_merge_batch(  # replay guard
+        docs.filter(F.col("doc_id") % 3 == 2), 2, state
+    )
+    assert _rows(read_span_index(spark, state)) == got
+    with pytest.raises(ValueError, match="window_tokens"):
+        span_index_merge_batch(docs, 3, state, window_tokens=5)
+
+
+def test_span_index_commit_append_only_and_compaction_folds(
+    spark, sf_dir, tmp_path
+):
+    """The ingest-sink commit discipline: an epoch writes ONLY its own
+    partial segment (pre-existing files byte-identical, IO ∝ batch —
+    never a keyed remap that rewrites O(state) because uniform hashes
+    touch every bucket); compaction folds the log to ONE pre-summed
+    segment preserving the merge-on-read SUM."""
+    import os
+
+    from transporter_spark.streaming.spans import (
+        compact_span_index,
+        read_span_index,
+        span_index_merge_batch,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = str(tmp_path / "spandf")
+    assert span_index_merge_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, state)
+
+    def snapshot():
+        seen = {}
+        segroot = os.path.join(state, "segments")
+        for root, _dirs, files in os.walk(segroot):
+            for f in files:
+                p = os.path.join(root, f)
+                st = os.stat(p)
+                seen[os.path.relpath(p, segroot)] = (st.st_size, st.st_mtime_ns)
+        return seen
+
+    before = snapshot()
+    assert span_index_merge_batch(docs.filter(F.col("doc_id") % 2 != 0), 1, state)
+    after = snapshot()
+    assert set(before).issubset(set(after))
+    for rel, sig in before.items():
+        assert after[rel] == sig, f"pre-existing file rewritten: {rel}"
+
+    merged = _rows(read_span_index(spark, state))
+    assert compact_span_index(spark, state)
+    assert _rows(read_span_index(spark, state)) == merged
+    assert not compact_span_index(spark, state)  # already compact

@@ -300,3 +300,48 @@ def test_prune_repeated_spans_window_one_and_validation(spark):
     assert out == {0: "alpha", 1: "beta"}
     with pytest.raises(ValueError, match="window_tokens"):
         prune_repeated_spans(df, window_tokens=0)
+
+
+def test_incremental_span_prune_equals_full_corpus_restriction(spark):
+    """The construction guarantee the graded oracle relies on:
+    incremental prune of a batch against the standing index ==
+    full-corpus prune restricted to the batch — including a passage
+    repeated only BETWEEN corpus and batch, and one repeated only
+    WITHIN the batch."""
+    from transporter_spark.operators.text import (
+        prune_repeated_spans,
+        prune_repeated_spans_incremental,
+        span_df_index,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(10))   # corpus <-> batch dup
+    batchdup = " ".join(f"b{i}" for i in range(10)) # batch-internal dup
+    corpus = spark.createDataFrame(
+        [(1, "c1 " + shared + " c2"), (2, "plain corpus text here only")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "x1 " + shared + " x2"),
+            (11, "y1 " + batchdup),
+            (12, batchdup + " z1 z2"),
+            (13, "untouched unique words"),
+        ],
+        "doc_id long, text string",
+    )
+    inc = {
+        r.doc_id: r.kept_text
+        for r in prune_repeated_spans_incremental(
+            batch, span_df_index(corpus), min_df=2
+        ).collect()
+    }
+    assert inc == {10: "x1 x2", 11: "y1", 12: "z1 z2",
+                   13: "untouched unique words"}
+    full = {
+        r.doc_id: r.kept_text
+        for r in prune_repeated_spans(
+            corpus.unionByName(batch), min_df=2
+        ).collect()
+        if r.doc_id >= 10
+    }
+    assert inc == full

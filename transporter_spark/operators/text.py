@@ -378,36 +378,64 @@ def prune_repeated_spans(
 
     from transporter_spark.operators.dedup import _attach_cached
 
+    rows = _span_hash_rows(df, text_col, id_col, window_tokens).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    rep = (
+        rows.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_df)
+        .select("h")
+    )
+    out = _excise_covered(rows, rep, df.select(id_col), id_col, window_tokens)
+    return _attach_cached(out, rows)
+
+
+def _span_hash_rows(
+    df: DataFrame, text_col: str, id_col: str, window_tokens: int
+) -> DataFrame:
+    """(id, pos, tok, h) per-offset frame shared by the span family:
+    every token row, with h = the 64-bit hash of the window_tokens-token
+    window STARTING at that offset (NULL where no full window fits).
+    One codegen'd posexplode + W-1 lead()s over the (doc, pos) window —
+    the one full token-row shuffle everything downstream reuses."""
     W = window_tokens
+    if W < 1:
+        raise ValueError(f"window_tokens must be >= 1, got {W}")
     arr = F.when(
         F.col(text_col).isNull(), F.array().cast("array<string>")
     ).otherwise(F.split(F.col(text_col), " "))
-    tok = df.select(
-        F.col(id_col), F.posexplode(arr).alias("pos", "tok")
-    )
-    if W < 1:
-        raise ValueError(f"window_tokens must be >= 1, got {W}")
+    tok = df.select(F.col(id_col), F.posexplode(arr).alias("pos", "tok"))
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", i).over(w) for i in range(1, W)]
     # a full window exists only where the last lead is defined; at
     # W=1 (exact repeated-token excision) every position has one
     full = leads[-1].isNotNull() if leads else F.lit(True)
-    rows = tok.select(
+    return tok.select(
         id_col,
         "pos",
         "tok",
         F.when(
             full, F.xxhash64(F.concat_ws(" ", F.col("tok"), *leads))
         ).alias("h"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    rep = (
-        rows.where(F.col("h").isNotNull())
-        .groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_df)
-        .select("h", F.lit(1).alias("_rep"))
     )
-    flagged = rows.join(rep, "h", "left")
+
+
+def _excise_covered(
+    rows: DataFrame,
+    rep: DataFrame,
+    all_ids: DataFrame,
+    id_col: str,
+    window_tokens: int,
+) -> DataFrame:
+    """Coverage + reassembly over a `_span_hash_rows` frame: tokens
+    covered by any window whose hash is in ``rep`` (a 1-column `h`
+    frame) are dropped; every id in ``all_ids`` comes back, fully
+    excised docs as ''. Coverage is a W-wide window MAX — never a
+    span-to-positions explode."""
+    W = window_tokens
+    flagged = rows.join(rep.select("h", F.lit(1).alias("_rep")), "h", "left")
     cov_w = (
         Window.partitionBy(id_col).orderBy("pos").rowsBetween(-(W - 1), 0)
     )
@@ -427,8 +455,72 @@ def prune_repeated_spans(
             ).alias("kept_text")
         )
     )
-    out = df.select(id_col).join(rebuilt, id_col, "left").select(
+    return all_ids.join(rebuilt, id_col, "left").select(
         id_col, F.coalesce("kept_text", F.lit("")).alias("kept_text")
+    )
+
+
+def span_df_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+) -> DataFrame:
+    """(h, n_docs): document frequency of every per-offset window hash
+    — the STANDING INDEX of the span family (what `prune_repeated_spans`
+    thresholds internally, materialized). ~8 B + count per distinct
+    window, the LSH band-index trade (orders of magnitude smaller than
+    the text it summarizes); EXACTLY mergeable across doc-disjoint
+    shards/epochs by n_docs SUM, because a document is one atomic row —
+    its windows land wholly in whichever shard carries it."""
+    rows = _span_hash_rows(df, text_col, id_col, window_tokens)
+    return (
+        rows.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).cast("long").alias("n_docs"))
+    )
+
+
+def prune_repeated_spans_incremental(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+    min_df: int = 2,
+) -> DataFrame:
+    """Prune an ARRIVING batch against the standing corpus: a window is
+    repeated when its df across corpus-so-far (``index``, a
+    `span_df_index` frame) PLUS this batch reaches ``min_df`` — by
+    construction identical to running `prune_repeated_spans` over
+    corpus ∪ batch and keeping the batch's rows (pinned by test; no
+    recall caveat, unlike the LSH family). The corpus text is never
+    re-read: only the batch is windowed, and the index join is an
+    equi-join on the 64-bit hash restricted to the batch's own window
+    hashes. Returns (id_col, kept_text) for every batch doc. Callers
+    free the cached per-offset frame with
+    ``operators.dedup.release_cached``."""
+    from pyspark import StorageLevel
+
+    from transporter_spark.operators.dedup import _attach_cached
+
+    rows = _span_hash_rows(batch, text_col, id_col, window_tokens).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    batch_df = (
+        rows.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_bdf"))
+    )
+    total = batch_df.join(
+        index.withColumnRenamed("n_docs", "_cdf"), "h", "left"
+    ).select(
+        "h",
+        (F.col("_bdf") + F.coalesce(F.col("_cdf"), F.lit(0))).alias("_tdf"),
+    )
+    rep = total.filter(F.col("_tdf") >= min_df).select("h")
+    out = _excise_covered(
+        rows, rep, batch.select(id_col), id_col, window_tokens
     )
     return _attach_cached(out, rows)
 

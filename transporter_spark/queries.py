@@ -5893,6 +5893,101 @@ QUERIES["stream_bloom"] = QUERIES["stream_bloom"]._replace(
 )
 
 
+_SPAN_HIST_ORACLE = """
+WITH spanw AS (
+  SELECT doc_id, array_to_string(ls[pos : pos + 9], ' ') AS wstr
+  FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents) d,
+       UNNEST(generate_series(1, array_length(ls))) AS t(pos)
+  WHERE pos + 9 <= array_length(ls)
+),
+dfs AS (SELECT wstr, COUNT(DISTINCT doc_id) AS n_docs FROM spanw GROUP BY wstr)
+SELECT CAST(n_docs AS BIGINT) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_windows
+FROM dfs GROUP BY n_docs ORDER BY n_docs
+"""
+
+
+@q("span_df_histogram", oracle=_SPAN_HIST_ORACLE, headline=False)
+def q_span_df_histogram(spark, sf_dir):
+    """The span family's STANDING INDEX, summarized: document
+    frequency of every per-offset 10-token window hash
+    (operators/text.py span_df_index — what repeated_span_prune
+    thresholds, materialized as the ~8 B/window state incremental
+    span dedup probes), emitted as the (df -> window count) histogram
+    so the hash-keyed index is oracle-checkable (the oracle groups raw
+    window STRINGS; identical absent an xxhash64 collision). One
+    token-row shuffle + hash-only aggregates."""
+    from transporter_spark.operators.text import span_df_index
+
+    docs = read_table(spark, sf_dir, "documents")
+    idx = span_df_index(docs)
+    return (
+        idx.groupBy("n_docs")
+        .agg(F.count("*").cast("long").alias("n_windows"))
+        .orderBy("n_docs")
+    )
+
+
+@q("stream_span_index", oracle=None, headline=False)
+def q_stream_span_index(spark, sf_dir):
+    """CONTINUOUS span-index maintenance (streaming/spans.py): the
+    documents stream drains through a foreachBatch sink that windows
+    ONLY each batch and appends its (h, n_docs) partials as one
+    segment — per-epoch IO ∝ batch, merge-on-read SUM, compaction
+    folds the log. df SUM across doc-disjoint epochs is EXACT
+    (documents are atomic rows), so the maintained index equals the
+    batch-built one row-for-row regardless of epoch boundaries (pinned
+    multi-epoch in tests/test_streaming_sketches.py) — this query
+    reads the MAINTAINED index and shares `span_df_histogram`'s
+    oracle. Like the SUM sinks (and unlike HLL/Bloom), re-delivery
+    under new offsets double-counts — dedup upstream."""
+    from transporter_spark.streaming.spans import drain_documents_span_index
+
+    idx = drain_documents_span_index(spark, sf_dir)
+    return (
+        idx.groupBy("n_docs")
+        .agg(F.count("*").cast("long").alias("n_windows"))
+        .orderBy("n_docs")
+    )
+
+
+QUERIES["stream_span_index"] = QUERIES["stream_span_index"]._replace(
+    oracle=QUERIES["span_df_histogram"].oracle
+)
+
+
+@q(
+    "incremental_span_prune",
+    oracle=QUERIES["repeated_span_prune"].oracle.rstrip()
+    + "\nWHERE d.doc_id % 5 = 0\n",
+    headline=False,
+)
+def q_incremental_span_prune(spark, sf_dir):
+    """INCREMENTAL unaligned substring dedup (operators/text.py
+    prune_repeated_spans_incremental): the arriving batch (doc_id % 5
+    == 0) is pruned against the standing corpus's span-df index — a
+    window is excised when its df over corpus ∪ batch reaches 2. By
+    construction this equals the full-corpus `repeated_span_prune`
+    restricted to batch docs (the oracle IS that restriction — exact,
+    no recall caveat, unlike the LSH family). Corpus text is never
+    re-read: only the batch is windowed; the index join is a 64-bit
+    hash equi-join restricted to the batch's own windows."""
+    from transporter_spark.operators.dedup import _attach_cached
+    from transporter_spark.operators.text import (
+        prune_repeated_spans_incremental,
+        span_df_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    out = prune_repeated_spans_incremental(
+        batch, span_df_index(corpus), window_tokens=10, min_df=2
+    )
+    return _attach_cached(
+        out.orderBy("doc_id"), *getattr(out, "_ts_cached", ())
+    )
+
+
 def _stream_curation_full_oracle() -> str:
     """The FULL gate stack composed mechanically in front of the
     proven one-epoch dedup-closure oracle: Gopher CTEs -> g1 (gated

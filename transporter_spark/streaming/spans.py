@@ -1,0 +1,164 @@
+"""Continuous span-df index maintenance: keep the per-offset
+window-hash document-frequency index (`operators.text.span_df_index`)
+current from a document stream — the standing state that makes
+unaligned exact-substring dedup INCREMENTAL (`operators.text.
+prune_repeated_spans_incremental` prunes each arriving batch against
+it without ever re-reading corpus text).
+
+Why this is the 100 TB shape: the index is the span family's LSH-band-
+index analog — ~8 B + a count per distinct window, orders of magnitude
+smaller than the text it summarizes — and it is EXACTLY mergeable
+across epochs by n_docs SUM: a document is one atomic row, so its
+windows land wholly in the epoch that carries it, and
+sum-over-epochs(per-epoch distinct-doc counts) == the single-pass df,
+row-for-row (pinned in tests/test_streaming_sketches.py). Commit
+discipline is the ingest sink's append-only LIST-table pattern, not a
+keyed delta-merge: window hashes are uniform, so a batch touches
+EVERY hash bucket — remapping keyed segments would rewrite O(state)
+per epoch. Instead each epoch appends ONE segment of its (h, n_docs)
+partials (IO ∝ batch), reads merge on the fly (SUM per h), and
+``compact_span_index`` folds the segment log into one pre-summed
+segment.
+
+Merge algebra caveat (the SUM-sink class, stated in contrast to the
+HLL/Bloom sinks): re-delivering an already-counted document under a
+NEW epoch double-counts its windows — deduplicate upstream when the
+source is at-least-once. Same-epoch replay is a no-op via the
+manifest epoch marker, and the window width is recorded in the
+manifest meta so an epoch windowed at a different W raises instead of
+silently mixing incompatible hash domains.
+
+Reference parity: the reference maintains no text index (it has no
+dedup at all); this is the continuous form of the round-6
+`repeated_span_prune` operator, following the same commitlog
+append+compact discipline as its other sinks
+(commitlog/commitlog.go:170-183, compactor.go:35-116).
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transporter_spark.streaming.state import SegmentStore
+
+_TABLE = "spandf"
+
+
+def span_index_merge_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+) -> bool:
+    """One epoch: append the batch's (h, n_docs) partials as a new
+    segment. Returns False when the epoch was already applied
+    (micro-batch replay) or the batch was empty. Module-level so the
+    replay contract is directly testable."""
+    from transporter_spark.operators.text import span_df_index
+
+    store = SegmentStore(state_dir)
+    if store.epoch_already_applied(epoch_id):
+        return False
+    if batch.isEmpty():
+        return False
+    meta = store.meta()
+    if meta.get("span_w") not in (None, window_tokens):
+        raise ValueError(
+            f"span index at {state_dir!r} was built with "
+            f"window_tokens={meta['span_w']}; refusing to merge an epoch "
+            f"windowed at {window_tokens} — the hash domains are "
+            "incompatible"
+        )
+    part = span_df_index(batch, text_col, id_col, window_tokens)
+    seg = store.fresh_name(f"{_TABLE}-e{epoch_id}")
+    part.write.mode("overwrite").parquet(store.seg_path(seg))
+    store.commit(
+        epoch_id,
+        tables={_TABLE: store.table_segments(_TABLE) + [seg]},
+        meta={"span_w": window_tokens},
+    )
+    return True
+
+
+def span_index_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+    checkpoint_dir: Optional[str] = None,
+    compact_every: Optional[int] = None,
+) -> None:
+    """Drain a document stream into the maintained index.
+    ``compact_every=N`` folds the segment log in-slot when it reaches
+    N segments (single-writer by construction, like the ingest sink)."""
+    from transporter_spark.streaming.windows import (
+        run_foreach_batch_available_now,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        applied = span_index_merge_batch(
+            batch, epoch_id, state_dir, text_col, id_col, window_tokens
+        )
+        if (
+            applied
+            and compact_every
+            and len(SegmentStore(state_dir).table_segments(_TABLE))
+            >= compact_every
+        ):
+            compact_span_index(batch.sparkSession, state_dir)
+
+    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def read_span_index(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (h, n_docs) index: merge-on-read SUM over the
+    per-epoch partial segments (exact — see module doc). Feed it to
+    `operators.text.prune_repeated_spans_incremental`."""
+    store = SegmentStore(state_dir)
+    df = store.read(spark, _TABLE)
+    if df is None:
+        raise FileNotFoundError(
+            f"no committed span index at {state_dir!r}: the sink has not "
+            "applied any non-empty epoch yet"
+        )
+    return df.groupBy("h").agg(F.sum("n_docs").cast("long").alias("n_docs"))
+
+
+def compact_span_index(spark: SparkSession, state_dir: str) -> bool:
+    """Fold the per-epoch partial segments into ONE pre-summed segment
+    (content-preserving under merge-on-read: SUM of the fold == SUM of
+    the parts). False when there is no state or it is already
+    compact."""
+    store = SegmentStore(state_dir)
+    if store.manifest() is None or len(store.table_segments(_TABLE)) <= 1:
+        return False
+    folded = store.read(spark, _TABLE).groupBy("h").agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
+    seg = store.fresh_name(f"{_TABLE}-compact{store.last_epoch()}")
+    folded.write.mode("overwrite").parquet(store.seg_path(seg))
+    store.commit(store.last_epoch(), tables={_TABLE: [seg]})
+    return True
+
+
+def drain_documents_span_index(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: Optional[str] = None,
+    **kw,
+) -> DataFrame:
+    """Convenience: stream the documents table through the sink and
+    return the maintained index (used by the graded query)."""
+    from transporter_spark.streaming.sources import stream_table
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_spandf_") + "/state"
+    docs = stream_table(spark, sf_dir, "documents")
+    span_index_sink(docs, state, **kw)
+    return read_span_index(spark, state)
