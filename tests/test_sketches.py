@@ -521,10 +521,20 @@ def test_bloom_contains_grouped_words_and_mismatch_error(spark, sf_dir):
     out = {
         r.doc_id: r.member
         for r in bloom_contains(
-            grouped, docs, "text", ["doc_id"], by=["source"]
+            grouped, docs, "text", ["doc_id", "source"], by=["source"]
         ).collect()
     }
     # every doc is a member of its OWN source's bloom
     assert all(out.values()) and len(out) == docs.count()
+    # a doc's text probed against ANOTHER group's sketch is (almost
+    # surely) a non-member — the per-group separation the id_cols
+    # aggregate must preserve
+    cross = docs.withColumn("source", F.lit("srcNOPE"))
+    non = bloom_contains(
+        grouped, cross, "text", ["doc_id", "source"], by=["source"]
+    )
+    assert non.where(F.col("member")).count() == 0
     with pytest.raises(ValueError, match="grouping columns"):
         bloom_contains(grouped, docs, "text", ["doc_id"])
+    with pytest.raises(ValueError, match="must be included in id_cols"):
+        bloom_contains(grouped, docs, "text", ["doc_id"], by=["source"])

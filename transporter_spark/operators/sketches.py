@@ -576,11 +576,13 @@ def bloom_contains(
     (empty-set semantics). Returns (id_cols..., member boolean).
 
     For a GROUPED word table (built with ``by``), pass the SAME ``by``
-    here and include those columns in ``probes`` — each probe row is
-    then tested against ITS group's sketch. The column check below is
+    here and include those columns in ``id_cols`` — each probe row is
+    then tested against ITS group's sketch. Both checks below are
     load-bearing: joining a grouped table on word_idx alone would test
-    every probe against every group's word and silently break the
-    no-false-negatives guarantee."""
+    every probe against every group's word, and aggregating the k hit
+    rows without the group columns in the output key would min-merge
+    hits across groups — either silently breaks the no-false-negatives
+    guarantee."""
     id_cols = list(id_cols)
     by = list(by)
     expect = set(by) | {"word_idx", "word"}
@@ -590,9 +592,14 @@ def bloom_contains(
             f"probe's expectation {sorted(expect)}: a sketch built with "
             "grouping columns must be probed with the same by=[...]"
         )
+    if not set(by) <= set(id_cols):
+        raise ValueError(
+            f"grouping columns {by} must be included in id_cols "
+            f"({id_cols}): the per-probe aggregate groups by id_cols, so "
+            "a by column left out would min-merge hits across groups"
+        )
     pos = probes.where(F.col(item_col).isNotNull()).select(
         *id_cols,
-        *[c for c in by if c not in id_cols],
         F.explode(_bloom_positions(F.col(item_col), k, m_bits)).alias("_pos"),
     )
     probed = pos.withColumn(

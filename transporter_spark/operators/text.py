@@ -494,11 +494,20 @@ def prune_repeated_spans_incremental(
     `span_df_index` frame) PLUS this batch reaches ``min_df`` — by
     construction identical to running `prune_repeated_spans` over
     corpus ∪ batch and keeping the batch's rows (pinned by test; no
-    recall caveat, unlike the LSH family). The corpus text is never
-    re-read: only the batch is windowed, and the index join is an
-    equi-join on the 64-bit hash restricted to the batch's own window
-    hashes. Returns (id_col, kept_text) for every batch doc. Callers
-    free the cached per-offset frame with
+    recall caveat, unlike the LSH family).
+
+    PRECONDITION: batch ∩ corpus = ∅ — the same each-doc-arrives-once
+    contract the index sink documents (streaming/spans.py). A document
+    already counted in the index and re-delivered in the batch
+    contributes to BOTH df terms, so its globally-unique windows reach
+    2 and its unique text is wrongly excised; under an at-least-once
+    source, dedup re-delivered ids upstream (the ingest sink's
+    fingerprint guard is the tool) before pruning.
+
+    The corpus text is never re-read: only the batch is windowed, and
+    the index join is an equi-join on the 64-bit hash restricted to
+    the batch's own window hashes. Returns (id_col, kept_text) for
+    every batch doc. Callers free the cached per-offset frame with
     ``operators.dedup.release_cached``."""
     from pyspark import StorageLevel
 
