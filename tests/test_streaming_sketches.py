@@ -353,3 +353,55 @@ def test_span_index_commit_append_only_and_compaction_folds(
     assert compact_span_index(spark, state)
     assert _rows(read_span_index(spark, state)) == merged
     assert not compact_span_index(spark, state)  # already compact
+
+
+def test_span_prune_loop_first_wins_and_atomic_commit(spark, tmp_path):
+    """The full continuous loop: an epoch-1 passage is KEPT in epoch 1
+    (unique so far) but excised from every later copy; batch-internal
+    duplicates excise within their own epoch; replay is a no-op; a
+    min_df- or W-mismatched epoch raises; and the pruned corpus and
+    index advance in the SAME commit (epochs equal)."""
+    import pytest
+
+    from transporter_spark.streaming.spans import (
+        read_pruned_corpus,
+        read_span_index,
+        span_prune_merge_batch,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    state = str(tmp_path / "spanloop")
+    e1 = spark.createDataFrame(
+        [(1, "a1 " + passage + " a2"), (2, "plain unique words here")],
+        "doc_id long, text string",
+    )
+    assert span_prune_merge_batch(e1, 0, state)
+    kept1 = {r.doc_id: r.kept_text
+             for r in read_pruned_corpus(spark, state).collect()}
+    assert kept1[1] == "a1 " + passage + " a2"   # first text wins: intact
+
+    dup = " ".join(f"d{i}" for i in range(10))
+    e2 = spark.createDataFrame(
+        [
+            (10, "x1 " + passage + " x2"),       # copies the e1 passage
+            (11, dup + " y1"),                   # batch-internal dup pair
+            (12, "z1 " + dup),
+        ],
+        "doc_id long, text string",
+    )
+    assert span_prune_merge_batch(e2, 1, state)
+    kept = {r.doc_id: r.kept_text
+            for r in read_pruned_corpus(spark, state).collect()}
+    assert kept[1] == "a1 " + passage + " a2"    # epoch-1 doc untouched
+    assert kept[10] == "x1 x2"                   # later copy excised
+    assert kept[11] == "y1" and kept[12] == "z1"
+
+    assert not span_prune_merge_batch(e2, 1, state)  # replay no-op
+    with pytest.raises(ValueError, match="span_min_df"):
+        span_prune_merge_batch(e1, 2, state, min_df=3)
+    with pytest.raises(ValueError, match="span_w"):
+        span_prune_merge_batch(e1, 2, state, window_tokens=5)
+    # the index advanced with the prune output (one atomic commit):
+    # it now reflects BOTH epochs' windows
+    idx = read_span_index(spark, state)
+    assert idx.where(F.col("n_docs") >= 2).count() >= 1

@@ -5988,6 +5988,30 @@ def q_incremental_span_prune(spark, sf_dir):
     )
 
 
+@q("stream_span_prune", oracle=None, headline=False)
+def q_stream_span_prune(spark, sf_dir):
+    """CONTINUOUS unaligned substring dedup, the full loop
+    (streaming/spans.py span_prune_merge_batch): each epoch's docs are
+    excised against the window-df of corpus-so-far ∪ batch, then the
+    batch's partials fold into the standing index — pruned docs and
+    index committed atomically together, first text wins. A
+    single-epoch drain degenerates to the batch `repeated_span_prune`
+    (the order-free computation), so this query shares its oracle
+    verbatim and RAISES if the drain ever applies more than one epoch
+    (the stream_ingest_dedup policy — loud error over a silent
+    hash-mismatch). Multi-epoch first-wins semantics are pinned in
+    tests/test_streaming_sketches.py."""
+    from transporter_spark.streaming.spans import drain_documents_span_prune
+
+    kept = drain_documents_span_prune(spark, sf_dir, assert_single_epoch=True)
+    return kept.orderBy("doc_id")
+
+
+QUERIES["stream_span_prune"] = QUERIES["stream_span_prune"]._replace(
+    oracle=QUERIES["repeated_span_prune"].oracle
+)
+
+
 def _stream_curation_full_oracle() -> str:
     """The FULL gate stack composed mechanically in front of the
     proven one-epoch dedup-closure oracle: Gopher CTEs -> g1 (gated
