@@ -351,3 +351,80 @@ def test_cap_per_group_laws(sess, keys, cap, ngroups):
         ).collect()
     )
     assert kept_a == kept_b
+
+
+@_settings
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcdefg"), min_size=0, max_size=25
+        ).map(lambda toks: " ".join(toks)),
+        min_size=1,
+        max_size=6,
+    ),
+    dup_idx=st.integers(min_value=0, max_value=5),
+)
+def test_prune_repeated_spans_laws(sess, docs, dup_idx):
+    """Span-prune invariants on arbitrary corpora: (a) every input doc
+    comes back exactly once; (b) kept_text's tokens are a subsequence
+    of the input's tokens (excision never reorders or invents); (c)
+    docs shorter than the window are untouched; (d) an exact duplicate
+    pair (>= W tokens) is fully excised from BOTH copies — identical
+    docs repeat every one of their windows."""
+    from transporter_spark.operators.dedup import release_cached
+    from transporter_spark.operators.text import prune_repeated_spans
+
+    W = 5
+    rows = [(i, t) for i, t in enumerate(docs)]
+    # plant an exact duplicate of one doc (only meaningful when the
+    # chosen doc has at least W tokens)
+    victim = rows[dup_idx % len(rows)][1]
+    rows.append((100, victim))
+    df = sess.createDataFrame(rows, "doc_id long, text string")
+    out = prune_repeated_spans(df, window_tokens=W, min_df=2)
+    got = {r.doc_id: r.kept_text for r in out.collect()}
+    release_cached(out)
+    assert sorted(got) == sorted(i for i, _ in rows)          # (a)
+
+    def is_subseq(small, big):
+        it = iter(big)
+        return all(tok in it for tok in small)
+
+    for i, t in rows:
+        assert is_subseq(got[i].split(), t.split()), (i, t)   # (b)
+    for i, t in rows:
+        if len(t.split()) < W and t != victim:
+            assert got[i] == t                                # (c)
+    if len(victim.split()) >= W:
+        assert got[100] == ""                                 # (d)
+        assert got[dup_idx % len(docs)] == ""
+
+
+@_settings
+@given(
+    members=st.sets(st.text(alphabet="xyz012", min_size=1, max_size=6),
+                    min_size=1, max_size=15),
+    probes=st.sets(st.text(alphabet="xyz012", min_size=1, max_size=6),
+                   min_size=1, max_size=15),
+)
+def test_bloom_no_false_negatives_property(sess, members, probes):
+    """The Bloom law under arbitrary member/probe sets: every probe
+    that IS a member reports member=True (false negatives are
+    impossible by construction — the whole point of the sketch)."""
+    from transporter_spark.operators.sketches import (
+        bloom_contains,
+        bloom_words,
+    )
+
+    mdf = sess.createDataFrame([(m,) for m in members], "item string")
+    pdf = sess.createDataFrame(
+        [(i, p) for i, p in enumerate(sorted(probes))], "pid long, item string"
+    )
+    words = bloom_words(mdf, "item")
+    got = {
+        r.pid: r.member
+        for r in bloom_contains(words, pdf, "item", ["pid"]).collect()
+    }
+    for i, p in enumerate(sorted(probes)):
+        if p in members:
+            assert got[i] is True, f"false negative for {p!r}"
