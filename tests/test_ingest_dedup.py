@@ -430,3 +430,60 @@ def test_pre_filter_accepts_dataframe_callable(spark, tmp_path):
     ids = {r.doc_id for r in read_ingest_corpus(spark, state).collect()}
     assert ids == {1, 2}                     # doc 3 above the batch median
     assert {r.id for r in read_ingest_index(spark, state).collect()} == {1, 2}
+
+
+def test_full_gate_stack_dd_stage_excludes_from_state(spark, tmp_path):
+    """The stream_curation_full composition, isolated to its LAST gate:
+    a doc passing gopher and the LM tertile but failing the per-lang
+    dd-sketch p90 length cut is never minhashed and never enters the
+    corpus state — the gate stack composes as sequential restriction,
+    not as independent filters."""
+    import pyspark.sql.functions as F
+
+    from transporter_spark.operators.selection import lm_perplexity_gate
+    from transporter_spark.operators.sketches import dd_bins, dd_quantiles
+    from transporter_spark.operators.text import gopher_rules
+    from transporter_spark.streaming.ingest import (
+        ingest_dedup_batch,
+        read_ingest_corpus,
+    )
+
+    # corpus vocabulary so the gopher stopword rule can pass: reuse the
+    # graded gate's stopword set shape (>= 2 of these words present)
+    stop = ("join", "hash", "row", "batch")
+
+    def doc(n, c):
+        body = " ".join(f"{c}tok{i}" for i in range(n - 4))
+        return "join hash row batch " + body
+
+    # 9 normal-length docs + 1 far longer in the SAME lang: the long
+    # one lands above the p90 midpoint estimate and fails ONLY dd
+    rows = [(i, doc(60, chr(97 + i)), "en") for i in range(9)]
+    rows.append((99, doc(600, "z"), "en"))
+    batch = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def full_gate(b):
+        g1 = b.filter(gopher_rules(stopwords=stop)["keep"])
+        lm = lm_perplexity_gate(g1)
+        g2 = g1.join(
+            lm.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
+        g2 = g2.withColumn("n_chars", F.length("text"))
+        thr = (
+            dd_quantiles(dd_bins(g2, "n_chars", ["lang"]), ["lang"])
+            .where(F.col("q") == "p90")
+            .select("lang", F.col("est").alias("_thr"))
+        )
+        out = (
+            g2.join(F.broadcast(thr), "lang")
+            .where(F.col("n_chars") <= F.col("_thr"))
+            .drop("_thr", "n_chars")
+        )
+        return out.select(*b.columns)
+
+    state = str(tmp_path / "state")
+    assert ingest_dedup_batch(batch, 0, state, threshold=0.1,
+                              pre_filter=full_gate)
+    ids = {r.doc_id for r in read_ingest_corpus(spark, state).collect()}
+    assert 99 not in ids, "dd-gated doc leaked into state"
+    assert len(ids) >= 5  # the normal docs survive the stack
