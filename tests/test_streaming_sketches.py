@@ -405,3 +405,34 @@ def test_span_prune_loop_first_wins_and_atomic_commit(spark, tmp_path):
     # it now reflects BOTH epochs' windows
     idx = read_span_index(spark, state)
     assert idx.where(F.col("n_docs") >= 2).count() >= 1
+
+
+def test_span_prune_compaction_folds_both_tables(spark, tmp_path):
+    """compact_span_index on a prune-loop state folds BOTH segment
+    logs — the pre-summed index AND the unioned pruned corpus — to one
+    segment each, preserving merge-on-read contents exactly."""
+    from transporter_spark.streaming.spans import (
+        compact_span_index,
+        read_pruned_corpus,
+        read_span_index,
+        span_prune_merge_batch,
+    )
+    from transporter_spark.streaming.state import SegmentStore
+
+    state = str(tmp_path / "spanloop")
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    assert span_prune_merge_batch(
+        mk([(1, " ".join(f"a{i}" for i in range(12)))]), 0, state
+    )
+    assert span_prune_merge_batch(
+        mk([(2, " ".join(f"a{i}" for i in range(12)))]), 1, state
+    )
+    idx_before = _rows(read_span_index(spark, state))
+    pruned_before = _rows(read_pruned_corpus(spark, state))
+    assert compact_span_index(spark, state)
+    st = SegmentStore(state)
+    assert len(st.table_segments("spandf")) == 1
+    assert len(st.table_segments("pruned")) == 1
+    assert _rows(read_span_index(spark, state)) == idx_before
+    assert _rows(read_pruned_corpus(spark, state)) == pruned_before
+    assert not compact_span_index(spark, state)  # already compact

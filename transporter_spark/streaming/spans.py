@@ -132,19 +132,29 @@ def read_span_index(spark: SparkSession, state_dir: str) -> DataFrame:
 
 
 def compact_span_index(spark: SparkSession, state_dir: str) -> bool:
-    """Fold the per-epoch partial segments into ONE pre-summed segment
-    (content-preserving under merge-on-read: SUM of the fold == SUM of
-    the parts). False when there is no state or it is already
-    compact."""
+    """Fold the per-epoch segment logs into ONE segment per table: the
+    index partials pre-sum (content-preserving under merge-on-read:
+    SUM of the fold == SUM of the parts) and, when the state belongs
+    to the prune loop, the ``pruned`` corpus unions (plain
+    concatenation — its rows are per-doc finals, never re-merged).
+    False when there is no state or everything is already compact."""
     store = SegmentStore(state_dir)
-    if store.manifest() is None or len(store.table_segments(_TABLE)) <= 1:
+    if store.manifest() is None:
         return False
-    folded = store.read(spark, _TABLE).groupBy("h").agg(
-        F.sum("n_docs").cast("long").alias("n_docs")
-    )
-    seg = store.fresh_name(f"{_TABLE}-compact{store.last_epoch()}")
-    folded.write.mode("overwrite").parquet(store.seg_path(seg))
-    store.commit(store.last_epoch(), tables={_TABLE: [seg]})
+    tables = {}
+    if len(store.table_segments(_TABLE)) > 1:
+        folded = store.read(spark, _TABLE).groupBy("h").agg(
+            F.sum("n_docs").cast("long").alias("n_docs")
+        )
+        seg = store.fresh_name(f"{_TABLE}-compact{store.last_epoch()}")
+        folded.write.mode("overwrite").parquet(store.seg_path(seg))
+        tables[_TABLE] = [seg]
+    pruned_seg = store.compact_table(spark, _PRUNED)
+    if pruned_seg is not None:
+        tables[_PRUNED] = [pruned_seg]
+    if not tables:
+        return False
+    store.commit(store.last_epoch(), tables=tables)
     return True
 
 
