@@ -172,3 +172,44 @@ def test_cli_state_show_and_compact(tmp_path, spark, monkeypatch, capsys):
 
 def test_main_rejects_unknown_subcommand(capsys):
     assert main(["frobnicate"]) == 2
+
+
+def test_cli_state_compact_dispatches_span_family(
+    tmp_path, spark, monkeypatch, capsys
+):
+    """`state compact` on a span-df state (meta carries span_w) uses
+    the family compactor: the index folds PRE-SUMMED to one segment
+    (not a plain union of per-epoch partials) and the prune loop's
+    corpus folds alongside, contents preserved."""
+    from transporter_spark.streaming.spans import (
+        read_pruned_corpus,
+        read_span_index,
+        span_prune_merge_batch,
+    )
+    from transporter_spark.streaming.state import SegmentStore
+
+    state = str(tmp_path / "spanloop")
+    text = " ".join(f"w{i}" for i in range(12))
+    for epoch, doc_id in enumerate((1, 2)):
+        df = spark.createDataFrame(
+            [(doc_id, text)], "doc_id long, text string"
+        )
+        assert span_prune_merge_batch(df, epoch, state)
+    idx_before = sorted(map(tuple, read_span_index(spark, state).collect()))
+    pruned_before = sorted(
+        map(tuple, read_pruned_corpus(spark, state).collect())
+    )
+
+    monkeypatch.setattr("transporter_spark.cli._get_spark", lambda: spark)
+    assert main(["state", "compact", state]) == 0
+    assert "compacted" in capsys.readouterr().out
+    st = SegmentStore(state)
+    assert len(st.table_segments("spandf")) == 1
+    assert len(st.table_segments("pruned")) == 1
+    # pre-summed: the single segment holds one row per hash already
+    raw = st.read(spark, "spandf")
+    assert raw.count() == raw.select("h").distinct().count()
+    assert sorted(map(tuple, read_span_index(spark, state).collect())) == idx_before
+    assert sorted(map(tuple, read_pruned_corpus(spark, state).collect())) == pruned_before
+    assert main(["state", "compact", state]) == 0
+    assert "already compact" in capsys.readouterr().out

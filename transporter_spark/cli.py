@@ -275,6 +275,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             from transporter_spark.streaming.cdc import compact_cdc_table
 
             folded = compact_cdc_table(spark, rest[1])
+        elif "span_w" in manifest.get("meta", {}):
+            # a span-df state: the generic union fold is correct under
+            # merge-on-read SUM but keeps every per-epoch partial row —
+            # the family compactor pre-sums the index (and folds the
+            # prune loop's corpus when present)
+            from transporter_spark.streaming.spans import compact_span_index
+
+            folded = compact_span_index(spark, rest[1])
         else:
             for t in manifest.get("tables", {}):
                 name = store.compact_table(spark, t)
