@@ -24,18 +24,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 6: 10 new + 4 changed (the keyed-sink
+# to the STALEST greens. Round 6: 11 new + 4 changed (the keyed-sink
 # seg-key encoding fix touched stream_hll_distinct/stream_dd_quantiles;
 # the ingest pre_filter-callable + partition-scoping change touched
-# stream_ingest_dedup/stream_curation) + 36 stalest greens = 50. The
-# stale cohort VERDICT r5 named has 50 members (3 r2 + 47 r3); the 36
-# slots take the r2 trio first, then 33 of the r3 greens — the
-# FOURTEEN spilled to round 7 (listed past the window below) are the
-# simplest unchanged scalar/window/set ops plus four one-projection /
+# stream_ingest_dedup/stream_curation) + 35 stalest greens = 50. The
+# stale cohort VERDICT r5 named has 50 members (3 r2 + 47 r3); the 35
+# slots take the r2 trio first, then 32 of the r3 greens — the
+# FIFTEEN spilled to round 7 (listed past the window below) are the
+# simplest unchanged scalar/window/set ops plus five one-projection /
 # row-local text ops: map_funcs, regexp_funcs, except_all,
 # unpivot_long, running_total, range_frame_window, pretty_passthrough,
 # value_histogram, deterministic_shuffle, domain_cap, bpe_token_stats,
-# profile_columns, rarity_score, chunk_documents.
+# profile_columns, rarity_score, chunk_documents, pack_sequences.
 # Everything outside the 50 is green on unchanged code (r3-r5 rows).
 _PRIORITY = [
     # --- NEW round 6: must take a slot ---
@@ -44,6 +44,7 @@ _PRIORITY = [
     "incremental_span_prune",   # batch prune vs the standing index (exact)
     "stream_span_index",        # continuous index sink (append + SUM-merge)
     "stream_span_prune",        # the full continuous loop (first text wins)
+    "dedup_keep_longest",       # argmax-by-quality canonical selection
     "bloom_member",             # Bloom membership sketch, engine-exact
     "stream_bloom",             # continuous blocklist (idempotent OR-merge)
     "classifier_quality_gate",  # hashed linear (fasttext-shaped) gate
@@ -69,7 +70,6 @@ _PRIORITY = [
     "length_quantile_gate",
     "media_resize",
     "minhash_lsh_pairs",
-    "pack_sequences",
     "pii_redact",
     "q11_important_stock",
     "q12_priority_lines",
@@ -107,6 +107,7 @@ _PRIORITY = [
     "profile_columns",
     "rarity_score",
     "chunk_documents",
+    "pack_sequences",
 ]
 
 

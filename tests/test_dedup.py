@@ -557,3 +557,41 @@ def test_incremental_fast_equals_portable(spark, sfd):
         )
         release_cached(pairs)
     assert out[False] == out[True] and out[False]
+
+
+def test_dedup_canonical_best_keeps_longest_not_min_id(spark):
+    """The production canonical policy: in a near-dup cluster the
+    argmax-by-quality member survives even when it has the LARGEST id
+    (min-id would keep the truncated copy); ties fall back to smallest
+    id; singletons keep their only member; every doc keeps its
+    component label."""
+    from transporter_spark.operators.dedup import dedup_canonical_best
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (1, base, len(base)),                       # truncated-ish copy
+        (2, base + " extra tail words", len(base) + 17),  # longest, max id
+        (7, "a lone unique document here", 27),     # singleton
+        (3, base, len(base)),                       # tie with doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    out = {
+        r.doc_id: (r.component, r.is_canonical)
+        for r in dedup_canonical_best(
+            df, "n_chars", threshold=0.1, use_lsh=True
+        ).collect()
+    }
+    assert len(out) == 4
+    comp = out[1][0]
+    assert out[2] == (comp, True)        # longest wins despite max id
+    assert out[1] == (comp, False) and out[3] == (comp, False)
+    assert out[7] == (out[7][0], True)   # singleton canonical
+    # tie-break check: drop doc 2 -> docs 1 and 3 tie on length, min id wins
+    out2 = {
+        r.doc_id: r.is_canonical
+        for r in dedup_canonical_best(
+            df.where(F.col("doc_id") != 2), "n_chars",
+            threshold=0.1, use_lsh=True,
+        ).collect()
+    }
+    assert out2[1] is True and out2[3] is False

@@ -1124,6 +1124,45 @@ def dedup_clusters(
     )
 
 
+def dedup_canonical_best(
+    df: DataFrame,
+    quality_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **cluster_kw,
+) -> DataFrame:
+    """`dedup_clusters` with the canonical-selection policy real
+    pipelines use: keep each cluster's BEST member by ``quality_col``
+    (longest text, highest classifier score, freshest crawl — any
+    ordering column), ties broken by smallest id so the choice is
+    total and reproducible. The min-id default is an arbitrary
+    survivor; when near-dup clusters mix a full document with its
+    truncated or boilerplate-wrapped copies, argmax-by-quality keeps
+    the superset copy — the difference between deduping and silently
+    preferring the worst version.
+
+    Scale shape: everything up to component labels is `dedup_clusters`
+    (banded candidates, CC rounds ∝ diameter); the selection adds ONE
+    hash shuffle of (id, component, quality) triples — never text —
+    and a rank window per component (near-dup clusters are stars, so
+    partitions are small by construction). Returns
+    (id_col, component, quality_col, is_canonical) for every doc;
+    singleton clusters keep their only member."""
+    comp = dedup_clusters(df, text_col, id_col, **cluster_kw).drop(
+        "is_canonical"
+    )
+    joined = comp.join(df.select(id_col, quality_col), id_col)
+    w = Window.partitionBy("component").orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return joined.select(
+        id_col,
+        "component",
+        quality_col,
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # SymSpell-style fuzzy join (edit-distance blocking)
 # ---------------------------------------------------------------------------

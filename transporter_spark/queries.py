@@ -1605,6 +1605,50 @@ FROM reach GROUP BY id
 
 
 @q(
+    "dedup_keep_longest",
+    oracle=None,  # generated below: closure + argmax-by-length selection
+)
+def q_dedup_keep_longest(spark, sf_dir):
+    """Near-dup clustering with the PRODUCTION canonical policy
+    (operators/dedup.dedup_canonical_best): per cluster keep the
+    LONGEST member (n_chars, ties to smallest id) instead of the
+    arbitrary min id — when a cluster mixes a full document with its
+    truncated copies, the superset survives. Pairs/closure are the
+    proven portable pipeline; the selection adds one (id, component,
+    quality) shuffle and a per-component rank window (clusters are
+    stars, partitions stay small). The oracle extends the recursive-
+    closure CTE with the same argmax window in SQL."""
+    from transporter_spark.operators.dedup import dedup_canonical_best
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = dedup_canonical_best(
+        docs.select("doc_id", "text", "n_chars"),
+        quality_col="n_chars",
+        threshold=0.1,
+        use_lsh=True,
+        portable=True,
+    )
+    return out.select(
+        "doc_id", "component", F.col("n_chars").cast("long").alias("n_chars"),
+        "is_canonical",
+    ).orderBy("doc_id")
+
+
+QUERIES["dedup_keep_longest"] = QUERIES["dedup_keep_longest"]._replace(
+    oracle=QUERIES["dedup_clusters_portable"].oracle.rstrip().replace(
+        "SELECT id AS doc_id, MIN(r) AS component, (MIN(r) = id) AS is_canonical\n"
+        "FROM reach GROUP BY id",
+        """, comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT c.doc_id, c.component, CAST(d.n_chars AS BIGINT) AS n_chars,
+       (row_number() OVER (PARTITION BY c.component
+            ORDER BY d.n_chars DESC, c.doc_id) = 1) AS is_canonical
+FROM comp c JOIN documents d USING (doc_id)
+ORDER BY c.doc_id""",
+    )
+)
+
+
+@q(
     "stream_ingest_dedup",
     oracle=None,  # generated below: canonical docs of the portable closure
 )
