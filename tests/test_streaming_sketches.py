@@ -407,6 +407,34 @@ def test_span_prune_loop_first_wins_and_atomic_commit(spark, tmp_path):
     assert idx.where(F.col("n_docs") >= 2).count() >= 1
 
 
+def test_span_sinks_refuse_each_others_state(spark, tmp_path):
+    """Family cross-wiring raises instead of silently corrupting: an
+    index-only epoch into a prune-loop state would append df partials
+    with no matching pruned rows (breaking one-pruned-row-per-doc);
+    a prune epoch into an index-only state would read a corpus that
+    was never pruned. Both directions are loud (ADVICE r6)."""
+    import pytest
+
+    from transporter_spark.streaming.spans import (
+        span_index_merge_batch,
+        span_prune_merge_batch,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h i j k"), (2, "l m n o p q r s t u v")],
+        "doc_id long, text string",
+    )
+    idx_state = str(tmp_path / "idxstate")
+    assert span_index_merge_batch(docs, 0, idx_state)
+    with pytest.raises(ValueError, match="span-index"):
+        span_prune_merge_batch(docs, 1, idx_state)
+
+    prune_state = str(tmp_path / "prunestate")
+    assert span_prune_merge_batch(docs, 0, prune_state)
+    with pytest.raises(ValueError, match="span-prune"):
+        span_index_merge_batch(docs, 1, prune_state)
+
+
 def test_span_prune_compaction_folds_both_tables(spark, tmp_path):
     """compact_span_index on a prune-loop state folds BOTH segment
     logs — the pre-summed index AND the unioned pruned corpus — to one

@@ -359,6 +359,18 @@ def prune_repeated_spans(
     window and are never pruned (the paper's minimum-match length).
     Returns (id_col, kept_text) for EVERY input document.
 
+    DF SEMANTICS (deliberate variant, stated plainly): ``min_df``
+    counts DISTINCT DOCUMENTS containing the window — a passage
+    repeated many times WITHIN one document but appearing nowhere else
+    is kept. Lee et al.'s suffix-array formulation also excises
+    within-document repeats (any second occurrence of a >=W-token
+    substring); this operator targets the cross-document boilerplate
+    class, and within-document repetition is handled by the separate
+    `repetition_stats` gate. Counting total window occurrences instead
+    would be a one-line change (COUNT(*) for COUNT(DISTINCT doc)) but
+    changes what "df" means for the standing incremental index, so the
+    docs-only semantics is the contract.
+
     Distributed shape (the suffix array of the paper's single-node
     formulation does not distribute; rolling per-offset hashing is the
     standard cluster form): tokens come from ONE codegen'd posexplode

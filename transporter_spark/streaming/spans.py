@@ -75,15 +75,41 @@ def span_index_merge_batch(
             f"windowed at {window_tokens} — the hash domains are "
             "incompatible"
         )
+    _check_span_family(store, state_dir, "index")
     part = span_df_index(batch, text_col, id_col, window_tokens)
     seg = store.fresh_name(f"{_TABLE}-e{epoch_id}")
     part.write.mode("overwrite").parquet(store.seg_path(seg))
     store.commit(
         epoch_id,
         tables={_TABLE: store.table_segments(_TABLE) + [seg]},
-        meta={"span_w": window_tokens},
+        meta={"span_w": window_tokens, "span_family": "index"},
     )
     return True
+
+
+def _check_span_family(
+    store: SegmentStore, state_dir: str, expected: str
+) -> None:
+    """Refuse to write into a state directory belonging to the OTHER
+    span sink: appending index-only partials into a prune-loop state
+    (or vice versa) breaks the prune loop's one-pruned-row-per-
+    ingested-doc invariant SILENTLY — the same loud-mismatch policy as
+    the span_w check. States committed before the ``span_family`` tag
+    existed are classified by the prune loop's ``span_min_df`` meta
+    (present on every prune commit, never on an index commit)."""
+    meta = store.meta()
+    family = meta.get("span_family")
+    if family is None and meta:
+        family = "prune" if "span_min_df" in meta else (
+            "index" if "span_w" in meta else None
+        )
+    if family is not None and family != expected:
+        raise ValueError(
+            f"state at {state_dir!r} belongs to the span-{family} sink; "
+            f"refusing a span-{expected} epoch — the two sinks' tables "
+            "are incompatible (an index-only append into a prune state "
+            "silently breaks its one-pruned-row-per-doc invariant)"
+        )
 
 
 def span_index_sink(
@@ -228,6 +254,7 @@ def span_prune_merge_batch(
                 f"{meta[name]}; refusing an epoch at {val} — excision "
                 "semantics would silently change mid-stream"
             )
+    _check_span_family(store, state_dir, "prune")
     spark = batch.sparkSession
     rows = _span_hash_rows(batch, text_col, id_col, window_tokens).persist(
         StorageLevel.MEMORY_AND_DISK
@@ -267,7 +294,11 @@ def span_prune_merge_batch(
                 _TABLE: store.table_segments(_TABLE) + [seg_idx],
                 _PRUNED: store.table_segments(_PRUNED) + [seg_pruned],
             },
-            meta={"span_w": window_tokens, "span_min_df": min_df},
+            meta={
+                "span_w": window_tokens,
+                "span_min_df": min_df,
+                "span_family": "prune",
+            },
         )
     finally:
         rows.unpersist()
