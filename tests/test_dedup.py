@@ -379,6 +379,73 @@ def test_decontaminate_flags_only_overlapping_docs(spark):
     assert rows[3].contaminated  # shares "quick brown fox jumps over"
 
 
+def test_decontaminate_bloom_prefilter_identical_even_fp_heavy(spark, sf_dir):
+    """The Bloom prefilter is semantics-free: decontaminate(
+    bloom_prefilter=True) equals the exact path row-for-row EVEN with
+    a deliberately undersized sketch (m=256 bits for hundreds of
+    members → false positives everywhere) — no false negatives means
+    zero recall loss, and the exact verify kills every false positive
+    before it can over-flag."""
+    from transporter_spark.operators.dedup import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    exact = {
+        (r.doc_id, r.n_shared, r.contaminated)
+        for r in decontaminate(docs, bench, n=5).collect()
+    }
+    stressed = {
+        (r.doc_id, r.n_shared, r.contaminated)
+        for r in decontaminate(
+            docs, bench, n=5, bloom_prefilter=True, bloom_k=2,
+            bloom_m_bits=256,
+        ).collect()
+    }
+    assert exact == stressed
+
+
+def test_incremental_exact_bloom_prefilter_identical_even_fp_heavy(
+    spark, sf_dir
+):
+    """Probe-then-verify exact dedup: incremental_dedup_exact with a
+    Bloom word table over the index fingerprints keeps EXACTLY the
+    plain anti-join's rows — under an undersized FP-heavy sketch too
+    (false positives fall to the exact verify; absent-from-sketch rows
+    are definitely new). In-batch duplicate collapse is unaffected."""
+    from transporter_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_dedup_exact,
+    )
+    from transporter_spark.operators.sketches import bloom_words
+
+    corpus = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = corpus.limit(10).select(
+        (F.col("doc_id") + 700000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [(800000, "novel alpha"), (800001, "novel beta"),
+         (800002, "novel alpha")],
+        "doc_id long, text string",
+    )
+    batch = clones.unionByName(novel)
+    idx = fingerprint_index(corpus, ["text"])
+    plain = {
+        r.doc_id for r in incremental_dedup_exact(batch, idx, ["text"]).collect()
+    }
+    for k, m in ((None, None), (2, 256)):  # default + FP-heavy geometry
+        words = bloom_words(
+            idx, "fp", k=k or 4, m_bits=m or (1 << 15)
+        )
+        got = {
+            r.doc_id
+            for r in incremental_dedup_exact(
+                batch, idx, ["text"], bloom_words=words, bloom_k=k,
+                bloom_m_bits=m,
+            ).collect()
+        }
+        assert got == plain == {800000, 800001}
+
+
 def test_incremental_simhash_matches_full_and_reads_no_text(spark, sf_dir, tmp_path):
     """SimHash incremental form: (a) EXACT equality with the full
     recompute restricted to batch-touching pairs — pigeonhole recall is

@@ -487,3 +487,63 @@ def test_full_gate_stack_dd_stage_excludes_from_state(spark, tmp_path):
     ids = {r.doc_id for r in read_ingest_corpus(spark, state).collect()}
     assert 99 not in ids, "dd-gated doc leaked into state"
     assert len(ids) >= 5  # the normal docs survive the stack
+
+
+def test_concurrent_drains_dont_clobber_session_conf(spark, tmp_path):
+    """Two drains on ONE session can't silently clobber each other's
+    shuffle-partition restore: the second thread raises loudly while
+    the first holds the scope, a drain on `spark.newSession()` runs
+    fine concurrently, and both sessions' conf values are byte-exact
+    afterwards. Same-thread nesting (the CC loop inside an ingest
+    epoch) stays allowed."""
+    import threading
+
+    import pytest
+
+    from transporter_spark.session import scoped_shuffle_partitions
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    other = spark.newSession()
+    other_before = other.conf.get("spark.sql.shuffle.partitions")
+    errors, results = [], []
+
+    def drain_same_session():
+        batch = spark.createDataFrame(
+            [(1, "alpha beta gamma")], "doc_id long, text string"
+        )
+        try:
+            ingest_dedup_batch(batch, 0, str(tmp_path / "s1"))
+        except RuntimeError as e:
+            errors.append(str(e))
+
+    def drain_new_session():
+        batch = other.createDataFrame(
+            [(2, "delta epsilon zeta")], "doc_id long, text string"
+        )
+        results.append(ingest_dedup_batch(batch, 0, str(tmp_path / "s2")))
+
+    with scoped_shuffle_partitions(spark, 5):
+        # nesting on the same thread is well-formed LIFO set/restore
+        with scoped_shuffle_partitions(spark, 3):
+            assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "5"
+
+        t1 = threading.Thread(target=drain_same_session)
+        t1.start()
+        t1.join()
+        assert errors and "newSession" in errors[0]
+
+        t2 = threading.Thread(target=drain_new_session)
+        t2.start()
+        t2.join()
+        assert results == [True]
+
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert other.conf.get("spark.sql.shuffle.partitions") == other_before
+
+    # the scope is released: a fresh drain on the base session works
+    batch = spark.createDataFrame(
+        [(3, "eta theta iota")], "doc_id long, text string"
+    )
+    assert ingest_dedup_batch(batch, 0, str(tmp_path / "s3"))
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

@@ -806,3 +806,53 @@ def test_bm25_one_exploded_pass_broadcast_stats(spark, sf_dir):
     # ONE text scan in the returned plan: the exploded term pass
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1, body
     assert "hashpartitioning(query_id" in body, body
+
+
+def test_decontaminate_bloom_probe_is_broadcast_only_prefilter(spark, sf_dir):
+    """The Bloom prefilter's plan claim, pinned: the k word-table
+    probes and the exact verify are ALL broadcast joins (zero
+    corpus-side exchange before survivors), and the bit-test filter
+    sits BELOW the count aggregation's doc_id exchange — so the only
+    corpus-sized shuffle in the contamination count carries probe
+    SURVIVORS, never the full gram stream. No sort-merge, cartesian,
+    or BNLJ anywhere."""
+    df = QUERIES["decontaminate_bloom"].fn(spark, sf_dir)
+    body = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in body and "BroadcastNestedLoopJoin" not in body
+    # the k probe joins + the exact verify are all broadcast; only the
+    # final per-doc restore join (vs the post-agg hits frame) may sort-merge
+    assert body.count("BroadcastHashJoin") >= 5, body
+    assert body.count("SortMergeJoin") <= 1, body
+    # the word table is built ONCE and reused by every probe join
+    assert body.count("InMemoryTableScan") >= 4, body
+    # the bit-test filter (shiftleft probe) executes below (= printed
+    # after, parent-first treeString) the doc-keyed exchanges feeding
+    # the distinct + count aggregations: survivors-only shuffles
+    agg_exchange = body.index("hashpartitioning(doc_id")
+    assert "shiftleft" in body[agg_exchange:], body
+
+
+def test_incremental_exact_bloom_antijoin_sees_survivors_only(spark, sf_dir):
+    """Probe-then-verify exact dedup plan: the word-table probes are
+    broadcast joins, and the anti-join's batch-side subtree contains
+    the all-bits-set filter — only probe hits reach the fp anti-join
+    exchange; definite-new rows bypass it entirely (their branch has
+    no join below the union)."""
+    from transporter_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_dedup_exact,
+    )
+    from transporter_spark.operators.sketches import bloom_words
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    idx = fingerprint_index(corpus, ["text"])
+    words = bloom_words(idx, "fp")
+    kept = incremental_dedup_exact(batch, idx, ["text"], bloom_words=words)
+    body = explain_str(kept).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body and "BroadcastNestedLoopJoin" not in body
+    assert body.count("BroadcastHashJoin") >= 4, body
+    # the anti join still exists and the bit test is in the plan
+    assert "LeftAnti" in body, body
+    assert "shiftleft" in body, body

@@ -186,6 +186,9 @@ def incremental_dedup_exact(
     index: DataFrame,
     cols: Sequence[str],
     id_col: str = "doc_id",
+    bloom_words: Optional[DataFrame] = None,
+    bloom_k: Optional[int] = None,
+    bloom_m_bits: Optional[int] = None,
 ) -> DataFrame:
     """Exact-dedup an ingest batch against a persisted fingerprint
     index: returns the batch rows whose content hash is absent from
@@ -198,7 +201,21 @@ def incremental_dedup_exact(
     autoBucketedScan pinned off for index tables, else the planner
     re-shuffles the bucketed side — pinned in tests/test_plans.py).
     Append `fingerprint_index(kept)` after commit, same discipline as
-    the LSH `band_index`."""
+    the LSH `band_index`.
+
+    ``bloom_words`` (a GLOBAL Bloom word table built over the index's
+    ``fp`` strings — maintain it alongside the index with
+    `sketches.bloom_words` + the idempotent `bloom_merge` on every
+    append) turns the anti-join into probe-then-verify: every batch
+    fingerprint is marked INLINE against the ~8 KiB broadcast sketch
+    (`bloom_probe_mark`, zero batch-side exchange), definite-new rows
+    (no false negatives) skip the anti-join entirely, and only probe
+    HITS — true dups plus the ~1e-5 false-positive sliver — reach the
+    exact anti-join, so its exchange carries probe survivors instead
+    of the whole batch and the index side is read only for them. A
+    false positive cannot over-excise: the exact anti-join keeps any
+    row whose fp is genuinely absent. Output is identical to the
+    plain path (pinned in tests)."""
     fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
     hashed = new_docs.withColumn("_fp", fp)
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))
@@ -207,6 +224,27 @@ def incremental_dedup_exact(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    if bloom_words is not None:
+        from transporter_spark.operators.sketches import (
+            DEFAULT_K,
+            DEFAULT_M_BITS,
+            bloom_probe_mark,
+        )
+
+        marked = bloom_probe_mark(
+            in_batch_first,
+            "_fp",
+            bloom_words,
+            out_col="_bpf",
+            k=bloom_k or DEFAULT_K,
+            m_bits=bloom_m_bits or DEFAULT_M_BITS,
+        )
+        definite_new = marked.where(~F.col("_bpf")).drop("_bpf")
+        suspects = marked.where(F.col("_bpf")).drop("_bpf")
+        verified = suspects.join(
+            index, suspects["_fp"] == index["fp"], "left_anti"
+        )
+        return definite_new.unionByName(verified).drop("_fp")
     kept = in_batch_first.join(
         index, in_batch_first["_fp"] == index["fp"], "left_anti"
     )
@@ -926,6 +964,9 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 5,
+    bloom_prefilter: bool = False,
+    bloom_k: Optional[int] = None,
+    bloom_m_bits: Optional[int] = None,
 ) -> DataFrame:
     """Flag training documents that share any word n-gram with a
     benchmark/eval set (the standard pre-training decontamination gate:
@@ -937,23 +978,56 @@ def decontaminate(
     is tiny (eval sets are thousands of docs, the corpus is billions)
     so Spark broadcasts it — the corpus is scanned once, no corpus-side
     shuffle for the join; the count agg shuffles only matching grams.
-    """
-    corpus = (
-        shingle_rows(df, text_col, id_col, n)
-        .select(F.col("id").alias("doc_id"), F.xxhash64("sh").alias("h"))
-        .distinct()
+
+    ``bloom_prefilter=True`` is the scale path for BIG blocklists (a
+    multi-benchmark gram set at 100M+ grams is gigabytes — past the
+    broadcast budget): build the ~8 KiB-per-2^15-bits Bloom word table
+    over the benchmark grams and probe every corpus gram INLINE first
+    (`sketches.bloom_probe_mark` — k BroadcastHashJoins of the word
+    table, zero corpus-side exchange), so only probe SURVIVORS reach
+    the exact verify join and the count aggregation. No false
+    negatives (identical output to the exact path, pinned in tests);
+    false positives are killed by the exact verify, so the sketch can
+    never over-flag. Probe keys are the gram STRINGS through the
+    audited md5-prefix `stable_hash` (engine-replayable), not
+    xxhash64."""
+    corpus_grams = shingle_rows(df, text_col, id_col, n).select(
+        F.col("id").alias("doc_id"), F.col("sh")
     )
-    bench = (
-        benchmark.select(F.explode(word_shingles(text_col, n)).alias("g"))
-        .select(F.xxhash64("g").alias("h"))
-        .distinct()
+    bench_grams = benchmark.select(
+        F.explode(word_shingles(text_col, n)).alias("g")
     )
+    cached = []
+    if bloom_prefilter:
+        from transporter_spark.operators.sketches import (
+            DEFAULT_K,
+            DEFAULT_M_BITS,
+            bloom_probe_mark,
+            bloom_words,
+        )
+
+        k = bloom_k or DEFAULT_K
+        m_bits = bloom_m_bits or DEFAULT_M_BITS
+        # persisted: the k probe joins each reference the word table —
+        # without persist Spark plans k independent rebuilds of the
+        # whole benchmark-sketch subtree (no CSE across join branches)
+        words = bloom_words(
+            bench_grams.distinct(), "g", k=k, m_bits=m_bits
+        ).persist()
+        cached.append(words)
+        corpus_grams = bloom_probe_mark(
+            corpus_grams, "sh", words, out_col="_bpf", k=k, m_bits=m_bits
+        ).where(F.col("_bpf")).drop("_bpf")
+    corpus = corpus_grams.select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    ).distinct()
+    bench = bench_grams.select(F.xxhash64("g").alias("h")).distinct()
     hits = (
         corpus.join(F.broadcast(bench), "h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared"))
     )
-    return (
+    out = (
         df.select(F.col(id_col).alias("doc_id"))
         .join(hits, "doc_id", "left")
         .select(
@@ -962,6 +1036,7 @@ def decontaminate(
             (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+    return _attach_cached(out, *cached) if cached else out
 
 
 # ---------------------------------------------------------------------------
@@ -1011,14 +1086,12 @@ def connected_components(
     # synchronous) keeps the pre-partitioned frames and each round's
     # join/agg on the SAME width, so the only per-round exchange stays
     # the groupBy. At cluster scale defaultParallelism = total cores.
+    from transporter_spark.session import scoped_shuffle_partitions
+
     spark = edges.sparkSession
     np = spark.sparkContext.defaultParallelism
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(np))
-    try:
+    with scoped_shuffle_partitions(spark, np):
         return _cc_loop(sym, vertices, max_iter, reliable_checkpoint)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def _cc_loop(

@@ -624,6 +624,69 @@ def bloom_contains(
     )
 
 
+def bloom_probe_mark(
+    df: DataFrame,
+    item_col: str,
+    words: DataFrame,
+    out_col: str = "member",
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
+) -> DataFrame:
+    """Inline membership mark against a GLOBAL word table: adds
+    ``out_col`` (boolean — all k salted bits set) to every row of
+    ``df`` with ZERO exchanges on the probe side. Where
+    `bloom_contains` explodes k position rows and re-groups per probe
+    (one shuffle of k x probe rows), this runs k BroadcastHashJoins of
+    the <= m_bits/32-row word table — the row never leaves its
+    partition, which is what makes the sketch usable as a PRE-FILTER
+    in front of an exact join: downstream exchanges carry only probe
+    survivors (the decontaminate / incremental-exact-dedup scale path;
+    no false negatives, so recall is untouched — false positives are
+    re-checked by the exact join behind it). NULL items mark False
+    (empty-set semantics, same as `bloom_contains`)."""
+    if set(words.columns) != {"word_idx", "word"}:
+        raise ValueError(
+            f"bloom_probe_mark probes a GLOBAL sketch (columns "
+            f"word_idx, word); got {sorted(words.columns)} — for a "
+            "grouped sketch use bloom_contains with by=[...]"
+        )
+    out = df
+    hits = []
+    for i in range(k):
+        pos = stable_hash(
+            F.concat_ws(
+                ":", F.lit(i).cast("string"), F.col(item_col).cast("string")
+            ),
+            nibbles=15,
+        ) % m_bits
+        w = words.select(
+            F.col("word_idx").alias(f"_bpm_widx{i}"),
+            F.col("word").alias(f"_bpm_w{i}"),
+        )
+        out = out.withColumn(
+            f"_bpm_pos{i}", pos
+        ).join(
+            F.broadcast(w),
+            F.expr(f"_bpm_pos{i} div {_BLOOM_WORD}")
+            == F.col(f"_bpm_widx{i}"),
+            "left",
+        )
+        hits.append(
+            F.expr(
+                f"(coalesce(_bpm_w{i}, 0L) div "
+                f"shiftleft(1L, cast(_bpm_pos{i} % {_BLOOM_WORD} as int)))"
+                " % 2"
+            )
+            == 1
+        )
+    member = hits[0]
+    for h in hits[1:]:
+        member = member & h
+    verdict = F.when(F.col(item_col).isNull(), F.lit(False)).otherwise(member)
+    drop = [c for c in out.columns if c.startswith("_bpm_")]
+    return out.withColumn(out_col, verdict).drop(*drop)
+
+
 def bloom_oracle_ctes(
     member_sql: str,
     member_table: str,

@@ -3637,6 +3637,57 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5)
 
 
+def _decontaminate_bloom_oracle() -> str:
+    from transporter_spark.operators.sketches import bloom_oracle_ctes
+
+    return (
+        r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+grams AS MATERIALIZED (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+  FROM (SELECT doc_id, t,
+               unnest(generate_series(1, greatest(len(t) - 4, 1))) AS i
+        FROM toks)
+),
+benchg AS MATERIALIZED (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+pg AS (SELECT DISTINCT g FROM grams),"""
+        + bloom_oracle_ctes("g", "benchg", "g", "g", "pg")
+        + """,
+surv AS (SELECT pid AS g FROM bmem WHERE member),
+hits AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM grams JOIN surv USING (g) JOIN benchg USING (g) GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(n_shared, 0)::BIGINT AS n_shared,
+       COALESCE(n_shared, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+    )
+
+
+@q("decontaminate_bloom", oracle=_decontaminate_bloom_oracle())
+def q_decontaminate_bloom(spark, sf_dir):
+    """Decontamination through the Bloom PRE-FILTER scale path
+    (operators/dedup.py decontaminate(bloom_prefilter=True) +
+    sketches.bloom_probe_mark): the benchmark's gram set is reduced to
+    an ~8 KiB word table, every corpus gram is probed INLINE (k
+    BroadcastHashJoins — zero corpus-side exchange), and only probe
+    survivors reach the exact verify join and the count aggregation.
+    At 100 TB a multi-benchmark blocklist is gigabytes of grams — past
+    the broadcast budget the exact path leans on; the sketch ships
+    8 KiB instead, with NO recall loss (no false negatives) and no
+    over-flagging (the exact verify kills the ~1e-5 false positives).
+    Output is identical to `decontaminate`; the ORACLE replays the
+    probe itself (salted md5-prefix positions, 32-bit words,
+    all-bits-set test) in front of the exact verify, so the
+    survivor-set geometry is graded, not just the final counts."""
+    from transporter_spark.operators.dedup import decontaminate
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(docs, bench, n=5, bloom_prefilter=True)
+
+
 @q(
     "dedup_clusters_exact",
     oracle="""

@@ -17,6 +17,8 @@ runtime. Configuration choices are scale-first:
 from __future__ import annotations
 
 import os
+import threading
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -73,3 +75,59 @@ def stop_spark() -> None:
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()
+
+
+# ---------------------------------------------------------------------------
+# session-scoped conf scoping (the shared set/restore discipline)
+# ---------------------------------------------------------------------------
+
+_SCOPE_LOCK = threading.Lock()
+#: session UUID -> (owning thread ident, nesting depth)
+_SCOPE_HOLDERS: dict = {}
+
+
+def _session_uuid(spark: SparkSession) -> str:
+    return spark._jsparkSession.sessionUUID()
+
+
+@contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int):
+    """Set ``spark.sql.shuffle.partitions`` for a synchronous block and
+    restore it on exit — the scoping every drain/loop in the engine
+    uses (foreachBatch plans and streaming state stores get no AQE
+    coalescing, so a vanilla session's 200 partitions pay ~200 task
+    launches per stage regardless of data volume).
+
+    `spark.conf` is SESSION-scoped but shared across THREADS, so two
+    concurrent scopes on one session could restore each other's value
+    and permanently change the session's parallelism. This manager
+    makes that loud instead of silent: a second thread scoping the
+    SAME session raises RuntimeError (run concurrent drains on
+    `spark.newSession()` — shares the context, scopes the conf);
+    same-thread nesting (e.g. the connected-components loop inside an
+    ingest epoch) is well-formed LIFO set/restore and stays allowed.
+    """
+    key = _session_uuid(spark)
+    me = threading.get_ident()
+    with _SCOPE_LOCK:
+        holder, depth = _SCOPE_HOLDERS.get(key, (None, 0))
+        if holder is not None and holder != me:
+            raise RuntimeError(
+                "concurrent shuffle-partition scopes on one SparkSession: "
+                "another thread is mid-drain on this session; run "
+                "concurrent drains on spark.newSession() (same "
+                "SparkContext, independent conf) instead"
+            )
+        _SCOPE_HOLDERS[key] = (me, depth + 1)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+        with _SCOPE_LOCK:
+            holder, depth = _SCOPE_HOLDERS[key]
+            if depth <= 1:
+                del _SCOPE_HOLDERS[key]
+            else:
+                _SCOPE_HOLDERS[key] = (holder, depth - 1)

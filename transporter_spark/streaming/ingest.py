@@ -72,22 +72,18 @@ def ingest_dedup_batch(batch: DataFrame, epoch_id: int, state_dir: str,
     stage across the gate/minhash/CC stages regardless of batch size
     (the memory-sink drain in streaming/windows.py already does this;
     measured multi-minute -> seconds on the full-gate curation drain).
-    CONSTRAINT: the set/restore mutates the shared session conf, so it
-    assumes ONE drain at a time on the session — the same single-writer
-    discipline SegmentStore already imposes on the state directory.
-    Two interleaved epochs on different threads could restore the
-    wrong value; run concurrent drains on separate sessions
-    (`spark.newSession()` shares the context but scopes the conf)."""
+    The scope is ENFORCED single-drain-per-session: a second thread
+    draining the same session raises RuntimeError instead of silently
+    restoring the wrong value (session.scoped_shuffle_partitions) —
+    run concurrent drains on `spark.newSession()` (shares the context,
+    scopes the conf)."""
+    from transporter_spark.session import scoped_shuffle_partitions
+
     spark = batch.sparkSession
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        str(spark.sparkContext.defaultParallelism),
-    )
-    try:
+    with scoped_shuffle_partitions(
+        spark, spark.sparkContext.defaultParallelism
+    ):
         return _ingest_dedup_batch(batch, epoch_id, state_dir, **kw)
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
 
 
 def _ingest_dedup_batch(

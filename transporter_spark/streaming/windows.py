@@ -64,13 +64,13 @@ def run_available_now(
     (one state task per core) — at real scale pass an explicit number
     sized to state volume instead. Safe to set/restore around the run
     because availableNow + awaitTermination is synchronous."""
+    from transporter_spark.session import scoped_shuffle_partitions
+
     spark = stream_df.sparkSession
     name = "avail_" + uuid.uuid4().hex[:12]
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="ts_ckpt_")
     parts = state_partitions or spark.sparkContext.defaultParallelism
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
+    with scoped_shuffle_partitions(spark, parts):
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -80,8 +80,6 @@ def run_available_now(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
     return spark.table(name)
 
 
