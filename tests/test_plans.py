@@ -798,14 +798,15 @@ def test_bm25_one_exploded_pass_broadcast_stats(spark, sf_dir):
     eager single-row aggregate whose constants are inlined into the
     plan, so no stats join of any kind survives); the rank window
     partitions by query_id, never a single global sort of scores."""
-    df = QUERIES["bm25_select"].fn(spark, sf_dir)
-    body = explain_str(df).split("== Physical Plan ==")[-1]
-    assert "BroadcastHashJoin" in body
-    assert "SortMergeJoin" not in body and "CartesianProduct" not in body
-    assert "BroadcastNestedLoopJoin" not in body, body
-    # ONE text scan in the returned plan: the exploded term pass
-    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1, body
-    assert "hashpartitioning(query_id" in body, body
+    for name in ("bm25_select", "bm25_select_log2"):
+        df = QUERIES[name].fn(spark, sf_dir)
+        body = explain_str(df).split("== Physical Plan ==")[-1]
+        assert "BroadcastHashJoin" in body
+        assert "SortMergeJoin" not in body and "CartesianProduct" not in body
+        assert "BroadcastNestedLoopJoin" not in body, body
+        # ONE text scan in the returned plan: the exploded term pass
+        assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1, body
+        assert "hashpartitioning(query_id" in body, body
 
 
 def test_decontaminate_bloom_probe_is_broadcast_only_prefilter(spark, sf_dir):

@@ -457,36 +457,95 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert not [r for r in out if r.doc_id == 3]
 
 
-def test_bm25_overflow_guard_raises_loudly(spark, monkeypatch):
-    """The review-found silent-wrap hazard: when the worst-case score
-    numerator would exceed int64, bm25_select raises instead of
-    letting Spark's non-ANSI arithmetic wrap to garbage rankings. The
-    bound is driven by the corpus stats, so fake an enormous corpus by
-    patching the stats row."""
+def test_bm25_scale_degrades_instead_of_raising():
+    """The r6 guard REFUSED corpora past its int64 bound; the r7 rule
+    DEGRADES the idf resolution instead (bm25_pick_idf_scale — pure
+    function of the collected stats, so the whole degrade ladder is
+    testable without a 10^7-doc corpus). Raising is reserved for
+    stats no int64 scoring pass can rank even at scale 1."""
     import pytest
 
-    import transporter_spark.operators.selection as sel
+    from transporter_spark.operators.selection import bm25_pick_idf_scale
+
+    # comfortably small corpus: full ppm resolution
+    assert bm25_pick_idf_scale(500, 300, 150) == 1_000_000
+    # the r6-refusal regime: 1e7 docs now runs at a reduced scale
+    assert bm25_pick_idf_scale(10_000_000, 10_000, 1_000) == 1_000
+    assert bm25_pick_idf_scale(10_000_000, 100_000, 100_000) == 1
+    # only a corpus whose stats overflow even at scale 1 still raises
+    with pytest.raises(ValueError, match="idf scale 1"):
+        bm25_pick_idf_scale(10**12, 10**7, 10**7)
+
+
+def test_bm25_runs_past_the_r6_bound_and_log2_matches_ranking(spark):
+    """An ACTUAL corpus past the r6 guard's refusal bound (its
+    idf_max*22*dl_max*TOTAL >= 2^63 because total rode in the
+    quotient): 200 docs x 5000 tokens. The avgdl-factored r7 scoring
+    runs it at full ppm resolution without raising, and the log2-idf
+    variant ranks the same hand-checkable ordering. Precision trade
+    documented in bm25_pick_idf_scale."""
+    from transporter_spark.operators.selection import bm25_select
+
+    filler = " ".join(f"w{i % 97}" for i in range(4998))
+    rows = [(i, ("apple " if i % 2 == 0 else "pear ")
+             + ("banana " if i % 20 == 0 else "plum ") + filler)
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    queries = spark.createDataFrame(
+        [("q", "apple banana")], "query_id string, query_text string"
+    )
+    # r6 bound check: idf_max(1e6)*22*dl_max*total >= 2^63 here
+    n, dl_max, total = 200, 5000, 200 * 5000
+    idf_max = ((2 * (n - 1) + 1) * 1_000_000) // 3
+    assert idf_max * 22 * dl_max * total >= 1 << 63  # old guard refused
+    for variant in ("ratio", "log2"):
+        out = bm25_select(docs, queries, k=5, idf=variant).collect()
+        assert len(out) == 5
+        # docs matching BOTH terms (i % 20 == 0 -> also i % 2 == 0)
+        # outrank single-term docs under either idf
+        top = [r.doc_id for r in sorted(out, key=lambda r: r.rk)]
+        assert top[0] % 20 == 0 and all(r.bm25_score > 0 for r in out)
+
+
+def test_bm25_log2_ranks_term_rich_docs_first(spark):
+    """The Okapi-faithful log2 idf keeps the sanity ordering of the
+    ratio variant on the hand corpus (3 matched terms > 2 > 1) and
+    its rare-term weighting is logarithmic: the idf expression is the
+    SAME builder both engines consume (bm25_idf_sql)."""
+    from transporter_spark.operators.selection import bm25_select
 
     docs = spark.createDataFrame(
-        [(0, "a b"), (1, "a c")], "doc_id long, text string"
+        [
+            (0, "apple banana cherry date"),
+            (1, "apple banana filler filler filler filler"),
+            (2, "apple filler filler filler filler filler"),
+            # enough non-matching docs that every query term is rarer
+            # than df = N/2 (at or past it, true-Okapi idf is <= 0 and
+            # the clamp floors the term out — see the clamp test below)
+            *[(i, f"unrelated word{i} only here") for i in range(3, 9)],
+        ],
+        "doc_id long, text string",
     )
     queries = spark.createDataFrame(
-        [("q", "a")], "query_id string, query_text string"
+        [("qa", "apple banana cherry"), ("qb", "zebra")],
+        "query_id string, query_text string",
     )
-    real_agg = type(docs).agg
+    out = bm25_select(docs, queries, k=3, idf="log2").collect()
+    qa = sorted(
+        [(r.rk, r.doc_id, r.bm25_score) for r in out if r.query_id == "qa"]
+    )
+    assert [d for _, d, _ in qa] == [0, 1, 2]
+    assert qa[0][2] > qa[1][2] > qa[2][2] > 0
+    assert not [r for r in out if r.query_id == "qb"]
 
-    class FakeRow:
-        n_docs, total, dl_max = 10_000_000, 1_000_000_000_000, 100_000
-
-    def fake_agg(self, *a, **k):
-        out = real_agg(self, *a, **k)
-
-        class FakeDF:
-            def collect(self_inner):
-                return [FakeRow()]
-
-        return FakeDF() if "n_docs" in str(a) else out
-
-    monkeypatch.setattr(type(docs), "agg", fake_agg)
-    with pytest.raises(ValueError, match="headroom"):
-        sel.bm25_select(docs, queries)
+    # the non-negative clamp (load-bearing for div-vs-floor engine
+    # agreement): a term in >= half the docs scores exactly 0
+    common = spark.createDataFrame(
+        [(0, "shared a"), (1, "shared b"), (2, "shared c"), (3, "rare d")],
+        "doc_id long, text string",
+    )
+    cq = spark.createDataFrame(
+        [("q", "shared")], "query_id string, query_text string"
+    )
+    got = bm25_select(common, cq, k=4, idf="log2").collect()
+    assert got and all(r.bm25_score == 0 for r in got)

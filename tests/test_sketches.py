@@ -538,3 +538,51 @@ def test_bloom_contains_grouped_words_and_mismatch_error(spark, sf_dir):
         bloom_contains(grouped, docs, "text", ["doc_id"])
     with pytest.raises(ValueError, match="must be included in id_cols"):
         bloom_contains(grouped, docs, "text", ["doc_id"], by=["source"])
+
+
+def test_bloom_grouped_probe_join_strategy_regimes(spark, sf_dir):
+    """Grouped word tables are m/32 rows PER GROUP — a high-cardinality
+    `by` makes unconditional broadcast tens of GiB. Pinned regimes:
+    `auto` keeps the GLOBAL path broadcast (geometry-capped 8 KiB) but
+    plans the GROUPED probe WITHOUT a plan-time broadcast hint (AQE's
+    runtime size estimate is the group-count estimate and may still
+    promote small sketches); verdicts are identical across strategies
+    (the high-cardinality probe passes on the non-broadcast plan)."""
+    from transporter_spark.operators.sketches import (
+        bloom_contains,
+        bloom_words,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    # high-cardinality grouping: one group per doc_id
+    grouped = bloom_words(docs, "text", by=["doc_id"])
+    probe = bloom_contains(
+        grouped, docs, "text", ["doc_id"], by=["doc_id"]
+    )
+    # no plan-time broadcast hint on the grouped path (the optimized
+    # logical plan carries the hint when F.broadcast was applied)
+    logical = probe._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" not in logical, logical
+    assert probe.where(~F.col("member")).count() == 0  # own-group member
+
+    # explicit shuffle and (forced) broadcast agree verdict-for-verdict
+    forced = bloom_contains(
+        grouped, docs, "text", ["doc_id"], by=["doc_id"],
+        join_strategy="broadcast",
+    )
+    assert sorted(map(tuple, probe.collect())) == sorted(
+        map(tuple, forced.collect())
+    )
+
+    # the global path still broadcasts at plan time under auto
+    words = bloom_words(docs, "text")
+    glob = bloom_contains(words, docs, "text", ["doc_id"])
+    glogical = glob._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in glogical, glogical
+
+    import pytest
+
+    with pytest.raises(ValueError, match="join_strategy"):
+        bloom_contains(words, docs, "text", ["doc_id"], join_strategy="x")

@@ -419,12 +419,113 @@ def classifier_quality_gate(
 # ---------------------------------------------------------------------------
 
 
+#: log2-idf fixed-point: the RSJ ratio is scaled by 2^20 before the
+#: piecewise-linear log2, whose output is in millibits; subtracting
+#: log2(2^20)*1000 removes the scale again.
+BM25_LOG2_RATIO_BITS = 20
+BM25_LOG2_MILLI = 1000
+
+
+def bm25_pick_idf_scale(n_docs: int, dl_max: int, avgdl: int) -> int:
+    """Largest power-of-ten idf scale (1e6 ppm down to 1) whose
+    worst-case term-score numerator idf_max(S) * 22 * dl_max * avgdl
+    still fits int64 — the DEGRADE path that replaced the r6 guard's
+    refusal: a huge corpus keeps running at a coarser (but still
+    integer-exact and monotone) idf resolution instead of raising.
+    idf_max is the df=1 value ((2(N-1)+1)*S) div 3. Pure function of
+    the three collected stats so the degrade rule is unit-testable
+    without building a 10^7-doc corpus. Raises only when even S=1
+    overflows (requires N * dl_max * avgdl > ~4e17 — a corpus no
+    single int64 scoring pass can rank; shard the stats past that).
+
+    Precision trade at a reduced scale S: each term's idf carries
+    log10(S) significant digits; per-term ordering in df is unchanged
+    (the ratio is monotone and the floor div preserves weak
+    monotonicity), but two terms whose idf ratios differ by less than
+    1/S can tie where the ppm scale separated them — at S=1e3 that is
+    a <0.1% idf difference, far below ranking-relevant gaps."""
+    for scale in (10**6, 10**5, 10**4, 10**3, 10**2, 10, 1):
+        idf_max = ((2 * (n_docs - 1) + 1) * scale) // 3 if n_docs else 0
+        if idf_max * 22 * dl_max * avgdl < 1 << 63:
+            return scale
+    raise ValueError(
+        f"bm25_select int64 headroom exceeded even at idf scale 1: "
+        f"n_docs={n_docs}, dl_max={dl_max}, avgdl={avgdl} — shard the "
+        "corpus stats (BM25 only needs df/N/avgdl ratios)"
+    )
+
+
+def bm25_idf_sql(
+    n_docs,
+    scale: int,
+    idf: str,
+    dialect: str = "spark",
+    df_expr: str = "df",
+) -> str:
+    """The idf expression BOTH engines evaluate — ONE definition (this
+    function builds the Spark and the DuckDB oracle text from the same
+    string, so the formula cannot drift — the `_hll_constants`
+    discipline), differing only in dialect spelling: integer division
+    (`div` vs `//`) and the power-of-two shift (`shiftleft(1L, ..)` vs
+    `1::BIGINT << ..`).
+
+    idf="ratio": ((2*(N-df)+1) * scale) div (2*df+1) — the Robertson-
+    Sparck-Jones ratio in integer parts-per-scale. Monotone in the log
+    it replaces, so PER-TERM ordering matches Okapi; the summed
+    multi-term ranking weights rare terms ~linearly in N instead of
+    logarithmically (a df=1 term dominates all common terms) — the
+    documented variant behavior (ADVICE r6).
+
+    idf="log2": piecewise-linear integer log2 of the same ratio, in
+    millibits — Okapi-faithful multi-term weighting with engine-exact
+    arithmetic: r = max(ratio * 2^20, 1); e = bitlength(r) - 1 (via
+    length(bin(r)) — the sketch-family recipe); frac = the chord
+    interpolation ((r - 2^e)*1000) div 2^e (error <= 0.086 bits,
+    monotone in r); idf_milli = max(e*1000 + frac - 20000, 0). The
+    max(0) clamp (Lucene's choice) keeps every numerator non-negative
+    — load-bearing for exactness, because Spark's `div` truncates
+    toward zero while DuckDB's `//` floors, and they only agree on
+    non-negatives."""
+    if dialect == "spark":
+        div = "div"
+
+        def shl1(e: str) -> str:
+            return f"shiftleft(1L, cast({e} as int))"
+
+    elif dialect == "duckdb":
+        div = "//"
+
+        def shl1(e: str) -> str:
+            return f"(1::BIGINT << CAST({e} AS INT))"
+
+    else:
+        raise ValueError(f"dialect must be 'spark' or 'duckdb', got {dialect!r}")
+    if idf == "ratio":
+        return (
+            f"((2 * ({n_docs} - {df_expr}) + 1) * {scale}) "
+            f"{div} (2 * {df_expr} + 1)"
+        )
+    if idf == "log2":
+        shift = BM25_LOG2_RATIO_BITS
+        milli = BM25_LOG2_MILLI
+        r = (
+            f"greatest(((2 * ({n_docs} - {df_expr}) + 1) * {1 << shift}) "
+            f"{div} (2 * {df_expr} + 1), 1)"
+        )
+        e = f"(length(bin({r})) - 1)"
+        pow_e = shl1(e)
+        frac = f"((({r}) - {pow_e}) * {milli}) {div} {pow_e}"
+        return f"greatest({e} * {milli} + {frac} - {shift * milli}, 0)"
+    raise ValueError(f"idf must be 'ratio' or 'log2', got {idf!r}")
+
+
 def bm25_select(
     docs: DataFrame,
     queries: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 10,
+    idf: str = "ratio",
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25 (Robertson et al., Okapi
     TREC-3) at the standard k1=1.2, b=0.75 — the retrieval-scored
@@ -435,40 +536,38 @@ def bm25_select(
 
     Engine-exact scoring (the DSIR fixed-point discipline): the float
     formula idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) is cleared of
-    ALL floats by multiplying through by 10*total_tokens (k1=6/5,
-    b=3/4, avgdl=total/N are exact rationals):
+    ALL floats by multiplying through by 10*avgdl (k1=6/5, b=3/4
+    are exact rationals; avgdl = total div N is FLOORED to one token —
+    relative bias < k1*b/avgdl, identical on both engines):
 
-        term_score = (idf_ppm * 22*tf * total)
-                     div (10*tf*total + 3*total + 9*dl*N)
+        term_score = (idf_s * 22*tf * avgdl)
+                     div (10*tf*avgdl + 3*avgdl + 9*dl)
 
-    with idf_ppm = ((2*(N-df)+1) * 1e6) div (2*df+1) — the Robertson-
-    Sparck-Jones ratio (N-df+0.5)/(df+0.5) in exact integer parts-per-
-    million rather than its log (libm `ln` differs across engines in
-    the last ulp, enough to flip a top-k boundary; the ratio is
-    monotone in the log so per-term ordering is preserved, and the
-    scaled sum is reproducible bit-for-bit — the property a versioned
-    selection needs). Headroom (GUARDED, not just documented): the
-    worst-case numerator is idf_max * 22 * tf_max * total with
-    idf_max = (2(N-1)+1)*1e6 div 3 ~ 0.67e6*N for a df=1 term and
-    tf_max <= max document length, i.e. it grows like N * total — a
-    1e7-doc corpus with a rare query term overflows int64 LONG before
-    ~1e9 tokens (Spark's non-ANSI arithmetic would wrap silently to
-    garbage rankings). This function therefore computes the bound from
-    the same single-row stats aggregate and RAISES when
-    idf_max * 22 * dl_max * total >= 2^63; shard the corpus stats (or
-    reduce the idf scale) past that — BM25 only needs df/N/total
-    ratios.
+    Factoring avgdl out of the quotient (instead of multiplying
+    through by 10*total as in r6) makes the headroom bound
+    idf_max * 22 * dl_max * avgdl — INDEPENDENT of corpus size for the
+    log2 idf and ~linear in N only through idf_max for the ratio idf,
+    where `bm25_pick_idf_scale` now DEGRADES the idf resolution
+    instead of raising (the r6 guard refused ~1e7-doc corpora).
+
+    ``idf`` picks the rare-term weighting (see `bm25_idf_sql`):
+    "ratio" (default) is the exact RSJ ratio in integer
+    parts-per-scale — per-term ordering matches Okapi but the summed
+    ranking over-weights rare terms (~N vs log N); "log2" is the
+    piecewise-linear integer log2 in millibits — Okapi-faithful
+    multi-term weighting, still bit-reproducible, and its <=
+    ~64000-milli idf cap makes the numerator bound corpus-size-free.
 
     100 TB shape: ONE exploded corpus pass restricted to query terms
     by a broadcast semi-join BEFORE any aggregation (per-doc length
     rides along each surviving row, so no second wide scan for dl);
     corpus-wide N/total/dl_max come from one column-pruned single-row
     aggregate, collected (one metadata-sized driver row, like
-    sampling.py's partition counts) both for the overflow guard and to
-    inline the constants into the plan — no stats cross join; df and
-    the per-term stats are query-term-sized and broadcast back; the
-    final top-k is a rank window PARTITIONED BY query (bounded by
-    #queries x matched docs, never a global sort). Returns
+    sampling.py's partition counts) for the scale pick and to inline
+    the constants into the plan — no stats cross join; df and the
+    per-term stats are query-term-sized and broadcast back; the final
+    top-k is a rank window PARTITIONED BY query (bounded by #queries x
+    matched docs, never a global sort). Returns
     (query_id, doc_id, bm25_score, rk) with rk <= k, ties broken by
     doc_id.
     """
@@ -504,24 +603,31 @@ def bm25_select(
         F.max(F.expr(f"size({toks})")).cast("long").alias("dl_max"),
     ).collect()[0]
     n_docs, total, dl_max = st.n_docs, st.total or 0, st.dl_max or 0
-    idf_max = ((2 * (n_docs - 1) + 1) * 1_000_000) // 3 if n_docs else 0
-    if idf_max * 22 * dl_max * total >= 1 << 63:
-        raise ValueError(
-            f"bm25_select int64 headroom exceeded: worst-case numerator "
-            f"idf_max({idf_max}) * 22 * dl_max({dl_max}) * total({total}) "
-            "would overflow — shard the corpus stats or reduce the idf "
-            "scale (see docstring)"
-        )
+    avgdl = max(total // n_docs, 1) if n_docs else 1
+    if idf == "ratio":
+        scale = bm25_pick_idf_scale(n_docs, dl_max, avgdl)
+    else:
+        # log2 idf is capped at ~ (43 + 1) * 1000 - 0 millibits by the
+        # int64 ratio itself; bound the numerator with that cap
+        scale = 1 << BM25_LOG2_RATIO_BITS
+        r_max = ((2 * (n_docs - 1) + 1) * scale) // 3 if n_docs else 1
+        idf_cap = (max(r_max, 1).bit_length()) * BM25_LOG2_MILLI
+        if idf_cap * 22 * dl_max * avgdl >= 1 << 63:
+            raise ValueError(
+                f"bm25_select(log2) int64 headroom exceeded: "
+                f"idf_cap({idf_cap}) * 22 * dl_max({dl_max}) * "
+                f"avgdl({avgdl}) — shard the corpus stats"
+            )
+    idf_expr = bm25_idf_sql(
+        n_docs, scale if idf == "ratio" else 0, idf, dialect="spark"
+    )
     scored = (
-        occ.withColumn(
-            "idf_ppm",
-            F.expr(f"((2 * ({n_docs} - df) + 1) * 1000000L) div (2 * df + 1)"),
-        )
+        occ.withColumn("idf_s", F.expr(idf_expr).cast("long"))
         .withColumn(
             "term_score",
             F.expr(
-                f"(idf_ppm * 22 * tf * {total}L)"
-                f" div (10 * tf * {total}L + 3 * {total}L + 9 * dl * {n_docs}L)"
+                f"(idf_s * 22 * tf * {avgdl}L)"
+                f" div (10 * tf * {avgdl}L + 3 * {avgdl}L + 9 * dl)"
             ),
         )
     )

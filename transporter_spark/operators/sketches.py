@@ -568,12 +568,13 @@ def bloom_contains(
     k: int = DEFAULT_K,
     m_bits: int = DEFAULT_M_BITS,
     by: Sequence[str] = (),
+    join_strategy: str = "auto",
 ) -> DataFrame:
     """Membership verdict per probe row: member = ALL k probe bits set
-    (no false negatives; false positives at the documented rate). The
-    sketch is <= m_bits/32 rows -> broadcast; per-probe work is k word
-    lookups regardless of member count. NULL items are non-members
-    (empty-set semantics). Returns (id_cols..., member boolean).
+    (no false negatives; false positives at the documented rate).
+    Per-probe work is k word lookups regardless of member count. NULL
+    items are non-members (empty-set semantics). Returns
+    (id_cols..., member boolean).
 
     For a GROUPED word table (built with ``by``), pass the SAME ``by``
     here and include those columns in ``id_cols`` — each probe row is
@@ -582,7 +583,28 @@ def bloom_contains(
     every probe against every group's word, and aggregating the k hit
     rows without the group columns in the output key would min-merge
     hits across groups — either silently breaks the no-false-negatives
-    guarantee."""
+    guarantee.
+
+    ``join_strategy`` picks how probe rows meet the word table:
+
+    - ``"broadcast"``: plan-time `F.broadcast(words)` hint. Always
+      right for a GLOBAL sketch — its geometry CAPS the table at
+      m_bits/32 rows (8 KiB at the default m) no matter how many
+      members were folded in.
+    - ``"shuffle"``: plain equi-join, no hint. A grouped word table is
+      m_bits/32 rows PER GROUP — 10^6 groups at the default geometry
+      is ~10^9 rows / tens of GiB, far past any broadcast budget.
+    - ``"auto"`` (default): broadcast when ``by`` is empty (the
+      geometry-capped case), plain join when grouped — where AQE's
+      runtime size estimate of the word-table shuffle IS the
+      group-count estimate, and it promotes small grouped sketches
+      back to a broadcast join at runtime with real statistics
+      instead of a plan-time guess."""
+    if join_strategy not in ("auto", "broadcast", "shuffle"):
+        raise ValueError(
+            f"join_strategy must be auto|broadcast|shuffle, got "
+            f"{join_strategy!r}"
+        )
     id_cols = list(id_cols)
     by = list(by)
     expect = set(by) | {"word_idx", "word"}
@@ -602,9 +624,11 @@ def bloom_contains(
         *id_cols,
         F.explode(_bloom_positions(F.col(item_col), k, m_bits)).alias("_pos"),
     )
+    if join_strategy == "broadcast" or (join_strategy == "auto" and not by):
+        words = F.broadcast(words)
     probed = pos.withColumn(
         "word_idx", F.expr(f"_pos div {_BLOOM_WORD}").cast("long")
-    ).join(F.broadcast(words), by + ["word_idx"], "left")
+    ).join(words, by + ["word_idx"], "left")
     # right-shift by a COLUMN count needs F.expr; integer div by the
     # probe bit's power of two is the same thing and reads cleanly
     hit = F.expr(

