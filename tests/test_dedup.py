@@ -662,3 +662,44 @@ def test_dedup_canonical_best_keeps_longest_not_min_id(spark):
         ).collect()
     }
     assert out2[1] is True and out2[3] is False
+
+
+def test_semdedup_keeps_lowest_centroid_sim_within_cells_only(spark):
+    """SemDeDup semantics on a hand-built space: two near-identical
+    vectors in one cell collapse to the member with the LOWER cosine
+    to the centroid (the paper's boundary-preserving keep); a
+    singleton keeps itself; near-identical vectors assigned to
+    DIFFERENT cells are NOT paired (the documented O(n^2/k) recall
+    trade of clustering before comparing)."""
+    from transporter_spark.operators.similarity import semdedup_prune
+
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            # cell 0: 10/11 nearly parallel (cos ~ 0.9999), 10 sits
+            # FURTHER from the centroid -> 10 is kept
+            (10, [0.9, 0.10]),
+            (11, [0.9, 0.08]),
+            # cell 0 singleton, far from the pair (cos < threshold)
+            (12, [1.0, -0.9]),
+            # cell 1: nearly parallel to 10 but lands in the other
+            # cell -> never paired with it
+            (13, [0.48, 0.52]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in semdedup_prune(
+        vecs, cen, threshold=0.99, round_dp=8).collect()}
+    assert len(out) == 4
+    assert out[10].cell == 0 and out[11].cell == 0 and out[12].cell == 0
+    assert out[13].cell == 1
+    # 10 and 11 form one component; 10 has the lower centroid_sim
+    assert out[10].component == out[11].component == 10
+    assert out[10].centroid_sim < out[11].centroid_sim
+    assert out[10].is_canonical and not out[11].is_canonical
+    # singletons keep themselves
+    assert out[12].is_canonical and out[12].component == 12
+    assert out[13].is_canonical and out[13].component == 13

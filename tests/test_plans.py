@@ -857,3 +857,21 @@ def test_incremental_exact_bloom_antijoin_sees_survivors_only(spark, sf_dir):
     # the anti join still exists and the bit test is in the plan
     assert "LeftAnti" in body, body
     assert "shiftleft" in body, body
+
+
+def test_semdedup_pairs_come_from_cell_equijoin(spark, sf_dir):
+    """SemDeDup's approximation IS its scale contract: candidate pairs
+    must come from a self equi-join on the cell key (O(n^2/k) — the
+    paper's cluster economics), never a cartesian/BNLJ all-pairs pass;
+    the only non-equi condition (id < id) rides the cell join as a
+    post-filter. Centroids broadcast on both assignment branches."""
+    df = QUERIES["semdedup_prune"].fn(spark, sf_dir)
+    body = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in body, body
+    # the candidate-pair self-join keys on the cell column (equi)
+    assert re.search(r"Join \[cell#\d+L?\]", body), body
+    # the ONLY nested-loop joins are the broadcast-centroid assignment
+    # crosses (k rows on the build side) — never a corpus x corpus pass
+    for line in body.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line

@@ -286,6 +286,93 @@ def semantic_decontaminate(
     )
 
 
+def semdedup_prune(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: Optional[int] = 8,
+    max_iter: int = 20,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """SemDeDup-style embedding-cluster near-dedup (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication") — the semantic step next to the lexical MinHash
+    family: cluster the embedding space (here: assign to the provided
+    k-means centroids via `ivf_index` — broadcast centroids, one
+    corpus scan), connect INTRA-CLUSTER pairs whose cosine reaches
+    ``threshold`` into duplicate groups, and keep ONE member per
+    group: the paper's policy, the member with the LOWEST cosine to
+    its cluster centroid (the most boundary-defining example; ties by
+    smallest id so the choice is total and reproducible — the
+    `dedup_canonical_best` argmax discipline with -centroid_sim as the
+    quality). Returns (id_col, cell, centroid_sim, component,
+    is_canonical) for EVERY input vector; singleton groups keep their
+    only member.
+
+    100 TB shape — cells, never all-pairs: candidate pairs come from a
+    self equi-join ON THE CELL KEY (pinned: no cartesian/BNLJ), so the
+    pair count is sum over cells of |cell|^2/2, not corpus^2/2 — the
+    paper's O(n^2/k) with cluster count k sized so a cell fits a
+    partition (their 50k clusters for LAION-440M). Components are
+    min-label propagation over cell-local edges (rounds ∝ component
+    diameter — near-dup groups are stars); the canonical argmax adds
+    one (id, component, sim) shuffle — vectors never re-shuffle after
+    assignment. ``round_dp`` rounds both the assignment and the pair
+    cosines so verdicts are partitioning- and engine-invariant."""
+    from transporter_spark.operators.dedup import connected_components
+
+    assigned = ivf_index(corpus, centroids, id_col, vec_col, round_dp)
+    cen = centroids.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("centroid_vec").cast("array<double>").alias("cen_vec"),
+    )
+    sim = cosine_expr("vec", "cen_vec")
+    if round_dp is not None:
+        sim = F.round(sim, round_dp)
+    with_sim = assigned.join(F.broadcast(cen), "cell").select(
+        id_col, "vec", "cell", sim.alias("centroid_sim")
+    )
+    a, b = with_sim.alias("a"), with_sim.alias("b")
+    pcos = cosine_expr("a.vec", "b.vec")
+    if round_dp is not None:
+        pcos = F.round(pcos, round_dp)
+    edges = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            pcos.alias("_c"),
+        )
+        .where(F.col("_c") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(
+        edges,
+        corpus.select(F.col(id_col).alias("id")),
+        max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
+    )
+    labeled = with_sim.select(id_col, "cell", "centroid_sim").join(
+        comp.select(F.col("id").alias(id_col), "component"), id_col
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.asc("centroid_sim"), F.asc(id_col)
+    )
+    return labeled.select(
+        id_col,
+        "cell",
+        "centroid_sim",
+        "component",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
 def kmeans_update(
     corpus: DataFrame,
     centroids: DataFrame,

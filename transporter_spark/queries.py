@@ -1937,6 +1937,77 @@ QUERIES["stream_ann_index"] = QUERIES["stream_ann_index"]._replace(
 )
 
 
+_SEMDEDUP_ORACLE = """
+WITH RECURSIVE
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cen AS (SELECT vec_id AS cell, e AS cv FROM v WHERE vec_id < 8),
+cos AS MATERIALIZED (
+  SELECT v.vec_id, v.e, cen.cell,
+         round(list_dot_product(v.e, cen.cv)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(cen.cv, cen.cv))), 8) AS sim
+  FROM v CROSS JOIN cen),
+indexed AS MATERIALIZED (
+  SELECT vec_id, e, cell, sim AS centroid_sim FROM (
+    SELECT vec_id, e, cell, sim,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM cos) WHERE rn = 1),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM indexed a JOIN indexed b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_dot_product(a.e, b.e)
+              / (sqrt(list_dot_product(a.e, a.e))
+                 * sqrt(list_dot_product(b.e, b.e))), 8) >= 0.3),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs),
+reach(id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+comp AS (SELECT id AS vec_id, MIN(r) AS component FROM reach GROUP BY id),
+lab AS (
+  SELECT i.vec_id, i.cell, i.centroid_sim, c.component,
+         row_number() OVER (PARTITION BY c.component
+             ORDER BY i.centroid_sim ASC, i.vec_id ASC) AS rn
+  FROM indexed i JOIN comp c USING (vec_id))
+SELECT vec_id, CAST(cell AS BIGINT) AS cell, centroid_sim,
+       CAST(component AS BIGINT) AS component, rn = 1 AS is_canonical
+FROM lab ORDER BY vec_id
+"""
+
+
+@q("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+def q_semdedup_prune(spark, sf_dir):
+    """SemDeDup-style embedding-cluster near-dedup (operators/
+    similarity.py semdedup_prune; Abbas et al. 2023): assign every
+    vector to its nearest of 8 fixed centroids (vec_id 0-7 — the
+    ann_ivf centroid discipline), connect INTRA-CELL pairs at cosine
+    >= 0.3 into duplicate groups, keep each group's member with the
+    LOWEST centroid similarity (the paper's boundary-preserving
+    policy; ties by id). The oracle replays assignment, intra-cell
+    pair cosines, the recursive component closure, and the argmax
+    keep — the approximation geometry (cells, not all pairs) is
+    graded, not just the plumbing. 100 TB shape: candidate pairs come
+    from a cell equi-join (O(n^2/k), the paper's cluster-count
+    economics), components from diameter-bounded label propagation,
+    selection from ONE (id, sim, component) shuffle — vectors never
+    leave their partition after assignment."""
+    from transporter_spark.operators.similarity import semdedup_prune
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return semdedup_prune(emb, centroids, threshold=0.3, round_dp=8).orderBy(
+        "vec_id"
+    )
+
+
 def _lang_id_oracle() -> str:
     """Generate the DuckDB lang-id expression from the SAME stopword
     constants the Spark operator uses — one source of truth."""
