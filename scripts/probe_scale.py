@@ -411,6 +411,29 @@ def probe_spans(spark):
     return times[1], times[MULT]
 
 
+def probe_spans_w50(spark):
+    """W-degeneracy probe (not a replication probe): the SAME corpus
+    windowed at W=10 vs the Lee-et-al production W=50 — the W-1-leads
+    plan adds 40 more lead() columns over the SAME doc-keyed token
+    window, so wall must stay ~flat in W (each token row concatenates
+    a longer window before hashing; the exchanges carry the same
+    rows). A superlinear ratio here would mean the formulation
+    degenerates at the paper's operating point."""
+    from transporter_spark.operators.dedup import release_cached
+    from transporter_spark.operators.text import prune_repeated_spans
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    times = {}
+    for w in (10, 50):
+        def run():
+            out = prune_repeated_spans(docs, window_tokens=w, min_df=2)
+            out.count()
+            release_cached(out)
+
+        times[w] = _best(run)
+    return times[10], times[50], "W10", "W50"
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -424,6 +447,7 @@ PROBES = {
     "sketches": probe_sketches,
     "bloom": probe_bloom,
     "spans": probe_spans,
+    "spans_w50": probe_spans_w50,
 }
 
 
@@ -434,8 +458,10 @@ def main():
     for name, probe in PROBES.items():
         if only and name not in only:
             continue
-        t1, tn = probe(spark)
-        print(f"{name}: 1x={t1:.2f}s {MULT}x={tn:.2f}s ratio={tn / t1:.2f}")
+        out = probe(spark)
+        t1, tn = out[0], out[1]
+        l1, ln = (out[2], out[3]) if len(out) > 2 else ("1x", f"{MULT}x")
+        print(f"{name}: {l1}={t1:.2f}s {ln}={tn:.2f}s ratio={tn / t1:.2f}")
     spark.stop()
 
 

@@ -3477,26 +3477,29 @@ def q_repeated_chunk_prune(spark, sf_dir):
     )
 
 
-@q(
-    "repeated_span_prune",
-    headline=True,  # tracked from round 6 (new-capability baseline)
-    oracle="""
+def _span_prune_oracle(w: int, min_df: int) -> str:
+    """Parameterized span-prune oracle. At (10, 2) this reproduces the
+    round-6 repeated_span_prune literal BYTE-FOR-BYTE (pinned in
+    tests/test_oracle.py — the refactor-an-oracle discipline), so the
+    standing green row stays valid; (50, 2) is the Lee et al.
+    production operating point (their 50-token minimum match)."""
+    return f"""
 WITH spanw AS (
   SELECT doc_id, pos - 1 AS pos, ls[pos] AS tok,
-         CASE WHEN pos + 9 <= array_length(ls)
-              THEN array_to_string(ls[pos : pos + 9], ' ') END AS wstr
+         CASE WHEN pos + {w - 1} <= array_length(ls)
+              THEN array_to_string(ls[pos : pos + {w - 1}], ' ') END AS wstr
   FROM (SELECT doc_id, string_split(text, ' ') AS ls FROM documents) d,
        UNNEST(generate_series(1, array_length(ls))) AS t(pos)
 ),
 rep AS (
   SELECT wstr FROM spanw WHERE wstr IS NOT NULL
-  GROUP BY wstr HAVING COUNT(DISTINCT doc_id) >= 2
+  GROUP BY wstr HAVING COUNT(DISTINCT doc_id) >= {min_df}
 ),
 cov AS (
   SELECT sp.doc_id, sp.pos, sp.tok,
          MAX(CASE WHEN rep.wstr IS NOT NULL THEN 1 ELSE 0 END) OVER
            (PARTITION BY sp.doc_id ORDER BY sp.pos
-            ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS c
+            ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS c
   FROM spanw sp LEFT JOIN rep ON sp.wstr = rep.wstr
 ),
 rebuilt AS (
@@ -3505,7 +3508,13 @@ rebuilt AS (
 )
 SELECT d.doc_id, COALESCE(r.kept_text, '') AS kept_text
 FROM documents d LEFT JOIN rebuilt r USING (doc_id)
-""",
+"""
+
+
+@q(
+    "repeated_span_prune",
+    headline=True,  # tracked from round 6 (new-capability baseline)
+    oracle=_span_prune_oracle(10, 2),
 )
 def q_repeated_span_prune(spark, sf_dir):
     """UNALIGNED exact-substring dedup (operators/text.py
@@ -3522,6 +3531,24 @@ def q_repeated_span_prune(spark, sf_dir):
 
     docs = read_table(spark, sf_dir, "documents")
     return prune_repeated_spans(docs, window_tokens=10, min_df=2)
+
+
+@q("repeated_span_prune_w50", oracle=_span_prune_oracle(50, 2))
+def q_repeated_span_prune_w50(spark, sf_dir):
+    """The span family at the Lee et al. PRODUCTION operating point:
+    W=50 (the paper's 50-token minimum match length — W=10 above is
+    the richer graded default). Same per-offset plan, now with 49
+    lead() columns over the one doc-keyed token window — graded here
+    to pin that the W-1-leads formulation doesn't degenerate at the
+    paper's W (the window shuffle carries the SAME token rows, each
+    row just concatenates a longer window before hashing; measured in
+    scripts/probe_scale.py). The testdata genuinely contains repeated
+    50-token passages, so the excision path is exercised, not
+    vacuous."""
+    from transporter_spark.operators.text import prune_repeated_spans
+
+    docs = read_table(spark, sf_dir, "documents")
+    return prune_repeated_spans(docs, window_tokens=50, min_df=2)
 
 
 @q(
