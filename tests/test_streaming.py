@@ -839,3 +839,77 @@ def test_kmeans_sink_delta_merge_touches_only_batch_cells(spark, tmp_path):
     live = set(SegmentStore(state).keyed_mapping("partials").values())
     assert len(live) == 1
     assert not compact_kmeans_state(spark, state)  # already compact
+
+
+def test_semdedup_sink_first_wins_redelivery_idempotent_append_only(
+    spark, tmp_path
+):
+    """The continuous SemDeDup loop on a hand-built space: epoch 1's
+    canonical survives; an epoch-2 near-dup of it is REJECTED even
+    with a lower centroid similarity (first-wins, the cross-epoch
+    contract); a genuinely novel epoch-2 vector is kept; RE-DELIVERING
+    a kept vector under a new epoch is a no-op (it near-dups itself at
+    cosine 1.0 — the at-least-once-safe property the SUM sinks lack);
+    same-epoch replay is a manifest no-op; commits are append-only;
+    and a threshold-mismatched epoch raises."""
+    import os
+
+    import pytest
+
+    from transporter_spark.streaming.vectors import (
+        read_semdedup_kept,
+        semdedup_merge_batch,
+    )
+
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    state = str(tmp_path / "semdd")
+
+    def files():
+        out = {}
+        root = os.path.join(state, "segments")
+        for dp, _d, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(dp, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    e1 = spark.createDataFrame(
+        [(10, [0.9, 0.10]), (11, [0.9, 0.08])],
+        "vec_id long, embedding array<double>",
+    )
+    assert semdedup_merge_batch(e1, 0, state, cen, threshold=0.99)
+    kept1 = {r.vec_id for r in read_semdedup_kept(spark, state).collect()}
+    assert kept1 == {10}  # 10/11 collapse; 10 has the lower centroid sim
+
+    before = files()
+    # epoch 2: 20 near-dups the KEPT 10 (rejected, first-wins);
+    # 21 is novel in the other cell (kept)
+    e2 = spark.createDataFrame(
+        [(20, [0.9, 0.11]), (21, [0.1, 0.95])],
+        "vec_id long, embedding array<double>",
+    )
+    assert semdedup_merge_batch(e2, 1, state, cen, threshold=0.99)
+    after = files()
+    assert {k: after[k] for k in before} == before  # append-only
+    kept2 = {r.vec_id for r in read_semdedup_kept(spark, state).collect()}
+    assert kept2 == {10, 21}
+
+    # same-epoch replay: manifest no-op
+    assert not semdedup_merge_batch(e2, 1, state, cen, threshold=0.99)
+    # cross-epoch re-delivery of a KEPT vector: rejected by itself
+    redeliver = spark.createDataFrame(
+        [(10, [0.9, 0.10])], "vec_id long, embedding array<double>"
+    )
+    assert semdedup_merge_batch(redeliver, 2, state, cen, threshold=0.99)
+    kept3 = sorted(
+        (r.vec_id, r.cell)
+        for r in read_semdedup_kept(spark, state).collect()
+    )
+    assert kept3 == [(10, 0), (21, 1)]
+
+    with pytest.raises(ValueError, match="sem_threshold"):
+        semdedup_merge_batch(e1, 3, state, cen, threshold=0.5)

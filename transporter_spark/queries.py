@@ -1568,6 +1568,66 @@ def q_incremental_dedup_exact(spark, sf_dir):
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def _inc_exact_bloom_oracle() -> str:
+    from transporter_spark.operators.sketches import bloom_oracle_ctes
+
+    return (
+        """
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+new_batch AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+  WHERE doc_id % 5 <> 0 AND doc_id % 7 = 0),
+cfp AS MATERIALIZED (SELECT DISTINCT md5(text) AS fp FROM corpus),
+firstb AS MATERIALIZED (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id, md5(text) AS fp,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM new_batch) WHERE rn = 1),"""
+        + bloom_oracle_ctes("fp", "cfp", "fp", "doc_id", "firstb")
+        + """
+SELECT f.doc_id FROM firstb f JOIN bmem m ON m.pid = f.doc_id
+WHERE NOT m.member OR f.fp NOT IN (SELECT fp FROM cfp)
+ORDER BY f.doc_id
+"""
+    )
+
+
+@q("incremental_dedup_exact_bloom", oracle=_inc_exact_bloom_oracle())
+def q_incremental_dedup_exact_bloom(spark, sf_dir):
+    """The incremental exact-dedup PROBE-THEN-VERIFY scale path
+    (operators/dedup.incremental_dedup_exact(bloom_words=...)): batch
+    fingerprints probe the ~8 KiB Bloom word table maintained over the
+    index INLINE first — definite-new rows (no false negatives) skip
+    the fp anti-join entirely; only probe hits ship to it, so the
+    anti-join exchange carries the dup sliver instead of the whole
+    batch. Output equals the plain anti-join (pinned FP-heavy in
+    tests); the ORACLE replays the probe on the fp strings and routes
+    non-members around the verify — the split itself is graded, not
+    just the final ids. Same corpus/batch split as
+    incremental_dedup_exact, so the two graded rows are directly
+    comparable."""
+    from transporter_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_dedup_exact,
+    )
+    from transporter_spark.operators.sketches import bloom_words
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    reingested = corpus.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    new = docs.filter(F.col("doc_id") % 5 == 0).unionByName(reingested)
+    idx = fingerprint_index(corpus, ["text"])
+    words = bloom_words(idx, "fp").persist()
+    kept = incremental_dedup_exact(new, idx, ["text"], bloom_words=words)
+    out = kept.select("doc_id").orderBy("doc_id")
+    out._ts_cached = [words]
+    return out
+
+
 @q(
     "dedup_clusters_portable",
     oracle=None,  # composed below: portable LSH pairs + recursive closure
@@ -1937,7 +1997,7 @@ QUERIES["stream_ann_index"] = QUERIES["stream_ann_index"]._replace(
 )
 
 
-_SEMDEDUP_ORACLE = """
+_SEMDEDUP_CTES = """
 WITH RECURSIVE
 v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 cen AS (SELECT vec_id AS cell, e AS cv FROM v WHERE vec_id < 8),
@@ -1974,9 +2034,18 @@ lab AS (
          row_number() OVER (PARTITION BY c.component
              ORDER BY i.centroid_sim ASC, i.vec_id ASC) AS rn
   FROM indexed i JOIN comp c USING (vec_id))
-SELECT vec_id, CAST(cell AS BIGINT) AS cell, centroid_sim,
+"""
+
+_SEMDEDUP_ORACLE = _SEMDEDUP_CTES + """SELECT vec_id, CAST(cell AS BIGINT) AS cell, centroid_sim,
        CAST(component AS BIGINT) AS component, rn = 1 AS is_canonical
 FROM lab ORDER BY vec_id
+"""
+
+# the continuous sink's single-epoch drain == the batch operator's
+# canonical set BY CONSTRUCTION (the sink runs semdedup_prune on the
+# epoch), so the stream oracle is the same closure filtered to rn = 1
+_STREAM_SEMDEDUP_ORACLE = _SEMDEDUP_CTES + """SELECT vec_id, CAST(cell AS BIGINT) AS cell, centroid_sim
+FROM lab WHERE rn = 1 ORDER BY vec_id
 """
 
 
@@ -2006,6 +2075,38 @@ def q_semdedup_prune(spark, sf_dir):
     return semdedup_prune(emb, centroids, threshold=0.3, round_dp=8).orderBy(
         "vec_id"
     )
+
+
+@q("stream_semdedup", oracle=_STREAM_SEMDEDUP_ORACLE)
+def q_stream_semdedup(spark, sf_dir):
+    """CONTINUOUS semantic dedup (streaming/vectors.py semdedup sink):
+    the embedding stream drains through a foreachBatch loop that
+    rejects each batch's vectors near-dupping the STANDING kept set
+    (cell equi-join, first-wins — the ingest sink's cross-epoch
+    contract), runs the batch SemDeDup operator on the survivors, and
+    APPENDS its canonicals in one atomic commit (IO ∝ kept). A
+    single-epoch drain equals the batch operator's canonical set by
+    construction, so this query shares the semdedup closure oracle
+    filtered to the kept rows. Cross-epoch re-delivery of a kept
+    vector is NATURALLY idempotent — it near-dups itself at cosine
+    1.0 (the Bloom/HLL-class at-least-once property, pinned
+    multi-epoch in tests/test_streaming.py; contrast the SUM sinks)."""
+    from transporter_spark.streaming.vectors import (
+        drain_embeddings_semdedup,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    kept = drain_embeddings_semdedup(
+        spark, sf_dir, centroids, threshold=0.3, round_dp=8,
+        assert_single_epoch=True,
+    )
+    return kept.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "centroid_sim"
+    ).orderBy("vec_id")
 
 
 def _lang_id_oracle() -> str:

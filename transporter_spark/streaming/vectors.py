@@ -150,3 +150,194 @@ def drain_embeddings_index(
     emb = stream_table(spark, sf_dir, "embeddings")
     ann_ingest_sink(emb, state, centroids, **kw)
     return read_ann_index(spark, state)
+
+
+# ---------------------------------------------------------------------------
+# Continuous SemDeDup: semantic near-dedup of an embedding stream
+# against the standing kept set — the vector twin of the continuous
+# MinHash ingest loop (streaming/ingest.py) and the span prune loop
+# (streaming/spans.py).
+# ---------------------------------------------------------------------------
+
+_SEM_TABLE = "kept"
+
+
+def semdedup_merge_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: Optional[int] = 8,
+    max_iter: int = 20,
+) -> bool:
+    """One epoch of continuous semantic dedup: REJECT batch vectors
+    whose cosine to any standing KEPT vector in the same cell reaches
+    ``threshold`` (first-wins — the earlier epoch's canonical survives,
+    exactly the ingest sink's cross-epoch contract), then run the
+    batch operator (`operators.similarity.semdedup_prune`) on the
+    survivors and APPEND its canonicals — so a single-epoch drain
+    equals the batch operator's canonical set by construction (the
+    graded oracle equivalence) and the epoch-internal keep policy is
+    the paper's lowest-centroid-sim argmax, not arrival luck.
+
+    Cost per epoch: one broadcast-centroid assignment over |batch|,
+    one CELL equi-join against the standing kept set (partition the
+    state by cell at scale: probes read matching cells only, never
+    the whole kept corpus), the batch-sized intra-cell component loop,
+    and ONE appended segment (IO ∝ kept). Cross-epoch RE-DELIVERY of a
+    kept vector is naturally idempotent — it near-dups ITSELF at
+    cosine 1.0 >= threshold and is rejected (the Bloom/HLL-class
+    at-least-once property, pinned in tests; contrast the SUM sinks).
+    Known edge: an all-zero vector has NULL cosine and never matches —
+    zero-norm re-deliveries accumulate; filter upstream.
+
+    Order-dependence contract (stated, like the span loop's
+    first-text-wins): a batch vector rejected by the standing set does
+    NOT participate in the batch's own clustering, so a chain
+    A(standing)~B(batch)~C(batch, far from A) keeps C even though a
+    single-batch run might have collapsed B and C. threshold/round_dp
+    live in manifest meta — a mismatched epoch raises."""
+    from transporter_spark.operators.dedup import cosine_expr
+    from transporter_spark.operators.similarity import (
+        ivf_index,
+        semdedup_prune,
+    )
+
+    store = SegmentStore(state_dir)
+    if store.epoch_already_applied(epoch_id):
+        return False
+    if batch.isEmpty():
+        return False
+    meta = store.meta()
+    for name, val in (
+        ("sem_threshold", threshold),
+        ("sem_round_dp", round_dp),
+    ):
+        if meta.get(name) not in (None, val):
+            raise ValueError(
+                f"semdedup state at {state_dir!r} has {name}={meta[name]}; "
+                f"refusing an epoch at {val} — dedup semantics would "
+                "silently change mid-stream"
+            )
+    spark = batch.sparkSession
+    sem_meta = {"sem_threshold": threshold, "sem_round_dp": round_dp}
+    standing = store.read(spark, _SEM_TABLE)
+    work = batch
+    if standing is not None:
+        assigned = ivf_index(batch, centroids, id_col, vec_col, round_dp)
+        s = standing.select("cell", F.col("vec").alias("_svec"))
+        pcos = cosine_expr("vec", "_svec")
+        if round_dp is not None:
+            pcos = F.round(pcos, round_dp)
+        dup_ids = (
+            assigned.join(s, "cell")
+            .where(pcos >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        work = batch.join(dup_ids, id_col, "left_anti")
+    pruned = semdedup_prune(
+        work, centroids, threshold, id_col, vec_col, round_dp, max_iter
+    )
+    kept = (
+        work.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .join(
+            pruned.where(F.col("is_canonical")).select(
+                id_col, "cell", "centroid_sim"
+            ),
+            id_col,
+        )
+        .select(id_col, "vec", "cell", "centroid_sim")
+    )
+    seg = store.fresh_name(f"{_SEM_TABLE}-e{epoch_id}")
+    kept.write.mode("overwrite").parquet(store.seg_path(seg))
+    store.commit(
+        epoch_id,
+        tables={_SEM_TABLE: store.table_segments(_SEM_TABLE) + [seg]},
+        meta=sem_meta,
+    )
+    return True
+
+
+def semdedup_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    centroids: DataFrame,
+    threshold: float,
+    checkpoint_dir: Optional[str] = None,
+    compact_every: Optional[int] = None,
+    **kw,
+) -> None:
+    """Drain an embedding stream through the continuous semantic-dedup
+    loop (availableNow)."""
+    from transporter_spark.streaming.windows import (
+        run_foreach_batch_available_now,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        applied = semdedup_merge_batch(
+            batch, epoch_id, state_dir, centroids, threshold, **kw
+        )
+        if (
+            applied
+            and compact_every
+            and len(SegmentStore(state_dir).table_segments(_SEM_TABLE))
+            >= compact_every
+        ):
+            store = SegmentStore(state_dir)
+            name = store.compact_table(batch.sparkSession, _SEM_TABLE)
+            if name is not None:
+                store.commit(store.last_epoch(), tables={_SEM_TABLE: [name]})
+
+    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def read_semdedup_kept(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The accumulated kept set: (id, vec, cell, centroid_sim) — every
+    vector that survived semantic dedup against everything that
+    arrived before or with it."""
+    df = SegmentStore(state_dir).read(spark, _SEM_TABLE)
+    if df is None:
+        raise FileNotFoundError(
+            f"no committed semdedup state at {state_dir!r}: the sink has "
+            "not applied any non-empty epoch yet"
+        )
+    return df
+
+
+def drain_embeddings_semdedup(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: DataFrame,
+    threshold: float,
+    state_dir: Optional[str] = None,
+    assert_single_epoch: bool = False,
+    **kw,
+) -> DataFrame:
+    """Convenience: stream the embeddings table through the semantic
+    dedup loop and return the kept set (used by the graded query).
+
+    assert_single_epoch: the graded oracle replays the ONE-epoch
+    equivalence (drain == batch semdedup_prune canonicals); first-wins
+    order dependence means a multi-epoch source would diverge from the
+    order-free oracle — raise loudly instead of hash-mismatching (the
+    stream_ingest_dedup / span-loop policy)."""
+    from transporter_spark.streaming.sources import stream_table
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_semdd_") + "/state"
+    emb = stream_table(spark, sf_dir, "embeddings")
+    semdedup_sink(emb, state, centroids, threshold, **kw)
+    if assert_single_epoch and (SegmentStore(state).last_epoch() or 0) != 0:
+        raise RuntimeError(
+            "drain applied multiple epochs (last="
+            f"{SegmentStore(state).last_epoch()}); the single-epoch "
+            "oracle equivalence no longer holds — the embeddings table "
+            "is no longer a single-file availableNow batch"
+        )
+    return read_semdedup_kept(spark, state)
