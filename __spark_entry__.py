@@ -24,75 +24,54 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 6: 11 new + 4 changed (the keyed-sink
-# seg-key encoding fix touched stream_hll_distinct/stream_dd_quantiles;
-# the ingest pre_filter-callable + partition-scoping change touched
-# stream_ingest_dedup/stream_curation) + 35 stalest greens = 50. The
-# stale cohort VERDICT r5 named has 50 members (3 r2 + 47 r3); the 35
-# slots take the r2 trio first, then 32 of the r3 greens — the
-# FIFTEEN spilled to round 7 (listed past the window below) are the
-# simplest unchanged scalar/window/set ops plus five one-projection /
-# row-local text ops: map_funcs, regexp_funcs, except_all,
-# unpivot_long, running_total, range_frame_window, pretty_passthrough,
-# value_histogram, deterministic_shuffle, domain_cap, bpe_token_stats,
-# profile_columns, rarity_score, chunk_documents, pack_sequences.
-# Everything outside the 50 is green on unchanged code (r3-r5 rows).
+# to the STALEST greens. Round 7: 6 new + 24 changed + 15 spilled-r3
+# (the cohort VERDICT r6 item 1 mandates) + 5 stalest-r4 = 50.
+# "Changed" is read strictly: besides the 5 directly-edited queries
+# (bm25_select formula+oracle; decontaminate restructured around the
+# bloom path; incremental_dedup_exact gained the bloom split;
+# bloom_member/stream_bloom gained join_strategy), round 7 replaced
+# every drain/loop's conf set/restore with the shared
+# session.scoped_shuffle_partitions manager and added the span-state
+# family check — behavior-identical by design, but every stream_*
+# query and the connected-components family executes through it, so
+# all of them re-grade. Everything outside the 50 is green on
+# unchanged code: the r4 remainder (listed past the window, next-up
+# for r8) and the r5/r6 cohorts (yielded by the registry fallback).
 _PRIORITY = [
-    # --- NEW round 6: must take a slot ---
-    "repeated_span_prune",      # unaligned exact-substring dedup (Lee et al.)
-    "span_df_histogram",        # the span family's standing df index
-    "incremental_span_prune",   # batch prune vs the standing index (exact)
-    "stream_span_index",        # continuous index sink (append + SUM-merge)
-    "stream_span_prune",        # the full continuous loop (first text wins)
-    "dedup_keep_longest",       # argmax-by-quality canonical selection
-    "bloom_member",             # Bloom membership sketch, engine-exact
-    "stream_bloom",             # continuous blocklist (idempotent OR-merge)
-    "classifier_quality_gate",  # hashed linear (fasttext-shaped) gate
-    "bm25_select",              # integer-exact Okapi BM25 top-k retrieval
-    "stream_curation_full",     # gopher+LM+dd gate stack in the ingest sink
-    # --- changed round 6 ---
-    "stream_hll_distinct",      # seg-key netstring encoding (v2 format)
-    "stream_dd_quantiles",      # seg-key netstring encoding (v2 format)
-    "stream_ingest_dedup",      # pre_filter callable + partition scoping
-    "stream_curation",          # same ingest path
-    # --- stalest greens: last graded r2, unchanged code ---
-    "array_funcs",
-    "frame_sample",
-    "repetition_stats",
-    # --- stalest greens: last graded r3, unchanged code ---
-    "ann_ivf_topk",
-    "decontaminate",
-    "dedup_clusters",
-    "dedup_clusters_exact",
-    "gapfill_hourly",
-    "incremental_dedup_exact",
-    "js_transform",
-    "length_quantile_gate",
-    "media_resize",
-    "minhash_lsh_pairs",
-    "pii_redact",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    "q1_pricing_summary",
-    "q20_promotion_suppliers",
-    "q22_idle_customers",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q9_product_profit",
-    "rollup_lattice_daily",
-    "scd2_history",
-    "sessionize_events",
+    # --- NEW round 7: must take a slot ---
+    "decontaminate_bloom",      # Bloom probe-then-verify decontamination
+    "incremental_dedup_exact_bloom",  # fp-sketch prefilter, oracle'd split
+    "bm25_select_log2",         # Okapi-faithful integer log2 idf
+    "semdedup_prune",           # embedding-cluster near-dedup (SemDeDup)
+    "stream_semdedup",          # continuous semantic dedup loop
+    "repeated_span_prune_w50",  # span family at the Lee-et-al W=50 point
+    # --- changed round 7: direct edits ---
+    "bm25_select",              # avgdl-factored scoring, degrade ladder
+    "decontaminate",            # shared-gram restructure (exact path)
+    "incremental_dedup_exact",  # bloom_words split added
+    "bloom_member",             # bloom_contains join_strategy param
+    "stream_bloom",             # same probe path
+    # --- changed round 7: scoped-conf manager + span family check ---
+    "stream_ingest_dedup",
+    "stream_curation",
+    "stream_curation_full",
+    "stream_hll_distinct",
+    "stream_dd_quantiles",
+    "stream_span_index",
+    "stream_span_prune",
     "stream_dedup",
     "stream_stateful_count",
     "stream_stream_join",
     "stream_windowed_agg",
-    "training_pipeline",
-    "variant_json",
-    # --- past the graded window from here down (spilled to r7) ---
+    "stream_static_join",
+    "stream_kmeans_update",
+    "stream_ann_index",
+    "stream_cdc_apply",
+    "dedup_clusters",
+    "dedup_clusters_exact",
+    "dedup_clusters_portable",
+    "dedup_keep_longest",
+    # --- the 15 r3 greens VERDICT r6 mandates (spilled from r6) ---
     "map_funcs",
     "regexp_funcs",
     "except_all",
@@ -108,6 +87,54 @@ _PRIORITY = [
     "rarity_score",
     "chunk_documents",
     "pack_sequences",
+    # --- stalest greens: last graded r4, unchanged code ---
+    "ann_cosine_topk",
+    "cdc_lww_dedup",
+    "conditional_agg",
+    "date_funcs",
+    "dedup_exact",
+    # --- past the graded window from here down: the r4 remainder,
+    # --- next-up for round 8 (r5/r6 cohorts follow via the registry)
+    "distinct_agg",
+    "embedding_dup_pairs",
+    "envelope",
+    "full_outer_join",
+    "grouping_sets",
+    "incremental_simhash",
+    "join_region_rollup",
+    "minhash_lsh_portable",
+    "multimodal_meta",
+    "ngram_jaccard_pairs",
+    "ns_filter",
+    "omit",
+    "opfilter",
+    "pick",
+    "py_transform",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "remap",
+    "rename",
+    "repeated_chunk_prune",
+    "salted_agg",
+    "scalar_funcs",
+    "session_window",
+    "set_ops",
+    "simhash_pairs",
+    "skip_eq",
+    "skip_gt",
+    "skip_numeric_string",
+    "skip_regex",
+    "sort_limit",
+    "stats_agg",
+    "text_stats",
+    "window_topn",
+    "windowed_agg",
+    "word_count",
 ]
 
 
