@@ -549,3 +549,53 @@ def test_bm25_log2_ranks_term_rich_docs_first(spark):
     )
     got = bm25_select(common, cq, k=4, idf="log2").collect()
     assert got and all(r.bm25_score == 0 for r in got)
+
+
+def test_bm25_log2_shift_ladder_guards_the_ratio_intermediate():
+    """The review-r7 wrap hazard: the SQL-side ratio intermediate
+    (2*(N-df)+1)*2^shift peaks at df=1 and wraps int64 past N ~ 2^42;
+    greatest(...,1) would mask the wrap as idf=0 for the rarest
+    terms. The shift ladder degrades stepwise and only raises when
+    even shift 0 overflows."""
+    import pytest
+
+    from transporter_spark.operators.selection import bm25_log2_shift
+
+    assert bm25_log2_shift(500) == 20
+    assert bm25_log2_shift((1 << 41)) == 20  # 2^42-ish peak * 2^20 < 2^63
+    s = bm25_log2_shift(1 << 50)  # peak ~2^51: shift must drop to ~11
+    assert 0 < s < 20 and (2 * ((1 << 50) - 1) + 1) * (1 << s) < 1 << 63
+    assert bm25_log2_shift((1 << 61)) <= 1  # (2^62-1)*2 just fits
+    with pytest.raises(ValueError, match="ratio shift 0"):
+        bm25_log2_shift(1 << 63)  # peak 2^64-1 overflows even unshifted
+
+
+def test_bloom_probe_mark_or_merges_duplicate_word_rows(spark):
+    """A word table appended per-epoch WITHOUT bloom_merge carries
+    duplicate word_idx rows; each probe join would fan matching rows
+    out k ways (silent row multiplication). bloom_probe_mark
+    defensively OR-merges first — identical verdicts AND identical
+    row count vs the cleanly merged table."""
+    from transporter_spark.operators.sketches import (
+        bloom_merge,
+        bloom_probe_mark,
+        bloom_words,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"member {i}") for i in range(40)], "doc_id long, text string"
+    )
+    a = bloom_words(docs.filter("doc_id < 20"), "text")
+    b = bloom_words(docs.filter("doc_id >= 20"), "text")
+    dup_table = a.unionByName(b)          # duplicate word_idx rows
+    clean = bloom_merge(a, b)
+    probes = docs.unionByName(
+        spark.createDataFrame([(99, "absent text")], "doc_id long, text string")
+    )
+    got = bloom_probe_mark(probes, "text", dup_table).collect()
+    want = bloom_probe_mark(probes, "text", clean).collect()
+    assert len(got) == probes.count() == len(want)
+    assert sorted((r.doc_id, r.member) for r in got) == sorted(
+        (r.doc_id, r.member) for r in want
+    )
+    assert all(r.member for r in got if r.doc_id < 40)

@@ -455,12 +455,37 @@ def bm25_pick_idf_scale(n_docs: int, dl_max: int, avgdl: int) -> int:
     )
 
 
+def bm25_log2_shift(n_docs: int) -> int:
+    """Largest ratio shift (2^20 down to 2^0) whose SQL-side
+    intermediate (2*(N-df)+1) * 2^shift — peaking at df=1 — still fits
+    int64. Enforced SEPARATELY from the score-numerator cap (review
+    r7): Spark's non-ANSI multiply would WRAP the intermediate
+    negative past N ~ 2^42, and the formula's greatest(..., 1) would
+    then mask the wrap as idf=0 for exactly the rarest
+    (highest-signal) terms — silent garbage rankings while the DuckDB
+    oracle (checked arithmetic) errors. Degrading the shift instead
+    keeps the millibit resolution for large ratios (the chord
+    interpolation only coarsens near ratio ~ 1, the ~zero-idf terms).
+    Pure function of n_docs so the ladder is unit-testable."""
+    ratio_peak = 2 * (n_docs - 1) + 1 if n_docs else 1
+    shift = BM25_LOG2_RATIO_BITS
+    while shift > 0 and ratio_peak * (1 << shift) >= 1 << 63:
+        shift -= 1
+    if ratio_peak * (1 << shift) >= 1 << 63:
+        raise ValueError(
+            f"bm25_select(log2) int64 headroom exceeded even at ratio "
+            f"shift 0: n_docs={n_docs} — shard the corpus stats"
+        )
+    return shift
+
+
 def bm25_idf_sql(
     n_docs,
     scale: int,
     idf: str,
     dialect: str = "spark",
     df_expr: str = "df",
+    log2_shift: int = BM25_LOG2_RATIO_BITS,
 ) -> str:
     """The idf expression BOTH engines evaluate — ONE definition (this
     function builds the Spark and the DuckDB oracle text from the same
@@ -506,7 +531,7 @@ def bm25_idf_sql(
             f"{div} (2 * {df_expr} + 1)"
         )
     if idf == "log2":
-        shift = BM25_LOG2_RATIO_BITS
+        shift = log2_shift
         milli = BM25_LOG2_MILLI
         r = (
             f"greatest(((2 * ({n_docs} - {df_expr}) + 1) * {1 << shift}) "
@@ -604,13 +629,14 @@ def bm25_select(
     ).collect()[0]
     n_docs, total, dl_max = st.n_docs, st.total or 0, st.dl_max or 0
     avgdl = max(total // n_docs, 1) if n_docs else 1
+    log2_shift = BM25_LOG2_RATIO_BITS
     if idf == "ratio":
         scale = bm25_pick_idf_scale(n_docs, dl_max, avgdl)
     else:
-        # log2 idf is capped at ~ (43 + 1) * 1000 - 0 millibits by the
-        # int64 ratio itself; bound the numerator with that cap
-        scale = 1 << BM25_LOG2_RATIO_BITS
-        r_max = ((2 * (n_docs - 1) + 1) * scale) // 3 if n_docs else 1
+        log2_shift = bm25_log2_shift(n_docs)
+        scale = 1 << log2_shift
+        ratio_peak = 2 * (n_docs - 1) + 1 if n_docs else 1
+        r_max = (ratio_peak * scale) // 3
         idf_cap = (max(r_max, 1).bit_length()) * BM25_LOG2_MILLI
         if idf_cap * 22 * dl_max * avgdl >= 1 << 63:
             raise ValueError(
@@ -619,7 +645,11 @@ def bm25_select(
                 f"avgdl({avgdl}) — shard the corpus stats"
             )
     idf_expr = bm25_idf_sql(
-        n_docs, scale if idf == "ratio" else 0, idf, dialect="spark"
+        n_docs,
+        scale if idf == "ratio" else 0,
+        idf,
+        dialect="spark",
+        log2_shift=log2_shift,
     )
     scored = (
         occ.withColumn("idf_s", F.expr(idf_expr).cast("long"))

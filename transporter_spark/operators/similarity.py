@@ -321,8 +321,35 @@ def semdedup_prune(
     one (id, component, sim) shuffle — vectors never re-shuffle after
     assignment. ``round_dp`` rounds both the assignment and the pair
     cosines so verdicts are partitioning- and engine-invariant."""
-    from transporter_spark.operators.dedup import connected_components
+    from transporter_spark.operators.dedup import _attach_cached
 
+    # persisted: the assignment (corpus x centroids cross + per-id
+    # window) feeds the self-join's two branches AND the final label
+    # join — Spark plans no CSE across join branches (the same reason
+    # decontaminate persists its word table), so without this the
+    # corpus assignment runs ~3x per call
+    with_sim = _semdedup_assign(
+        corpus, centroids, id_col, vec_col, round_dp
+    ).persist()
+    out = _semdedup_label(
+        with_sim, threshold, id_col, round_dp, max_iter,
+        reliable_checkpoint,
+    )
+    return _attach_cached(out, with_sim)
+
+
+def _semdedup_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    round_dp: Optional[int],
+) -> DataFrame:
+    """(id, vec, cell, centroid_sim): every vector with its assigned
+    cell and (rounded) cosine to that cell's centroid — the frame the
+    batch operator and the continuous sink both start from (computed
+    ONCE per epoch there; the sink's standing-set rejection reuses
+    it)."""
     assigned = ivf_index(corpus, centroids, id_col, vec_col, round_dp)
     cen = centroids.select(
         F.col("centroid_id").alias("cell"),
@@ -331,9 +358,24 @@ def semdedup_prune(
     sim = cosine_expr("vec", "cen_vec")
     if round_dp is not None:
         sim = F.round(sim, round_dp)
-    with_sim = assigned.join(F.broadcast(cen), "cell").select(
+    return assigned.join(F.broadcast(cen), "cell").select(
         id_col, "vec", "cell", sim.alias("centroid_sim")
     )
+
+
+def _semdedup_label(
+    with_sim: DataFrame,
+    threshold: float,
+    id_col: str,
+    round_dp: Optional[int],
+    max_iter: int,
+    reliable_checkpoint: bool,
+) -> DataFrame:
+    """Component labels + canonical argmax over an assigned frame
+    (see `semdedup_prune` for semantics). Callers persist ``with_sim``
+    — it is referenced by three join branches."""
+    from transporter_spark.operators.dedup import connected_components
+
     a, b = with_sim.alias("a"), with_sim.alias("b")
     pcos = cosine_expr("a.vec", "b.vec")
     if round_dp is not None:
@@ -354,7 +396,7 @@ def semdedup_prune(
     )
     comp = connected_components(
         edges,
-        corpus.select(F.col(id_col).alias("id")),
+        with_sim.select(F.col(id_col).alias("id")),
         max_iter=max_iter,
         reliable_checkpoint=reliable_checkpoint,
     )

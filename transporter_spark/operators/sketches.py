@@ -497,21 +497,26 @@ DEFAULT_K = 4
 _BLOOM_WORD = 32  # bits per stored word; see module comment above
 
 
-def _bloom_positions(col: Column, k: int, m_bits: int) -> Column:
-    """Array of the k salted bit positions for an item — md5-prefix
-    hash of 'i:item' mod m (the CMS `_cms_cell` salt recipe). DuckDB
-    twin: CAST(('0x' || substr(md5(i || ':' || x), 1, 15))::UBIGINT AS
-    BIGINT) % m_bits."""
-    return F.array(
-        *[
-            stable_hash(
-                F.concat_ws(":", F.lit(i).cast("string"), col.cast("string")),
-                nibbles=15,
-            )
-            % m_bits
-            for i in range(k)
-        ]
+def _bloom_position(col: Column, i: int, m_bits: int) -> Column:
+    """THE salted bit position for probe ``i`` of an item — md5-prefix
+    hash of 'i:item' mod m (the CMS `_cms_cell` salt recipe). The ONE
+    definition both the build (`_bloom_positions`) and the inline
+    probe (`bloom_probe_mark`) consume — a drifted spelling between
+    them would turn probe misses into FALSE NEGATIVES with no error
+    anywhere. DuckDB twin: CAST(('0x' || substr(md5(i || ':' || x),
+    1, 15))::UBIGINT AS BIGINT) % m_bits."""
+    return (
+        stable_hash(
+            F.concat_ws(":", F.lit(i).cast("string"), col.cast("string")),
+            nibbles=15,
+        )
+        % m_bits
     )
+
+
+def _bloom_positions(col: Column, k: int, m_bits: int) -> Column:
+    """Array of the k salted bit positions for an item."""
+    return F.array(*[_bloom_position(col, i, m_bits) for i in range(k)])
 
 
 def bloom_words(
@@ -667,22 +672,27 @@ def bloom_probe_mark(
     survivors (the decontaminate / incremental-exact-dedup scale path;
     no false negatives, so recall is untouched — false positives are
     re-checked by the exact join behind it). NULL items mark False
-    (empty-set semantics, same as `bloom_contains`)."""
+    (empty-set semantics, same as `bloom_contains`).
+
+    ``words`` is defensively OR-merged per word_idx before probing:
+    a duplicate-word_idx table (per-epoch sketches appended without
+    `bloom_merge`) would otherwise fan every matching probe row out
+    through each left join — silent row multiplication. The merge is
+    a no-op on a clean table (x | x == x) and sketch-sized either
+    way."""
     if set(words.columns) != {"word_idx", "word"}:
         raise ValueError(
             f"bloom_probe_mark probes a GLOBAL sketch (columns "
             f"word_idx, word); got {sorted(words.columns)} — for a "
             "grouped sketch use bloom_contains with by=[...]"
         )
+    words = words.groupBy("word_idx").agg(
+        F.bit_or("word").cast("long").alias("word")
+    )
     out = df
     hits = []
     for i in range(k):
-        pos = stable_hash(
-            F.concat_ws(
-                ":", F.lit(i).cast("string"), F.col(item_col).cast("string")
-            ),
-            nibbles=15,
-        ) % m_bits
+        pos = _bloom_position(F.col(item_col), i, m_bits)
         w = words.select(
             F.col("word_idx").alias(f"_bpm_widx{i}"),
             F.col("word").alias(f"_bpm_w{i}"),

@@ -5754,9 +5754,12 @@ def q_bm25_select_log2(spark, sf_dir):
     the SAME shared expression builder). Unlike the ratio variant, a
     df=1 term contributes ~log2(N) not ~N, so multi-term rankings
     match Okapi's rare-vs-common balance; the <= ~64-bit millibit cap
-    also makes the int64 headroom bound independent of corpus size —
-    this variant never degrades resolution. Same one-pass broadcast
-    plan as bm25_select."""
+    also makes the score-numerator headroom independent of corpus
+    size. (Past ~2^42 docs the RATIO intermediate itself approaches
+    int64, so the 2^20 ratio shift degrades stepwise — coarsening
+    only near-1 ratios, i.e. the ~zero-idf terms; both bounds are
+    enforced, wrap-masking impossible.) Same one-pass broadcast plan
+    as bm25_select."""
     from transporter_spark.operators.selection import bm25_select
 
     docs = read_table(spark, sf_dir, "documents")

@@ -202,8 +202,8 @@ def semdedup_merge_batch(
     live in manifest meta — a mismatched epoch raises."""
     from transporter_spark.operators.dedup import cosine_expr
     from transporter_spark.operators.similarity import (
-        ivf_index,
-        semdedup_prune,
+        _semdedup_assign,
+        _semdedup_label,
     )
 
     store = SegmentStore(state_dir)
@@ -216,7 +216,11 @@ def semdedup_merge_batch(
         ("sem_threshold", threshold),
         ("sem_round_dp", round_dp),
     ):
-        if meta.get(name) not in (None, val):
+        # strict presence check (review r7): round_dp=None is a LEGAL
+        # stored value (no rounding), so `not in (None, val)` would
+        # conflate it with absent meta and let a later epoch silently
+        # change the rounding — test membership, then exact equality
+        if name in meta and meta[name] != val:
             raise ValueError(
                 f"semdedup state at {state_dir!r} has {name}={meta[name]}; "
                 f"refusing an epoch at {val} — dedup semantics would "
@@ -225,43 +229,43 @@ def semdedup_merge_batch(
     spark = batch.sparkSession
     sem_meta = {"sem_threshold": threshold, "sem_round_dp": round_dp}
     standing = store.read(spark, _SEM_TABLE)
-    work = batch
-    if standing is not None:
-        assigned = ivf_index(batch, centroids, id_col, vec_col, round_dp)
-        s = standing.select("cell", F.col("vec").alias("_svec"))
-        pcos = cosine_expr("vec", "_svec")
-        if round_dp is not None:
-            pcos = F.round(pcos, round_dp)
-        dup_ids = (
-            assigned.join(s, "cell")
-            .where(pcos >= threshold)
-            .select(id_col)
-            .distinct()
+    # ONE assignment pass per epoch (review r7): the standing-set
+    # rejection and the batch-internal clustering share it (persisted
+    # — the label step references it from three join branches)
+    with_sim = _semdedup_assign(
+        batch, centroids, id_col, vec_col, round_dp
+    ).persist()
+    surv = with_sim
+    try:
+        if standing is not None:
+            s = standing.select("cell", F.col("vec").alias("_svec"))
+            pcos = cosine_expr("vec", "_svec")
+            if round_dp is not None:
+                pcos = F.round(pcos, round_dp)
+            dup_ids = (
+                with_sim.join(s, "cell")
+                .where(pcos >= threshold)
+                .select(id_col)
+                .distinct()
+            )
+            surv = with_sim.join(dup_ids, id_col, "left_anti").persist()
+        pruned = _semdedup_label(
+            surv, threshold, id_col, round_dp, max_iter, False
         )
-        work = batch.join(dup_ids, id_col, "left_anti")
-    pruned = semdedup_prune(
-        work, centroids, threshold, id_col, vec_col, round_dp, max_iter
-    )
-    kept = (
-        work.select(
-            F.col(id_col),
-            F.col(vec_col).cast("array<double>").alias("vec"),
+        kept = surv.join(
+            pruned.where(F.col("is_canonical")).select(id_col), id_col
+        ).select(id_col, "vec", "cell", "centroid_sim")
+        seg = store.fresh_name(f"{_SEM_TABLE}-e{epoch_id}")
+        kept.write.mode("overwrite").parquet(store.seg_path(seg))
+        store.commit(
+            epoch_id,
+            tables={_SEM_TABLE: store.table_segments(_SEM_TABLE) + [seg]},
+            meta=sem_meta,
         )
-        .join(
-            pruned.where(F.col("is_canonical")).select(
-                id_col, "cell", "centroid_sim"
-            ),
-            id_col,
-        )
-        .select(id_col, "vec", "cell", "centroid_sim")
-    )
-    seg = store.fresh_name(f"{_SEM_TABLE}-e{epoch_id}")
-    kept.write.mode("overwrite").parquet(store.seg_path(seg))
-    store.commit(
-        epoch_id,
-        tables={_SEM_TABLE: store.table_segments(_SEM_TABLE) + [seg]},
-        meta=sem_meta,
-    )
+    finally:
+        if surv is not with_sim:
+            surv.unpersist()
+        with_sim.unpersist()
     return True
 
 
