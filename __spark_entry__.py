@@ -24,8 +24,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 7: 6 new + 24 changed + 15 spilled-r3
-# (the cohort VERDICT r6 item 1 mandates) + 5 stalest-r4 = 50.
+# to the STALEST greens. Round 7: 7 new + 24 changed + 15 spilled-r3
+# (the cohort VERDICT r6 item 1 mandates) + 4 stalest-r4 = 50.
 # "Changed" is read strictly: besides the 5 directly-edited queries
 # (bm25_select formula+oracle; decontaminate restructured around the
 # bloom path; incremental_dedup_exact gained the bloom split;
@@ -45,6 +45,7 @@ _PRIORITY = [
     "semdedup_prune",           # embedding-cluster near-dedup (SemDeDup)
     "stream_semdedup",          # continuous semantic dedup loop
     "repeated_span_prune_w50",  # span family at the Lee-et-al W=50 point
+    "bloom_member_grouped",     # per-group blocklists, non-broadcast probe
     # --- changed round 7: direct edits ---
     "bm25_select",              # avgdl-factored scoring, degrade ladder
     "decontaminate",            # shared-gram restructure (exact path)
@@ -91,10 +92,10 @@ _PRIORITY = [
     "ann_cosine_topk",
     "cdc_lww_dedup",
     "conditional_agg",
-    "date_funcs",
     "dedup_exact",
     # --- past the graded window from here down: the r4 remainder,
     # --- next-up for round 8 (r5/r6 cohorts follow via the registry)
+    "date_funcs",
     "distinct_agg",
     "embedding_dup_pairs",
     "envelope",

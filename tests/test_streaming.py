@@ -913,3 +913,49 @@ def test_semdedup_sink_first_wins_redelivery_idempotent_append_only(
 
     with pytest.raises(ValueError, match="sem_threshold"):
         semdedup_merge_batch(e1, 3, state, cen, threshold=0.5)
+
+
+def test_semdedup_compaction_folds_kept_log_and_keeps_guard_meta(
+    spark, tmp_path
+):
+    """compact_semdedup_state folds the per-epoch kept segments to ONE
+    content-identical segment, and the threshold/round_dp guard params
+    survive the compaction commit (meta-merge) — a post-compaction
+    mismatched epoch still raises."""
+    import pytest
+
+    from transporter_spark.streaming.state import SegmentStore
+    from transporter_spark.streaming.vectors import (
+        compact_semdedup_state,
+        read_semdedup_kept,
+        semdedup_merge_batch,
+    )
+
+    cen = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    state = str(tmp_path / "semdd")
+    for epoch, rows in enumerate(
+        [[(1, [0.9, 0.1])], [(2, [0.1, 0.9])], [(3, [1.0, -0.8])]]
+    ):
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        assert semdedup_merge_batch(df, epoch, state, cen, threshold=0.99)
+    before = sorted(
+        map(tuple, read_semdedup_kept(spark, state).collect())
+    )
+    assert compact_semdedup_state(spark, state)
+    assert not compact_semdedup_state(spark, state)  # already compact
+    store = SegmentStore(state)
+    assert len(store.table_segments("kept")) == 1
+    after = sorted(map(tuple, read_semdedup_kept(spark, state).collect()))
+    assert after == before
+    with pytest.raises(ValueError, match="sem_threshold"):
+        semdedup_merge_batch(
+            spark.createDataFrame(
+                [(9, [0.5, 0.5])], "vec_id long, embedding array<double>"
+            ),
+            9, state, cen, threshold=0.5,
+        )

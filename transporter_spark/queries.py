@@ -2049,7 +2049,7 @@ FROM lab WHERE rn = 1 ORDER BY vec_id
 """
 
 
-@q("semdedup_prune", oracle=_SEMDEDUP_ORACLE)
+@q("semdedup_prune", oracle=_SEMDEDUP_ORACLE, headline=True)  # tracked from round 7
 def q_semdedup_prune(spark, sf_dir):
     """SemDeDup-style embedding-cluster near-dedup (operators/
     similarity.py semdedup_prune; Abbas et al. 2023): assign every
@@ -3864,7 +3864,8 @@ FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
     )
 
 
-@q("decontaminate_bloom", oracle=_decontaminate_bloom_oracle())
+@q("decontaminate_bloom", oracle=_decontaminate_bloom_oracle(),
+   headline=True)  # tracked from round 7 (new-capability baseline)
 def q_decontaminate_bloom(spark, sf_dir):
     """Decontamination through the Bloom PRE-FILTER scale path
     (operators/dedup.py decontaminate(bloom_prefilter=True) +
@@ -6199,6 +6200,78 @@ def q_bloom_member(spark, sf_dir):
     return bloom_contains(words, docs, "text", ["doc_id", "source"]).orderBy(
         "doc_id"
     )
+
+
+def _bloom_grouped_oracle() -> str:
+    from transporter_spark.operators.sketches import (
+        DEFAULT_K,
+        DEFAULT_M_BITS,
+        _BLOOM_WORD,
+    )
+
+    k, m, w = DEFAULT_K, DEFAULT_M_BITS, _BLOOM_WORD
+    return f"""
+WITH mem AS (SELECT source, text FROM documents WHERE doc_id % 3 = 0),
+bpos AS (
+  SELECT source,
+         CAST(('0x' || substr(md5(i || ':' || CAST(text AS VARCHAR)), 1, 15))::UBIGINT
+              AS BIGINT) % {m} AS pos
+  FROM mem CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i)
+  WHERE text IS NOT NULL
+),
+bw AS (
+  SELECT source, pos // {w} AS word_idx,
+         CAST(bit_or(1::BIGINT << CAST(pos % {w} AS INT)) AS BIGINT) AS word
+  FROM bpos GROUP BY 1, 2
+),
+bp AS (
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5(i || ':' || CAST(text AS VARCHAR)), 1, 15))::UBIGINT
+              AS BIGINT) % {m} AS pos
+  FROM documents CROSS JOIN (SELECT unnest(generate_series(0, {k - 1})) AS i)
+  WHERE text IS NOT NULL
+),
+bm AS (
+  SELECT p.doc_id, p.source,
+         MIN((COALESCE(w.word, 0)
+              // (1::BIGINT << CAST(p.pos % {w} AS INT))) % 2) = 1 AS member
+  FROM bp p LEFT JOIN bw w
+    ON p.source = w.source AND p.pos // {w} = w.word_idx
+  GROUP BY 1, 2
+)
+SELECT d.doc_id, d.source, COALESCE(b.member, FALSE) AS member
+FROM documents d LEFT JOIN bm b ON b.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@q("bloom_member_grouped", oracle=_bloom_grouped_oracle(), headline=False)
+def q_bloom_member_grouped(spark, sf_dir):
+    """GROUPED Bloom membership — per-SOURCE blocklists in one word
+    table, probed through the NON-BROADCAST regime (operators/
+    sketches.py bloom_contains join_strategy='auto' plans a plain join
+    for grouped tables: they are m/32 rows PER GROUP, so a
+    high-cardinality `by` is tens of GiB — past any broadcast budget;
+    AQE's runtime size estimate is the group-count estimate and
+    promotes small ones back). Every third document is folded into its
+    source's sketch; EVERY document then probes its own source's
+    sketch — members are the folded docs, exact text twins, and the
+    documented false-positive sliver, identically on both sides
+    because the per-group build/probe replays bit-for-bit. The
+    per-(probe, group) aggregation keying that keeps groups separate
+    (review r6's false-negative hole) is graded here, not just
+    pinned."""
+    from transporter_spark.operators.sketches import (
+        bloom_contains,
+        bloom_words,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    members = docs.filter(F.col("doc_id") % 3 == 0)
+    grouped = bloom_words(members, "text", by=["source"])
+    return bloom_contains(
+        grouped, docs, "text", ["doc_id", "source"], by=["source"]
+    ).orderBy("doc_id")
 
 
 @q("stream_bloom", oracle=None, headline=False)

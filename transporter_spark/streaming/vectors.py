@@ -294,12 +294,25 @@ def semdedup_sink(
             and len(SegmentStore(state_dir).table_segments(_SEM_TABLE))
             >= compact_every
         ):
-            store = SegmentStore(state_dir)
-            name = store.compact_table(batch.sparkSession, _SEM_TABLE)
-            if name is not None:
-                store.commit(store.last_epoch(), tables={_SEM_TABLE: [name]})
+            compact_semdedup_state(batch.sparkSession, state_dir)
 
     run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def compact_semdedup_state(spark: SparkSession, state_dir: str) -> bool:
+    """Fold the kept-set segment log into one segment (plain
+    concatenation — rows are per-vector finals, never re-merged; the
+    meta guard params ride the manifest and survive the commit's
+    meta-merge). False when there is no state or it is already
+    compact."""
+    store = SegmentStore(state_dir)
+    if store.manifest() is None:
+        return False
+    name = store.compact_table(spark, _SEM_TABLE)
+    if name is None:
+        return False
+    store.commit(store.last_epoch(), tables={_SEM_TABLE: [name]})
+    return True
 
 
 def read_semdedup_kept(spark: SparkSession, state_dir: str) -> DataFrame:
