@@ -703,3 +703,50 @@ def test_semdedup_keeps_lowest_centroid_sim_within_cells_only(spark):
     # singletons keep themselves
     assert out[12].is_canonical and out[12].component == 12
     assert out[13].is_canonical and out[13].component == 13
+
+
+def test_pq_encode_and_adc_identities(spark):
+    """PQ identities on a hand-built space: a codebook seed vector
+    encodes to its own code in every subquantizer; an exact clone of
+    a query encodes identically and ADC-ranks it first at distance 0;
+    codes are always in [0, ksub) with exactly m per vector; the whole
+    path is partitioning-invariant (integer-micro distances)."""
+    from transporter_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+        pq_encode_rows,
+        pq_search,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    dim, m, ksub = 8, 4, 4
+    base = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(ksub)]
+    extra = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(10)]
+    rows = [(i, v) for i, v in enumerate(base + extra)]
+    rows.append((1000, list(rows[3][1])))  # exact clone of seed 3
+    vecs = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cbs = pq_codebooks(vecs.filter(F.col("vec_id") < ksub), m=m)
+    codes = {r.vec_id: r.codes for r in pq_encode(vecs, cbs, m=m).collect()}
+    assert all(len(c) == m for c in codes.values())
+    assert all(0 <= x < ksub for c in codes.values() for x in c)
+    for c in range(ksub):  # a seed's slices are distance-0 to entry c
+        assert codes[c] == [c] * m
+    assert codes[1000] == codes[3]
+
+    got = pq_search(
+        pq_encode_rows(vecs, cbs, m=m),
+        vecs.filter(F.col("vec_id") == 3),
+        cbs, k=3, m=m,
+    ).collect()
+    top = sorted(got, key=lambda r: r.rk)
+    assert top[0].vec_id == 1000 and top[0].adc_d2 == 0  # the clone
+
+    again = {
+        r.vec_id: r.codes
+        for r in pq_encode(vecs.repartition(7), cbs, m=m).collect()
+    }
+    assert again == codes

@@ -875,3 +875,17 @@ def test_semdedup_pairs_come_from_cell_equijoin(spark, sf_dir):
     for line in body.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight, Cross" in line, line
+
+
+def test_pq_search_scans_codes_broadcasts_lut(spark, sf_dir):
+    """The ADC scale claim: the corpus side of the search is the CODES
+    frame; the per-query lookup table and codebooks are broadcast;
+    no cartesian/BNLJ anywhere (slices ride a posexplode, joins key on
+    j / (j, code)); the rank window partitions by query — no global
+    sort of scores."""
+    df = QUERIES["pq_ann_topk"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "BroadcastHashJoin" in body, body
+    assert "hashpartitioning(query_id" in body, body

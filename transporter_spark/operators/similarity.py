@@ -415,6 +415,164 @@ def _semdedup_label(
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the compression layer of production ANN:
+# a 64-dim float32 vector (256 B) becomes m sub-codes (m bytes at
+# ksub<=256), and search scans CODES with per-query lookup tables
+# (ADC), never raw vectors. At 100 TB of embeddings that is the
+# difference between scanning 100 TB and scanning ~1.5 TB of codes.
+# ---------------------------------------------------------------------------
+
+
+def _sq_l2_fix(a: str, b: str) -> Column:
+    """Engine-exact squared-L2 between two array<double> columns in
+    integer MICRO units: the dot-product identity |a|^2 - 2ab + |b|^2
+    (the SAME reduction both engines run — Spark aggregate-sum here,
+    DuckDB list_dot_product in the oracle, the ann-family precedent),
+    rounded to 6dp, then double->string->DECIMAL(38,12)*1e6->BIGINT —
+    the repo's exact fixed-point boundary (a direct double cast drifts;
+    see queries._dsum). Integer distances make every downstream argmin
+    and SUM order- and engine-invariant."""
+
+    def dot(x, y):
+        return F.expr(
+            f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0D, (s, v) -> s + v)"
+        )
+
+    l2 = dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    return (
+        (F.round(l2, 6).cast("string").cast("decimal(38,12)") * 1_000_000)
+        .cast("long")
+    )
+
+
+def pq_codebooks(
+    seed_vectors: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(j, code, cvec): sub-codebooks from a FIXED seed set — entry
+    ``code`` of subquantizer ``j`` is the j-th slice of the seed vector
+    with id ``code`` (the deterministic fixed-seed discipline of the
+    ann_ivf centroids: any deterministic codebook works, the engine
+    shape is the same; real deployments train per-slice k-means —
+    `kmeans_update` — and persist the result). Requires len(vec) % m
+    == 0 (raises inside the slice expr otherwise)."""
+    sub = F.expr(f"size({vec_col}) div {m}")
+    return seed_vectors.select(
+        F.col(id_col).cast("long").alias("code"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice(cast({vec_col} as array<double>), "
+                f"j * (size({vec_col}) div {m}) + 1, size({vec_col}) div {m}))"
+            )
+        ).alias("j", "cvec"),
+    ).select("j", "code", "cvec")
+
+
+def pq_encode_rows(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, j, code): each vector's m sub-assignments — argmin
+    integer-micro L2 to its subquantizer's entries, ties to the
+    smallest code (total, reproducible). ONE corpus scan: slices come
+    from a posexplode, the codebook table (m x ksub rows) is
+    broadcast, and the per-(id, j) argmin is a window over ksub rows.
+    This row form IS the searchable index (`pq_search` consumes it);
+    `pq_encode` packs it to one codes-array row per vector."""
+    sliced = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice(cast({vec_col} as array<double>), "
+                f"j * (size({vec_col}) div {m}) + 1, size({vec_col}) div {m}))"
+            )
+        ).alias("j", "svec"),
+    )
+    scored = sliced.join(F.broadcast(codebooks), "j").select(
+        id_col, "j", "code", _sq_l2_fix("svec", "cvec").alias("d2")
+    )
+    w = Window.partitionBy(id_col, "j").orderBy(F.asc("d2"), F.asc("code"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, "j", "code")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<long>): the packed PQ code — m small ints per
+    vector (the 100x-compression artifact you persist)."""
+    rows = pq_encode_rows(corpus, codebooks, m, id_col, vec_col)
+    return rows.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "code"))),
+            lambda s: s.code,
+        ).alias("codes")
+    )
+
+
+def pq_search(
+    code_rows: DataFrame,
+    queries: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+) -> DataFrame:
+    """ADC top-k: asymmetric distance — the QUERY stays a raw vector,
+    the corpus is its codes. Per query, a lookup table of
+    integer-micro L2s to every (j, code) codebook entry (#queries x m
+    x ksub rows — metadata-sized, broadcast); a document's
+    approximate distance is the SUM of its m looked-up entries —
+    exact integer addition, so ranking is engine- and
+    partitioning-invariant. The scan reads CODES only (m small ints
+    per doc), never corpus vectors; the rank window partitions by
+    query. Self-matches (same id) are excluded. Returns
+    (query_id, {id_col}, adc_d2, rk)."""
+    qsliced = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice(cast({vec_col} as array<double>), "
+                f"j * (size({vec_col}) div {m}) + 1, size({vec_col}) div {m}))"
+            )
+        ).alias("j", "qvec"),
+    )
+    lut = qsliced.join(F.broadcast(codebooks), "j").select(
+        "query_id", "j", "code", _sq_l2_fix("qvec", "cvec").alias("d2")
+    )
+    scored = (
+        code_rows.join(F.broadcast(lut), ["j", "code"])
+        .where(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
 def kmeans_update(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -1997,6 +1997,120 @@ QUERIES["stream_ann_index"] = QUERIES["stream_ann_index"]._replace(
 )
 
 
+_PQ_CTES = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cb AS MATERIALIZED (
+  SELECT j, vec_id AS code, e[j*16+1 : j*16+16] AS cvec
+  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+  WHERE vec_id < 16
+),
+sl AS (
+  SELECT vec_id, j, e[j*16+1 : j*16+16] AS svec
+  FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, j, code FROM (
+    SELECT vec_id, j, code,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2, code) AS rn
+    FROM (
+      SELECT s.vec_id, s.j, c.code,
+             CAST(CAST(CAST(round(
+               list_dot_product(s.svec, s.svec)
+               - 2 * list_dot_product(s.svec, c.cvec)
+               + list_dot_product(c.cvec, c.cvec), 6) AS VARCHAR)
+               AS DECIMAL(38,12)) * 1000000 AS BIGINT) AS d2
+      FROM sl s JOIN cb c USING (j))
+  ) WHERE rn = 1
+)"""
+
+_PQ_ENCODE_ORACLE = _PQ_CTES + """
+SELECT vec_id,
+       array_to_string(list(code ORDER BY j), '-') AS codes
+FROM enc GROUP BY vec_id ORDER BY vec_id
+"""
+
+_PQ_ANN_ORACLE = _PQ_CTES + """,
+lut AS (
+  SELECT q.vec_id AS query_id, c.j, c.code,
+         CAST(CAST(CAST(round(
+           list_dot_product(q.qvec, q.qvec)
+           - 2 * list_dot_product(q.qvec, c.cvec)
+           + list_dot_product(c.cvec, c.cvec), 6) AS VARCHAR)
+           AS DECIMAL(38,12)) * 1000000 AS BIGINT) AS d2
+  FROM (SELECT vec_id, j, e[j*16+1 : j*16+16] AS qvec
+        FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+        WHERE vec_id < 10) q
+  JOIN cb c USING (j)
+),
+adc AS (
+  SELECT l.query_id, e2.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM enc e2 JOIN lut l ON e2.j = l.j AND e2.code = l.code
+  WHERE l.query_id <> e2.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_d2,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT query_id, vec_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, vec_id) AS rk
+      FROM adc)
+WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+@q("pq_encode_codes", oracle=_PQ_ENCODE_ORACLE)
+def q_pq_encode_codes(spark, sf_dir):
+    """Product quantization ENCODE (operators/similarity.py; Jégou et
+    al. 2011): each 64-dim float32 vector (256 B) becomes 4 sub-codes
+    (argmin integer-micro L2 to a 16-entry sub-codebook per 16-dim
+    slice — fixed seed vectors 0-15 as entries, the ann_ivf
+    deterministic-centroid discipline). Distances go through the
+    repo's exact fixed-point boundary (round 6dp -> string -> DECIMAL
+    -> BIGINT micros), so every assignment is engine- and
+    partitioning-invariant and the oracle replays argmin-for-argmin.
+    100 TB shape: ONE corpus scan (posexplode slices), broadcast m x
+    ksub codebook, per-(vec, j) window over ksub rows — the persisted
+    artifact is ~100x smaller than the vectors."""
+    from transporter_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb.filter(F.col("vec_id") < 16), m=4)
+    codes = pq_encode(emb, cbs, m=4)
+    return codes.select(
+        "vec_id", F.array_join("codes", "-").alias("codes")
+    ).orderBy("vec_id")
+
+
+@q("pq_ann_topk", oracle=_PQ_ANN_ORACLE)
+def q_pq_ann_topk(spark, sf_dir):
+    """PQ-compressed ANN via ASYMMETRIC DISTANCE (ADC): queries stay
+    raw vectors, the corpus is scanned as CODES ONLY — each query
+    precomputes a (m x ksub)-entry integer lookup table (broadcast,
+    metadata-sized) and a document's approximate distance is the SUM
+    of its m looked-up entries, exact integer addition all the way to
+    the per-query rank window. At 100 TB this scans ~1.5 TB of codes
+    instead of the vectors; pair with the IVF cells for the full
+    IVF-PQ layout. Top-5 per query, ties by id, self-matches
+    excluded; the oracle replays encode + LUT + ADC sum + rank."""
+    from transporter_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode_rows,
+        pq_search,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb.filter(F.col("vec_id") < 16), m=4)
+    rows = pq_encode_rows(emb, cbs, m=4)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_search(rows, queries, cbs, k=5, m=4).orderBy(
+        "query_id", "rk"
+    )
+
+
 _SEMDEDUP_CTES = """
 WITH RECURSIVE
 v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
