@@ -24,9 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 7: 9 new + 24 changed + 15 spilled-r3
-# (the cohort VERDICT r6 item 1 mandates) + 2 stalest-r4 (the
-# ann_cosine_topk bench control + the re-floored dedup_exact) = 50.
+# to the STALEST greens. Round 7: 10 new + 24 changed + 15 spilled-r3
+# (the cohort VERDICT r6 item 1 mandates) + 1 stalest-r4 (the
+# re-floored dedup_exact, giving its cleared flag a fresh row) = 50.
 # "Changed" is read strictly: besides the 5 directly-edited queries
 # (bm25_select formula+oracle; decontaminate restructured around the
 # bloom path; incremental_dedup_exact gained the bloom split;
@@ -49,6 +49,7 @@ _PRIORITY = [
     "bloom_member_grouped",     # per-group blocklists, non-broadcast probe
     "pq_encode_codes",          # product-quantization encode (Jégou et al.)
     "pq_ann_topk",              # ADC search over codes (scan 1% the bytes)
+    "ivfpq_ann_topk",           # the composed IVF-PQ production layout
     # --- changed round 7: direct edits ---
     "bm25_select",              # avgdl-factored scoring, degrade ladder
     "decontaminate",            # shared-gram restructure (exact path)
@@ -92,10 +93,10 @@ _PRIORITY = [
     "chunk_documents",
     "pack_sequences",
     # --- stalest greens: last graded r4, unchanged code ---
-    "ann_cosine_topk",
     "dedup_exact",
     # --- past the graded window from here down: the r4 remainder,
     # --- next-up for round 8 (r5/r6 cohorts follow via the registry)
+    "ann_cosine_topk",
     "cdc_lww_dedup",
     "conditional_agg",
     "date_funcs",

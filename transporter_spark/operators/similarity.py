@@ -573,6 +573,85 @@ def pq_search(
     )
 
 
+def ivfpq_search(
+    indexed_codes: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    round_dp: Optional[int] = 8,
+) -> DataFrame:
+    """IVF-PQ — the production ANN layout (FAISS's IndexIVFPQ;
+    Jégou et al. 2011 §IV): the coarse quantizer prunes WHICH cells
+    are read, the product quantizer shrinks WHAT is read. Queries
+    assign to their ``nprobe`` nearest cells (broadcast centroids,
+    same tiebreaks as `ann_ivf_search`); candidates come from an
+    equi-join on ``cell`` against ``indexed_codes`` — the (id, cell,
+    j, code) rows `ivf_index` + `pq_encode_rows` produce, written
+    partitioned by cell so the probe prunes files; scoring is the ADC
+    integer-micro LUT sum of `pq_search`, restricted to candidates.
+    At 100 TB: read nprobe/n_cells of the corpus, and what is read is
+    codes (~1% of vector bytes) — multiplicative savings. Returns
+    (query_id, {id_col}, adc_d2, rk)."""
+    cen = centroids.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("centroid_vec").cast("array<double>").alias("cen_vec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    qsim = cosine_expr("qvec", "cen_vec")
+    if round_dp is not None:
+        qsim = F.round(qsim, round_dp)
+    q_cells = (
+        q.crossJoin(F.broadcast(cen))
+        .select("query_id", "cell", qsim.alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("sim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("query_id", "cell")
+    )
+    qsliced = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice(cast({vec_col} as array<double>), "
+                f"j * (size({vec_col}) div {m}) + 1, size({vec_col}) div {m}))"
+            )
+        ).alias("j", "qvec"),
+    )
+    lut = qsliced.join(F.broadcast(codebooks), "j").select(
+        "query_id", "j", "code", _sq_l2_fix("qvec", "cvec").alias("d2")
+    )
+    cand = indexed_codes.join(F.broadcast(q_cells), "cell").where(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "j", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
 def kmeans_update(
     corpus: DataFrame,
     centroids: DataFrame,

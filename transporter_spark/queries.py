@@ -1997,7 +1997,32 @@ QUERIES["stream_ann_index"] = QUERIES["stream_ann_index"]._replace(
 )
 
 
-_PQ_CTES = """
+def _pq_d2fix_sql(a: str, b: str) -> str:
+    """The ONE DuckDB spelling of the engine's `_sq_l2_fix` (same
+    dot-product-identity reduction, same round-6dp -> VARCHAR ->
+    DECIMAL -> BIGINT-micros boundary) — shared by every PQ oracle so
+    the fixed-point recipe cannot drift between them."""
+    return (
+        f"CAST(CAST(CAST(round(list_dot_product({a}, {a}) "
+        f"- 2 * list_dot_product({a}, {b}) "
+        f"+ list_dot_product({b}, {b}), 6) AS VARCHAR) "
+        f"AS DECIMAL(38,12)) * 1000000 AS BIGINT)"
+    )
+
+
+def _pq_lut_sql(query_pred: str) -> str:
+    """Per-query (j, code) lookup-table CTE body over the query set
+    selected by ``query_pred``."""
+    return f"""
+  SELECT q.vec_id AS query_id, c.j, c.code,
+         {_pq_d2fix_sql('q.qvec', 'c.cvec')} AS d2
+  FROM (SELECT vec_id, j, e[j*16+1 : j*16+16] AS qvec
+        FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+        WHERE {query_pred}) q
+  JOIN cb c USING (j)"""
+
+
+_PQ_CTES = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 cb AS MATERIALIZED (
   SELECT j, vec_id AS code, e[j*16+1 : j*16+16] AS cvec
@@ -2015,11 +2040,7 @@ enc AS MATERIALIZED (
                               ORDER BY d2, code) AS rn
     FROM (
       SELECT s.vec_id, s.j, c.code,
-             CAST(CAST(CAST(round(
-               list_dot_product(s.svec, s.svec)
-               - 2 * list_dot_product(s.svec, c.cvec)
-               + list_dot_product(c.cvec, c.cvec), 6) AS VARCHAR)
-               AS DECIMAL(38,12)) * 1000000 AS BIGINT) AS d2
+             {_pq_d2fix_sql('s.svec', 'c.cvec')} AS d2
       FROM sl s JOIN cb c USING (j))
   ) WHERE rn = 1
 )"""
@@ -2030,23 +2051,54 @@ SELECT vec_id,
 FROM enc GROUP BY vec_id ORDER BY vec_id
 """
 
-_PQ_ANN_ORACLE = _PQ_CTES + """,
-lut AS (
-  SELECT q.vec_id AS query_id, c.j, c.code,
-         CAST(CAST(CAST(round(
-           list_dot_product(q.qvec, q.qvec)
-           - 2 * list_dot_product(q.qvec, c.cvec)
-           + list_dot_product(c.cvec, c.cvec), 6) AS VARCHAR)
-           AS DECIMAL(38,12)) * 1000000 AS BIGINT) AS d2
-  FROM (SELECT vec_id, j, e[j*16+1 : j*16+16] AS qvec
-        FROM v CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
-        WHERE vec_id < 10) q
-  JOIN cb c USING (j)
+_PQ_ANN_ORACLE = _PQ_CTES + f""",
+lut AS ({_pq_lut_sql('vec_id < 10')}
 ),
 adc AS (
   SELECT l.query_id, e2.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
   FROM enc e2 JOIN lut l ON e2.j = l.j AND e2.code = l.code
   WHERE l.query_id <> e2.vec_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_d2,
+       CAST(rk AS BIGINT) AS rk
+FROM (SELECT query_id, vec_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, vec_id) AS rk
+      FROM adc)
+WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+_IVFPQ_ORACLE = _PQ_CTES + f""",
+ccos AS MATERIALIZED (
+  SELECT v.vec_id, cen.cell,
+         round(list_dot_product(v.e, cen.cv)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(cen.cv, cen.cv))), 8) AS sim
+  FROM v CROSS JOIN (SELECT vec_id AS cell, e AS cv FROM v WHERE vec_id < 8) cen
+),
+assigned AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM ccos) WHERE rn = 1
+),
+qcells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM ccos WHERE vec_id < 10) WHERE rn <= 2
+),
+lut AS ({_pq_lut_sql('vec_id < 10')}
+),
+adc AS (
+  SELECT q.query_id, a.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM assigned a
+  JOIN qcells q ON a.cell = q.cell AND a.vec_id <> q.query_id
+  JOIN enc e2 ON e2.vec_id = a.vec_id
+  JOIN lut l ON l.query_id = q.query_id AND l.j = e2.j AND l.code = e2.code
   GROUP BY 1, 2
 )
 SELECT query_id, vec_id, adc_d2,
@@ -2109,6 +2161,44 @@ def q_pq_ann_topk(spark, sf_dir):
     return pq_search(rows, queries, cbs, k=5, m=4).orderBy(
         "query_id", "rk"
     )
+
+
+@q("ivfpq_ann_topk", oracle=_IVFPQ_ORACLE)
+def q_ivfpq_ann_topk(spark, sf_dir):
+    """IVF-PQ — the full production ANN layout (FAISS IndexIVFPQ;
+    Jégou et al. 2011 §IV), both quantizers composed: the coarse
+    quantizer prunes WHICH cells are read (queries probe their 2
+    nearest of 8 fixed cells — at 100 TB with the index partitioned
+    by cell that is file-level pruning), the product quantizer shrinks
+    WHAT is read (candidates score by the integer-micro ADC LUT sum
+    over their codes — ~1% of the vector bytes). The oracle replays
+    BOTH approximations end-to-end: cell assignment, nprobe
+    selection, sub-code argmin, LUT, candidate-restricted ADC sum,
+    rank — the full approximation geometry is graded, not just the
+    plumbing."""
+    from transporter_spark.operators.similarity import (
+        ivf_index,
+        ivfpq_search,
+        pq_codebooks,
+        pq_encode_rows,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    cbs = pq_codebooks(emb.filter(F.col("vec_id") < 16), m=4)
+    indexed_codes = (
+        ivf_index(emb, centroids, round_dp=8)
+        .select("vec_id", "cell")
+        .join(pq_encode_rows(emb, cbs, m=4), "vec_id")
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_search(
+        indexed_codes, queries, centroids, cbs, k=5, nprobe=2, m=4,
+        round_dp=8,
+    ).orderBy("query_id", "rk")
 
 
 _SEMDEDUP_CTES = """
