@@ -434,6 +434,35 @@ def probe_spans_w50(spark):
     return times[10], times[50], "W10", "W50"
 
 
+def probe_pq(spark):
+    """PQ ADC search at 1x/Nx corpus vectors (fixed query set): encode
+    + code-scan must scale ~linearly in corpus size — the scan reads m
+    small ints per doc and sums broadcast-LUT entries; nothing
+    quadratic, no vector bytes in the search."""
+    from transporter_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode_rows,
+        pq_search,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cbs = pq_codebooks(emb.filter(F.col("vec_id") < 16), m=4)
+    queries = emb.filter(F.col("vec_id") < 10)
+    times = {}
+    for mult in (1, MULT):
+        df = _replicate(emb, "vec_id", mult)
+
+        def run():
+            pq_search(
+                pq_encode_rows(df, cbs, m=4), queries, cbs, k=5, m=4
+            ).count()
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -448,6 +477,7 @@ PROBES = {
     "bloom": probe_bloom,
     "spans": probe_spans,
     "spans_w50": probe_spans_w50,
+    "pq": probe_pq,
 }
 
 

@@ -889,3 +889,19 @@ def test_pq_search_scans_codes_broadcasts_lut(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in body, body
     assert "BroadcastHashJoin" in body, body
     assert "hashpartitioning(query_id" in body, body
+
+
+def test_ivfpq_candidates_from_cell_join_adc_broadcasts(spark, sf_dir):
+    """IVF-PQ composition: candidates come from the cell equi-join
+    (never an all-pairs product — the only nested-loop joins are the
+    broadcast-centroid assignment crosses, k rows on the build side);
+    the LUT and probe-cells frames are broadcast; the rank window
+    partitions by query."""
+    df = QUERIES["ivfpq_ann_topk"].fn(spark, sf_dir)
+    body = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in body, body
+    for line in body.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line
+    assert re.search(r"Join \[cell#\d+L?\]", body), body
+    assert "BroadcastExchange" in body, body
