@@ -24,9 +24,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 7: 10 new + 24 changed + 15 spilled-r3
-# (the cohort VERDICT r6 item 1 mandates) + 1 stalest-r4 (the
-# re-floored dedup_exact, giving its cleared flag a fresh row) = 50.
+# to the STALEST greens. Round 7: 11 new + 24 changed + 15 spilled-r3
+# (the cohort VERDICT r6 item 1 mandates) = 50 exactly — no stale
+# slots left this round; the r4 remainder (incl. dedup_exact, whose
+# cleared perf flag is adjudicated through BENCH_FLOORS.md, and the
+# ann_cosine_topk bench control — both green r4 rows on unchanged
+# code) heads the r8 queue below.
 # "Changed" is read strictly: besides the 5 directly-edited queries
 # (bm25_select formula+oracle; decontaminate restructured around the
 # bloom path; incremental_dedup_exact gained the bloom split;
@@ -50,6 +53,7 @@ _PRIORITY = [
     "pq_encode_codes",          # product-quantization encode (Jégou et al.)
     "pq_ann_topk",              # ADC search over codes (scan 1% the bytes)
     "ivfpq_ann_topk",           # the composed IVF-PQ production layout
+    "ivfpq_residual_topk",      # residual encoding (faithful IndexIVFPQ)
     # --- changed round 7: direct edits ---
     "bm25_select",              # avgdl-factored scoring, degrade ladder
     "decontaminate",            # shared-gram restructure (exact path)
@@ -92,10 +96,9 @@ _PRIORITY = [
     "rarity_score",
     "chunk_documents",
     "pack_sequences",
-    # --- stalest greens: last graded r4, unchanged code ---
-    "dedup_exact",
     # --- past the graded window from here down: the r4 remainder,
     # --- next-up for round 8 (r5/r6 cohorts follow via the registry)
+    "dedup_exact",
     "ann_cosine_topk",
     "cdc_lww_dedup",
     "conditional_agg",

@@ -12,7 +12,7 @@ No Python touches vectors in either path; arrays stay in Tungsten rows.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -479,16 +479,21 @@ def pq_encode_rows(
     m: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry: Sequence[str] = (),
 ) -> DataFrame:
-    """(id, j, code): each vector's m sub-assignments — argmin
-    integer-micro L2 to its subquantizer's entries, ties to the
+    """(id, [carry...], j, code): each vector's m sub-assignments —
+    argmin integer-micro L2 to its subquantizer's entries, ties to the
     smallest code (total, reproducible). ONE corpus scan: slices come
     from a posexplode, the codebook table (m x ksub rows) is
     broadcast, and the per-(id, j) argmin is a window over ksub rows.
     This row form IS the searchable index (`pq_search` consumes it);
-    `pq_encode` packs it to one codes-array row per vector."""
+    `pq_encode` packs it to one codes-array row per vector. ``carry``
+    names extra columns to ride along (e.g. the IVF ``cell`` for the
+    residual index — avoids re-joining the assignment)."""
+    carry = list(carry)
     sliced = corpus.select(
         F.col(id_col),
+        *carry,
         F.posexplode(
             F.expr(
                 f"transform(sequence(0, {m - 1}), "
@@ -498,13 +503,13 @@ def pq_encode_rows(
         ).alias("j", "svec"),
     )
     scored = sliced.join(F.broadcast(codebooks), "j").select(
-        id_col, "j", "code", _sq_l2_fix("svec", "cvec").alias("d2")
+        id_col, *carry, "j", "code", _sq_l2_fix("svec", "cvec").alias("d2")
     )
     w = Window.partitionBy(id_col, "j").orderBy(F.asc("d2"), F.asc("code"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .select(id_col, "j", "code")
+        .select(id_col, *carry, "j", "code")
     )
 
 
@@ -640,6 +645,133 @@ def ivfpq_search(
     )
     scored = (
         cand.join(F.broadcast(lut), ["query_id", "j", "code"])
+        .groupBy("query_id", id_col)
+        .agg(F.sum("d2").cast("long").alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_d2"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def pq_residual_frame(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: Optional[int] = 8,
+) -> DataFrame:
+    """(id, cell, rvec): each vector's RESIDUAL to its assigned
+    centroid (element-wise subtraction — identical IEEE ops on both
+    engines). Residuals are what FAISS's IndexIVFPQ actually encodes:
+    within a cell they are centered near zero, so a shared sub-codebook
+    quantizes them far better than raw vectors — the coarse quantizer
+    removes the mean, PQ encodes the remainder."""
+    assigned = ivf_index(corpus, centroids, id_col, vec_col, round_dp)
+    cen = centroids.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("centroid_vec").cast("array<double>").alias("cen_vec"),
+    )
+    return assigned.join(F.broadcast(cen), "cell").select(
+        id_col,
+        "cell",
+        F.expr("zip_with(vec, cen_vec, (x, y) -> x - y)").alias("rvec"),
+    )
+
+
+def ivfpq_residual_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: Optional[int] = 8,
+) -> DataFrame:
+    """(id, cell, j, code): the residual-encoded IVF-PQ index rows —
+    ONE corpus pass (assignment + residual + sub-code argmin; the cell
+    rides the encode via `carry`, no re-join). Write partitioned by
+    cell; ``codebooks`` must live in residual space (build them with
+    `pq_codebooks` over `pq_residual_frame` of the seed vectors)."""
+    res = pq_residual_frame(corpus, centroids, id_col, vec_col, round_dp)
+    return pq_encode_rows(
+        res, codebooks, m, id_col=id_col, vec_col="rvec", carry=["cell"]
+    )
+
+
+def ivfpq_residual_search(
+    indexed_codes: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    round_dp: Optional[int] = 8,
+) -> DataFrame:
+    """Residual IVF-PQ search — the faithful FAISS IndexIVFPQ probe:
+    a query computes a SEPARATE residual (and so a separate ADC
+    lookup table) per probed cell, because the stored codes quantize
+    cell-relative residuals; candidate distances are the
+    (query, cell)-scoped LUT sums over the candidate's codes. LUT
+    volume is #queries x nprobe x m x ksub — still metadata-sized,
+    broadcast. Everything after the raw-vector residual subtraction is
+    the integer-micro fixed-point of the plain PQ path, so rankings
+    replay bit-for-bit. Returns (query_id, {id_col}, adc_d2, rk)."""
+    cen = centroids.select(
+        F.col("centroid_id").alias("cell"),
+        F.col("centroid_vec").cast("array<double>").alias("cen_vec"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    qsim = cosine_expr("qvec", "cen_vec")
+    if round_dp is not None:
+        qsim = F.round(qsim, round_dp)
+    q_cells = (
+        q.crossJoin(F.broadcast(cen))
+        .select("query_id", "qvec", "cell", "cen_vec", qsim.alias("sim"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("sim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            "query_id",
+            "cell",
+            F.expr("zip_with(qvec, cen_vec, (x, y) -> x - y)").alias("rqv"),
+        )
+    )
+    qsliced = q_cells.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {m - 1}), "
+                f"j -> slice(rqv, j * (size(rqv) div {m}) + 1, "
+                f"size(rqv) div {m}))"
+            )
+        ).alias("j", "qs"),
+    )
+    lut = qsliced.join(F.broadcast(codebooks), "j").select(
+        "query_id", "cell", "j", "code",
+        _sq_l2_fix("qs", "cvec").alias("d2"),
+    )
+    cand = indexed_codes.join(
+        F.broadcast(q_cells.select("query_id", "cell")), "cell"
+    ).where(F.col("query_id") != F.col(id_col))
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "cell", "j", "code"])
         .groupBy("query_id", id_col)
         .agg(F.sum("d2").cast("long").alias("adc_d2"))
     )

@@ -2201,6 +2201,123 @@ def q_ivfpq_ann_topk(spark, sf_dir):
     ).orderBy("query_id", "rk")
 
 
+_IVFPQ_RESIDUAL_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cenv AS (SELECT vec_id AS cell, e AS cv FROM v WHERE vec_id < 8),
+ccos AS MATERIALIZED (
+  SELECT v.vec_id, cenv.cell,
+         round(list_dot_product(v.e, cenv.cv)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(cenv.cv, cenv.cv))), 8) AS sim
+  FROM v CROSS JOIN cenv
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM ccos) WHERE rn = 1
+),
+res AS MATERIALIZED (
+  SELECT a.vec_id, a.cell,
+         list_transform(list_zip(v.e, c.cv), x -> x[1] - x[2]) AS rv
+  FROM assigned a JOIN v ON v.vec_id = a.vec_id
+  JOIN cenv c ON c.cell = a.cell
+),
+cb AS MATERIALIZED (
+  SELECT j, vec_id AS code, rv[j*16+1 : j*16+16] AS cvec
+  FROM res CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j)
+  WHERE vec_id < 16
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, cell, j, code FROM (
+    SELECT vec_id, cell, j, code,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2, code) AS rn
+    FROM (
+      SELECT s.vec_id, s.cell, s.j, c.code,
+             {_pq_d2fix_sql('s.svec', 'c.cvec')} AS d2
+      FROM (SELECT vec_id, cell, j, rv[j*16+1 : j*16+16] AS svec
+            FROM res CROSS JOIN
+                 (SELECT unnest(generate_series(0, 3)) AS j)) s
+      JOIN cb c USING (j))
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM ccos WHERE vec_id < 10) WHERE rn <= 2
+),
+qres AS (
+  SELECT q.query_id, q.cell,
+         list_transform(list_zip(v.e, c.cv), x -> x[1] - x[2]) AS rqv
+  FROM qcells q JOIN v ON v.vec_id = q.query_id
+  JOIN cenv c ON c.cell = q.cell
+),
+lut AS (
+  SELECT s.query_id, s.cell, s.j, c.code,
+         {_pq_d2fix_sql('s.qs', 'c.cvec')} AS d2
+  FROM (SELECT query_id, cell, j, rqv[j*16+1 : j*16+16] AS qs
+        FROM qres CROSS JOIN
+             (SELECT unnest(generate_series(0, 3)) AS j)) s
+  JOIN cb c USING (j)
+),
+adc AS (
+  SELECT q.query_id, e2.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM enc e2
+  JOIN qcells q ON e2.cell = q.cell AND e2.vec_id <> q.query_id
+  JOIN lut l ON l.query_id = q.query_id AND l.cell = e2.cell
+            AND l.j = e2.j AND l.code = e2.code
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id, adc_d2, CAST(rk AS BIGINT) AS rk
+FROM (SELECT query_id, vec_id, adc_d2,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_d2, vec_id) AS rk
+      FROM adc)
+WHERE rk <= 5 ORDER BY query_id, rk
+"""
+
+
+@q("ivfpq_residual_topk", oracle=_IVFPQ_RESIDUAL_ORACLE)
+def q_ivfpq_residual_topk(spark, sf_dir):
+    """RESIDUAL IVF-PQ — what FAISS's IndexIVFPQ actually encodes:
+    the coarse quantizer removes each vector's cell mean and PQ
+    quantizes the RESIDUAL (cell-relative remainders are centered
+    near zero, so one shared sub-codebook fits them far better than
+    raw vectors). Queries therefore compute a separate residual — and
+    a separate integer-micro ADC lookup table — per probed cell,
+    scoping the LUT join by (query, cell). Everything after the
+    element-wise residual subtraction (identical IEEE ops both
+    engines) is the exact fixed-point PQ path, and the oracle replays
+    the full geometry: assignment, residuals, residual-space
+    codebooks, sub-code argmin, per-cell LUTs, candidate-restricted
+    sums, rank."""
+    from transporter_spark.operators.similarity import (
+        ivfpq_residual_index,
+        ivfpq_residual_search,
+        pq_codebooks,
+        pq_residual_frame,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    seeds = pq_residual_frame(
+        emb.filter(F.col("vec_id") < 16), centroids, round_dp=8
+    )
+    cbs = pq_codebooks(seeds, m=4, vec_col="rvec")
+    indexed = ivfpq_residual_index(emb, centroids, cbs, m=4, round_dp=8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_residual_search(
+        indexed, queries, centroids, cbs, k=5, nprobe=2, m=4, round_dp=8
+    ).orderBy("query_id", "rk")
+
+
 _SEMDEDUP_CTES = """
 WITH RECURSIVE
 v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
