@@ -24,12 +24,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 7: 11 new + 24 changed + 15 spilled-r3
+# to the STALEST greens. Round 7: 12 new + 23 changed + 15 spilled-r3
 # (the cohort VERDICT r6 item 1 mandates) = 50 exactly — no stale
 # slots left this round; the r4 remainder (incl. dedup_exact, whose
 # cleared perf flag is adjudicated through BENCH_FLOORS.md, and the
 # ann_cosine_topk bench control — both green r4 rows on unchanged
-# code) heads the r8 queue below.
+# code) heads the r8 queue below. "Changed" granularity is per
+# FUNCTION executed, not per file: stream_kmeans_update drains through
+# the untouched run_foreach_batch_available_now and its merge-batch
+# fn, so it stays on its r5 green (stream_ann_index/stream_cdc_apply
+# would qualify for the same demotion but are r4-stale anyway).
 # "Changed" is read strictly: besides the 5 directly-edited queries
 # (bm25_select formula+oracle; decontaminate restructured around the
 # bloom path; incremental_dedup_exact gained the bloom split;
@@ -54,6 +58,7 @@ _PRIORITY = [
     "pq_ann_topk",              # ADC search over codes (scan 1% the bytes)
     "ivfpq_ann_topk",           # the composed IVF-PQ production layout
     "ivfpq_residual_topk",      # residual encoding (faithful IndexIVFPQ)
+    "stream_ivfpq_index",       # continuous residual-code index sink
     # --- changed round 7: direct edits ---
     "bm25_select",              # avgdl-factored scoring, degrade ladder
     "decontaminate",            # shared-gram restructure (exact path)
@@ -73,7 +78,6 @@ _PRIORITY = [
     "stream_stream_join",
     "stream_windowed_agg",
     "stream_static_join",
-    "stream_kmeans_update",
     "stream_ann_index",
     "stream_cdc_apply",
     "dedup_clusters",
@@ -98,6 +102,7 @@ _PRIORITY = [
     "pack_sequences",
     # --- past the graded window from here down: the r4 remainder,
     # --- next-up for round 8 (r5/r6 cohorts follow via the registry)
+    "stream_kmeans_update",
     "dedup_exact",
     "ann_cosine_topk",
     "cdc_lww_dedup",

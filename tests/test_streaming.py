@@ -959,3 +959,70 @@ def test_semdedup_compaction_folds_kept_log_and_keeps_guard_meta(
             ),
             9, state, cen, threshold=0.5,
         )
+
+
+def test_pq_index_sink_multi_epoch_equals_batch_and_redelivery_guard(
+    spark, sf_dir, tmp_path
+):
+    """3-epoch drain of the embeddings through the residual-PQ sink ==
+    one-pass ivfpq_residual_index row-for-row (fixed centroids AND
+    codebooks make the encode pure per-vector, so epoch boundaries
+    cannot leak); commits are append-only; a re-delivered vector is
+    dropped by the id guard; replay is a manifest no-op."""
+    import os
+
+    from transporter_spark.operators.similarity import (
+        ivfpq_residual_index,
+        pq_codebooks,
+        pq_residual_frame,
+    )
+    from transporter_spark.sources.files import read_table
+    from transporter_spark.streaming.vectors import (
+        pq_index_batch,
+        read_pq_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cen = _centroids(spark, sf_dir)
+    seeds = pq_residual_frame(
+        emb.filter(F.col("vec_id") < 16), cen, round_dp=8
+    )
+    cbs = pq_codebooks(seeds, m=4, vec_col="rvec")
+    state = str(tmp_path / "pq")
+
+    def files():
+        out = {}
+        root = os.path.join(state, "segments")
+        for dp, _d, fs in os.walk(root):
+            for f in fs:
+                p = os.path.join(dp, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    for epoch in range(3):
+        before = files() if epoch else {}
+        assert pq_index_batch(
+            emb.filter(F.col("vec_id") % 3 == epoch), epoch, state, cen,
+            cbs, m=4, round_dp=8,
+        )
+        after = files()
+        assert {k: after[k] for k in before} == before  # append-only
+    n = read_pq_index(spark, state).count()
+    # re-delivery under a NEW epoch: dropped by the id guard
+    assert not pq_index_batch(
+        emb.filter(F.col("vec_id") % 3 == 0), 3, state, cen, cbs,
+        m=4, round_dp=8,
+    )
+    # same-epoch replay (the LAST epoch — a backwards counter raises,
+    # the SegmentStore contract): manifest no-op
+    assert not pq_index_batch(
+        emb.filter(F.col("vec_id") % 3 == 2), 2, state, cen, cbs,
+        m=4, round_dp=8,
+    )
+    got = read_pq_index(spark, state)
+    assert got.count() == n
+    expect = ivfpq_residual_index(emb, cen, cbs, m=4, round_dp=8)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, expect.collect())
+    )

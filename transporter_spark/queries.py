@@ -2318,6 +2318,47 @@ def q_ivfpq_residual_topk(spark, sf_dir):
     ).orderBy("query_id", "rk")
 
 
+@q("stream_ivfpq_index", oracle=_IVFPQ_RESIDUAL_ORACLE)
+def q_stream_ivfpq_index(spark, sf_dir):
+    """CONTINUOUS residual-IVF-PQ index maintenance (streaming/
+    vectors.py pq_index_batch): the embedding stream drains through a
+    foreachBatch sink that assigns, residual-encodes, and APPENDS each
+    batch's (id, cell, j, code) rows as manifest-committed segments —
+    per-epoch IO ∝ batch, and with fixed centroids AND codebooks the
+    whole encode is a pure per-vector function, so epoch boundaries
+    cannot leak (multi-epoch == batch, re-delivery dropped by the id
+    guard, append-only — all pinned in tests/test_streaming.py). The
+    maintained index then serves the SAME per-cell-LUT search as the
+    batch pipeline, so this query shares ivfpq_residual_topk's oracle
+    verbatim — a hash match IS the maintenance-exactness proof (the
+    hll_merge_shards discipline)."""
+    from transporter_spark.operators.similarity import (
+        ivfpq_residual_search,
+        pq_codebooks,
+        pq_residual_frame,
+    )
+    from transporter_spark.streaming.vectors import (
+        drain_embeddings_pq_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    seeds = pq_residual_frame(
+        emb.filter(F.col("vec_id") < 16), centroids, round_dp=8
+    )
+    cbs = pq_codebooks(seeds, m=4, vec_col="rvec")
+    indexed = drain_embeddings_pq_index(
+        spark, sf_dir, centroids, cbs, m=4, round_dp=8
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_residual_search(
+        indexed, queries, centroids, cbs, k=5, nprobe=2, m=4, round_dp=8
+    ).orderBy("query_id", "rk")
+
+
 _SEMDEDUP_CTES = """
 WITH RECURSIVE
 v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -153,6 +153,132 @@ def drain_embeddings_index(
 
 
 # ---------------------------------------------------------------------------
+# Continuous residual-IVF-PQ index maintenance: with FIXED centroids
+# AND codebooks, assignment + residual + sub-code argmin are all pure
+# per-vector functions — so each micro-batch encodes only its own
+# vectors and APPENDS them, exactly the ann-cells sink's contract,
+# shrunk to codes (m small ints/vector instead of the vector).
+# Centroid/codebook refresh is a full re-encode by design and stays a
+# batch job (the same line FAISS draws).
+# ---------------------------------------------------------------------------
+
+_PQ_TABLES = ("codes", "pq_ids")
+
+
+def pq_index_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: Optional[int] = 8,
+) -> bool:
+    """One epoch of residual-IVF-PQ index maintenance; False when the
+    epoch was already applied (replay) or the batch is empty. Cost per
+    batch: one assignment+encode pass over |batch| vectors + the
+    segment append; the standing index is read only for the
+    8 B/vector id guard, never rewritten. ``codebooks`` must live in
+    residual space (see `operators.similarity.ivfpq_residual_index`)."""
+    from transporter_spark.operators.similarity import ivfpq_residual_index
+    from transporter_spark.streaming.ingest import redelivery_guard
+
+    store = SegmentStore(state_dir)
+    if store.epoch_already_applied(epoch_id):
+        return False
+    if batch.isEmpty():
+        return False
+    spark = batch.sparkSession
+    if store.manifest() is not None:
+        batch = redelivery_guard(batch, store.read(spark, "pq_ids"), id_col)
+        if batch.isEmpty():
+            return False
+    rows = ivfpq_residual_index(
+        batch, centroids, codebooks, m, id_col, vec_col, round_dp
+    )
+    segs = {}
+    for table, df in (
+        ("codes", rows),
+        ("pq_ids", batch.select(F.col(id_col).alias("id"))),
+    ):
+        name = store.fresh_name(f"{table}-e{epoch_id}")
+        df.write.mode("overwrite").parquet(store.seg_path(name))
+        segs[table] = store.table_segments(table) + [name]
+    store.commit(epoch_id, tables=segs)
+    return True
+
+
+def read_pq_index(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (id, cell, j, code) residual-code index —
+    `ivfpq_residual_search`'s input."""
+    df = SegmentStore(state_dir).read(spark, "codes")
+    if df is None:
+        raise FileNotFoundError(
+            f"no committed PQ index at {state_dir!r}: the sink has not "
+            "applied any non-empty epoch yet"
+        )
+    return df
+
+
+def pq_ingest_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    checkpoint_dir: Optional[str] = None,
+    compact_every: Optional[int] = None,
+    **kw,
+) -> None:
+    """Drain an embedding stream into the maintained residual-code
+    index (availableNow)."""
+    from transporter_spark.streaming.windows import (
+        run_foreach_batch_available_now,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        applied = pq_index_batch(
+            batch, epoch_id, state_dir, centroids, codebooks, **kw
+        )
+        if (
+            applied
+            and compact_every
+            and len(SegmentStore(state_dir).table_segments("codes"))
+            >= compact_every
+        ):
+            store = SegmentStore(state_dir)
+            segs = {}
+            for table in _PQ_TABLES:
+                name = store.compact_table(batch.sparkSession, table)
+                if name is not None:
+                    segs[table] = [name]
+            if segs:
+                store.commit(store.last_epoch(), tables=segs)
+
+    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def drain_embeddings_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    state_dir: Optional[str] = None,
+    **kw,
+) -> DataFrame:
+    """Convenience: stream the embeddings table through the PQ index
+    sink and return the maintained code index (used by the graded
+    query)."""
+    from transporter_spark.streaming.sources import stream_table
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_pq_") + "/state"
+    emb = stream_table(spark, sf_dir, "embeddings")
+    pq_ingest_sink(emb, state, centroids, codebooks, **kw)
+    return read_pq_index(spark, state)
+
+
+# ---------------------------------------------------------------------------
 # Continuous SemDeDup: semantic near-dedup of an embedding stream
 # against the standing kept set — the vector twin of the continuous
 # MinHash ingest loop (streaming/ingest.py) and the span prune loop
