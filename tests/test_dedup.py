@@ -750,3 +750,28 @@ def test_pq_encode_and_adc_identities(spark):
         for r in pq_encode(vecs.repartition(7), cbs, m=m).collect()
     }
     assert again == codes
+
+
+def test_pq_raises_on_non_divisible_vector_length(spark):
+    """len(vec) % m != 0 must raise loudly (ADVICE r7): Spark slice()
+    silently truncates, so without the `_pq_slices` guard a 7-dim
+    vector at m=4 would be encoded with its tail silently dropped."""
+    import pytest
+
+    from transporter_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    good = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(8)]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    cbs = pq_codebooks(good, m=4)
+    bad = spark.createDataFrame(
+        [(99, [1.0] * 7)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="not divisible by m=4"):
+        pq_encode(bad, cbs, m=4).collect()
+    with pytest.raises(Exception, match="not divisible by m=4"):
+        pq_codebooks(bad, m=4).collect()

@@ -547,3 +547,40 @@ def test_concurrent_drains_dont_clobber_session_conf(spark, tmp_path):
     )
     assert ingest_dedup_batch(batch, 0, str(tmp_path / "s3"))
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_scope_on_stopped_session_does_not_leak_holder(spark):
+    """A conf get/set failure inside scoped_shuffle_partitions must
+    release the holder slot (ADVICE r7): a stopped newSession raises
+    on entry, and a LATER scope under the same session UUID must not
+    hit the concurrent-drain RuntimeError from a leaked entry."""
+    import pytest
+
+    from transporter_spark import session as sess
+    from transporter_spark.session import scoped_shuffle_partitions
+
+    # .stop() on a newSession would stop the SHARED SparkContext, so
+    # simulate the stopped-session failure with a conf that raises
+    class _BoomConf:
+        def get(self, *_a, **_k):
+            raise RuntimeError("session stopped")
+
+        def set(self, *_a, **_k):
+            raise RuntimeError("session stopped")
+
+    class _Fake:
+        conf = _BoomConf()
+
+        class _J:
+            @staticmethod
+            def sessionUUID():
+                return "fake-uuid-advice-r7"
+
+        _jsparkSession = _J()
+
+    fake = _Fake()
+    for _ in range(2):  # second iteration would deadlock on a leak
+        with pytest.raises(RuntimeError, match="session stopped"):
+            with scoped_shuffle_partitions(fake, 7):
+                pass  # pragma: no cover - entry raises
+    assert "fake-uuid-advice-r7" not in sess._SCOPE_HOLDERS

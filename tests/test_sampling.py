@@ -570,6 +570,34 @@ def test_bm25_log2_shift_ladder_guards_the_ratio_intermediate():
         bm25_log2_shift(1 << 63)  # peak 2^64-1 overflows even unshifted
 
 
+def test_bm25_pinned_scale_fails_loudly_on_divergence(spark):
+    """ADVICE r7: a replay SQL that hardcodes the fixed-point scale
+    must not silently hash-mismatch when the degrade ladder engages —
+    a caller pinning the constant gets a loud raise when the
+    stats-derived pick differs, and a matching pin stays silent."""
+    import pytest
+
+    from transporter_spark.operators.selection import bm25_select
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha delta"), (3, "beta beta")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [("q1", "alpha beta")], "query_id string, query_text string"
+    )
+    # tiny corpus picks the full ppm scale / full shift: matching pins pass
+    assert bm25_select(docs, qs, k=2, pinned_idf_scale=1_000_000).count() == 2
+    assert (
+        bm25_select(docs, qs, k=2, idf="log2", pinned_log2_shift=20).count()
+        == 2
+    )
+    with pytest.raises(ValueError, match="pinned 1000"):
+        bm25_select(docs, qs, k=2, pinned_idf_scale=1000)
+    with pytest.raises(ValueError, match="pinned 7"):
+        bm25_select(docs, qs, k=2, idf="log2", pinned_log2_shift=7)
+
+
 def test_bloom_probe_mark_or_merges_duplicate_word_rows(spark):
     """A word table appended per-epoch WITHOUT bloom_merge carries
     duplicate word_idx rows; each probe join would fan matching rows

@@ -551,6 +551,8 @@ def bm25_select(
     id_col: str = "doc_id",
     k: int = 10,
     idf: str = "ratio",
+    pinned_idf_scale: Optional[int] = None,
+    pinned_log2_shift: Optional[int] = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25 (Robertson et al., Okapi
     TREC-3) at the standard k1=1.2, b=0.75 — the retrieval-scored
@@ -582,6 +584,13 @@ def bm25_select(
     piecewise-linear integer log2 in millibits — Okapi-faithful
     multi-term weighting, still bit-reproducible, and its <=
     ~64000-milli idf cap makes the numerator bound corpus-size-free.
+
+    ``pinned_idf_scale`` / ``pinned_log2_shift``: callers whose replay
+    SQL hardcodes the fixed-point constants (the graded oracles) pass
+    the hardcoded value; if the stats-derived pick ever differs (the
+    degrade ladder engaged), the call raises instead of returning a
+    correct ranking that silently hash-mismatches the stale replay
+    (ADVICE r7). Leave None to let the ladder degrade freely.
 
     100 TB shape: ONE exploded corpus pass restricted to query terms
     by a broadcast semi-join BEFORE any aggregation (per-doc length
@@ -632,8 +641,27 @@ def bm25_select(
     log2_shift = BM25_LOG2_RATIO_BITS
     if idf == "ratio":
         scale = bm25_pick_idf_scale(n_docs, dl_max, avgdl)
+        # pin for callers whose replay SQL hardcodes the scale (the
+        # graded oracles, ADVICE r7): if the corpus ever grows into
+        # the degrade ladder, fail LOUDLY here instead of silently
+        # hash-mismatching a correct ranking against a stale constant
+        if pinned_idf_scale is not None and scale != pinned_idf_scale:
+            raise ValueError(
+                f"bm25_select picked idf scale {scale} but the caller "
+                f"pinned {pinned_idf_scale} (its replay SQL hardcodes "
+                "that constant) — rebuild the oracle from "
+                "bm25_pick_idf_scale of the same corpus stats: "
+                f"n_docs={n_docs}, dl_max={dl_max}, avgdl={avgdl}"
+            )
     else:
         log2_shift = bm25_log2_shift(n_docs)
+        if pinned_log2_shift is not None and log2_shift != pinned_log2_shift:
+            raise ValueError(
+                f"bm25_select picked log2 ratio shift {log2_shift} but "
+                f"the caller pinned {pinned_log2_shift} (its replay SQL "
+                "hardcodes that constant) — rebuild the oracle from "
+                f"bm25_log2_shift(n_docs={n_docs})"
+            )
         scale = 1 << log2_shift
         ratio_peak = 2 * (n_docs - 1) + 1 if n_docs else 1
         r_max = (ratio_peak * scale) // 3

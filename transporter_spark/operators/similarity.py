@@ -447,6 +447,27 @@ def _sq_l2_fix(a: str, b: str) -> Column:
     )
 
 
+def _pq_slices(vec_expr: str, m: int) -> str:
+    """The m sub-vector slices of ``vec_expr`` as one transform
+    expression, GUARDED: Spark's slice() silently truncates (it does
+    NOT raise on a short range — ADVICE r7), so a vector whose length
+    isn't divisible by m would be encoded/searched with its trailing
+    dimensions silently ignored across the whole PQ family. The guard
+    raises per-row instead (USER_RAISED_EXCEPTION), the same fail-loud
+    posture as the Bloom/span geometry checks."""
+    guarded = (
+        f"if(size({vec_expr}) % {m} = 0, cast({vec_expr} as array<double>), "
+        f"raise_error(concat('pq: vector length ', "
+        f"cast(size({vec_expr}) as string), "
+        f"' not divisible by m={m}')))"
+    )
+    return (
+        f"transform(sequence(0, {m - 1}), "
+        f"j -> slice({guarded}, "
+        f"j * (size({vec_expr}) div {m}) + 1, size({vec_expr}) div {m}))"
+    )
+
+
 def pq_codebooks(
     seed_vectors: DataFrame,
     m: int,
@@ -459,17 +480,10 @@ def pq_codebooks(
     ann_ivf centroids: any deterministic codebook works, the engine
     shape is the same; real deployments train per-slice k-means —
     `kmeans_update` — and persist the result). Requires len(vec) % m
-    == 0 (raises inside the slice expr otherwise)."""
-    sub = F.expr(f"size({vec_col}) div {m}")
+    == 0 — enforced per-row by `_pq_slices`' raise_error guard."""
     return seed_vectors.select(
         F.col(id_col).cast("long").alias("code"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}), "
-                f"j -> slice(cast({vec_col} as array<double>), "
-                f"j * (size({vec_col}) div {m}) + 1, size({vec_col}) div {m}))"
-            )
-        ).alias("j", "cvec"),
+        F.posexplode(F.expr(_pq_slices(vec_col, m))).alias("j", "cvec"),
     ).select("j", "code", "cvec")
 
 
@@ -495,11 +509,7 @@ def pq_encode_rows(
         F.col(id_col),
         *carry,
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}), "
-                f"j -> slice(cast({vec_col} as array<double>), "
-                f"j * (size({vec_col}) div {m}) + 1, size({vec_col}) div {m}))"
-            )
+            F.expr(_pq_slices(vec_col, m))
         ).alias("j", "svec"),
     )
     scored = sliced.join(F.broadcast(codebooks), "j").select(
@@ -553,11 +563,7 @@ def pq_search(
     qsliced = queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}), "
-                f"j -> slice(cast({vec_col} as array<double>), "
-                f"j * (size({vec_col}) div {m}) + 1, size({vec_col}) div {m}))"
-            )
+            F.expr(_pq_slices(vec_col, m))
         ).alias("j", "qvec"),
     )
     lut = qsliced.join(F.broadcast(codebooks), "j").select(
@@ -630,11 +636,7 @@ def ivfpq_search(
     qsliced = queries.select(
         F.col(id_col).alias("query_id"),
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}), "
-                f"j -> slice(cast({vec_col} as array<double>), "
-                f"j * (size({vec_col}) div {m}) + 1, size({vec_col}) div {m}))"
-            )
+            F.expr(_pq_slices(vec_col, m))
         ).alias("j", "qvec"),
     )
     lut = qsliced.join(F.broadcast(codebooks), "j").select(
@@ -756,11 +758,7 @@ def ivfpq_residual_search(
         "query_id",
         "cell",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, {m - 1}), "
-                f"j -> slice(rqv, j * (size(rqv) div {m}) + 1, "
-                f"size(rqv) div {m}))"
-            )
+            F.expr(_pq_slices("rqv", m))
         ).alias("j", "qs"),
     )
     lut = qsliced.join(F.broadcast(codebooks), "j").select(

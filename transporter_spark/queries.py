@@ -6026,7 +6026,10 @@ def _bm25_oracle(idf: str = "ratio") -> str:
     # uses (operators/selection.bm25_idf_sql) — one formula, two
     # dialect spellings, zero drift. scale is hardcoded at the full
     # ppm resolution: bm25_pick_idf_scale only degrades it past
-    # ~1e7-doc corpora, far beyond any graded SF.
+    # ~1e7-doc corpora, far beyond any graded SF — and the Spark side
+    # PINS the constant (pinned_idf_scale / pinned_log2_shift), so a
+    # corpus that does trigger the ladder raises instead of silently
+    # hash-mismatching against this SQL (ADVICE r7).
     from transporter_spark.operators.selection import bm25_idf_sql
 
     idf_sql = bm25_idf_sql(
@@ -6105,7 +6108,12 @@ def q_bm25_select(spark, sf_dir):
     queries = spark.createDataFrame(
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
-    return bm25_select(docs, queries, k=10).orderBy("query_id", "rk")
+    # the oracle SQL hardcodes the full-ppm scale; pin it so a corpus
+    # big enough to trigger the degrade ladder fails loudly instead of
+    # silently hash-mismatching (ADVICE r7)
+    return bm25_select(
+        docs, queries, k=10, pinned_idf_scale=1_000_000
+    ).orderBy("query_id", "rk")
 
 
 @q("bm25_select_log2", oracle=_bm25_oracle(idf="log2"), headline=False)
@@ -6129,9 +6137,10 @@ def q_bm25_select_log2(spark, sf_dir):
     queries = spark.createDataFrame(
         list(_BM25_QUERIES), "query_id string, query_text string"
     )
-    return bm25_select(docs, queries, k=10, idf="log2").orderBy(
-        "query_id", "rk"
-    )
+    # oracle hardcodes the 2^20 ratio shift — pin it (ADVICE r7)
+    return bm25_select(
+        docs, queries, k=10, idf="log2", pinned_log2_shift=20
+    ).orderBy("query_id", "rk")
 
 
 _CLF_ORACLE = r"""

@@ -119,15 +119,28 @@ def scoped_shuffle_partitions(spark: SparkSession, n: int):
                 "SparkContext, independent conf) instead"
             )
         _SCOPE_HOLDERS[key] = (me, depth + 1)
-    before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", before)
+
+    def _release() -> None:
         with _SCOPE_LOCK:
             holder, depth = _SCOPE_HOLDERS[key]
             if depth <= 1:
                 del _SCOPE_HOLDERS[key]
             else:
                 _SCOPE_HOLDERS[key] = (holder, depth - 1)
+
+    # conf get/set can throw (stopped session): keep the holder entry
+    # and the conf mutation in one try so a failure releases the slot
+    # instead of leaking it forever for this session UUID (ADVICE r7)
+    try:
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    except BaseException:
+        _release()
+        raise
+    try:
+        yield
+    finally:
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+        finally:
+            _release()
