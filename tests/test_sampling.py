@@ -627,3 +627,88 @@ def test_bloom_probe_mark_or_merges_duplicate_word_rows(spark):
         (r.doc_id, r.member) for r in want
     )
     assert all(r.member for r in got if r.doc_id < 40)
+
+
+def test_bloom_sketch_carries_and_validates_geometry(spark):
+    """ADVICE r7: a probe at a different k/m_bits than the build
+    silently produces false negatives — the BloomSketch wrapper
+    carries the build geometry and the probe validates it; a bare
+    word table built LARGER than the probed m_bits trips the per-row
+    word_idx range guard."""
+    import pytest
+
+    from transporter_spark.operators.sketches import (
+        bloom_probe_mark,
+        bloom_sketch,
+        bloom_words,
+    )
+
+    members = spark.createDataFrame(
+        [(f"item-{i}",) for i in range(300)], "x string"
+    )
+    probes = spark.createDataFrame(
+        [("item-1",), ("item-7",), ("nope",)], "x string"
+    )
+    sk = bloom_sketch(members, "x", k=6, m_bits=1 << 14)
+    # carried geometry: no explicit args needed, members all hit
+    got = {
+        r.x: r.member
+        for r in bloom_probe_mark(probes, "x", sk).collect()
+    }
+    assert got["item-1"] and got["item-7"]
+    with pytest.raises(ValueError, match="k=4 conflicts"):
+        bloom_probe_mark(probes, "x", sk, k=4)
+    with pytest.raises(ValueError, match="m_bits=32768 conflicts"):
+        bloom_probe_mark(probes, "x", sk, m_bits=1 << 15)
+
+    # bare table built at 2^17 bits probed at the default 2^15: some
+    # word_idx >= 1024 exists w.h.p. at 300*4 positions — range guard
+    big = bloom_words(members, "x", m_bits=1 << 17)
+    assert big.where("word_idx >= 1024").count() > 0
+    with pytest.raises(Exception, match="outside the probed geometry"):
+        bloom_probe_mark(probes, "x", big).collect()
+
+
+def test_incremental_dedup_exact_accepts_bloom_sketch(spark, tmp_path):
+    """The probe-then-verify path accepts the geometry-carrying
+    wrapper end-to-end (including one recovered from a continuous
+    sink's state meta) and matches the plain anti-join output."""
+    from transporter_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_dedup_exact,
+    )
+    from transporter_spark.operators.sketches import BloomSketch, bloom_words
+
+    corpus = spark.createDataFrame(
+        [(i, f"text {i % 20}") for i in range(40)], "doc_id long, text string"
+    )
+    index = fingerprint_index(corpus, ["text"])
+    k, m_bits = 5, 1 << 13
+    sk = BloomSketch(
+        bloom_words(index, "fp", k=k, m_bits=m_bits), k, m_bits
+    )
+    batch = spark.createDataFrame(
+        [(100, "text 3"), (101, "brand new"), (102, "brand new")],
+        "doc_id long, text string",
+    )
+    plain = incremental_dedup_exact(batch, index, ["text"])
+    viask = incremental_dedup_exact(batch, index, ["text"], bloom_words=sk)
+    assert sorted(r.doc_id for r in plain.collect()) == [101]
+    assert sorted(r.doc_id for r in viask.collect()) == [101]
+
+
+def test_read_bloom_sketch_recovers_geometry_from_state(spark, tmp_path):
+    """The continuous sink persists k/m_bits in the state meta's
+    seg-key; read_bloom_sketch recovers them so downstream probes
+    validate instead of trusting a caller's claim."""
+    from transporter_spark.streaming.sketches import (
+        bloom_merge_batch,
+        read_bloom_sketch,
+    )
+
+    state = str(tmp_path / "bloom_state")
+    batch = spark.createDataFrame([(f"m{i}",) for i in range(50)], "x string")
+    assert bloom_merge_batch(batch, 0, state, "x", k=3, m_bits=1 << 12)
+    sk = read_bloom_sketch(spark, state)
+    assert (sk.k, sk.m_bits) == (3, 1 << 12)
+    assert sk.words.where("word_idx >= 0").count() > 0

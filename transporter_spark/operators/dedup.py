@@ -186,7 +186,7 @@ def incremental_dedup_exact(
     index: DataFrame,
     cols: Sequence[str],
     id_col: str = "doc_id",
-    bloom_words: Optional[DataFrame] = None,
+    bloom_words: "Optional[DataFrame | 'BloomSketch']" = None,
     bloom_k: Optional[int] = None,
     bloom_m_bits: Optional[int] = None,
 ) -> DataFrame:
@@ -215,7 +215,14 @@ def incremental_dedup_exact(
     of the whole batch and the index side is read only for them. A
     false positive cannot over-excise: the exact anti-join keeps any
     row whose fp is genuinely absent. Output is identical to the
-    plain path (pinned in tests)."""
+    plain path (pinned in tests). Prefer passing a
+    `sketches.BloomSketch` (or `streaming.sketches.read_bloom_sketch`
+    output) over a bare word table: the sketch carries its build
+    k/m_bits and the probe validates them — a drifted geometry would
+    otherwise produce silent FALSE NEGATIVES (true dups kept), the
+    one error the no-false-negatives contract can't absorb
+    (ADVICE r7; bare tables still get a one-sided word_idx range
+    guard)."""
     fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cols]))
     hashed = new_docs.withColumn("_fp", fp)
     w = Window.partitionBy("_fp").orderBy(F.col(id_col))
@@ -225,19 +232,20 @@ def incremental_dedup_exact(
         .drop("_rn")
     )
     if bloom_words is not None:
-        from transporter_spark.operators.sketches import (
-            DEFAULT_K,
-            DEFAULT_M_BITS,
-            bloom_probe_mark,
-        )
+        from transporter_spark.operators.sketches import bloom_probe_mark
 
+        # k/m_bits pass through un-defaulted: a BloomSketch supplies
+        # (and validates) its own build geometry, and a bare word
+        # table gets the probe-side range guard — a mismatched
+        # geometry raises instead of silently keeping true dups
+        # (false negatives), per ADVICE r7
         marked = bloom_probe_mark(
             in_batch_first,
             "_fp",
             bloom_words,
             out_col="_bpf",
-            k=bloom_k or DEFAULT_K,
-            m_bits=bloom_m_bits or DEFAULT_M_BITS,
+            k=bloom_k,
+            m_bits=bloom_m_bits,
         )
         definite_new = marked.where(~F.col("_bpf")).drop("_bpf")
         suspects = marked.where(F.col("_bpf")).drop("_bpf")

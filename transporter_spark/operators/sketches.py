@@ -23,7 +23,7 @@ hash below ~2^57 distinct items.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable, NamedTuple, Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -497,6 +497,84 @@ DEFAULT_K = 4
 _BLOOM_WORD = 32  # bits per stored word; see module comment above
 
 
+class BloomSketch(NamedTuple):
+    """A word table WITH its build geometry (ADVICE r7): probing a
+    table with a different k/m_bits than it was built with silently
+    produces FALSE NEGATIVES (true members missed) — the one failure
+    mode the sketch's no-false-negatives contract can't absorb. Pass
+    this wrapper (from `bloom_sketch` / `read_bloom_sketch`) instead
+    of a bare DataFrame and every probe validates the geometry; the
+    streaming sink already persists it in the state meta's seg-key
+    format (`bloom_m={m}.k={k}`) with a loud mismatch check."""
+
+    words: DataFrame
+    k: int
+    m_bits: int
+
+
+def bloom_sketch(
+    df: DataFrame,
+    item_col: str,
+    by: Sequence[str] = (),
+    k: int = DEFAULT_K,
+    m_bits: int = DEFAULT_M_BITS,
+) -> BloomSketch:
+    """`bloom_words` with the geometry carried alongside."""
+    return BloomSketch(bloom_words(df, item_col, by, k, m_bits), k, m_bits)
+
+
+def _bloom_resolve(
+    words: Union[DataFrame, BloomSketch],
+    k: Optional[int],
+    m_bits: Optional[int],
+) -> "tuple[DataFrame, int, int]":
+    """(word table, k, m_bits) for a probe: a BloomSketch supplies its
+    own geometry and RAISES if the caller also passed a conflicting
+    explicit value; a bare DataFrame falls back to the caller's args
+    (defaulted) — its geometry is then the caller's claim, range-
+    guarded per-row by `_bloom_guard_words`."""
+    if isinstance(words, BloomSketch):
+        if k is not None and k != words.k:
+            raise ValueError(
+                f"bloom probe k={k} conflicts with the sketch's build "
+                f"geometry k={words.k} — a mismatched probe silently "
+                "loses the no-false-negatives guarantee"
+            )
+        if m_bits is not None and m_bits != words.m_bits:
+            raise ValueError(
+                f"bloom probe m_bits={m_bits} conflicts with the "
+                f"sketch's build geometry m_bits={words.m_bits}"
+            )
+        return words.words, words.k, words.m_bits
+    return (
+        words,
+        DEFAULT_K if k is None else k,
+        DEFAULT_M_BITS if m_bits is None else m_bits,
+    )
+
+
+def _bloom_guard_words(words: DataFrame, m_bits: int) -> DataFrame:
+    """Per-row fail-loud range guard on a bare word table: a word_idx
+    outside [0, m_bits/32) PROVES the table was built at a larger
+    m_bits than the probe assumes — raise_error instead of silently
+    missing members. One-sided by nature (a table built SMALLER stays
+    in range — carry the geometry with `BloomSketch` to close that
+    direction); sketch-sized and lazy, zero extra jobs."""
+    n_words = m_bits // _BLOOM_WORD
+    # a FILTER predicate, not a projected rewrite of word_idx: a
+    # raise_error CASE on the join key would stop it being a plain
+    # attribute and Catalyst falls back to a cartesian join
+    return words.where(
+        F.expr(
+            f"if(word_idx >= 0 and word_idx < {n_words}, true, "
+            f"raise_error(concat('bloom word_idx ', "
+            f"cast(word_idx as string), "
+            f"' outside the probed geometry m_bits={m_bits} ({n_words} "
+            "words) — the table was built with a different m_bits')))"
+        )
+    )
+
+
 def _bloom_position(col: Column, i: int, m_bits: int) -> Column:
     """THE salted bit position for probe ``i`` of an item — md5-prefix
     hash of 'i:item' mod m (the CMS `_cms_cell` salt recipe). The ONE
@@ -566,12 +644,12 @@ def bloom_merge(a: DataFrame, b: DataFrame, by: Sequence[str] = ()) -> DataFrame
 
 
 def bloom_contains(
-    words: DataFrame,
+    words: Union[DataFrame, BloomSketch],
     probes: DataFrame,
     item_col: str,
     id_cols: Sequence[str],
-    k: int = DEFAULT_K,
-    m_bits: int = DEFAULT_M_BITS,
+    k: Optional[int] = None,
+    m_bits: Optional[int] = None,
     by: Sequence[str] = (),
     join_strategy: str = "auto",
 ) -> DataFrame:
@@ -610,6 +688,7 @@ def bloom_contains(
             f"join_strategy must be auto|broadcast|shuffle, got "
             f"{join_strategy!r}"
         )
+    words, k, m_bits = _bloom_resolve(words, k, m_bits)
     id_cols = list(id_cols)
     by = list(by)
     expect = set(by) | {"word_idx", "word"}
@@ -625,6 +704,7 @@ def bloom_contains(
             f"({id_cols}): the per-probe aggregate groups by id_cols, so "
             "a by column left out would min-merge hits across groups"
         )
+    words = _bloom_guard_words(words, m_bits)
     pos = probes.where(F.col(item_col).isNotNull()).select(
         *id_cols,
         F.explode(_bloom_positions(F.col(item_col), k, m_bits)).alias("_pos"),
@@ -656,10 +736,10 @@ def bloom_contains(
 def bloom_probe_mark(
     df: DataFrame,
     item_col: str,
-    words: DataFrame,
+    words: Union[DataFrame, BloomSketch],
     out_col: str = "member",
-    k: int = DEFAULT_K,
-    m_bits: int = DEFAULT_M_BITS,
+    k: Optional[int] = None,
+    m_bits: Optional[int] = None,
 ) -> DataFrame:
     """Inline membership mark against a GLOBAL word table: adds
     ``out_col`` (boolean — all k salted bits set) to every row of
@@ -679,14 +759,21 @@ def bloom_probe_mark(
     `bloom_merge`) would otherwise fan every matching probe row out
     through each left join — silent row multiplication. The merge is
     a no-op on a clean table (x | x == x) and sketch-sized either
-    way."""
+    way.
+
+    Geometry (ADVICE r7): pass a `BloomSketch` and its build k/m_bits
+    are used and validated against any explicit args; a bare word
+    table is probed at the caller's claimed geometry with a per-row
+    word_idx range guard (catches built-larger mismatches loudly;
+    built-smaller needs the carried geometry)."""
+    words, k, m_bits = _bloom_resolve(words, k, m_bits)
     if set(words.columns) != {"word_idx", "word"}:
         raise ValueError(
             f"bloom_probe_mark probes a GLOBAL sketch (columns "
             f"word_idx, word); got {sorted(words.columns)} — for a "
             "grouped sketch use bloom_contains with by=[...]"
         )
-    words = words.groupBy("word_idx").agg(
+    words = _bloom_guard_words(words, m_bits).groupBy("word_idx").agg(
         F.bit_or("word").cast("long").alias("word")
     )
     out = df

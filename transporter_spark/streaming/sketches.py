@@ -351,6 +351,30 @@ def read_bloom_state(spark: SparkSession, state_dir: str) -> DataFrame:
     return _read_state(spark, state_dir, _BLOOM_STORE)
 
 
+def read_bloom_sketch(spark: SparkSession, state_dir: str):
+    """The maintained word table WITH its build geometry, recovered
+    from the state meta's seg-key format (`.../bloom_m={m}.k={k}` —
+    written by every `bloom_merge_batch` commit): pass the result to
+    `operators.sketches.bloom_probe_mark` / `bloom_contains` /
+    `incremental_dedup_exact(bloom_words=...)` and the probe validates
+    k/m_bits instead of trusting the caller's claim (ADVICE r7)."""
+    import re
+
+    from transporter_spark.operators.sketches import BloomSketch
+    from transporter_spark.streaming.state import SegmentStore
+
+    fmt = SegmentStore(state_dir).meta().get("seg_key", "")
+    m = re.search(r"bloom_m=(\d+)\.k=(\d+)", fmt)
+    if not m:
+        raise ValueError(
+            f"state at {state_dir!r} has no bloom geometry in its "
+            f"seg-key format ({fmt!r}) — not a bloom sink state?"
+        )
+    return BloomSketch(
+        read_bloom_state(spark, state_dir), int(m.group(2)), int(m.group(1))
+    )
+
+
 def compact_bloom_state(spark: SparkSession, state_dir: str) -> bool:
     """Fold the word-segment log into one segment. False when already
     compact."""
