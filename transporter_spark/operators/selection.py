@@ -605,6 +605,19 @@ def bm25_select(
     (query_id, doc_id, bm25_score, rk) with rk <= k, ties broken by
     doc_id.
     """
+    # each pin protects exactly one idf mode's hardcoded constant; a
+    # pin that cannot apply to the selected mode is a caller bug the
+    # fail-loud contract must surface, not silently ignore (ADVICE r8)
+    if idf == "ratio" and pinned_log2_shift is not None:
+        raise ValueError(
+            "pinned_log2_shift only applies to idf='log2'; with "
+            "idf='ratio' the constant to pin is pinned_idf_scale"
+        )
+    if idf == "log2" and pinned_idf_scale is not None:
+        raise ValueError(
+            "pinned_idf_scale only applies to idf='ratio'; with "
+            "idf='log2' the constant to pin is pinned_log2_shift"
+        )
     toks = _TOKENS.format(col=text_col)
     qterms = (
         queries.select(

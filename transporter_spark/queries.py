@@ -1607,12 +1607,16 @@ def q_incremental_dedup_exact_bloom(spark, sf_dir):
     non-members around the verify — the split itself is graded, not
     just the final ids. Same corpus/batch split as
     incremental_dedup_exact, so the two graded rows are directly
-    comparable."""
+    comparable. The probe table is passed as a geometry-carrying
+    `BloomSketch` (VERDICT r8 item 3): the probe validates the build
+    k/m_bits instead of trusting a bare word table, so the graded row
+    exercises the production-shaped validation path, not just the
+    one-sided range guard."""
     from transporter_spark.operators.dedup import (
         fingerprint_index,
         incremental_dedup_exact,
     )
-    from transporter_spark.operators.sketches import bloom_words
+    from transporter_spark.operators.sketches import bloom_sketch
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
     corpus = docs.filter(F.col("doc_id") % 5 != 0)
@@ -1621,10 +1625,11 @@ def q_incremental_dedup_exact_bloom(spark, sf_dir):
     )
     new = docs.filter(F.col("doc_id") % 5 == 0).unionByName(reingested)
     idx = fingerprint_index(corpus, ["text"])
-    words = bloom_words(idx, "fp").persist()
-    kept = incremental_dedup_exact(new, idx, ["text"], bloom_words=words)
+    sketch = bloom_sketch(idx, "fp")
+    sketch.words.persist()
+    kept = incremental_dedup_exact(new, idx, ["text"], bloom_words=sketch)
     out = kept.select("doc_id").orderBy("doc_id")
-    out._ts_cached = [words]
+    out._ts_cached = [sketch.words]
     return out
 
 

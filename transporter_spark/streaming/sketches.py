@@ -388,11 +388,14 @@ def drain_documents_bloom(
     where: Optional[str] = None,
     state_dir: Optional[str] = None,
     **kw,
-) -> DataFrame:
+) -> "BloomSketch":
     """Convenience: stream the documents table (optionally filtered —
     e.g. the eval shard of a decontamination blocklist) through the
-    Bloom sink and return the maintained word table (used by the
-    graded query)."""
+    Bloom sink and return the maintained sketch (used by the graded
+    query). Returns a geometry-carrying `BloomSketch` recovered from
+    the state meta via `read_bloom_sketch` (VERDICT r8 item 3) — a
+    downstream probe validates the build k/m_bits instead of trusting
+    its own defaults."""
     from transporter_spark.streaming.sources import stream_table
 
     state = state_dir or tempfile.mkdtemp(prefix="ts_bloom_") + "/state"
@@ -400,4 +403,4 @@ def drain_documents_bloom(
     if where is not None:
         docs = docs.where(where)
     bloom_sketch_sink(docs, state, item_col, **kw)
-    return read_bloom_state(spark, state)
+    return read_bloom_sketch(spark, state)
