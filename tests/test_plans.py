@@ -905,3 +905,38 @@ def test_ivfpq_candidates_from_cell_join_adc_broadcasts(spark, sf_dir):
             assert "BuildRight, Cross" in line, line
     assert re.search(r"Join \[cell#\d+L?\]", body), body
     assert "BroadcastExchange" in body, body
+
+
+def test_image_phash_dedup_bands_not_all_pairs(spark, sf_dir):
+    """Perceptual-hash image dedup's scale contract: Hamming-near
+    candidate pairs come from the pigeonhole (band, chunk) equi-join —
+    never a cartesian/BNLJ fingerprint x fingerprint pass — and the
+    one fingerprint projection is cached (InMemoryTableScan) so the
+    pairs, CC vertex-set, and output branches share it instead of
+    re-scanning content three times. The full-dedup query's own plan
+    can't show the candidate join (connected_components materializes
+    its rounds eagerly), so the pair generator is pinned directly."""
+    from transporter_spark.operators.dedup import release_cached
+    from transporter_spark.operators.multimodal import image_phash_pairs
+
+    media = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "utf-8").alias("content"))
+    )
+    pairs = image_phash_pairs(media, "content", "doc_id")
+    body = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    # candidate join keys on the banded (band, chunk) columns (equi)
+    assert re.search(r"Join \[band#\d+, chunk#\d+L?\]", body), body
+
+    df = QUERIES["image_phash_dedup"].fn(spark, sf_dir)
+    try:
+        full = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in full, full
+        assert "BroadcastNestedLoopJoin" not in full, full
+        # the output branch reads the persisted fingerprint frame (the
+        # pairs/CC branches already consumed it inside the loop)
+        assert "InMemoryTableScan" in full, full
+    finally:
+        release_cached(df)

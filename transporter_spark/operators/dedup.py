@@ -767,6 +767,37 @@ def simhash(
     return agg.select("id", fp.alias("simhash"))
 
 
+def band_fingerprint(
+    fp: DataFrame, fp_col: str, bits: int, bands: int
+) -> DataFrame:
+    """Pigeonhole-band a 64-bit-or-less integer fingerprint column:
+    (id, fp_col) -> (id, fp_col, band, chunk), `bands` rows per doc,
+    chunk = the band's (bits/bands)-wide slice of the fingerprint.
+    Any two fingerprints within Hamming radius < bands share at least
+    one exact chunk (pigeonhole), so an equi-join on (band, chunk) is
+    a complete candidate generator. Shared by the SimHash text index
+    and the image pHash index (operators/multimodal.py) — one banding
+    definition, one recall proof."""
+    width = bits // bands
+    return fp.select(
+        "id",
+        fp_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col(fp_col), i * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select("id", fp_col, "bc.band", "bc.chunk")
+
+
 def simhash_index(
     df: DataFrame,
     text_col: str = "text",
@@ -780,25 +811,8 @@ def simhash_index(
     Written once (bucket/partition by (band, chunk) at scale), it lets
     each ingest batch probe for Hamming-near corpus docs WITHOUT
     re-fingerprinting the corpus (`incremental_simhash_pairs`)."""
-    width = bits // bands
     fp = _materialize(simhash(df, text_col, id_col, bits))
-    return fp.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
-                        .alias("chunk"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bc"),
-    ).select("id", "simhash", "bc.band", "bc.chunk")
+    return band_fingerprint(fp, "simhash", bits, bands)
 
 
 def _simhash_verified(cand: DataFrame, max_hamming: int) -> DataFrame:

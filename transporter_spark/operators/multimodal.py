@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterator, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -209,3 +209,246 @@ def media_features(fake: bool = True) -> Callable[[DataFrame], DataFrame]:
         return decode_features(df, fake=fake)
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash (dHash) image near-dedup
+# ---------------------------------------------------------------------------
+#
+# The standard first pass over any multimodal corpus: re-encoded /
+# slightly-edited copies of an image survive exact (byte-hash) dedup,
+# but their difference-hash — resample the signal to bits+1 samples,
+# bit j = sample[j] > sample[j+1] (Krawetz's public dHash) — lands
+# within a small Hamming radius. The "decode + downscale" step here is
+# the SAME deterministic fake the rest of this module uses (the
+# `resize_media` nearest-neighbor rule over the raw byte signal,
+# sample[j] = byte[(j*n) div (bits+1)]), computed in pure JVM-side SQL
+# expressions — zero Python, one projection, SQL-replayable by the
+# DuckDB oracle. With real codecs the sampling row below is the only
+# thing that changes (grayscale pixels instead of raw bytes); the
+# banding, candidate join, verification, and clustering are identical.
+#
+# dHash is robust to LOCAL edits (a changed region moves only the
+# samples inside it) but not to content shifts/crops — by design: the
+# nearest-neighbor resample is position-anchored, like the real
+# algorithm's grid. Candidate generation reuses the SimHash pigeonhole
+# banding (operators/dedup.band_fingerprint): bands > max_hamming
+# guarantees every within-radius pair shares an exact chunk, so the
+# candidate join is a (band, chunk) equi-join — never all-pairs.
+
+
+def image_phash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, phash) — dHash fingerprint of a binary media column.
+
+    bits+1 nearest-neighbor samples of the byte signal (the
+    `resize_media` rule), bit j set iff sample j > sample j+1; the
+    fingerprint stays non-negative in a BIGINT (bits <= 62 enforced —
+    the sketch family's sign-bit discipline). NULL/empty content
+    hashes to 0. All arithmetic is integer and engine-exact: byte
+    values come from hex()+conv() (both engines agree), positions from
+    non-negative integer division (Spark `div` == DuckDB `//` on
+    non-negatives).
+
+    100 TB shape: one projection over the media scan — no shuffle, no
+    Python, no decode round-trip; the fingerprint table is ~16 bytes a
+    row versus the megabyte-scale blobs it stands for."""
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
+    n_samples = bits + 1
+    content = F.coalesce(F.col(content_col), F.lit(b""))
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.hex(content).alias("_hx"),
+        F.octet_length(content).cast("long").alias("_n"),
+    )
+
+    def sample(j: int):
+        pos = f"cast(({j} * _n) div {n_samples} as int) * 2 + 1"
+        return F.when(F.col("_n") == 0, F.lit(0).cast("long")).otherwise(
+            F.conv(F.expr(f"substr(_hx, {pos}, 2)"), 16, 10).cast("long")
+        )
+
+    smp = staged.select(
+        "id", F.array(*[sample(j) for j in range(n_samples)]).alias("_s")
+    )
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(
+            F.col("_s")[j] > F.col("_s")[j + 1], F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return smp.select("id", acc.alias("phash"))
+
+
+def phash_index(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, phash, band, chunk) — the banded pHash table, the
+    persistable index state of image near-dedup (write bucketed by
+    (band, chunk) at scale and ingest batches probe it without
+    re-hashing the corpus, exactly like `simhash_index`)."""
+    from transporter_spark.operators.dedup import band_fingerprint
+
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits={bits} not divisible by bands={bands}: a ragged "
+            "band would silently weaken the pigeonhole guarantee"
+        )
+    return band_fingerprint(
+        image_phash(df, content_col, id_col, bits), "phash", bits, bands
+    )
+
+
+def _phash_pairs_from_fp(
+    ph: DataFrame, bits: int, max_hamming: int, bands: int
+) -> DataFrame:
+    """Banded Hamming-near pairs from an (id, phash) table — the
+    shared candidate+verify core of `image_phash_pairs` and
+    `image_phash_dedup`."""
+    if bits % bands != 0:
+        raise ValueError(
+            f"bits={bits} not divisible by bands={bands}: a ragged "
+            "band would silently weaken the pigeonhole guarantee"
+        )
+    if bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs bands > max_hamming "
+            f"(got bands={bands}, max_hamming={max_hamming})"
+        )
+    from transporter_spark.operators.dedup import (
+        _simhash_verified,
+        band_fingerprint,
+    )
+
+    banded = band_fingerprint(ph, "phash", bits, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.phash").alias("sim_a"),
+        F.col("b.phash").alias("sim_b"),
+    )
+    return _simhash_verified(cand, max_hamming)
+
+
+def image_phash_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs: (id_a < id_b, hamming) for every
+    pair within `max_hamming` bits. Pigeonhole banding (bands >
+    max_hamming, complete recall) feeds a (band, chunk) equi-join;
+    verification is bit_count(xor) over the two fingerprints the
+    banded table already carries — content bytes are never touched
+    after the one fingerprint projection."""
+    return _phash_pairs_from_fp(
+        image_phash(df, content_col, id_col, bits), bits, max_hamming, bands
+    )
+
+
+def image_phash_dedup(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+    max_iter: int = 20,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Full perceptual image dedup decision: dHash -> banded Hamming
+    pairs -> connected components -> keep each cluster's LARGEST copy
+    (byte length as the resolution proxy — the `dedup_canonical_best`
+    argmax-by-quality policy; ties to the smallest id so the choice
+    is total). Returns (id, phash, byte_len, component, is_canonical)
+    for every row; singleton clusters keep their only member.
+
+    Pair-level radii alone under-merge (A~B, B~C within radius but
+    A!~C must still be ONE group); the component step closes that,
+    same as the text `dedup_clusters`. Scale shape: fingerprints are
+    16 B/doc, candidates come from the banded equi-join (never
+    all-pairs — plan-pinned), CC rounds ∝ cluster diameter, and the
+    canonical argmax is one (id, component, byte_len) shuffle plus a
+    rank window over star-shaped (small) partitions."""
+    from transporter_spark.operators.dedup import connected_components
+
+    meta = df.select(
+        F.col(id_col).alias("id"),
+        F.octet_length(
+            F.coalesce(F.col(content_col), F.lit(b""))
+        ).cast("long").alias("byte_len"),
+    )
+    # one fingerprint pass feeds the banded pairs, the CC vertex set,
+    # and the output projection — persisted because Spark plans no CSE
+    # across join branches (the r7 broadcast-reuse lesson)
+    ph = image_phash(df, content_col, id_col, bits).persist()
+    pairs = _phash_pairs_from_fp(ph, bits, max_hamming, bands)
+    comp = connected_components(
+        pairs.select("id_a", "id_b"),
+        ph.select("id"),
+        max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
+    )
+    joined = comp.join(ph, "id").join(meta, "id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("byte_len"), F.asc("id")
+    )
+    out = joined.select(
+        "id",
+        "phash",
+        "byte_len",
+        "component",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+    from transporter_spark.operators.dedup import _attach_cached
+
+    return _attach_cached(out, ph)
+
+
+def phash_oracle_ctes(
+    source_table: str,
+    content_sql: str,
+    id_sql: str,
+    bits: int = 32,
+) -> str:
+    """DuckDB CTE block replaying `image_phash` (ends in CTE `ph`:
+    one (doc_id, phash) row per source row). Shares the geometry
+    constants with the operator through this one builder — the
+    sketch-family discipline: never duplicate estimator constants."""
+    s = bits + 1
+    return f"""
+phb AS MATERIALIZED (
+  SELECT {id_sql} AS doc_id,
+         hex(COALESCE({content_sql}, ''::BLOB)) AS hx,
+         octet_length(COALESCE({content_sql}, ''::BLOB))::BIGINT AS n
+  FROM {source_table}),
+phsmp AS (
+  SELECT doc_id, j,
+         CASE WHEN n = 0 THEN 0
+              ELSE CAST(('0x' || substr(hx, CAST((j*n)//{s} AS BIGINT)*2 + 1, 2))::UBIGINT AS BIGINT)
+         END AS s1,
+         CASE WHEN n = 0 THEN 0
+              ELSE CAST(('0x' || substr(hx, CAST(((j+1)*n)//{s} AS BIGINT)*2 + 1, 2))::UBIGINT AS BIGINT)
+         END AS s2
+  FROM phb CROSS JOIN (SELECT unnest(generate_series(0, {bits - 1})) AS j)),
+ph AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN s1 > s2 THEN (1::BIGINT << j) ELSE 0 END), 0) AS BIGINT) AS phash
+  FROM phsmp GROUP BY doc_id)"""

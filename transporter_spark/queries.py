@@ -2615,6 +2615,91 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def _image_phash_dedup_oracle() -> str:
+    from transporter_spark.operators.multimodal import phash_oracle_ctes
+
+    return (
+        """
+WITH RECURSIVE
+pbase AS MATERIALIZED (
+  SELECT doc_id, encode(text) AS c FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, encode(upper(substr(text, 1, 8)) || substr(text, 9))
+  FROM documents WHERE doc_id % 5 = 0),"""
+        + phash_oracle_ctes("pbase", "c", "doc_id")
+        + """,
+ppairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+pedges AS (
+  SELECT id_a AS src, id_b AS dst FROM ppairs
+  UNION ALL
+  SELECT id_b, id_a FROM ppairs),
+preach(id, r) AS (
+  SELECT doc_id, doc_id FROM pbase
+  UNION
+  SELECT preach.id, pedges.dst FROM preach JOIN pedges ON preach.r = pedges.src),
+pcomp AS (SELECT id, MIN(r) AS component FROM preach GROUP BY id),
+psized AS (SELECT doc_id, octet_length(c)::BIGINT AS byte_len FROM pbase)
+SELECT c.id AS doc_id, ph.phash, s.byte_len, c.component,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY s.byte_len DESC, c.id) = 1) AS is_canonical
+FROM pcomp c JOIN ph ON ph.doc_id = c.id JOIN psized s ON s.doc_id = c.id
+"""
+    )
+
+
+@q(
+    "image_phash_dedup",
+    oracle=_image_phash_dedup_oracle(),
+    headline=True,  # tracked from round 9 (new-capability baseline)
+)
+def q_image_phash_dedup(spark, sf_dir):
+    """Perceptual-hash image near-dedup, the full decision
+    (operators/multimodal.py image_phash_dedup — VERDICT r8 item 4):
+    text bytes stand in for image blobs (the module's deterministic
+    fake-decode discipline), each blob's dHash comes from one pure-SQL
+    projection (bits+1 nearest-neighbor byte samples, bit = successor
+    comparison — Krawetz's public dHash over the `resize_media`
+    resampling rule), Hamming-near pairs from the SimHash pigeonhole
+    banding (bands=4 > max_hamming=3: complete recall at the radius,
+    so the banded equi-join provably equals the oracle's brute-force
+    all-pairs), connected components close transitive clusters, and
+    each cluster keeps its largest-byte copy (resolution proxy).
+
+    The corpus is documents plus a length-preserving locally-edited
+    copy of every 5th doc (first 8 chars uppercased) — the
+    "re-encoded image" scenario exact dedup misses: all such copies
+    land within Hamming 1 of their originals (measured at sf0.01),
+    while appending even two bytes scrambles the resample — dHash is
+    robust to local edits, not global shifts, exactly like the real
+    algorithm on pixels. The ORACLE replays hash, radius, closure,
+    and canonical argmax end-to-end; candidate generation is graded
+    against brute force, pinning the pigeonhole recall claim."""
+    from transporter_spark.operators.multimodal import image_phash_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("concat(upper(substr(text, 1, 8)), substr(text, 9))").alias(
+            "text"
+        ),
+    )
+    base = docs.select("doc_id", "text").unionByName(copies)
+    media = base.withColumn("content", F.encode("text", "utf-8"))
+    out = image_phash_dedup(media, "content", "doc_id")
+    final = out.select(
+        F.col("id").alias("doc_id"),
+        "phash",
+        "byte_len",
+        "component",
+        "is_canonical",
+    ).orderBy("doc_id")
+    final._ts_cached = list(getattr(out, "_ts_cached", ()))
+    return final
+
+
 @q(
     "bpe_token_stats",
     oracle=r"""
