@@ -584,3 +584,115 @@ def test_scope_on_stopped_session_does_not_leak_holder(spark):
             with scoped_shuffle_partitions(fake, 7):
                 pass  # pragma: no cover - entry raises
     assert "fake-uuid-advice-r7" not in sess._SCOPE_HOLDERS
+
+
+def test_decon_gate_contaminated_docs_never_enter_state(spark, tmp_path):
+    """Continuous decontamination (the stream_decontaminate
+    composition): the ingest pre_filter probes each batch against the
+    MAINTAINED gram-Bloom blocklist state (geometry recovered via
+    read_bloom_sketch and VALIDATED by the probe) with exact verify
+    behind it — contaminated docs never enter corpus/index/fps state,
+    clean docs flow through dedup, epoch replay is a no-op, and a
+    conflicting explicit probe geometry raises instead of silently
+    losing recall."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from transporter_spark.operators.dedup import decontaminate, word_shingles
+    from transporter_spark.streaming.ingest import (
+        ingest_dedup_batch,
+        read_ingest_corpus,
+        read_ingest_fingerprints,
+        read_ingest_index,
+    )
+    from transporter_spark.streaming.sketches import (
+        bloom_merge_batch,
+        read_bloom_sketch,
+    )
+
+    bstate = str(tmp_path / "bloom")
+    istate = str(tmp_path / "ingest")
+
+    def doc(c, n=30):
+        return " ".join(f"tok{c}x{i}" for i in range(n))
+
+    bench = spark.createDataFrame(
+        [(100, doc("benchA")), (101, doc("benchB"))],
+        "doc_id long, text string",
+    )
+    # maintain the blocklist across two epochs (order must not matter)
+    for eid, shard in enumerate([bench.where("doc_id = 100"),
+                                 bench.where("doc_id = 101")]):
+        grams = shard.select(F.explode(word_shingles("text", 5)).alias("g"))
+        assert bloom_merge_batch(grams, eid, bstate, "g")
+    sketch = read_bloom_sketch(spark, bstate)
+
+    def decon_gate(batch):
+        flags = decontaminate(batch, bench, n=5, bloom_words=sketch)
+        clean = flags.where(~F.col("contaminated")).select("doc_id")
+        return batch.join(clean, "doc_id", "left_semi")
+
+    e1 = spark.createDataFrame(
+        [
+            (1, doc("clean1")),          # clean, kept
+            (2, doc("benchA")),          # contaminated (shares all grams)
+            (3, doc("clean1")),          # clean but exact-dups doc 1
+        ],
+        "doc_id long, text string",
+    )
+    assert ingest_dedup_batch(e1, 0, istate, threshold=0.1,
+                              pre_filter=decon_gate)
+    assert {r.doc_id for r in read_ingest_corpus(spark, istate).collect()} == {1}
+    assert {r.id for r in read_ingest_index(spark, istate).collect()} == {1}
+    assert {r.id for r in read_ingest_fingerprints(spark, istate).collect()} == {1}
+
+    # replay of the same epoch is a no-op
+    assert not ingest_dedup_batch(e1, 0, istate, threshold=0.1,
+                                  pre_filter=decon_gate)
+
+    # a doc contaminated by a LATER blocklist epoch's grams is gated
+    # too (the maintained state is the union of everything ingested)
+    e2 = spark.createDataFrame(
+        [(4, doc("benchB")), (5, doc("clean2"))], "doc_id long, text string"
+    )
+    assert ingest_dedup_batch(e2, 1, istate, threshold=0.1,
+                              pre_filter=decon_gate)
+    assert {r.doc_id
+            for r in read_ingest_corpus(spark, istate).collect()} == {1, 5}
+
+    # geometry conflict: explicit probe k that disagrees with the
+    # state's build geometry raises (no silent false negatives)
+    with pytest.raises(ValueError, match="conflicts with the sketch"):
+        decontaminate(e2, bench, n=5, bloom_words=sketch,
+                      bloom_k=sketch.k + 1)
+
+
+def test_decontaminate_prebuilt_sketch_equals_inline_build(spark):
+    """decontaminate(bloom_words=<maintained sketch>) must equal both
+    the plain exact path and the inline bloom_prefilter build — the
+    word OR-merge idempotence argument made checkable."""
+    import pyspark.sql.functions as F
+
+    from transporter_spark.operators.dedup import decontaminate, word_shingles
+    from transporter_spark.operators.sketches import bloom_sketch
+
+    def doc(c, n=20):
+        return " ".join(f"w{c}n{i}" for i in range(n))
+
+    docs = spark.createDataFrame(
+        [(1, doc("a")), (2, doc("b")), (3, doc("a") + " " + doc("c"))],
+        "doc_id long, text string",
+    )
+    bench = docs.where("doc_id = 1")
+    grams = bench.select(F.explode(word_shingles("text", 5)).alias("g"))
+    pre = bloom_sketch(grams, "g")
+
+    def rows(df):
+        return sorted((r.doc_id, r.n_shared, r.contaminated)
+                      for r in df.collect())
+
+    exact = rows(decontaminate(docs, bench, n=5))
+    inline = rows(decontaminate(docs, bench, n=5, bloom_prefilter=True))
+    prebuilt = rows(decontaminate(docs, bench, n=5, bloom_words=pre))
+    assert exact == inline == prebuilt
+    assert any(c for _, _, c in exact)      # docs 1 and 3 flag

@@ -989,6 +989,7 @@ def decontaminate(
     bloom_prefilter: bool = False,
     bloom_k: Optional[int] = None,
     bloom_m_bits: Optional[int] = None,
+    bloom_words: "Optional[DataFrame | 'BloomSketch']" = None,
 ) -> DataFrame:
     """Flag training documents that share any word n-gram with a
     benchmark/eval set (the standard pre-training decontamination gate:
@@ -1012,7 +1013,18 @@ def decontaminate(
     false positives are killed by the exact verify, so the sketch can
     never over-flag. Probe keys are the gram STRINGS through the
     audited md5-prefix `stable_hash` (engine-replayable), not
-    xxhash64."""
+    xxhash64.
+
+    ``bloom_words`` supplies a PRE-BUILT blocklist sketch over the
+    benchmark's gram strings (the continuous-decontamination path:
+    `streaming.sketches.read_bloom_sketch` of the maintained
+    blocklist state) instead of building one from `benchmark` here —
+    the word OR-merge is idempotent, so the maintained state equals
+    the inline build bit-for-bit and the output is unchanged. Prefer
+    a geometry-carrying `BloomSketch`: the probe validates its build
+    k/m_bits (a bare table gets only the one-sided range guard).
+    Implies ``bloom_prefilter``; `benchmark` still supplies the exact
+    verify side."""
     corpus_grams = shingle_rows(df, text_col, id_col, n).select(
         F.col("id").alias("doc_id"), F.col("sh")
     )
@@ -1020,7 +1032,7 @@ def decontaminate(
         F.explode(word_shingles(text_col, n)).alias("g")
     )
     cached = []
-    if bloom_prefilter:
+    if bloom_prefilter or bloom_words is not None:
         from transporter_spark.operators.sketches import (
             DEFAULT_K,
             DEFAULT_M_BITS,
@@ -1028,21 +1040,32 @@ def decontaminate(
             bloom_sketch,
         )
 
-        k = bloom_k or DEFAULT_K
-        m_bits = bloom_m_bits or DEFAULT_M_BITS
-        # the geometry rides WITH the word table (BloomSketch, VERDICT
-        # r8 item 3): the probe below validates build k/m_bits instead
-        # of trusting this function's own bookkeeping — if the build
-        # and probe constants ever drift apart, the call raises rather
-        # than silently losing the no-false-negatives guarantee.
-        # persisted: the k probe joins each reference the word table —
-        # without persist Spark plans k independent rebuilds of the
-        # whole benchmark-sketch subtree (no CSE across join branches)
-        sketch = bloom_sketch(bench_grams.distinct(), "g", k=k, m_bits=m_bits)
-        sketch.words.persist()
-        cached.append(sketch.words)
+        if bloom_words is None:
+            k = bloom_k or DEFAULT_K
+            m_bits = bloom_m_bits or DEFAULT_M_BITS
+            # the geometry rides WITH the word table (BloomSketch,
+            # VERDICT r8 item 3): the probe below validates build
+            # k/m_bits instead of trusting this function's own
+            # bookkeeping — if the build and probe constants ever
+            # drift apart, the call raises rather than silently losing
+            # the no-false-negatives guarantee. persisted: the k probe
+            # joins each reference the word table — without persist
+            # Spark plans k independent rebuilds of the whole
+            # benchmark-sketch subtree (no CSE across join branches)
+            sketch = bloom_sketch(
+                bench_grams.distinct(), "g", k=k, m_bits=m_bits
+            )
+            sketch.words.persist()
+            cached.append(sketch.words)
+            probe_kw = {}
+        else:
+            # maintained-state path: geometry (and any persistence)
+            # belongs to the caller's sketch; explicit k/m_bits pass
+            # through un-defaulted so a BloomSketch validates them
+            sketch = bloom_words
+            probe_kw = {"k": bloom_k, "m_bits": bloom_m_bits}
         corpus_grams = bloom_probe_mark(
-            corpus_grams, "sh", sketch, out_col="_bpf"
+            corpus_grams, "sh", sketch, out_col="_bpf", **probe_kw
         ).where(F.col("_bpf")).drop("_bpf")
     corpus = corpus_grams.select(
         "doc_id", F.xxhash64("sh").alias("h")

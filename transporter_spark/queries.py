@@ -19,6 +19,7 @@ dims, aggregate before join where possible, never collect to driver).
 from __future__ import annotations
 
 import os
+import re
 from typing import Callable, Dict, NamedTuple, Optional
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -4288,12 +4289,18 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5)
 
 
-def _decontaminate_bloom_oracle() -> str:
+def _decon_bloom_ctes() -> str:
+    """CTE chain (toks .. hits) replaying Bloom-prefiltered
+    decontamination end-to-end: gram build, the probe GEOMETRY
+    (salted md5-prefix positions, 32-bit words, all-bits-set test via
+    `bloom_oracle_ctes`), and the exact verify behind it. Ends in
+    `hits` = (doc_id, n_shared) for contaminated docs only. Shared by
+    the batch `decontaminate_bloom` oracle and the composed
+    `stream_decontaminate` gate — one probe replay, one geometry."""
     from transporter_spark.operators.sketches import bloom_oracle_ctes
 
     return (
-        r"""
-WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+        r"""toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
 grams AS MATERIALIZED (
   SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
   FROM (SELECT doc_id, t,
@@ -4308,7 +4315,15 @@ surv AS (SELECT pid AS g FROM bmem WHERE member),
 hits AS (
   SELECT doc_id, count(*) AS n_shared
   FROM grams JOIN surv USING (g) JOIN benchg USING (g) GROUP BY 1
-)
+)"""
+    )
+
+
+def _decontaminate_bloom_oracle() -> str:
+    return (
+        "\nWITH "
+        + _decon_bloom_ctes()
+        + """
 SELECT d.doc_id, COALESCE(n_shared, 0)::BIGINT AS n_shared,
        COALESCE(n_shared, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
@@ -6989,3 +7004,90 @@ def q_stream_curation_full(spark, sf_dir):
     )
     out = kept.select("doc_id").orderBy("doc_id")
     return _attach_cached(out, *caches) if caches else out
+
+
+def _stream_decontaminate_oracle() -> str:
+    """The Bloom-prefiltered decontamination gate (the SAME
+    `_decon_bloom_ctes` chain the batch `decontaminate_bloom` oracle
+    uses — probe geometry + exact verify replayed, not just final
+    counts) composed in front of the proven one-epoch dedup-closure
+    oracle: g1 = docs sharing NO 5-gram with the eval shard, then the
+    stream_ingest_dedup closure with `documents` rewired to g1."""
+    closure = (
+        QUERIES["stream_ingest_dedup"]
+        .oracle.replace("FROM documents", "FROM g1")
+        .replace("WITH RECURSIVE ", "", 1)
+        .lstrip()
+    )
+    # the closure has its own `toks` CTE — rename the gate chain's in
+    # the COMPOSED copy only (the batch oracle's text stays untouched)
+    gate = re.sub(r"\btoks\b", "dc_toks", _decon_bloom_ctes())
+    composed = (
+        "WITH RECURSIVE "
+        + gate
+        + """,
+g1 AS MATERIALIZED (
+  SELECT d.doc_id, d.text FROM documents d
+  LEFT JOIN hits ON d.doc_id = hits.doc_id
+  WHERE COALESCE(n_shared, 0) = 0),
+"""
+        + closure
+    )
+    # the shared chain comes from the builder the batch oracle uses
+    # verbatim — materialize its heavy stage boundary here, post-hoc,
+    # so that oracle's text stays untouched (the r6 discipline)
+    return composed.replace("\nhits AS (", "\nhits AS MATERIALIZED (")
+
+
+@q("stream_decontaminate", oracle=_stream_decontaminate_oracle())
+def q_stream_decontaminate(spark, sf_dir):
+    """CONTINUOUS decontamination (VERDICT r8 item 5): the two
+    maintained streaming states composed into one loop. First the
+    eval shard's 5-grams stream through the Bloom blocklist sink
+    (streaming/sketches.drain_documents_gram_bloom — per-epoch work ∝
+    batch grams, idempotent word-OR state); then the documents stream
+    drains through the ingest-dedup sink whose pre_filter probes each
+    batch against the MAINTAINED sketch (read_bloom_sketch recovers
+    build k/m_bits from state meta and the probe VALIDATES them)
+    through `decontaminate(bloom_words=...)` — probe-then-verify
+    inside the epoch: k broadcast word-table joins mark every batch
+    gram inline (zero batch-side exchange), only probe survivors
+    reach the exact verify, and contaminated docs are dropped BEFORE
+    any dedup work — never minhashed, never in corpus/index/fps state
+    (pinned in tests/test_ingest_dedup.py). Everything downstream is
+    the proven append-only continuous-dedup path. The oracle replays
+    probe geometry + exact verify + the one-epoch closure."""
+    from transporter_spark.operators.dedup import _attach_cached
+    from transporter_spark.streaming.ingest import drain_documents_dedup
+    from transporter_spark.streaming.sketches import (
+        drain_documents_gram_bloom,
+    )
+
+    sketch = drain_documents_gram_bloom(
+        spark, sf_dir, n=5, where="doc_id % 50 = 0"
+    )
+    # the k probe joins (per epoch) each reference the word table —
+    # persist or Spark rebuilds the state read k times per batch
+    sketch.words.persist()
+    bench = read_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 50 == 0
+    )
+
+    def decon_gate(batch):
+        from transporter_spark.operators.dedup import decontaminate
+
+        flags = decontaminate(batch, bench, n=5, bloom_words=sketch)
+        clean = flags.where(~F.col("contaminated")).select("doc_id")
+        return batch.join(clean, "doc_id", "left_semi")
+
+    kept = drain_documents_dedup(
+        spark,
+        sf_dir,
+        threshold=0.1,
+        portable=True,
+        assert_single_epoch=True,
+        pre_filter=decon_gate,
+    )
+    return _attach_cached(
+        kept.select("doc_id").orderBy("doc_id"), sketch.words
+    )

@@ -404,3 +404,35 @@ def drain_documents_bloom(
         docs = docs.where(where)
     bloom_sketch_sink(docs, state, item_col, **kw)
     return read_bloom_sketch(spark, state)
+
+
+def drain_documents_gram_bloom(
+    spark: SparkSession,
+    sf_dir: str,
+    n: int = 5,
+    text_col: str = "text",
+    where: Optional[str] = None,
+    state_dir: Optional[str] = None,
+    **kw,
+) -> "BloomSketch":
+    """Maintain a CONTINUOUS decontamination blocklist: stream the
+    (filtered) documents table, explode each doc to its word n-grams
+    (`dedup.word_shingles` — the SAME gram definition the batch
+    `decontaminate` probes with), and drain the gram stream through
+    the Bloom sink. Per-epoch work ∝ batch grams; duplicate grams
+    across docs/epochs just re-OR the same bits (idempotent), so the
+    maintained state equals the batch-built benchmark sketch
+    bit-for-bit regardless of epoch boundaries. Returns the
+    geometry-carrying sketch via `read_bloom_sketch` — feed it to
+    `operators.dedup.decontaminate(bloom_words=...)` (or an ingest
+    sink's pre_filter) and the probe validates build k/m_bits."""
+    from transporter_spark.operators.dedup import word_shingles
+    from transporter_spark.streaming.sources import stream_table
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_gbloom_") + "/state"
+    docs = stream_table(spark, sf_dir, "documents")
+    if where is not None:
+        docs = docs.where(where)
+    grams = docs.select(F.explode(word_shingles(text_col, n)).alias("g"))
+    bloom_sketch_sink(grams, state, "g", **kw)
+    return read_bloom_sketch(spark, state)
