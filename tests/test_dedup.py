@@ -775,3 +775,75 @@ def test_pq_raises_on_non_divisible_vector_length(spark):
         pq_encode(bad, cbs, m=4).collect()
     with pytest.raises(Exception, match="not divisible by m=4"):
         pq_codebooks(bad, m=4).collect()
+
+
+def test_ann_recall_at_k_identity_missing_and_monotone(spark, sf_dir):
+    """The recall audit operator: ground truth vs itself is 1.0 on
+    every query; a query the approx side missed entirely stays
+    VISIBLE at 0.0 (left join, not inner). Monotonicity is pinned
+    against the FULL-ADC ground truth (pq_search over every code):
+    per-query candidate sets are nested as nprobe grows and the
+    scorer is the same integer ADC metric, so any full-ADC top-k
+    member that enters the candidate set stays in the probed top-k —
+    recall(2) <= recall(4) <= recall(8) == 1.0 (all 8 cells = the
+    full scan). Against the COSINE brute-force truth monotonicity
+    provably fails (the L2/cosine objective mismatch lets a far-cell
+    candidate displace a cosine-neighbor — observed 0.28 @ nprobe=2
+    vs 0.24 @ nprobe=8 at sf0.01), which is exactly the kind of fact
+    the audit operator exists to surface."""
+    import pyspark.sql.functions as F
+    from transporter_spark.operators.similarity import (
+        ann_brute_force,
+        ann_recall_at_k,
+        ivf_index,
+        ivfpq_search,
+        pq_codebooks,
+        pq_encode_rows,
+        pq_search,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = ann_brute_force(emb, queries, k=5)
+
+    self_recall = ann_recall_at_k(exact, exact, k=5).collect()
+    assert len(self_recall) == 5
+    assert all(r.recall == 1.0 and r.n_hits == r.n_exact for r in self_recall)
+
+    # drop one query from the approx side: it must appear at 0.0
+    partial = exact.filter(F.col("query_id") != 0)
+    got = {r.query_id: r for r in ann_recall_at_k(exact, partial, k=5).collect()}
+    assert got[0].n_hits == 0 and got[0].recall == 0.0
+    assert all(got[q].recall == 1.0 for q in got if q != 0)
+
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    cbs = pq_codebooks(emb.filter(F.col("vec_id") < 16), m=4)
+    code_rows = pq_encode_rows(emb, cbs, m=4)
+    indexed = (
+        ivf_index(emb, centroids, round_dp=8)
+        .select("vec_id", "cell")
+        .join(code_rows, "vec_id")
+    )
+    adc_truth = pq_search(code_rows, queries, cbs, k=5, m=4).select(
+        "query_id", F.col("vec_id").alias("neighbor_id")
+    )
+
+    def mean_recall(nprobe):
+        approx = ivfpq_search(
+            indexed, queries, centroids, cbs, k=5, nprobe=nprobe, m=4,
+            round_dp=8,
+        ).select("query_id", F.col("vec_id").alias("neighbor_id"))
+        rows = ann_recall_at_k(adc_truth, approx, k=5).collect()
+        return sum(r.recall for r in rows) / len(rows)
+
+    r2, r4, r8 = mean_recall(2), mean_recall(4), mean_recall(8)
+    assert r2 <= r4 <= r8, (r2, r4, r8)
+    assert r8 == 1.0, r8          # all cells probed == the full ADC scan
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        ann_recall_at_k(exact, exact, k=0)

@@ -841,3 +841,59 @@ def kmeans_partials(
         .agg(F.sum(dec).cast("decimal(38,12)").alias("sum_dec"),
              F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality audit: recall@k of an approximate index vs brute force
+# ---------------------------------------------------------------------------
+
+def ann_recall_at_k(
+    exact_topk: DataFrame,
+    approx_topk: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the brute-force
+    ground truth — the number every ANN user actually tunes
+    nprobe/m/nbits against, computed as a join + aggregation so the
+    approximation family is graded on its QUALITY, not just the
+    exactness of its arithmetic.
+
+    Both inputs are (query, neighbor) top-k frames (extra columns
+    ignored; rank windows already enforce <= k rows per query).
+    Returns one row per exact-side query: (query_id, n_exact, n_hits,
+    recall) where n_hits = |exact ∩ approx| and recall = n_hits /
+    n_exact as an IEEE double (n_exact, not the nominal k, so a query
+    with fewer than k legal neighbors can still score 1.0). A query
+    the approx side missed entirely scores 0.0 — the LEFT join keeps
+    it visible instead of silently dropping it.
+
+    Scale shape: both sides are k rows per query (metadata-sized next
+    to the corpora that produced them); the equi-join on (query,
+    neighbor) and the per-query count are one small shuffle. All
+    counting is exact integers; the single division at the boundary
+    is deterministic IEEE double math on both engines."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = exact_topk.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+    )
+    a = approx_topk.select(
+        F.col(query_col).alias("query_id"),
+        F.col(neighbor_col).alias("neighbor_id"),
+        F.lit(1).alias("_hit"),
+    )
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_exact"),
+            F.count("_hit").cast("long").alias("n_hits"),
+        )
+        .withColumn(
+            "recall",
+            F.col("n_hits").cast("double") / F.col("n_exact").cast("double"),
+        )
+    )
