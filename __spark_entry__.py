@@ -24,84 +24,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 7: 12 new + 23 changed + 15 spilled-r3
-# (the cohort VERDICT r6 item 1 mandates) = 50 exactly — no stale
-# slots left this round; the r4 remainder (incl. dedup_exact, whose
-# cleared perf flag is adjudicated through BENCH_FLOORS.md, and the
-# ann_cosine_topk bench control — both green r4 rows on unchanged
-# code) heads the r8 queue below. "Changed" granularity is per
-# FUNCTION executed, not per file: stream_kmeans_update drains through
-# the untouched run_foreach_batch_available_now and its merge-batch
-# fn, so it stays on its r5 green (stream_ann_index/stream_cdc_apply
-# would qualify for the same demotion but are r4-stale anyway).
-# "Changed" is read strictly: besides the 5 directly-edited queries
-# (bm25_select formula+oracle; decontaminate restructured around the
-# bloom path; incremental_dedup_exact gained the bloom split;
-# bloom_member/stream_bloom gained join_strategy), round 7 replaced
-# every drain/loop's conf set/restore with the shared
-# session.scoped_shuffle_partitions manager and added the span-state
-# family check — behavior-identical by design, but every stream_*
-# query and the connected-components family executes through it, so
-# all of them re-grade. Everything outside the 50 is green on
-# unchanged code: the r4 remainder (listed past the window, next-up
-# for r8) and the r5/r6 cohorts (yielded by the registry fallback).
+# to the STALEST greens. Round 9 (the rotation VERDICT r8 item 1
+# mandates — r8 skipped it): 3 new + 9 changed + 38 stalest = 50.
+# "Changed" is read strictly, per FUNCTION executed: the r8
+# post-grading commit 4daf66d (landed AFTER CORRECTNESS_r08 was
+# recorded) edited decontaminate's bloom branch, the
+# incremental_dedup_exact_bloom query body, bm25_select's pin
+# validation, and drain_documents_bloom — so decontaminate,
+# decontaminate_bloom, incremental_dedup_exact_bloom, bm25_select,
+# bm25_select_log2, and stream_bloom re-grade; round 9's
+# band_fingerprint factor-out of simhash_index re-grades
+# simhash_pairs and incremental_simhash, and the bloom_words= param
+# restructure of decontaminate re-grades both decontaminate queries
+# (already listed). incremental_dedup_exact (non-bloom) is NOT
+# re-graded: its function body was last touched at 7a70eba, BEFORE
+# the r8 grading ran. The stale cohort is the 44-query r4 remainder
+# (last green r4) in its documented queue order, headed by
+# stream_kmeans_update (VERDICT r8 item 7) and the dedup_exact /
+# ann_cosine_topk bench controls; 38 fit, the LAST SIX (sort_limit,
+# stats_agg, text_stats, window_topn, windowed_agg, word_count —
+# all single-operator scans/sorts, green r4 on code unchanged since)
+# spill past the window and head the r10 queue. The r5/r6/r8 cohorts
+# follow via the registry fallback, all green on unchanged code.
 _PRIORITY = [
-    # --- NEW round 7: must take a slot ---
-    "decontaminate_bloom",      # Bloom probe-then-verify decontamination
-    "incremental_dedup_exact_bloom",  # fp-sketch prefilter, oracle'd split
-    "bm25_select_log2",         # Okapi-faithful integer log2 idf
-    "semdedup_prune",           # embedding-cluster near-dedup (SemDeDup)
-    "stream_semdedup",          # continuous semantic dedup loop
-    "repeated_span_prune_w50",  # span family at the Lee-et-al W=50 point
-    "bloom_member_grouped",     # per-group blocklists, non-broadcast probe
-    "pq_encode_codes",          # product-quantization encode (Jégou et al.)
-    "pq_ann_topk",              # ADC search over codes (scan 1% the bytes)
-    "ivfpq_ann_topk",           # the composed IVF-PQ production layout
-    "ivfpq_residual_topk",      # residual encoding (faithful IndexIVFPQ)
-    "stream_ivfpq_index",       # continuous residual-code index sink
-    # --- changed round 7: direct edits ---
-    "bm25_select",              # avgdl-factored scoring, degrade ladder
-    "decontaminate",            # shared-gram restructure (exact path)
-    "incremental_dedup_exact",  # bloom_words split added
-    "bloom_member",             # bloom_contains join_strategy param
-    "stream_bloom",             # same probe path
-    # --- changed round 7: scoped-conf manager + span family check ---
-    "stream_ingest_dedup",
-    "stream_curation",
-    "stream_curation_full",
-    "stream_hll_distinct",
-    "stream_dd_quantiles",
-    "stream_span_index",
-    "stream_span_prune",
-    "stream_dedup",
-    "stream_stateful_count",
-    "stream_stream_join",
-    "stream_windowed_agg",
-    "stream_static_join",
-    "stream_ann_index",
-    "stream_cdc_apply",
-    "dedup_clusters",
-    "dedup_clusters_exact",
-    "dedup_clusters_portable",
-    "dedup_keep_longest",
-    # --- the 15 r3 greens VERDICT r6 mandates (spilled from r6) ---
-    "map_funcs",
-    "regexp_funcs",
-    "except_all",
-    "unpivot_long",
-    "running_total",
-    "range_frame_window",
-    "pretty_passthrough",
-    "value_histogram",
-    "deterministic_shuffle",
-    "domain_cap",
-    "bpe_token_stats",
-    "profile_columns",
-    "rarity_score",
-    "chunk_documents",
-    "pack_sequences",
-    # --- past the graded window from here down: the r4 remainder,
-    # --- next-up for round 8 (r5/r6 cohorts follow via the registry)
+    # --- NEW round 9: must take a slot ---
+    "image_phash_dedup",        # perceptual-hash image near-dedup
+    "stream_decontaminate",     # maintained-blocklist ingest gate
+    "ann_recall_at_k",          # ANN quality audit vs brute force
+    # --- changed since their last green row (r8 post-grading commit
+    # --- 4daf66d + round-9 edits; see header) ---
+    "decontaminate",
+    "decontaminate_bloom",
+    "incremental_dedup_exact_bloom",
+    "bm25_select",
+    "bm25_select_log2",
+    "stream_bloom",
+    "simhash_pairs",
+    "incremental_simhash",
+    "stream_ingest_dedup",      # shares the closure oracle text the
+                                # stream_decontaminate composition
+                                # re-reads; cheap certainty it still
+                                # grades green alongside
+    # --- the 38 stalest greens (all last graded r4) ---
     "stream_kmeans_update",
     "dedup_exact",
     "ann_cosine_topk",
@@ -113,7 +77,6 @@ _PRIORITY = [
     "envelope",
     "full_outer_join",
     "grouping_sets",
-    "incremental_simhash",
     "join_region_rollup",
     "minhash_lsh_portable",
     "multimodal_meta",
@@ -137,11 +100,13 @@ _PRIORITY = [
     "scalar_funcs",
     "session_window",
     "set_ops",
-    "simhash_pairs",
     "skip_eq",
     "skip_gt",
     "skip_numeric_string",
     "skip_regex",
+    # --- past the graded window from here down: the six spilled r4
+    # --- greens, next-up for round 10 (r5/r6/r8 cohorts follow via
+    # --- the registry fallback)
     "sort_limit",
     "stats_agg",
     "text_stats",
