@@ -847,3 +847,21 @@ def test_ann_recall_at_k_identity_missing_and_monotone(spark, sf_dir):
 
     with pytest.raises(ValueError, match="k must be"):
         ann_recall_at_k(exact, exact, k=0)
+
+    # recall is a SET measure: duplicated rows (a union of epochs, a
+    # re-delivered sink read) must score identically to the deduped
+    # frame — no join fan-out corrupting the counts
+    doubled = ann_recall_at_k(exact, partial.unionByName(partial), k=5)
+    got2 = {r.query_id: r for r in doubled.collect()}
+    assert {q: (r.n_exact, r.n_hits, r.recall) for q, r in got2.items()} == {
+        q: (r.n_exact, r.n_hits, r.recall) for q, r in got.items()
+    }
+
+    # an exact side with > k distinct rows per query is NOT a top-k
+    # frame: fail loudly, not a recall over the wrong denominator
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    overlong = ann_brute_force(emb, queries, k=9)
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        ann_recall_at_k(overlong, exact, k=5).collect()

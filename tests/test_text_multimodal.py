@@ -400,7 +400,6 @@ def test_image_phash_pairs_banding_equals_brute_force(spark):
     """Pigeonhole recall pin at the graded geometry (bands=4 >
     max_hamming=3): the banded equi-join pair set must equal
     brute-force all-pairs at the radius."""
-    from transporter_spark.operators.dedup import cosine_expr  # noqa: F401
     from transporter_spark.operators.multimodal import (
         image_phash,
         image_phash_pairs,
@@ -449,9 +448,10 @@ def test_image_phash_dedup_keeps_largest_copy(spark):
     from transporter_spark.operators.multimodal import image_phash_dedup
 
     base = ("a steady byte signal for perceptual hashing " * 12).strip()
-    bigger = base + base[:40]  # superset copy: same resampled prefix? no —
-    # bigger is a DIFFERENT signal (length change scrambles samples), so
-    # build the cluster from length-preserving edits instead:
+    # a superset copy (base + suffix) would NOT cluster — the length
+    # change shifts every resampled position (dHash's documented
+    # shift-sensitivity) — so the cluster is built from
+    # length-preserving edits:
     e1 = "A" + base[1:]
     e2 = base[:-1] + "Z"
     other = "completely different content with its own byte histogram " * 9

@@ -767,6 +767,29 @@ def simhash(
     return agg.select("id", fp.alias("simhash"))
 
 
+def check_banding(
+    bits: Optional[int], bands: int, max_hamming: Optional[int] = None
+) -> None:
+    """THE pigeonhole-geometry validation, shared by every banded
+    Hamming path (SimHash text, pHash image) and callable up front by
+    operators that run an eager job (materialize/persist) before the
+    banding would naturally raise: bands must divide bits exactly (a
+    ragged band silently weakens the guarantee; skipped when bits is
+    None — already-banded inputs validated it at banding time) and,
+    when a radius is given, bands > max_hamming (completeness of the
+    candidate join)."""
+    if bits is not None and bits % bands != 0:
+        raise ValueError(
+            f"bits={bits} not divisible by bands={bands}: a ragged "
+            "band would silently weaken the pigeonhole guarantee"
+        )
+    if max_hamming is not None and bands <= max_hamming:
+        raise ValueError(
+            f"pigeonhole needs bands > max_hamming "
+            f"(got bands={bands}, max_hamming={max_hamming})"
+        )
+
+
 def band_fingerprint(
     fp: DataFrame, fp_col: str, bits: int, bands: int
 ) -> DataFrame:
@@ -777,7 +800,9 @@ def band_fingerprint(
     one exact chunk (pigeonhole), so an equi-join on (band, chunk) is
     a complete candidate generator. Shared by the SimHash text index
     and the image pHash index (operators/multimodal.py) — one banding
-    definition, one recall proof."""
+    definition, one recall proof, and one divisibility guard (a
+    ragged band would silently weaken the pigeonhole guarantee)."""
+    check_banding(bits, bands)
     width = bits // bands
     return fp.select(
         "id",
@@ -831,6 +856,34 @@ def _simhash_verified(cand: DataFrame, max_hamming: int) -> DataFrame:
     )
 
 
+def banded_hamming_pairs(
+    banded: DataFrame, fp_col: str, max_hamming: int, bands: int
+) -> DataFrame:
+    """Hamming-near pairs from a banded fingerprint table (the
+    `band_fingerprint` shape: id, fp_col, band, chunk): self
+    equi-join on (band, chunk), verify true distance with
+    bit_count(xor) over the fingerprints the table already carries.
+    The ONE candidate-generation definition shared by the SimHash
+    text path and the image pHash path (operators/multimodal.py) —
+    pigeonhole completeness needs bands > max_hamming, enforced
+    through the shared `check_banding` (bits already validated by the
+    banding that produced the input)."""
+    check_banding(None, bands, max_hamming)
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col(f"a.{fp_col}").alias("sim_a"),
+        F.col(f"b.{fp_col}").alias("sim_b"),
+    )
+    return _simhash_verified(cand, max_hamming)
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -844,21 +897,8 @@ def simhash_pairs(
     `bands` > max_hamming chunks; any pair within the radius shares at
     least one exact chunk -> equi-join on (band, chunk), verify true
     hamming distance with bit_count(xor)."""
-    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
     banded = simhash_index(df, text_col, id_col, bits, bands)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("a.simhash").alias("sim_a"),
-        F.col("b.simhash").alias("sim_b"),
-    )
-    return _simhash_verified(cand, max_hamming)
+    return banded_hamming_pairs(banded, "simhash", max_hamming, bands)
 
 
 def incremental_simhash_pairs(

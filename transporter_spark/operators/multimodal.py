@@ -242,6 +242,7 @@ def image_phash(
     content_col: str = "content",
     id_col: str = "doc_id",
     bits: int = 32,
+    with_len: bool = False,
 ) -> DataFrame:
     """(id, phash) — dHash fingerprint of a binary media column.
 
@@ -253,6 +254,11 @@ def image_phash(
     values come from hex()+conv() (both engines agree), positions from
     non-negative integer division (Spark `div` == DuckDB `//` on
     non-negatives).
+
+    ``with_len=True`` appends byte_len (octet_length of the content,
+    0 for NULL) — it rides the projection this pass already stages,
+    so consumers that need a size proxy (`image_phash_dedup`'s
+    canonical argmax) never scan the blobs a second time.
 
     100 TB shape: one projection over the media scan — no shuffle, no
     Python, no decode round-trip; the fingerprint table is ~16 bytes a
@@ -274,14 +280,19 @@ def image_phash(
         )
 
     smp = staged.select(
-        "id", F.array(*[sample(j) for j in range(n_samples)]).alias("_s")
+        "id",
+        F.array(*[sample(j) for j in range(n_samples)]).alias("_s"),
+        F.col("_n").alias("byte_len"),
     )
     acc = F.lit(0).cast("long")
     for j in range(bits):
         acc = acc + F.when(
             F.col("_s")[j] > F.col("_s")[j + 1], F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
-    return smp.select("id", acc.alias("phash"))
+    cols = ["id", acc.alias("phash")] + (
+        [F.col("byte_len")] if with_len else []
+    )
+    return smp.select(*cols)
 
 
 def phash_index(
@@ -294,14 +305,11 @@ def phash_index(
     """(id, phash, band, chunk) — the banded pHash table, the
     persistable index state of image near-dedup (write bucketed by
     (band, chunk) at scale and ingest batches probe it without
-    re-hashing the corpus, exactly like `simhash_index`)."""
+    re-hashing the corpus, exactly like `simhash_index`). The
+    bits/bands divisibility guard lives in the shared
+    `band_fingerprint` (one banding, one guard)."""
     from transporter_spark.operators.dedup import band_fingerprint
 
-    if bits % bands != 0:
-        raise ValueError(
-            f"bits={bits} not divisible by bands={bands}: a ragged "
-            "band would silently weaken the pigeonhole guarantee"
-        )
     return band_fingerprint(
         image_phash(df, content_col, id_col, bits), "phash", bits, bands
     )
@@ -310,38 +318,19 @@ def phash_index(
 def _phash_pairs_from_fp(
     ph: DataFrame, bits: int, max_hamming: int, bands: int
 ) -> DataFrame:
-    """Banded Hamming-near pairs from an (id, phash) table — the
-    shared candidate+verify core of `image_phash_pairs` and
-    `image_phash_dedup`."""
-    if bits % bands != 0:
-        raise ValueError(
-            f"bits={bits} not divisible by bands={bands}: a ragged "
-            "band would silently weaken the pigeonhole guarantee"
-        )
-    if bands <= max_hamming:
-        raise ValueError(
-            f"pigeonhole needs bands > max_hamming "
-            f"(got bands={bands}, max_hamming={max_hamming})"
-        )
+    """Banded Hamming-near pairs from an (id, phash[, ...]) table —
+    the shared candidate+verify core of `image_phash_pairs` and
+    `image_phash_dedup`, delegating to the ONE banding + candidate
+    definition in operators/dedup (band_fingerprint +
+    banded_hamming_pairs — same join, same guards as the SimHash text
+    path)."""
     from transporter_spark.operators.dedup import (
-        _simhash_verified,
         band_fingerprint,
+        banded_hamming_pairs,
     )
 
-    banded = band_fingerprint(ph, "phash", bits, bands)
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = a.join(
-        b,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("a.phash").alias("sim_a"),
-        F.col("b.phash").alias("sim_b"),
-    )
-    return _simhash_verified(cand, max_hamming)
+    banded = band_fingerprint(ph.select("id", "phash"), "phash", bits, bands)
+    return banded_hamming_pairs(banded, "phash", max_hamming, bands)
 
 
 def image_phash_pairs(
@@ -357,10 +346,18 @@ def image_phash_pairs(
     max_hamming, complete recall) feeds a (band, chunk) equi-join;
     verification is bit_count(xor) over the two fingerprints the
     banded table already carries — content bytes are never touched
-    after the one fingerprint projection."""
-    return _phash_pairs_from_fp(
-        image_phash(df, content_col, id_col, bits), bits, max_hamming, bands
+    after the one fingerprint projection, which is materialized
+    (localCheckpoint, the `simhash_index` discipline) so the
+    expression-heavy 33-sample tree isn't re-planned and re-executed
+    on both branches of the self-join."""
+    from transporter_spark.operators.dedup import (
+        _materialize,
+        check_banding,
     )
+
+    check_banding(bits, bands, max_hamming)  # before the eager job
+    fp = _materialize(image_phash(df, content_col, id_col, bits))
+    return _phash_pairs_from_fp(fp, bits, max_hamming, bands)
 
 
 def image_phash_dedup(
@@ -387,18 +384,18 @@ def image_phash_dedup(
     all-pairs — plan-pinned), CC rounds ∝ cluster diameter, and the
     canonical argmax is one (id, component, byte_len) shuffle plus a
     rank window over star-shaped (small) partitions."""
-    from transporter_spark.operators.dedup import connected_components
-
-    meta = df.select(
-        F.col(id_col).alias("id"),
-        F.octet_length(
-            F.coalesce(F.col(content_col), F.lit(b""))
-        ).cast("long").alias("byte_len"),
+    from transporter_spark.operators.dedup import (
+        check_banding,
+        connected_components,
     )
-    # one fingerprint pass feeds the banded pairs, the CC vertex set,
-    # and the output projection — persisted because Spark plans no CSE
-    # across join branches (the r7 broadcast-reuse lesson)
-    ph = image_phash(df, content_col, id_col, bits).persist()
+
+    check_banding(bits, bands, max_hamming)  # before the persist job
+    # ONE fingerprint pass (byte_len rides the same staged projection)
+    # feeds the banded pairs, the CC vertex set, AND the output's
+    # size-proxy column — persisted because Spark plans no CSE across
+    # join branches (the r7 broadcast-reuse lesson); the content blobs
+    # are scanned exactly once
+    ph = image_phash(df, content_col, id_col, bits, with_len=True).persist()
     pairs = _phash_pairs_from_fp(ph, bits, max_hamming, bands)
     comp = connected_components(
         pairs.select("id_a", "id_b"),
@@ -406,7 +403,7 @@ def image_phash_dedup(
         max_iter=max_iter,
         reliable_checkpoint=reliable_checkpoint,
     )
-    joined = comp.join(ph, "id").join(meta, "id")
+    joined = comp.join(ph, "id")
     w = Window.partitionBy("component").orderBy(
         F.desc("byte_len"), F.asc("id")
     )

@@ -861,7 +861,14 @@ def ann_recall_at_k(
     exactness of its arithmetic.
 
     Both inputs are (query, neighbor) top-k frames (extra columns
-    ignored; rank windows already enforce <= k rows per query).
+    ignored). Each side is DISTINCT-projected first — recall is a SET
+    measure, so a frame assembled from overlapping sources (a union
+    of epoch results, a re-delivered sink read) scores identically to
+    its deduplicated form instead of fanning the join out and
+    silently corrupting the counts. After dedup, more than k rows for
+    any exact-side query PROVES the input wasn't a top-k frame — the
+    audit raises per-row (fail-loud, the sketch-family discipline)
+    rather than reporting a recall over the wrong denominator.
     Returns one row per exact-side query: (query_id, n_exact, n_hits,
     recall) where n_hits = |exact ∩ approx| and recall = n_hits /
     n_exact as an IEEE double (n_exact, not the nominal k, so a query
@@ -879,18 +886,27 @@ def ann_recall_at_k(
     e = exact_topk.select(
         F.col(query_col).alias("query_id"),
         F.col(neighbor_col).alias("neighbor_id"),
-    )
+    ).distinct()
     a = approx_topk.select(
         F.col(query_col).alias("query_id"),
         F.col(neighbor_col).alias("neighbor_id"),
         F.lit(1).alias("_hit"),
-    )
+    ).distinct()
     return (
         e.join(a, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count("*").cast("long").alias("n_exact"),
             F.count("_hit").cast("long").alias("n_hits"),
+        )
+        .where(
+            F.expr(
+                f"if(n_exact <= {k}, true, raise_error(concat("
+                f"'ann_recall_at_k: query ', cast(query_id as string), "
+                f"' has ', cast(n_exact as string), ' distinct exact "
+                f"neighbors > k={k} — the exact side is not a top-{k} "
+                f"frame')))"
+            )
         )
         .withColumn(
             "recall",
