@@ -463,6 +463,32 @@ def probe_pq(spark):
     return times[1], times[MULT]
 
 
+def probe_phash(spark):
+    """Perceptual-hash image dedup at 1x/Nx docs (text bytes standing
+    in for blobs, the graded query's fake-decode discipline): the full
+    decision — fingerprint, banded pairs, CC closure, canonical argmax
+    — must scale ~linearly; blobs are scanned once into a 16 B/doc
+    table and replicas are exact dups, so pair volume grows ~Nx while
+    CC rounds stay ∝ diameter."""
+    from transporter_spark.operators.dedup import release_cached
+    from transporter_spark.operators.multimodal import image_phash_dedup
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    times = {}
+    for mult in (1, MULT):
+        corpus = _replicate(docs, "doc_id", mult)
+
+        def run():
+            out = image_phash_dedup(corpus)
+            out.count()
+            release_cached(out)
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -478,6 +504,7 @@ PROBES = {
     "spans": probe_spans,
     "spans_w50": probe_spans_w50,
     "pq": probe_pq,
+    "phash": probe_phash,
 }
 
 
