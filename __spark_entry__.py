@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
 # to the STALEST greens. Round 9 (the rotation VERDICT r8 item 1
-# mandates — r8 skipped it): 3 new + 9 changed + 38 stalest = 50.
+# mandates — r8 skipped it): 5 new + 9 changed + 36 stalest = 50.
 # "Changed" is read strictly, per FUNCTION executed: the r8
 # post-grading commit 4daf66d (landed AFTER CORRECTNESS_r08 was
 # recorded) edited decontaminate's bloom branch, the
@@ -33,24 +33,33 @@ def entry(spark: SparkSession) -> DataFrame:
 # validation, and drain_documents_bloom — so decontaminate,
 # decontaminate_bloom, incremental_dedup_exact_bloom, bm25_select,
 # bm25_select_log2, and stream_bloom re-grade; round 9's
-# band_fingerprint factor-out of simhash_index re-grades
+# band_fingerprint factor-out of simhash_index (and the later
+# incremental_banded_hamming_pairs factor-out) re-grades
 # simhash_pairs and incremental_simhash, and the bloom_words= param
 # restructure of decontaminate re-grades both decontaminate queries
 # (already listed). incremental_dedup_exact (non-bloom) is NOT
 # re-graded: its function body was last touched at 7a70eba, BEFORE
-# the r8 grading ran. The stale cohort is the 44-query r4 remainder
-# (last green r4) in its documented queue order, headed by
-# stream_kmeans_update (VERDICT r8 item 7) and the dedup_exact /
-# ann_cosine_topk bench controls; 38 fit, the LAST SIX (sort_limit,
-# stats_agg, text_stats, window_topn, windowed_agg, word_count —
-# all single-operator scans/sorts, green r4 on code unchanged since)
-# spill past the window and head the r10 queue. The r5/r6/r8 cohorts
-# follow via the registry fallback, all green on unchanged code.
+# the r8 grading ran. The _shingles_sql/_minhash_portable_ctes
+# parameterization does NOT re-grade ngram_jaccard_pairs /
+# minhash_lsh_portable / minhash_lsh_pairs on its own: their oracle
+# STRINGS are byte-identical (pinned, tests/test_oracle_builders.py)
+# and their fns untouched (the first two re-grade anyway as r4-stale).
+# The stale cohort is the 44-query r4 remainder (last green r4) in
+# its documented queue order, headed by stream_kmeans_update (VERDICT
+# r8 item 7) and the dedup_exact / ann_cosine_topk bench controls;
+# 36 fit, the LAST EIGHT (skip_numeric_string, skip_regex,
+# sort_limit, stats_agg, text_stats, window_topn, windowed_agg,
+# word_count — all single-operator scans/sorts/filters, green r4 on
+# code unchanged since) spill past the window and head the r10
+# queue. The r5/r6/r8 cohorts follow via the registry fallback, all
+# green on unchanged code.
 _PRIORITY = [
     # --- NEW round 9: must take a slot ---
     "image_phash_dedup",        # perceptual-hash image near-dedup
     "stream_decontaminate",     # maintained-blocklist ingest gate
     "ann_recall_at_k",          # ANN quality audit vs brute force
+    "stream_phash_index",       # continuous pHash index + incr. probe
+    "dedup_recall_audit",       # LSH recall vs exact ground truth
     # --- changed since their last green row (r8 post-grading commit
     # --- 4daf66d + round-9 edits; see header) ---
     "decontaminate",
@@ -102,11 +111,11 @@ _PRIORITY = [
     "set_ops",
     "skip_eq",
     "skip_gt",
-    "skip_numeric_string",
-    "skip_regex",
-    # --- past the graded window from here down: the six spilled r4
+    # --- past the graded window from here down: the eight spilled r4
     # --- greens, next-up for round 10 (r5/r6/r8 cohorts follow via
     # --- the registry fallback)
+    "skip_numeric_string",
+    "skip_regex",
     "sort_limit",
     "stats_agg",
     "text_stats",

@@ -865,3 +865,47 @@ def test_ann_recall_at_k_identity_missing_and_monotone(spark, sf_dir):
     overlong = ann_brute_force(emb, queries, k=9)
     with pytest.raises((SparkRuntimeException, Py4JJavaError)):
         ann_recall_at_k(overlong, exact, k=5).collect()
+
+
+def test_pair_recall_counts_and_normalization(spark):
+    """pair_recall is a SET measure: reversed ids, duplicate rows, and
+    self-pairs must not change any count; recall = hits / truth."""
+    from transporter_spark.operators.dedup import pair_recall
+
+    truth = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"]
+    )
+    found = spark.createDataFrame(
+        # reversed pair, duplicate row, self-pair, one non-truth pair
+        [(2, 1), (2, 1), (3, 4), (7, 7), (5, 6)], ["id_a", "id_b"]
+    )
+    row = pair_recall(truth, found).collect()[0]
+    assert (row.n_truth, row.n_found, row.n_hits) == (3, 3, 2)
+    assert row.recall == 2.0 / 3.0
+
+
+def test_pair_recall_empty_truth_is_null_not_one(spark):
+    """0/0 recall is undefined — NULL, never 1.0 or 0.0."""
+    from transporter_spark.operators.dedup import pair_recall
+
+    truth = spark.createDataFrame([], "id_a long, id_b long")
+    found = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    row = pair_recall(truth, found).collect()[0]
+    assert (row.n_truth, row.n_found, row.n_hits) == (0, 1, 0)
+    assert row.recall is None
+
+
+def test_incremental_banded_hamming_requires_pigeonhole(spark):
+    """The shared incremental core enforces bands > max_hamming (the
+    completeness condition) before any join is planned."""
+    import pytest
+
+    from transporter_spark.operators.dedup import (
+        incremental_banded_hamming_pairs,
+    )
+
+    banded = spark.createDataFrame(
+        [(1, 5, 0, 5)], ["id", "simhash", "band", "chunk"]
+    )
+    with pytest.raises(ValueError, match="bands > max_hamming"):
+        incremental_banded_hamming_pairs(banded, banded, "simhash", 4, 4)

@@ -1,0 +1,66 @@
+"""Oracle-builder refactor pins (the r6 rule: any static-oracle ->
+parameterized-builder refactor must prove byte-identity at the old
+operating point, so green CORRECTNESS rows are not silently
+invalidated)."""
+
+from transporter_spark.queries import (
+    QUERIES,
+    _SHINGLES_SQL,
+    _minhash_portable_ctes,
+    _shingles_sql,
+)
+
+# the round-2 literal, verbatim — _shingles_sql() must keep emitting it
+_R2_SHINGLES = r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+sh AS (SELECT doc_id, unnest(list_distinct(
+         CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+              ELSE list_transform(generate_series(1, len(t) - 2),
+                                  i -> array_to_string(t[i:i+2], ' ')) END)) AS s
+       FROM toks)
+"""
+
+
+def test_shingles_builder_default_is_byte_identical_to_r2_literal():
+    assert _shingles_sql() == _R2_SHINGLES == _SHINGLES_SQL
+
+
+def test_shingles_builder_standalone_flag_only_strips_with():
+    assert "\nWITH " + _shingles_sql("corpus", standalone=False).replace(
+        "FROM corpus", "FROM documents"
+    ) == _shingles_sql()
+
+
+def test_portable_ctes_explicit_params_equal_default():
+    """The parameterization wiring: passing the defaults explicitly
+    must reproduce the graded minhash oracle byte-for-byte."""
+    assert (
+        _minhash_portable_ctes("0.1", _shingles_sql())
+        == _minhash_portable_ctes()
+    )
+    assert (
+        QUERIES["minhash_lsh_portable"].oracle
+        == _minhash_portable_ctes()
+        + "\nSELECT id_a, id_b, jaccard FROM mh_pairs"
+    )
+
+
+def test_portable_ctes_threshold_splices_both_sites():
+    """The verify threshold appears once in mh_pairs (projection +
+    WHERE share the expression) — a parameterized threshold must
+    land there and nowhere else."""
+    base = _minhash_portable_ctes()
+    moved = _minhash_portable_ctes("0.35")
+    assert base.count(">= 0.1") == 1
+    assert moved.count(">= 0.35") == 1
+    assert ">= 0.1)" not in moved
+
+
+def test_recall_audit_oracle_materializes_shared_cte():
+    """The audit oracle references `sh` more times than the graded LSH
+    query; the composition layer must MATERIALIZE it (and the corpus)
+    without touching the shared builder's standalone text."""
+    oracle = QUERIES["dedup_recall_audit"].oracle
+    assert "sh AS MATERIALIZED (" in oracle
+    assert "corpus AS MATERIALIZED (" in oracle
+    assert "sh AS MATERIALIZED" not in QUERIES["minhash_lsh_portable"].oracle

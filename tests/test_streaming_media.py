@@ -1,0 +1,154 @@
+"""Continuous pHash index sink (streaming/media.py): maintained ==
+batch build, append-only commits, replay/re-delivery guards, geometry
+meta validation, compaction, and the incremental probe against the
+maintained state."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from transporter_spark.sources.files import read_table
+
+
+def _media(spark, sf_dir):
+    return (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode(F.col("text"), "UTF-8").alias("content"))
+    )
+
+
+def _seg_files(state):
+    out = {}
+    root = os.path.join(state, "segments")
+    for dp, _d, fs in os.walk(root):
+        for f in fs:
+            p = os.path.join(dp, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_phash_sink_multi_epoch_equals_batch_index(spark, sf_dir, tmp_path):
+    """3-epoch drain == batch phash_index over everything (the dHash
+    is pure per-image, so epoch boundaries cannot leak); commits are
+    append-only (pre-existing files byte-identical); a replayed epoch
+    and a re-delivered image are both no-ops."""
+    from transporter_spark.operators.multimodal import phash_index
+    from transporter_spark.streaming.media import (
+        phash_index_batch,
+        read_phash_index,
+    )
+
+    media = _media(spark, sf_dir)
+    state = str(tmp_path / "phash")
+    for epoch in range(3):
+        before = _seg_files(state) if epoch else {}
+        assert phash_index_batch(
+            media.filter(F.col("doc_id") % 3 == epoch), epoch, state
+        )
+        after = _seg_files(state)
+        assert {k: after[k] for k in before} == before  # append-only
+    # replay: same epoch id -> no-op
+    assert not phash_index_batch(
+        media.filter(F.col("doc_id") % 3 == 0), 2, state
+    )
+    # re-delivery: a later epoch re-shipping epoch-0 images -> all
+    # dropped by the id guard, nothing appended
+    n = read_phash_index(spark, state).count()
+    assert not phash_index_batch(
+        media.filter(F.col("doc_id") % 3 == 0), 3, state
+    )
+    got = read_phash_index(spark, state)
+    assert got.count() == n
+    expect = phash_index(media)
+    assert sorted(
+        (r.id, r.phash, r.band, r.chunk) for r in got.collect()
+    ) == sorted((r.id, r.phash, r.band, r.chunk) for r in expect.collect())
+
+
+def test_phash_sink_geometry_mismatch_raises(spark, sf_dir, tmp_path):
+    """An epoch fingerprinted at a different (bits, bands) than the
+    committed state raises instead of silently mixing incompatible
+    chunk spaces."""
+    from transporter_spark.streaming.media import phash_index_batch
+
+    media = _media(spark, sf_dir).limit(20)
+    state = str(tmp_path / "phash")
+    assert phash_index_batch(media, 0, state, bits=32, bands=4)
+    with pytest.raises(ValueError, match="phash_bands=4"):
+        phash_index_batch(
+            media.select(
+                (F.col("doc_id") + 1000).alias("doc_id"), "content"
+            ),
+            1,
+            state,
+            bits=32,
+            bands=8,
+        )
+
+
+def test_phash_sink_compaction_and_incremental_probe(spark, sf_dir, tmp_path):
+    """compact_phash_index folds the log content-preservingly, and the
+    incremental probe against the maintained index equals the full
+    image_phash_pairs restricted to pairs touching a batch doc."""
+    from transporter_spark.operators.multimodal import (
+        image_phash_pairs,
+        incremental_phash_pairs,
+    )
+    from transporter_spark.streaming.media import (
+        compact_phash_index,
+        phash_index_batch,
+        read_phash_index,
+    )
+    from transporter_spark.streaming.state import SegmentStore
+
+    media = _media(spark, sf_dir)
+    state = str(tmp_path / "phash")
+    for epoch in range(2):
+        phash_index_batch(
+            media.filter(F.col("doc_id") % 2 == epoch), epoch, state
+        )
+    assert compact_phash_index(spark, state)
+    assert not compact_phash_index(spark, state)
+    store = SegmentStore(state)
+    assert all(
+        len(store.table_segments(t)) == 1 for t in ("fps", "ph_ids")
+    )
+
+    batch = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.encode(
+                F.expr("concat(upper(substr(text, 1, 8)), substr(text, 9))"),
+                "utf-8",
+            ).alias("content"),
+        )
+    )
+    got = incremental_phash_pairs(batch, read_phash_index(spark, state))
+    full = image_phash_pairs(
+        media.unionByName(batch)
+    ).filter((F.col("id_a") >= 1000000) | (F.col("id_b") >= 1000000))
+    canon = lambda df: sorted(  # noqa: E731
+        (r.id_a, r.id_b, r.hamming) for r in df.collect()
+    )
+    assert canon(got) == canon(full)
+    assert got.count() > 0  # the edited copies really pair up
+
+    # plan pin: the probe never reads a content/binary column (the
+    # batch fingerprint is materialized before the join; the corpus
+    # exists only as the maintained 16 B-scale banded rows) and the
+    # candidate join is the (band, chunk) equi-join, never all-pairs
+    sc = got.sparkSession.sparkContext
+    plan = sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert not [
+        l
+        for l in plan.splitlines()
+        if "ReadSchema" in l and "content" in l
+    ], plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -901,6 +901,54 @@ def simhash_pairs(
     return banded_hamming_pairs(banded, "simhash", max_hamming, bands)
 
 
+def incremental_banded_hamming_pairs(
+    new_banded: DataFrame,
+    index: DataFrame,
+    fp_col: str,
+    max_hamming: int,
+    bands: int,
+) -> DataFrame:
+    """Hamming-near pairs for a banded BATCH fingerprint table against
+    a persisted banded index (the `band_fingerprint` shape on both
+    sides) — the incremental twin of `banded_hamming_pairs` and the
+    ONE batch-vs-index candidate definition shared by the SimHash text
+    path and the image pHash path (operators/multimodal.py).
+    Candidates come from the (band, chunk) equi-join (new-vs-corpus
+    plus new-vs-new); verification is bit_count(xor) over the
+    fingerprints both tables already carry. Disjoint ids assumed — run
+    the id re-delivery guard first, as the ingest sinks do."""
+    check_banding(None, bands, max_hamming)
+    a, b = new_banded.alias("a"), index.alias("b")
+    vs_corpus = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            # xor is symmetric: side order doesn't matter for hamming
+            F.col(f"a.{fp_col}").alias("sim_a"),
+            F.col(f"b.{fp_col}").alias("sim_b"),
+        )
+    )
+    na, nb = new_banded.alias("a"), new_banded.alias("b")
+    vs_new = na.join(
+        nb,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.chunk") == F.col("b.chunk"))
+        & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col(f"a.{fp_col}").alias("sim_a"),
+        F.col(f"b.{fp_col}").alias("sim_b"),
+    )
+    return _simhash_verified(vs_corpus.unionByName(vs_new), max_hamming)
+
+
 def incremental_simhash_pairs(
     new_docs: DataFrame,
     index: DataFrame,
@@ -921,44 +969,19 @@ def incremental_simhash_pairs(
     pair shares a chunk), so the result equals the full-corpus
     `simhash_pairs` restricted to pairs touching a batch doc.
 
-    Returns (id_a < id_b, hamming), new-vs-corpus plus new-vs-new.
-    Append `new_banded` (disjoint ids assumed — run the id/fp
-    re-delivery guard first, as the ingest sink does) to the index
-    after commit."""
-    assert bands > max_hamming, "pigeonhole needs bands > max_hamming"
+    Returns (id_a < id_b, hamming), new-vs-corpus plus new-vs-new
+    via the shared `incremental_banded_hamming_pairs` core. Append
+    `new_banded` (disjoint ids assumed — run the id/fp re-delivery
+    guard first, as the ingest sink does) to the index after
+    commit."""
+    check_banding(bits, bands, max_hamming)
     if new_banded is None:
         new_banded = _materialize(
             simhash_index(new_docs, text_col, id_col, bits, bands)
         )
-    a, b = new_banded.alias("a"), index.alias("b")
-    vs_corpus = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.id") != F.col("b.id")),
-        )
-        .select(
-            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
-            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
-            # xor is symmetric: side order doesn't matter for hamming
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
-        )
+    return incremental_banded_hamming_pairs(
+        new_banded, index, "simhash", max_hamming, bands
     )
-    na, nb = new_banded.alias("a"), new_banded.alias("b")
-    vs_new = na.join(
-        nb,
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.chunk") == F.col("b.chunk"))
-        & (F.col("a.id") < F.col("b.id")),
-    ).select(
-        F.col("a.id").alias("id_a"),
-        F.col("b.id").alias("id_b"),
-        F.col("a.simhash").alias("sim_a"),
-        F.col("b.simhash").alias("sim_b"),
-    )
-    return _simhash_verified(vs_corpus.unionByName(vs_new), max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -1379,4 +1402,72 @@ def symspell_pairs(
         cand.withColumn("dist", F.levenshtein(F.col("_sa"), F.col("_sb")))
         .filter(F.col("dist") <= max_distance)
         .select("id_a", "id_b", "dist")
+    )
+
+
+def pair_recall(
+    truth_pairs: DataFrame,
+    found_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Recall of a candidate/near-dup pair set against ground truth —
+    the dedup-family twin of `similarity.ann_recall_at_k`: the number
+    a user tunes bands/num_hashes/max_bucket against, computed as a
+    join + aggregation so the LSH paths are graded on their RECALL,
+    not just the exactness of their verification arithmetic.
+
+    Both inputs are (id_a, id_b) pair frames (extra columns — jaccard,
+    hamming — ignored). Each side is normalized first: ids ordered
+    with least/greatest (a frame that emitted (b, a) still matches)
+    and DISTINCT-projected (recall is a SET measure — a pair list
+    assembled from overlapping sources scores identically to its
+    deduplicated form instead of fanning the join out). Self-pairs
+    (id_a == id_b) are dropped: a degenerate generator that emits them
+    must not inflate either side. Returns ONE row:
+    (n_truth, n_found, n_hits, recall) where n_hits = |truth ∩ found|
+    and recall = n_hits / n_truth as an IEEE double — NULL when truth
+    is empty (0/0 is undefined, not 1.0 and not 0.0). Found pairs
+    outside truth affect n_found only — this measures recall;
+    precision is n_hits / n_found, derivable from the same row.
+
+    Scale shape: pair frames are candidate-sized (bounded by the
+    generators' own caps), the equi-join on (id_a, id_b) and the
+    global count are one small shuffle; all counting is exact
+    integers, the division at the boundary is deterministic IEEE
+    double math on both engines."""
+
+    def norm(df: DataFrame) -> DataFrame:
+        a, b = F.col(id_a), F.col(id_b)
+        return (
+            df.select(
+                F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b")
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+
+    t = norm(truth_pairs).withColumn("_t", F.lit(1))
+    f = norm(found_pairs).withColumn("_f", F.lit(1))
+    # ONE full-outer equi-join yields all three counts — no second
+    # aggregation, no 1x1 cross join
+    joined = t.join(f, ["id_a", "id_b"], "full_outer")
+    return (
+        joined.agg(
+            F.count("_t").cast("long").alias("n_truth"),
+            F.count("_f").cast("long").alias("n_found"),
+            F.count(F.when(F.col("_t").isNotNull() & F.col("_f").isNotNull(), 1))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .select(
+            "n_truth",
+            "n_found",
+            "n_hits",
+            F.when(
+                F.col("n_truth") > 0,
+                F.col("n_hits").cast("double")
+                / F.col("n_truth").cast("double"),
+            ).alias("recall"),
+        )
     )

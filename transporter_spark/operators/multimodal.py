@@ -360,6 +360,47 @@ def image_phash_pairs(
     return _phash_pairs_from_fp(fp, bits, max_hamming, bands)
 
 
+def incremental_phash_pairs(
+    new_images: DataFrame,
+    index: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+    new_banded: DataFrame = None,
+) -> DataFrame:
+    """Hamming-near image pairs for an INGEST BATCH against a
+    persisted `phash_index` — the image twin of
+    `incremental_simhash_pairs`, sharing the ONE batch-vs-index
+    candidate core (dedup.incremental_banded_hamming_pairs): only the
+    batch's blobs are fingerprinted, candidates come from the
+    (band, chunk) equi-join against the index, verification is
+    bit_count(xor) over fingerprints both tables already carry —
+    corpus CONTENT is never read at any stage. Pigeonhole recall is
+    exact (bands > max_hamming), so the result equals the full-corpus
+    `image_phash_pairs` restricted to pairs touching a batch doc.
+
+    Returns (id_a < id_b, hamming). Disjoint ids assumed — run the id
+    re-delivery guard first, as the continuous sink
+    (streaming/media.py) does. Append `new_banded` to the index after
+    commit."""
+    from transporter_spark.operators.dedup import (
+        _materialize,
+        check_banding,
+        incremental_banded_hamming_pairs,
+    )
+
+    check_banding(bits, bands, max_hamming)
+    if new_banded is None:
+        new_banded = _materialize(
+            phash_index(new_images, content_col, id_col, bits, bands)
+        )
+    return incremental_banded_hamming_pairs(
+        new_banded, index, "phash", max_hamming, bands
+    )
+
+
 def image_phash_dedup(
     df: DataFrame,
     content_col: str = "content",

@@ -1274,14 +1274,27 @@ def q_stats_agg(spark, sf_dir):
 # text analysis, multimodal — the 100TB-scale extension surface.
 # ===========================================================================
 
-_SHINGLES_SQL = r"""
-WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+def _shingles_sql(source: str = "documents", standalone: bool = True) -> str:
+    """The word-3-gram shingle CTE chain (ends in `sh`: (doc_id, s)).
+    ``standalone=False`` omits the leading "\\nWITH " so a caller can
+    prepend its own CTEs (the dedup_recall_audit corpus). Byte-identity
+    of the default output vs the round-2 literal is pinned in
+    tests/test_oracle_builders.py (the r6 oracle-refactor rule)."""
+    head = "\nWITH " if standalone else ""
+    return head + (
+        r"""toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM """
+        + source
+        + r"""),
 sh AS (SELECT doc_id, unnest(list_distinct(
          CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
               ELSE list_transform(generate_series(1, len(t) - 2),
                                   i -> array_to_string(t[i:i+2], ' ')) END)) AS s
        FROM toks)
 """
+    )
+
+
+_SHINGLES_SQL = _shingles_sql()
 
 
 @q(
@@ -1389,10 +1402,16 @@ def q_minhash_lsh_portable(spark, sf_dir):
     )
 
 
-def _minhash_portable_ctes() -> str:
+def _minhash_portable_ctes(
+    threshold: str = "0.1", shingles: Optional[str] = None
+) -> str:
     """CTE chain ending in `mh_pairs` (id_a, id_b, jaccard): the whole
     portable MinHash+LSH+verify pipeline as SQL, generated from the
-    SAME hash family the Spark operator bakes into its plan."""
+    SAME hash family the Spark operator bakes into its plan.
+    ``threshold`` is spliced as TEXT (keep "0.1"-style literals so the
+    default output stays byte-identical to the graded r2 oracle —
+    pinned in tests/test_oracle_builders.py); ``shingles`` overrides
+    the shingle CTE chain (the dedup_recall_audit corpus)."""
     from transporter_spark.operators.dedup import _MERSENNE, _hash_family
 
     fam = _hash_family(64, 42)
@@ -1408,7 +1427,7 @@ def _minhash_portable_ctes() -> str:
         for i in range(16)
     )
     return (
-        _SHINGLES_SQL
+        (shingles if shingles is not None else _SHINGLES_SQL)
         + f""",
 hashed AS (
   SELECT doc_id,
@@ -1433,7 +1452,7 @@ mh_pairs AS (
   FROM inter
   JOIN sizes sa ON id_a = sa.doc_id
   JOIN sizes sb ON id_b = sb.doc_id
-  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.1)"""
+  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= {threshold})"""
     )
 
 
@@ -1446,6 +1465,109 @@ QUERIES["minhash_lsh_portable"] = QUERIES["minhash_lsh_portable"]._replace(
 QUERIES["minhash_lsh_pairs"] = QUERIES["minhash_lsh_pairs"]._replace(
     oracle=QUERIES["minhash_lsh_portable"].oracle
 )
+
+
+def _dedup_recall_audit_oracle() -> str:
+    """Corpus CTE (documents + two truncated-clone cohorts straddling
+    the LSH S-curve) + the SAME portable MinHash+LSH chain at 0.35 +
+    the full exact-Jaccard truth pairs + the one-row recall aggregate.
+    `sh` is MATERIALIZED at the composition layer (post-hoc replace, the
+    r6 rule — the shared builder's standalone text stays byte-identical)
+    because this oracle references it two more times than the graded
+    LSH query does."""
+    lsh = _minhash_portable_ctes(
+        threshold="0.35", shingles=_shingles_sql("corpus", standalone=False)
+    )
+    lsh = lsh.replace("\nsh AS (", "\nsh AS MATERIALIZED (")
+    return (
+        """
+WITH corpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         substr(text, 1, (3 * length(text)) // 5) AS text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id,
+         substr(text, 1, (2 * length(text)) // 5) AS text
+  FROM documents WHERE doc_id % 3 = 1),
+"""
+        + lsh
+        + """,
+xinter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT xi.id_a, xi.id_b
+  FROM xinter xi
+  JOIN sizes sa ON xi.id_a = sa.doc_id
+  JOIN sizes sb ON xi.id_b = sb.doc_id
+  WHERE xi.i * 1.0 / (sa.sz + sb.sz - xi.i) >= 0.35),
+j AS (
+  SELECT t.id_a AS t_a, f.id_a AS f_a
+  FROM truth t
+  FULL OUTER JOIN (SELECT id_a, id_b FROM mh_pairs) f
+    ON t.id_a = f.id_a AND t.id_b = f.id_b)
+SELECT count(t_a)::BIGINT AS n_truth,
+       count(f_a)::BIGINT AS n_found,
+       count(CASE WHEN t_a IS NOT NULL AND f_a IS NOT NULL THEN 1 END)::BIGINT
+         AS n_hits,
+       CASE WHEN count(t_a) > 0 THEN
+         count(CASE WHEN t_a IS NOT NULL AND f_a IS NOT NULL THEN 1 END)::DOUBLE
+         / count(t_a)::DOUBLE END AS recall
+FROM j
+"""
+    )
+
+
+@q("dedup_recall_audit", oracle=_dedup_recall_audit_oracle())
+def q_dedup_recall_audit(spark, sf_dir):
+    """LSH recall audit (the dedup twin of `ann_recall_at_k`): banded
+    MinHash near-dup detection graded on its RECALL against exact
+    ground truth, not just its arithmetic. The corpus is documents
+    plus two truncated-clone cohorts sitting on either side of the
+    16-band/64-hash S-curve knee (3/5-length clones at Jaccard ~0.6 —
+    collision probability ~0.89 — and 2/5-length clones at ~0.4 —
+    ~0.34), so the measured recall is a REAL number about banding
+    misses, not a vacuous 1.0. Truth = exact shingle-Jaccard pairs at
+    0.35 (equi-join on shingle hashes, never all-pairs); found = the
+    portable MinHash+LSH+verify pipeline at the same threshold;
+    `pair_recall` reduces both to ONE row
+    (n_truth, n_found, n_hits, recall) via a normalized full-outer
+    equi-join — exact integer counts, one IEEE division at the
+    boundary. The oracle replays corpus construction, both pair
+    generators, and the aggregate end-to-end."""
+    from transporter_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        pair_recall,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    t35 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substr(text, 1, cast((3 * length(text)) div 5 as int))"
+        ).alias("text"),
+    )
+    t25 = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr(
+            "substr(text, 1, cast((2 * length(text)) div 5 as int))"
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(t35).unionByName(t25)
+    truth = jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.35)
+    found = minhash_lsh_pairs(
+        corpus, "text", "doc_id", n=3, num_hashes=64, bands=16,
+        threshold=0.35, portable=True,
+    )
+    out = pair_recall(truth, found)
+    out._ts_cached = list(getattr(truth, "_ts_cached", ())) + list(
+        getattr(found, "_ts_cached", ())
+    )
+    return out
 
 
 # persisted-corpus band index, built once per (session, sf_dir,
@@ -2754,6 +2876,65 @@ def q_image_phash_dedup(spark, sf_dir):
     ).orderBy("doc_id")
     final._ts_cached = list(getattr(out, "_ts_cached", ()))
     return final
+
+
+def _stream_phash_index_oracle() -> str:
+    from transporter_spark.operators.multimodal import phash_oracle_ctes
+
+    return (
+        """
+WITH pbase AS MATERIALIZED (
+  SELECT doc_id, encode(text) AS c FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, encode(upper(substr(text, 1, 8)) || substr(text, 9))
+  FROM documents WHERE doc_id % 5 = 0),"""
+        + phash_oracle_ctes("pbase", "c", "doc_id")
+        + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+  AND (a.doc_id >= 1000000 OR b.doc_id >= 1000000)
+"""
+    )
+
+
+@q("stream_phash_index", oracle=_stream_phash_index_oracle())
+def q_stream_phash_index(spark, sf_dir):
+    """CONTINUOUS perceptual-hash index maintenance + incremental
+    probe (streaming/media.py): the documents stream (text bytes as
+    blobs, the fake-decode discipline) drains through a foreachBatch
+    sink that fingerprints each batch and APPENDS the banded pHash
+    rows as manifest-committed segments — per-epoch IO ∝ batch, blobs
+    never enter state, banding geometry recorded in manifest meta with
+    loud mismatch. Because the dHash is a PURE per-image function, the
+    maintained index equals the batch `phash_index` bit-for-bit at any
+    epoch count (no single-epoch assert needed — stronger than the
+    corpus-statistics sinks). The probe batch (locally-edited copies
+    of every 5th doc — the re-encoded-image scenario) then runs
+    `incremental_phash_pairs` against the MAINTAINED index: only the
+    batch is fingerprinted, candidates come from the (band, chunk)
+    equi-join, corpus content is never re-read. Pigeonhole recall is
+    exact (bands=4 > max_hamming=3), so the oracle is the brute-force
+    all-pairs replay over corpus ∪ batch restricted to pairs touching
+    a batch doc. Append-only state, replay no-op, id re-delivery
+    guard, and maintained == batch are pinned in
+    tests/test_streaming_media.py."""
+    from transporter_spark.operators.multimodal import (
+        incremental_phash_pairs,
+    )
+    from transporter_spark.streaming.media import drain_documents_phash
+
+    index = drain_documents_phash(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.encode(
+            F.expr("concat(upper(substr(text, 1, 8)), substr(text, 9))"),
+            "utf-8",
+        ).alias("content"),
+    )
+    return incremental_phash_pairs(batch, index)
 
 
 @q(

@@ -1,0 +1,185 @@
+"""Continuous perceptual-hash image index maintenance: keep the banded
+pHash table (operators/multimodal.phash_index) current from a media
+stream — the image twin of the continuous SimHash/ANN index sinks.
+
+Why this is the 100 TB shape: the dHash fingerprint is a PURE
+per-image function (no corpus statistics, no fitting), so each
+micro-batch fingerprints only its own blobs and APPENDS the banded
+rows as a new segment under the shared manifest store
+(streaming/state.SegmentStore) — per-epoch IO ∝ |batch|, and the
+megabyte-scale blobs never enter state at all: the index holds ~20 B
+× bands per image. Each arriving batch can probe the standing index
+for Hamming-near corpus images WITHOUT re-fingerprinting the corpus
+(operators/multimodal.incremental_phash_pairs), and because the
+fingerprint is pure, the maintained index equals the batch
+`phash_index` build bit-for-bit at any point.
+
+State (two list tables, committed atomically together):
+
+- ``fps``    — (id, phash, band, chunk): the banded index,
+  `incremental_phash_pairs` / `banded_hamming_pairs` input;
+- ``ph_ids`` — (id): 8 B/image membership index answering the
+  cross-epoch re-delivery test without touching fingerprints.
+
+Banding geometry (bits, bands) is recorded in manifest meta at first
+commit and VALIDATED on every later epoch — an epoch fingerprinted at
+a different geometry raises instead of silently mixing incompatible
+chunk spaces (the span family's W discipline). Replay/restart
+semantics are the SegmentStore contract: replayed epochs are no-ops,
+a backwards epoch counter raises, compaction folds segments with
+one-commit reader retention.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transporter_spark.streaming.state import SegmentStore
+
+_TABLES = ("fps", "ph_ids")
+
+
+def _check_geometry(store: SegmentStore, bits: int, bands: int) -> None:
+    meta = store.meta()
+    for name, val in (("phash_bits", bits), ("phash_bands", bands)):
+        if name in meta and meta[name] != val:
+            raise ValueError(
+                f"pHash index at {store.base!r} was built with "
+                f"{name}={meta[name]}; refusing an epoch at {val} — "
+                "mixed banding geometries would silently break the "
+                "pigeonhole candidate join"
+            )
+
+
+def phash_index_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+) -> bool:
+    """One epoch of pHash index maintenance; returns False when the
+    epoch was already applied (replay) or the batch is empty. Cost per
+    batch: one fingerprint projection over |batch| blobs + the segment
+    append — the standing index is read only for the 8 B/image id
+    guard, and never rewritten."""
+    from transporter_spark.operators.multimodal import phash_index
+    from transporter_spark.streaming.ingest import redelivery_guard
+
+    store = SegmentStore(state_dir)
+    if store.epoch_already_applied(epoch_id):
+        return False
+    if batch.isEmpty():
+        return False
+    _check_geometry(store, bits, bands)
+    spark = batch.sparkSession
+    if store.manifest() is not None:
+        batch = redelivery_guard(
+            batch, store.read(spark, "ph_ids"), id_col
+        )
+        if batch.isEmpty():
+            return False
+    banded = phash_index(batch, content_col, id_col, bits, bands)
+    segs = {}
+    for table, df in (
+        ("fps", banded),
+        ("ph_ids", batch.select(F.col(id_col).alias("id"))),
+    ):
+        name = store.fresh_name(f"{table}-e{epoch_id}")
+        df.write.mode("overwrite").parquet(store.seg_path(name))
+        segs[table] = store.table_segments(table) + [name]
+    store.commit(
+        epoch_id,
+        tables=segs,
+        meta={"phash_bits": bits, "phash_bands": bands},
+    )
+    return True
+
+
+def compact_phash_index(spark: SparkSession, state_dir: str) -> bool:
+    """Fold the index's epoch segments (same discipline as
+    ingest.compact_ingest_state). Returns False when already compact."""
+    store = SegmentStore(state_dir)
+    manifest = store.manifest()
+    if manifest is None:
+        return False
+    segs = {}
+    for table in _TABLES:
+        name = store.compact_table(spark, table)
+        if name is not None:
+            segs[table] = [name]
+    if not segs:
+        return False
+    store.commit(int(manifest["epoch"]), tables=segs)
+    return True
+
+
+def phash_ingest_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: Optional[str] = None,
+    compact_every: Optional[int] = None,
+    **kw,
+) -> None:
+    """Drain a media stream into the maintained banded pHash index
+    (availableNow); probe it any time with
+    ``incremental_phash_pairs(batch, read_phash_index(...))`` or run
+    the full self-dedup with ``banded_hamming_pairs``.
+    ``compact_every``: fold the log at N segments, in-slot
+    (single-writer), as in the dedup and ANN sinks."""
+    from transporter_spark.streaming.windows import (
+        run_foreach_batch_available_now,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        applied = phash_index_batch(batch, epoch_id, state_dir, **kw)
+        if (
+            applied
+            and compact_every
+            and len(SegmentStore(state_dir).table_segments("fps"))
+            >= compact_every
+        ):
+            compact_phash_index(batch.sparkSession, state_dir)
+
+    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def read_phash_index(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (id, phash, band, chunk) banded index —
+    `incremental_phash_pairs`' / `banded_hamming_pairs`' input."""
+    df = SegmentStore(state_dir).read(spark, "fps")
+    if df is None:
+        raise FileNotFoundError(
+            f"no committed pHash index at {state_dir!r}: the sink has "
+            "not applied any non-empty epoch yet"
+        )
+    return df
+
+
+def drain_documents_phash(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: Optional[str] = None,
+    content_from_text: bool = True,
+    **kw,
+) -> DataFrame:
+    """Convenience: stream the documents table through the pHash index
+    sink (text bytes standing in for image blobs when
+    ``content_from_text`` — the multimodal fake-decode discipline) and
+    return the maintained banded index (used by the graded query)."""
+    from transporter_spark.streaming.sources import stream_table
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_phash_") + "/state"
+    docs = stream_table(spark, sf_dir, "documents")
+    if content_from_text:
+        docs = docs.select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+        )
+    phash_ingest_sink(docs, state, **kw)
+    return read_phash_index(spark, state)
