@@ -463,3 +463,122 @@ def test_image_phash_dedup_keeps_largest_copy(spark):
     canon = [i for i in (1, 2, 3) if out[i].is_canonical]
     assert canon == [1]
     assert out[4].is_canonical
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning
+# ---------------------------------------------------------------------------
+
+def _ref_bpe(word_counts, n):
+    """Pure-Python reference BPE trainer (greedy left-to-right merge,
+    count-desc / md5-0x1f tie-break — the operator's exact contract)."""
+    import hashlib
+
+    vocab = {}
+    for w, c in word_counts.items():
+        k = tuple(w)
+        vocab[k] = vocab.get(k, 0) + c
+    merges = []
+    for _ in range(n):
+        pairs = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (lhs, rhs), cnt = min(
+            pairs.items(),
+            key=lambda kv: (
+                -kv[1],
+                hashlib.md5(
+                    (kv[0][0] + "\x1f" + kv[0][1]).encode()
+                ).hexdigest(),
+            ),
+        )
+        merges.append((lhs, rhs, cnt))
+        out_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            k = tuple(out)
+            out_vocab[k] = out_vocab.get(k, 0) + c
+        vocab = out_vocab
+    return merges
+
+
+def test_bpe_learn_matches_reference_trainer(spark):
+    """bpe_learn == the pure-Python greedy trainer on a corpus with
+    overlapping pairs, repeats, and count ties."""
+    from transporter_spark.operators.text import bpe_learn
+
+    docs = [
+        "hug hug hug pug pug hugs bun",
+        "hug pug aaa bun bun",
+        "hugs aaa",
+    ]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], ["doc_id", "text"])
+    counts = {}
+    for d in docs:
+        for w in d.split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _ref_bpe(counts, 6)
+    got = [(m["lhs"], m["rhs"], m["pair_count"]) for m in bpe_learn(df, num_merges=6)]
+    assert got == want
+
+
+def test_bpe_greedy_overlap_and_consecutive_pairs(spark):
+    """'a a a' merges to 'aa a' (left-to-right greedy), 'abab' chars
+    merge both disjoint pairs in one step — the replace-based merge
+    must equal canonical BPE on both shapes."""
+    from transporter_spark.operators.text import bpe_apply_merges, bpe_learn
+
+    df = spark.createDataFrame(
+        [(1, "aaa abab"), (2, "abab abab")], ["doc_id", "text"]
+    )
+    merges = bpe_learn(df, num_merges=2)
+    # most frequent pair is (a, b): 2/word in abab x 3 words = 6
+    assert (merges[0]["lhs"], merges[0]["rhs"]) == ("a", "b")
+    applied = {
+        r.doc_id: r.n_bpe_merged_tokens
+        for r in bpe_apply_merges(df, merges).collect()
+    }
+    # after (a,b)->ab and the next merge (ab,ab)->abab:
+    # 'aaa' -> [a,a,a] (untouched) = 3; 'abab' -> [abab] = 1
+    assert merges[1]["merged"] == "abab"
+    assert applied == {1: 3 + 1, 2: 1 + 1}
+
+
+def test_bpe_apply_keeps_zero_row_for_empty_doc(spark):
+    from transporter_spark.operators.text import bpe_apply_merges
+
+    df = spark.createDataFrame(
+        [(1, "ab ab"), (2, ""), (3, "   ")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.n_bpe_merged_tokens
+        for r in bpe_apply_merges(df, [("a", "b")]).collect()
+    }
+    assert got == {1: 2, 2: 0, 3: 0}
+
+
+def test_bpe_word_count_plan_is_one_scan_map_side_combined(spark, sf_dir):
+    """The ONE corpus pass of BPE learning: a single documents scan
+    with a partial count below the only exchange."""
+    from transporter_spark.operators.text import bpe_word_counts
+
+    import re
+
+    wc = bpe_word_counts(read_table(spark, sf_dir, "documents"))
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        wc._jdf.queryExecution(), "formatted"
+    )
+    assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
+    assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
+    assert "partial_count" in plan

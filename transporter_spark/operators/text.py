@@ -685,3 +685,202 @@ def gopher_gate(
         )
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning — distributed tokenizer training
+# (Sennrich et al. 2016, "Neural Machine Translation of Rare Words with
+# Subword Units" — the byte-pair-encoding vocabulary induction every
+# modern tokenizer pipeline runs over its training corpus)
+# ---------------------------------------------------------------------------
+#
+# The scale property that makes this a 100 TB operator: the corpus is
+# read EXACTLY ONCE (the word-frequency aggregation, map-side combined,
+# one shuffle of (word, partial-count) rows). Every merge iteration
+# after that runs on the VOCAB-SIZED distinct-word table — pair counts,
+# the argmax, and the merge application never touch corpus text again.
+#
+# Symbol sequences are carried as a DOUBLE-SPACE-joined "spaced form"
+# ('  h  e  l  l  o  '): applying merge (L, R) is then
+# replace(form, ' L  R ', ' LR ') — string replace is left-to-right
+# non-overlapping in BOTH engines, which is exactly BPE's greedy merge
+# semantics ('a a a' -> 'aa a', consecutive disjoint pairs all merge),
+# and the surrounding single spaces anchor symbol boundaries so a pair
+# can never match inside a longer symbol. Symbols contain no whitespace
+# by construction (words are '\S+' runs), so the encoding is injective.
+# The argmax tie-break is (count DESC, md5(lhs || 0x1f || rhs)): md5
+# hex is ASCII, so the ordering is identical across engines regardless
+# of collation — a raw string tie-break would diverge between Java's
+# UTF-16 code-unit order and DuckDB's UTF-8 byte order on
+# supplementary-plane symbols.
+
+_BPE_SEP = "  "
+
+
+def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, cnt) whitespace-word frequency table — the ONE corpus scan
+    of BPE learning (map-side combined groupBy; everything after runs
+    on this vocab-sized frame)."""
+    return (
+        df.select(F.explode(F.expr(_TOKENS.format(col=text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def _bpe_spaced_form(col: Column) -> Column:
+    """'  ' + chars joined by '  ' + '  ' — the merge-ready encoding."""
+    return F.concat(
+        F.lit(_BPE_SEP), F.concat_ws(_BPE_SEP, F.split(col, "")), F.lit(_BPE_SEP)
+    )
+
+
+def _bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """(lhs, rhs, cnt) adjacent-symbol pair counts over a (cnt, form)
+    word table. Row-local HOF expansion (no shuffle before the pair
+    aggregation): acceptable off the hot path because the input is the
+    vocab table, not the corpus."""
+    syms = F.split(F.trim(F.col("form")), _BPE_SEP)
+    pairs = (
+        words.select("cnt", syms.alias("syms"))
+        .where(F.size("syms") > 1)
+        .select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1), "
+                    "j -> struct(element_at(syms, j) AS lhs, "
+                    "element_at(syms, j + 1) AS rhs))"
+                )
+            ).alias("p"),
+        )
+    )
+    return pairs.groupBy("p.lhs", "p.rhs").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def _bpe_tiebreak(lhs: Column, rhs: Column) -> Column:
+    """Engine-portable deterministic argmax tie-break (see module
+    comment): md5 over the 0x1f-joined pair."""
+    return F.md5(F.concat(lhs, F.lit("\x1f"), rhs))
+
+
+def bpe_learn(
+    df: DataFrame, text_col: str = "text", num_merges: int = 8
+) -> list:
+    """Learn `num_merges` BPE merges over the corpus; returns the
+    driver-side merge list [{step, lhs, rhs, merged, pair_count}, ...]
+    in learned order (stops early if the vocab runs out of pairs).
+
+    Iterative like `dedup.connected_components`: one vocab-sized
+    aggregation + a single-row argmax collect per merge (the scalar
+    driver step every BPE trainer has), with the word table
+    re-materialized per iteration to cut lineage."""
+    from transporter_spark.operators.dedup import _materialize
+
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    words = _materialize(
+        bpe_word_counts(df, text_col).select(
+            "cnt", _bpe_spaced_form(F.col("w")).alias("form")
+        )
+    )
+    merges = []
+    for step in range(1, num_merges + 1):
+        best = (
+            _bpe_pair_counts(words)
+            .orderBy(
+                F.desc("cnt"), _bpe_tiebreak(F.col("lhs"), F.col("rhs"))
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0].lhs, best[0].rhs, best[0].cnt
+        merges.append(
+            {
+                "step": step,
+                "lhs": lhs,
+                "rhs": rhs,
+                "merged": lhs + rhs,
+                "pair_count": cnt,
+            }
+        )
+        words = _materialize(
+            words.select(
+                "cnt",
+                F.replace(
+                    F.col("form"),
+                    F.lit(f" {lhs}{_BPE_SEP}{rhs} "),
+                    F.lit(f" {lhs}{rhs} "),
+                ).alias("form"),
+            )
+        )
+    return merges
+
+
+def bpe_learn_merges(
+    df: DataFrame, text_col: str = "text", num_merges: int = 8
+) -> DataFrame:
+    """`bpe_learn` as a DataFrame: (step, lhs, rhs, merged,
+    pair_count) — the learned tokenizer vocabulary delta, metadata-
+    sized regardless of corpus size."""
+    merges = bpe_learn(df, text_col, num_merges)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [
+            (m["step"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "step long, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def bpe_apply_merges(
+    df: DataFrame,
+    merges: Sequence,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize with a learned merge list: (id_col, n_bpe_merged_tokens)
+    — the per-document subword token count AFTER applying the merges in
+    learned order (the number a token-budgeted pipeline actually
+    plans with; before any merges it equals the character count of the
+    words). ``merges`` is a sequence of (lhs, rhs) pairs or the dicts
+    `bpe_learn` returns.
+
+    Shape: tokens explode once, the merge chain is a fixed cascade of
+    `replace` calls inside ONE row-local projection (merge application
+    is pure per-word — no joins, no broadcast state), then one
+    id-keyed aggregation; docs with no tokens keep a 0 row via the
+    left join back to the id spine."""
+    pairs = [
+        (m["lhs"], m["rhs"]) if isinstance(m, dict) else (m[0], m[1])
+        for m in merges
+    ]
+    form = _bpe_spaced_form(F.col("w"))
+    for lhs, rhs in pairs:
+        form = F.replace(
+            form,
+            F.lit(f" {lhs}{_BPE_SEP}{rhs} "),
+            F.lit(f" {lhs}{rhs} "),
+        )
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.expr(_TOKENS.format(col=text_col))).alias("w"),
+    )
+    counted = tok.select(
+        id_col, F.size(F.split(F.trim(form), _BPE_SEP)).alias("n")
+    ).groupBy(id_col).agg(F.sum("n").cast("long").alias("n_bpe_merged_tokens"))
+    return (
+        df.select(id_col)
+        .join(counted, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("n_bpe_merged_tokens"), F.lit(0).cast("long")
+            ).alias("n_bpe_merged_tokens"),
+        )
+    )

@@ -2964,6 +2964,126 @@ def q_bpe_token_stats(spark, sf_dir):
     )
 
 
+def _bpe_oracle_ctes(num_merges: int, source: str = "documents") -> str:
+    """Staged-CTE replay of `text.bpe_learn` (Sennrich et al. 2016):
+    wc/w0 = the one corpus scan into the spaced-form vocab table, then
+    per merge i: p{i} (adjacent-pair counts), b{i} (argmax with the
+    md5-0x1f tie-break), w{i} (the replace-applied vocab). Stage
+    boundaries MATERIALIZED (the r6 CTE-re-inlining rule). Ends after
+    w{num_merges}; callers select from b1..bN (the merge table) or
+    apply the b-row replaces to fresh text (bpe_apply_merges)."""
+    parts = [
+        rf"""
+WITH wc AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS cnt
+  FROM (SELECT unnest(regexp_extract_all(text, '\S+')) AS w FROM {source})
+  GROUP BY w),
+w0 AS MATERIALIZED (
+  SELECT cnt,
+         '  ' || array_to_string(string_split(w, ''), '  ') || '  ' AS form
+  FROM wc)"""
+    ]
+    for i in range(1, num_merges + 1):
+        parts.append(
+            f""",
+p{i} AS (
+  SELECT t.syms[u.j] AS lhs, t.syms[u.j + 1] AS rhs,
+         sum(t.cnt)::BIGINT AS cnt
+  FROM (SELECT cnt, string_split(trim(form), '  ') AS syms
+        FROM w{i - 1} WHERE len(string_split(trim(form), '  ')) > 1) t,
+       unnest(generate_series(1, len(t.syms) - 1)) AS u(j)
+  GROUP BY 1, 2),
+b{i} AS MATERIALIZED (
+  SELECT lhs, rhs, cnt FROM p{i}
+  ORDER BY cnt DESC, md5(lhs || chr(31) || rhs) LIMIT 1),
+w{i} AS MATERIALIZED (
+  SELECT w.cnt,
+         replace(w.form, ' ' || b.lhs || '  ' || b.rhs || ' ',
+                 ' ' || b.lhs || b.rhs || ' ') AS form
+  FROM w{i - 1} w, b{i} b)"""
+        )
+    return "".join(parts)
+
+
+_BPE_GRADED_MERGES = 8
+
+
+@q(
+    "bpe_learn_merges",
+    oracle=_bpe_oracle_ctes(_BPE_GRADED_MERGES)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS step, lhs, rhs, lhs || rhs AS merged,"
+        f" cnt AS pair_count FROM b{i}"
+        for i in range(1, _BPE_GRADED_MERGES + 1)
+    )
+    + "\nORDER BY step",
+)
+def q_bpe_learn_merges(spark, sf_dir):
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016) —
+    the tokenizer-training operator a training-data pipeline runs
+    before any token-budgeted processing: learn the first 8 merges
+    over the documents corpus and return the merge table (step, lhs,
+    rhs, merged, pair_count). The corpus is scanned EXACTLY ONCE (the
+    map-side-combined word-frequency aggregation); every iteration
+    after runs on the VOCAB-SIZED table — pair counts via a row-local
+    expansion, a single-row argmax collect (the scalar driver step
+    every BPE trainer has, like the CC loop's convergence count), and
+    merge application as ONE string replace whose left-to-right
+    non-overlapping semantics are exactly BPE's greedy merge in both
+    engines. Argmax ties break on md5 (ASCII hex — engine-identical
+    ordering, immune to the UTF-16-vs-UTF-8 collation divergence).
+    The oracle replays all 8 stages CTE-for-CTE."""
+    from transporter_spark.operators.text import bpe_learn_merges
+
+    docs = read_table(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, "text", _BPE_GRADED_MERGES).orderBy("step")
+
+
+@q(
+    "bpe_apply_merges",
+    oracle=_bpe_oracle_ctes(_BPE_GRADED_MERGES)
+    + f""",
+applied AS (
+  SELECT doc_id,
+         {"".join("replace(" for _ in range(_BPE_GRADED_MERGES))}'  ' || array_to_string(string_split(w, ''), '  ') || '  '"""
+    + "".join(
+        f""",
+           (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM b{i}),
+           (SELECT ' ' || lhs || rhs || ' ' FROM b{i}))"""
+        for i in range(1, _BPE_GRADED_MERGES + 1)
+    )
+    + f""" AS form
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS w
+        FROM documents))
+SELECT d.doc_id,
+       coalesce(s.n, 0)::BIGINT AS n_bpe_merged_tokens
+FROM documents d
+LEFT JOIN (SELECT doc_id,
+                  sum(len(string_split(trim(form), '  ')))::BIGINT AS n
+           FROM applied GROUP BY doc_id) s
+  ON d.doc_id = s.doc_id
+ORDER BY d.doc_id
+""",
+)
+def q_bpe_apply_merges(spark, sf_dir):
+    """Subword tokenization with the LEARNED merges: per-document
+    token count after the 8 learned merges apply in order — the
+    number a token-budgeted pipeline actually plans with (contrast
+    `bpe_token_stats`, which counts pre-merge pieces). The merge
+    cascade is a fixed chain of replaces inside ONE row-local
+    projection (application is pure per-word — no joins, no state),
+    then one doc-keyed aggregation; docs without tokens keep a 0 row
+    via the id-spine left join. The oracle re-learns the merges with
+    the same staged CTEs and applies them as scalar-subquery
+    replaces."""
+    from transporter_spark.operators.text import bpe_apply_merges, bpe_learn
+
+    docs = read_table(spark, sf_dir, "documents")
+    merges = bpe_learn(docs, "text", _BPE_GRADED_MERGES)
+    return bpe_apply_merges(docs, merges).orderBy("doc_id")
+
+
 @q(
     "media_resize",
     oracle="""
