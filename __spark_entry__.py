@@ -76,7 +76,7 @@ _PRIORITY = [
                                 # stream_decontaminate composition
                                 # re-reads; cheap certainty it still
                                 # grades green alongside
-    # --- the 38 stalest greens (all last graded r4) ---
+    # --- the 34 stalest greens (all last graded r4) ---
     "stream_kmeans_update",
     "dedup_exact",
     "ann_cosine_topk",

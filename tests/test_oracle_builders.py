@@ -64,3 +64,37 @@ def test_recall_audit_oracle_materializes_shared_cte():
     assert "sh AS MATERIALIZED (" in oracle
     assert "corpus AS MATERIALIZED (" in oracle
     assert "sh AS MATERIALIZED" not in QUERIES["minhash_lsh_portable"].oracle
+
+
+def test_bpe_apply_oracle_degrades_like_early_stop(spark):
+    """A corpus that exhausts mergeable pairs before the graded 8
+    merges: bpe_learn stops early and the apply ORACLE's staged
+    replaces must become identities (search == chr(31) sentinel ==
+    replacement), not NULL-cascade every form to 0 tokens."""
+    import duckdb
+
+    from transporter_spark.operators.text import bpe_apply_merges, bpe_learn
+
+    rows = [(1, "ab ab"), (2, "ab"), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    merges = bpe_learn(df, num_merges=8)
+    assert len(merges) < 8  # the early-stop regime this test pins
+    got = {
+        r.doc_id: r.n_bpe_merged_tokens
+        for r in bpe_apply_merges(df, merges).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 0}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    want = {
+        int(i): int(n)
+        for i, n in con.execute(
+            QUERIES["bpe_apply_merges"].oracle
+        ).fetchall()
+    }
+    assert want == got

@@ -368,7 +368,7 @@ def incremental_phash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
-    new_banded: DataFrame = None,
+    new_banded: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Hamming-near image pairs for an INGEST BATCH against a
     persisted `phash_index` — the image twin of

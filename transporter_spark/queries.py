@@ -1563,11 +1563,13 @@ def q_dedup_recall_audit(spark, sf_dir):
         corpus, "text", "doc_id", n=3, num_hashes=64, bands=16,
         threshold=0.35, portable=True,
     )
-    out = pair_recall(truth, found)
-    out._ts_cached = list(getattr(truth, "_ts_cached", ())) + list(
-        getattr(found, "_ts_cached", ())
+    from transporter_spark.operators.dedup import _attach_cached
+
+    return _attach_cached(
+        pair_recall(truth, found),
+        *getattr(truth, "_ts_cached", ()),
+        *getattr(found, "_ts_cached", ()),
     )
-    return out
 
 
 # persisted-corpus band index, built once per (session, sf_dir,
@@ -3042,6 +3044,12 @@ def q_bpe_learn_merges(spark, sf_dir):
 
 @q(
     "bpe_apply_merges",
+    # each staged replace coalesces BOTH its search and replacement to
+    # the same chr(31) sentinel when its b{i} stage is empty (corpus
+    # exhausted mergeable pairs before _BPE_GRADED_MERGES): search ==
+    # replacement makes replace() an identity REGARDLESS of matches, so
+    # the oracle degrades exactly like bpe_learn's early stop instead
+    # of NULL-cascading every form to 0 tokens
     oracle=_bpe_oracle_ctes(_BPE_GRADED_MERGES)
     + f""",
 applied AS (
@@ -3049,8 +3057,8 @@ applied AS (
          {"".join("replace(" for _ in range(_BPE_GRADED_MERGES))}'  ' || array_to_string(string_split(w, ''), '  ') || '  '"""
     + "".join(
         f""",
-           (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM b{i}),
-           (SELECT ' ' || lhs || rhs || ' ' FROM b{i}))"""
+           coalesce((SELECT ' ' || lhs || '  ' || rhs || ' ' FROM b{i}), chr(31)),
+           coalesce((SELECT ' ' || lhs || rhs || ' ' FROM b{i}), chr(31)))"""
         for i in range(1, _BPE_GRADED_MERGES + 1)
     )
     + f""" AS form

@@ -278,20 +278,10 @@ def compact_ingest_state(spark: SparkSession, state_dir: str) -> bool:
     union the manifest already exposed; committed through the same
     atomic manifest swap, with the replaced segments retained until the
     NEXT commit so a concurrent reader never sees a torn state.
-    Returns False when there was nothing to compact."""
-    store = SegmentStore(state_dir)
-    manifest = store.manifest()
-    if manifest is None:
-        return False
-    segs = {}
-    for table in _TABLES:
-        name = store.compact_table(spark, table)
-        if name is not None:
-            segs[table] = [name]
-    if not segs:
-        return False
-    store.commit(int(manifest["epoch"]), tables=segs)
-    return True
+    Returns False when there was nothing to compact. The fold itself
+    is the shared list-table discipline
+    (state.SegmentStore.compact_tables_commit)."""
+    return SegmentStore(state_dir).compact_tables_commit(spark, _TABLES)
 
 
 def dedup_ingest_sink(

@@ -302,6 +302,30 @@ class SegmentStore:
         df.write.mode("overwrite").parquet(self.seg_path(name))
         return name
 
+    def compact_tables_commit(
+        self, spark: SparkSession, tables: Sequence[str]
+    ) -> bool:
+        """compact_table over each LIST table + ONE manifest commit —
+        the whole compaction for sinks whose state is a tuple of list
+        tables (ingest corpus/index/fps, ANN cells/ids, pHash
+        fps/ph_ids). The fold discipline (content-preserving union,
+        atomic manifest swap, replaced segments retained until the
+        NEXT commit for concurrent readers) lives HERE once, not per
+        sink. Returns False when there is no committed state or every
+        table is already compact."""
+        manifest = self.manifest()
+        if manifest is None:
+            return False
+        segs = {}
+        for table in tables:
+            name = self.compact_table(spark, table)
+            if name is not None:
+                segs[table] = [name]
+        if not segs:
+            return False
+        self.commit(int(manifest["epoch"]), tables=segs)
+        return True
+
     def compact_keyed(self, spark: SparkSession, table: str) -> Optional[str]:
         """Merge a KEYED table's current rows into one segment,
         dropping stale rows for good. Returns the new segment name (all

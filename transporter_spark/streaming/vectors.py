@@ -79,21 +79,10 @@ def ann_index_batch(
 
 
 def compact_ann_index(spark: SparkSession, state_dir: str) -> bool:
-    """Fold the index's epoch segments (same discipline as
-    ingest.compact_ingest_state). Returns False when already compact."""
-    store = SegmentStore(state_dir)
-    manifest = store.manifest()
-    if manifest is None:
-        return False
-    segs = {}
-    for table in _TABLES:
-        name = store.compact_table(spark, table)
-        if name is not None:
-            segs[table] = [name]
-    if not segs:
-        return False
-    store.commit(int(manifest["epoch"]), tables=segs)
-    return True
+    """Fold the index's epoch segments (the shared list-table fold,
+    state.SegmentStore.compact_tables_commit). Returns False when
+    already compact."""
+    return SegmentStore(state_dir).compact_tables_commit(spark, _TABLES)
 
 
 def ann_ingest_sink(
