@@ -777,12 +777,22 @@ def bpe_learn(
     aggregation + a single-row argmax collect per merge (the scalar
     driver step every BPE trainer has), with the word table
     re-materialized per iteration to cut lineage."""
+    return bpe_learn_from_counts(bpe_word_counts(df, text_col), num_merges)
+
+
+def bpe_learn_from_counts(word_counts: DataFrame, num_merges: int = 8) -> list:
+    """`bpe_learn` starting from an existing (w, cnt) word-frequency
+    table — the entry point for the CONTINUOUS vocabulary sink
+    (streaming/vocab.py), whose maintained counts equal the batch
+    `bpe_word_counts` exactly (doc-disjoint epochs, exact BIGINT
+    sums), so merges learned from the maintained state are
+    bit-identical to the batch trainer's."""
     from transporter_spark.operators.dedup import _materialize
 
     if num_merges < 1:
         raise ValueError(f"num_merges must be >= 1, got {num_merges}")
     words = _materialize(
-        bpe_word_counts(df, text_col).select(
+        word_counts.select(
             "cnt", _bpe_spaced_form(F.col("w")).alias("form")
         )
     )

@@ -3093,6 +3093,50 @@ def q_bpe_apply_merges(spark, sf_dir):
 
 
 @q(
+    "stream_bpe_vocab",
+    oracle=None,  # assigned below: identical to bpe_learn_merges — the
+    # maintained word counts equal the batch bpe_word_counts exactly
+    # (doc-disjoint epochs, exact BIGINT SUM merge-on-read), so merges
+    # learned from the maintained state are bit-identical to the batch
+    # trainer the oracle replays; the hash match IS the maintenance
+    # proof (the stream_ivfpq_index discipline)
+)
+def q_stream_bpe_vocab(spark, sf_dir):
+    """CONTINUOUS BPE vocabulary maintenance (streaming/vocab.py): the
+    documents stream drains through a foreachBatch sink that counts
+    each batch's words (map-side-combined, batch-sized) and APPENDS
+    the partial counts as LIST-table segments — per-epoch IO ∝ batch,
+    merge-on-read exact BIGINT SUM, fold compaction (keyed remap would
+    rewrite O(state)/epoch under near-uniform word keys — the
+    span-index lesson). SUM-merge is NOT idempotent, so the 8 B/doc id
+    guard is what makes at-least-once re-delivery safe (contrast the
+    OR/MAX sinks). Tokenizer merges are then learned from the
+    MAINTAINED counts without re-reading any document text — the whole
+    point: at 100 TB, re-training after new data arrives costs
+    vocab-sized iterations only. Doc-disjoint epochs make the
+    maintained counts equal the single-pass batch count bit-for-bit
+    (pinned in tests/test_streaming_vocab.py), so this shares
+    bpe_learn_merges' oracle verbatim."""
+    from transporter_spark.operators.text import bpe_learn_from_counts
+    from transporter_spark.streaming.vocab import drain_documents_vocab
+
+    counts = drain_documents_vocab(spark, sf_dir)
+    merges = bpe_learn_from_counts(counts, _BPE_GRADED_MERGES)
+    return spark.createDataFrame(
+        [
+            (m["step"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
+            for m in merges
+        ],
+        "step long, lhs string, rhs string, merged string, pair_count long",
+    ).orderBy("step")
+
+
+QUERIES["stream_bpe_vocab"] = QUERIES["stream_bpe_vocab"]._replace(
+    oracle=QUERIES["bpe_learn_merges"].oracle
+)
+
+
+@q(
     "media_resize",
     oracle="""
 WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents)

@@ -1,0 +1,162 @@
+"""Continuous BPE vocabulary maintenance: keep the word-frequency
+table (operators/text.bpe_word_counts) current from a document stream,
+so tokenizer merges can be (re-)learned at any time WITHOUT re-reading
+the corpus — the tokenizer-training twin of the continuous-dedup sink.
+
+Why this is the 100 TB shape: BPE learning's only corpus-sized work is
+the word count; once that is a maintained state, re-training after new
+data arrives costs vocab-sized iterations only. Each micro-batch
+counts ITS OWN words (map-side-combined, one batch-sized shuffle) and
+APPENDS the partial counts as a LIST-table segment; readers
+merge-on-read with an exact BIGINT SUM. LIST append, NOT keyed
+delta-merge: word keys are near-uniform, so a keyed remap would
+rewrite O(state) per epoch (the span-index lesson); fold compaction
+pre-sums the log instead.
+
+Exactness is the load-bearing property: epochs partition the document
+stream (id re-delivery guard), so SUM over per-epoch partials equals
+the single-pass count over the union — maintained counts ==
+`bpe_word_counts` of the full corpus bit-for-bit, and merges learned
+from the maintained state (`text.bpe_learn_from_counts`) are
+IDENTICAL to the batch trainer's. SUM-merge is NOT idempotent: the
+doc-id guard (8 B/doc) is what makes at-least-once re-delivery safe,
+in contrast to the OR/MAX sinks that tolerate it natively.
+
+State (two list tables, committed atomically together):
+
+- ``wc``      — (w, cnt) per-epoch partial counts, merge-on-read SUM;
+- ``doc_ids`` — (id): the re-delivery guard membership index.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transporter_spark.streaming.state import SegmentStore
+
+_TABLES = ("wc", "doc_ids")
+
+
+def vocab_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> bool:
+    """One epoch of vocabulary maintenance; returns False when the
+    epoch was already applied (replay) or the batch is empty. Cost per
+    batch: one word-count aggregation over |batch| docs + the segment
+    append — the standing counts are read only for the 8 B/doc id
+    guard, and never rewritten."""
+    from transporter_spark.operators.text import bpe_word_counts
+    from transporter_spark.streaming.ingest import redelivery_guard
+
+    store = SegmentStore(state_dir)
+    if store.epoch_already_applied(epoch_id):
+        return False
+    if batch.isEmpty():
+        return False
+    spark = batch.sparkSession
+    if store.manifest() is not None:
+        batch = redelivery_guard(
+            batch, store.read(spark, "doc_ids"), id_col
+        )
+        if batch.isEmpty():
+            return False
+    partial = bpe_word_counts(batch, text_col)
+    segs = {}
+    for table, df in (
+        ("wc", partial),
+        ("doc_ids", batch.select(F.col(id_col).alias("id"))),
+    ):
+        name = store.fresh_name(f"{table}-e{epoch_id}")
+        df.write.mode("overwrite").parquet(store.seg_path(name))
+        segs[table] = store.table_segments(table) + [name]
+    store.commit(epoch_id, tables=segs)
+    return True
+
+
+def compact_vocab_state(spark: SparkSession, state_dir: str) -> bool:
+    """Fold the partial-count log: pre-SUM the wc segments (content-
+    preserving under merge-on-read — SUM of the fold == SUM of the
+    parts) and concatenate the id log. False when already compact."""
+    store = SegmentStore(state_dir)
+    if store.manifest() is None:
+        return False
+    tables = {}
+    if len(store.table_segments("wc")) > 1:
+        folded = store.read(spark, "wc").groupBy("w").agg(
+            F.sum("cnt").cast("long").alias("cnt")
+        )
+        seg = store.fresh_name(f"wc-compact{store.last_epoch()}")
+        folded.write.mode("overwrite").parquet(store.seg_path(seg))
+        tables["wc"] = [seg]
+    ids_seg = store.compact_table(spark, "doc_ids")
+    if ids_seg is not None:
+        tables["doc_ids"] = [ids_seg]
+    if not tables:
+        return False
+    store.commit(store.last_epoch(), tables=tables)
+    return True
+
+
+def vocab_ingest_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: Optional[str] = None,
+    compact_every: Optional[int] = None,
+    **kw,
+) -> None:
+    """Drain a document stream into the maintained word-frequency
+    state (availableNow); learn merges any time with
+    ``bpe_learn_from_counts(read_vocab_counts(...))``."""
+    from transporter_spark.streaming.windows import (
+        run_foreach_batch_available_now,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        applied = vocab_batch(batch, epoch_id, state_dir, **kw)
+        if (
+            applied
+            and compact_every
+            and len(SegmentStore(state_dir).table_segments("wc"))
+            >= compact_every
+        ):
+            compact_vocab_state(batch.sparkSession, state_dir)
+
+    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def read_vocab_counts(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (w, cnt) word-frequency table — merge-on-read
+    exact BIGINT SUM over the partial segments;
+    `bpe_learn_from_counts`' input."""
+    df = SegmentStore(state_dir).read(spark, "wc")
+    if df is None:
+        raise FileNotFoundError(
+            f"no committed vocab state at {state_dir!r}: the sink has "
+            "not applied any non-empty epoch yet"
+        )
+    return df.groupBy("w").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def drain_documents_vocab(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: Optional[str] = None,
+    **kw,
+) -> DataFrame:
+    """Convenience: stream the documents table through the vocabulary
+    sink and return the maintained word counts (used by the graded
+    query)."""
+    from transporter_spark.streaming.sources import stream_table
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_vocab_") + "/state"
+    docs = stream_table(spark, sf_dir, "documents")
+    vocab_ingest_sink(docs, state, **kw)
+    return read_vocab_counts(spark, state)
