@@ -489,6 +489,26 @@ def probe_phash(spark):
     return times[1], times[MULT]
 
 
+def probe_bpe(spark):
+    """BPE merge learning at 1x/Nx docs (fixed 4 merges): the corpus
+    appears only in the word-count scan, so wall time must scale far
+    sublinearly — replicated docs collapse onto the SAME vocab rows
+    (counts grow, table doesn't), leaving the per-iteration work
+    literally constant."""
+    from transporter_spark.operators.text import bpe_learn
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    times = {}
+    for mult in (1, MULT):
+        corpus = _replicate(docs, "doc_id", mult)
+
+        def run():
+            bpe_learn(corpus, num_merges=4)
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -505,6 +525,7 @@ PROBES = {
     "spans_w50": probe_spans_w50,
     "pq": probe_pq,
     "phash": probe_phash,
+    "bpe": probe_bpe,
 }
 
 

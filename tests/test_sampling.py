@@ -760,3 +760,58 @@ def test_read_bloom_sketch_recovers_geometry_from_state(spark, tmp_path):
     sk = read_bloom_sketch(spark, state)
     assert (sk.k, sk.m_bits) == (3, 1 << 12)
     assert sk.words.where("word_idx >= 0").count() > 0
+
+
+def test_upsample_to_mix_copy_counts_and_cap(spark):
+    """floor(weight) copies per row + a deterministic fractional copy;
+    max_epochs caps the weight BEFORE the floor/fraction split; weight
+    < 1 degenerates to the downsampler's keep decision."""
+    from transporter_spark.operators.dedup import stable_hash32
+    from transporter_spark.operators.sampling import upsample_to_mix
+
+    rows = [(i, "hot" if i < 50 else "cold") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    weights = spark.createDataFrame(
+        [("hot", 2.5), ("cold", 0.4)], ["source", "weight"]
+    )
+    out = upsample_to_mix(df, weights, max_epochs=4).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.copy)
+    # copy indexes are 1..n per doc
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_doc.values())
+    hashes = {
+        r.doc_id: r.h
+        for r in df.select(
+            "doc_id", (stable_hash32(F.col("doc_id")) % 10000).alias("h")
+        ).collect()
+    }
+    for i in range(100):
+        n = len(by_doc.get(i, []))
+        if i < 50:  # hot: 2 + Bernoulli(0.5)
+            assert n == 2 + (1 if hashes[i] < 5000 else 0)
+        else:  # cold: 0 + Bernoulli(0.4) — the sample_to_mix decision
+            assert n == (1 if hashes[i] < 4000 else 0)
+    # cap: weight 9.9 with max_epochs=3 -> exactly 3 copies per row
+    capped = upsample_to_mix(
+        df.filter(F.col("doc_id") < 5),
+        spark.createDataFrame([("hot", 9.9)], ["source", "weight"]),
+        max_epochs=3,
+    )
+    assert [len(v) for v in [
+        [r for r in capped.collect() if r.doc_id == i] for i in range(5)
+    ]] == [3] * 5
+
+
+def test_upsample_to_mix_null_weight_drops_group(spark):
+    """A group absent from the weights frame (NULL weight after the
+    join… or weight NULL in-frame) emits nothing — never a silent
+    keep."""
+    from transporter_spark.operators.sampling import upsample_to_mix
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["doc_id", "source"])
+    weights = spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "source string, weight double"
+    )
+    got = {r.doc_id for r in upsample_to_mix(df, weights).collect()}
+    assert got == {1}

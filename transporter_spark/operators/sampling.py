@@ -152,6 +152,73 @@ def sample_to_mix(
     )
 
 
+def upsample_to_mix(
+    df: DataFrame,
+    weights: DataFrame,
+    by: str = "source",
+    key: str = "doc_id",
+    max_epochs: int = 4,
+    resolution: int = 10_000,
+) -> DataFrame:
+    """REPEAT rows toward the target mix — the upsampling half of a
+    data recipe (`sample_to_mix` only cuts): a group with resampling
+    ``weight`` w emits floor(w) copies of every row plus one more with
+    probability frac(w), so expected copies == w exactly and the
+    emitted token mix hits the target without quota bookkeeping. The
+    fractional copy is decided by the SAME portable md5 threshold as
+    the downsampler — never rand(): the replicated dataset is
+    reproducible across engines/cluster sizes and any row's copy count
+    auditable. Groups with w < 1 degenerate to exactly
+    `sample_to_mix`'s keep decision (floor 0 + Bernoulli(w)), so one
+    operator serves both directions of the recipe.
+
+    ``max_epochs`` caps w — the standard guard against repeating a
+    tiny high-weight domain into memorization territory (data recipes
+    cap epochs per source); the cap is applied BEFORE the
+    floor/fraction split so expectation stays exact at the cap.
+
+    Output: the input columns plus ``copy`` (1..n per row). Scale
+    shape: the weights side is #groups rows (broadcast join); the
+    corpus side is one scan + a row-local sequence explode — no
+    shuffle, output size ∝ sum of weights."""
+    from transporter_spark.operators.dedup import stable_hash32
+
+    wcap = F.least(
+        F.lit(float(max_epochs)),
+        F.coalesce(F.col("weight"), F.lit(0.0)),
+    )
+    keys = weights.select(
+        by,
+        F.floor(wcap).cast("long").alias("_base"),
+        # FLOOR, not bare CAST: Spark's cast truncates but DuckDB's
+        # rounds — floor() agrees on non-negatives (the sample_to_mix
+        # oracle rule, applied on the Spark side too)
+        F.floor((wcap - F.floor(wcap).cast("double")) * resolution)
+        .cast("long")
+        .alias("_frac_bps"),
+    )
+    n = F.col("_base") + F.when(
+        F.pmod(stable_hash32(F.col(key)), F.lit(resolution))
+        < F.col("_frac_bps"),
+        F.lit(1).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    out_cols = df.columns
+    return (
+        df.join(F.broadcast(keys), [by])
+        .withColumn("_n", n)
+        .withColumn(
+            "copy",
+            F.explode(
+                F.when(
+                    F.col("_n") >= 1,
+                    F.expr("sequence(1L, _n)"),
+                ).otherwise(F.expr("cast(array() as array<bigint>)"))
+            ),
+        )
+        .select(*out_cols, F.col("copy").cast("long").alias("copy"))
+    )
+
+
 def temperature_weights(
     df: DataFrame,
     alpha: float = 0.3,

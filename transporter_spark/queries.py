@@ -5873,6 +5873,70 @@ def q_domain_mix_sample(spark, sf_dir):
 
 
 @q(
+    "domain_upsample",
+    oracle=f"""
+WITH agg AS (
+  SELECT source,
+         CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source,
+         LEAST(3.0,
+           {_MIX_CASE} / (CAST(tokens AS DOUBLE) / SUM(tokens) OVER ())) AS wcap
+  FROM agg
+),
+nrows AS (
+  SELECT d.doc_id, d.source,
+         CAST(FLOOR(r.wcap) AS BIGINT)
+         + CASE WHEN CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)
+                     % 10000
+                     -- FLOOR, not bare CAST: DuckDB's double->BIGINT
+                     -- cast rounds where Spark's cast truncates
+                     < CAST(FLOOR((r.wcap - FLOOR(r.wcap)) * 10000) AS BIGINT)
+                THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN rates r ON d.source = r.source
+)
+SELECT doc_id, source, g.copy AS copy
+FROM nrows, unnest(generate_series(1, nrows.n)) AS g(copy)
+WHERE nrows.n >= 1
+ORDER BY doc_id, copy
+""",
+)
+def q_domain_upsample(spark, sf_dir):
+    """UPSAMPLE toward the target mix — the half of a data recipe
+    `domain_mix_sample` can't do: under-represented domains (src0-4,
+    target 0.12 vs ~0.05 actual share) emit floor(weight) copies per
+    doc plus a deterministically-chosen fractional copy, so expected
+    copies == weight and the emitted token mix hits the target; cut
+    domains (src10-19, weight ~0.2) degenerate to exactly the
+    downsampler's md5-threshold keep — ONE operator, both directions.
+    max_epochs=3 caps repetition (the memorization guard every recipe
+    carries). Row copies are (doc_id, source, copy) with copy 1..n —
+    reproducible across engines/cluster sizes (portable md5, never
+    rand()), output ∝ sum of weights, no shuffle (broadcast #domains
+    rates, row-local sequence explode)."""
+    from transporter_spark.operators.sampling import (
+        mix_weights,
+        upsample_to_mix,
+    )
+    from transporter_spark.operators.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text")
+    )
+    w = mix_weights(docs, _MIX_TARGET, by="source", size_col="n_tok")
+    return (
+        upsample_to_mix(
+            docs.select("doc_id", "source"), w, by="source",
+            key="doc_id", max_epochs=3,
+        )
+        .select("doc_id", "source", "copy")
+        .orderBy("doc_id", "copy")
+    )
+
+
+@q(
     "semantic_decontaminate",
     headline=True,
     oracle="""
