@@ -562,10 +562,16 @@ def test_symspell_pairs_edit_kinds_and_recall(spark):
     assert (2, 6) in pairs and (3, 6) in pairs   # mitten(s)/kitten(s)+1
     assert (1, 6) not in pairs                   # dist 2: verified away
     assert all(k != (1, 7) and k != (7, 1) for k in pairs)
+    # d=2 (supported since round 9) recovers the pair d=1 verified away
+    d2 = {
+        (r.id_a, r.id_b): r.dist
+        for r in symspell_pairs(df, "name", "doc_id", max_distance=2).collect()
+    }
+    assert d2[(1, 6)] == 2
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
-        symspell_pairs(df, "name", "doc_id", max_distance=2)
+        symspell_pairs(df, "name", "doc_id", max_distance=3)
 
 
 def test_containment_catches_subset_jaccard_misses(spark):
@@ -909,3 +915,56 @@ def test_incremental_banded_hamming_requires_pigeonhole(spark):
     )
     with pytest.raises(ValueError, match="bands > max_hamming"):
         incremental_banded_hamming_pairs(banded, banded, "simhash", 4, 4)
+
+
+def test_symspell_d2_equals_brute_force(spark):
+    """d=2 symmetric-deletion blocking has FULL recall: equals the
+    all-pairs Levenshtein filter on a set with substitutions, inserts,
+    deletes, doubles, empty and 1-char strings."""
+    import itertools
+
+    from transporter_spark.operators.dedup import symspell_pairs
+
+    words = [
+        "hello", "hallo", "hxllo", "hell", "he", "h", "", "spark",
+        "spork", "spoork", "sprk", "spark!", "sparkle", "park", "ark",
+        "aark",
+    ]
+    rows = [(i, w) for i, w in enumerate(words)]
+    df = spark.createDataFrame(rows, ["doc_id", "s"])
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in symspell_pairs(df, "s", "doc_id", max_distance=2).collect()
+    }
+
+    def lev(a, b):
+        dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+        for i in range(len(a) + 1):
+            dp[i][0] = i
+        for j in range(len(b) + 1):
+            dp[0][j] = j
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                dp[i][j] = min(
+                    dp[i - 1][j] + 1,
+                    dp[i][j - 1] + 1,
+                    dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                )
+        return dp[len(a)][len(b)]
+
+    want = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 2
+    }
+    assert got == want
+
+
+def test_symspell_rejects_unsupported_distance(spark):
+    import pytest
+
+    from transporter_spark.operators.dedup import symspell_pairs
+
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "s"])
+    with pytest.raises(ValueError, match="max_distance"):
+        symspell_pairs(df, "s", "doc_id", max_distance=3)

@@ -1360,30 +1360,51 @@ def symspell_pairs(
 ) -> DataFrame:
     """Approximate-string self-join for typo-level matching: pairs of
     rows whose ``text_col`` values are within Levenshtein
-    ``max_distance`` (currently 1 — the SymSpell d=1 scheme).
+    ``max_distance`` (1 or 2 — the SymSpell d<=2 scheme).
 
     Blocking is symmetric deletion (the SymSpell insight, public):
-    every string emits itself plus each single-character deletion as a
-    variant key; two strings within edit distance 1 ALWAYS share a
-    variant (substitution -> same-position deletions collide;
-    insert/delete -> the longer string's deletion equals the shorter;
-    equality -> the string itself), so the equi-join on variants has
-    full recall and exact Levenshtein verification never misses.
+    every string emits itself plus each deletion of up to
+    ``max_distance`` characters as a variant key; two strings within
+    edit distance d ALWAYS share a <=d-deletion variant (align the
+    edit script: delete the touched positions on both sides and the
+    remainders coincide — at d=1: substitution -> same-position
+    deletions collide, insert/delete -> the longer string's deletion
+    equals the shorter, equality -> the string itself), so the
+    equi-join on variants has full recall and exact Levenshtein
+    verification never misses.
 
-    Scale shape: the variant fan-out is length+1 rows per string (a
-    constant of the schema, not the corpus); candidates come from an
-    equi-join on the variant key — bucket sizes are near-singleton for
-    natural text, and there is NO pairwise comparison outside
+    Scale shape: the variant fan-out is length+1 rows per string at
+    d=1 and ~length^2/2 at d=2 — a constant of the SCHEMA (key
+    strings: names, titles, codes), not the corpus; candidates come
+    from an equi-join on the variant key — bucket sizes stay small
+    for natural text, and there is NO pairwise comparison outside
     verified candidates. This is the spell-correction / entity-typo
-    join pattern at corpus scale.
+    join pattern at corpus scale; d=2 is the operating point the
+    original SymSpell ships with.
     """
-    if max_distance != 1:
-        raise ValueError("symspell_pairs currently supports max_distance=1")
-    variants = F.expr(
-        "if(length(s) = 0, array(s), "
+    if max_distance not in (1, 2):
+        raise ValueError("symspell_pairs supports max_distance in (1, 2)")
+    d1 = (
         "array_union(array(s), transform(sequence(1, length(s)), "
-        "i -> concat(substr(s, 1, i - 1), substr(s, i + 1, length(s))))))"
+        "i -> concat(substr(s, 1, i - 1), substr(s, i + 1, length(s)))))"
     )
+    if max_distance == 1:
+        variants = F.expr(f"if(length(s) = 0, array(s), {d1})")
+    else:
+        # delete positions i < j of the ORIGINAL string: prefix,
+        # middle (chars i+1..j-1), suffix — sequence() bounds guarded
+        # (Spark sequence descends when start > stop, so i stops at
+        # length-1 and the whole branch is gated at length >= 2)
+        d2 = (
+            "flatten(transform(sequence(1, length(s) - 1), "
+            "i -> transform(sequence(i + 1, length(s)), "
+            "j -> concat(substr(s, 1, i - 1), substr(s, i + 1, j - i - 1), "
+            "substr(s, j + 1, length(s))))))"
+        )
+        variants = F.expr(
+            f"if(length(s) = 0, array(s), "
+            f"if(length(s) = 1, {d1}, array_union({d1}, {d2})))"
+        )
     v = df.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("s")
     ).withColumn("var", F.explode(variants))

@@ -6190,6 +6190,49 @@ def q_fuzzy_name_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@q(
+    "fuzzy_name_pairs_d2",
+    oracle="""
+WITH v AS (
+  SELECT c_custkey AS id,
+         unnest(list_distinct(list_concat(
+           list_prepend(c_name,
+             list_transform(range(1, length(c_name) + 1),
+               i -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, length(c_name)))),
+           flatten(list_transform(range(1, length(c_name)),
+             i -> list_transform(range(i + 1, length(c_name) + 1),
+               j -> substr(c_name, 1, i - 1) || substr(c_name, i + 1, j - i - 1)
+                    || substr(c_name, j + 1, length(c_name)))))))) AS var
+  FROM customer),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM v a JOIN v b ON a.var = b.var AND a.id < b.id),
+ver AS (SELECT c.id_a, c.id_b, levenshtein(sa.c_name, sb.c_name) AS dist
+        FROM cand c JOIN customer sa ON sa.c_custkey = c.id_a
+                    JOIN customer sb ON sb.c_custkey = c.id_b)
+SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+FROM ver WHERE dist <= 2 ORDER BY id_a, id_b
+""",
+)
+def q_fuzzy_name_pairs_d2(spark, sf_dir):
+    """SymSpell fuzzy join at the ORIGINAL SymSpell operating point
+    (edit distance <= 2): symmetric deletion of up to TWO characters
+    blocks (full recall by construction — align the edit script and
+    delete the touched positions on both sides; pinned against brute
+    force in tests/test_dedup.py), exact Levenshtein verifies.
+    Variant fan-out grows to ~length^2/2 per string — still a SCHEMA
+    constant (key strings), never corpus-sized, and candidates stay an
+    equi-join on the variant key. On TPC-H customer names (shared
+    'Customer#' prefix, digit tails) d=2 surfaces the two-digit-typo
+    pairs d=1 structurally cannot."""
+    from transporter_spark.operators.dedup import symspell_pairs
+
+    cust = read_table(spark, sf_dir, "customer")
+    pairs = symspell_pairs(cust, "c_name", "c_custkey", max_distance=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    ).orderBy("id_a", "id_b")
+
+
 # ===========================================================================
 # round-5 late additions: temperature mixing, balanced shards, DSIR
 # selection, k-means centroid update (training-data curation surface)
