@@ -940,3 +940,44 @@ def test_image_phash_dedup_bands_not_all_pairs(spark, sf_dir):
         assert "InMemoryTableScan" in full, full
     finally:
         release_cached(df)
+
+
+def test_fuzzy_pairs_d2_equi_join_no_cartesian(spark, sf_dir):
+    """The d=2 variant expression keeps the same plan contract as d=1:
+    candidates come from an equi-join on the deletion-variant key —
+    no cartesian/nested-loop at the bigger fan-out either."""
+    df = QUERIES["fuzzy_name_pairs_d2"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "BroadcastNestedLoopJoin" not in body
+    assert "levenshtein" in body.lower()
+
+
+def test_domain_upsample_broadcast_rates_no_corpus_exchange(spark, sf_dir):
+    """upsample_to_mix's corpus side is ONE scan + a row-local
+    sequence explode: the only hash exchange in the whole plan belongs
+    to the #domains-row weights aggregation — corpus rows never
+    hash-partition, and the rates join is broadcast."""
+    df = QUERIES["domain_upsample"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "BroadcastHashJoin" in body or "BroadcastExchange" in body
+    # corpus rows carry doc_id; no hashpartitioning clause mentions it
+    # (the weights agg partitions on source only; the final orderBy is
+    # a range exchange, not a hash one)
+    assert not [
+        l
+        for l in body.splitlines()
+        if "hashpartitioning" in l and "doc_id" in l
+    ], body
+
+
+def test_pair_recall_single_join_no_cartesian(spark, sf_dir):
+    """The recall audit reduces both pair frames through ONE
+    full-outer equi-join and a single global aggregate — no cartesian
+    anywhere (the n_found count rides the same join, not a second
+    aggregation cross-joined in)."""
+    df = QUERIES["dedup_recall_audit"].fn(spark, sf_dir)
+    body = explain_str(df).split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body
+    assert "FullOuter" in body or "full_outer" in body.lower()
