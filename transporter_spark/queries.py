@@ -2880,6 +2880,111 @@ def q_image_phash_dedup(spark, sf_dir):
     return final
 
 
+def _multimodal_pipeline_oracle() -> str:
+    from transporter_spark.operators.multimodal import phash_oracle_ctes
+
+    return (
+        """
+WITH RECURSIVE
+pbase AS MATERIALIZED (
+  SELECT doc_id, text AS t FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, upper(substr(text, 1, 8)) || substr(text, 9)
+  FROM documents WHERE doc_id % 5 = 0),"""
+        + phash_oracle_ctes("pbase", "encode(t)", "doc_id")
+        + """,
+ppairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+pedges AS (
+  SELECT id_a AS src, id_b AS dst FROM ppairs
+  UNION ALL
+  SELECT id_b, id_a FROM ppairs),
+preach(id, r) AS (
+  SELECT doc_id, doc_id FROM pbase
+  UNION
+  SELECT preach.id, pedges.dst FROM preach JOIN pedges ON preach.r = pedges.src),
+pcomp AS (SELECT id, MIN(r) AS component FROM preach GROUP BY id),
+psized AS (SELECT doc_id, octet_length(encode(t))::BIGINT AS byte_len FROM pbase),
+keep AS (
+  SELECT doc_id FROM (
+    SELECT c.id AS doc_id,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY s.byte_len DESC, c.id) AS rn
+    FROM pcomp c JOIN psized s ON s.doc_id = c.id) WHERE rn = 1),
+b AS (SELECT p.doc_id, p.t, length(p.t) AS n
+      FROM pbase p JOIN keep USING (doc_id)),
+idx AS (SELECT doc_id, unnest(range(1, n + 1)) AS i FROM b),
+bytes AS (SELECT idx.doc_id, ascii(substring(b.t, CAST(i AS BIGINT), 1)) AS c
+          FROM idx JOIN b USING (doc_id)),
+agg AS (SELECT doc_id, SUM(c) AS s,
+               COUNT(*) FILTER (WHERE c > 127) AS n_gt
+        FROM bytes GROUP BY doc_id)
+SELECT b.doc_id,
+       CAST(b.n AS DOUBLE) AS f_len,
+       CASE WHEN b.n = 0 THEN 0.0 ELSE CAST(agg.s AS DOUBLE) / b.n END AS f_mean,
+       CASE WHEN b.n = 0 THEN 0.0 ELSE CAST(n_gt AS DOUBLE) / b.n END AS f_frac_gt127
+FROM b LEFT JOIN agg USING (doc_id)
+ORDER BY b.doc_id
+"""
+    )
+
+
+@q("multimodal_pipeline", oracle=_multimodal_pipeline_oracle())
+def q_multimodal_pipeline(spark, sf_dir):
+    """END-TO-END multimodal composition — the media twin of
+    `training_pipeline`: perceptual-hash near-dedup first (the
+    standard first pass on any multimodal corpus — documents plus
+    re-encoded copies, banded candidates, CC closure, keep the
+    largest-byte canonical), then the Arrow-batched feature extractor
+    runs ONLY on the canonical survivors (dedup before decode: at
+    100 TB the expensive media pass never touches the duplicates it
+    would discard). Output is per-surviving-doc named features
+    (engine-exact: byte sums and counts are integers, the divisions
+    correctly rounded identically in both engines — no cross-doc
+    double summation, so no addition-order hazard). The oracle
+    replays dedup, canonical keep, and the byte-histogram features in
+    one composed SQL chain."""
+    from transporter_spark.operators.dedup import _attach_cached
+    from transporter_spark.operators.multimodal import (
+        attach_media,
+        decode_features,
+        image_phash_dedup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("concat(upper(substr(text, 1, 8)), substr(text, 9))").alias(
+            "text"
+        ),
+    )
+    base = docs.select("doc_id", "text").unionByName(copies)
+    media = base.withColumn("content", F.encode("text", "utf-8"))
+    ded = image_phash_dedup(media, "content", "doc_id")
+    kept = ded.where(F.col("is_canonical")).select(
+        F.col("id").alias("doc_id")
+    )
+    surv = base.join(kept, "doc_id")
+    feats = decode_features(
+        attach_media(
+            surv.withColumn("blob", F.encode("text", "utf-8")),
+            "blob",
+            "text/plain",
+        ),
+        id_col="doc_id",
+        fake=True,
+    )
+    out = feats.select(
+        "doc_id",
+        F.col("features")[0].alias("f_len"),
+        F.col("features")[1].alias("f_mean"),
+        F.col("features")[6].alias("f_frac_gt127"),
+    ).orderBy("doc_id")
+    return _attach_cached(out, *getattr(ded, "_ts_cached", ()))
+
+
 def _stream_phash_index_oracle() -> str:
     from transporter_spark.operators.multimodal import phash_oracle_ctes
 
