@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
 # to the STALEST greens. Round 9 (the rotation VERDICT r8 item 1
-# mandates — r8 skipped it): 11 new + 10 changed + 29 stalest = 50.
+# mandates — r8 skipped it): 12 new + 10 changed + 28 stalest = 50.
 # "Changed" is read strictly, per FUNCTION executed: the r8
 # post-grading commit 4daf66d (landed AFTER CORRECTNESS_r08 was
 # recorded) edited decontaminate's bloom branch, the
@@ -47,12 +47,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # The stale cohort is the 44-query r4 remainder (last green r4) in
 # its documented queue order, headed by stream_kmeans_update (VERDICT
 # r8 item 7) and the dedup_exact / ann_cosine_topk bench controls;
-# 29 fit, the LAST FIFTEEN (repeated_chunk_prune, salted_agg,
-# scalar_funcs, session_window, set_ops, skip_eq, skip_gt,
-# skip_numeric_string, skip_regex, sort_limit, stats_agg, text_stats,
-# window_topn, windowed_agg, word_count — all single-operator
-# scans/sorts/filters/windows, green r4 on code unchanged since)
-# spill past the window and head the r10 queue. fuzzy_name_pairs
+# 28 fit, the LAST SIXTEEN (rename, repeated_chunk_prune,
+# salted_agg, scalar_funcs, session_window, set_ops, skip_eq,
+# skip_gt, skip_numeric_string, skip_regex, sort_limit, stats_agg,
+# text_stats, window_topn, windowed_agg, word_count — all
+# single-operator scans/sorts/filters/windows, green r4 on code
+# unchanged since) spill past the window and head the r10 queue. fuzzy_name_pairs
 # (r5-cohort green) joins the changed list: the d=2 extension
 # rewrote symspell_pairs' variant expression, which the d=1 query
 # executes. The r5/r6/r8 cohorts follow via the registry
@@ -70,6 +70,7 @@ _PRIORITY = [
     "domain_upsample",          # repeat-to-mix (upsampling recipe half)
     "fuzzy_name_pairs_d2",      # SymSpell at its native d=2 point
     "multimodal_pipeline",      # dedup-then-featurize composition
+    "stream_symspell_index",    # continuous fuzzy index + incr. probe
     # --- changed since their last green row (r8 post-grading commit
     # --- 4daf66d + round-9 edits; see header) ---
     "decontaminate",
@@ -85,7 +86,7 @@ _PRIORITY = [
                                 # stream_decontaminate composition
                                 # re-reads; cheap certainty it still
                                 # grades green alongside
-    # --- the 29 stalest greens (all last graded r4) ---
+    # --- the 28 stalest greens (all last graded r4) ---
     "stream_kmeans_update",
     "dedup_exact",
     "ann_cosine_topk",
@@ -114,10 +115,10 @@ _PRIORITY = [
     "q7_nation_volume",
     "q8_market_share",
     "remap",
-    "rename",
-    # --- past the graded window from here down: the fifteen spilled r4
+    # --- past the graded window from here down: the sixteen spilled r4
     # --- greens, next-up for round 10 (r5/r6/r8 cohorts follow via
     # --- the registry fallback)
+    "rename",
     "repeated_chunk_prune",
     "salted_agg",
     "scalar_funcs",

@@ -1352,6 +1352,101 @@ def dedup_canonical_best(
 # SymSpell-style fuzzy join (edit-distance blocking)
 # ---------------------------------------------------------------------------
 
+def symspell_variants(
+    df: DataFrame,
+    text_col: str,
+    id_col: str = "doc_id",
+    max_distance: int = 1,
+) -> DataFrame:
+    """(id, s, var) symmetric-deletion variant table — the ONE variant
+    definition behind the fuzzy join, and its PERSISTABLE index state
+    (the SymSpell twin of `band_index`/`simhash_index`): write it once
+    (bucket by var at scale) and each ingest batch probes for
+    edit-distance-near corpus strings WITHOUT regenerating corpus
+    variants (`incremental_symspell_pairs`)."""
+    if max_distance not in (1, 2):
+        raise ValueError("symspell supports max_distance in (1, 2)")
+    d1 = (
+        "array_union(array(s), transform(sequence(1, length(s)), "
+        "i -> concat(substr(s, 1, i - 1), substr(s, i + 1, length(s)))))"
+    )
+    if max_distance == 1:
+        variants = F.expr(f"if(length(s) = 0, array(s), {d1})")
+    else:
+        # delete positions i < j of the ORIGINAL string: prefix,
+        # middle (chars i+1..j-1), suffix — sequence() bounds guarded
+        # (Spark sequence descends when start > stop, so i stops at
+        # length-1 and the whole branch is gated at length >= 2)
+        d2 = (
+            "flatten(transform(sequence(1, length(s) - 1), "
+            "i -> transform(sequence(i + 1, length(s)), "
+            "j -> concat(substr(s, 1, i - 1), substr(s, i + 1, j - i - 1), "
+            "substr(s, j + 1, length(s))))))"
+        )
+        variants = F.expr(
+            f"if(length(s) = 0, array(s), "
+            f"if(length(s) = 1, {d1}, array_union({d1}, {d2})))"
+        )
+    return df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("s")
+    ).withColumn("var", F.explode(variants))
+
+
+def incremental_symspell_pairs(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "s",
+    id_col: str = "id",
+    max_distance: int = 1,
+    new_variants: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Edit-distance-near pairs for an INGEST BATCH against a
+    persisted `symspell_variants` index — the fuzzy-join member of the
+    incremental-dedup family: only the batch generates variants,
+    candidates come from an equi-join on the variant key against the
+    index (new-vs-corpus plus new-vs-new), and exact Levenshtein
+    verifies over the strings BOTH tables already carry — corpus
+    strings are never re-expanded. Symmetric-deletion recall is exact
+    (edit-script alignment), so the result equals the full-corpus
+    `symspell_pairs` restricted to pairs touching a batch row.
+
+    Returns (id_a < id_b, dist). Disjoint ids assumed — run the id
+    re-delivery guard first, as the continuous sink
+    (streaming/fuzzy.py) does; append `new_variants` to the index
+    after commit."""
+    if new_variants is None:
+        new_variants = _materialize(
+            symspell_variants(new_df, text_col, id_col, max_distance)
+        )
+    a, b = new_variants.alias("a"), index.alias("b")
+    vs_corpus = a.join(
+        b,
+        (F.col("a.var") == F.col("b.var")) & (F.col("a.id") != F.col("b.id")),
+    ).select(
+        F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+        F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+        # levenshtein is symmetric: side order doesn't matter
+        F.col("a.s").alias("_sa"),
+        F.col("b.s").alias("_sb"),
+    )
+    na, nb = new_variants.alias("a"), new_variants.alias("b")
+    vs_new = na.join(
+        nb,
+        (F.col("a.var") == F.col("b.var")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.s").alias("_sa"),
+        F.col("b.s").alias("_sb"),
+    )
+    cand = vs_corpus.unionByName(vs_new).distinct()
+    return (
+        cand.withColumn("dist", F.levenshtein(F.col("_sa"), F.col("_sb")))
+        .filter(F.col("dist") <= max_distance)
+        .select("id_a", "id_b", "dist")
+    )
+
+
 def symspell_pairs(
     df: DataFrame,
     text_col: str,
@@ -1382,32 +1477,7 @@ def symspell_pairs(
     join pattern at corpus scale; d=2 is the operating point the
     original SymSpell ships with.
     """
-    if max_distance not in (1, 2):
-        raise ValueError("symspell_pairs supports max_distance in (1, 2)")
-    d1 = (
-        "array_union(array(s), transform(sequence(1, length(s)), "
-        "i -> concat(substr(s, 1, i - 1), substr(s, i + 1, length(s)))))"
-    )
-    if max_distance == 1:
-        variants = F.expr(f"if(length(s) = 0, array(s), {d1})")
-    else:
-        # delete positions i < j of the ORIGINAL string: prefix,
-        # middle (chars i+1..j-1), suffix — sequence() bounds guarded
-        # (Spark sequence descends when start > stop, so i stops at
-        # length-1 and the whole branch is gated at length >= 2)
-        d2 = (
-            "flatten(transform(sequence(1, length(s) - 1), "
-            "i -> transform(sequence(i + 1, length(s)), "
-            "j -> concat(substr(s, 1, i - 1), substr(s, i + 1, j - i - 1), "
-            "substr(s, j + 1, length(s))))))"
-        )
-        variants = F.expr(
-            f"if(length(s) = 0, array(s), "
-            f"if(length(s) = 1, {d1}, array_union({d1}, {d2})))"
-        )
-    v = df.select(
-        F.col(id_col).alias("id"), F.col(text_col).alias("s")
-    ).withColumn("var", F.explode(variants))
+    v = symspell_variants(df, text_col, id_col, max_distance)
     a, b = v.alias("a"), v.alias("b")
     cand = (
         a.join(b, (F.col("a.var") == F.col("b.var")) & (F.col("a.id") < F.col("b.id")))

@@ -6338,6 +6338,74 @@ def q_fuzzy_name_pairs_d2(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@q(
+    "stream_symspell_index",
+    oracle="""
+WITH corpus AS MATERIALIZED (
+  SELECT c_custkey AS id, c_name AS s FROM customer
+  UNION ALL
+  SELECT c_custkey + 1000000, substr(c_name, 1, 9) || 'X' || substr(c_name, 11)
+  FROM customer WHERE c_custkey % 7 = 0),
+v AS MATERIALIZED (
+  SELECT id, unnest(list_distinct(list_concat(
+    list_prepend(s,
+      list_transform(range(1, length(s) + 1),
+        i -> substr(s, 1, i - 1) || substr(s, i + 1, length(s)))),
+    flatten(list_transform(range(1, length(s)),
+      i -> list_transform(range(i + 1, length(s) + 1),
+        j -> substr(s, 1, i - 1) || substr(s, i + 1, j - i - 1)
+             || substr(s, j + 1, length(s)))))))) AS var
+  FROM corpus),
+cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM v a JOIN v b ON a.var = b.var AND a.id < b.id),
+ver AS (SELECT c.id_a, c.id_b, levenshtein(sa.s, sb.s) AS dist
+        FROM cand c JOIN corpus sa ON sa.id = c.id_a
+                    JOIN corpus sb ON sb.id = c.id_b)
+SELECT id_a, id_b, CAST(dist AS BIGINT) AS dist
+FROM ver
+WHERE dist <= 2 AND (id_a >= 1000000 OR id_b >= 1000000)
+ORDER BY id_a, id_b
+""",
+)
+def q_stream_symspell_index(spark, sf_dir):
+    """CONTINUOUS fuzzy-match index + incremental probe
+    (streaming/fuzzy.py): customer names drain through a foreachBatch
+    sink that expands each batch's symmetric-deletion variants (d=2 —
+    SymSpell's native point) and APPENDS the (id, s, var) rows as
+    manifest-committed segments — per-epoch IO ∝ batch × the
+    schema-constant fan-out, blocking distance recorded in manifest
+    meta with loud mismatch. Variant expansion is PURE per-string, so
+    the maintained index equals the batch `symspell_variants` build at
+    any epoch count. The probe batch (names with a substituted
+    character — the entity-typo arrival) then runs
+    `incremental_symspell_pairs` against the MAINTAINED index: only
+    the batch expands variants, candidates come from the variant
+    equi-join, exact Levenshtein verifies over strings both tables
+    already carry — corpus names are never re-expanded. Deletion
+    recall is exact, so the oracle is the full-corpus d=2 blocking
+    replay over corpus ∪ batch restricted to pairs touching a batch
+    row. Sink guards (append-only, replay no-op, id re-delivery,
+    distance-mismatch raise, maintained == batch) are pinned in
+    tests/test_streaming_fuzzy.py."""
+    from transporter_spark.operators.dedup import (
+        incremental_symspell_pairs,
+    )
+    from transporter_spark.streaming.fuzzy import drain_customers_fuzzy
+
+    index = drain_customers_fuzzy(spark, sf_dir, max_distance=2)
+    cust = read_table(spark, sf_dir, "customer")
+    batch = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("id"),
+        F.expr(
+            "concat(substr(c_name, 1, 9), 'X', substr(c_name, 11))"
+        ).alias("s"),
+    )
+    pairs = incremental_symspell_pairs(batch, index, max_distance=2)
+    return pairs.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    ).orderBy("id_a", "id_b")
+
+
 # ===========================================================================
 # round-5 late additions: temperature mixing, balanced shards, DSIR
 # selection, k-means centroid update (training-data curation surface)

@@ -1,0 +1,161 @@
+"""Continuous fuzzy-match (SymSpell) index maintenance: keep the
+symmetric-deletion variant table (operators/dedup.symspell_variants)
+current from a stream of key strings — the entity-resolution twin of
+the continuous SimHash/pHash index sinks.
+
+Why this is the 100 TB shape: variant generation is a PURE per-string
+function, so each micro-batch expands only its own strings and
+APPENDS the (id, s, var) rows as a segment under the shared manifest
+store — per-epoch IO ∝ |batch| × variant fan-out (a schema constant:
+length+1 at d=1, ~length²/2 at d=2). Each arriving batch probes the
+standing index for edit-distance-near corpus strings WITHOUT
+re-expanding the corpus (operators/dedup.incremental_symspell_pairs),
+and because expansion is pure, the maintained index equals the batch
+`symspell_variants` build bit-for-bit at any epoch count.
+
+The blocking distance (max_distance) is recorded in manifest meta at
+first commit and VALIDATED on every later epoch — an epoch expanded
+at a different d would silently lose recall for the larger radius
+(the pHash-geometry / span-W discipline). Replay/restart semantics
+are the SegmentStore contract: replayed epochs are no-ops, a
+backwards epoch counter raises, compaction folds segments with
+one-commit reader retention.
+
+State (two list tables, committed atomically together):
+
+- ``vars``    — (id, s, var): the probe index,
+  `incremental_symspell_pairs`' input;
+- ``sym_ids`` — (id): the re-delivery guard membership index.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from transporter_spark.streaming.state import SegmentStore
+
+_TABLES = ("vars", "sym_ids")
+
+
+def _check_distance(store: SegmentStore, max_distance: int) -> None:
+    meta = store.meta()
+    if "sym_max_distance" in meta and meta["sym_max_distance"] != max_distance:
+        raise ValueError(
+            f"fuzzy index at {store.base!r} was built at "
+            f"max_distance={meta['sym_max_distance']}; refusing an epoch "
+            f"at {max_distance} — mixed blocking distances would "
+            "silently lose recall at the larger radius"
+        )
+
+
+def fuzzy_index_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    text_col: str = "s",
+    id_col: str = "id",
+    max_distance: int = 1,
+) -> bool:
+    """One epoch of fuzzy-index maintenance; returns False when the
+    epoch was already applied (replay) or the batch is empty. Cost per
+    batch: one variant expansion over |batch| strings + the segment
+    append — the standing index is read only for the id guard, and
+    never rewritten."""
+    from transporter_spark.operators.dedup import symspell_variants
+    from transporter_spark.streaming.ingest import redelivery_guard
+
+    store = SegmentStore(state_dir)
+    if store.epoch_already_applied(epoch_id):
+        return False
+    if batch.isEmpty():
+        return False
+    _check_distance(store, max_distance)
+    spark = batch.sparkSession
+    if store.manifest() is not None:
+        batch = redelivery_guard(
+            batch, store.read(spark, "sym_ids"), id_col
+        )
+        if batch.isEmpty():
+            return False
+    variants = symspell_variants(batch, text_col, id_col, max_distance)
+    segs = {}
+    for table, df in (
+        ("vars", variants),
+        ("sym_ids", batch.select(F.col(id_col).alias("id"))),
+    ):
+        name = store.fresh_name(f"{table}-e{epoch_id}")
+        df.write.mode("overwrite").parquet(store.seg_path(name))
+        segs[table] = store.table_segments(table) + [name]
+    store.commit(
+        epoch_id, tables=segs, meta={"sym_max_distance": max_distance}
+    )
+    return True
+
+
+def compact_fuzzy_index(spark: SparkSession, state_dir: str) -> bool:
+    """Fold the index's epoch segments (the shared list-table fold,
+    state.SegmentStore.compact_tables_commit). Returns False when
+    already compact."""
+    return SegmentStore(state_dir).compact_tables_commit(spark, _TABLES)
+
+
+def fuzzy_ingest_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: Optional[str] = None,
+    compact_every: Optional[int] = None,
+    **kw,
+) -> None:
+    """Drain a key-string stream into the maintained variant index
+    (availableNow); probe it any time with
+    ``incremental_symspell_pairs(batch, read_fuzzy_index(...))``."""
+    from transporter_spark.streaming.windows import (
+        run_foreach_batch_available_now,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        applied = fuzzy_index_batch(batch, epoch_id, state_dir, **kw)
+        if (
+            applied
+            and compact_every
+            and len(SegmentStore(state_dir).table_segments("vars"))
+            >= compact_every
+        ):
+            compact_fuzzy_index(batch.sparkSession, state_dir)
+
+    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def read_fuzzy_index(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained (id, s, var) variant index —
+    `incremental_symspell_pairs`' input."""
+    df = SegmentStore(state_dir).read(spark, "vars")
+    if df is None:
+        raise FileNotFoundError(
+            f"no committed fuzzy index at {state_dir!r}: the sink has "
+            "not applied any non-empty epoch yet"
+        )
+    return df
+
+
+def drain_customers_fuzzy(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: Optional[str] = None,
+    **kw,
+) -> DataFrame:
+    """Convenience: stream customer names through the fuzzy-index sink
+    and return the maintained variant index (used by the graded
+    query)."""
+    from transporter_spark.streaming.sources import stream_table
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_fuzzy_") + "/state"
+    cust = stream_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
+    )
+    fuzzy_ingest_sink(cust, state, **kw)
+    return read_fuzzy_index(spark, state)
