@@ -98,3 +98,51 @@ def test_bpe_apply_oracle_degrades_like_early_stop(spark):
         ).fetchall()
     }
     assert want == got
+
+
+def test_domain_upsample_oracle_drops_zero_token_source(spark):
+    """A token-less source has weight NULL: the Spark operator
+    coalesces it to 0 and emits nothing, and the oracle must match —
+    DuckDB's LEAST SKIPS NULLs, so without the COALESCE guard the
+    NULL weight would cap to 3.0 and upsample the dead domain 3x."""
+    import duckdb
+
+    from transporter_spark.operators.sampling import (
+        mix_weights,
+        upsample_to_mix,
+    )
+    from transporter_spark.operators.text import token_count
+    from pyspark.sql import functions as F
+
+    # src0 has real tokens; src10 exists but is all-whitespace
+    rows = [(i, "alpha beta gamma", "src0") for i in range(6)] + [
+        (100 + i, "   ", "src10") for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"]).withColumn(
+        "n_tok", token_count("text")
+    )
+    from transporter_spark.queries import _MIX_TARGET
+
+    w = mix_weights(df, _MIX_TARGET, by="source", size_col="n_tok")
+    got = sorted(
+        (r.doc_id, r.copy)
+        for r in upsample_to_mix(
+            df.select("doc_id", "source"), w, by="source",
+            key="doc_id", max_epochs=3,
+        ).collect()
+    )
+    assert all(d < 100 for d, _ in got)  # src10 emits NOTHING
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}', '{s}')" for i, t, s in rows)
+        + ") v(doc_id, text, source)"
+    )
+    want = sorted(
+        (int(i), int(c))
+        for i, _s, c in con.execute(
+            QUERIES["domain_upsample"].oracle
+        ).fetchall()
+    )
+    assert want == got

@@ -132,3 +132,20 @@ def test_fuzzy_sink_compaction_and_incremental_probe(spark, sf_dir, tmp_path):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert state in plan  # the persisted index is what's probed
+
+
+def test_fuzzy_index_read_guard_blocks_deeper_probe(spark, sf_dir, tmp_path):
+    """Probing at a LARGER radius than the index was built with would
+    silently lose recall — the read-side guard raises instead; equal
+    or shallower probes pass."""
+    from transporter_spark.streaming.fuzzy import (
+        fuzzy_index_batch,
+        read_fuzzy_index,
+    )
+
+    names = _names(spark, sf_dir).filter(F.col("id") <= 20)
+    state = str(tmp_path / "fuzzy")
+    assert fuzzy_index_batch(names, 0, state, max_distance=1)
+    read_fuzzy_index(spark, state, max_distance=1)  # equal: fine
+    with pytest.raises(ValueError, match="probing at 2"):
+        read_fuzzy_index(spark, state, max_distance=2)

@@ -831,20 +831,27 @@ def bpe_learn_from_counts(word_counts: DataFrame, num_merges: int = 8) -> list:
     return merges
 
 
-def bpe_learn_merges(
-    df: DataFrame, text_col: str = "text", num_merges: int = 8
-) -> DataFrame:
-    """`bpe_learn` as a DataFrame: (step, lhs, rhs, merged,
-    pair_count) — the learned tokenizer vocabulary delta, metadata-
-    sized regardless of corpus size."""
-    merges = bpe_learn(df, text_col, num_merges)
-    spark = df.sparkSession
+def bpe_merges_df(spark, merges: Sequence) -> DataFrame:
+    """The ONE merge-list -> DataFrame conversion (schema and tuple
+    shape live here, shared by the batch and continuous trainers):
+    (step, lhs, rhs, merged, pair_count)."""
     return spark.createDataFrame(
         [
             (m["step"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
             for m in merges
         ],
         "step long, lhs string, rhs string, merged string, pair_count long",
+    )
+
+
+def bpe_learn_merges(
+    df: DataFrame, text_col: str = "text", num_merges: int = 8
+) -> DataFrame:
+    """`bpe_learn` as a DataFrame: (step, lhs, rhs, merged,
+    pair_count) — the learned tokenizer vocabulary delta, metadata-
+    sized regardless of corpus size."""
+    return bpe_merges_df(
+        df.sparkSession, bpe_learn(df, text_col, num_merges)
     )
 
 

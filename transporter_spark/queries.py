@@ -3222,18 +3222,15 @@ def q_stream_bpe_vocab(spark, sf_dir):
     maintained counts equal the single-pass batch count bit-for-bit
     (pinned in tests/test_streaming_vocab.py), so this shares
     bpe_learn_merges' oracle verbatim."""
-    from transporter_spark.operators.text import bpe_learn_from_counts
+    from transporter_spark.operators.text import (
+        bpe_learn_from_counts,
+        bpe_merges_df,
+    )
     from transporter_spark.streaming.vocab import drain_documents_vocab
 
     counts = drain_documents_vocab(spark, sf_dir)
     merges = bpe_learn_from_counts(counts, _BPE_GRADED_MERGES)
-    return spark.createDataFrame(
-        [
-            (m["step"], m["lhs"], m["rhs"], m["merged"], m["pair_count"])
-            for m in merges
-        ],
-        "step long, lhs string, rhs string, merged string, pair_count long",
-    ).orderBy("step")
+    return bpe_merges_df(spark, merges).orderBy("step")
 
 
 QUERIES["stream_bpe_vocab"] = QUERIES["stream_bpe_vocab"]._replace(
@@ -5987,8 +5984,15 @@ WITH agg AS (
 ),
 rates AS (
   SELECT source,
+         -- COALESCE the weight BEFORE the cap: a token-less source
+         -- divides by a zero share -> NULL, and DuckDB's LEAST SKIPS
+         -- NULLs (LEAST(3.0, NULL) = 3.0) — without the guard a
+         -- zero-token domain would upsample 3x instead of dropping,
+         -- diverging from mix_weights' weight-NULL -> keep-0 contract
          LEAST(3.0,
-           {_MIX_CASE} / (CAST(tokens AS DOUBLE) / SUM(tokens) OVER ())) AS wcap
+           COALESCE({_MIX_CASE}
+                    / (CAST(tokens AS DOUBLE) / SUM(tokens) OVER ()),
+                    0.0)) AS wcap
   FROM agg
 ),
 nrows AS (

@@ -112,7 +112,7 @@ def fuzzy_ingest_sink(
 ) -> None:
     """Drain a key-string stream into the maintained variant index
     (availableNow); probe it any time with
-    ``incremental_symspell_pairs(batch, read_fuzzy_index(...))``."""
+    ``incremental_symspell_pairs(batch, read_fuzzy_index(..., max_distance=d))`` — the read validates d against the build distance."""
     from transporter_spark.streaming.windows import (
         run_foreach_batch_available_now,
     )
@@ -130,15 +130,34 @@ def fuzzy_ingest_sink(
     run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
 
 
-def read_fuzzy_index(spark: SparkSession, state_dir: str) -> DataFrame:
+def read_fuzzy_index(
+    spark: SparkSession,
+    state_dir: str,
+    max_distance: Optional[int] = None,
+) -> DataFrame:
     """The maintained (id, s, var) variant index —
-    `incremental_symspell_pairs`' input."""
-    df = SegmentStore(state_dir).read(spark, "vars")
+    `incremental_symspell_pairs`' input. Pass the ``max_distance`` you
+    intend to PROBE at: probing a larger radius than the index was
+    built with silently loses recall (the corpus side lacks the
+    deeper deletions), so a mismatch raises here — the read-side twin
+    of the sink's `_check_distance` write guard."""
+    store = SegmentStore(state_dir)
+    df = store.read(spark, "vars")
     if df is None:
         raise FileNotFoundError(
             f"no committed fuzzy index at {state_dir!r}: the sink has "
             "not applied any non-empty epoch yet"
         )
+    if max_distance is not None:
+        built = store.meta().get("sym_max_distance")
+        if built is not None and built < max_distance:
+            raise ValueError(
+                f"fuzzy index at {state_dir!r} was built at "
+                f"max_distance={built}; probing at {max_distance} "
+                "would silently lose recall (the index lacks the "
+                "deeper deletion variants) — rebuild the index or "
+                "probe at <= its build distance"
+            )
     return df
 
 
@@ -150,7 +169,8 @@ def drain_customers_fuzzy(
 ) -> DataFrame:
     """Convenience: stream customer names through the fuzzy-index sink
     and return the maintained variant index (used by the graded
-    query)."""
+    query) — read back at the same distance it was built with, so the
+    read-side guard is on the graded path."""
     from transporter_spark.streaming.sources import stream_table
 
     state = state_dir or tempfile.mkdtemp(prefix="ts_fuzzy_") + "/state"
@@ -158,4 +178,6 @@ def drain_customers_fuzzy(
         F.col("c_custkey").alias("id"), F.col("c_name").alias("s")
     )
     fuzzy_ingest_sink(cust, state, **kw)
-    return read_fuzzy_index(spark, state)
+    return read_fuzzy_index(
+        spark, state, max_distance=kw.get("max_distance", 1)
+    )

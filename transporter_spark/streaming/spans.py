@@ -164,24 +164,15 @@ def compact_span_index(spark: SparkSession, state_dir: str) -> bool:
     to the prune loop, the ``pruned`` corpus unions (plain
     concatenation — its rows are per-doc finals, never re-merged).
     False when there is no state or everything is already compact."""
-    store = SegmentStore(state_dir)
-    if store.manifest() is None:
-        return False
-    tables = {}
-    if len(store.table_segments(_TABLE)) > 1:
-        folded = store.read(spark, _TABLE).groupBy("h").agg(
-            F.sum("n_docs").cast("long").alias("n_docs")
-        )
-        seg = store.fresh_name(f"{_TABLE}-compact{store.last_epoch()}")
-        folded.write.mode("overwrite").parquet(store.seg_path(seg))
-        tables[_TABLE] = [seg]
-    pruned_seg = store.compact_table(spark, _PRUNED)
-    if pruned_seg is not None:
-        tables[_PRUNED] = [pruned_seg]
-    if not tables:
-        return False
-    store.commit(store.last_epoch(), tables=tables)
-    return True
+    return SegmentStore(state_dir).compact_tables_commit(
+        spark,
+        (_TABLE, _PRUNED),
+        folds={
+            _TABLE: lambda df: df.groupBy("h").agg(
+                F.sum("n_docs").cast("long").alias("n_docs")
+            )
+        },
+    )
 
 
 def drain_documents_span_index(

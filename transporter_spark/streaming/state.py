@@ -303,22 +303,43 @@ class SegmentStore:
         return name
 
     def compact_tables_commit(
-        self, spark: SparkSession, tables: Sequence[str]
+        self,
+        spark: SparkSession,
+        tables: Sequence[str],
+        folds: Optional[dict] = None,
     ) -> bool:
         """compact_table over each LIST table + ONE manifest commit —
         the whole compaction for sinks whose state is a tuple of list
         tables (ingest corpus/index/fps, ANN cells/ids, pHash
-        fps/ph_ids). The fold discipline (content-preserving union,
-        atomic manifest swap, replaced segments retained until the
-        NEXT commit for concurrent readers) lives HERE once, not per
-        sink. Returns False when there is no committed state or every
-        table is already compact."""
+        fps/ph_ids, fuzzy vars/ids). The fold discipline
+        (content-preserving union, atomic manifest swap, replaced
+        segments retained until the NEXT commit for concurrent
+        readers) lives HERE once, not per sink.
+
+        ``folds`` maps a table name to a DataFrame->DataFrame
+        pre-aggregation applied to the merged read before the fold is
+        written (the merge-on-read sinks: span-df SUM, vocab-count
+        SUM) — content-preserving because their readers aggregate the
+        same way, so SUM of the fold == SUM of the parts. Tables
+        without a fold concatenate as-is. Returns False when there is
+        no committed state or every table is already compact."""
         manifest = self.manifest()
         if manifest is None:
             return False
+        folds = folds or {}
         segs = {}
         for table in tables:
-            name = self.compact_table(spark, table)
+            fold = folds.get(table)
+            if fold is None:
+                name = self.compact_table(spark, table)
+            elif len(self.table_segments(table)) <= 1:
+                name = None
+            else:
+                df = fold(self.read(spark, table))
+                name = self.fresh_name(
+                    f"{table}-compact{self.last_epoch()}"
+                )
+                df.write.mode("overwrite").parquet(self.seg_path(name))
             if name is not None:
                 segs[table] = [name]
         if not segs:

@@ -84,25 +84,18 @@ def vocab_batch(
 def compact_vocab_state(spark: SparkSession, state_dir: str) -> bool:
     """Fold the partial-count log: pre-SUM the wc segments (content-
     preserving under merge-on-read — SUM of the fold == SUM of the
-    parts) and concatenate the id log. False when already compact."""
-    store = SegmentStore(state_dir)
-    if store.manifest() is None:
-        return False
-    tables = {}
-    if len(store.table_segments("wc")) > 1:
-        folded = store.read(spark, "wc").groupBy("w").agg(
-            F.sum("cnt").cast("long").alias("cnt")
-        )
-        seg = store.fresh_name(f"wc-compact{store.last_epoch()}")
-        folded.write.mode("overwrite").parquet(store.seg_path(seg))
-        tables["wc"] = [seg]
-    ids_seg = store.compact_table(spark, "doc_ids")
-    if ids_seg is not None:
-        tables["doc_ids"] = [ids_seg]
-    if not tables:
-        return False
-    store.commit(store.last_epoch(), tables=tables)
-    return True
+    parts) and concatenate the id log — through the ONE list-table
+    fold (state.SegmentStore.compact_tables_commit, with a wc
+    pre-aggregation). False when already compact."""
+    return SegmentStore(state_dir).compact_tables_commit(
+        spark,
+        _TABLES,
+        folds={
+            "wc": lambda df: df.groupBy("w").agg(
+                F.sum("cnt").cast("long").alias("cnt")
+            )
+        },
+    )
 
 
 def vocab_ingest_sink(
