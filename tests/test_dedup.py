@@ -917,6 +917,41 @@ def test_incremental_banded_hamming_requires_pigeonhole(spark):
         incremental_banded_hamming_pairs(banded, banded, "simhash", 4, 4)
 
 
+def test_simhash_pairs_validates_geometry_before_any_job(spark):
+    """ADVICE r9: simhash_pairs / simhash_index must fail on invalid
+    banding geometry BEFORE the eager corpus-fingerprint materialize —
+    a lazy (never-collected) frame whose construction raises proves
+    no job ran."""
+    import pytest
+
+    from transporter_spark.operators.dedup import simhash_index, simhash_pairs
+
+    df = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="bands > max_hamming"):
+        simhash_pairs(df, bits=32, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        simhash_pairs(df, bits=32, bands=5, max_hamming=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        simhash_index(df, bits=32, bands=5)
+
+
+def test_decontaminate_bare_bloom_table_requires_geometry(spark):
+    """ADVICE r9: a bare bloom_words DataFrame without explicit
+    k+m_bits raises instead of silently probing at default geometry
+    (Bloom false negatives on a safety gate)."""
+    import pytest
+
+    from transporter_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    bench = spark.createDataFrame([("a b c d e",)], ["text"])
+    bare = spark.createDataFrame([(0, 0, 1)], ["k", "word_idx", "word"])
+    with pytest.raises(ValueError, match="build geometry"):
+        decontaminate(docs, bench, bloom_words=bare)
+    with pytest.raises(ValueError, match="build geometry"):
+        decontaminate(docs, bench, bloom_words=bare, bloom_k=4)
+
+
 def test_symspell_d2_equals_brute_force(spark):
     """d=2 symmetric-deletion blocking has FULL recall: equals the
     all-pairs Levenshtein filter on a set with substitutions, inserts,

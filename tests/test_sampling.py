@@ -815,3 +815,16 @@ def test_upsample_to_mix_null_weight_drops_group(spark):
     )
     got = {r.doc_id for r in upsample_to_mix(df, weights).collect()}
     assert got == {1}
+
+
+def test_upsample_to_mix_reserved_copy_column_raises(spark):
+    """ADVICE r9: an input already carrying a 'copy' column raises
+    (the output column name is reserved)."""
+    import pytest
+
+    from transporter_spark.operators.sampling import upsample_to_mix
+
+    df = spark.createDataFrame([(1, "a", 9)], ["doc_id", "source", "copy"])
+    weights = spark.createDataFrame([("a", 1.0)], ["source", "weight"])
+    with pytest.raises(ValueError, match="reserves the output column"):
+        upsample_to_mix(df, weights)

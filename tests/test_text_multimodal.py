@@ -533,6 +533,36 @@ def test_bpe_learn_matches_reference_trainer(spark):
     assert got == want
 
 
+def test_bpe_spaced_form_splits_code_points_like_duckdb(spark):
+    """Engine-differential pin for ADVICE r9: Spark's split(col, '')
+    must split to CODE POINTS (supplementary-plane chars intact), the
+    same as the oracle's string_split(w, '') — if a Spark upgrade ever
+    regresses to UTF-16 code-unit splitting, surrogate halves would
+    appear in the spaced form and BPE merges would silently diverge
+    between engine and oracle on non-BMP text (emoji, rare CJK)."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+    from transporter_spark.operators.text import _bpe_spaced_form
+
+    words = ["a\U0001F600b", "\U0001F600\U0001F600", "\U00020000x", "plain"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        r["w"]: r["form"]
+        for r in df.select("w", _bpe_spaced_form(F.col("w")).alias("form")).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        (want,) = con.execute(
+            "SELECT '  ' || array_to_string(string_split(?, ''), '  ') || '  '",
+            [w],
+        ).fetchone()
+        assert got[w] == want, (w, got[w], want)
+    # and no lone surrogates anywhere in the Spark form
+    for form in got.values():
+        assert not any(0xD800 <= ord(c) <= 0xDFFF for c in form)
+
+
 def test_bpe_greedy_overlap_and_consecutive_pairs(spark):
     """'a a a' merges to 'aa a' (left-to-right greedy), 'abab' chars
     merge both disjoint pairs in one step — the replace-based merge

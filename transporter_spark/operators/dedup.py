@@ -836,6 +836,10 @@ def simhash_index(
     Written once (bucket/partition by (band, chunk) at scale), it lets
     each ingest batch probe for Hamming-near corpus docs WITHOUT
     re-fingerprinting the corpus (`incremental_simhash_pairs`)."""
+    # validate geometry BEFORE the eager fingerprint job: an invalid
+    # bits/bands split must fail up front, not after a full corpus
+    # materialize (matching image_phash_pairs' ordering)
+    check_banding(bits, bands)
     fp = _materialize(simhash(df, text_col, id_col, bits))
     return band_fingerprint(fp, "simhash", bits, bands)
 
@@ -897,6 +901,10 @@ def simhash_pairs(
     `bands` > max_hamming chunks; any pair within the radius shares at
     least one exact chunk -> equi-join on (band, chunk), verify true
     hamming distance with bit_count(xor)."""
+    # full-geometry check (incl. bands > max_hamming) before the
+    # index's eager materialize job, so bad geometry never burns a
+    # corpus fingerprint pass
+    check_banding(bits, bands, max_hamming)
     banded = simhash_index(df, text_col, id_col, bits, bands)
     return banded_hamming_pairs(banded, "simhash", max_hamming, bands)
 
@@ -1083,9 +1091,12 @@ def decontaminate(
     `streaming.sketches.read_bloom_sketch` of the maintained
     blocklist state) instead of building one from `benchmark` here —
     the word OR-merge is idempotent, so the maintained state equals
-    the inline build bit-for-bit and the output is unchanged. Prefer
-    a geometry-carrying `BloomSketch`: the probe validates its build
-    k/m_bits (a bare table gets only the one-sided range guard).
+    the inline build bit-for-bit and the output is unchanged. The
+    geometry is REQUIRED with it (ADVICE r9): a geometry-carrying
+    `BloomSketch` (validated at the probe), or explicit
+    bloom_k+bloom_m_bits for a bare table (range-guarded only) —
+    a bare table alone raises rather than silently probing at
+    default geometry (false-negative risk on a safety gate).
     Implies ``bloom_prefilter``; `benchmark` still supplies the exact
     verify side."""
     corpus_grams = shingle_rows(df, text_col, id_col, n).select(
@@ -1124,7 +1135,30 @@ def decontaminate(
         else:
             # maintained-state path: geometry (and any persistence)
             # belongs to the caller's sketch; explicit k/m_bits pass
-            # through un-defaulted so a BloomSketch validates them
+            # through un-defaulted so a BloomSketch validates them.
+            # A bare word table WITHOUT explicit geometry is refused
+            # (ADVICE r9): _bloom_resolve would silently probe at
+            # DEFAULT k/m_bits, and a blocklist built at any other
+            # geometry then yields Bloom FALSE NEGATIVES — on a
+            # decontamination gate that means contaminated docs skip
+            # the exact verify undetected, with only the one-sided
+            # word_idx range guard in the way. The sketch's
+            # no-false-negatives contract is the whole point here, so
+            # the geometry must be carried (BloomSketch /
+            # read_bloom_sketch) or claimed explicitly.
+            from transporter_spark.operators.sketches import BloomSketch
+
+            if not isinstance(bloom_words, BloomSketch) and (
+                bloom_k is None or bloom_m_bits is None
+            ):
+                raise ValueError(
+                    "decontaminate(bloom_words=<bare DataFrame>) needs "
+                    "its build geometry: pass a BloomSketch (from "
+                    "bloom_sketch/read_bloom_sketch) or explicit "
+                    "bloom_k AND bloom_m_bits — probing at default "
+                    "geometry risks silent Bloom false negatives on a "
+                    "safety gate"
+                )
             sketch = bloom_words
             probe_kw = {"k": bloom_k, "m_bits": bloom_m_bits}
         corpus_grams = bloom_probe_mark(

@@ -163,8 +163,11 @@ def upsample_to_mix(
     """REPEAT rows toward the target mix — the upsampling half of a
     data recipe (`sample_to_mix` only cuts): a group with resampling
     ``weight`` w emits floor(w) copies of every row plus one more with
-    probability frac(w), so expected copies == w exactly and the
-    emitted token mix hits the target without quota bookkeeping. The
+    probability frac(w) quantized to floor(frac(w)*resolution)/
+    resolution — expected copies == w exactly AT RESOLUTION
+    GRANULARITY (up to ~1/resolution downward bias, the same
+    quantization `sample_to_mix` applies), and the emitted token mix
+    hits the target without quota bookkeeping. The
     fractional copy is decided by the SAME portable md5 threshold as
     the downsampler — never rand(): the replicated dataset is
     reproducible across engines/cluster sizes and any row's copy count
@@ -177,11 +180,19 @@ def upsample_to_mix(
     cap epochs per source); the cap is applied BEFORE the
     floor/fraction split so expectation stays exact at the cap.
 
-    Output: the input columns plus ``copy`` (1..n per row). Scale
+    Output: the input columns plus ``copy`` (1..n per row) — the name
+    is reserved: an input already carrying a ``copy`` column raises
+    (the output would otherwise be ambiguous/duplicated). Scale
     shape: the weights side is #groups rows (broadcast join); the
     corpus side is one scan + a row-local sequence explode — no
     shuffle, output size ∝ sum of weights."""
     from transporter_spark.operators.dedup import stable_hash32
+
+    if "copy" in df.columns:
+        raise ValueError(
+            "upsample_to_mix reserves the output column name 'copy'; "
+            "rename the input's 'copy' column first"
+        )
 
     wcap = F.least(
         F.lit(float(max_epochs)),

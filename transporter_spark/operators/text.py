@@ -729,7 +729,16 @@ def bpe_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _bpe_spaced_form(col: Column) -> Column:
-    """'  ' + chars joined by '  ' + '  ' — the merge-ready encoding."""
+    """'  ' + chars joined by '  ' + '  ' — the merge-ready encoding.
+
+    split(col, '') splits to CODE POINTS on this Spark version
+    (supplementary-plane chars stay intact, verified empirically),
+    matching the oracle's string_split(w, '') — pinned by the
+    engine-differential test
+    test_bpe_spaced_form_splits_code_points_like_duckdb so a future
+    engine change back to UTF-16 code-unit splitting (ADVICE r9's
+    concern) fails loudly instead of silently diverging merges on
+    non-BMP text."""
     return F.concat(
         F.lit(_BPE_SEP), F.concat_ws(_BPE_SEP, F.split(col, "")), F.lit(_BPE_SEP)
     )
