@@ -873,6 +873,70 @@ def test_ann_recall_at_k_identity_missing_and_monotone(spark, sf_dir):
         ann_recall_at_k(overlong, exact, k=5).collect()
 
 
+def test_ann_rerank_refine_semantics(spark, sf_dir):
+    """The refine stage: output neighbors are a SUBSET of the
+    shortlist; when the shortlist already contains the brute-force
+    top-k, re-ranking RECOVERS the brute-force answer exactly
+    regardless of the shortlist's own (approximate) ordering; and a
+    duplicated shortlist (union of epochs) re-ranks identically."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from transporter_spark.operators.similarity import (
+        ann_brute_force,
+        ann_rerank,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    truth = ann_brute_force(emb, queries, k=5).select(
+        "query_id", F.col("neighbor_id").alias("vec_id")
+    )
+    # shortlist = truth ids + 20 decoys per query, deliberately
+    # mis-ordered (the refine must not trust shortlist order)
+    decoys = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .crossJoin(
+            emb.select("vec_id").filter(
+                (F.col("vec_id") >= 100) & (F.col("vec_id") < 120)
+            )
+        )
+    )
+    short = truth.unionByName(decoys).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    got = ann_rerank(short, emb, queries, k=5, round_dp=8)
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann_brute_force(emb, queries, k=1_000_000)
+        .withColumn("cosine", F.round("cosine", 8))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("cosine"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= 5)
+        .collect()
+    }
+    got_set = {(r.query_id, r.neighbor_id, r.rank) for r in got.collect()}
+    assert got_set == want
+    # subset-of-shortlist invariant
+    short_ids = {
+        (r.query_id, r.vec_id) for r in short.collect()
+    }
+    assert all((q, n) in short_ids for q, n, _ in got_set)
+    # idempotent under shortlist re-delivery
+    doubled = ann_rerank(
+        short.unionByName(short), emb, queries, k=5, round_dp=8
+    )
+    assert {
+        (r.query_id, r.neighbor_id, r.rank) for r in doubled.collect()
+    } == got_set
+
+
 def test_pair_recall_counts_and_normalization(spark):
     """pair_recall is a SET measure: reversed ids, duplicate rows, and
     self-pairs must not change any count; recall = hits / truth."""

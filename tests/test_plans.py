@@ -972,6 +972,24 @@ def test_domain_upsample_broadcast_rates_no_corpus_exchange(spark, sf_dir):
     ], body
 
 
+def test_ivfpq_refine_broadcasts_shortlist_no_cartesian(spark, sf_dir):
+    """The tuned operating point's refine-stage scale claim: the ADC
+    shortlist (#queries x 100 ids, metadata-sized) and the query
+    vectors are BROADCAST against the corpus scan — the exact
+    full-precision cosine touches only shortlisted rows of one corpus
+    pass, and no cartesian/BNLJ appears outside the bounded
+    broadcast-centroid assignment crosses the IVF family always has."""
+    df = QUERIES["ivfpq_refine_topk"].fn(spark, sf_dir)
+    body = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in body, body
+    for line in body.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "BuildRight, Cross" in line, line
+    assert "BroadcastExchange" in body, body
+    # the refine rank window partitions by query — no global sort
+    assert "hashpartitioning(query_id" in body, body
+
+
 def test_pair_recall_single_join_no_cartesian(spark, sf_dir):
     """The recall audit reduces both pair frames through ONE
     full-outer equi-join and a single global aggregate — no cartesian

@@ -782,6 +782,112 @@ def ivfpq_residual_search(
     )
 
 
+def l2_normalize(vec_col: str, round_dp: int = 7) -> "Column":
+    """Unit-normalize an array column JVM-side (zip_with/aggregate —
+    no Python), with components ROUNDED at ``round_dp``: the division
+    by a 64-term sum is where engine summation order could differ by
+    an ulp, so quantizing the normalized components makes every
+    downstream distance/fixed-point computation run on bit-identical
+    inputs on both engines (DuckDB twin: list_transform(e, x ->
+    round(x / sqrt(list_dot_product(e, e)), dp))). Normalization is
+    what aligns the PQ family's L2-ADC objective with the cosine
+    ground truth: on unit vectors L2^2 = 2 - 2*cos, so L2 ranking ==
+    cosine ranking (the `ann_recall_at_k` docstring's fix, applied).
+    HOF-interpreted (CodegenFallback) — run it once in an index-build
+    projection, not per-probe."""
+    norm = (
+        f"sqrt(aggregate(zip_with({vec_col}, {vec_col}, "
+        f"(p, q) -> cast(p as double) * cast(q as double)), "
+        f"0D, (s, v) -> s + v))"
+    )
+    return F.expr(
+        f"transform(cast({vec_col} as array<double>), "
+        f"x -> round(x / {norm}, {round_dp}))"
+    )
+
+
+def ann_rerank(
+    shortlist: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: Optional[int] = 8,
+) -> DataFrame:
+    """EXACT-refine stage of a production ANN stack (FAISS
+    IndexRefineFlat): re-score an approximate shortlist with true
+    cosine over the RAW vectors and keep the top k. The approximate
+    stage only has to get the true neighbors INTO the shortlist
+    (recall@shortlist), not rank them — which is how a coarse,
+    cheap-to-scan PQ index still serves high recall@k.
+
+    ``shortlist`` is (query_id, {id_col}) rows from any ANN search
+    (extra columns ignored). Scale shape: the shortlist is #queries x
+    k' rows — metadata-sized — and is BROADCAST against the corpus,
+    so the exact re-scoring reads raw vectors for only the
+    shortlisted ids in one corpus scan (at 100 TB: the expensive
+    full-precision distance touches #queries x k' vectors, never the
+    corpus). Returns (query_id, neighbor_id, cosine, rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    sl = shortlist.select(
+        "query_id", F.col(id_col).alias("neighbor_id")
+    ).distinct()
+    cos = cosine_expr("qvec", "cvec")
+    if round_dp is not None:
+        cos = F.round(cos, round_dp)
+    scored = (
+        c.join(F.broadcast(sl), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_refine_search(
+    indexed_codes: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebooks: DataFrame,
+    k: int = 5,
+    shortlist: int = 100,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    round_dp: Optional[int] = 8,
+) -> DataFrame:
+    """The tuned two-stage probe: residual IVF-PQ produces an ADC
+    shortlist of ``shortlist`` candidates per query (codes-only scan,
+    nprobe-pruned), then `ann_rerank` re-scores just those with exact
+    cosine over the raw vectors. ``corpus`` supplies the raw vectors
+    for the refine stage (NORMALIZE both it and ``queries`` with
+    `l2_normalize` for the cosine-aligned operating point)."""
+    short = ivfpq_residual_search(
+        indexed_codes, queries, centroids, codebooks,
+        k=shortlist, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+        m=m, round_dp=round_dp,
+    )
+    return ann_rerank(
+        short, corpus, queries, k=k,
+        id_col=id_col, vec_col=vec_col, round_dp=round_dp,
+    )
+
+
 def kmeans_update(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -2544,6 +2544,224 @@ def q_stream_ivfpq_index(spark, sf_dir):
     ).orderBy("query_id", "rk")
 
 
+def _ivfpq_refine_oracle(
+    nlist: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 64,
+    n_queries: int = 10,
+    shortlist: int = 100,
+    k: int = 5,
+    norm_dp: int = 7,
+    dim: int = 64,
+) -> str:
+    """Full SQL replay of the TUNED two-stage ANN probe (normalize ->
+    residual IVF-PQ shortlist -> exact-cosine refine): the
+    _IVFPQ_RESIDUAL_ORACLE geometry parameterized over (nlist, nprobe,
+    m, ksub, shortlist) and run on l2-normalized components (rounded
+    at norm_dp — see operators.similarity.l2_normalize), with the
+    refine stage's exact re-rank appended. Every stage replays the
+    engine argmin-for-argmin through the shared `_pq_d2fix_sql`
+    fixed-point boundary."""
+    sub = dim // m
+    return f"""
+WITH vr AS (SELECT vec_id, embedding::DOUBLE[] AS re FROM embeddings),
+v AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(re, x -> round(
+             x / sqrt(list_dot_product(re, re)), {norm_dp})) AS e
+  FROM vr),
+cenv AS (SELECT vec_id AS cell, e AS cv FROM v WHERE vec_id < {nlist}),
+ccos AS MATERIALIZED (
+  SELECT v.vec_id, cenv.cell,
+         round(list_dot_product(v.e, cenv.cv)
+               / (sqrt(list_dot_product(v.e, v.e))
+                  * sqrt(list_dot_product(cenv.cv, cenv.cv))), 8) AS sim
+  FROM v CROSS JOIN cenv
+),
+assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM ccos) WHERE rn = 1
+),
+res AS MATERIALIZED (
+  SELECT a.vec_id, a.cell,
+         list_transform(list_zip(v.e, c.cv), x -> x[1] - x[2]) AS rv
+  FROM assigned a JOIN v ON v.vec_id = a.vec_id
+  JOIN cenv c ON c.cell = a.cell
+),
+cb AS MATERIALIZED (
+  SELECT j, vec_id AS code, rv[j*{sub}+1 : j*{sub}+{sub}] AS cvec
+  FROM res CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS j)
+  WHERE vec_id < {ksub}
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, cell, j, code FROM (
+    SELECT vec_id, cell, j, code,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY d2, code) AS rn
+    FROM (
+      SELECT s.vec_id, s.cell, s.j, c.code,
+             {_pq_d2fix_sql('s.svec', 'c.cvec')} AS d2
+      FROM (SELECT vec_id, cell, j, rv[j*{sub}+1 : j*{sub}+{sub}] AS svec
+            FROM res CROSS JOIN
+                 (SELECT unnest(generate_series(0, {m - 1})) AS j)) s
+      JOIN cb c USING (j))
+  ) WHERE rn = 1
+),
+qcells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM ccos WHERE vec_id < {n_queries}) WHERE rn <= {nprobe}
+),
+qres AS (
+  SELECT q.query_id, q.cell,
+         list_transform(list_zip(v.e, c.cv), x -> x[1] - x[2]) AS rqv
+  FROM qcells q JOIN v ON v.vec_id = q.query_id
+  JOIN cenv c ON c.cell = q.cell
+),
+lut AS (
+  SELECT s.query_id, s.cell, s.j, c.code,
+         {_pq_d2fix_sql('s.qs', 'c.cvec')} AS d2
+  FROM (SELECT query_id, cell, j, rqv[j*{sub}+1 : j*{sub}+{sub}] AS qs
+        FROM qres CROSS JOIN
+             (SELECT unnest(generate_series(0, {m - 1})) AS j)) s
+  JOIN cb c USING (j)
+),
+adc AS (
+  SELECT q.query_id, e2.vec_id, CAST(SUM(l.d2) AS BIGINT) AS adc_d2
+  FROM enc e2
+  JOIN qcells q ON e2.cell = q.cell AND e2.vec_id <> q.query_id
+  JOIN lut l ON l.query_id = q.query_id AND l.cell = e2.cell
+            AND l.j = e2.j AND l.code = e2.code
+  GROUP BY 1, 2
+),
+short AS (
+  SELECT query_id, vec_id AS neighbor_id
+  FROM (SELECT query_id, vec_id, adc_d2,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY adc_d2, vec_id) AS rk
+        FROM adc)
+  WHERE rk <= {shortlist}
+),
+refined AS (
+  SELECT s.query_id, s.neighbor_id,
+         round(list_dot_product(qv.e, cv.e)
+               / (sqrt(list_dot_product(qv.e, qv.e))
+                  * sqrt(list_dot_product(cv.e, cv.e))), 8) AS cosine
+  FROM short s
+  JOIN v qv ON qv.vec_id = s.query_id
+  JOIN v cv ON cv.vec_id = s.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM refined)
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+@q("ivfpq_refine_topk", oracle=_ivfpq_refine_oracle())
+def q_ivfpq_refine_topk(spark, sf_dir):
+    """The TUNED production ANN operating point (VERDICT r9 item 1) —
+    the full two-stage probe a real deployment runs: (1) l2-normalize
+    (operators/similarity.l2_normalize, components rounded 7dp so
+    both engines run on bit-identical inputs; normalization aligns
+    the PQ family's L2-ADC objective with the cosine ground truth —
+    on unit vectors L2^2 = 2 - 2*cos), (2) residual IVF-PQ at nlist=8
+    / nprobe=4 / m=8 / ksub=64 produces an ADC shortlist of 100
+    candidates per query from a codes-only scan, (3) EXACT cosine
+    re-ranks just the shortlist (FAISS IndexRefineFlat; the expensive
+    full-precision distance touches #queries x 100 raw vectors, never
+    the corpus). Measured at sf0.01: recall@5 vs the graded
+    brute-force truth = 0.90 (graded by `ann_recall_tuned`;
+    recall-vs-nprobe curve in SCALE.md — 0.80 / 0.90 / 0.92 at nprobe
+    2 / 4 / 8). The oracle replays all three stages end-to-end."""
+    from transporter_spark.operators.similarity import (
+        ivfpq_refine_search,
+        ivfpq_residual_index,
+        l2_normalize,
+        pq_codebooks,
+        pq_residual_frame,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vn = emb.select(
+        "vec_id", l2_normalize("embedding").alias("embedding")
+    )
+    centroids = vn.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    seeds = pq_residual_frame(
+        vn.filter(F.col("vec_id") < 64), centroids, round_dp=8
+    )
+    cbs = pq_codebooks(seeds, m=8, vec_col="rvec")
+    indexed = ivfpq_residual_index(vn, centroids, cbs, m=8, round_dp=8)
+    queries = vn.filter(F.col("vec_id") < 10)
+    return ivfpq_refine_search(
+        indexed, vn, queries, centroids, cbs,
+        k=5, shortlist=100, nprobe=4, m=8, round_dp=8,
+    ).orderBy("query_id", "rank")
+
+
+def _ann_recall_tuned_oracle() -> str:
+    """The `_ann_recall_oracle` composition over the TUNED pipeline:
+    brute-force-cosine truth and the refine oracle replayed verbatim
+    as separate-namespace subqueries, recall join on top."""
+    exact = QUERIES["ann_cosine_topk"].oracle.strip()
+    approx = _ivfpq_refine_oracle().strip()
+    return f"""
+WITH x_exact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+{exact}
+)),
+x_approx AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+{approx}
+))
+SELECT e.query_id,
+       count(*)::BIGINT AS n_exact,
+       count(a.neighbor_id)::BIGINT AS n_hits,
+       count(a.neighbor_id)::DOUBLE / count(*)::DOUBLE AS recall
+FROM x_exact e
+LEFT JOIN x_approx a
+  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+"""
+
+
+@q("ann_recall_tuned", oracle=_ann_recall_tuned_oracle())
+def q_ann_recall_tuned(spark, sf_dir):
+    """PRODUCTION-recall ANN audit (VERDICT r9 item 1 — the usability
+    half `ann_recall_at_k` was missing): recall@5 of the TUNED
+    two-stage probe (`ivfpq_refine_topk`: normalized vectors,
+    residual IVF-PQ nlist=8/nprobe=4/m=8/ksub=64, ADC shortlist 100,
+    exact-cosine refine) against the graded brute-force truth.
+    Measured at sf0.01: mean recall@5 = 0.90 at a documented cost
+    point — per query the index scan reads nprobe/nlist of the corpus
+    as CODES (m small ints/vector) and the refine reads exactly 100
+    raw vectors; the recall-vs-nprobe curve (0.80/0.90/0.92 at
+    2/4/8, shortlist 100) is recorded in SCALE.md next to the untuned
+    audit's 0.34. Ground truth is cosine on RAW vectors
+    (`ann_cosine_topk` reused verbatim) — cosine is scale-invariant,
+    so normalizing the approx side cannot shift the truth. Both sides
+    are the same query functions the driver grades individually."""
+    from transporter_spark.operators.similarity import ann_recall_at_k
+
+    exact = QUERIES["ann_cosine_topk"].fn(spark, sf_dir)
+    approx = QUERIES["ivfpq_refine_topk"].fn(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    return ann_recall_at_k(exact, approx, k=5).orderBy("query_id")
+
+
 _SEMDEDUP_CTES = """
 WITH RECURSIVE
 v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
