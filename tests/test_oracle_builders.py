@@ -45,6 +45,25 @@ def test_portable_ctes_explicit_params_equal_default():
     )
 
 
+def test_portable_ctes_banding_params_default_identical():
+    """The r10 num_hashes/bands parameterization: explicit defaults
+    reproduce the graded text byte-for-byte; the tuned 64/32 geometry
+    emits 32 band selects of 2 signature slots each and raises on a
+    non-dividing band count."""
+    import pytest
+
+    assert (
+        _minhash_portable_ctes(num_hashes=64, bands=16)
+        == _minhash_portable_ctes()
+    )
+    tuned = _minhash_portable_ctes(bands=32)
+    assert tuned.count("AS band") == 32
+    assert "mh_62 || ',' || mh_63" in tuned
+    assert "mh_0 || ',' || mh_1 AS bsig" in tuned
+    with pytest.raises(ValueError, match="must divide"):
+        _minhash_portable_ctes(bands=24)
+
+
 def test_portable_ctes_threshold_splices_both_sites():
     """The verify threshold appears once in mh_pairs (projection +
     WHERE share the expression) — a parameterized threshold must

@@ -1403,7 +1403,10 @@ def q_minhash_lsh_portable(spark, sf_dir):
 
 
 def _minhash_portable_ctes(
-    threshold: str = "0.1", shingles: Optional[str] = None
+    threshold: str = "0.1",
+    shingles: Optional[str] = None,
+    num_hashes: int = 64,
+    bands: int = 16,
 ) -> str:
     """CTE chain ending in `mh_pairs` (id_a, id_b, jaccard): the whole
     portable MinHash+LSH+verify pipeline as SQL, generated from the
@@ -1411,10 +1414,16 @@ def _minhash_portable_ctes(
     ``threshold`` is spliced as TEXT (keep "0.1"-style literals so the
     default output stays byte-identical to the graded r2 oracle —
     pinned in tests/test_oracle_builders.py); ``shingles`` overrides
-    the shingle CTE chain (the dedup_recall_audit corpus)."""
+    the shingle CTE chain (the dedup_recall_audit corpus);
+    ``num_hashes``/``bands`` set the banding geometry (default 64/16
+    byte-identical to r2; the tuned recall point runs 64/32 — r=2
+    rows per band, pinned too)."""
     from transporter_spark.operators.dedup import _MERSENNE, _hash_family
 
-    fam = _hash_family(64, 42)
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands={bands} must divide num_hashes={num_hashes}")
+    r = num_hashes // bands
+    fam = _hash_family(num_hashes, 42)
     mins = ",\n       ".join(
         f"min(({a}::BIGINT * h + {b}) % {_MERSENNE}) AS mh_{i}"
         for i, (a, b) in enumerate(fam)
@@ -1422,9 +1431,9 @@ def _minhash_portable_ctes(
     band_selects = "\nUNION ALL\n".join(
         "SELECT doc_id, {i} AS band, {sig} AS bsig FROM sig".format(
             i=i,
-            sig=" || ',' || ".join(f"mh_{4 * i + j}" for j in range(4)),
+            sig=" || ',' || ".join(f"mh_{r * i + j}" for j in range(r)),
         )
-        for i in range(16)
+        for i in range(bands)
     )
     return (
         (shingles if shingles is not None else _SHINGLES_SQL)
@@ -1467,16 +1476,21 @@ QUERIES["minhash_lsh_pairs"] = QUERIES["minhash_lsh_pairs"]._replace(
 )
 
 
-def _dedup_recall_audit_oracle() -> str:
+def _dedup_recall_audit_oracle(num_hashes: int = 64, bands: int = 16) -> str:
     """Corpus CTE (documents + two truncated-clone cohorts straddling
     the LSH S-curve) + the SAME portable MinHash+LSH chain at 0.35 +
     the full exact-Jaccard truth pairs + the one-row recall aggregate.
     `sh` is MATERIALIZED at the composition layer (post-hoc replace, the
     r6 rule — the shared builder's standalone text stays byte-identical)
     because this oracle references it two more times than the graded
-    LSH query does."""
+    LSH query does. ``num_hashes``/``bands`` parameterize the banding
+    (default 64/16 = the honest audit, byte-identical to its r9 text;
+    64/32 = the tuned point `dedup_recall_tuned` grades)."""
     lsh = _minhash_portable_ctes(
-        threshold="0.35", shingles=_shingles_sql("corpus", standalone=False)
+        threshold="0.35",
+        shingles=_shingles_sql("corpus", standalone=False),
+        num_hashes=num_hashes,
+        bands=bands,
     )
     lsh = lsh.replace("\nsh AS (", "\nsh AS MATERIALIZED (")
     return (
@@ -1565,6 +1579,54 @@ def q_dedup_recall_audit(spark, sf_dir):
     )
     from transporter_spark.operators.dedup import _attach_cached
 
+    return _attach_cached(
+        pair_recall(truth, found),
+        *getattr(truth, "_ts_cached", ()),
+        *getattr(found, "_ts_cached", ()),
+    )
+
+
+@q("dedup_recall_tuned", oracle=_dedup_recall_audit_oracle(bands=32))
+def q_dedup_recall_tuned(spark, sf_dir):
+    """TUNED LSH operating point (VERDICT r9 item 5 — the usability
+    half of `dedup_recall_audit`): the SAME straddling-clone corpus
+    and exact-Jaccard truth at 0.35, with the banding re-tuned from
+    64 hashes / 16 bands (r=4 rows per band) to 64 / 32 (r=2).
+    Collision probability 1-(1-s^r)^b at the two cohorts: the ~0.6
+    cohort goes 0.89 -> ~1.0 and the ~0.4 straddler 0.34 -> 0.996, so
+    the S-curve knee moves BELOW the verify threshold instead of
+    sitting on the corpus. Measured at sf0.01: recall = 0.994 (the
+    honest audit reads 0.589 at the same corpus). The cost is
+    candidate volume — r=2 admits pairs down to low Jaccard
+    (P(collide at 0.1) = 0.27 vs 0.0016 at r=4), all killed by the
+    exact verify; the recall/cost tradeoff is recorded in SCALE.md
+    next to the audit row. Oracle = the audit builder at bands=32."""
+    from transporter_spark.operators.dedup import (
+        _attach_cached,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        pair_recall,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    t35 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substr(text, 1, cast((3 * length(text)) div 5 as int))"
+        ).alias("text"),
+    )
+    t25 = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr(
+            "substr(text, 1, cast((2 * length(text)) div 5 as int))"
+        ).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(t35).unionByName(t25)
+    truth = jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.35)
+    found = minhash_lsh_pairs(
+        corpus, "text", "doc_id", n=3, num_hashes=64, bands=32,
+        threshold=0.35, portable=True,
+    )
     return _attach_cached(
         pair_recall(truth, found),
         *getattr(truth, "_ts_cached", ()),
