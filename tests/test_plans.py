@@ -990,6 +990,28 @@ def test_ivfpq_refine_broadcasts_shortlist_no_cartesian(spark, sf_dir):
     assert "hashpartitioning(query_id" in body, body
 
 
+def test_tokenize_pack_ids_only_shuffles_broadcast_vocab(spark, sf_dir):
+    """The tokenize->pack composition's scale claims: the symbol->id
+    mapping is a BROADCAST join (vocab is metadata-sized — no
+    exchange), no cartesian anywhere, and the text column exits the
+    plan at the row-local tokenize projection — no shuffle Exchange
+    input carries `text` or `w`, only ids and positions cross."""
+    df = QUERIES["tokenize_pack_pipeline"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "BroadcastHashJoin" in body, body
+    # shuffle inputs are id/position-sized: no exchange hash-partitions
+    # on (or outputs) the text/word columns
+    import re as _re
+
+    for m in _re.finditer(r"\(\d+\) Exchange", plan):
+        seg = plan[m.start() : m.start() + 400]
+        assert "text#" not in seg, seg
+    assert "hashpartitioning(doc_id" in body, body
+
+
 def test_pair_recall_single_join_no_cartesian(spark, sf_dir):
     """The recall audit reduces both pair frames through ONE
     full-outer equi-join and a single global aggregate — no cartesian

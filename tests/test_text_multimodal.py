@@ -585,6 +585,110 @@ def test_bpe_greedy_overlap_and_consecutive_pairs(spark):
     assert applied == {1: 3 + 1, 2: 1 + 1}
 
 
+def test_bpe_encode_ids_roundtrips_pure_python_reference(spark):
+    """bpe_encode_ids == a pure-Python greedy tokenizer: same merges,
+    same vocab rule (chars in code-point order, then merges in
+    learned order, first-id-wins on collisions), same per-doc id
+    sequence — and pack_token_ids reassembles the exact concatenated
+    stream in fixed-length chunks."""
+    from transporter_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_learn,
+        bpe_vocab,
+        pack_token_ids,
+    )
+
+    docs = [
+        (0, "hug hug hug pug pug hugs bun", "s1"),
+        (1, "hug pug aaa bun bun", "s1"),
+        (2, "hugs aaa", "s2"),
+        (3, "", "s2"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    merges = bpe_learn(df, num_merges=6)
+    pairs = [(m["lhs"], m["rhs"]) for m in merges]
+
+    # pure-Python reference: greedy spaced-form replay + vocab rule
+    def ref_tokenize(word):
+        syms = list(word)
+        for lhs, rhs in pairs:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == lhs and syms[i + 1] == rhs:
+                    out.append(lhs + rhs)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    chars = sorted(
+        {c for _, t, _ in docs for w in t.split() for c in w},
+        key=ord,
+    )
+    vocab_ref = {}
+    for c in chars:
+        vocab_ref.setdefault(c, len(vocab_ref))
+    for lhs, rhs in pairs:
+        vocab_ref.setdefault(lhs + rhs, len(vocab_ref))
+    want_ids = {
+        d: [vocab_ref[s] for w in t.split() for s in ref_tokenize(w)]
+        for d, t, _ in docs
+    }
+
+    vocab = bpe_vocab(df, merges)
+    got_vocab = {r.sym: r.token_id for r in vocab.collect()}
+    assert got_vocab == vocab_ref
+
+    ids = bpe_encode_ids(df, merges, vocab)
+    got_ids = {}
+    for r in ids.collect():
+        got_ids.setdefault(r.doc_id, {})[r.tok_idx] = r.token_id
+    got_seq = {
+        d: [m[i] for i in range(len(m))] for d, m in got_ids.items()
+    }
+    assert got_seq == {d: v for d, v in want_ids.items() if v}
+    assert 3 not in got_seq  # empty doc emits no rows
+
+    # pack: concatenation in doc order per shard, chunked at 5
+    packed = {
+        (r.source, r.seq_id): (r.n_tokens, r.token_ids)
+        for r in pack_token_ids(
+            ids, df.select("doc_id", "source"), seq_len=5
+        ).collect()
+    }
+    streams = {
+        "s1": want_ids[0] + want_ids[1],
+        "s2": want_ids[2],
+    }
+    want_packed = {}
+    for src, stream in streams.items():
+        for s in range(0, len(stream), 5):
+            chunk = stream[s : s + 5]
+            want_packed[(src, s // 5)] = (
+                len(chunk),
+                "-".join(str(i) for i in chunk),
+            )
+    assert packed == want_packed
+
+
+def test_bpe_encode_ids_unknown_symbol_raises(spark):
+    """Encoding against a vocab missing a corpus symbol must raise,
+    not silently drop tokens."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from transporter_spark.operators.text import bpe_encode_ids, bpe_vocab
+
+    train = spark.createDataFrame([(0, "ab ab")], ["doc_id", "text"])
+    vocab = bpe_vocab(train, [])
+    other = spark.createDataFrame([(1, "xyz")], ["doc_id", "text"])
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        bpe_encode_ids(other, [], vocab).collect()
+
+
 def test_bpe_apply_keeps_zero_row_for_empty_doc(spark):
     from transporter_spark.operators.text import bpe_apply_merges
 

