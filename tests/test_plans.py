@@ -942,6 +942,32 @@ def test_image_phash_dedup_bands_not_all_pairs(spark, sf_dir):
         release_cached(df)
 
 
+def test_video_frame_pairs_banded_not_all_pairs(spark, sf_dir):
+    """Frame-level video dedup's scale contract: Hamming-near FRAME
+    candidates come from the shared pigeonhole (band, chunk) equi-join
+    over the per-frame fingerprint table — never a cartesian/BNLJ
+    frame x frame pass — and the frame fingerprints come from ONE
+    staged hex projection (the full-dedup query's own plan can't show
+    the candidate join past the CC materialization, so the pair
+    generator over video_frame_phash is pinned directly)."""
+    from transporter_spark.operators.multimodal import (
+        _phash_pairs_from_fp,
+        video_frame_phash,
+    )
+
+    media = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.encode("text", "utf-8").alias("content"))
+    )
+    fp = video_frame_phash(media, "content", "doc_id")
+    pairs = _phash_pairs_from_fp(
+        fp.select(F.col("fid").alias("id"), "phash"), 32, 1, 4
+    )
+    body = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+
+
 def test_fuzzy_pairs_d2_equi_join_no_cartesian(spark, sf_dir):
     """The d=2 variant expression keeps the same plan contract as d=1:
     candidates come from an equi-join on the deletion-variant key —

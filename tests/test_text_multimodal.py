@@ -465,6 +465,70 @@ def test_image_phash_dedup_keeps_largest_copy(spark):
     assert out[4].is_canonical
 
 
+def test_video_phash_dedup_frame_vote_semantics(spark):
+    """Frame-level video dedup: a HEAVY localized edit (two of eight
+    frames scrambled wholesale — far past any whole-file fingerprint
+    radius) still merges via the 6/8 untouched-frame vote; a video
+    with MOST frames scrambled does NOT merge (the vote is the
+    guard); an empty blob survives as its own singleton; and the
+    canonical is the largest-byte member."""
+    from transporter_spark.operators.multimodal import video_phash_dedup
+
+    base = ("frame level video content with steady signal " * 16).strip()
+    n = len(base)
+    # scramble the middle fifth (2 of 8 frames) — length-preserving
+    lo, hi = (2 * n) // 5, (3 * n) // 5
+    heavy = base[:lo] + "Z" * (hi - lo) + base[hi:]
+    # scramble 7 of 8 frames: only the first eighth survives
+    mostly = base[: n // 8] + "Q" * (n - n // 8)
+    df = _blob_df(spark, [(1, base), (2, heavy), (3, mostly)])
+    empty = spark.createDataFrame(
+        [(4, bytearray(b""))], "doc_id long, content binary"
+    )
+    out = {
+        r.id: r
+        for r in video_phash_dedup(
+            df.unionByName(empty), "content", "doc_id"
+        ).collect()
+    }
+    assert out[1].component == out[2].component      # heavy edit merges
+    assert out[3].component == 3                     # mostly-edited does not
+    assert out[4].component == 4 and out[4].byte_len == 0
+    canon = [i for i in (1, 2) if out[i].is_canonical]
+    assert canon == [1]                              # equal len -> min id
+    assert out[3].is_canonical and out[4].is_canonical
+
+
+def test_video_frame_phash_matches_image_phash_on_slices(spark):
+    """Per-frame dHash == image_phash of the materialized byte slice:
+    the offset-sampled single-hex-projection recipe is the same
+    function, just without copying frame bytes."""
+    from transporter_spark.operators.multimodal import (
+        image_phash,
+        video_frame_phash,
+    )
+
+    base = ("per frame hash equivalence check content " * 13).strip()
+    df = _blob_df(spark, [(7, base)])
+    got = {
+        r.frame_no: r.phash
+        for r in video_frame_phash(df, "content", "doc_id", n_frames=8).collect()
+    }
+    raw = base.encode()
+    n = len(raw)
+    slices = [
+        (j, raw[(j * n) // 8 : ((j + 1) * n) // 8]) for j in range(8)
+    ]
+    sliced = spark.createDataFrame(
+        [(j, bytearray(b)) for j, b in slices if b],
+        "doc_id long, content binary",
+    )
+    want = {
+        r.id: r.phash for r in image_phash(sliced, "content", "doc_id").collect()
+    }
+    assert got == want
+
+
 # ---------------------------------------------------------------------------
 # BPE merge learning
 # ---------------------------------------------------------------------------

