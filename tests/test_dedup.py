@@ -981,6 +981,28 @@ def test_incremental_banded_hamming_requires_pigeonhole(spark):
         incremental_banded_hamming_pairs(banded, banded, "simhash", 4, 4)
 
 
+def test_banded_hamming_max_bucket_caps_hot_chunks(spark):
+    """The shared hot-bucket guard on the banded-Hamming core (VERDICT
+    r9 item 6): with max_bucket set, a degenerate all-same-fingerprint
+    group larger than the cap emits NO candidate pairs (every shared
+    chunk is oversized — the exact-dedup-first caveat), while small
+    groups are untouched; default None is the identity."""
+    from transporter_spark.operators.dedup import (
+        band_fingerprint,
+        banded_hamming_pairs,
+    )
+
+    # 10 identical fingerprints (the hot group) + 2 identical (small)
+    rows = [(i, 0b1010) for i in range(10)] + [(100, 77), (101, 77)]
+    fp = spark.createDataFrame(rows, ["id", "simhash"])
+    banded = band_fingerprint(fp, "simhash", 32, 4)
+    uncapped = banded_hamming_pairs(banded, "simhash", 3, 4)
+    assert uncapped.count() == 45 + 1  # C(10,2) + the small pair
+    capped = banded_hamming_pairs(banded, "simhash", 3, 4, max_bucket=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(100, 101)}  # hot group gone, small pair kept
+
+
 def test_simhash_pairs_validates_geometry_before_any_job(spark):
     """ADVICE r9: simhash_pairs / simhash_index must fail on invalid
     banding geometry BEFORE the eager corpus-fingerprint materialize —

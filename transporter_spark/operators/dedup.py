@@ -571,19 +571,32 @@ def minhash_lsh_pairs(
     return _verify_candidates(cand, df, text_col, id_col, n, threshold)
 
 
-def _cap_buckets(banded: DataFrame, max_bucket: Optional[int]) -> DataFrame:
-    """Drop LSH buckets larger than max_bucket docs (see
+def _cap_buckets(
+    banded: DataFrame,
+    max_bucket: Optional[int],
+    keys: Sequence[str] = ("band", "bsig"),
+) -> DataFrame:
+    """Drop candidate buckets larger than max_bucket docs (see
     minhash_lsh_pairs). One extra aggregation over the band table —
-    tiny next to the B² candidates an uncapped hot bucket would emit."""
+    tiny next to the B² candidates an uncapped hot bucket would emit.
+    ``keys`` names the bucket key columns: (band, bsig) for the
+    MinHash LSH tables, (band, chunk) for the banded-Hamming
+    fingerprint tables (SimHash / pHash / video frames) — the ONE cap
+    definition for every bucketed candidate generator. Recall caveat
+    is identical everywhere: a pair is lost only when EVERY bucket it
+    shares is oversized, which for degenerate corpora (millions of
+    byte-identical images → one hot (band, chunk) per band) is
+    exactly the case exact dedup should have handled first."""
     if max_bucket is None:
         return banded
+    keys = list(keys)
     ok = (
-        banded.groupBy("band", "bsig")
+        banded.groupBy(*keys)
         .count()
         .filter(F.col("count") <= max_bucket)
-        .select("band", "bsig")
+        .select(*keys)
     )
-    return banded.join(ok, ["band", "bsig"])
+    return banded.join(ok, keys)
 
 
 def _verify_candidates(
@@ -861,18 +874,32 @@ def _simhash_verified(cand: DataFrame, max_hamming: int) -> DataFrame:
 
 
 def banded_hamming_pairs(
-    banded: DataFrame, fp_col: str, max_hamming: int, bands: int
+    banded: DataFrame,
+    fp_col: str,
+    max_hamming: int,
+    bands: int,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Hamming-near pairs from a banded fingerprint table (the
     `band_fingerprint` shape: id, fp_col, band, chunk): self
     equi-join on (band, chunk), verify true distance with
     bit_count(xor) over the fingerprints the table already carries.
     The ONE candidate-generation definition shared by the SimHash
-    text path and the image pHash path (operators/multimodal.py) —
-    pigeonhole completeness needs bands > max_hamming, enforced
-    through the shared `check_banding` (bits already validated by the
-    banding that produced the input)."""
+    text path and the image/video pHash paths
+    (operators/multimodal.py) — pigeonhole completeness needs bands >
+    max_hamming, enforced through the shared `check_banding` (bits
+    already validated by the banding that produced the input).
+
+    ``max_bucket`` (scale knob, the `minhash_lsh_pairs` guard through
+    the shared `_cap_buckets`): skip (band, chunk) buckets holding
+    more than max_bucket fingerprints before the self-join — an
+    adversarial all-same-image corpus puts B docs in ONE chunk per
+    band and would emit bands*B²/2 candidates. A within-radius pair
+    is lost only when EVERY chunk it shares is oversized, i.e. when
+    the docs are near-identical at corpus scale — run exact dedup
+    first, same caveat as the MinHash cap."""
     check_banding(None, bands, max_hamming)
+    banded = _cap_buckets(banded, max_bucket, keys=("band", "chunk"))
     a, b = banded.alias("a"), banded.alias("b")
     cand = a.join(
         b,
@@ -895,6 +922,7 @@ def simhash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-dup candidate pairs: docs whose simhash differs in at most
     `max_hamming` bits. Pigeonhole banding: split the fingerprint into
@@ -906,7 +934,9 @@ def simhash_pairs(
     # corpus fingerprint pass
     check_banding(bits, bands, max_hamming)
     banded = simhash_index(df, text_col, id_col, bits, bands)
-    return banded_hamming_pairs(banded, "simhash", max_hamming, bands)
+    return banded_hamming_pairs(
+        banded, "simhash", max_hamming, bands, max_bucket=max_bucket
+    )
 
 
 def incremental_banded_hamming_pairs(
@@ -915,6 +945,7 @@ def incremental_banded_hamming_pairs(
     fp_col: str,
     max_hamming: int,
     bands: int,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Hamming-near pairs for a banded BATCH fingerprint table against
     a persisted banded index (the `band_fingerprint` shape on both
@@ -924,8 +955,13 @@ def incremental_banded_hamming_pairs(
     Candidates come from the (band, chunk) equi-join (new-vs-corpus
     plus new-vs-new); verification is bit_count(xor) over the
     fingerprints both tables already carry. Disjoint ids assumed — run
-    the id re-delivery guard first, as the ingest sinks do."""
+    the id re-delivery guard first, as the ingest sinks do.
+    ``max_bucket`` caps hot (band, chunk) buckets on EACH side
+    independently (the MinHash incremental precedent — same recall
+    caveat as `banded_hamming_pairs`)."""
     check_banding(None, bands, max_hamming)
+    new_banded = _cap_buckets(new_banded, max_bucket, keys=("band", "chunk"))
+    index = _cap_buckets(index, max_bucket, keys=("band", "chunk"))
     a, b = new_banded.alias("a"), index.alias("b")
     vs_corpus = (
         a.join(

@@ -316,7 +316,11 @@ def phash_index(
 
 
 def _phash_pairs_from_fp(
-    ph: DataFrame, bits: int, max_hamming: int, bands: int
+    ph: DataFrame,
+    bits: int,
+    max_hamming: int,
+    bands: int,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Banded Hamming-near pairs from an (id, phash[, ...]) table —
     the shared candidate+verify core of `image_phash_pairs` and
@@ -330,7 +334,9 @@ def _phash_pairs_from_fp(
     )
 
     banded = band_fingerprint(ph.select("id", "phash"), "phash", bits, bands)
-    return banded_hamming_pairs(banded, "phash", max_hamming, bands)
+    return banded_hamming_pairs(
+        banded, "phash", max_hamming, bands, max_bucket=max_bucket
+    )
 
 
 def image_phash_pairs(
@@ -340,6 +346,7 @@ def image_phash_pairs(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate image pairs: (id_a < id_b, hamming) for every
     pair within `max_hamming` bits. Pigeonhole banding (bands >
@@ -357,7 +364,7 @@ def image_phash_pairs(
 
     check_banding(bits, bands, max_hamming)  # before the eager job
     fp = _materialize(image_phash(df, content_col, id_col, bits))
-    return _phash_pairs_from_fp(fp, bits, max_hamming, bands)
+    return _phash_pairs_from_fp(fp, bits, max_hamming, bands, max_bucket)
 
 
 def incremental_phash_pairs(
@@ -369,6 +376,7 @@ def incremental_phash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
     new_banded: Optional[DataFrame] = None,
+    max_bucket: Optional[int] = None,
 ) -> DataFrame:
     """Hamming-near image pairs for an INGEST BATCH against a
     persisted `phash_index` — the image twin of
@@ -397,7 +405,7 @@ def incremental_phash_pairs(
             phash_index(new_images, content_col, id_col, bits, bands)
         )
     return incremental_banded_hamming_pairs(
-        new_banded, index, "phash", max_hamming, bands
+        new_banded, index, "phash", max_hamming, bands, max_bucket=max_bucket
     )
 
 
@@ -408,6 +416,7 @@ def image_phash_dedup(
     bits: int = 32,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket: Optional[int] = None,
     max_iter: int = 20,
     reliable_checkpoint: bool = False,
 ) -> DataFrame:
@@ -437,7 +446,7 @@ def image_phash_dedup(
     # join branches (the r7 broadcast-reuse lesson); the content blobs
     # are scanned exactly once
     ph = image_phash(df, content_col, id_col, bits, with_len=True).persist()
-    pairs = _phash_pairs_from_fp(ph, bits, max_hamming, bands)
+    pairs = _phash_pairs_from_fp(ph, bits, max_hamming, bands, max_bucket)
     comp = connected_components(
         pairs.select("id_a", "id_b"),
         ph.select("id"),
@@ -553,6 +562,7 @@ def video_phash_dedup(
     vote_num: int = 3,
     vote_den: int = 4,
     vote_both: bool = True,
+    max_bucket: Optional[int] = None,
     frame_cap: int = 64,
     max_iter: int = 20,
     reliable_checkpoint: bool = False,
@@ -603,7 +613,8 @@ def video_phash_dedup(
         df, content_col, id_col, n_frames, bits, frame_cap
     ).persist()
     pairs = _phash_pairs_from_fp(
-        fp.select(F.col("fid").alias("id"), "phash"), bits, max_hamming, bands
+        fp.select(F.col("fid").alias("id"), "phash"),
+        bits, max_hamming, bands, max_bucket,
     )
     # frame pair -> video pair: fid div frame_cap recovers the video;
     # id_a < id_b and per-video-contiguous fid ranges give va <= vb,
