@@ -981,6 +981,20 @@ def test_incremental_banded_hamming_requires_pigeonhole(spark):
         incremental_banded_hamming_pairs(banded, banded, "simhash", 4, 4)
 
 
+def test_band_index_ragged_banding_raises(spark):
+    """Engine-side twin of the oracle builder's divide guard (r10
+    review): a non-dividing (num_hashes, bands) split would silently
+    ignore the trailing hashes in every band — raise before the eager
+    signature job instead."""
+    import pytest
+
+    from transporter_spark.operators.dedup import band_index
+
+    df = spark.createDataFrame([(1, "some text")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="must divide"):
+        band_index(df, num_hashes=64, bands=24)
+
+
 def test_banded_hamming_max_bucket_caps_hot_chunks(spark):
     """The shared hot-bucket guard on the banded-Hamming core (VERDICT
     r9 item 6): with max_bucket set, a degenerate all-same-fingerprint

@@ -737,6 +737,38 @@ def test_bpe_encode_ids_roundtrips_pure_python_reference(spark):
     assert packed == want_packed
 
 
+def test_pack_token_ids_stale_doc_meta_raises(spark):
+    """r10 review: a doc_meta frame missing a document that HAS token
+    rows must raise, not silently drop its tokens from the stream."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from transporter_spark.operators.text import pack_token_ids
+
+    ids = spark.createDataFrame(
+        [(1, 0, 5), (2, 0, 7)], ["doc_id", "tok_idx", "token_id"]
+    )
+    meta = spark.createDataFrame([(1, "s1")], ["doc_id", "source"])
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        pack_token_ids(ids, meta, seq_len=4).collect()
+
+
+def test_video_frame_phash_negative_id_raises(spark):
+    """r10 review: fid = vid * frame_cap + frame_no needs non-negative
+    ids (Spark div truncates toward zero, so a negative vid's frames
+    would alias onto a neighbouring video) — raise per-row."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from transporter_spark.operators.multimodal import video_frame_phash
+
+    df = _blob_df(spark, [(-1, "negative id content here")])
+    with pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        video_frame_phash(df, "content", "doc_id").collect()
+
+
 def test_bpe_encode_ids_unknown_symbol_raises(spark):
     """Encoding against a vocab missing a corpus symbol must raise,
     not silently drop tokens."""

@@ -482,6 +482,15 @@ def band_index(
     `bands` rows per document, each carrying a ~40-byte band signature —
     the index is ~3 orders of magnitude smaller than the corpus text.
     """
+    if num_hashes % bands != 0:
+        # the Hamming twin's check_banding rule: a ragged split would
+        # silently drop the trailing num_hashes % bands signature slots
+        # from every band, weakening recall with no error anywhere (and
+        # the portable oracle builder already raises on this geometry)
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}: a "
+            "ragged band split silently ignores the trailing hashes"
+        )
     r = num_hashes // bands
     sig = _materialize(
         minhash_signatures(df, text_col, id_col, n, num_hashes, seed, portable),

@@ -499,8 +499,20 @@ def video_frame_phash(
         )
     s = bits + 1
     content = F.coalesce(F.col(content_col), F.lit(b""))
+    # fid packing is only injective (and its div-recovery only correct
+    # — Spark div truncates toward zero, so negative vids would alias
+    # their frames onto neighbouring videos) on 0 <= vid and with
+    # headroom for * frame_cap: fail per-row, the geometry-guard
+    # discipline of the sketch family
+    vid_bound = (1 << 62) // frame_cap
+    vid_guard = F.expr(
+        f"if({id_col} >= 0 and {id_col} < {vid_bound}, cast({id_col} as long), "
+        f"raise_error(concat('video_frame_phash: id ', cast({id_col} as string), "
+        f"' outside [0, {vid_bound}) — fid = id * {frame_cap} + frame_no "
+        f"needs non-negative ids with headroom')))"
+    )
     staged = df.select(
-        F.col(id_col).alias("vid"),
+        vid_guard.alias("vid"),
         F.hex(content).alias("_hx"),
         F.octet_length(content).cast("long").alias("byte_len"),
     )

@@ -921,7 +921,7 @@ def _bpe_merge_cascade(col: Column, merges: Sequence) -> Column:
     return form
 
 
-def bpe_vocab(df: DataFrame, merges: Sequence, text_col: str = "text") -> DataFrame:
+def bpe_vocab_from_words(words: DataFrame, merges: Sequence) -> DataFrame:
     """(sym, token_id): the deterministic id table a learned tokenizer
     serves — base symbols are the corpus' distinct characters in CODE
     POINT order (ascii() == DuckDB unicode() on full code points,
@@ -929,16 +929,21 @@ def bpe_vocab(df: DataFrame, merges: Sequence, text_col: str = "text") -> DataFr
     symbols in learned order; a merged string that collides (two
     merges can compose the same surface form, e.g. ('a','bc') and
     ('ab','c')) keeps its FIRST id so the mapping is a function.
-    Vocab-sized frame — the single-partition rank windows are the
-    same metadata-scale discipline as the BPE argmax."""
+
+    ``words`` is any frame with a ``w`` word column — pass the
+    `bpe_word_counts` table the trainer already built, so the vocab
+    derives from the ONE corpus scan (chars of the distinct words ==
+    chars of the corpus' tokens; the oracle derives from its wc CTE
+    the same way) instead of re-reading 100 TB of text. Vocab-sized
+    frame — the single-partition rank windows are the same
+    metadata-scale discipline as the BPE argmax."""
     pairs = [
         (m["lhs"], m["rhs"]) if isinstance(m, dict) else (m[0], m[1])
         for m in merges
     ]
-    spark = df.sparkSession
+    spark = words.sparkSession
     chars = (
-        df.select(F.explode(F.expr(_TOKENS.format(col=text_col))).alias("w"))
-        .select(F.explode(F.split("w", "")).alias("sym"))
+        words.select(F.explode(F.split("w", "")).alias("sym"))
         .distinct()
         .select("sym", F.lit(0).alias("grp"), F.ascii("sym").cast("long").alias("ord"))
     )
@@ -963,6 +968,14 @@ def bpe_vocab(df: DataFrame, merges: Sequence, text_col: str = "text") -> DataFr
         .cast("long")
         .alias("token_id"),
     )
+
+
+def bpe_vocab(df: DataFrame, merges: Sequence, text_col: str = "text") -> DataFrame:
+    """`bpe_vocab_from_words` from raw documents — convenience wrapper
+    that builds its own word table. Pipelines that already ran
+    `bpe_word_counts` (every trainer does) should pass THAT frame to
+    `bpe_vocab_from_words` instead and keep the corpus single-scan."""
+    return bpe_vocab_from_words(bpe_word_counts(df, text_col), merges)
 
 
 def bpe_encode_ids(
@@ -1052,9 +1065,23 @@ def pack_token_ids(
         .withColumn("_base", F.sum("_ntok").over(w) - F.col("_ntok"))
         .select(id_col, shard_col, "_base")
     )
-    g = ids.join(offs, id_col).select(
+    # LEFT join + per-row raise, not a silent inner join: a doc_meta
+    # frame that is filtered/stale relative to `ids` would otherwise
+    # drop every token of the missing document from the training
+    # stream with no error (the bpe_encode_ids unknown-symbol
+    # discipline, applied to the other input)
+    g = ids.join(offs, id_col, "left").select(
         shard_col,
-        (F.col("_base") + F.col("tok_idx")).alias("gpos"),
+        (
+            F.expr(
+                f"if(_base is not null, _base, "
+                f"raise_error(concat('pack_token_ids: {id_col} ', "
+                f"cast({id_col} as string), ' has token rows but no "
+                f"doc_meta row — stale/filtered metadata would "
+                f"silently drop its tokens')))"
+            )
+            + F.col("tok_idx")
+        ).alias("gpos"),
         "token_id",
     )
     return (

@@ -1535,6 +1535,26 @@ FROM j
     )
 
 
+def _straddling_corpus(docs):
+    """documents + the two truncated-clone cohorts straddling the LSH
+    S-curve knee — the ONE engine-side corpus construction both recall
+    queries (audit + tuned) share; it must mirror the corpus CTE
+    inside `_dedup_recall_audit_oracle` expression-for-expression."""
+    t35 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "substr(text, 1, cast((3 * length(text)) div 5 as int))"
+        ).alias("text"),
+    )
+    t25 = docs.filter(F.col("doc_id") % 3 == 1).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr(
+            "substr(text, 1, cast((2 * length(text)) div 5 as int))"
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(t35).unionByName(t25)
+
+
 @q("dedup_recall_audit", oracle=_dedup_recall_audit_oracle())
 def q_dedup_recall_audit(spark, sf_dir):
     """LSH recall audit (the dedup twin of `ann_recall_at_k`): banded
@@ -1559,19 +1579,7 @@ def q_dedup_recall_audit(spark, sf_dir):
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    t35 = docs.filter(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr(
-            "substr(text, 1, cast((3 * length(text)) div 5 as int))"
-        ).alias("text"),
-    )
-    t25 = docs.filter(F.col("doc_id") % 3 == 1).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.expr(
-            "substr(text, 1, cast((2 * length(text)) div 5 as int))"
-        ).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(t35).unionByName(t25)
+    corpus = _straddling_corpus(docs)
     truth = jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.35)
     found = minhash_lsh_pairs(
         corpus, "text", "doc_id", n=3, num_hashes=64, bands=16,
@@ -1609,19 +1617,7 @@ def q_dedup_recall_tuned(spark, sf_dir):
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    t35 = docs.filter(F.col("doc_id") % 3 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.expr(
-            "substr(text, 1, cast((3 * length(text)) div 5 as int))"
-        ).alias("text"),
-    )
-    t25 = docs.filter(F.col("doc_id") % 3 == 1).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.expr(
-            "substr(text, 1, cast((2 * length(text)) div 5 as int))"
-        ).alias("text"),
-    )
-    corpus = docs.select("doc_id", "text").unionByName(t35).unionByName(t25)
+    corpus = _straddling_corpus(docs)
     truth = jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.35)
     found = minhash_lsh_pairs(
         corpus, "text", "doc_id", n=3, num_hashes=64, bands=32,
@@ -2621,7 +2617,7 @@ def _ivfpq_refine_oracle(
     residual IVF-PQ shortlist -> exact-cosine refine): the
     _IVFPQ_RESIDUAL_ORACLE geometry parameterized over (nlist, nprobe,
     m, ksub, shortlist) and run on l2-normalized components (rounded
-    at norm_dp — see operators.similarity.l2_normalize), with the
+    at norm_dp — see operators.similarity.l2_normalize_rows), with the
     refine stage's exact re-rank appended. Every stage replays the
     engine argmin-for-argmin through the shared `_pq_d2fix_sql`
     fixed-point boundary."""
@@ -2732,7 +2728,7 @@ WHERE rank <= {k} ORDER BY query_id, rank
 def q_ivfpq_refine_topk(spark, sf_dir):
     """The TUNED production ANN operating point (VERDICT r9 item 1) —
     the full two-stage probe a real deployment runs: (1) l2-normalize
-    (operators/similarity.l2_normalize, components rounded 7dp so
+    (operators/similarity.l2_normalize_rows, components rounded 7dp so
     both engines run on bit-identical inputs; normalization aligns
     the PQ family's L2-ADC objective with the cosine ground truth —
     on unit vectors L2^2 = 2 - 2*cos), (2) residual IVF-PQ at nlist=8
@@ -2744,18 +2740,21 @@ def q_ivfpq_refine_topk(spark, sf_dir):
     brute-force truth = 0.90 (graded by `ann_recall_tuned`;
     recall-vs-nprobe curve in SCALE.md — 0.80 / 0.90 / 0.92 at nprobe
     2 / 4 / 8). The oracle replays all three stages end-to-end."""
+    from transporter_spark.operators.dedup import _materialize
     from transporter_spark.operators.similarity import (
         ivfpq_refine_search,
         ivfpq_residual_index,
-        l2_normalize,
+        l2_normalize_rows,
         pq_codebooks,
         pq_residual_frame,
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    vn = emb.select(
-        "vec_id", l2_normalize("embedding").alias("embedding")
-    )
+    # materialized: vn feeds centroids, codebook seeds, the index
+    # build, the query side, AND the refine corpus — Spark plans no
+    # CSE across join branches (the r7 lesson), so an un-materialized
+    # vn would re-run the normalization pass per branch
+    vn = _materialize(l2_normalize_rows(emb))
     centroids = vn.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
@@ -3703,21 +3702,27 @@ def q_tokenize_pack_pipeline(spark, sf_dir):
     source shard and chunks the token stream into fixed 512-id
     training rows (the `pack_sequences` cumsum binning carried to the
     rows a trainer reads; a shard's last row may be short, no padding
-    invented). Only id-sized rows ever shuffle — text exits at the
+    invented). The trainer's ONE word-count pass feeds both the merge
+    loop and the vocab (chars derive from the wc table, like the
+    oracle's wc CTE — text is read exactly twice total: word count +
+    encode); only id-sized rows ever shuffle — text exits at the
     row-local projection (pinned in tests/test_plans.py); ids
     round-trip against a pure-Python greedy reference in
     tests/test_text_multimodal.py. The oracle replays trainer,
     vocab, encode, cumsum, and chunking end-to-end."""
+    from transporter_spark.operators.dedup import _materialize
     from transporter_spark.operators.text import (
         bpe_encode_ids,
-        bpe_learn,
-        bpe_vocab,
+        bpe_learn_from_counts,
+        bpe_vocab_from_words,
+        bpe_word_counts,
         pack_token_ids,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    merges = bpe_learn(docs, "text", _BPE_GRADED_MERGES)
-    vocab = bpe_vocab(docs, merges)
+    wc = _materialize(bpe_word_counts(docs))
+    merges = bpe_learn_from_counts(wc, _BPE_GRADED_MERGES)
+    vocab = bpe_vocab_from_words(wc, merges)
     ids = bpe_encode_ids(docs, merges, vocab)
     return pack_token_ids(
         ids, docs.select("doc_id", "source"), seq_len=_PACK_SEQ_LEN
