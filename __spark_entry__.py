@@ -24,100 +24,74 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 9 (the rotation VERDICT r8 item 1
-# mandates — r8 skipped it): 12 new + 10 changed + 28 stalest = 50.
-# "Changed" is read strictly, per FUNCTION executed: the r8
-# post-grading commit 4daf66d (landed AFTER CORRECTNESS_r08 was
-# recorded) edited decontaminate's bloom branch, the
-# incremental_dedup_exact_bloom query body, bm25_select's pin
-# validation, and drain_documents_bloom — so decontaminate,
-# decontaminate_bloom, incremental_dedup_exact_bloom, bm25_select,
-# bm25_select_log2, and stream_bloom re-grade; round 9's
-# band_fingerprint factor-out of simhash_index (and the later
-# incremental_banded_hamming_pairs factor-out) re-grades
-# simhash_pairs and incremental_simhash, and the bloom_words= param
-# restructure of decontaminate re-grades both decontaminate queries
-# (already listed). incremental_dedup_exact (non-bloom) is NOT
-# re-graded: its function body was last touched at 7a70eba, BEFORE
-# the r8 grading ran. The _shingles_sql/_minhash_portable_ctes
-# parameterization does NOT re-grade ngram_jaccard_pairs /
-# minhash_lsh_portable / minhash_lsh_pairs on its own: their oracle
-# STRINGS are byte-identical (pinned, tests/test_oracle_builders.py)
-# and their fns untouched (the first two re-grade anyway as r4-stale).
-# The stale cohort is the 44-query r4 remainder (last green r4) in
-# its documented queue order, headed by stream_kmeans_update (VERDICT
-# r8 item 7) and the dedup_exact / ann_cosine_topk bench controls;
-# 28 fit, the LAST SIXTEEN (rename, repeated_chunk_prune,
-# salted_agg, scalar_funcs, session_window, set_ops, skip_eq,
-# skip_gt, skip_numeric_string, skip_regex, sort_limit, stats_agg,
-# text_stats, window_topn, windowed_agg, word_count — all
-# single-operator scans/sorts/filters/windows, green r4 on code
-# unchanged since) spill past the window and head the r10 queue. fuzzy_name_pairs
-# (r5-cohort green) joins the changed list: the d=2 extension
-# rewrote symspell_pairs' variant expression, which the d=1 query
-# executes. The r5/r6/r8 cohorts follow via the registry
-# fallback, all green on unchanged code.
+# to the STALEST greens. Round 10 (VERDICT r9 item 2): 5 new + 19
+# changed + the 16 mandated r4 spills + 10 stalest-r5 = 50.
+# "Changed" is read strictly, per FUNCTION executed:
+# - the r10 guard/param additions to the banded-candidate core
+#   (banded_hamming_pairs / incremental_banded_hamming_pairs gained
+#   max_bucket; _cap_buckets generalized over its key columns;
+#   band_index gained the ragged-banding raise; simhash_index /
+#   simhash_pairs validate geometry up front) re-grade EVERY query
+#   executing those fns: simhash_pairs, incremental_simhash,
+#   image_phash_dedup, multimodal_pipeline, stream_phash_index,
+#   minhash_lsh_pairs, minhash_lsh_portable, dedup_recall_audit
+#   (also the _straddling_corpus factor-out), incremental_dedup,
+#   dedup_clusters, dedup_clusters_portable, and the ingest-drain
+#   family that builds band indexes per epoch (stream_ingest_dedup,
+#   stream_curation, stream_curation_full, stream_decontaminate —
+#   the last also via decontaminate's new bare-table geometry raise,
+#   which re-grades decontaminate and decontaminate_bloom too);
+# - bpe_apply_merges re-grades via the _bpe_merge_cascade factor-out;
+# - domain_upsample via upsample_to_mix's reserved-'copy' guard.
+# NOT re-graded on oracle grounds: the _minhash_portable_ctes
+# (num_hashes, bands) parameterization and _dedup_recall_audit_oracle
+# factor emit byte-identical strings at the old operating points
+# (pinned, tests/test_oracle_builders.py); ngram_jaccard_pairs'
+# jaccard_pairs body is untouched. incremental_dedup_exact[_bloom]
+# stay unchanged (fingerprint path, no banding). fuzzy/symspell,
+# span, sketch, vector-sink families untouched this round.
+# The stale half: the 16 r4 spills documented last round take their
+# mandated slots; the r5 cohort (43 queries) heads the remaining
+# queue in registry order — 10 fit (media_features .. 
+# q2_min_cost_supplier); the REST of the r5 cohort
+# (q21_waiting_suppliers, pivot_table, extended_json_normalize,
+# dedup_normalized, asof_join x3, range_join_recent_count,
+# window_analytics, percentiles, collect_agg, stratified_sample,
+# q19_disjunctive, sliding_window_agg, gopher_quality_gate,
+# domain_mix_weights, domain_mix_sample, semantic_decontaminate,
+# curation_pipeline, temperature_mix_weights, balanced_shards,
+# dsir_select, kmeans_update, dataset_split, containment_pairs,
+# lm_perplexity_gate, the hll/cms/dd sketch rows, sketch_profile)
+# spills to r11 and heads its queue; r6/r8/r9 cohorts follow via the
+# registry fallback, all green on unchanged code.
 _PRIORITY = [
-    # --- NEW round 9: must take a slot ---
-    "image_phash_dedup",        # perceptual-hash image near-dedup
-    "stream_decontaminate",     # maintained-blocklist ingest gate
-    "ann_recall_at_k",          # ANN quality audit vs brute force
-    "stream_phash_index",       # continuous pHash index + incr. probe
-    "dedup_recall_audit",       # LSH recall vs exact ground truth
-    "bpe_learn_merges",         # distributed BPE vocab induction
-    "bpe_apply_merges",         # subword counts w/ learned merges
-    "stream_bpe_vocab",         # continuous vocab-count maintenance
-    "domain_upsample",          # repeat-to-mix (upsampling recipe half)
-    "fuzzy_name_pairs_d2",      # SymSpell at its native d=2 point
-    "multimodal_pipeline",      # dedup-then-featurize composition
-    "stream_symspell_index",    # continuous fuzzy index + incr. probe
-    # --- changed since their last green row (r8 post-grading commit
-    # --- 4daf66d + round-9 edits; see header) ---
+    # --- NEW round 10: must take a slot ---
+    "ivfpq_refine_topk",        # tuned two-stage ANN operating point
+    "ann_recall_tuned",         # recall@5 = 0.90 vs brute force
+    "dedup_recall_tuned",       # LSH r=2 point, recall 0.994
+    "tokenize_pack_pipeline",   # ids -> fixed-length training rows
+    "video_phash_dedup",        # frame-vote video near-dedup
+    # --- changed since their last green row (see header) ---
     "decontaminate",
     "decontaminate_bloom",
-    "incremental_dedup_exact_bloom",
-    "bm25_select",
-    "bm25_select_log2",
-    "stream_bloom",
+    "stream_decontaminate",
     "simhash_pairs",
     "incremental_simhash",
-    "fuzzy_name_pairs",         # executes the d2-extended symspell_pairs
-    "stream_ingest_dedup",      # shares the closure oracle text the
-                                # stream_decontaminate composition
-                                # re-reads; cheap certainty it still
-                                # grades green alongside
-    # --- the 28 stalest greens (all last graded r4) ---
-    "stream_kmeans_update",
-    "dedup_exact",
-    "ann_cosine_topk",
-    "cdc_lww_dedup",
-    "conditional_agg",
-    "date_funcs",
-    "distinct_agg",
-    "embedding_dup_pairs",
-    "envelope",
-    "full_outer_join",
-    "grouping_sets",
-    "join_region_rollup",
+    "image_phash_dedup",
+    "multimodal_pipeline",
+    "stream_phash_index",
+    "minhash_lsh_pairs",
     "minhash_lsh_portable",
-    "multimodal_meta",
-    "ngram_jaccard_pairs",
-    "ns_filter",
-    "omit",
-    "opfilter",
-    "pick",
-    "py_transform",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q18_large_orders",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "remap",
-    # --- past the graded window from here down: the sixteen spilled r4
-    # --- greens, next-up for round 10 (r5/r6/r8 cohorts follow via
-    # --- the registry fallback)
+    "dedup_recall_audit",
+    "incremental_dedup",
+    "stream_ingest_dedup",
+    "stream_curation",
+    "stream_curation_full",
+    "dedup_clusters",
+    "dedup_clusters_portable",
+    "bpe_apply_merges",
+    "domain_upsample",
+    # --- the 16 r4 spills mandated by VERDICT r9 item 2 ---
     "rename",
     "repeated_chunk_prune",
     "salted_agg",
@@ -134,6 +108,20 @@ _PRIORITY = [
     "window_topn",
     "windowed_agg",
     "word_count",
+    # --- 10 stalest r5-cohort greens (registry queue order) ---
+    "media_features",
+    "json_functions",
+    "cube_agg",
+    "grouped_pandas_udaf",
+    "python_udtf",
+    "exists_subquery",
+    "anti_join_not_in",
+    "having_clause",
+    "scalar_subquery",
+    "q2_min_cost_supplier",
+    # --- past the graded window: the r5 remainder heads the r11
+    # --- queue (list in the header); r6/r8/r9 cohorts follow via
+    # --- the registry fallback
 ]
 
 

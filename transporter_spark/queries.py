@@ -2724,7 +2724,11 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
-@q("ivfpq_refine_topk", oracle=_ivfpq_refine_oracle())
+@q(
+    "ivfpq_refine_topk",
+    oracle=_ivfpq_refine_oracle(),
+    headline=True,  # tracked from round 10 (tuned ANN operating point)
+)
 def q_ivfpq_refine_topk(spark, sf_dir):
     """The TUNED production ANN operating point (VERDICT r9 item 1) —
     the full two-stage probe a real deployment runs: (1) l2-normalize
@@ -3375,7 +3379,11 @@ ORDER BY doc_id
     )
 
 
-@q("video_phash_dedup", oracle=_video_phash_dedup_oracle())
+@q(
+    "video_phash_dedup",
+    oracle=_video_phash_dedup_oracle(),
+    headline=True,  # tracked from round 10 (new-capability baseline)
+)
 def q_video_phash_dedup(spark, sf_dir):
     """Frame-level VIDEO near-dedup (VERDICT r9 item 7) — the
     composition the r9 verdict asked for, with the stronger
