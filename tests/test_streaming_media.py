@@ -152,3 +152,106 @@ def test_phash_sink_compaction_and_incremental_probe(spark, sf_dir, tmp_path):
     ], plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_sink_multi_epoch_equals_batch_and_probe_votes(
+    spark, sf_dir, tmp_path
+):
+    """The video frame-index sink: a 3-epoch drain equals the batch
+    banded build bit-for-bit (the per-frame hash is pure per-video);
+    commits are append-only; replay and re-delivery are no-ops; the
+    meta-validated probe equals the batch `video_phash_dedup`'s OWN
+    vote over corpus ∪ batch restricted to batch-touching pairs; and
+    a probe cannot run at a different geometry than the index."""
+    from transporter_spark.operators.dedup import band_fingerprint
+    from transporter_spark.operators.multimodal import (
+        _frame_votes_to_edges,
+        _phash_pairs_from_fp,
+        video_frame_phash,
+    )
+    from transporter_spark.streaming.media import (
+        compact_video_index,
+        probe_video_index,
+        read_video_index,
+        video_index_batch,
+    )
+    from transporter_spark.streaming.state import SegmentStore
+
+    media = _media(spark, sf_dir)
+    state = str(tmp_path / "video")
+    for epoch in range(3):
+        before = _seg_files(state) if epoch else {}
+        assert video_index_batch(
+            media.filter(F.col("doc_id") % 3 == epoch), epoch, state
+        )
+        after = _seg_files(state)
+        assert {k: after[k] for k in before} == before  # append-only
+    assert not video_index_batch(  # replay
+        media.filter(F.col("doc_id") % 3 == 0), 2, state
+    )
+    n = read_video_index(spark, state).count()
+    assert not video_index_batch(  # re-delivery
+        media.filter(F.col("doc_id") % 3 == 0), 3, state
+    )
+    got = read_video_index(spark, state)
+    assert got.count() == n
+    fp_all = video_frame_phash(media, "content", "doc_id")
+    expect = band_fingerprint(
+        fp_all.select(F.col("fid").alias("id"), "phash"), "phash", 32, 4
+    )
+    assert sorted(
+        (r.id, r.phash, r.band, r.chunk) for r in got.collect()
+    ) == sorted((r.id, r.phash, r.band, r.chunk) for r in expect.collect())
+
+    assert compact_video_index(spark, state)
+    assert not compact_video_index(spark, state)
+    store = SegmentStore(state)
+    assert all(
+        len(store.table_segments(t)) == 1 for t in ("vfps", "v_ids")
+    )
+
+    # probe == the shared vote over corpus ∪ batch, batch-touching only
+    batch = (
+        read_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 6 == 0)
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.encode(
+                F.expr(
+                    "concat(substr(text, 1, cast((2 * length(text)) div 5 as int)), "
+                    "repeat('Z', cast((3 * length(text)) div 5 as int) "
+                    "- cast((2 * length(text)) div 5 as int)), "
+                    "substr(text, cast((3 * length(text)) div 5 as int) + 1))"
+                ),
+                "utf-8",
+            ).alias("content"),
+        )
+    )
+    got_edges = probe_video_index(spark, state, batch)
+    fp_union = video_frame_phash(
+        media.unionByName(batch), "content", "doc_id"
+    )
+    pairs = _phash_pairs_from_fp(
+        fp_union.select(F.col("fid").alias("id"), "phash"), 32, 1, 4
+    ).filter((F.col("id_a") >= 64000000) | (F.col("id_b") >= 64000000))
+    nf = fp_union.groupBy("vid").agg(
+        F.count("*").cast("long").alias("nfr")
+    )
+    want_edges = _frame_votes_to_edges(pairs, nf, 3, 4, True, 64)
+    canon = lambda df: sorted(  # noqa: E731
+        (r.id_a, r.id_b) for r in df.collect()
+    )
+    assert canon(got_edges) == canon(want_edges)
+    assert got_edges.count() > 0
+
+    # geometry discipline: a mismatched epoch raises; the probe reads
+    # its constants from meta so it CANNOT mismatch silently
+    with pytest.raises(ValueError, match="video_n_frames=8"):
+        video_index_batch(
+            media.select(
+                (F.col("doc_id") + 5000000).alias("doc_id"), "content"
+            ).limit(5),
+            99,
+            state,
+            n_frames=4,
+        )

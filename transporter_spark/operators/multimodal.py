@@ -563,6 +563,54 @@ def video_frame_phash(
     )
 
 
+def _frame_votes_to_edges(
+    fpairs: DataFrame,
+    nf: DataFrame,
+    vote_num: int,
+    vote_den: int,
+    vote_both: bool,
+    frame_cap: int,
+    with_counts: bool = False,
+) -> DataFrame:
+    """Frame-level Hamming pairs (id_a < id_b over fids) -> voted
+    VIDEO edges — THE one vote definition shared by the batch dedup
+    (`video_phash_dedup`) and the incremental probe
+    (`incremental_video_pairs`). ``nf`` is (vid, nfr) frame counts;
+    a side passes when vote_den * matched >= vote_num * nfr (integer
+    cross-multiplication — no division anywhere), both sides with
+    vote_both. with_counts appends (ma, mb, nfa, nfb) for audits."""
+    # frame pair -> video pair: fid div frame_cap recovers the video;
+    # id_a < id_b and per-video-contiguous fid ranges give va <= vb,
+    # so dropping va == vb (intra-video matches) leaves ordered pairs
+    cross = fpairs.select(
+        F.expr(f"id_a div {frame_cap}").alias("va"),
+        F.expr(f"id_b div {frame_cap}").alias("vb"),
+        "id_a",
+        "id_b",
+    ).where(F.col("va") != F.col("vb"))
+    votes = cross.groupBy("va", "vb").agg(
+        F.countDistinct("id_a").alias("ma"),
+        F.countDistinct("id_b").alias("mb"),
+    )
+    side_a = F.lit(vote_den) * F.col("ma") >= F.lit(vote_num) * F.col("nfa")
+    side_b = F.lit(vote_den) * F.col("mb") >= F.lit(vote_num) * F.col("nfb")
+    extra = ["ma", "mb", "nfa", "nfb"] if with_counts else []
+    return (
+        votes.join(
+            nf.select(F.col("vid").alias("va"), F.col("nfr").alias("nfa")),
+            "va",
+        )
+        .join(
+            nf.select(F.col("vid").alias("vb"), F.col("nfr").alias("nfb")),
+            "vb",
+        )
+        .where((side_a & side_b) if vote_both else (side_a | side_b))
+        .select(
+            F.col("va").alias("id_a"), F.col("vb").alias("id_b"), *extra
+        )
+    )
+
+
 def video_phash_dedup(
     df: DataFrame,
     content_col: str = "content",
@@ -628,33 +676,9 @@ def video_phash_dedup(
         fp.select(F.col("fid").alias("id"), "phash"),
         bits, max_hamming, bands, max_bucket,
     )
-    # frame pair -> video pair: fid div frame_cap recovers the video;
-    # id_a < id_b and per-video-contiguous fid ranges give va <= vb,
-    # so dropping va == vb (intra-video matches) leaves ordered pairs
-    cross = pairs.select(
-        F.expr(f"id_a div {frame_cap}").alias("va"),
-        F.expr(f"id_b div {frame_cap}").alias("vb"),
-        "id_a",
-        "id_b",
-    ).where(F.col("va") != F.col("vb"))
     nf = fp.groupBy("vid").agg(F.count("*").cast("long").alias("nfr"))
-    votes = cross.groupBy("va", "vb").agg(
-        F.countDistinct("id_a").alias("ma"),
-        F.countDistinct("id_b").alias("mb"),
-    )
-    side_a = F.lit(vote_den) * F.col("ma") >= F.lit(vote_num) * F.col("nfa")
-    side_b = F.lit(vote_den) * F.col("mb") >= F.lit(vote_num) * F.col("nfb")
-    edges = (
-        votes.join(
-            nf.select(F.col("vid").alias("va"), F.col("nfr").alias("nfa")),
-            "va",
-        )
-        .join(
-            nf.select(F.col("vid").alias("vb"), F.col("nfr").alias("nfb")),
-            "vb",
-        )
-        .where((side_a & side_b) if vote_both else (side_a | side_b))
-        .select(F.col("va").alias("id_a"), F.col("vb").alias("id_b"))
+    edges = _frame_votes_to_edges(
+        pairs, nf, vote_num, vote_den, vote_both, frame_cap
     )
     all_ids = df.select(F.col(id_col).alias("id"))
     comp = connected_components(
@@ -679,6 +703,74 @@ def video_phash_dedup(
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
     return _attach_cached(out, fp)
+
+
+def incremental_video_pairs(
+    new_videos: DataFrame,
+    index: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    bits: int = 32,
+    max_hamming: int = 1,
+    bands: int = 4,
+    vote_num: int = 3,
+    vote_den: int = 4,
+    vote_both: bool = True,
+    frame_cap: int = 64,
+    max_bucket: Optional[int] = None,
+    new_banded: Optional[DataFrame] = None,
+    with_counts: bool = False,
+) -> DataFrame:
+    """Voted video-level near-dup EDGES for an ingest batch against a
+    persisted frame-level index (the banded `video_frame_phash` rows
+    the continuous sink in streaming/media.py maintains) — the video
+    twin of `incremental_phash_pairs`: only the batch's blobs are
+    fingerprinted (8 per-frame dHashes from one staged hex
+    projection), frame candidates come from the shared batch-vs-index
+    (band, chunk) core, and the SAME `_frame_votes_to_edges` vote as
+    the batch `video_phash_dedup` decides the video pairs — one vote
+    definition, no drift. Per-video frame counts derive from the
+    banded tables themselves (distinct fid div frame_cap), so the
+    index needs no side table. Returns (id_a < id_b) voted video
+    pairs, batch-touching only (index-vs-index pairs never form —
+    same restriction as every incremental probe). Disjoint ids
+    assumed — run the id re-delivery guard first, as the sink does."""
+    from transporter_spark.operators.dedup import (
+        _materialize,
+        band_fingerprint,
+        check_banding,
+        incremental_banded_hamming_pairs,
+    )
+
+    check_banding(bits, bands, max_hamming)
+    if new_banded is None:
+        fp = video_frame_phash(
+            new_videos, content_col, id_col, n_frames, bits, frame_cap
+        )
+        new_banded = _materialize(
+            band_fingerprint(
+                fp.select(F.col("fid").alias("id"), "phash"),
+                "phash",
+                bits,
+                bands,
+            )
+        )
+    fpairs = incremental_banded_hamming_pairs(
+        new_banded, index, "phash", max_hamming, bands, max_bucket=max_bucket
+    )
+    nf = (
+        new_banded.select("id")
+        .unionByName(index.select("id"))
+        .distinct()
+        .select(F.expr(f"id div {frame_cap}").alias("vid"))
+        .groupBy("vid")
+        .agg(F.count("*").cast("long").alias("nfr"))
+    )
+    return _frame_votes_to_edges(
+        fpairs, nf, vote_num, vote_den, vote_both, frame_cap,
+        with_counts=with_counts,
+    )
 
 
 def video_phash_oracle_ctes(

@@ -3430,6 +3430,92 @@ def q_video_phash_dedup(spark, sf_dir):
     return final
 
 
+def _stream_video_index_oracle() -> str:
+    from transporter_spark.operators.multimodal import (
+        video_phash_oracle_ctes,
+    )
+
+    return (
+        """
+WITH vbase AS MATERIALIZED (
+  SELECT doc_id, encode(text) AS c FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         encode(substr(text, 1, (2 * length(text)) // 5)
+                || repeat('Z', (3 * length(text)) // 5 - (2 * length(text)) // 5)
+                || substr(text, (3 * length(text)) // 5 + 1))
+  FROM documents WHERE doc_id % 6 = 0),"""
+        + video_phash_oracle_ctes("vbase", "c", "doc_id")
+        + """,
+vfpairs AS (
+  SELECT a.fid AS fa, b.fid AS fb, a.vid AS va, b.vid AS vb
+  FROM vph a JOIN vph b ON a.fid < b.fid
+  WHERE bit_count(xor(a.phash, b.phash)) <= 1 AND a.vid <> b.vid
+    AND (a.vid >= 1000000 OR b.vid >= 1000000)),
+vnf AS (SELECT vid, count(*)::BIGINT AS nfr FROM vph GROUP BY vid),
+vvotes AS (
+  SELECT va, vb,
+         count(DISTINCT fa)::BIGINT AS ma,
+         count(DISTINCT fb)::BIGINT AS mb
+  FROM vfpairs GROUP BY 1, 2)
+SELECT va AS id_a, vb AS id_b, ma, mb,
+       a.nfr AS nfa, b.nfr AS nfb
+FROM vvotes
+JOIN vnf a ON a.vid = va JOIN vnf b ON b.vid = vb
+WHERE 4 * ma >= 3 * a.nfr AND 4 * mb >= 3 * b.nfr
+ORDER BY id_a, id_b
+"""
+    )
+
+
+@q("stream_video_index", oracle=_stream_video_index_oracle())
+def q_stream_video_index(spark, sf_dir):
+    """CONTINUOUS frame-level video index + incremental video probe
+    (streaming/media.py video_index_batch / probe_video_index) — with
+    it the VIDEO family joins every other candidate family in having
+    batch + incremental + continuous forms: the documents stream
+    (text bytes as video blobs) drains through a foreachBatch sink
+    that hexes each batch's blobs ONCE into 8 per-frame dHashes and
+    APPENDS the banded frame rows as manifest-committed segments —
+    per-epoch IO ∝ batch, blobs never enter state, the full
+    frame/banding/fid-packing geometry lives in manifest meta with a
+    loud mismatch raise and the probe READS its constants from that
+    meta (it cannot silently run at a different frame grid). The
+    per-frame hash is pure per-video, so the maintained index equals
+    the batch build bit-for-bit at any epoch count (pinned in
+    tests/test_streaming_media.py). The probe batch — heavy-edit
+    copies of every 6th doc (two of eight frames scrambled wholesale)
+    — then runs `incremental_video_pairs`: batch-only fingerprinting,
+    frame candidates from the shared batch-vs-index core, and the ONE
+    `_frame_votes_to_edges` vote the batch dedup uses. Output is the
+    voted video edges with their vote counts; the oracle replays
+    frame slicing, hashing, brute-force batch-touching frame pairs
+    (pigeonhole recall makes the banded join provably equal), and the
+    3/4 both-sides vote."""
+    from transporter_spark.streaming.media import (
+        drain_documents_video,
+        probe_video_index,
+    )
+
+    state = drain_documents_video(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.encode(
+            F.expr(
+                "concat(substr(text, 1, cast((2 * length(text)) div 5 as int)), "
+                "repeat('Z', cast((3 * length(text)) div 5 as int) "
+                "- cast((2 * length(text)) div 5 as int)), "
+                "substr(text, cast((3 * length(text)) div 5 as int) + 1))"
+            ),
+            "utf-8",
+        ).alias("content"),
+    )
+    return probe_video_index(
+        spark, state, batch, with_counts=True
+    ).orderBy("id_a", "id_b")
+
+
 @q(
     "bpe_token_stats",
     oracle=r"""

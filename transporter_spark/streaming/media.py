@@ -151,6 +151,195 @@ def read_phash_index(spark: SparkSession, state_dir: str) -> DataFrame:
     return df
 
 
+_VIDEO_TABLES = ("vfps", "v_ids")
+
+
+def _check_video_geometry(
+    store: SegmentStore, bits: int, bands: int, n_frames: int, frame_cap: int
+) -> None:
+    meta = store.meta()
+    for name, val in (
+        ("video_bits", bits),
+        ("video_bands", bands),
+        ("video_n_frames", n_frames),
+        ("video_frame_cap", frame_cap),
+    ):
+        if name in meta and meta[name] != val:
+            raise ValueError(
+                f"video frame index at {store.base!r} was built with "
+                f"{name}={meta[name]}; refusing an epoch at {val} — "
+                "mixed frame/banding geometries would silently break "
+                "the pigeonhole candidate join or the fid packing"
+            )
+
+
+def video_index_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_frames: int = 8,
+    bits: int = 32,
+    bands: int = 4,
+    frame_cap: int = 64,
+) -> bool:
+    """One epoch of FRAME-LEVEL video index maintenance — the video
+    twin of `phash_index_batch`: each batch's blobs hex ONCE into 8
+    per-frame dHashes (operators/multimodal.video_frame_phash), the
+    banded frame rows append as a new segment (state = ~20 B x bands
+    x n_frames per video, blobs never enter it), and the full frame +
+    banding + fid-packing geometry is recorded in manifest meta with
+    a loud mismatch raise. The per-frame hash is PURE per-video, so
+    the maintained index equals the batch build bit-for-bit at any
+    epoch count. Returns False on replay / empty / fully-redelivered
+    batches."""
+    from transporter_spark.operators.dedup import band_fingerprint
+    from transporter_spark.operators.multimodal import video_frame_phash
+    from transporter_spark.streaming.ingest import redelivery_guard
+
+    store = SegmentStore(state_dir)
+    if store.epoch_already_applied(epoch_id):
+        return False
+    if batch.isEmpty():
+        return False
+    _check_video_geometry(store, bits, bands, n_frames, frame_cap)
+    spark = batch.sparkSession
+    if store.manifest() is not None:
+        batch = redelivery_guard(batch, store.read(spark, "v_ids"), id_col)
+        if batch.isEmpty():
+            return False
+    fp = video_frame_phash(
+        batch, content_col, id_col, n_frames, bits, frame_cap
+    )
+    banded = band_fingerprint(
+        fp.select(F.col("fid").alias("id"), "phash"), "phash", bits, bands
+    )
+    segs = {}
+    for table, df in (
+        ("vfps", banded),
+        ("v_ids", batch.select(F.col(id_col).alias("id"))),
+    ):
+        name = store.fresh_name(f"{table}-e{epoch_id}")
+        df.write.mode("overwrite").parquet(store.seg_path(name))
+        segs[table] = store.table_segments(table) + [name]
+    store.commit(
+        epoch_id,
+        tables=segs,
+        meta={
+            "video_bits": bits,
+            "video_bands": bands,
+            "video_n_frames": n_frames,
+            "video_frame_cap": frame_cap,
+        },
+    )
+    return True
+
+
+def compact_video_index(spark: SparkSession, state_dir: str) -> bool:
+    """Fold the video index's epoch segments (the shared list-table
+    fold). Returns False when already compact."""
+    return SegmentStore(state_dir).compact_tables_commit(
+        spark, _VIDEO_TABLES
+    )
+
+
+def video_ingest_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: Optional[str] = None,
+    compact_every: Optional[int] = None,
+    **kw,
+) -> None:
+    """Drain a video stream into the maintained banded FRAME index
+    (availableNow); probe it any time with
+    ``incremental_video_pairs(batch, read_video_index(...))``."""
+    from transporter_spark.streaming.windows import (
+        run_foreach_batch_available_now,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        applied = video_index_batch(batch, epoch_id, state_dir, **kw)
+        if (
+            applied
+            and compact_every
+            and len(SegmentStore(state_dir).table_segments("vfps"))
+            >= compact_every
+        ):
+            compact_video_index(batch.sparkSession, state_dir)
+
+    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def read_video_index(spark: SparkSession, state_dir: str) -> DataFrame:
+    """The maintained banded frame table (id=fid, phash, band, chunk)
+    — `incremental_video_pairs`' index input. Probe geometry is
+    validated against the manifest meta by `probe_video_index`; use
+    that wrapper unless you have just committed with the same
+    constants in hand."""
+    df = SegmentStore(state_dir).read(spark, "vfps")
+    if df is None:
+        raise FileNotFoundError(
+            f"no committed video frame index at {state_dir!r}: the "
+            "sink has not applied any non-empty epoch yet"
+        )
+    return df
+
+
+def probe_video_index(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """`incremental_video_pairs` against the maintained index with the
+    STORED geometry — n_frames/bits/bands/frame_cap come from the
+    manifest meta, so a probe can never silently run at a different
+    frame grid or banding than the index was built with (the fuzzy
+    index's max_distance discipline)."""
+    from transporter_spark.operators.multimodal import (
+        incremental_video_pairs,
+    )
+
+    meta = SegmentStore(state_dir).meta()
+    return incremental_video_pairs(
+        batch,
+        read_video_index(spark, state_dir),
+        content_col=content_col,
+        id_col=id_col,
+        n_frames=meta["video_n_frames"],
+        bits=meta["video_bits"],
+        bands=meta["video_bands"],
+        frame_cap=meta["video_frame_cap"],
+        **kw,
+    )
+
+
+def drain_documents_video(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: Optional[str] = None,
+    content_from_text: bool = True,
+    **kw,
+) -> str:
+    """Convenience: stream the documents table through the video frame
+    index sink (text bytes standing in for video blobs) and return the
+    STATE DIR — probe with `probe_video_index` (the graded query
+    does), which validates geometry from the manifest."""
+    from transporter_spark.streaming.sources import stream_table
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_video_") + "/state"
+    docs = stream_table(spark, sf_dir, "documents")
+    if content_from_text:
+        docs = docs.select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+        )
+    video_ingest_sink(docs, state, **kw)
+    return state
+
+
 def drain_documents_phash(
     spark: SparkSession,
     sf_dir: str,
