@@ -24,11 +24,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 10 (VERDICT r9 item 2): 6 new + 19
-# changed + the 16 mandated r4 spills + 9 stalest-r5 = 50
-# (stream_video_index, added late in the round, displaced
-# q2_min_cost_supplier — it rejoins the r5 remainder at the head of
-# the r11 queue).
+# to the STALEST greens. Round 10 (VERDICT r9 item 2): 7 new + 19
+# changed + the 16 mandated r4 spills + 8 stalest-r5 = 50
+# (stream_video_index and pack_with_boundaries, added late in the
+# round, displaced q2_min_cost_supplier and scalar_subquery — they
+# rejoin the r5 remainder at the head of the r11 queue).
 # "Changed" is read strictly, per FUNCTION executed:
 # - the r10 guard/param additions to the banded-candidate core
 #   (banded_hamming_pairs / incremental_banded_hamming_pairs gained
@@ -73,6 +73,7 @@ _PRIORITY = [
     "ann_recall_tuned",         # recall@5 = 0.90 vs brute force
     "dedup_recall_tuned",       # LSH r=2 point, recall 0.994
     "tokenize_pack_pipeline",   # ids -> fixed-length training rows
+    "pack_with_boundaries",     # + attention-mask segment offsets
     "video_phash_dedup",        # frame-vote video near-dedup
     "stream_video_index",       # continuous frame index + incr. probe
     # --- changed since their last green row (see header) ---
@@ -121,7 +122,6 @@ _PRIORITY = [
     "exists_subquery",
     "anti_join_not_in",
     "having_clause",
-    "scalar_subquery",
     # --- past the graded window: the r5 remainder heads the r11
     # --- queue (list in the header); r6/r8/r9 cohorts follow via
     # --- the registry fallback

@@ -736,6 +736,28 @@ def test_bpe_encode_ids_roundtrips_pure_python_reference(spark):
             )
     assert packed == want_packed
 
+    # with_boundaries: offset 0 always starts a segment; other starts
+    # are where a doc's tok_idx==0 token landed
+    doc_lens = {"s1": [len(want_ids[0]), len(want_ids[1])],
+                "s2": [len(want_ids[2])]}
+    want_bounds = {}
+    for src, lens in doc_lens.items():
+        starts, acc = [], 0
+        for ln in lens:
+            starts.append(acc)
+            acc += ln
+        for s in range(0, acc, 5):
+            offs = sorted({0} | {st - s for st in starts if s <= st < s + 5 and st - s != 0})
+            want_bounds[(src, s // 5)] = "-".join(str(o) for o in offs)
+    got_bounds = {
+        (r.source, r.seq_id): r.doc_starts
+        for r in pack_token_ids(
+            ids, df.select("doc_id", "source"), seq_len=5,
+            with_boundaries=True,
+        ).collect()
+    }
+    assert got_bounds == want_bounds
+
 
 def test_pack_token_ids_stale_doc_meta_raises(spark):
     """r10 review: a doc_meta frame missing a document that HAS token

@@ -1031,6 +1031,7 @@ def pack_token_ids(
     seq_len: int = 512,
     shard_col: str = "source",
     id_col: str = "doc_id",
+    with_boundaries: bool = False,
 ) -> DataFrame:
     """Pack per-document token-id rows into FIXED-LENGTH training
     sequences — the `pack_sequences` binning (contiguous cumsum
@@ -1043,6 +1044,14 @@ def pack_token_ids(
     trainer's shard writer would emit binary rows here anyway). The
     final sequence of a shard may be short (no padding token is
     invented); every other row carries exactly seq_len ids.
+
+    ``with_boundaries`` appends ``doc_starts``: the sorted distinct
+    in-sequence offsets where a DOCUMENT starts (offset 0 is always a
+    boundary — a cross-sequence continuation restarts attention at
+    the sequence head, the common packing convention) — the segment
+    boundaries a trainer's block-diagonal attention mask / position-id
+    reset consumes. Derived inside the same (shard, seq) aggregate
+    from tok_idx == 0 markers — no extra pass, no extra shuffle.
 
     Scale shape: only id-sized rows move — token text never enters;
     the per-shard document cumsum runs over the #docs-row count frame
@@ -1083,20 +1092,38 @@ def pack_token_ids(
             + F.col("tok_idx")
         ).alias("gpos"),
         "token_id",
+        "tok_idx",
     )
-    return (
-        g.withColumn("seq_id", F.expr(f"gpos div {seq_len}"))
-        .groupBy(shard_col, "seq_id")
-        .agg(
-            F.count("*").cast("long").alias("n_tokens"),
+    aggs = [
+        F.count("*").cast("long").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("gpos", "token_id"))
+                ),
+                lambda s: s.token_id.cast("string"),
+            ),
+            "-",
+        ).alias("token_ids"),
+    ]
+    if with_boundaries:
+        off = F.pmod(F.col("gpos"), F.lit(seq_len))
+        marker = F.when(
+            (F.col("tok_idx") == 0) | (off == 0), off.cast("long")
+        )
+        aggs.append(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("gpos", "token_id"))
+                        F.array_distinct(F.collect_list(marker))
                     ),
-                    lambda s: s.token_id.cast("string"),
+                    lambda x: x.cast("string"),
                 ),
                 "-",
-            ).alias("token_ids"),
+            ).alias("doc_starts")
         )
+    return (
+        g.withColumn("seq_id", F.expr(f"gpos div {seq_len}"))
+        .groupBy(shard_col, "seq_id")
+        .agg(*aggs)
     )

@@ -3713,7 +3713,9 @@ QUERIES["stream_bpe_vocab"] = QUERIES["stream_bpe_vocab"]._replace(
 _PACK_SEQ_LEN = 512
 
 
-def _tokenize_pack_oracle(num_merges: int, seq_len: int) -> str:
+def _tokenize_pack_oracle(
+    num_merges: int, seq_len: int, with_boundaries: bool = False
+) -> str:
     """Composed replay of learn -> encode-to-ids -> pack: the staged
     BPE trainer CTEs, the apply-chain replaces per (doc, word-pos) row
     (chr(31)-sentinel coalesced — early-stop safe), the deterministic
@@ -3730,6 +3732,16 @@ def _tokenize_pack_oracle(num_merges: int, seq_len: int) -> str:
     merged_union = "\n  UNION ALL\n".join(
         f"  SELECT lhs || rhs AS sym, 1 AS grp, {i}::BIGINT AS ord FROM b{i}"
         for i in range(1, num_merges + 1)
+    )
+    boundary_sql = (
+        f""",
+       array_to_string(
+         list(DISTINCT CAST(gpos % {seq_len} AS BIGINT)
+              ORDER BY CAST(gpos % {seq_len} AS BIGINT))
+           FILTER (WHERE tok_idx = 0 OR gpos % {seq_len} = 0),
+         '-') AS doc_starts"""
+        if with_boundaries
+        else ""
     )
     return (
         _bpe_oracle_ctes(num_merges)
@@ -3770,11 +3782,11 @@ offs AS (
            AS base
   FROM documents d JOIN cnts c USING (doc_id)),
 g AS (
-  SELECT o.source, t.token_id, o.base + t.tok_idx AS gpos
+  SELECT o.source, t.token_id, t.tok_idx, o.base + t.tok_idx AS gpos
   FROM tid t JOIN offs o USING (doc_id))
 SELECT source, CAST(gpos // {seq_len} AS BIGINT) AS seq_id,
        count(*)::BIGINT AS n_tokens,
-       array_to_string(list(token_id ORDER BY gpos), '-') AS token_ids
+       array_to_string(list(token_id ORDER BY gpos), '-') AS token_ids{boundary_sql}
 FROM g GROUP BY 1, 2 ORDER BY source, seq_id
 """
     )
@@ -3820,6 +3832,46 @@ def q_tokenize_pack_pipeline(spark, sf_dir):
     ids = bpe_encode_ids(docs, merges, vocab)
     return pack_token_ids(
         ids, docs.select("doc_id", "source"), seq_len=_PACK_SEQ_LEN
+    ).orderBy("source", "seq_id")
+
+
+@q(
+    "pack_with_boundaries",
+    oracle=_tokenize_pack_oracle(
+        _BPE_GRADED_MERGES, _PACK_SEQ_LEN, with_boundaries=True
+    ),
+)
+def q_pack_with_boundaries(spark, sf_dir):
+    """The packed training rows WITH their document boundaries — the
+    production detail block-diagonal attention masking and position-id
+    resets consume: `tokenize_pack_pipeline`'s exact pipeline plus a
+    ``doc_starts`` column (sorted distinct in-sequence offsets where a
+    document begins; offset 0 is always a boundary — a cross-sequence
+    continuation restarts attention at the sequence head, the common
+    packing convention). The boundary set derives from the tok_idx==0
+    markers INSIDE the same (shard, seq) aggregate — zero extra
+    passes, zero extra shuffles over the id stream. The oracle is the
+    same staged replay with the boundary list folded into the final
+    aggregate."""
+    from transporter_spark.operators.dedup import _materialize
+    from transporter_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_learn_from_counts,
+        bpe_vocab_from_words,
+        bpe_word_counts,
+        pack_token_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    wc = _materialize(bpe_word_counts(docs))
+    merges = bpe_learn_from_counts(wc, _BPE_GRADED_MERGES)
+    vocab = bpe_vocab_from_words(wc, merges)
+    ids = bpe_encode_ids(docs, merges, vocab)
+    return pack_token_ids(
+        ids,
+        docs.select("doc_id", "source"),
+        seq_len=_PACK_SEQ_LEN,
+        with_boundaries=True,
     ).orderBy("source", "seq_id")
 
 
