@@ -113,7 +113,8 @@ _PRIORITY = [
     "window_topn",
     "windowed_agg",
     "word_count",
-    # --- 10 stalest r5-cohort greens (registry queue order) ---
+    # --- 8 stalest r5-cohort greens (registry queue order; two
+    # --- slots went to the late additions, see header) ---
     "media_features",
     "json_functions",
     "cube_agg",

@@ -759,13 +759,16 @@ def incremental_video_pairs(
     fpairs = incremental_banded_hamming_pairs(
         new_banded, index, "phash", max_hamming, bands, max_bucket=max_bucket
     )
+    # per-video frame counts WITHOUT a distinct pass: band_fingerprint
+    # emits exactly `bands` rows per frame, so nfr = count div bands in
+    # ONE map-side-combinable aggregate (the r10 review fix — the
+    # union+distinct formulation paid a second index-sized shuffle on
+    # every probe)
     nf = (
         new_banded.select("id")
         .unionByName(index.select("id"))
-        .distinct()
-        .select(F.expr(f"id div {frame_cap}").alias("vid"))
-        .groupBy("vid")
-        .agg(F.count("*").cast("long").alias("nfr"))
+        .groupBy(F.expr(f"id div {frame_cap}").alias("vid"))
+        .agg(F.expr(f"count(*) div {bands}").cast("long").alias("nfr"))
     )
     return _frame_votes_to_edges(
         fpairs, nf, vote_num, vote_den, vote_both, frame_cap,

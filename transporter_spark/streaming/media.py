@@ -43,16 +43,63 @@ from transporter_spark.streaming.state import SegmentStore
 _TABLES = ("fps", "ph_ids")
 
 
-def _check_geometry(store: SegmentStore, bits: int, bands: int) -> None:
+def _check_meta_geometry(store: SegmentStore, want: dict) -> None:
+    """Raise on any committed meta value differing from the epoch's —
+    the ONE geometry validation both sinks in this module share."""
     meta = store.meta()
-    for name, val in (("phash_bits", bits), ("phash_bands", bands)):
+    for name, val in want.items():
         if name in meta and meta[name] != val:
             raise ValueError(
-                f"pHash index at {store.base!r} was built with "
+                f"index at {store.base!r} was built with "
                 f"{name}={meta[name]}; refusing an epoch at {val} — "
-                "mixed banding geometries would silently break the "
-                "pigeonhole candidate join"
+                "mixed geometries would silently break the pigeonhole "
+                "candidate join (or the fid packing)"
             )
+
+
+def _banded_index_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    id_col: str,
+    meta: dict,
+    banded_fn,
+    fp_table: str,
+    id_table: str,
+) -> bool:
+    """THE shared epoch skeleton of this module's banded-fingerprint
+    index sinks (image pHash and frame-level video): replay guard ->
+    empty guard -> geometry validation -> cross-epoch id re-delivery
+    guard -> fingerprint/band the batch (``banded_fn``) -> append both
+    segments -> atomic manifest commit. One skeleton, so a fix to the
+    guard/commit ordering cannot silently miss a twin (the r10 review
+    consolidation; the vote core's 'one definition, no drift' rule
+    applied to the sink layer). Returns False on replay / empty /
+    fully-redelivered batches."""
+    from transporter_spark.streaming.ingest import redelivery_guard
+
+    store = SegmentStore(state_dir)
+    if store.epoch_already_applied(epoch_id):
+        return False
+    if batch.isEmpty():
+        return False
+    _check_meta_geometry(store, meta)
+    spark = batch.sparkSession
+    if store.manifest() is not None:
+        batch = redelivery_guard(batch, store.read(spark, id_table), id_col)
+        if batch.isEmpty():
+            return False
+    banded = banded_fn(batch)
+    segs = {}
+    for table, df in (
+        (fp_table, banded),
+        (id_table, batch.select(F.col(id_col).alias("id"))),
+    ):
+        name = store.fresh_name(f"{table}-e{epoch_id}")
+        df.write.mode("overwrite").parquet(store.seg_path(name))
+        segs[table] = store.table_segments(table) + [name]
+    store.commit(epoch_id, tables=segs, meta=meta)
+    return True
 
 
 def phash_index_batch(
@@ -70,36 +117,17 @@ def phash_index_batch(
     append — the standing index is read only for the 8 B/image id
     guard, and never rewritten."""
     from transporter_spark.operators.multimodal import phash_index
-    from transporter_spark.streaming.ingest import redelivery_guard
 
-    store = SegmentStore(state_dir)
-    if store.epoch_already_applied(epoch_id):
-        return False
-    if batch.isEmpty():
-        return False
-    _check_geometry(store, bits, bands)
-    spark = batch.sparkSession
-    if store.manifest() is not None:
-        batch = redelivery_guard(
-            batch, store.read(spark, "ph_ids"), id_col
-        )
-        if batch.isEmpty():
-            return False
-    banded = phash_index(batch, content_col, id_col, bits, bands)
-    segs = {}
-    for table, df in (
-        ("fps", banded),
-        ("ph_ids", batch.select(F.col(id_col).alias("id"))),
-    ):
-        name = store.fresh_name(f"{table}-e{epoch_id}")
-        df.write.mode("overwrite").parquet(store.seg_path(name))
-        segs[table] = store.table_segments(table) + [name]
-    store.commit(
+    return _banded_index_batch(
+        batch,
         epoch_id,
-        tables=segs,
+        state_dir,
+        id_col,
         meta={"phash_bits": bits, "phash_bands": bands},
+        banded_fn=lambda b: phash_index(b, content_col, id_col, bits, bands),
+        fp_table="fps",
+        id_table="ph_ids",
     )
-    return True
 
 
 def compact_phash_index(spark: SparkSession, state_dir: str) -> bool:
@@ -154,25 +182,6 @@ def read_phash_index(spark: SparkSession, state_dir: str) -> DataFrame:
 _VIDEO_TABLES = ("vfps", "v_ids")
 
 
-def _check_video_geometry(
-    store: SegmentStore, bits: int, bands: int, n_frames: int, frame_cap: int
-) -> None:
-    meta = store.meta()
-    for name, val in (
-        ("video_bits", bits),
-        ("video_bands", bands),
-        ("video_n_frames", n_frames),
-        ("video_frame_cap", frame_cap),
-    ):
-        if name in meta and meta[name] != val:
-            raise ValueError(
-                f"video frame index at {store.base!r} was built with "
-                f"{name}={meta[name]}; refusing an epoch at {val} — "
-                "mixed frame/banding geometries would silently break "
-                "the pigeonhole candidate join or the fid packing"
-            )
-
-
 def video_index_batch(
     batch: DataFrame,
     epoch_id: int,
@@ -196,44 +205,28 @@ def video_index_batch(
     batches."""
     from transporter_spark.operators.dedup import band_fingerprint
     from transporter_spark.operators.multimodal import video_frame_phash
-    from transporter_spark.streaming.ingest import redelivery_guard
 
-    store = SegmentStore(state_dir)
-    if store.epoch_already_applied(epoch_id):
-        return False
-    if batch.isEmpty():
-        return False
-    _check_video_geometry(store, bits, bands, n_frames, frame_cap)
-    spark = batch.sparkSession
-    if store.manifest() is not None:
-        batch = redelivery_guard(batch, store.read(spark, "v_ids"), id_col)
-        if batch.isEmpty():
-            return False
-    fp = video_frame_phash(
-        batch, content_col, id_col, n_frames, bits, frame_cap
-    )
-    banded = band_fingerprint(
-        fp.select(F.col("fid").alias("id"), "phash"), "phash", bits, bands
-    )
-    segs = {}
-    for table, df in (
-        ("vfps", banded),
-        ("v_ids", batch.select(F.col(id_col).alias("id"))),
-    ):
-        name = store.fresh_name(f"{table}-e{epoch_id}")
-        df.write.mode("overwrite").parquet(store.seg_path(name))
-        segs[table] = store.table_segments(table) + [name]
-    store.commit(
+    def banded_fn(b: DataFrame) -> DataFrame:
+        fp = video_frame_phash(b, content_col, id_col, n_frames, bits, frame_cap)
+        return band_fingerprint(
+            fp.select(F.col("fid").alias("id"), "phash"), "phash", bits, bands
+        )
+
+    return _banded_index_batch(
+        batch,
         epoch_id,
-        tables=segs,
+        state_dir,
+        id_col,
         meta={
             "video_bits": bits,
             "video_bands": bands,
             "video_n_frames": n_frames,
             "video_frame_cap": frame_cap,
         },
+        banded_fn=banded_fn,
+        fp_table="vfps",
+        id_table="v_ids",
     )
-    return True
 
 
 def compact_video_index(spark: SparkSession, state_dir: str) -> bool:
@@ -304,6 +297,19 @@ def probe_video_index(
     )
 
     meta = SegmentStore(state_dir).meta()
+    missing = [
+        k
+        for k in (
+            "video_n_frames", "video_bits", "video_bands", "video_frame_cap"
+        )
+        if k not in meta
+    ]
+    if missing:
+        raise ValueError(
+            f"state at {state_dir!r} carries no {missing} meta — it is "
+            "not a video frame index (pointed at a pHash/fuzzy/other "
+            "sink's state?)"
+        )
     return incremental_video_pairs(
         batch,
         read_video_index(spark, state_dir),
