@@ -24,11 +24,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 10 (VERDICT r9 item 2): 7 new + 19
-# changed + the 16 mandated r4 spills + 8 stalest-r5 = 50
-# (stream_video_index and pack_with_boundaries, added late in the
-# round, displaced q2_min_cost_supplier and scalar_subquery — they
-# rejoin the r5 remainder at the head of the r11 queue).
+# to the STALEST greens. Round 10 (VERDICT r9 item 2): 8 new + 20
+# changed + the 16 mandated r4 spills + 6 stalest-r5 = 50
+# (stream_video_index, pack_with_boundaries, and the
+# pretraining_pipeline composition — whose shared _curated_docs
+# front also re-grades training_pipeline — were added late in the
+# round and displaced q2_min_cost_supplier, scalar_subquery,
+# having_clause, and anti_join_not_in; all four rejoin the r5
+# remainder at the head of the r11 queue).
 # "Changed" is read strictly, per FUNCTION executed:
 # - the r10 guard/param additions to the banded-candidate core
 #   (banded_hamming_pairs / incremental_banded_hamming_pairs gained
@@ -74,6 +77,7 @@ _PRIORITY = [
     "dedup_recall_tuned",       # LSH r=2 point, recall 0.994
     "tokenize_pack_pipeline",   # ids -> fixed-length training rows
     "pack_with_boundaries",     # + attention-mask segment offsets
+    "pretraining_pipeline",     # curate -> learn -> ids -> pack
     "video_phash_dedup",        # frame-vote video near-dedup
     "stream_video_index",       # continuous frame index + incr. probe
     # --- changed since their last green row (see header) ---
@@ -96,6 +100,7 @@ _PRIORITY = [
     "dedup_clusters_portable",
     "bpe_apply_merges",
     "domain_upsample",
+    "training_pipeline",        # now runs through _curated_docs
     # --- the 16 r4 spills mandated by VERDICT r9 item 2 ---
     "rename",
     "repeated_chunk_prune",
@@ -113,7 +118,7 @@ _PRIORITY = [
     "window_topn",
     "windowed_agg",
     "word_count",
-    # --- 8 stalest r5-cohort greens (registry queue order; two
+    # --- 6 stalest r5-cohort greens (registry queue order; four
     # --- slots went to the late additions, see header) ---
     "media_features",
     "json_functions",
@@ -121,8 +126,6 @@ _PRIORITY = [
     "grouped_pandas_udaf",
     "python_udtf",
     "exists_subquery",
-    "anti_join_not_in",
-    "having_clause",
     # --- past the graded window: the r5 remainder heads the r11
     # --- queue (list in the header); r6/r8/r9 cohorts follow via
     # --- the registry fallback

@@ -75,6 +75,40 @@ def test_portable_ctes_threshold_splices_both_sites():
     assert ">= 0.1)" not in moved
 
 
+def test_tokenize_pack_builder_source_default_identical():
+    """The r10 source/with_boundaries parameterization: explicit
+    defaults reproduce the graded strings byte-for-byte, and the
+    pretraining composition only SPLICES in front of the shared
+    builders' text (curated CTEs + the rename CTE), leaving the
+    tokenize chain itself verbatim."""
+    from transporter_spark.queries import (
+        _BPE_GRADED_MERGES,
+        _PACK_SEQ_LEN,
+        _curated_ctes,
+        _tokenize_pack_oracle,
+    )
+
+    assert _tokenize_pack_oracle(
+        _BPE_GRADED_MERGES, _PACK_SEQ_LEN, source="documents"
+    ) == _tokenize_pack_oracle(_BPE_GRADED_MERGES, _PACK_SEQ_LEN)
+    assert QUERIES["tokenize_pack_pipeline"].oracle == _tokenize_pack_oracle(
+        _BPE_GRADED_MERGES, _PACK_SEQ_LEN
+    )
+    composed = QUERIES["pretraining_pipeline"].oracle
+    tail = _tokenize_pack_oracle(
+        _BPE_GRADED_MERGES, _PACK_SEQ_LEN,
+        with_boundaries=True, source="curated",
+    ).split("\nWITH wc AS MATERIALIZED (", 1)
+    assert composed.startswith(tail[0] + "\nWITH " + _curated_ctes())
+    assert composed.endswith("wc AS MATERIALIZED (" + tail[1])
+    # and training_pipeline's oracle is the same curated block + its
+    # original rollup tail (byte-identity vs the pre-factor literal
+    # was asserted at refactor time; structure pinned here)
+    assert QUERIES["training_pipeline"].oracle.startswith(
+        "\nWITH " + _curated_ctes()
+    )
+
+
 def test_recall_audit_oracle_materializes_shared_cte():
     """The audit oracle references `sh` more times than the graded LSH
     query; the composition layer must MATERIALIZE it (and the corpus)

