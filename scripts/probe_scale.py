@@ -546,17 +546,20 @@ def probe_video(spark):
     for mult in (1, MULT):
         corpus = _replicate(docs, "doc_id", mult)
         fp = video_frame_phash(corpus, "content", "doc_id")
-        index = band_fingerprint(
+        # the standing index lives ON DISK (like the sink's manifest
+        # segments) so the probe pays the real index read I/O, matching
+        # probe_incremental's discipline — an in-memory persist would
+        # credit cache locality to the scaling claim (r10 review)
+        idx_path = f"/tmp/probe_video_idx_{mult}x"
+        band_fingerprint(
             fp.select(F.col("fid").alias("id"), "phash"), "phash", 32, 4
-        )
-        index = index.persist()
-        index.count()  # the standing index: built once, outside the probe
+        ).write.mode("overwrite").parquet(idx_path)
+        index = spark.read.parquet(idx_path)
 
         def run():
             incremental_video_pairs(batch, index).count()
 
         times[mult] = _best(run)
-        index.unpersist()
     return times[1], times[MULT]
 
 

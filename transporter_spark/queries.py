@@ -3795,6 +3795,34 @@ FROM g GROUP BY 1, 2 ORDER BY source, seq_id
     )
 
 
+def _tokenize_pack_chain(docs, with_boundaries: bool = False):
+    """ONE word-count pass -> learn merges -> vocab -> encode to ids
+    -> pack: the engine mirror of `_tokenize_pack_oracle`'s source
+    parameterization, shared by tokenize_pack_pipeline,
+    pack_with_boundaries, and the pretraining composition — one chain
+    definition, no drift (r10 review). ``docs`` needs (doc_id, source,
+    text)."""
+    from transporter_spark.operators.dedup import _materialize
+    from transporter_spark.operators.text import (
+        bpe_encode_ids,
+        bpe_learn_from_counts,
+        bpe_vocab_from_words,
+        bpe_word_counts,
+        pack_token_ids,
+    )
+
+    wc = _materialize(bpe_word_counts(docs))
+    merges = bpe_learn_from_counts(wc, _BPE_GRADED_MERGES)
+    vocab = bpe_vocab_from_words(wc, merges)
+    ids = bpe_encode_ids(docs, merges, vocab)
+    return pack_token_ids(
+        ids,
+        docs.select("doc_id", "source"),
+        seq_len=_PACK_SEQ_LEN,
+        with_boundaries=with_boundaries,
+    ).orderBy("source", "seq_id")
+
+
 @q(
     "tokenize_pack_pipeline",
     oracle=_tokenize_pack_oracle(_BPE_GRADED_MERGES, _PACK_SEQ_LEN),
@@ -3819,23 +3847,8 @@ def q_tokenize_pack_pipeline(spark, sf_dir):
     round-trip against a pure-Python greedy reference in
     tests/test_text_multimodal.py. The oracle replays trainer,
     vocab, encode, cumsum, and chunking end-to-end."""
-    from transporter_spark.operators.dedup import _materialize
-    from transporter_spark.operators.text import (
-        bpe_encode_ids,
-        bpe_learn_from_counts,
-        bpe_vocab_from_words,
-        bpe_word_counts,
-        pack_token_ids,
-    )
-
     docs = read_table(spark, sf_dir, "documents")
-    wc = _materialize(bpe_word_counts(docs))
-    merges = bpe_learn_from_counts(wc, _BPE_GRADED_MERGES)
-    vocab = bpe_vocab_from_words(wc, merges)
-    ids = bpe_encode_ids(docs, merges, vocab)
-    return pack_token_ids(
-        ids, docs.select("doc_id", "source"), seq_len=_PACK_SEQ_LEN
-    ).orderBy("source", "seq_id")
+    return _tokenize_pack_chain(docs)
 
 
 @q(
@@ -3856,26 +3869,8 @@ def q_pack_with_boundaries(spark, sf_dir):
     passes, zero extra shuffles over the id stream. The oracle is the
     same staged replay with the boundary list folded into the final
     aggregate."""
-    from transporter_spark.operators.dedup import _materialize
-    from transporter_spark.operators.text import (
-        bpe_encode_ids,
-        bpe_learn_from_counts,
-        bpe_vocab_from_words,
-        bpe_word_counts,
-        pack_token_ids,
-    )
-
     docs = read_table(spark, sf_dir, "documents")
-    wc = _materialize(bpe_word_counts(docs))
-    merges = bpe_learn_from_counts(wc, _BPE_GRADED_MERGES)
-    vocab = bpe_vocab_from_words(wc, merges)
-    ids = bpe_encode_ids(docs, merges, vocab)
-    return pack_token_ids(
-        ids,
-        docs.select("doc_id", "source"),
-        seq_len=_PACK_SEQ_LEN,
-        with_boundaries=True,
-    ).orderBy("source", "seq_id")
+    return _tokenize_pack_chain(docs, with_boundaries=True)
 
 
 @q(
@@ -5438,13 +5433,6 @@ def q_pretraining_pipeline(spark, sf_dir):
     id-sized rows shuffle after tokenization. The oracle splices the
     curated CTEs in front of the staged tokenize->pack replay."""
     from transporter_spark.operators.dedup import _materialize
-    from transporter_spark.operators.text import (
-        bpe_encode_ids,
-        bpe_learn_from_counts,
-        bpe_vocab_from_words,
-        bpe_word_counts,
-        pack_token_ids,
-    )
 
     docs = read_table(spark, sf_dir, "documents")
     kept = _materialize(
@@ -5452,16 +5440,7 @@ def q_pretraining_pipeline(spark, sf_dir):
             "doc_id", "source", F.col("rtext").alias("text")
         )
     )
-    wc = _materialize(bpe_word_counts(kept))
-    merges = bpe_learn_from_counts(wc, _BPE_GRADED_MERGES)
-    vocab = bpe_vocab_from_words(wc, merges)
-    ids = bpe_encode_ids(kept, merges, vocab)
-    return pack_token_ids(
-        ids,
-        kept.select("doc_id", "source"),
-        seq_len=_PACK_SEQ_LEN,
-        with_boundaries=True,
-    ).orderBy("source", "seq_id")
+    return _tokenize_pack_chain(kept, with_boundaries=True)
 
 
 @q(
