@@ -1038,6 +1038,30 @@ def test_tokenize_pack_ids_only_shuffles_broadcast_vocab(spark, sf_dir):
     assert "hashpartitioning(doc_id" in body, body
 
 
+def test_pretraining_pipeline_text_exits_before_shuffles(spark, sf_dir):
+    """The full composition inherits the tokenize->pack scale claims
+    AFTER the curation front: no cartesian, the symbol->id vocab join
+    broadcast, and no shuffle Exchange carrying raw text — curation
+    is projections + the one dedup window, then only id-sized rows
+    move."""
+    df = QUERIES["pretraining_pipeline"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+    assert "BroadcastHashJoin" in body, body
+    import re as _re
+
+    for m in _re.finditer(r"\(\d+\) Exchange", plan):
+        seg = plan[m.start() : m.start() + 400]
+        # rtext/text may ride ONLY the curation dedup window's
+        # exchange (nhash-keyed); the tokenize->pack exchanges are
+        # id/position-sized
+        if "hashpartitioning(nhash" in seg:
+            continue
+        assert "text#" not in seg, seg
+
+
 def test_pair_recall_single_join_no_cartesian(spark, sf_dir):
     """The recall audit reduces both pair frames through ONE
     full-outer equi-join and a single global aggregate — no cartesian
