@@ -24,14 +24,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 10 (VERDICT r9 item 2): 8 new + 20
-# changed + the 16 mandated r4 spills + 6 stalest-r5 = 50
-# (stream_video_index, pack_with_boundaries, and the
-# pretraining_pipeline composition — whose shared _curated_docs
-# front also re-grades training_pipeline — were added late in the
-# round and displaced q2_min_cost_supplier, scalar_subquery,
-# having_clause, and anti_join_not_in; all four rejoin the r5
-# remainder at the head of the r11 queue).
+# to the STALEST greens. Round 10 (VERDICT r9 item 2): 9 new + 20
+# changed + the 16 mandated r4 spills + 5 stalest-r5 = 50
+# (stream_video_index, pack_with_boundaries, simhash_pairs_capped,
+# and the pretraining_pipeline composition — whose shared
+# _curated_docs front also re-grades training_pipeline — were added
+# late in the round and displaced q2_min_cost_supplier,
+# scalar_subquery, having_clause, anti_join_not_in, and
+# exists_subquery; all five rejoin the r5 remainder at the head of
+# the r11 queue).
 # "Changed" is read strictly, per FUNCTION executed:
 # - the r10 guard/param additions to the banded-candidate core
 #   (banded_hamming_pairs / incremental_banded_hamming_pairs gained
@@ -80,6 +81,7 @@ _PRIORITY = [
     "pretraining_pipeline",     # curate -> learn -> ids -> pack
     "video_phash_dedup",        # frame-vote video near-dedup
     "stream_video_index",       # continuous frame index + incr. probe
+    "simhash_pairs_capped",     # the hot-bucket guard, graded e2e
     # --- changed since their last green row (see header) ---
     "decontaminate",
     "decontaminate_bloom",
@@ -118,14 +120,13 @@ _PRIORITY = [
     "window_topn",
     "windowed_agg",
     "word_count",
-    # --- 6 stalest r5-cohort greens (registry queue order; four
+    # --- 5 stalest r5-cohort greens (registry queue order; five
     # --- slots went to the late additions, see header) ---
     "media_features",
     "json_functions",
     "cube_agg",
     "grouped_pandas_udaf",
     "python_udtf",
-    "exists_subquery",
     # --- past the graded window: the r5 remainder heads the r11
     # --- queue (list in the header); r6/r8/r9 cohorts follow via
     # --- the registry fallback

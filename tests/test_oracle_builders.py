@@ -109,6 +109,24 @@ def test_tokenize_pack_builder_source_default_identical():
     )
 
 
+def test_simhash_builder_cap_default_identical():
+    """The r10 source/max_bucket parameterization of the SimHash
+    oracle builder: explicit defaults reproduce the graded text
+    byte-for-byte; the capped variant adds exactly the bok/bcap CTEs
+    and rebinds the candidate join; the capped graded query only
+    WITH-splices its corpus in front."""
+    from transporter_spark.queries import _simhash_oracle
+
+    assert _simhash_oracle(source="documents", max_bucket=None) == _simhash_oracle()
+    assert QUERIES["simhash_pairs"].oracle == _simhash_oracle()
+    capped = _simhash_oracle(source="shcorpus", max_bucket=150)
+    assert "HAVING count(*) <= 150" in capped
+    assert "FROM bcap a JOIN bcap b" in capped
+    assert QUERIES["simhash_pairs_capped"].oracle.endswith(
+        capped.split("\nWITH tok AS (", 1)[1]
+    )
+
+
 def test_recall_audit_oracle_materializes_shared_cte():
     """The audit oracle references `sh` more times than the graded LSH
     query; the composition layer must MATERIALIZE it (and the corpus)

@@ -1949,7 +1949,19 @@ def q_simhash(spark, sf_dir):
     return simhash_pairs(docs, "text", "doc_id", bits=32, max_hamming=6, bands=8)
 
 
-def _simhash_oracle(bits: int = 32, bands: int = 8, max_hamming: int = 6) -> str:
+def _simhash_oracle(
+    bits: int = 32,
+    bands: int = 8,
+    max_hamming: int = 6,
+    source: str = "documents",
+    max_bucket: "int | None" = None,
+) -> str:
+    """The portable SimHash banded-pairs replay. ``source`` names the
+    corpus relation; ``max_bucket`` (None = off, byte-identical to the
+    graded default) replays the engine's `_cap_buckets` hot-chunk
+    guard: buckets over the cap are EXCLUDED before the self-join, so
+    a pair survives only through a shared non-oversized chunk —
+    exactly the engine semantics."""
     width = bits // bands
     sums = ",\n       ".join(
         f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
@@ -1964,9 +1976,18 @@ def _simhash_oracle(bits: int = 32, bands: int = 8, max_hamming: int = 6) -> str
         f" (simhash >> {i * width}) & {(1 << width) - 1} AS chunk FROM fp"
         for i in range(bands)
     )
+    cap_ctes = (
+        f""",
+bok AS (SELECT band, chunk FROM banded
+        GROUP BY 1, 2 HAVING count(*) <= {max_bucket}),
+bcap AS (SELECT b.* FROM banded b JOIN bok USING (band, chunk))"""
+        if max_bucket is not None
+        else ""
+    )
+    cand = "bcap" if max_bucket is not None else "banded"
     return f"""
 WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM {source}
 ),
 hashed AS (
   SELECT doc_id,
@@ -1974,10 +1995,10 @@ hashed AS (
   FROM tok),
 sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id),
 fp AS (SELECT doc_id, {fp} AS simhash FROM sums),
-banded AS ({band_selects})
+banded AS ({band_selects}){cap_ctes}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-FROM banded a JOIN banded b
+FROM {cand} a JOIN {cand} b
   ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
@@ -1986,6 +2007,65 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 QUERIES["simhash_pairs"] = QUERIES["simhash_pairs"]._replace(
     oracle=_simhash_oracle()
 )
+
+
+_BOILERPLATE_TEXT = (
+    "standard boilerplate terms of service text mirrored verbatim "
+    "across many sites with identical wording every time " * 3
+).strip()
+
+
+def _simhash_capped_oracle() -> str:
+    """The capped replay over documents + 200 byte-identical
+    boilerplate docs: corpus CTE WITH-spliced in front of the
+    parameterized builder (the shared builder's standalone text stays
+    byte-identical — pinned)."""
+    base = _simhash_oracle(source="shcorpus", max_bucket=150)
+    head = "\nWITH tok AS ("
+    assert base.startswith(head)
+    return base.replace(
+        head,
+        f"""
+WITH shcorpus AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT 3000000 + u.i AS doc_id, '{_BOILERPLATE_TEXT}' AS text
+  FROM unnest(generate_series(0, 199)) AS u(i)
+),
+tok AS (""",
+        1,
+    )
+
+
+@q("simhash_pairs_capped", oracle=_simhash_capped_oracle())
+def q_simhash_pairs_capped(spark, sf_dir):
+    """The hot-bucket guard graded END-TO-END (it was unit-tested
+    only): the corpus is documents plus 200 byte-identical
+    boilerplate docs — the degenerate mass the `max_bucket` cap
+    exists for (uncapped, those 200 alone contribute C(200,2) =
+    19,900 verified pairs through EVERY band's shared chunk; at
+    production scale a million-doc boilerplate group is 5·10^11
+    pairs). With max_bucket=150 every chunk bucket the boilerplate
+    group floods exceeds the cap, so all its pairs drop — a pair
+    survives only through a shared NON-oversized chunk, which is also
+    how a real near-dup pair with one boiler-contaminated band keeps
+    its other bands (the recall story: lost only when EVERY shared
+    chunk is oversized, i.e. the docs are corpus-scale
+    near-identical — run exact dedup first). The oracle replays
+    banding, bucket counts, the HAVING cap, and the Hamming verify;
+    the cap CTEs splice around the byte-identical shared builder."""
+    from transporter_spark.operators.dedup import simhash_pairs
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = spark.range(200).select(
+        (F.col("id") + 3000000).alias("doc_id"),
+        F.lit(_BOILERPLATE_TEXT).alias("text"),
+    )
+    corpus = docs.unionByName(boiler)
+    return simhash_pairs(
+        corpus, "text", "doc_id", bits=32, max_hamming=6, bands=8,
+        max_bucket=150,
+    )
 
 
 @q(
