@@ -1103,3 +1103,61 @@ def test_symspell_rejects_unsupported_distance(spark):
     df = spark.createDataFrame([(1, "a")], ["doc_id", "s"])
     with pytest.raises(ValueError, match="max_distance"):
         symspell_pairs(df, "s", "doc_id", max_distance=3)
+
+
+def test_l2_normalize_zero_norm_raises_not_nan(spark):
+    """ADVICE r10: a zero embedding must fail loudly, never emit NaN
+    components that would silently corrupt downstream cosine/PQ
+    rankings."""
+    from pyspark.errors import PySparkRuntimeError
+    from pyspark.sql.utils import AnalysisException
+
+    from transporter_spark.operators.similarity import l2_normalize_rows
+
+    ok = spark.createDataFrame(
+        [(1, [3.0, 4.0])], ["vec_id", "embedding"]
+    )
+    got = l2_normalize_rows(ok).collect()[0].embedding
+    assert got == [0.6, 0.8]
+
+    bad = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="zero-norm"):
+        l2_normalize_rows(bad).collect()
+
+
+def test_incremental_video_pairs_mismatched_bands_raises(spark):
+    """ADVICE r10 tripwire: an index whose per-video banded row count
+    is not a multiple of `bands` (i.e. built at a different geometry
+    than the probe assumes) must raise, not silently skew the vote
+    denominators."""
+    from transporter_spark.operators.dedup import band_fingerprint
+    from transporter_spark.operators.multimodal import (
+        incremental_video_pairs,
+        video_frame_phash,
+    )
+
+    vids = spark.createDataFrame(
+        [(1, bytearray(bytes(range(64)))), (2, bytearray(bytes(range(64))))],
+        "doc_id long, content binary",
+    )
+    fp = video_frame_phash(vids, "content", "doc_id", n_frames=4, bits=32)
+    # index built at bands=2 but probed at bands=4: 4 frames x 2 rows
+    # per frame = 8 rows per video -> 8 % 4 == 0 would NOT trip for
+    # this shape, so build at bands=3 (12 rows, 12 % 4 == 0 again...)
+    # -> use an index with a MISSING row instead: drop one banded row,
+    # the unambiguous not-a-band_fingerprint-output corruption.
+    idx = band_fingerprint(
+        fp.where(F.col("vid") == 2).select(F.col("fid").alias("id"), "phash"),
+        "phash",
+        32,
+        4,
+    )
+    corrupt = idx.limit(idx.count() - 1)
+    new = vids.where(F.col("doc_id") == 1)
+    with pytest.raises(Exception, match="not a multiple of bands"):
+        incremental_video_pairs(
+            new, corrupt, "content", "doc_id", n_frames=4, bits=32,
+            max_hamming=1, bands=4,
+        ).collect()

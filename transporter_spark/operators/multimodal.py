@@ -763,12 +763,27 @@ def incremental_video_pairs(
     # emits exactly `bands` rows per frame, so nfr = count div bands in
     # ONE map-side-combinable aggregate (the r10 review fix — the
     # union+distinct formulation paid a second index-sized shuffle on
-    # every probe)
+    # every probe). Tripwire (ADVICE r10): the div is only exact when
+    # the index really is a band_fingerprint output at THIS `bands` —
+    # a caller bypassing probe_video_index's meta validation with a
+    # mismatched geometry would get silently wrong vote denominators,
+    # so a nonzero remainder raises per-group instead.
     nf = (
         new_banded.select("id")
         .unionByName(index.select("id"))
         .groupBy(F.expr(f"id div {frame_cap}").alias("vid"))
-        .agg(F.expr(f"count(*) div {bands}").cast("long").alias("nfr"))
+        .agg(
+            F.expr(
+                f"if(count(*) % {bands} = 0, count(*) div {bands}, "
+                f"raise_error(concat('incremental_video_pairs: banded "
+                f"row count ', cast(count(*) as string), ' for video ', "
+                f"cast(vid as string), ' is not a multiple of bands="
+                f"{bands} — the index was not built by band_fingerprint "
+                f"at this geometry; read it via probe_video_index')))"
+            )
+            .cast("long")
+            .alias("nfr")
+        )
     )
     return _frame_votes_to_edges(
         fpairs, nf, vote_num, vote_den, vote_both, frame_cap,

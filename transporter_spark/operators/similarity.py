@@ -804,7 +804,13 @@ def l2_normalize_rows(
     CodegenFallback) transform lambda references it — an inlined norm
     would re-run the d-term aggregate per ELEMENT, O(d²)/row. Returns
     ``keep`` + the normalized ``vec_col``; run once at index build and
-    materialize the result (the graded query does), not per-probe."""
+    materialize the result (the graded query does), not per-probe.
+
+    A zero-norm row RAISES per-row (ADVICE r10): x/0 would silently
+    emit NaN components and corrupt every downstream cosine/PQ
+    ranking — the fail-loud discipline of bpe_encode_ids' unknown-
+    symbol raise, applied to the geometry boundary. Drop or impute
+    zero vectors upstream if the corpus legitimately contains them."""
     staged = df.select(
         *keep,
         F.col(vec_col).cast("array<double>").alias("_v"),
@@ -813,6 +819,16 @@ def l2_normalize_rows(
             "0D, (s, v) -> s + v))".replace(
                 "_v_src", f"cast({vec_col} as array<double>)"
             )
+        ).alias("_raw_norm"),
+    ).select(
+        *keep,
+        "_v",
+        F.expr(
+            "if(_raw_norm > 0D, _raw_norm, cast(raise_error("
+            "'l2_normalize_rows: zero-norm vector — normalizing would "
+            "emit NaN components and silently corrupt downstream "
+            "cosine/PQ rankings; drop or impute zero embeddings "
+            "upstream') as double))"
         ).alias("_norm"),
     )
     return staged.select(
