@@ -170,6 +170,64 @@ def pii_redact_sql(col: str = "text") -> str:
     return out
 
 
+def curate_docs(
+    df: DataFrame,
+    min_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    with_nhash: bool = False,
+) -> DataFrame:
+    """The standard curation FRONT of a pretraining pipeline: PII-redact
+    -> >=min_tokens quality gate -> normalized exact dedup (keep the
+    min-id document per lowercase/punct-stripped/whitespace-collapsed
+    md5). Returns (id_col, source_col, rtext, ntok) — THE one
+    definition shared by the batch compositions (queries.py
+    `_curated_docs`, mirrored CTE-for-CTE by `_curated_ctes`) and the
+    continuous pretraining sink (streaming/pretrain.py), whose
+    per-epoch curation is this function over the batch plus the
+    cross-epoch first-wins anti-join.
+
+    ``with_nhash`` keeps the canonical-hash column — the sink persists
+    it as the cross-epoch dedup fingerprint, so the dedup key cannot
+    drift from the batch definition.
+
+    Scale shape: redaction/gate are fused projections; the only
+    shuffle is the dedup window on the 16 B hash."""
+    red = df.select(
+        id_col, source_col, pii_redact(text_col).alias("rtext")
+    )
+    toks = r"size(regexp_extract_all(rtext, '\\S+', 0))"
+    gated = red.withColumn("ntok", F.expr(toks)).filter(
+        F.col("ntok") >= min_tokens
+    )
+    norm = gated.withColumn(
+        "nhash",
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("rtext"), r"[^a-z0-9\s]", " "),
+                    r"\s+",
+                    " ",
+                )
+            )
+        ),
+    )
+    cols = [id_col, source_col, "rtext", "ntok"] + (
+        ["nhash"] if with_nhash else []
+    )
+    return (
+        norm.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("nhash").orderBy(id_col)
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(*cols)
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
