@@ -834,3 +834,85 @@ def test_bpe_word_count_plan_is_one_scan_map_side_combined(spark, sf_dir):
     assert len(set(re.findall(r"\(\d+\) Scan parquet", plan))) == 1
     assert len(set(re.findall(r"\(\d+\) Exchange", plan))) == 1
     assert "partial_count" in plan
+
+
+# ---------------------------------------------------------------------------
+# boundary-respecting FFD packing
+# ---------------------------------------------------------------------------
+
+
+def _ffd_reference(rows, seq_len):
+    """Pure-Python FFD over (source, doc_id, ntok) rows."""
+    import collections
+
+    fullb = collections.defaultdict(list)
+    pool = collections.defaultdict(list)
+    for s, d, n in rows:
+        for k in range(n // seq_len):
+            fullb[s].append((d, k))
+        if n % seq_len:
+            pool[s].append((d, n // seq_len, n % seq_len))
+    want = {}
+    for s in set(fullb) | set(pool):
+        res = {i: [(d, k, seq_len)] for i, (d, k) in enumerate(sorted(fullb[s]))}
+        off, loads = len(res), []
+        for d, k, rem in sorted(pool[s], key=lambda x: (-x[2], x[0])):
+            fit = next(
+                (i for i, ld in enumerate(loads) if ld + rem <= seq_len), None
+            )
+            if fit is None:
+                loads.append(rem)
+                fit = len(loads) - 1
+                res[off + fit] = []
+            else:
+                loads[fit] += rem
+            res[off + fit].append((d, k, rem))
+        for b, its in res.items():
+            want[(s, b)] = (
+                len(its),
+                sum(x[2] for x in its),
+                "-".join(f"{d}.{k}" for d, k, _ in sorted(its)),
+            )
+    return want
+
+
+def test_pack_bins_ffd_matches_reference_and_respects_cap(spark):
+    from transporter_spark.operators.text import pack_bins_ffd
+
+    rows = [
+        ("a", 1, 130),  # 2 full chunks + rem 2
+        ("a", 2, 64),   # exactly one full bin, no remainder
+        ("a", 3, 40),
+        ("a", 4, 30),
+        ("a", 5, 30),
+        ("a", 6, 24),
+        ("b", 7, 10),
+        ("b", 8, 10),
+        ("b", 9, 63),
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, ntok long")
+    got = {
+        (r.source, r.bin_id): (r.n_items, r.n_tokens, r.members)
+        for r in pack_bins_ffd(df, seq_len=64).collect()
+    }
+    assert got == _ffd_reference(rows, 64)
+    assert all(v[1] <= 64 for v in got.values())
+    # every chunk of every doc appears exactly once across bins
+    seen = [m for v in got.values() for m in v[2].split("-")]
+    assert sorted(seen) == sorted(set(seen))
+    want_chunks = {
+        f"{d}.{k}"
+        for s, d, n in rows
+        for k in range(n // 64 + (1 if n % 64 else 0))
+    }
+    assert set(seen) == want_chunks
+
+
+def test_pack_bins_ffd_validates_seq_len(spark):
+    from transporter_spark.operators.text import pack_bins_ffd
+
+    import pytest
+
+    df = spark.createDataFrame([("a", 1, 5)], "source string, doc_id long, ntok long")
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_bins_ffd(df, seq_len=0)

@@ -1185,3 +1185,217 @@ def pack_token_ids(
         .groupBy(shard_col, "seq_id")
         .agg(*aggs)
     )
+
+
+def _make_ffd_runner(seq_len: int, shard_col: str, id_col: str):
+    """First-fit-decreasing closure for one shard's remainder pool.
+    Nested def, stdlib/pandas only (worker-closure invariant)."""
+
+    def run(pdf):
+        pdf = pdf.sort_values(
+            ["rem", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads, bins = [], []
+        for rem in pdf["rem"]:
+            fit = None
+            for k, ld in enumerate(loads):
+                if ld + rem <= seq_len:
+                    fit = k
+                    break
+            if fit is None:
+                loads.append(int(rem))
+                fit = len(loads) - 1
+            else:
+                loads[fit] += int(rem)
+            bins.append(fit)
+        out = pdf[[shard_col, id_col, "chunk", "rem"]].copy()
+        out["bin"] = bins
+        return out
+
+    return run
+
+
+def pack_bins_ffd(
+    counts: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    count_col: str = "ntok",
+) -> DataFrame:
+    """BOUNDARY-RESPECTING sequence packing: first-fit-decreasing each
+    shard's documents into bins of at most ``seq_len`` tokens so that
+    NO document crosses a row boundary — the packing SFT / eval
+    pipelines need (contrast `pack_token_ids`, which concatenates and
+    splits: zero padding but documents straddle rows). Documents
+    longer than seq_len split into full seq_len chunks (each its own
+    full bin — unavoidable) plus a remainder that joins the FFD pool.
+
+    Input is the per-doc token-count table (id, shard, count) — the
+    packer never touches tokens or text, only counts; materialize the
+    bin assignment and join it back to the id stream to emit rows.
+    Returns (shard, bin_id, n_items, n_tokens, members): members are
+    'doc.chunk' labels in (doc, chunk) order; ``seq_len - n_tokens``
+    is the bin's padding waste (measured vs the greedy packer in
+    SCALE.md). Bin ids: full-chunk bins first in (doc, chunk) order,
+    then FFD bins in creation order.
+
+    Scale shape: the count table is docs-sized (metadata, not
+    corpus); FFD itself is inherently sequential PER SHARD (each
+    placement depends on all previous loads), so the shard is the
+    parallelism unit — one applyInPandas over shard groups, Arrow
+    batches of (id, rem) pairs; everything else is projections + one
+    (shard, bin) aggregate. Skew bound = docs per shard, same knob as
+    `pack_sequences`. The in-closure first-fit scan is O(bins) per
+    item; swap in a best-fit segment tree if a shard's bin count ever
+    matters."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    base = counts.select(
+        shard_col,
+        id_col,
+        F.col(count_col).cast("long").alias("_n"),
+    )
+    full = base.select(
+        shard_col,
+        id_col,
+        F.explode(
+            F.expr(
+                f"CASE WHEN _n >= {seq_len} THEN "
+                f"sequence(0L, _n div {seq_len} - 1) "
+                "ELSE array() END"
+            )
+        ).alias("chunk"),
+    )
+    pool = base.where(F.expr(f"_n % {seq_len} > 0")).select(
+        shard_col,
+        id_col,
+        F.expr(f"_n div {seq_len}").alias("chunk"),
+        F.expr(f"_n % {seq_len}").alias("rem"),
+    )
+    asn = pool.groupBy(shard_col).applyInPandas(
+        _make_ffd_runner(seq_len, shard_col, id_col),
+        schema=(
+            f"{shard_col} string, {id_col} long, chunk long, rem long, "
+            "bin long"
+        ),
+    )
+    nfull = full.groupBy(shard_col).agg(
+        F.count("*").cast("long").alias("_nfb")
+    )
+    wfull = Window.partitionBy(shard_col).orderBy(id_col, "chunk")
+    full_items = full.select(
+        shard_col,
+        (F.row_number().over(wfull) - 1).cast("long").alias("bin_id"),
+        id_col,
+        "chunk",
+        F.lit(seq_len).cast("long").alias("tokens"),
+    )
+    pool_items = (
+        asn.join(nfull, shard_col, "left")
+        .select(
+            shard_col,
+            (
+                F.coalesce("_nfb", F.lit(0).cast("long")) + F.col("bin")
+            ).alias("bin_id"),
+            id_col,
+            "chunk",
+            F.col("rem").alias("tokens"),
+        )
+    )
+    return (
+        full_items.unionByName(pool_items)
+        .groupBy(shard_col, "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_items"),
+            F.sum("tokens").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(id_col, "chunk")
+                        )
+                    ),
+                    lambda s: F.concat_ws(
+                        ".",
+                        s[id_col].cast("string"),
+                        s.chunk.cast("string"),
+                    ),
+                ),
+                "-",
+            ).alias("members"),
+        )
+    )
+
+
+def ffd_oracle_sql(seq_len: int, source: str = "documents") -> str:
+    """DuckDB replay of `pack_bins_ffd` over a documents-shaped table:
+    the sequential first-fit is a recursive CTE advancing one item per
+    shard per iteration, carrying the bin-load LIST (first fitting bin
+    via list_position over a fitted-flag transform; append when none
+    fits) — recursion depth = max pool items per shard."""
+    return f"""
+WITH RECURSIVE cnts AS (
+  SELECT source, doc_id,
+         len(regexp_extract_all(text, '\\S+'))::BIGINT AS n
+  FROM {source}),
+fullb AS (
+  SELECT source, doc_id, u.k AS chunk
+  FROM cnts, unnest(generate_series(0, n // {seq_len} - 1)) AS u(k)
+  WHERE n >= {seq_len}),
+pool AS (
+  SELECT source, doc_id, n // {seq_len} AS chunk, n % {seq_len} AS rem
+  FROM cnts WHERE n % {seq_len} > 0),
+items AS MATERIALIZED (
+  SELECT source, doc_id, rem,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY rem DESC, doc_id) AS step
+  FROM pool),
+rec AS (
+  SELECT source, CAST(0 AS BIGINT) AS step,
+         CAST([] AS BIGINT[]) AS loads,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin
+  FROM (SELECT DISTINCT source FROM items)
+  UNION ALL
+  SELECT source, step,
+         CASE WHEN fit IS NULL THEN list_append(loads0, rem)
+              ELSE list_transform(range(1, len(loads0) + 1),
+                     k -> CASE WHEN k = fit THEN loads0[k] + rem
+                               ELSE loads0[k] END)
+         END AS loads,
+         doc_id,
+         COALESCE(fit, len(loads0) + 1) AS bin
+  FROM (
+    SELECT i.source, i.step, i.doc_id, i.rem, r.loads AS loads0,
+           -- list_position yields 0 (not NULL) on no match: NULLIF
+           -- keeps the no-fitting-bin case on the append branch
+           NULLIF(list_position(
+             list_transform(r.loads, x -> x + i.rem <= {seq_len}),
+             true), 0) AS fit
+    FROM rec r JOIN items i
+      ON i.source = r.source AND i.step = r.step + 1)),
+asn AS (
+  SELECT source, doc_id, bin - 1 AS bin FROM rec WHERE step > 0),
+nfullb AS (
+  SELECT source, count(*)::BIGINT AS nfb FROM fullb GROUP BY source),
+allit AS (
+  SELECT f.source,
+         (row_number() OVER (PARTITION BY f.source
+                             ORDER BY f.doc_id, f.chunk) - 1)::BIGINT
+           AS bin_id,
+         f.doc_id, f.chunk, CAST({seq_len} AS BIGINT) AS tokens
+  FROM fullb f
+  UNION ALL
+  SELECT p.source,
+         (COALESCE(nf.nfb, 0) + a.bin)::BIGINT AS bin_id,
+         p.doc_id, p.chunk, p.rem AS tokens
+  FROM pool p
+  JOIN asn a ON a.source = p.source AND a.doc_id = p.doc_id
+  LEFT JOIN nfullb nf ON nf.source = p.source)
+SELECT source, bin_id, count(*)::BIGINT AS n_items,
+       SUM(tokens)::BIGINT AS n_tokens,
+       array_to_string(
+         list(doc_id || '.' || chunk ORDER BY doc_id, chunk),
+         '-') AS members
+FROM allit GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""

@@ -3953,6 +3953,112 @@ def q_pack_with_boundaries(spark, sf_dir):
     return _tokenize_pack_chain(docs, with_boundaries=True)
 
 
+def _ffd_oracle():
+    from transporter_spark.operators.text import ffd_oracle_sql
+
+    return ffd_oracle_sql(64)
+
+
+@q("pack_bins_ffd", oracle=_ffd_oracle())
+def q_pack_bins_ffd(spark, sf_dir):
+    """BOUNDARY-RESPECTING packing (VERDICT r10 item 4): first-fit-
+    decreasing each source's documents into <=64-token bins so no
+    document crosses a row boundary — the SFT/eval packing that
+    `pack_token_ids` (zero padding, documents straddle rows)
+    deliberately is not; over-long docs split into full-bin chunks
+    plus a pooled remainder. The packer consumes only the per-doc
+    COUNT table (metadata-sized — tokens/text never move); FFD is
+    inherently sequential per shard, so the shard is the parallelism
+    unit (one Arrow applyInPandas over (id, rem) pairs), everything
+    else projections + one (shard, bin) aggregate. Output (source,
+    bin_id, n_items, n_tokens, members); padding waste vs the greedy
+    packer is measured in SCALE.md. The oracle replays the split and
+    the sequential first-fit as a recursive CTE carrying the bin-load
+    list (one item per shard per iteration)."""
+    from transporter_spark.operators.text import pack_bins_ffd, token_count
+
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "source", "doc_id", token_count("text").alias("ntok")
+    )
+    return pack_bins_ffd(counts, seq_len=64).orderBy("source", "bin_id")
+
+
+def _unigram_vocab_oracle():
+    from transporter_spark.operators.unigram import unigram_vocab_oracle
+
+    return unigram_vocab_oracle()
+
+
+def _unigram_encode_oracle():
+    from transporter_spark.operators.unigram import unigram_encode_oracle
+
+    return unigram_encode_oracle()
+
+
+@q("unigram_learn_vocab", oracle=_unigram_vocab_oracle())
+def q_unigram_learn_vocab(spark, sf_dir):
+    """UNIGRAM-LM tokenizer training (VERDICT r10 item 3 — the other
+    tokenizer family production pipelines train besides BPE; Kudo
+    2018): seed-substring counts -> 2 rounds of Viterbi-EM (E-step =
+    per-DISTINCT-WORD max-likelihood segmentation under quantized
+    integer log-scores, hard-EM; M-step = usage recount + min-count
+    prune with single-char coverage guarantee + re-score) -> the final
+    (piece, cnt, score, token_id) vocabulary, ids ranked by (count
+    DESC, md5) — engine-portable. All arithmetic is integer except
+    one ln()/piece/iteration, quantized at scale 1000 before any
+    comparison (operators/unigram.py module doc for the exactness
+    argument). Scale shape: ONE corpus scan (the shared word-count
+    table); seeding, both EM rounds, and the vocab rank all run on
+    vocab-sized frames; the Viterbi is an Arrow-batched mapInPandas
+    over distinct WORDS with the metadata-sized score dict in the
+    closure. The oracle replays seed, both EM rounds (unrolled
+    12-position DP per round, every stage materialized), and the
+    rank; a pure-Python differential pins both engines in
+    tests/test_unigram.py."""
+    from transporter_spark.operators.unigram import unigram_learn_vocab
+
+    docs = read_table(spark, sf_dir, "documents")
+    return unigram_learn_vocab(docs).orderBy("token_id")
+
+
+@q("unigram_encode_ids", oracle=_unigram_encode_oracle())
+def q_unigram_encode_ids(spark, sf_dir):
+    """Unigram ENCODE: tokenize every document to its token-id
+    sequence with the vocabulary `unigram_learn_vocab` trains — the
+    Viterbi runs once per DISTINCT word (never per corpus
+    occurrence), the corpus-sized path is a broadcast
+    word->segmentation join + one per-document position window over
+    id-sized rows (the bpe_encode_ids shape). Output is (doc_id,
+    n_tokens, token_ids) with ids dash-joined in document order; the
+    oracle replays training plus a third unrolled DP over the final
+    piece table and the same positional assembly."""
+    from transporter_spark.operators.unigram import (
+        unigram_encode_ids,
+        unigram_learn_vocab,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = unigram_learn_vocab(docs)
+    ids = unigram_encode_ids(docs, vocab)
+    return (
+        ids.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tok_idx", "token_id"))
+                    ),
+                    lambda s: s.token_id.cast("string"),
+                ),
+                "-",
+            ).alias("token_ids"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @q(
     "media_resize",
     oracle="""
