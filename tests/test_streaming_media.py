@@ -255,3 +255,138 @@ def test_video_sink_multi_epoch_equals_batch_and_probe_votes(
             state,
             n_frames=4,
         )
+
+
+# ---------------------------------------------------------------------------
+# audio window-fingerprint family
+# ---------------------------------------------------------------------------
+
+
+def test_audio_fp_invariant_to_constant_byte_shift(spark):
+    """The delta-coding property the family exists for: +1 on every
+    byte changes no comparison, so fingerprints are bit-identical."""
+    from transporter_spark.operators.multimodal import audio_window_fp
+
+    base = bytes(range(40, 120))
+    shifted = bytes(b + 1 for b in base)
+    df = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(shifted))],
+        "doc_id long, content binary",
+    )
+    fp = audio_window_fp(df).collect()
+    a = sorted((r.wno, r.fp) for r in fp if r.vid == 1)
+    b = sorted((r.wno, r.fp) for r in fp if r.vid == 2)
+    assert a == b and len(a) == 7
+
+
+def test_audio_dedup_merges_shift_and_scramble_classes(spark):
+    from transporter_spark.operators.dedup import release_cached
+    from transporter_spark.operators.multimodal import (
+        audio_fingerprint_dedup,
+    )
+
+    base = bytes((i * 7 + 13) % 256 for i in range(96))
+    shifted = bytes((b + 1) % 256 for b in base)
+    scrambled = base[:38] + bytes([0] * 20) + base[58:]
+    unrelated = bytes((i * 31 + 5) % 251 for i in range(96))
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(base)),
+            (2, bytearray(shifted)),
+            (3, bytearray(scrambled)),
+            (4, bytearray(unrelated)),
+        ],
+        "doc_id long, content binary",
+    )
+    out = audio_fingerprint_dedup(df)
+    rows = {r.id: r for r in out.collect()}
+    release_cached(out)
+    assert rows[1].component == rows[2].component == rows[3].component
+    assert rows[4].component != rows[1].component
+    # one canonical per cluster, byte_len populated
+    assert sum(rows[i].is_canonical for i in (1, 2, 3)) == 1
+    assert rows[4].is_canonical
+
+
+def test_audio_sink_maintained_equals_batch_and_probe(spark, sf_dir, tmp_path):
+    """Multi-epoch drained index == batch band_fingerprint build, and
+    the meta-validated probe returns the same voted edges as the
+    batch-side incremental call."""
+    import pyspark.sql.functions as F
+
+    from transporter_spark.operators.dedup import band_fingerprint
+    from transporter_spark.operators.multimodal import (
+        audio_window_fp,
+        incremental_audio_pairs,
+    )
+    from transporter_spark.sources.files import read_table
+    from transporter_spark.streaming.media import (
+        audio_index_batch,
+        probe_audio_index,
+        read_audio_index,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    state = str(tmp_path / "astate")
+    audio_index_batch(docs.filter("doc_id % 2 = 0"), 0, state)
+    audio_index_batch(docs.filter("doc_id % 2 = 1"), 1, state)
+    got = {
+        tuple(r)
+        for r in read_audio_index(spark, state)
+        .select("id", "phash", "band", "chunk")
+        .collect()
+    }
+    fp = audio_window_fp(docs)
+    want = {
+        tuple(r)
+        for r in band_fingerprint(
+            fp.select(F.col("wid").alias("id"), F.col("fp").alias("phash")),
+            "phash",
+            32,
+            2,
+        )
+        .select("id", "phash", "band", "chunk")
+        .collect()
+    }
+    assert got == want
+
+    batch = docs.filter("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "content"
+    )
+    via_probe = {
+        tuple(r)
+        for r in probe_audio_index(spark, state, batch).collect()
+    }
+    via_batch = {
+        tuple(r)
+        for r in incremental_audio_pairs(
+            batch, read_audio_index(spark, state)
+        ).collect()
+    }
+    assert via_probe == via_batch and via_probe
+
+
+def test_audio_probe_geometry_mismatch_raises(spark, tmp_path):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from transporter_spark.streaming.media import (
+        audio_index_batch,
+        probe_audio_index,
+        video_index_batch,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(64))))], "doc_id long, content binary"
+    )
+    vstate = str(tmp_path / "vstate")
+    video_index_batch(df, 0, vstate)
+    with pytest.raises(ValueError, match="not an audio window index"):
+        probe_audio_index(spark, vstate, df)
+    astate = str(tmp_path / "astate")
+    audio_index_batch(df, 0, astate, n_windows=8)
+    with pytest.raises(ValueError, match="mismatch|refusing"):
+        audio_index_batch(df.select((F.col("doc_id") + 1).alias("doc_id"),
+                                    "content"), 1, astate, n_windows=4)

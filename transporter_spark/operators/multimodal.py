@@ -858,3 +858,302 @@ ph AS MATERIALIZED (
   SELECT doc_id,
          CAST(COALESCE(SUM(CASE WHEN s1 > s2 THEN (1::BIGINT << j) ELSE 0 END), 0) AS BIGINT) AS phash
   FROM phsmp GROUP BY doc_id)"""
+
+
+def audio_window_fp(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_windows: int = 8,
+    bits: int = 32,
+    window_cap: int = 64,
+) -> DataFrame:
+    """(vid, wno, wid, byte_len, fp) — chromaprint-shaped per-window
+    TEMPORAL-DELTA fingerprints of an audio blob, completing the
+    modality matrix (text/image/video/audio) on the module's
+    stubbed-codec discipline: the byte stream stands in for decoded
+    PCM (with a real codec the slicing becomes an FFT frame grid —
+    `media_features` holds the mapInPandas contract for that path;
+    chromaprint additionally overlaps windows 2/3, which changes only
+    the window-start arithmetic here). The blob splits into
+    ``n_windows`` contiguous windows; window w samples ``bits``
+    evenly-spaced bytes (its "band energies"), and the fingerprint
+    for w >= 1 sets bit j when sample j ROSE from window w-1 to w —
+    sign-of-delta coding, exactly chromaprint's filter idea. Delta
+    coding is what the dHash family cannot do across content shifts:
+    a constant byte offset (the volume-change / re-encode analog)
+    changes EVERY byte but no comparison, so the fingerprint is
+    bit-identical (pinned in tests and the graded corpus).
+
+    One staged hex projection, zero exchanges, no Python: both
+    windows' sample positions are pure arithmetic in (w, byte_len),
+    so each fingerprint row computes from the one hexed blob. Windows
+    with an empty slice (blob shorter than n_windows) emit no row; a
+    video needs >= 2 non-empty windows to fingerprint at all.
+    ``wid`` = vid * window_cap + wno keys the shared banded candidate
+    machinery (same packing contract as video's fid)."""
+    if not 1 <= bits <= 62:
+        raise ValueError(f"bits must be in [1, 62], got {bits}")
+    if not 2 <= n_windows <= window_cap:
+        raise ValueError(
+            f"n_windows must be in [2, window_cap={window_cap}], "
+            f"got {n_windows}"
+        )
+    content = F.coalesce(F.col(content_col), F.lit(b""))
+    vid_bound = (1 << 62) // window_cap
+    vid_guard = F.expr(
+        f"if({id_col} >= 0 and {id_col} < {vid_bound}, cast({id_col} as long), "
+        f"raise_error(concat('audio_window_fp: id ', cast({id_col} as string), "
+        f"' outside [0, {vid_bound}) — wid = id * {window_cap} + wno "
+        f"needs non-negative ids with headroom')))"
+    )
+    staged = df.select(
+        vid_guard.alias("vid"),
+        F.hex(content).alias("_hx"),
+        F.octet_length(content).cast("long").alias("byte_len"),
+    )
+    wins = (
+        staged.select(
+            "vid",
+            "byte_len",
+            "_hx",
+            F.explode(
+                F.array(*[F.lit(w).cast("long") for w in range(1, n_windows)])
+            ).alias("wno"),
+        )
+        .select(
+            "vid",
+            "byte_len",
+            "_hx",
+            "wno",
+            F.expr(f"((wno - 1) * byte_len) div {n_windows}").alias("_ps"),
+            F.expr(
+                f"(wno * byte_len) div {n_windows} "
+                f"- ((wno - 1) * byte_len) div {n_windows}"
+            ).alias("_pl"),
+            F.expr(f"(wno * byte_len) div {n_windows}").alias("_ws"),
+            F.expr(
+                f"((wno + 1) * byte_len) div {n_windows} "
+                f"- (wno * byte_len) div {n_windows}"
+            ).alias("_wl"),
+        )
+        .where((F.col("_pl") > 0) & (F.col("_wl") > 0))
+    )
+
+    def sample(start: str, length: str, j: int):
+        pos = f"cast(({start} + ({j} * {length}) div {bits}) as int) * 2 + 1"
+        return F.conv(F.expr(f"substr(_hx, {pos}, 2)"), 16, 10).cast("long")
+
+    smp = wins.select(
+        "vid",
+        "wno",
+        "byte_len",
+        F.array(*[sample("_ps", "_pl", j) for j in range(bits)]).alias("_sp"),
+        F.array(*[sample("_ws", "_wl", j) for j in range(bits)]).alias("_sw"),
+    )
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        acc = acc + F.when(
+            F.col("_sw")[j] > F.col("_sp")[j], F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return smp.select(
+        "vid",
+        "wno",
+        (F.col("vid") * window_cap + F.col("wno")).alias("wid"),
+        "byte_len",
+        acc.alias("fp"),
+    )
+
+
+def audio_fingerprint_dedup(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_windows: int = 8,
+    bits: int = 32,
+    max_hamming: int = 1,
+    bands: int = 2,
+    vote_num: int = 1,
+    vote_den: int = 2,
+    vote_both: bool = True,
+    max_bucket: Optional[int] = None,
+    window_cap: int = 64,
+    max_iter: int = 20,
+    reliable_checkpoint: bool = False,
+) -> DataFrame:
+    """Window-vote AUDIO near-dedup — the audio face of the one shared
+    pipeline: per-window temporal-delta fingerprints
+    (`audio_window_fp`) -> banded Hamming-near WINDOW pairs (the
+    shared pigeonhole candidate core) -> the SAME
+    `_frame_votes_to_edges` vote as video -> connected components ->
+    keep each cluster's largest-byte copy. Two recordings edge when
+    vote_num/vote_den of their windows are Hamming-matched (both
+    sides with vote_both) — so a volume-shifted re-encode (every
+    byte different, every delta identical) merges at Hamming 0, and a
+    recording with a replaced middle section still merges on its
+    surviving windows, the two failure modes whole-file hashing
+    cannot cover at once.
+
+    Returns (id, byte_len, component, is_canonical) for every input
+    row. Scale shape: blobs hex ONCE into ~8 B x (n_windows-1)
+    fingerprints; candidates are banded, never all-pairs; the vote is
+    one (va, vb) aggregate; the vertex/size spine reads only the
+    fingerprint table (a row absent from it has < 2 non-empty
+    windows)."""
+    from transporter_spark.operators.dedup import (
+        _attach_cached,
+        check_banding,
+        connected_components,
+    )
+
+    if vote_num < 1 or vote_den < vote_num:
+        raise ValueError(
+            f"vote fraction must satisfy 0 < vote_num <= vote_den, "
+            f"got {vote_num}/{vote_den}"
+        )
+    check_banding(bits, bands, max_hamming)
+    fp = audio_window_fp(
+        df, content_col, id_col, n_windows, bits, window_cap
+    ).persist()
+    pairs = _phash_pairs_from_fp(
+        fp.select(F.col("wid").alias("id"), F.col("fp").alias("phash")),
+        bits,
+        max_hamming,
+        bands,
+        max_bucket,
+    )
+    nw = fp.groupBy("vid").agg(F.count("*").cast("long").alias("nfr"))
+    edges = _frame_votes_to_edges(
+        pairs, nw, vote_num, vote_den, vote_both, window_cap
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    comp = connected_components(
+        edges,
+        all_ids,
+        max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
+    )
+    sizes = all_ids.join(
+        fp.select(F.col("vid").alias("id"), "byte_len").distinct(),
+        "id",
+        "left",
+    ).select(
+        "id", F.coalesce("byte_len", F.lit(0).cast("long")).alias("byte_len")
+    )
+    joined = comp.join(sizes, "id")
+    w = Window.partitionBy("component").orderBy(
+        F.desc("byte_len"), F.asc("id")
+    )
+    out = joined.select(
+        "id",
+        "byte_len",
+        "component",
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+    return _attach_cached(out, fp)
+
+
+def incremental_audio_pairs(
+    new_audio: DataFrame,
+    index: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_windows: int = 8,
+    bits: int = 32,
+    max_hamming: int = 1,
+    bands: int = 2,
+    vote_num: int = 1,
+    vote_den: int = 2,
+    vote_both: bool = True,
+    window_cap: int = 64,
+    max_bucket: Optional[int] = None,
+    new_banded: Optional[DataFrame] = None,
+    with_counts: bool = False,
+) -> DataFrame:
+    """Voted audio near-dup EDGES for an ingest batch against a
+    persisted banded window-fingerprint index — the audio twin of
+    `incremental_video_pairs`, same batch-vs-index core, same
+    count-div-bands denominators (with the same not-a-multiple
+    tripwire), same shared vote."""
+    from transporter_spark.operators.dedup import (
+        _materialize,
+        band_fingerprint,
+        check_banding,
+        incremental_banded_hamming_pairs,
+    )
+
+    check_banding(bits, bands, max_hamming)
+    if new_banded is None:
+        fp = audio_window_fp(
+            new_audio, content_col, id_col, n_windows, bits, window_cap
+        )
+        new_banded = _materialize(
+            band_fingerprint(
+                fp.select(F.col("wid").alias("id"), F.col("fp").alias("phash")),
+                "phash",
+                bits,
+                bands,
+            )
+        )
+    fpairs = incremental_banded_hamming_pairs(
+        new_banded, index, "phash", max_hamming, bands, max_bucket=max_bucket
+    )
+    nw = (
+        new_banded.select("id")
+        .unionByName(index.select("id"))
+        .groupBy(F.expr(f"id div {window_cap}").alias("vid"))
+        .agg(
+            F.expr(
+                f"if(count(*) % {bands} = 0, count(*) div {bands}, "
+                f"raise_error(concat('incremental_audio_pairs: banded "
+                f"row count ', cast(count(*) as string), ' for id ', "
+                f"cast(vid as string), ' is not a multiple of bands="
+                f"{bands} — the index was not built by band_fingerprint "
+                f"at this geometry; read it via probe_audio_index')))"
+            )
+            .cast("long")
+            .alias("nfr")
+        )
+    )
+    return _frame_votes_to_edges(
+        fpairs, nw, vote_num, vote_den, vote_both, window_cap,
+        with_counts=with_counts,
+    )
+
+
+def audio_fp_oracle_ctes(
+    source_table: str,
+    content_sql: str,
+    id_sql: str,
+    n_windows: int = 8,
+    bits: int = 32,
+    window_cap: int = 64,
+) -> str:
+    """DuckDB CTE block replaying `audio_window_fp` (ends in CTE
+    `afp`: one (vid, wno, wid, byte_len, fp) row per window pair with
+    both slices non-empty) — hex-slice arithmetic identical to the
+    engine's staged projection, delta comparisons per bit."""
+    return f"""
+afpb AS MATERIALIZED (
+  SELECT {id_sql} AS vid,
+         hex(COALESCE({content_sql}, ''::BLOB)) AS hx,
+         octet_length(COALESCE({content_sql}, ''::BLOB))::BIGINT AS n
+  FROM {source_table}),
+awin AS (
+  SELECT vid, n AS byte_len, hx, u.w AS wno,
+         ((u.w - 1) * n) // {n_windows} AS ps,
+         (u.w * n) // {n_windows} - ((u.w - 1) * n) // {n_windows} AS pl,
+         (u.w * n) // {n_windows} AS ws,
+         ((u.w + 1) * n) // {n_windows} - (u.w * n) // {n_windows} AS wl
+  FROM afpb, unnest(generate_series(1, {n_windows - 1})) AS u(w)
+  WHERE (u.w * n) // {n_windows} - ((u.w - 1) * n) // {n_windows} > 0
+    AND ((u.w + 1) * n) // {n_windows} - (u.w * n) // {n_windows} > 0),
+asmp AS (
+  SELECT vid, wno, byte_len, u.j AS j,
+         CAST(('0x' || substr(hx, CAST((ps + (u.j * pl) // {bits}) AS BIGINT) * 2 + 1, 2))::UBIGINT AS BIGINT) AS sp,
+         CAST(('0x' || substr(hx, CAST((ws + (u.j * wl) // {bits}) AS BIGINT) * 2 + 1, 2))::UBIGINT AS BIGINT) AS sw
+  FROM awin, unnest(generate_series(0, {bits - 1})) AS u(j)),
+afp AS MATERIALIZED (
+  SELECT vid, wno, vid * {window_cap} + wno AS wid, byte_len,
+         CAST(COALESCE(SUM(CASE WHEN sw > sp THEN (1::BIGINT << j) ELSE 0 END), 0) AS BIGINT) AS fp
+  FROM asmp GROUP BY 1, 2, 3, 4)"""

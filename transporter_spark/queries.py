@@ -3596,6 +3596,194 @@ def q_stream_video_index(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+_AUDIO_CORPUS_CTE = """
+abase AS MATERIALIZED (
+  SELECT doc_id, encode(text) AS c FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         encode(array_to_string(list_transform(string_split(text, ''),
+                x -> chr(unicode(x) + 1)), ''))
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         encode(substr(text, 1, (2 * length(text)) // 5)
+                || repeat('#', (3 * length(text)) // 5 - (2 * length(text)) // 5)
+                || substr(text, (3 * length(text)) // 5 + 1))
+  FROM documents WHERE doc_id % 11 = 0),"""
+
+
+def _audio_corpus(docs):
+    """documents + two copy classes: a byte-shift of every 7th doc
+    (every byte +1 — the volume-change/re-encode analog: all bytes
+    differ, all deltas survive) and a scrambled middle fifth of every
+    11th (the replaced-section analog) — the two failure modes the
+    temporal-delta fingerprint covers at once."""
+    shift = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "array_join(transform(split(text, ''), "
+            "x -> char(ascii(x) + 1)), '')"
+        ).alias("text"),
+    )
+    scram = docs.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.expr(
+            "concat(substr(text, 1, cast((2 * length(text)) div 5 as int)), "
+            "repeat('#', cast((3 * length(text)) div 5 as int) "
+            "- cast((2 * length(text)) div 5 as int)), "
+            "substr(text, cast((3 * length(text)) div 5 as int) + 1))"
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(shift).unionByName(
+        scram
+    )
+
+
+def _audio_fp_dedup_oracle() -> str:
+    from transporter_spark.operators.multimodal import audio_fp_oracle_ctes
+
+    return (
+        "\nWITH RECURSIVE"
+        + _AUDIO_CORPUS_CTE
+        + audio_fp_oracle_ctes("abase", "c", "doc_id")
+        + """,
+apair AS (
+  SELECT a.wid AS fa, b.wid AS fb, a.vid AS va, b.vid AS vb
+  FROM afp a JOIN afp b ON a.wid < b.wid
+  WHERE bit_count(xor(a.fp, b.fp)) <= 1 AND a.vid <> b.vid),
+anf AS (SELECT vid, count(*)::BIGINT AS nfr FROM afp GROUP BY vid),
+avotes AS (
+  SELECT va, vb,
+         count(DISTINCT fa)::BIGINT AS ma,
+         count(DISTINCT fb)::BIGINT AS mb
+  FROM apair GROUP BY 1, 2),
+aedges AS (
+  SELECT va, vb FROM avotes
+  JOIN anf a ON a.vid = va JOIN anf b ON b.vid = vb
+  WHERE 2 * ma >= 1 * a.nfr AND 2 * mb >= 1 * b.nfr),
+asym AS (
+  SELECT va AS src, vb AS dst FROM aedges
+  UNION ALL
+  SELECT vb, va FROM aedges),
+areach(id, r) AS (
+  SELECT doc_id, doc_id FROM abase
+  UNION
+  SELECT areach.id, asym.dst FROM areach JOIN asym ON areach.r = asym.src),
+acomp AS (SELECT id, MIN(r) AS component FROM areach GROUP BY id),
+asizes AS (SELECT doc_id, octet_length(c)::BIGINT AS byte_len FROM abase)
+SELECT c.id AS doc_id, s.byte_len, c.component,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY s.byte_len DESC, c.id) = 1) AS is_canonical
+FROM acomp c JOIN asizes s ON s.doc_id = c.id
+ORDER BY doc_id
+"""
+    )
+
+
+@q("audio_fp_dedup", oracle=_audio_fp_dedup_oracle())
+def q_audio_fp_dedup(spark, sf_dir):
+    """Window-vote AUDIO near-dedup (VERDICT r10 item 5 — completes
+    the modality matrix text/image/video/audio on the stubbed-codec
+    discipline): text bytes stand in for PCM; the corpus is documents
+    plus a BYTE-SHIFT copy of every 7th doc (every byte +1 — the
+    volume-change/re-encode analog: all bytes differ, so whole-file
+    and per-window dHashes both miss it) and a scrambled-middle-fifth
+    copy of every 11th (the replaced-section analog). Each blob hexes
+    ONCE into 7 chromaprint-shaped TEMPORAL-DELTA window fingerprints
+    (`audio_window_fp`: bit j = sample j rose from the previous
+    window — sign-of-delta coding, invariant to constant offsets);
+    Hamming-near WINDOW pairs come from the shared banded core and
+    recordings edge at the measured operating point, Hamming<=1 with
+    a 1/2 BOTH-sides window vote (sf0.01 sweep: merges all 72 shift
+    copies at Hamming 0 AND all 46 scramble copies on their surviving
+    windows, zero noise clusters — 3/4 drops the scramble class to
+    0/46). The SAME `_frame_votes_to_edges` vote as video — one vote
+    definition across modalities. CC closes clusters, largest-byte
+    copy wins. The oracle replays windowing, delta hashing,
+    brute-force window pairs (pigeonhole recall makes the banded join
+    provably equal), the vote, the closure, and the canonical
+    argmax."""
+    from transporter_spark.operators.multimodal import (
+        audio_fingerprint_dedup,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = _audio_corpus(docs).withColumn(
+        "content", F.encode("text", "utf-8")
+    )
+    out = audio_fingerprint_dedup(media, "content", "doc_id")
+    final = out.select(
+        F.col("id").alias("doc_id"), "byte_len", "component", "is_canonical"
+    ).orderBy("doc_id")
+    final._ts_cached = list(getattr(out, "_ts_cached", ()))
+    return final
+
+
+def _stream_audio_index_oracle() -> str:
+    from transporter_spark.operators.multimodal import audio_fp_oracle_ctes
+
+    return (
+        "\nWITH"
+        + _AUDIO_CORPUS_CTE
+        + audio_fp_oracle_ctes("abase", "c", "doc_id")
+        + """,
+apair AS (
+  SELECT a.wid AS fa, b.wid AS fb, a.vid AS va, b.vid AS vb
+  FROM afp a JOIN afp b ON a.wid < b.wid
+  WHERE bit_count(xor(a.fp, b.fp)) <= 1 AND a.vid <> b.vid
+    AND (a.vid >= 1000000 OR b.vid >= 1000000)),
+anf AS (SELECT vid, count(*)::BIGINT AS nfr FROM afp GROUP BY vid),
+avotes AS (
+  SELECT va, vb,
+         count(DISTINCT fa)::BIGINT AS ma,
+         count(DISTINCT fb)::BIGINT AS mb
+  FROM apair GROUP BY 1, 2)
+SELECT va AS id_a, vb AS id_b, ma, mb,
+       a.nfr AS nfa, b.nfr AS nfb
+FROM avotes
+JOIN anf a ON a.vid = va JOIN anf b ON b.vid = vb
+WHERE 2 * ma >= 1 * a.nfr AND 2 * mb >= 1 * b.nfr
+ORDER BY id_a, id_b
+"""
+    )
+
+
+@q("stream_audio_index", oracle=_stream_audio_index_oracle())
+def q_stream_audio_index(spark, sf_dir):
+    """CONTINUOUS audio window-fingerprint index + incremental probe
+    (streaming/media.py audio_index_batch / probe_audio_index, on the
+    same shared banded-index epoch skeleton as the image and video
+    sinks): the documents stream drains into the maintained banded
+    window table — per-epoch IO ∝ batch, blobs never enter state,
+    window/banding/wid-packing geometry in manifest meta with a loud
+    mismatch raise, and the probe READS its constants from that meta.
+    The fingerprint is pure per-blob, so the maintained index equals
+    the batch build bit-for-bit at any epoch count (pinned in
+    tests/test_streaming_media.py). The probe batch — both copy
+    classes (byte-shift of every 7th, scrambled middle of every 11th)
+    — runs `incremental_audio_pairs`: batch-only fingerprinting,
+    shared batch-vs-index core, the one shared vote. Output is the
+    voted edges with vote counts; the oracle replays windowing,
+    hashing, brute-force batch-touching pairs, and the 1/2 both-sides
+    vote."""
+    from transporter_spark.streaming.media import (
+        drain_documents_audio,
+        probe_audio_index,
+    )
+
+    state = drain_documents_audio(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    batch = (
+        _audio_corpus(docs)
+        .filter(F.col("doc_id") >= 1000000)
+        .withColumn("content", F.encode("text", "utf-8"))
+        .drop("text")
+    )
+    return probe_audio_index(
+        spark, state, batch, with_counts=True
+    ).orderBy("id_a", "id_b")
+
+
 @q(
     "bpe_token_stats",
     oracle=r"""

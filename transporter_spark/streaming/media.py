@@ -367,3 +367,164 @@ def drain_documents_phash(
         )
     phash_ingest_sink(docs, state, **kw)
     return read_phash_index(spark, state)
+
+
+_AUDIO_TABLES = ("afps", "a_ids")
+
+
+def audio_index_batch(
+    batch: DataFrame,
+    epoch_id: int,
+    state_dir: str,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_windows: int = 8,
+    bits: int = 32,
+    bands: int = 2,
+    window_cap: int = 64,
+) -> bool:
+    """One epoch of audio window-fingerprint index maintenance — the
+    audio twin of `video_index_batch` on the same shared skeleton:
+    each batch's blobs hex ONCE into temporal-delta window
+    fingerprints (operators/multimodal.audio_window_fp), the banded
+    rows append as a new segment, geometry in manifest meta with a
+    loud mismatch raise. The fingerprint is PURE per-blob, so the
+    maintained index equals the batch build bit-for-bit at any epoch
+    count."""
+    from transporter_spark.operators.dedup import band_fingerprint
+    from transporter_spark.operators.multimodal import audio_window_fp
+
+    def banded_fn(b: DataFrame) -> DataFrame:
+        fp = audio_window_fp(
+            b, content_col, id_col, n_windows, bits, window_cap
+        )
+        return band_fingerprint(
+            fp.select(F.col("wid").alias("id"), F.col("fp").alias("phash")),
+            "phash",
+            bits,
+            bands,
+        )
+
+    return _banded_index_batch(
+        batch,
+        epoch_id,
+        state_dir,
+        id_col,
+        meta={
+            "audio_bits": bits,
+            "audio_bands": bands,
+            "audio_n_windows": n_windows,
+            "audio_window_cap": window_cap,
+        },
+        banded_fn=banded_fn,
+        fp_table="afps",
+        id_table="a_ids",
+    )
+
+
+def compact_audio_index(spark: SparkSession, state_dir: str) -> bool:
+    return SegmentStore(state_dir).compact_tables_commit(
+        spark, _AUDIO_TABLES
+    )
+
+
+def audio_ingest_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    checkpoint_dir: Optional[str] = None,
+    compact_every: Optional[int] = None,
+    **kw,
+) -> None:
+    """Drain an audio stream into the maintained banded window index
+    (availableNow); probe any time with `probe_audio_index`."""
+    from transporter_spark.streaming.windows import (
+        run_foreach_batch_available_now,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        applied = audio_index_batch(batch, epoch_id, state_dir, **kw)
+        if (
+            applied
+            and compact_every
+            and len(SegmentStore(state_dir).table_segments("afps"))
+            >= compact_every
+        ):
+            compact_audio_index(batch.sparkSession, state_dir)
+
+    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def read_audio_index(spark: SparkSession, state_dir: str) -> DataFrame:
+    df = SegmentStore(state_dir).read(spark, "afps")
+    if df is None:
+        raise FileNotFoundError(
+            f"no committed audio window index at {state_dir!r}: the "
+            "sink has not applied any non-empty epoch yet"
+        )
+    return df
+
+
+def probe_audio_index(
+    spark: SparkSession,
+    state_dir: str,
+    batch: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """`incremental_audio_pairs` against the maintained index with the
+    STORED geometry (the probe_video_index discipline — a probe can
+    never silently run at a different window grid or banding)."""
+    from transporter_spark.operators.multimodal import (
+        incremental_audio_pairs,
+    )
+
+    meta = SegmentStore(state_dir).meta()
+    missing = [
+        k
+        for k in (
+            "audio_n_windows", "audio_bits", "audio_bands",
+            "audio_window_cap",
+        )
+        if k not in meta
+    ]
+    if missing:
+        raise ValueError(
+            f"state at {state_dir!r} carries no {missing} meta — it is "
+            "not an audio window index (pointed at a pHash/video/other "
+            "sink's state?)"
+        )
+    return incremental_audio_pairs(
+        batch,
+        read_audio_index(spark, state_dir),
+        content_col=content_col,
+        id_col=id_col,
+        n_windows=meta["audio_n_windows"],
+        bits=meta["audio_bits"],
+        bands=meta["audio_bands"],
+        window_cap=meta["audio_window_cap"],
+        **kw,
+    )
+
+
+def drain_documents_audio(
+    spark: SparkSession,
+    sf_dir: str,
+    state_dir: Optional[str] = None,
+    content_from_text: bool = True,
+    **kw,
+) -> str:
+    """Convenience: stream the documents table through the audio
+    window-fingerprint sink (text bytes standing in for PCM — the
+    fake-decode discipline) and return the STATE DIR; probe with
+    `probe_audio_index`."""
+    from transporter_spark.streaming.sources import stream_table
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_audio_") + "/state"
+    docs = stream_table(spark, sf_dir, "documents")
+    if content_from_text:
+        docs = docs.select(
+            "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+        )
+    audio_ingest_sink(docs, state, **kw)
+    return state
