@@ -1746,3 +1746,87 @@ def test_binlog_offset_order_survives_suffix_widening():
     assert _offset_key(binlog_offset("mysql-bin.000002", 9)) > _offset_key(
         binlog_offset("mysql-bin.000002", 4)
     )
+
+
+def test_mongo_bulk_ops_extended_json_payloads():
+    """mejson v1 render-out on the mongo write path (VERDICT r10 item
+    7): datetime/Decimal/int/bytes wrap in both replacements AND id
+    filters; plain strings/floats pass through; the flag off keeps
+    the raw dicts byte-identical to the pre-r11 contract."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from transporter_spark.sources.bulk import mongo_bulk_ops
+
+    rows = [
+        {
+            "op": "insert",
+            "data": {
+                "_id": 7,
+                "at": dt.datetime(2024, 1, 2, 3, 4, 5),
+                "amt": Decimal("12.3400000000"),
+                "blob": b"\x00\x01",
+                "name": "x",
+                "score": 1.5,
+            },
+        },
+        {"op": "delete", "_id": 7, "data": {"_id": 7}},
+    ]
+    batches = list(mongo_bulk_ops(rows, extended_json=True))
+    assert len(batches) == 1
+    rep = batches[0][0]["replaceOne"]
+    assert rep["filter"] == {"_id": {"$numberLong": "7"}}
+    assert rep["replacement"] == {
+        "_id": {"$numberLong": "7"},
+        "at": {"$date": 1704164645000},
+        "amt": {"$numberDecimal": "12.3400000000"},
+        "blob": {"$binary": "AAE=", "$type": "00"},
+        "name": "x",
+        "score": 1.5,
+    }
+    assert batches[0][1] == {
+        "deleteOne": {"filter": {"_id": {"$numberLong": "7"}}}
+    }
+    # flag off: raw values untouched
+    raw = list(mongo_bulk_ops(rows))[0][0]["replaceOne"]
+    assert raw["filter"] == {"_id": 7}
+    assert raw["replacement"]["at"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_extended_json_column_roundtrip(spark):
+    """to_extended_json -> normalize_extended_json is the identity on
+    the typed columns (the mejson round-trip the reference performs
+    at every JS-transform boundary)."""
+    import pyspark.sql.functions as F
+
+    from transporter_spark.functions.extended_json import (
+        normalize_extended_json,
+        to_extended_json,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc123", 1704164645000, 7)],
+        "k long, oid_v string, millis long, n long",
+    ).select(
+        "k",
+        F.col("oid_v").alias("_id"),
+        F.timestamp_millis("millis").alias("at"),
+        F.lit("12.3400000000").cast("decimal(38,10)").alias("amt"),
+        F.col("n"),
+    )
+    doc = df.select(
+        "k",
+        to_extended_json(
+            {"_id": "oid", "at": "date", "amt": "decimal", "n": "long"}
+        ).alias("doc"),
+    )
+    back = doc.select(
+        "k",
+        *normalize_extended_json(
+            "doc", {"_id": "oid", "at": "date", "amt": "decimal", "n": "long"}
+        ),
+    ).collect()[0]
+    assert back._id == "abc123"
+    assert back.at.isoformat().startswith("2024-01-02T03:04:05")
+    assert str(back.amt) == "12.3400000000"
+    assert back.n == 7

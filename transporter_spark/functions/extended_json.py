@@ -93,3 +93,112 @@ def normalize_extended_json(json_col: str, spec: Dict[str, str]):
         "string": lambda c, f: F.get_json_object(F.col(c), f"$.{f}"),
     }
     return [builders[kind](json_col, field).alias(field) for field, kind in spec.items()]
+
+
+# ---------------------------------------------------------------------------
+# render-out (the write path): typed columns -> extended-JSON strings
+# ---------------------------------------------------------------------------
+
+#: inverse policy (VERDICT r10 item 7): what each kind renders as.
+#: Matches mejson's v1 marshaling, which the reference re-emits
+#: whenever docs cross into JS transforms or the commit log
+#: (function/gojajs/goja.go:97,144; pipeline/node.go:461).
+RENDER_POLICY: Dict[str, str] = {
+    "oid": '{"$oid": "<hex>"}',
+    "date": '{"$date": <epoch millis>}',
+    "decimal": '{"$numberDecimal": "<digits>"}',
+    "long": '{"$numberLong": "<digits>"}',
+    "binary": '{"$binary": "<base64>", "$type": "00"}',
+    "string": "plain JSON string",
+}
+
+
+def _render_field(field: str, kind: str) -> Column:
+    c = F.col(field)
+    if kind == "oid":
+        return F.struct(c.cast("string").alias("$oid")).alias(field)
+    if kind == "date":
+        # epoch millis — mejson's canonical $date rendering; the cast
+        # to LTZ is instant-preserving under the pinned UTC session tz
+        return F.struct(
+            F.unix_millis(c.cast("timestamp")).alias("$date")
+        ).alias(field)
+    if kind == "decimal":
+        # decimal(38,10) renders with its full scale on both engines
+        return F.struct(
+            c.cast("decimal(38,10)").cast("string").alias("$numberDecimal")
+        ).alias(field)
+    if kind == "long":
+        return F.struct(
+            c.cast("long").cast("string").alias("$numberLong")
+        ).alias(field)
+    if kind == "binary":
+        # subtype 00 (generic) — the only subtype this engine's opaque
+        # binary policy produces
+        return F.struct(
+            F.base64(c).alias("$binary"), F.lit("00").alias("$type")
+        ).alias(field)
+    if kind == "string":
+        return c.cast("string").alias(field)
+    raise ValueError(
+        f"to_extended_json: unknown kind {kind!r} for field {field!r} "
+        f"(known: {sorted(RENDER_POLICY)})"
+    )
+
+
+def to_extended_json(spec: Dict[str, str]) -> Column:
+    """Render typed columns INTO one extended-JSON document string —
+    the inverse of `normalize_extended_json`, completing the
+    round-trip the reference performs with mejson on its write path
+    (goja.go:97,144): a Mongo-bound consumer of this engine's JSON
+    output gets `{"$oid"...}`/`{"$date"...}` wrappers, not plain
+    strings. spec is field -> kind ('oid' | 'date' | 'decimal' |
+    'long' | 'binary' | 'string'), field order = output key order.
+
+    One codegen'd `to_json(struct(...))` projection: escaping,
+    unicode, and number rendering are the JSON writer's (identical in
+    DuckDB's json_object — oracle-proven string-exact). NULL fields
+    are OMITTED from the document (Spark's ignoreNullFields), which
+    matches Mongo's absent-field semantics for the replace-style
+    writes the sink performs."""
+    return F.to_json(
+        F.struct(*[_render_field(f, k) for f, k in spec.items()])
+    )
+
+
+def mejson_wrap(value):
+    """Python-side twin of the render policy for the DICT path (the
+    mongo bulk-op payload builder works on envelope dicts, not
+    Columns): datetime -> {"$date": millis}, Decimal ->
+    {"$numberDecimal": str}, int -> {"$numberLong": str}, bytes ->
+    {"$binary": b64, "$type": "00"}; str/float/bool/None pass
+    through; dicts/lists recurse. One conversion table for both
+    surfaces — drift between the Column and dict renderers would
+    corrupt the wire payloads the pytest contract pins."""
+    import base64 as _b64
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(value, bool) or value is None:
+        return value
+    if isinstance(value, _dt.datetime):
+        epoch = (
+            value
+            if value.tzinfo is not None
+            else value.replace(tzinfo=_dt.timezone.utc)
+        )
+        return {"$date": int(epoch.timestamp() * 1000)}
+    if isinstance(value, _dec.Decimal):
+        return {"$numberDecimal": str(value)}
+    if isinstance(value, int):
+        return {"$numberLong": str(value)}
+    if isinstance(value, (bytes, bytearray)):
+        return {
+            "$binary": _b64.b64encode(bytes(value)).decode("ascii"),
+            "$type": "00",
+        }
+    if isinstance(value, dict):
+        return {k: mejson_wrap(v) for k, v in value.items()}
+    if isinstance(value, (list, tuple)):
+        return [mejson_wrap(v) for v in value]
+    return value

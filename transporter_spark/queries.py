@@ -3462,7 +3462,12 @@ ORDER BY doc_id
 @q(
     "video_phash_dedup",
     oracle=_video_phash_dedup_oracle(),
-    headline=True,  # tracked from round 10 (new-capability baseline)
+    # headline moved to video_phash_dedup_hd in r11 (VERDICT r10 item
+    # 6): this corpus' 5-70-byte fake frames have near-zero dHash
+    # entropy — 47M candidate pairs at sf0.1, 30% of the whole bench
+    # in one query, quadratic by construction on a degenerate corpus.
+    # It stays GRADED as the hot-bucket stress fixture; the bench
+    # tracks the realistic KB-frame corpus instead.
 )
 def q_video_phash_dedup(spark, sf_dir):
     """Frame-level VIDEO near-dedup (VERDICT r9 item 7) — the
@@ -3502,6 +3507,124 @@ def q_video_phash_dedup(spark, sf_dir):
     )
     base = docs.select("doc_id", "text").unionByName(copies)
     media = base.withColumn("content", F.encode("text", "utf-8"))
+    out = video_phash_dedup(media, "content", "doc_id")
+    final = out.select(
+        F.col("id").alias("doc_id"), "byte_len", "component", "is_canonical"
+    ).orderBy("doc_id")
+    final._ts_cached = list(getattr(out, "_ts_cached", ()))
+    return final
+
+
+def _video_phash_dedup_hd_oracle() -> str:
+    from transporter_spark.operators.multimodal import (
+        video_phash_oracle_ctes,
+    )
+
+    return (
+        """
+WITH RECURSIVE
+hsrc AS MATERIALIZED (
+  SELECT doc_id,
+         array_to_string(list_transform(range(0, 256),
+           i -> md5(text || CAST(i AS VARCHAR))), '') AS s
+  FROM documents),
+vbase AS MATERIALIZED (
+  SELECT doc_id, encode(s) AS c FROM hsrc
+  UNION ALL
+  SELECT doc_id + 1000000,
+         encode(substr(s, 1, (2 * length(s)) // 5)
+                || repeat('Z', (3 * length(s)) // 5 - (2 * length(s)) // 5)
+                || substr(s, (3 * length(s)) // 5 + 1))
+  FROM hsrc WHERE doc_id % 6 = 0),"""
+        + video_phash_oracle_ctes("vbase", "c", "doc_id")
+        + """,
+vfpairs AS (
+  SELECT a.fid AS fa, b.fid AS fb,
+         a.vid AS va, b.vid AS vb
+  FROM vph a JOIN vph b ON a.fid < b.fid
+  WHERE bit_count(xor(a.phash, b.phash)) <= 1 AND a.vid <> b.vid),
+vnf AS (SELECT vid, count(*)::BIGINT AS nfr FROM vph GROUP BY vid),
+vvotes AS (
+  SELECT va, vb,
+         count(DISTINCT fa)::BIGINT AS ma,
+         count(DISTINCT fb)::BIGINT AS mb
+  FROM vfpairs GROUP BY 1, 2),
+vedges AS (
+  SELECT va, vb FROM vvotes
+  JOIN vnf a ON a.vid = va JOIN vnf b ON b.vid = vb
+  WHERE 4 * ma >= 3 * a.nfr AND 4 * mb >= 3 * b.nfr),
+vsym AS (
+  SELECT va AS src, vb AS dst FROM vedges
+  UNION ALL
+  SELECT vb, va FROM vedges),
+vreach(id, r) AS (
+  SELECT doc_id, doc_id FROM vbase
+  UNION
+  SELECT vreach.id, vsym.dst FROM vreach JOIN vsym ON vreach.r = vsym.src),
+vcomp AS (SELECT id, MIN(r) AS component FROM vreach GROUP BY id),
+vsizes AS (SELECT doc_id, octet_length(c)::BIGINT AS byte_len FROM vbase)
+SELECT c.id AS doc_id, s.byte_len, c.component,
+       (row_number() OVER (PARTITION BY c.component
+                           ORDER BY s.byte_len DESC, c.id) = 1) AS is_canonical
+FROM vcomp c JOIN vsizes s ON s.doc_id = c.id
+ORDER BY doc_id
+"""
+    )
+
+
+@q(
+    "video_phash_dedup_hd",
+    oracle=_video_phash_dedup_hd_oracle(),
+    headline=True,  # r11: the realistic-entropy video benchmark point
+)
+def q_video_phash_dedup_hd(spark, sf_dir):
+    """Frame-level video near-dedup on a REALISTIC-ENTROPY corpus
+    (VERDICT r10 item 6): the graded `video_phash_dedup` fixture's
+    5-70-byte fake frames are pair-degenerate (near-zero dHash
+    entropy — 47M candidates at sf0.1, quadratic by construction;
+    kept graded as the hot-bucket stress test), so THIS query — the
+    bench headline — runs the SAME operator at the SAME operating
+    point (ham<=1, 3/4 both-sides vote) over KB-scale frames: each
+    doc's blob is a deterministic 8 KiB hash expansion (256
+    concatenated md5(text||i) chunks — per-byte entropy like real
+    encoded media), copies are the same heavy middle-fifth scramble
+    applied to the EXPANDED blob. On this corpus the banded candidate
+    join returns ~copy-pairs only (measured in SCALE.md vs the
+    degenerate fixture), which is what production video dedup looks
+    like: candidate volume tracks true duplication, not fixture
+    degeneracy. Oracle replays expansion, slicing, hashing,
+    brute-force frame pairs, vote, closure, and canonical argmax."""
+    from transporter_spark.operators.dedup import _materialize
+    from transporter_spark.operators.multimodal import video_phash_dedup
+
+    docs = read_table(spark, sf_dir, "documents")
+    # materialized: the expansion is the expensive projection and BOTH
+    # branches (originals + copies) consume it — and Catalyst's lambda
+    # binding loses the outer `text` reference when this HOF lineage
+    # is unioned with itself (key-not-found at analysis), so the cut
+    # is load-bearing, not just a CSE win
+    src = _materialize(
+        docs.select(
+            "doc_id",
+            F.expr(
+                "array_join(transform(sequence(0, 255), "
+                "i -> md5(concat(text, cast(i as string)))), '')"
+            ).alias("s"),
+        )
+    )
+    copies = src.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            "concat(substr(s, 1, cast((2 * length(s)) div 5 as int)), "
+            "repeat('Z', cast((3 * length(s)) div 5 as int) "
+            "- cast((2 * length(s)) div 5 as int)), "
+            "substr(s, cast((3 * length(s)) div 5 as int) + 1))"
+        ).alias("s"),
+    )
+    base = src.unionByName(copies)
+    media = base.select(
+        "doc_id", F.encode("s", "utf-8").alias("content")
+    )
     out = video_phash_dedup(media, "content", "doc_id")
     final = out.select(
         F.col("id").alias("doc_id"), "byte_len", "component", "is_canonical"
@@ -4904,6 +5027,66 @@ def q_extended_json(spark, sf_dir):
     # graded boundary: decimal -> double (operator API keeps DecimalType;
     # the driver harness canonicalizes decimals differently per engine)
     return out.withColumn("amt", F.col("amt").cast("double"))
+
+
+@q(
+    "extended_json_render",
+    oracle="""
+SELECT event_id,
+       json_object(
+         '_id', json_object('$oid', md5(CAST(event_id AS VARCHAR))),
+         'at', json_object('$date', epoch_ms(ts)),
+         'amt', json_object('$numberDecimal',
+                  CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,10)) AS VARCHAR)),
+         'n', json_object('$numberLong', CAST(user_id AS VARCHAR)),
+         'blob', json_object('$binary', to_base64(encode(event_type)),
+                             '$type', '00'),
+         'kind', event_type
+       )::VARCHAR AS doc
+FROM events
+ORDER BY event_id
+""",
+)
+def q_extended_json_render(spark, sf_dir):
+    """Extended-JSON RENDER-OUT (VERDICT r10 item 7 — the inverse of
+    `extended_json_normalize`, completing mejson's write-side
+    round-trip, function/gojajs/goja.go:97,144): typed columns render
+    into one extended-JSON document string per row via
+    functions/extended_json.to_extended_json — $oid, $date (epoch
+    millis), $numberDecimal (full decimal(38,10) scale, double
+    routed through VARCHAR on both sides — the _dsum cast
+    discipline), $numberLong, $binary+$type 00, and plain strings —
+    in ONE codegen'd to_json(struct(...)) projection. The oracle
+    builds the identical document with DuckDB json_object and the
+    gate compares the rendered STRINGS byte-exactly, so escaping and
+    number rendering are proven identical. The dict-path twin
+    (mejson_wrap) feeds the mongo bulk-op payloads, pinned in
+    tests/test_connectors.py."""
+    from transporter_spark.functions.extended_json import to_extended_json
+
+    ev = read_table(spark, sf_dir, "events")
+    staged = ev.select(
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("_id"),
+        F.col("ts").cast("timestamp").alias("at"),
+        F.col("value").cast("string").cast("decimal(38,10)").alias("amt"),
+        F.col("user_id").alias("n"),
+        F.encode("event_type", "utf-8").alias("blob"),
+        F.col("event_type").alias("kind"),
+    )
+    return staged.select(
+        "event_id",
+        to_extended_json(
+            {
+                "_id": "oid",
+                "at": "date",
+                "amt": "decimal",
+                "n": "long",
+                "blob": "binary",
+                "kind": "string",
+            }
+        ).alias("doc"),
+    ).orderBy("event_id")
 
 
 @q(

@@ -291,6 +291,7 @@ def mongo_bulk_ops(
     op_field: str = "op",
     max_ops: int = 1000,
     max_bytes: int = 16 * 1024 * 1024,
+    extended_json: bool = False,
 ) -> Iterator[List[dict]]:
     """Build MongoDB bulkWrite op batches from envelope rows.
 
@@ -303,13 +304,25 @@ def mongo_bulk_ops(
     `max_bytes` (bulk.go:16's 16 MB BSON cap, approximated by JSON
     size). Ordered=false semantics (dup keys retried unordered,
     bulk.go:135-152) come from the driver's bulk_write(ordered=False).
+    ``extended_json=True`` renders edge types as mejson v1 wrappers
+    (see module note below the signature).
     """
+    # extended_json=True renders BSON edge types (datetime/Decimal/
+    # int64/bytes) as mejson v1 wrappers in both replacements AND id
+    # filters — the reference's write-side round-trip
+    # (function/gojajs/goja.go:97,144); see
+    # functions/extended_json.mejson_wrap for the one conversion table
     batch: List[dict] = []
     size = 0
+    if extended_json:
+        from transporter_spark.functions.extended_json import mejson_wrap
     for row in rows:
         op = str(row.get(op_field, "insert")).lower()
         data = row.get("data") or {}
         doc_id = data.get(id_field, row.get(id_field))
+        if extended_json:
+            data = mejson_wrap(data)
+            doc_id = mejson_wrap(doc_id)
         if op in _DELETE_OPS:
             entry = {"deleteOne": {"filter": {id_field: doc_id}}}
         elif op in ("insert", "update"):
