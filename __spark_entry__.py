@@ -24,112 +24,88 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 10 (VERDICT r9 item 2): 9 new + 20
-# changed + the 16 mandated r4 spills + 5 stalest-r5 = 50
-# (stream_video_index, pack_with_boundaries, simhash_pairs_capped,
-# and the pretraining_pipeline composition — whose shared
-# _curated_docs front also re-grades training_pipeline — were added
-# late in the round and displaced q2_min_cost_supplier,
-# scalar_subquery, having_clause, anti_join_not_in, and
-# exists_subquery; all five rejoin the r5 remainder at the head of
-# the r11 queue).
+# to the STALEST greens. Round 11 (VERDICT r10 item 2): 8 new + 5
+# changed + the ENTIRE r5 remainder (37 queries last graded in r5 —
+# computed as CORRECTNESS_r05 names absent from every r06-r10 file;
+# includes the five r10-displaced: q2_min_cost_supplier,
+# scalar_subquery, having_clause, anti_join_not_in, exists_subquery)
+# = exactly 50; the late addition stream_unigram_vocab (9th new)
+# then displaced stratified_sample, which heads the r12 queue.
 # "Changed" is read strictly, per FUNCTION executed:
-# - the r10 guard/param additions to the banded-candidate core
-#   (banded_hamming_pairs / incremental_banded_hamming_pairs gained
-#   max_bucket; _cap_buckets generalized over its key columns;
-#   band_index gained the ragged-banding raise; simhash_index /
-#   simhash_pairs validate geometry up front) re-grade EVERY query
-#   executing those fns: simhash_pairs, incremental_simhash,
-#   image_phash_dedup, multimodal_pipeline, stream_phash_index,
-#   minhash_lsh_pairs, minhash_lsh_portable, dedup_recall_audit
-#   (also the _straddling_corpus factor-out), incremental_dedup,
-#   dedup_clusters, dedup_clusters_portable, and the ingest-drain
-#   family that builds band indexes per epoch (stream_ingest_dedup,
-#   stream_curation, stream_curation_full, stream_decontaminate —
-#   the last also via decontaminate's new bare-table geometry raise,
-#   which re-grades decontaminate and decontaminate_bloom too);
-# - bpe_apply_merges re-grades via the _bpe_merge_cascade factor-out;
-# - domain_upsample via upsample_to_mix's reserved-'copy' guard.
-# NOT re-graded on oracle grounds: the _minhash_portable_ctes
-# (num_hashes, bands) parameterization and _dedup_recall_audit_oracle
-# factor emit byte-identical strings at the old operating points
-# (pinned, tests/test_oracle_builders.py); ngram_jaccard_pairs'
-# jaccard_pairs body is untouched. incremental_dedup_exact[_bloom]
-# stay unchanged (fingerprint path, no banding). fuzzy/symspell,
-# span, sketch, vector-sink families untouched this round.
-# The stale half: the 16 r4 spills documented last round take their
-# mandated slots; the r5 cohort (43 queries) heads the remaining
-# queue in registry order — 10 fit (media_features .. 
-# q2_min_cost_supplier); the REST of the r5 cohort
-# (q21_waiting_suppliers, pivot_table, extended_json_normalize,
-# dedup_normalized, asof_join x3, range_join_recent_count,
-# window_analytics, percentiles, collect_agg, stratified_sample,
-# q19_disjunctive, sliding_window_agg, gopher_quality_gate,
-# domain_mix_weights, domain_mix_sample, semantic_decontaminate,
-# curation_pipeline, temperature_mix_weights, balanced_shards,
-# dsir_select, kmeans_update, dataset_split, containment_pairs,
-# lm_perplexity_gate, the hll/cms/dd sketch rows, sketch_profile)
-# spills to r11 and heads its queue; r6/r8/r9 cohorts follow via the
-# registry fallback, all green on unchanged code.
+# - l2_normalize_rows gained the zero-norm per-row raise (ADVICE r10)
+#   -> re-grades ivfpq_refine_topk and ann_recall_tuned (which
+#   executes ivfpq_refine_topk's fn for its approx side);
+# - incremental_video_pairs gained the banded-row-count % bands
+#   tripwire (ADVICE r10) -> re-grades stream_video_index;
+# - _curated_docs now delegates to operators/text.curate_docs (the
+#   pretraining sink must share the one curation definition) ->
+#   re-grades training_pipeline and pretraining_pipeline;
+# - mongo_bulk_ops gained the extended_json flag (default-off branch)
+#   — no graded query executes it (connector wire contracts are
+#   pytest-pinned), payloads pinned in tests/test_connectors.py.
+# NOT re-graded: video_phash_dedup's headline flag moved to the new
+# video_phash_dedup_hd (registry metadata, not executed code); all
+# oracle builders added this round are NEW (unigram/ffd/audio/hd/
+# extended_json_render); no shared builder's emitted string changed
+# (pinned, tests/test_oracle_builders.py).
+# The r6/r8 cohorts are next-stalest after this window and head the
+# r12 queue via the registry fallback.
 _PRIORITY = [
-    # --- NEW round 10: must take a slot ---
-    "ivfpq_refine_topk",        # tuned two-stage ANN operating point
-    "ann_recall_tuned",         # recall@5 = 0.90 vs brute force
-    "dedup_recall_tuned",       # LSH r=2 point, recall 0.994
-    "tokenize_pack_pipeline",   # ids -> fixed-length training rows
-    "pack_with_boundaries",     # + attention-mask segment offsets
-    "pretraining_pipeline",     # curate -> learn -> ids -> pack
-    "video_phash_dedup",        # frame-vote video near-dedup
-    "stream_video_index",       # continuous frame index + incr. probe
-    "simhash_pairs_capped",     # the hot-bucket guard, graded e2e
+    # --- NEW round 11: must take a slot ---
+    "stream_pretraining",       # multi-epoch curate->encode->pack drain == batch
+    "unigram_learn_vocab",      # Viterbi-EM unigram tokenizer trainer
+    "unigram_encode_ids",       # unigram encode to token ids
+    "stream_unigram_vocab",     # unigram trained on the maintained count state
+    "pack_bins_ffd",            # boundary-respecting first-fit-decreasing packing
+    "audio_fp_dedup",           # temporal-delta window-vote audio dedup
+    "stream_audio_index",       # continuous audio index + incremental probe
+    "video_phash_dedup_hd",     # realistic-entropy video corpus (new bench headline)
+    "extended_json_render",     # mejson write-side render-out (string-exact)
     # --- changed since their last green row (see header) ---
-    "decontaminate",
-    "decontaminate_bloom",
-    "stream_decontaminate",
-    "simhash_pairs",
-    "incremental_simhash",
-    "image_phash_dedup",
-    "multimodal_pipeline",
-    "stream_phash_index",
-    "minhash_lsh_pairs",
-    "minhash_lsh_portable",
-    "dedup_recall_audit",
-    "incremental_dedup",
-    "stream_ingest_dedup",
-    "stream_curation",
-    "stream_curation_full",
-    "dedup_clusters",
-    "dedup_clusters_portable",
-    "bpe_apply_merges",
-    "domain_upsample",
-    "training_pipeline",        # now runs through _curated_docs
-    # --- the 16 r4 spills mandated by VERDICT r9 item 2 ---
-    "rename",
-    "repeated_chunk_prune",
-    "salted_agg",
-    "scalar_funcs",
-    "session_window",
-    "set_ops",
-    "skip_eq",
-    "skip_gt",
-    "skip_numeric_string",
-    "skip_regex",
-    "sort_limit",
-    "stats_agg",
-    "text_stats",
-    "window_topn",
-    "windowed_agg",
-    "word_count",
-    # --- 5 stalest r5-cohort greens (registry queue order; five
-    # --- slots went to the late additions, see header) ---
-    "media_features",
-    "json_functions",
-    "cube_agg",
-    "grouped_pandas_udaf",
-    "python_udtf",
-    # --- past the graded window: the r5 remainder heads the r11
-    # --- queue (list in the header); r6/r8/r9 cohorts follow via
-    # --- the registry fallback
+    "ivfpq_refine_topk",
+    "ann_recall_tuned",
+    "stream_video_index",
+    "training_pipeline",
+    "pretraining_pipeline",
+    # --- the full r5 remainder: stalest greens, r5-window order ---
+    "gopher_quality_gate",
+    "domain_mix_weights",
+    "domain_mix_sample",
+    "semantic_decontaminate",
+    "curation_pipeline",
+    "asof_join_forward",
+    "asof_join_nearest",
+    "temperature_mix_weights",
+    "balanced_shards",
+    "dsir_select",
+    "kmeans_update",
+    "dataset_split",
+    "containment_pairs",
+    "lm_perplexity_gate",
+    "hll_distinct",
+    "hll_merge_shards",
+    "cms_topk_users",
+    "ddsketch_quantiles",
+    "dd_quantile_gate",
+    "sketch_profile",
+    "asof_join",
+    "q19_disjunctive",
+    "percentiles",
+    "exists_subquery",
+    "anti_join_not_in",
+    "scalar_subquery",
+    "q2_min_cost_supplier",
+    "q21_waiting_suppliers",
+    "window_analytics",
+    "having_clause",
+    "pivot_table",
+    "extended_json_normalize",
+    "dedup_normalized",
+    "range_join_recent_count",
+    "sliding_window_agg",
+    "collect_agg",
+    # --- past the graded window: r6/r8/r9/r10 cohorts follow via the
+    # --- registry fallback
 ]
 
 

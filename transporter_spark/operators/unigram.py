@@ -67,15 +67,13 @@ GRADED_SCALE = 1000
 GRADED_MAX_WORD_LEN = 12
 
 
-def unigram_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(w, cnt): the shared one-corpus-scan word table (BPE's
-    `bpe_word_counts`), plus the unigram family's fail-loud domain
-    checks — a word containing the 0x1f path separator or longer than
-    the DP unroll bound would silently corrupt segmentations, so both
-    raise per-row instead."""
-    from transporter_spark.operators.text import bpe_word_counts
-
-    wc = bpe_word_counts(df, text_col)
+def unigram_check_words(wc: DataFrame) -> DataFrame:
+    """The unigram family's fail-loud domain gate over any (w, cnt)
+    word table — a word containing the 0x1f path separator or longer
+    than the DP unroll bound would silently corrupt segmentations, so
+    both raise per-row. Split out so the CONTINUOUS trainer can guard
+    the maintained word-count state the same way the batch path
+    guards its fresh scan."""
     return wc.select(
         F.expr(
             f"if(w not like '%{SEP}%' and length(w) <= "
@@ -86,6 +84,14 @@ def unigram_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
         ).alias("w"),
         "cnt",
     )
+
+
+def unigram_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(w, cnt): the shared one-corpus-scan word table (BPE's
+    `bpe_word_counts`) behind the domain gate."""
+    from transporter_spark.operators.text import bpe_word_counts
+
+    return unigram_check_words(bpe_word_counts(df, text_col))
 
 
 def unigram_seed_counts(

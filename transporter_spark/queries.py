@@ -3603,8 +3603,12 @@ def q_video_phash_dedup_hd(spark, sf_dir):
     # binding loses the outer `text` reference when this HOF lineage
     # is unioned with itself (key-not-found at analysis), so the cut
     # is load-bearing, not just a CSE win
+    # repartition first: the documents table is one small parquet file
+    # (one input split), and the 256-md5/row expansion is interpreted
+    # HOF work — on a single task it IS the query's wall clock; spread
+    # it across the cluster before paying it
     src = _materialize(
-        docs.select(
+        docs.repartition(64).select(
             "doc_id",
             F.expr(
                 "array_join(transform(sequence(0, 255), "
@@ -4368,6 +4372,31 @@ def q_unigram_encode_ids(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@q("stream_unigram_vocab", oracle=_unigram_vocab_oracle())
+def q_stream_unigram_vocab(spark, sf_dir):
+    """CONTINUOUS unigram tokenizer training: the Viterbi-EM trainer
+    runs on the MAINTAINED word-count state (the same
+    streaming/vocab.py sink `stream_bpe_vocab` drains — one state,
+    both tokenizer families) instead of a fresh corpus scan.
+    Doc-disjoint epochs sum exactly, so the maintained counts equal
+    `bpe_word_counts` bit-for-bit and the learned vocabulary is
+    IDENTICAL to the batch `unigram_learn_vocab` — this query shares
+    that oracle verbatim. Re-training after new data arrives never
+    re-reads documents: the E/M rounds are vocab-sized over the
+    state, which is the point of maintaining it. The domain gate
+    (`unigram_check_words`) guards the maintained counts exactly as
+    the batch path guards its scan."""
+    from transporter_spark.operators.unigram import (
+        unigram_check_words,
+        unigram_em,
+        unigram_vocab,
+    )
+    from transporter_spark.streaming.vocab import drain_documents_vocab
+
+    counts = unigram_check_words(drain_documents_vocab(spark, sf_dir))
+    return unigram_vocab(unigram_em(counts)).orderBy("token_id")
 
 
 @q(
