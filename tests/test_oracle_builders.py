@@ -217,3 +217,28 @@ def test_domain_upsample_oracle_drops_zero_token_source(spark):
         ).fetchall()
     )
     assert want == got
+
+
+def test_unigram_encode_oracle_refactor_identity():
+    """unigram_encode_oracle was refactored into the shared
+    unigram_encode_ctes (so the pack composition can reuse the chain);
+    the emitted default string must stay byte-identical to the
+    pre-refactor literal (the r9 exemption rule). Structural pin: the
+    pack oracle embeds the SAME chain plus the cumsum/chunk tail."""
+    from transporter_spark.operators.unigram import (
+        unigram_encode_ctes,
+        unigram_encode_oracle,
+        unigram_pack_oracle,
+    )
+
+    enc = unigram_encode_oracle()
+    assert enc == (
+        "\nWITH "
+        + unigram_encode_ctes()
+        + "\nSELECT doc_id, count(*)::BIGINT AS n_tokens,\n"
+        "       array_to_string(list(token_id ORDER BY tok_idx), '-') "
+        "AS token_ids\nFROM ugids GROUP BY doc_id ORDER BY doc_id\n"
+    )
+    pack = unigram_pack_oracle(seq_len=512)
+    assert pack.startswith("\nWITH " + unigram_encode_ctes())
+    assert "gpos // 512" in pack and "upcnt AS (" in pack

@@ -481,7 +481,7 @@ def unigram_vocab_oracle(**kw) -> str:
     )
 
 
-def unigram_encode_oracle(
+def unigram_encode_ctes(
     max_piece_len: int = GRADED_MAX_PIECE_LEN,
     num_iters: int = GRADED_NUM_ITERS,
     w_max: int = GRADED_MAX_WORD_LEN,
@@ -489,10 +489,11 @@ def unigram_encode_oracle(
     text_sql: str = "text",
     **kw,
 ) -> str:
-    """Full SELECT for the `unigram_encode_ids` graded query: one more
-    unrolled DP over the FINAL piece table, then the per-document id
-    assembly (word position x piece position window, ids dash-joined
-    — the tokenize_pack output discipline)."""
+    """Training + encode CTE chain (no leading WITH), ending in
+    ``ugids`` (doc_id, tok_idx, token_id): one more unrolled DP over
+    the FINAL piece table, then the per-document id assembly (word
+    position x piece position window). Shared by the encode oracle
+    and the tokenize->pack composition."""
     ctes = unigram_oracle_ctes(
         max_piece_len=max_piece_len,
         num_iters=num_iters,
@@ -505,8 +506,7 @@ def unigram_encode_oracle(
   SELECT e.w, e.i, e.j, e.piece, p.score
   FROM ugedges e JOIN ugp{num_iters} p USING (piece))"""
     enc_dp = _dp_sql_block("E", "ugcandE", "ugwc", w_max, max_piece_len)
-    return f"""
-WITH {ctes},
+    return f"""{ctes},
 {enc_cand},
 {enc_dp},
 ugwrows AS (
@@ -525,8 +525,47 @@ ugids AS (
                              ORDER BY t.wpos, t.ppos) - 1)::BIGINT
            AS tok_idx,
          v.token_id
-  FROM ugtok t JOIN ugvocab v USING (piece))
+  FROM ugtok t JOIN ugvocab v USING (piece))"""
+
+
+def unigram_encode_oracle(**kw) -> str:
+    """Full SELECT for the `unigram_encode_ids` graded query (emitted
+    string byte-identical to its pre-refactor literal — pinned in
+    tests/test_oracle_builders.py)."""
+    return (
+        "\nWITH "
+        + unigram_encode_ctes(**kw)
+        + """
 SELECT doc_id, count(*)::BIGINT AS n_tokens,
        array_to_string(list(token_id ORDER BY tok_idx), '-') AS token_ids
 FROM ugids GROUP BY doc_id ORDER BY doc_id
 """
+    )
+
+
+def unigram_pack_oracle(
+    seq_len: int = 512, source: str = "documents", **kw
+) -> str:
+    """Full SELECT for the `unigram_tokenize_pack` graded query: the
+    encode chain's ``ugids`` fed through the same per-shard cumsum +
+    fixed-length chunking as `_tokenize_pack_oracle`'s tail."""
+    return (
+        "\nWITH "
+        + unigram_encode_ctes(source=source, **kw)
+        + f""",
+upcnt AS (SELECT doc_id, count(*)::BIGINT AS ntok FROM ugids GROUP BY doc_id),
+upoff AS (
+  SELECT d.doc_id, d.source,
+         CAST(SUM(c.ntok) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) - c.ntok
+           AS base
+  FROM {source} d JOIN upcnt c USING (doc_id)),
+upg AS (
+  SELECT o.source, t.token_id, o.base + t.tok_idx AS gpos
+  FROM ugids t JOIN upoff o USING (doc_id))
+SELECT source, CAST(gpos // {seq_len} AS BIGINT) AS seq_id,
+       count(*)::BIGINT AS n_tokens,
+       array_to_string(list(token_id ORDER BY gpos), '-') AS token_ids
+FROM upg GROUP BY 1, 2 ORDER BY source, seq_id
+"""
+    )

@@ -4374,6 +4374,38 @@ def q_unigram_encode_ids(spark, sf_dir):
     )
 
 
+def _unigram_pack_oracle():
+    from transporter_spark.operators.unigram import unigram_pack_oracle
+
+    return unigram_pack_oracle(seq_len=_PACK_SEQ_LEN)
+
+
+@q("unigram_tokenize_pack", oracle=_unigram_pack_oracle())
+def q_unigram_tokenize_pack(spark, sf_dir):
+    """UNIGRAM tokenize-to-ids -> PACK: the training-row composition
+    `tokenize_pack_pipeline` proves for BPE, carried to the other
+    tokenizer family — train the unigram vocabulary, Viterbi-encode
+    every document (once per DISTINCT word), and chunk the per-shard
+    id streams into fixed 512-id rows with the SAME `pack_token_ids`
+    the BPE chain uses (one packer, any tokenizer — the composition
+    point of keeping encode output at the (doc_id, tok_idx, token_id)
+    contract). Only id-sized rows shuffle after encode. The oracle is
+    the encode chain's staged replay with `_tokenize_pack_oracle`'s
+    cumsum+chunk tail over its ugids CTE."""
+    from transporter_spark.operators.text import pack_token_ids
+    from transporter_spark.operators.unigram import (
+        unigram_encode_ids,
+        unigram_learn_vocab,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = unigram_learn_vocab(docs)
+    ids = unigram_encode_ids(docs, vocab)
+    return pack_token_ids(
+        ids, docs.select("doc_id", "source"), seq_len=_PACK_SEQ_LEN
+    ).orderBy("source", "seq_id")
+
+
 @q("stream_unigram_vocab", oracle=_unigram_vocab_oracle())
 def q_stream_unigram_vocab(spark, sf_dir):
     """CONTINUOUS unigram tokenizer training: the Viterbi-EM trainer
