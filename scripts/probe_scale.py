@@ -563,6 +563,187 @@ def probe_video(spark):
     return times[1], times[MULT]
 
 
+def probe_audio(spark):
+    """Audio window-fingerprint probe at 1x/Nx CORPUS (fixed batch):
+    same incremental claim as probe_video — per-probe cost ∝ batch +
+    matched candidates, index read from parquet like the sink's
+    segments. Replicas are exact dups, so matched-window volume grows
+    ~Nx with the index; wall growth between those bounds is
+    candidate-driven."""
+    from transporter_spark.operators.dedup import band_fingerprint
+    from transporter_spark.operators.multimodal import (
+        audio_window_fp,
+        incremental_audio_pairs,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
+    )
+    batch = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"), "content"
+    )
+    times = {}
+    for mult in (1, MULT):
+        corpus = _replicate(docs, "doc_id", mult)
+        fp = audio_window_fp(corpus, "content", "doc_id")
+        idx_path = f"/tmp/probe_audio_idx_{mult}x"
+        band_fingerprint(
+            fp.select(F.col("wid").alias("id"), F.col("fp").alias("phash")),
+            "phash", 32, 2,
+        ).write.mode("overwrite").parquet(idx_path)
+        index = spark.read.parquet(idx_path)
+
+        def run():
+            incremental_audio_pairs(batch, index).count()
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
+def probe_unigram(spark):
+    """Unigram Viterbi-EM training at 1x/Nx docs (graded operating
+    point): like BPE, the corpus appears only in the word-count scan —
+    replicated docs collapse onto the SAME distinct-word rows, so the
+    seed, every E/M round (Viterbi over DISTINCT words), and the vocab
+    rank are literally constant-size. Wall must scale far
+    sublinearly."""
+    from transporter_spark.operators.unigram import unigram_learn_vocab
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    times = {}
+    for mult in (1, MULT):
+        corpus = _replicate(docs, "doc_id", mult)
+
+        def run():
+            unigram_learn_vocab(corpus).count()
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
+def probe_pretrain_epoch(spark):
+    """One continuous-pretraining EPOCH (fixed 500-doc batch) against a
+    1x vs Nx standing packed state, seeded directly (packed segments +
+    curated fingerprints + per-shard tails + tokenizer tables under one
+    manifest). Per-epoch wall AND bytes written must track the batch +
+    the constant-sized tail, never the standing packed history."""
+    import tempfile
+
+    from transporter_spark.operators.text import (
+        bpe_learn_from_counts,
+        bpe_merges_df,
+        bpe_vocab_from_words,
+        bpe_word_counts,
+        curate_docs,
+        bpe_encode_ids,
+        pack_token_ids,
+    )
+    from transporter_spark.streaming.pretrain import (
+        _merges_signature,
+        pretrain_batch,
+    )
+    from transporter_spark.streaming.state import SegmentStore
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    kept0 = curate_docs(docs, min_tokens=1).select(
+        "doc_id", "source", F.col("rtext").alias("text")
+    )
+    wc = bpe_word_counts(kept0).localCheckpoint(eager=True)
+    merges = bpe_learn_from_counts(wc, 4)
+    vocab = bpe_vocab_from_words(wc, merges).localCheckpoint(eager=True)
+    # novel batch docs built FROM corpus text (a suffix changes every
+    # normalized hash, so nothing dedups away) — synthetic text would
+    # need corpus-only characters or the encode's unknown-symbol guard
+    # rightly raises
+    batch = docs.limit(500).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"),
+        "source",
+        F.concat(F.col("text"), F.lit(" the query scan")).alias("text"),
+    ).localCheckpoint(eager=True)
+
+    def du(path):
+        total = 0
+        for dirpath, _dirs, files in os.walk(path):
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f)) for f in files
+            )
+        return total
+
+    times = {}
+    for mult in (1, MULT):
+        corpus = _replicate(docs, "doc_id", mult)
+        kept = curate_docs(corpus, min_tokens=1, with_nhash=True)
+        ids = bpe_encode_ids(kept, merges, vocab, text_col="rtext")
+        packed = pack_token_ids(
+            ids, kept.select("doc_id", "source"), seq_len=512,
+            with_boundaries=True,
+        )
+        state = tempfile.mkdtemp(prefix=f"probe_pretrain_{mult}x_") + "/state"
+        store = SegmentStore(state)
+        full = packed.where(F.col("n_tokens") == 512)
+        # one tail row per SHARD, exactly like the sink's new_tails: a
+        # shard ending on a sequence boundary has no partial row but
+        # still needs (n_seqs, [], []) — without it the measured epoch
+        # restarts that shard's gpos at 0 and collides with history
+        # (r11 review)
+        partial = packed.where(F.col("n_tokens") < 512).select(
+            "source",
+            F.col("seq_id").alias("n_seqs"),
+            F.split("token_ids", "-").cast("array<long>").alias("tail_ids"),
+            F.split("doc_starts", "-").cast("array<long>").alias(
+                "tail_starts"
+            ),
+        )
+        tails = (
+            packed.groupBy("source")
+            .agg((F.max("seq_id") + 1).alias("_next"))
+            .join(partial, "source", "left")
+            .select(
+                "source",
+                F.coalesce("n_seqs", F.col("_next")).alias("n_seqs"),
+                F.coalesce(
+                    "tail_ids", F.expr("array()").cast("array<long>")
+                ).alias("tail_ids"),
+                F.coalesce(
+                    "tail_starts", F.expr("array()").cast("array<long>")
+                ).alias("tail_starts"),
+            )
+        )
+        full.write.parquet(store.seg_path("packed-e0"))
+        tails.write.parquet(store.seg_path("tail-e0"))
+        kept.select(F.col("doc_id").alias("id"), "nhash").write.parquet(
+            store.seg_path("curated-e0")
+        )
+        bpe_merges_df(spark, merges).write.parquet(
+            store.seg_path("merges-e0")
+        )
+        vocab.write.parquet(store.seg_path("vocab-e0"))
+        store.commit(
+            0,
+            tables={
+                t: [f"{t}-e0"]
+                for t in ("packed", "tail", "curated", "merges", "vocab")
+            },
+            meta={
+                "seq_len": 512,
+                "min_tokens": 1,
+                "merges_md5": _merges_signature(merges),
+            },
+        )
+        before = du(state)
+        t0 = time.time()
+        pretrain_batch(batch, 1, state, seq_len=512, min_tokens=1)
+        times[mult] = time.time() - t0
+        print(
+            f"  pretrain_epoch {mult}x: epoch wrote "
+            f"{(du(state) - before) / 1024:.0f} KiB "
+            f"(standing state {before / 1024:.0f} KiB)"
+        )
+    return times[1], times[MULT]
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -581,6 +762,9 @@ PROBES = {
     "phash": probe_phash,
     "bpe": probe_bpe,
     "video": probe_video,
+    "audio": probe_audio,
+    "unigram": probe_unigram,
+    "pretrain_epoch": probe_pretrain_epoch,
 }
 
 

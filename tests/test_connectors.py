@@ -1830,3 +1830,20 @@ def test_extended_json_column_roundtrip(spark):
     assert back.at.isoformat().startswith("2024-01-02T03:04:05")
     assert str(back.amt) == "12.3400000000"
     assert back.n == 7
+
+
+def test_mejson_wrap_pre_epoch_millis_floor():
+    """r11 review: pre-1970 fractional-second instants must floor (the
+    BSON/unix_millis convention), not truncate toward zero."""
+    import datetime as dt
+
+    from transporter_spark.functions.extended_json import mejson_wrap
+
+    v = dt.datetime(1960, 1, 2, 3, 4, 5, 777000, tzinfo=dt.timezone.utc)
+    assert mejson_wrap(v) == {"$date": -315521754223}
+    w = dt.datetime(1960, 1, 2, 3, 4, 5, 777, tzinfo=dt.timezone.utc)
+    # 777 us -> floor to 0 ms past the second boundary... the instant
+    # is BEFORE the epoch, so floor moves DOWN (away from zero)
+    assert mejson_wrap(w) == {"$date": -315521755000}
+    x = dt.datetime(1975, 1, 2, 3, 4, 5, 777, tzinfo=dt.timezone.utc)
+    assert mejson_wrap(x) == {"$date": 157863845000}

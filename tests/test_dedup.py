@@ -1161,3 +1161,15 @@ def test_incremental_video_pairs_mismatched_bands_raises(spark):
             new, corrupt, "content", "doc_id", n_frames=4, bits=32,
             max_hamming=1, bands=4,
         ).collect()
+
+
+def test_l2_normalize_nan_norm_raises_too(spark):
+    """r11 review: Spark orders NaN above every double, so a bare
+    `> 0D` waves a NaN norm through — the guard must catch it."""
+    from transporter_spark.operators.similarity import l2_normalize_rows
+
+    bad = spark.createDataFrame(
+        [(1, [float("nan"), 0.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="zero-norm or NaN-norm"):
+        l2_normalize_rows(bad).collect()

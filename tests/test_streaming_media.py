@@ -390,3 +390,24 @@ def test_audio_probe_geometry_mismatch_raises(spark, tmp_path):
     with pytest.raises(ValueError, match="mismatch|refusing"):
         audio_index_batch(df.select((F.col("doc_id") + 1).alias("doc_id"),
                                     "content"), 1, astate, n_windows=4)
+
+
+def test_audio_dedup_short_blob_reports_true_byte_len(spark):
+    """r11 review: a blob shorter than n_windows bytes has no adjacent
+    non-empty window pair and so no fingerprint rows — byte_len must
+    still be the true octet length (the oracle reads octet_length),
+    and the row stays a singleton."""
+    from transporter_spark.operators.dedup import release_cached
+    from transporter_spark.operators.multimodal import (
+        audio_fingerprint_dedup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"abc")), (2, bytearray(bytes(range(64))))],
+        "doc_id long, content binary",
+    )
+    out = audio_fingerprint_dedup(df)
+    rows = {r.id: r for r in out.collect()}
+    release_cached(out)
+    assert rows[1].byte_len == 3 and rows[1].is_canonical
+    assert rows[2].byte_len == 64

@@ -187,7 +187,13 @@ def mejson_wrap(value):
             if value.tzinfo is not None
             else value.replace(tzinfo=_dt.timezone.utc)
         )
-        return {"$date": int(epoch.timestamp() * 1000)}
+        # exact integer floor-division via timedelta — int(timestamp()
+        # * 1000) truncates toward zero, which renders pre-1970
+        # fractional-second instants one millisecond HIGH vs BSON's
+        # floor convention and the Column path's unix_millis (r11
+        # review, empirically 1286/1288 sampled 1960 values drifted)
+        delta = epoch - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+        return {"$date": delta // _dt.timedelta(milliseconds=1)}
     if isinstance(value, _dec.Decimal):
         return {"$numberDecimal": str(value)}
     if isinstance(value, int):

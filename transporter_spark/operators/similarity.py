@@ -823,12 +823,17 @@ def l2_normalize_rows(
     ).select(
         *keep,
         "_v",
+        # NOT isnan too: Spark orders NaN above every double, so a
+        # NaN norm (NaN component upstream) would pass a bare `> 0D`
+        # and the guard would wave through exactly the corruption it
+        # exists to stop (r11 review)
         F.expr(
-            "if(_raw_norm > 0D, _raw_norm, cast(raise_error("
-            "'l2_normalize_rows: zero-norm vector — normalizing would "
-            "emit NaN components and silently corrupt downstream "
-            "cosine/PQ rankings; drop or impute zero embeddings "
-            "upstream') as double))"
+            "if(_raw_norm > 0D and not isnan(_raw_norm), _raw_norm, "
+            "cast(raise_error("
+            "'l2_normalize_rows: zero-norm or NaN-norm vector — "
+            "normalizing would emit NaN components and silently "
+            "corrupt downstream cosine/PQ rankings; drop or impute "
+            "bad embeddings upstream') as double))"
         ).alias("_norm"),
     )
     return staged.select(

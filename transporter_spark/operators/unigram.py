@@ -299,6 +299,7 @@ def unigram_encode_ids(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_piece_len: int = GRADED_MAX_PIECE_LEN,
+    word_counts: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Tokenize to (id_col, tok_idx, token_id) with a learned unigram
     vocabulary (`unigram_learn_vocab` output — needs piece/score/
@@ -307,8 +308,18 @@ def unigram_encode_ids(
     broadcast-shaped join + one per-document position window over
     id-sized rows — the bpe_encode_ids shape with the merge cascade
     swapped for the segmentation lookup. A word that cannot segment
-    (char missing from the vocab) raises in the Viterbi closure."""
-    words = unigram_word_counts(df, text_col).select("w")
+    (char missing from the vocab) raises in the Viterbi closure.
+
+    ``word_counts``: pass the trainer's (materialized) word table to
+    skip the word-count corpus scan — the BPE "ONE word-count pass
+    feeds both" discipline; the graded compositions do (r11 review:
+    without it, encode paid a second text scan on top of the
+    explode)."""
+    words = (
+        word_counts
+        if word_counts is not None
+        else unigram_word_counts(df, text_col)
+    ).select("w")
     seg = unigram_viterbi(words, vocab, max_piece_len).select(
         "w", F.split("path", SEP).alias("_pieces")
     )

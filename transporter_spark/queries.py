@@ -4348,14 +4348,18 @@ def q_unigram_encode_ids(spark, sf_dir):
     n_tokens, token_ids) with ids dash-joined in document order; the
     oracle replays training plus a third unrolled DP over the final
     piece table and the same positional assembly."""
+    from transporter_spark.operators.dedup import _materialize
     from transporter_spark.operators.unigram import (
+        unigram_em,
         unigram_encode_ids,
-        unigram_learn_vocab,
+        unigram_vocab,
+        unigram_word_counts,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    vocab = unigram_learn_vocab(docs)
-    ids = unigram_encode_ids(docs, vocab)
+    wc = _materialize(unigram_word_counts(docs))
+    vocab = unigram_vocab(unigram_em(wc))
+    ids = unigram_encode_ids(docs, vocab, word_counts=wc)
     return (
         ids.groupBy("doc_id")
         .agg(
@@ -4392,15 +4396,19 @@ def q_unigram_tokenize_pack(spark, sf_dir):
     contract). Only id-sized rows shuffle after encode. The oracle is
     the encode chain's staged replay with `_tokenize_pack_oracle`'s
     cumsum+chunk tail over its ugids CTE."""
+    from transporter_spark.operators.dedup import _materialize
     from transporter_spark.operators.text import pack_token_ids
     from transporter_spark.operators.unigram import (
+        unigram_em,
         unigram_encode_ids,
-        unigram_learn_vocab,
+        unigram_vocab,
+        unigram_word_counts,
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    vocab = unigram_learn_vocab(docs)
-    ids = unigram_encode_ids(docs, vocab)
+    wc = _materialize(unigram_word_counts(docs))
+    vocab = unigram_vocab(unigram_em(wc))
+    ids = unigram_encode_ids(docs, vocab, word_counts=wc)
     return pack_token_ids(
         ids, docs.select("doc_id", "source"), seq_len=_PACK_SEQ_LEN
     ).orderBy("source", "seq_id")

@@ -304,8 +304,14 @@ def mongo_bulk_ops(
     `max_bytes` (bulk.go:16's 16 MB BSON cap, approximated by JSON
     size). Ordered=false semantics (dup keys retried unordered,
     bulk.go:135-152) come from the driver's bulk_write(ordered=False).
-    ``extended_json=True`` renders edge types as mejson v1 wrappers
-    (see module note below the signature).
+    ``extended_json=True`` renders edge types as mejson v1 wrappers —
+    for JSON-SERIALIZED consumers only (wire fixtures, commit logs,
+    HTTP bridges, the reference's JS-transform boundary): the wrappers
+    are not valid BSON values, so do NOT combine the flag with the
+    pymongo bulk_write path (mongo_cdc_sink's default writer), which
+    needs native datetime/Decimal128/bytes and would store literal
+    '$numberLong' subdocuments and match nothing on wrapped id
+    filters.
     """
     # extended_json=True renders BSON edge types (datetime/Decimal/
     # int64/bytes) as mejson v1 wrappers in both replacements AND id
