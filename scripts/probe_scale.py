@@ -673,7 +673,27 @@ def probe_pretrain_epoch(spark):
 
     times = {}
     for mult in (1, MULT):
-        corpus = _replicate(docs, "doc_id", mult)
+        # replicas need DISTINCT normalized text (a plain id-shift
+        # replica dedups away in curation and the "10x" standing state
+        # collapses back to 1x — caught when both states wrote the
+        # same size); the letter salt stays inside the seed vocab's
+        # character set so the standing-tokenizer encode cannot raise
+        parts = [
+            docs.select(
+                (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                "source",
+                (
+                    F.concat(F.col("text"), F.lit(f" copy {chr(97 + i)}"))
+                    if i
+                    else F.col("text")
+                ).alias("text"),
+            )
+            for i in range(mult)
+        ]
+        corpus = parts[0]
+        for part in parts[1:]:
+            corpus = corpus.unionByName(part)
+        corpus = corpus.localCheckpoint(eager=True)
         kept = curate_docs(corpus, min_tokens=1, with_nhash=True)
         ids = bpe_encode_ids(kept, merges, vocab, text_col="rtext")
         packed = pack_token_ids(
