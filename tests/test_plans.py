@@ -1071,3 +1071,79 @@ def test_pair_recall_single_join_no_cartesian(spark, sf_dir):
     body = explain_str(df).split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in body
     assert "FullOuter" in body or "full_outer" in body.lower()
+
+
+def test_audio_window_fp_single_projection_no_exchange(spark, sf_dir):
+    """audio_window_fp's scale contract: the blob hexes ONCE and both
+    windows' samples are pure arithmetic on it — the fingerprint table
+    is ONE scan with ZERO exchanges (both the pair search and the
+    index sink consume it directly)."""
+    from transporter_spark.operators.multimodal import audio_window_fp
+
+    media = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    fp = audio_window_fp(media)
+    plan = explain_str(fp)
+    body = plan.split("== Physical Plan ==")[-1]
+    import re as _re
+
+    assert not _re.findall(r"\(\d+\) Exchange", plan), body
+    assert len(set(_re.findall(r"\(\d+\) Scan parquet", plan))) == 1, body
+
+
+def test_audio_pairs_banded_not_all_pairs(spark, sf_dir):
+    """Audio candidates come from the shared pigeonhole (band, chunk)
+    equi-join — never a cartesian/BNLJ window x window pass (the
+    video pin, applied to the fourth modality)."""
+    from transporter_spark.operators.multimodal import (
+        _phash_pairs_from_fp,
+        audio_window_fp,
+    )
+
+    media = read_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("content")
+    )
+    fp = audio_window_fp(media)
+    pairs = _phash_pairs_from_fp(
+        fp.select(F.col("wid").alias("id"), F.col("fp").alias("phash")),
+        32, 1, 2,
+    )
+    body = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastNestedLoopJoin" not in body, body
+
+
+def test_pack_bins_ffd_no_text_in_any_exchange(spark, sf_dir):
+    """The FFD packer consumes only the per-doc COUNT table: document
+    text exits at the count projection — no shuffle Exchange carries
+    it (the packer's metadata-only claim), and there is no cartesian
+    anywhere."""
+    df = QUERIES["pack_bins_ffd"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    import re as _re
+
+    for m in _re.finditer(r"\(\d+\) Exchange", plan):
+        seg = plan[m.start() : m.start() + 400]
+        assert "text#" not in seg, seg
+
+
+def test_unigram_encode_ids_only_shuffles_broadcast_joins(spark, sf_dir):
+    """Unigram encode's scale claims (the bpe_encode_ids pin carried
+    to the second tokenizer family): the word->segmentation and
+    piece->id joins are BROADCAST, no cartesian, and no shuffle
+    Exchange carries raw text — only ids and positions cross after
+    the explode."""
+    df = QUERIES["unigram_encode_ids"].fn(spark, sf_dir)
+    plan = explain_str(df)
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "CartesianProduct" not in body, body
+    assert "BroadcastHashJoin" in body, body
+    import re as _re
+
+    for m in _re.finditer(r"\(\d+\) Exchange", plan):
+        seg = plan[m.start() : m.start() + 400]
+        assert "text#" not in seg, seg
+    assert "hashpartitioning(doc_id" in body, body
