@@ -243,3 +243,55 @@ def test_compaction_preserves_packed_content(spark, tmp_path):
     assert len(store.table_segments("packed")) == 1
     assert len(store.table_segments("curated")) == 1
     assert _rows(read_pretrain_packed(spark, state)) == before
+
+
+def test_chunked_drain_with_compaction_equals_batch(spark, sf_dir, tmp_path):
+    """The graded query's harness (chunked file stream, one epoch per
+    chunk) PLUS scheduled compaction folding the packed/curated logs
+    mid-drain: the maintained stream must still equal the batch
+    curate->encode->pack replay — compaction is content-preserving at
+    any point in the epoch sequence."""
+    import pyspark.sql.functions as F
+
+    from transporter_spark.sources.files import read_table
+    from transporter_spark.streaming.pretrain import (
+        chunked_table_stream,
+        pretrain_ingest_sink,
+        pretrain_last_epoch,
+        read_pretrain_packed,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    kept = curate_docs(docs).select(
+        "doc_id", "source", F.col("rtext").alias("text")
+    )
+    wc = bpe_word_counts(kept)
+    merges = bpe_learn_from_counts(wc, 2)
+    vocab = bpe_vocab_from_words(wc, merges)
+
+    state = str(tmp_path / "state")
+    stream = chunked_table_stream(
+        spark, sf_dir, "documents", num_chunks=4,
+        out_dir=str(tmp_path / "chunks"),
+    )
+    pretrain_ingest_sink(
+        stream, state, merges=merges, vocab=vocab, seq_len=64,
+        compact_every=2,
+    )
+    assert pretrain_last_epoch(state) == 3
+    store = SegmentStore(state)
+    # the fold actually ran: fewer live packed segments than epochs
+    assert len(store.table_segments("packed")) < 4
+
+    got = _rows(read_pretrain_packed(spark, state))
+    kept_full = curate_docs(docs)
+    ids = bpe_encode_ids(kept_full, merges, vocab, text_col="rtext")
+    want = _rows(
+        pack_token_ids(
+            ids,
+            kept_full.select("doc_id", "source"),
+            seq_len=64,
+            with_boundaries=True,
+        )
+    )
+    assert got == want

@@ -492,6 +492,7 @@ def chunked_table_stream(
         ).alias("b")
     ).collect()[0].b
     chunk_dir = out_dir or tempfile.mkdtemp(prefix="ts_chunks_")
+    os.makedirs(chunk_dir, exist_ok=True)
     stage = tempfile.mkdtemp(prefix="ts_chunk_stage_")
     lows = [None] + list(bounds)
     highs = list(bounds) + [None]
