@@ -29,9 +29,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # computed as CORRECTNESS_r05 names absent from every r06-r10 file;
 # includes the five r10-displaced: q2_min_cost_supplier,
 # scalar_subquery, having_clause, anti_join_not_in, exists_subquery)
-# = exactly 50; the late additions stream_unigram_vocab and
-# unigram_tokenize_pack (9th/10th new) then displaced
-# stratified_sample and collect_agg, which head the r12 queue.
+# = exactly 50; the late additions stream_unigram_vocab,
+# unigram_tokenize_pack, and stream_pack_bins (9th-11th new) then
+# displaced stratified_sample, collect_agg, and sliding_window_agg,
+# which head the r12 queue.
 # "Changed" is read strictly, per FUNCTION executed:
 # - l2_normalize_rows gained the zero-norm per-row raise (ADVICE r10)
 #   -> re-grades ivfpq_refine_topk and ann_recall_tuned (which
@@ -58,6 +59,7 @@ _PRIORITY = [
     "unigram_encode_ids",       # unigram encode to token ids
     "stream_unigram_vocab",     # unigram trained on the maintained count state
     "unigram_tokenize_pack",    # unigram ids -> fixed 512-id training rows
+    "stream_pack_bins",         # continuous FFD packing, open-bin state
     "pack_bins_ffd",            # boundary-respecting first-fit-decreasing packing
     "audio_fp_dedup",           # temporal-delta window-vote audio dedup
     "stream_audio_index",       # continuous audio index + incremental probe
@@ -104,7 +106,6 @@ _PRIORITY = [
     "extended_json_normalize",
     "dedup_normalized",
     "range_join_recent_count",
-    "sliding_window_agg",
     # --- past the graded window: r6/r8/r9/r10 cohorts follow via the
     # --- registry fallback
 ]

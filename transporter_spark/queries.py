@@ -4299,6 +4299,31 @@ def q_pack_bins_ffd(spark, sf_dir):
     return pack_bins_ffd(counts, seq_len=64).orderBy("source", "bin_id")
 
 
+@q("stream_pack_bins", oracle=_ffd_oracle())
+def q_stream_pack_bins(spark, sf_dir):
+    """CONTINUOUS boundary-respecting packing (streaming/packing.py):
+    bins with room stay OPEN in state and later epochs first-fit into
+    them before opening new ones — emitted (closed) bins are
+    immutable training artifacts, per-epoch work ∝ batch + open bins,
+    never closed history (append-only pinned). A single-epoch drain
+    from empty state is EXACTLY the batch `pack_bins_ffd` (full-chunk
+    bins first, then first-fit-decreasing in creation order), so this
+    query shares its recursive-CTE oracle verbatim and RAISES if the
+    drain applied more than one epoch; multi-epoch arrival-order
+    first-fit and the close_slack state bound are pinned in
+    tests/test_streaming_pretrain.py against a pure-Python
+    incremental replay. With this sink the packing family joins every
+    candidate family in having batch + continuous forms."""
+    from transporter_spark.streaming.packing import (
+        drain_documents_packing,
+    )
+
+    out = drain_documents_packing(
+        spark, sf_dir, assert_single_epoch=True, seq_len=64
+    )
+    return out.orderBy("source", "bin_id")
+
+
 def _unigram_vocab_oracle():
     from transporter_spark.operators.unigram import unigram_vocab_oracle
 
