@@ -46,8 +46,6 @@ from pyspark.sql import functions as F
 
 from transporter_spark.streaming.state import SegmentStore
 
-_TABLES = ("closed", "open", "counters")
-
 _OPEN_SCHEMA = (
     "source string, bin_id long, load long, members array<string>"
 )
@@ -65,10 +63,14 @@ def _make_epoch_ffd_runner(seq_len: int, close_slack: int):
 
         source = pdf["source"].iloc[0]
         counters = pdf.loc[pdf["kind"] == "counter", "next_bin"]
-        nb = int(counters.max()) if len(counters) else 0
+        nb = int(counters[counters >= 0].max()) if len(counters) else 0
         bins = {}
         for _, r in pdf[pdf["kind"] == "bin"].iterrows():
             bins[int(r["bin_id"])] = [int(r["load"]), list(r["members"])]
+        # the first-fit scan order, built ONCE: carried open bins
+        # ascending, then new bins appended (ids strictly increase, so
+        # order is preserved without re-sorting per item — r11 review)
+        open_ids = sorted(bins)
         out = {"bin_id": [], "load": [], "members": [], "closed": []}
 
         def emit(bid, load, members, closed):
@@ -93,7 +95,7 @@ def _make_epoch_ffd_runner(seq_len: int, close_slack: int):
             rem = int(r["rem"])
             member = f"{int(r['doc_id'])}:{int(r['chunk'])}:{rem}"
             fit = None
-            for bid in sorted(bins):
+            for bid in open_ids:
                 if bins[bid][0] + rem <= seq_len:
                     fit = bid
                     break
@@ -101,19 +103,20 @@ def _make_epoch_ffd_runner(seq_len: int, close_slack: int):
                 fit = nb
                 nb += 1
                 bins[fit] = [0, []]
+                open_ids.append(fit)
             bins[fit][0] += rem
             bins[fit][1].append(member)
-        for bid in sorted(bins):
+        for bid in open_ids:
             load, members = bins[bid]
             emit(bid, load, members, load >= seq_len - close_slack)
         return pd.DataFrame(
             {
-                "source": source,
-                "bin_id": out["bin_id"],
-                "load": out["load"],
-                "members": out["members"],
-                "closed": out["closed"],
-                "next_bin": nb,
+                "source": pd.Series([source] * len(out["bin_id"]), dtype=object),
+                "bin_id": pd.Series(out["bin_id"], dtype="int64"),
+                "load": pd.Series(out["load"], dtype="int64"),
+                "members": pd.Series(out["members"], dtype=object),
+                "closed": pd.Series(out["closed"], dtype=bool),
+                "next_bin": pd.Series([nb] * len(out["bin_id"]), dtype="int64"),
             }
         )
 
@@ -186,16 +189,39 @@ def _pack_bins_batch(
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
 
     spark = batch.sparkSession
-    base = batch.select(
-        F.col(shard_col).alias("source"),
-        F.col(id_col).alias("doc_id"),
-        F.col(count_col).cast("long").alias("_n"),
-    ).localCheckpoint(eager=True)
+    # sentinel -1 (not NULL) for the unused long columns of each row
+    # kind: a NULL in any int64 column turns the whole column float64
+    # on the Arrow->pandas hop, and doc ids above 2^53 would silently
+    # round inside the member labels (r11 review) — so ids must be
+    # non-negative (fail-loud, the video fid-guard discipline) and the
+    # sentinel is unambiguous. Zero-token docs are dropped up front: a
+    # shard touched ONLY by them would reach the closure as a bare
+    # counter group (empty output, and the counter row would fall out
+    # of new_counters, resetting bin numbering).
+    id_guard = F.expr(
+        f"if(doc_id >= 0, doc_id, raise_error(concat("
+        f"'pack_bins_batch: {id_col} ', cast(doc_id as string), "
+        f"' is negative — member labels and the -1 column sentinel "
+        f"need non-negative ids')))"
+    )
+    base = (
+        batch.select(
+            F.col(shard_col).alias("source"),
+            F.col(id_col).alias("doc_id"),
+            F.col(count_col).cast("long").alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        .select("source", id_guard.alias("doc_id"), "_n")
+        .localCheckpoint(eager=True)
+    )
+    if base.isEmpty():
+        return False
+    _L = F.lit(-1).cast("long")
     fulls = base.select(
         "source",
         F.lit("full").alias("kind"),
-        F.lit(None).cast("long").alias("bin_id"),
-        F.lit(None).cast("long").alias("load"),
+        _L.alias("bin_id"),
+        _L.alias("load"),
         F.lit(None).cast("array<string>").alias("members"),
         "doc_id",
         F.explode(
@@ -204,19 +230,19 @@ def _pack_bins_batch(
                 f"sequence(0L, _n div {seq_len} - 1) ELSE array() END"
             )
         ).alias("chunk"),
-        F.lit(None).cast("long").alias("rem"),
-        F.lit(None).cast("long").alias("next_bin"),
+        _L.alias("rem"),
+        _L.alias("next_bin"),
     )
     pool = base.where(F.expr(f"_n % {seq_len} > 0")).select(
         "source",
         F.lit("item").alias("kind"),
-        F.lit(None).cast("long").alias("bin_id"),
-        F.lit(None).cast("long").alias("load"),
+        _L.alias("bin_id"),
+        _L.alias("load"),
         F.lit(None).cast("array<string>").alias("members"),
         "doc_id",
         F.expr(f"_n div {seq_len}").alias("chunk"),
         F.expr(f"_n % {seq_len}").alias("rem"),
-        F.lit(None).cast("long").alias("next_bin"),
+        _L.alias("next_bin"),
     )
     touched = base.select("source").distinct()
     open_bins = store.read(spark, "open")
@@ -233,21 +259,21 @@ def _pack_bins_batch(
             "bin_id",
             "load",
             "members",
-            F.lit(None).cast("long").alias("doc_id"),
-            F.lit(None).cast("long").alias("chunk"),
-            F.lit(None).cast("long").alias("rem"),
-            F.lit(None).cast("long").alias("next_bin"),
+            _L.alias("doc_id"),
+            _L.alias("chunk"),
+            _L.alias("rem"),
+            _L.alias("next_bin"),
         )
         .unionByName(
             counters.join(touched, "source", "left_semi").select(
                 "source",
                 F.lit("counter").alias("kind"),
-                F.lit(None).cast("long").alias("bin_id"),
-                F.lit(None).cast("long").alias("load"),
+                _L.alias("bin_id"),
+                _L.alias("load"),
                 F.lit(None).cast("array<string>").alias("members"),
-                F.lit(None).cast("long").alias("doc_id"),
-                F.lit(None).cast("long").alias("chunk"),
-                F.lit(None).cast("long").alias("rem"),
+                _L.alias("doc_id"),
+                _L.alias("chunk"),
+                _L.alias("rem"),
                 F.col("next_bin"),
             )
         )
@@ -281,7 +307,6 @@ def _pack_bins_batch(
 
     segs = {}
     writes = [
-        ("closed", newly_closed, True),
         (
             "open",
             still_open.unionByName(
@@ -297,6 +322,12 @@ def _pack_bins_batch(
             False,
         ),
     ]
+    # appending an EMPTY closed segment every epoch would grow the
+    # manifest and the read-union forever on slack-0 streams that
+    # rarely close bins (r11 review) — the closed log tracks actual
+    # closes only
+    if not newly_closed.isEmpty():
+        writes.insert(0, ("closed", newly_closed, True))
     for table, df, append in writes:
         name = f"{table}-e{epoch_id}"
         df.write.mode("overwrite").parquet(store.seg_path(name))
@@ -332,7 +363,9 @@ def pack_bins_ingest_sink(
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         counts = batch.select(
-            "source", "doc_id", token_count(text_col).alias("ntok")
+            kw.get("shard_col", "source"),
+            kw.get("id_col", "doc_id"),
+            token_count(text_col).alias(kw.get("count_col", "ntok")),
         )
         applied = pack_bins_batch(counts, epoch_id, state_dir, **kw)
         if (
@@ -392,11 +425,15 @@ def drain_documents_packing(
     state = state_dir or tempfile.mkdtemp(prefix="ts_pack_") + "/state"
     docs = stream_table(spark, sf_dir, "documents")
     pack_bins_ingest_sink(docs, state, **kw)
-    if assert_single_epoch and packing_last_epoch(state) != 0:
+    last = packing_last_epoch(state)
+    # last None = NO committed epoch: fall through and let
+    # read_packed_bins raise its clearer no-state error instead of
+    # misdiagnosing an empty drain as a multi-epoch one (r11 review)
+    if assert_single_epoch and last is not None and last != 0:
         raise RuntimeError(
-            "drain applied multiple epochs (last="
-            f"{packing_last_epoch(state)}); the single-epoch batch-FFD "
-            "oracle equivalence no longer holds — the documents table "
-            "is no longer a single-file availableNow batch"
+            f"drain applied multiple epochs (last={last}); the "
+            "single-epoch batch-FFD oracle equivalence no longer holds "
+            "— the documents table is no longer a single-file "
+            "availableNow batch"
         )
     return read_packed_bins(spark, state)
