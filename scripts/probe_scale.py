@@ -764,6 +764,54 @@ def probe_pretrain_epoch(spark):
     return times[1], times[MULT]
 
 
+def probe_pack_epoch(spark):
+    """One continuous-packing EPOCH (fixed 500-doc batch) against a 1x
+    vs Nx standing CLOSED history (seeded directly as closed segments;
+    open bins and counters identical at both sizes). Per-epoch wall
+    must be flat — closed bins are never read by an epoch, only open
+    bins and counters are."""
+    import tempfile
+
+    from transporter_spark.streaming.packing import pack_bins_batch
+    from transporter_spark.streaming.state import SegmentStore
+
+    docs = read_table(spark, SF_DIR, "documents").select(
+        "source", "doc_id",
+        F.expr("size(regexp_extract_all(text, '\\S+', 0))").cast("long").alias("ntok"),
+    )
+    batch = docs.limit(500).select(
+        "source", (F.col("doc_id") + 900_000_000).alias("doc_id"), "ntok"
+    ).localCheckpoint(eager=True)
+    times = {}
+    for mult in (1, MULT):
+        closed = _replicate(
+            docs.select(
+                "source", F.col("doc_id").alias("bin_id"),
+                F.lit(1).cast("long").alias("n_items"),
+                F.col("ntok").alias("n_tokens"),
+                F.concat_ws(".", F.col("doc_id").cast("string"), F.lit("0")).alias("members"),
+            ),
+            "bin_id", mult,
+        )
+        state = tempfile.mkdtemp(prefix=f"probe_pack_{mult}x_") + "/state"
+        store = SegmentStore(state)
+        closed.write.parquet(store.seg_path("closed-e0"))
+        spark.createDataFrame(
+            [], "source string, bin_id long, load long, members array<string>"
+        ).write.parquet(store.seg_path("open-e0"))
+        spark.createDataFrame(
+            [(s0, 40_000_000) for s0 in
+             [r.source for r in docs.select("source").distinct().collect()]],
+            "source string, next_bin long",
+        ).write.parquet(store.seg_path("counters-e0"))
+        store.commit(0, tables={t: [f"{t}-e0"] for t in ("closed", "open", "counters")},
+                     meta={"seq_len": 512, "close_slack": 0})
+        t0 = time.time()
+        pack_bins_batch(batch, 1, state, seq_len=512)
+        times[mult] = time.time() - t0
+    return times[1], times[MULT]
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -785,6 +833,7 @@ PROBES = {
     "audio": probe_audio,
     "unigram": probe_unigram,
     "pretrain_epoch": probe_pretrain_epoch,
+    "pack_epoch": probe_pack_epoch,
 }
 
 
