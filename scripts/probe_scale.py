@@ -775,9 +775,10 @@ def probe_pack_epoch(spark):
     from transporter_spark.streaming.packing import pack_bins_batch
     from transporter_spark.streaming.state import SegmentStore
 
+    from transporter_spark.operators.text import token_count
+
     docs = read_table(spark, SF_DIR, "documents").select(
-        "source", "doc_id",
-        F.expr("size(regexp_extract_all(text, '\\S+', 0))").cast("long").alias("ntok"),
+        "source", "doc_id", token_count("text").alias("ntok")
     )
     batch = docs.limit(500).select(
         "source", (F.col("doc_id") + 900_000_000).alias("doc_id"), "ntok"

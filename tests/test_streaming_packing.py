@@ -183,3 +183,43 @@ def test_compaction_preserves_bins(spark, tmp_path):
     assert compact_packing_state(spark, state)
     assert len(SegmentStore(state).table_segments("closed")) == 1
     assert _rows(read_packed_bins(spark, state)) == before
+
+
+def test_no_close_epoch_preserves_closed_history(spark, tmp_path):
+    """r11 review: skipping the empty closed-segment write relies on
+    SegmentStore.commit's merge-omitted-tables semantics — pin that an
+    epoch closing ZERO bins keeps the full closed history (and writes
+    no empty segment)."""
+    state = str(tmp_path / "state")
+    pack_bins_batch(_frame(spark, [("a", 1, 130)]), 0, state, seq_len=64)
+    before = _rows(read_packed_bins(spark, state))
+    closed_segs = SegmentStore(state).table_segments("closed")
+    # epoch 1: one small doc — opens a bin, closes nothing
+    assert pack_bins_batch(
+        _frame(spark, [("a", 2, 10)]), 1, state, seq_len=64
+    )
+    assert SegmentStore(state).table_segments("closed") == closed_segs
+    after = _rows(read_packed_bins(spark, state))
+    assert [r for r in after if r[1] < 2] == [
+        r for r in before if r[1] < 2
+    ]  # history intact
+    # doc 2 first-fits into the open remainder bin doc 1 left behind
+    assert ("a", 2, 2, 12, "1.2-2.0") in after
+
+
+def test_zero_token_docs_drop_and_negative_ids_raise(spark, tmp_path):
+    state = str(tmp_path / "state")
+    # an epoch of ONLY zero-token docs commits nothing
+    assert not pack_bins_batch(
+        _frame(spark, [("a", 1, 0)]), 0, state, seq_len=64
+    )
+    assert packing_last_epoch(state) is None
+    with pytest.raises(Exception, match="negative"):
+        pack_bins_batch(
+            _frame(spark, [("a", -5, 10)]), 0, state, seq_len=64
+        )
+    with pytest.raises(ValueError, match="close_slack"):
+        pack_bins_batch(
+            _frame(spark, [("a", 1, 10)]), 0, state, seq_len=64,
+            close_slack=-1,
+        )

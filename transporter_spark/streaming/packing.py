@@ -63,7 +63,7 @@ def _make_epoch_ffd_runner(seq_len: int, close_slack: int):
 
         source = pdf["source"].iloc[0]
         counters = pdf.loc[pdf["kind"] == "counter", "next_bin"]
-        nb = int(counters[counters >= 0].max()) if len(counters) else 0
+        nb = int(counters.max()) if len(counters) else 0
         bins = {}
         for _, r in pdf[pdf["kind"] == "bin"].iterrows():
             bins[int(r["bin_id"])] = [int(r["load"]), list(r["members"])]
@@ -187,6 +187,13 @@ def _pack_bins_batch(
             )
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if not 0 <= close_slack < seq_len:
+        raise ValueError(
+            f"close_slack must be in [0, seq_len), got {close_slack}: "
+            "negative values make the close threshold unreachable (open "
+            "state grows forever), >= seq_len closes every bin after "
+            "one item"
+        )
 
     spark = batch.sparkSession
     # sentinel -1 (not NULL) for the unused long columns of each row
@@ -334,7 +341,12 @@ def _pack_bins_batch(
         segs[table] = (
             store.table_segments(table) + [name] if append else [name]
         )
-    store.commit(epoch_id, tables=segs, meta=_meta_want)
+    # n_applied counts COMMITTED epochs (skipped empty/replayed ones
+    # don't advance it) — the drain's single-epoch assert keys on this,
+    # not on the last epoch ID, which can skip past dropped batches
+    meta = dict(_meta_want)
+    meta["n_applied"] = int(store.meta().get("n_applied", 0)) + 1
+    store.commit(epoch_id, tables=segs, meta=meta)
     return True
 
 
@@ -425,15 +437,17 @@ def drain_documents_packing(
     state = state_dir or tempfile.mkdtemp(prefix="ts_pack_") + "/state"
     docs = stream_table(spark, sf_dir, "documents")
     pack_bins_ingest_sink(docs, state, **kw)
-    last = packing_last_epoch(state)
-    # last None = NO committed epoch: fall through and let
+    applied = SegmentStore(state).meta().get("n_applied", 0)
+    # applied == 0 (no committed epoch): fall through and let
     # read_packed_bins raise its clearer no-state error instead of
-    # misdiagnosing an empty drain as a multi-epoch one (r11 review)
-    if assert_single_epoch and last is not None and last != 0:
+    # misdiagnosing an empty drain as a multi-epoch one; keying on the
+    # APPLIED count (not the last epoch ID) keeps skipped-empty
+    # leading batches from tripping the assert (r11 review x2)
+    if assert_single_epoch and applied > 1:
         raise RuntimeError(
-            f"drain applied multiple epochs (last={last}); the "
-            "single-epoch batch-FFD oracle equivalence no longer holds "
-            "— the documents table is no longer a single-file "
-            "availableNow batch"
+            f"drain applied {applied} epochs; the single-epoch "
+            "batch-FFD oracle equivalence no longer holds — the "
+            "documents table is no longer a single-file availableNow "
+            "batch"
         )
     return read_packed_bins(spark, state)
