@@ -106,8 +106,18 @@ _PRIORITY = [
     "extended_json_normalize",
     "dedup_normalized",
     "range_join_recent_count",
-    # --- past the graded window: r6/r8/r9/r10 cohorts follow via the
-    # --- registry fallback
+    # --- past the graded window: stratified_sample, collect_agg, and
+    # --- sliding_window_agg (displaced r11) head the r12 queue; the
+    # --- r6/r8/r9/r10 cohorts follow via the registry fallback.
+    # r12 note: the OLDER drains' single-epoch asserts
+    # (streaming/ingest.py drain_documents_dedup, streaming/spans.py)
+    # still key on `last_epoch != 0`, which misreads a skipped-empty
+    # leading batch as multi-epoch; the packing drain moved to an
+    # n_applied meta counter in r11. Migrating the old drains
+    # re-grades stream_ingest_dedup / stream_curation{,_full} /
+    # stream_decontaminate / stream_span_prune — schedule those slots
+    # together (benign today: the documents fixture is one non-empty
+    # file).
 ]
 
 
