@@ -411,3 +411,43 @@ def test_audio_dedup_short_blob_reports_true_byte_len(spark):
     release_cached(out)
     assert rows[1].byte_len == 3 and rows[1].is_canonical
     assert rows[2].byte_len == 64
+
+
+# ---------------------------------------------------------------------------
+# r12 guards (ADVICE r11)
+# ---------------------------------------------------------------------------
+
+
+def test_nfr_from_banded_overlapping_entity_raises(spark):
+    """An entity with banded rows in BOTH the probe batch and the
+    persisted index doubles its vote denominator; the doubled count is
+    still a multiple of bands, so only the source-tag tripwire can see
+    it — it must raise, not silently suppress edges."""
+    from transporter_spark.operators.multimodal import _nfr_from_banded
+
+    new = spark.createDataFrame([(0,), (0,)], "id long")
+    idx = spark.createDataFrame([(64,), (64,)], "id long")
+    got = {
+        r.vid: r.nfr
+        for r in _nfr_from_banded(new, idx, 64, 2, "t").collect()
+    }
+    assert got == {0: 1, 1: 1}
+
+    overlap = spark.createDataFrame([(0,), (0,)], "id long")
+    with pytest.raises(Exception, match="BOTH the probe batch"):
+        _nfr_from_banded(new, overlap, 64, 2, "t").collect()
+
+
+def test_audio_corpus_non_ascii_raises(spark):
+    """The byte-shift copy class is engine-exact only on ASCII (Spark
+    char wraps mod 256, DuckDB chr is full-code-point): a code point
+    > 126 in a shifted doc must fail loud, not hash-diverge."""
+    from transporter_spark.queries import _audio_corpus
+
+    ok = spark.createDataFrame([(7, "abc")], "doc_id long, text string")
+    rows = {r.doc_id: r.text for r in _audio_corpus(ok).collect()}
+    assert rows[1000007] == "bcd"
+
+    bad = spark.createDataFrame([(14, "café")], "doc_id long, text string")
+    with pytest.raises(Exception, match="code point"):
+        _audio_corpus(bad).collect()

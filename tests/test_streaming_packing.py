@@ -223,3 +223,23 @@ def test_zero_token_docs_drop_and_negative_ids_raise(spark, tmp_path):
             _frame(spark, [("a", 1, 10)]), 0, state, seq_len=64,
             close_slack=-1,
         )
+
+
+def test_read_packed_bins_closed_only_state_renders(spark, tmp_path):
+    """A manually seeded / partially compacted state can hold closed
+    history with no open table: that is an empty open set, not an
+    AttributeError (ADVICE r11)."""
+    from transporter_spark.streaming.packing import read_packed_bins
+    from transporter_spark.streaming.state import SegmentStore
+
+    state = str(tmp_path / "state")
+    store = SegmentStore(state)
+    closed = spark.createDataFrame(
+        [("a", 0, 2, 60, "1.0-2.0")],
+        "source string, bin_id long, n_items long, n_tokens long, "
+        "members string",
+    )
+    closed.write.parquet(store.seg_path("closed-e0"))
+    store.commit(0, tables={"closed": ["closed-e0"]})
+    rows = read_packed_bins(spark, state).collect()
+    assert [(r.source, r.bin_id, r.n_items) for r in rows] == [("a", 0, 2)]

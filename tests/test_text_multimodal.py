@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from transporter_spark.operators.multimodal import (
     attach_media,
@@ -916,3 +917,29 @@ def test_pack_bins_ffd_validates_seq_len(spark):
     df = spark.createDataFrame([("a", 1, 5)], "source string, doc_id long, ntok long")
     with pytest.raises(ValueError, match="seq_len"):
         pack_bins_ffd(df, seq_len=0)
+
+
+def test_hex_pos_guard_bounds_blob_length(spark):
+    """substr positions are 32-bit in Spark (the analyzer re-casts a
+    long position to int), so the staged hex samplers raise past the
+    2^30-1 byte bound instead of silently wrapping (ADVICE r11). The
+    guard column is shared by image_phash / video_frame_phash /
+    audio_window_fp staged projections."""
+    from transporter_spark.operators.multimodal import (
+        _MAX_HEX_SAMPLE_BYTES,
+        _hex_pos_guard,
+    )
+
+    ok = spark.createDataFrame(
+        [(int(_MAX_HEX_SAMPLE_BYTES),), (0,)], "byte_len long"
+    )
+    vals = sorted(
+        r[0] for r in ok.select(_hex_pos_guard("byte_len", "t")).collect()
+    )
+    assert vals == [0, _MAX_HEX_SAMPLE_BYTES]
+
+    bad = spark.createDataFrame(
+        [(int(_MAX_HEX_SAMPLE_BYTES) + 1,)], "byte_len long"
+    )
+    with pytest.raises(Exception, match="hex-sampling bound"):
+        bad.select(_hex_pos_guard("byte_len", "t")).collect()

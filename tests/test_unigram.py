@@ -178,16 +178,57 @@ def test_viterbi_tiebreak_fewer_pieces_then_lex_path(spark):
 
 
 def test_word_domain_guards_raise(spark):
+    """The SEP guard is unconditional; the length gate fires only when
+    a bound is passed (the graded queries pass GRADED_MAX_WORD_LEN to
+    keep the oracle's unrolled-DP domain loud — VERDICT r11 item 3)."""
     long_word = spark.createDataFrame(
         [(1, "a" * 13)], ["doc_id", "text"]
     )
     with pytest.raises(Exception, match="unsupported domain"):
-        unigram_word_counts(long_word).collect()
+        unigram_word_counts(long_word, max_word_len=12).collect()
+    # default: unbounded — the 13-char word is a legal domain
+    assert unigram_word_counts(long_word).collect()[0].w == "a" * 13
     sep_word = spark.createDataFrame(
         [(1, f"ab{SEP}cd")], ["doc_id", "text"]
     )
     with pytest.raises(Exception, match="unsupported domain"):
         unigram_word_counts(sep_word).collect()
+
+
+def test_trainer_unbounded_words_match_pure_python(spark):
+    """Real-text corpora carry words far past the graded oracle's
+    12-char DP bound (URLs, German compounds): the ENGINE path is
+    length-agnostic, so training and encode must work unbounded and
+    still match the pure-Python differential (VERDICT r11 item 3)."""
+    texts = [
+        "https://example.com/a/very/long/path?q=1 short words",
+        "donaudampfschifffahrtsgesellschaft donau dampf schiff",
+        "internationalization internationalization i18n",
+        "short words short donau",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    vocab = unigram_learn_vocab(df)
+    got = [
+        (r.piece, r.cnt, r.score, r.token_id)
+        for r in vocab.orderBy("token_id").collect()
+    ]
+    want, enc = _py_train(
+        texts,
+        GRADED_MAX_PIECE_LEN,
+        GRADED_NUM_ITERS,
+        GRADED_MIN_COUNT,
+        GRADED_SCALE,
+    )
+    assert got == want
+    ids = unigram_encode_ids(df, vocab)
+    by_doc = {}
+    for r in ids.orderBy("doc_id", "tok_idx").collect():
+        by_doc.setdefault(r.doc_id, []).append(r.token_id)
+    for i, t in enumerate(texts):
+        flat = [tid for w in t.split() for tid in enc[w]]
+        assert by_doc[i] == flat, f"doc {i}"
 
 
 def test_encode_unknown_char_raises(spark):

@@ -39,6 +39,30 @@ MEDIA_META = T.StructType(
 )
 
 
+#: substr positions are 32-bit in Spark — the analyzer re-casts a
+#: long position argument back to int (verified against the analyzed
+#: plan), so the staged hex projections' `2*b + 1` position arithmetic
+#: wraps past byte index 2^30 - 1. Blobs that large cannot stage a hex
+#: projection anyway (Spark's 2 GiB string cap doubles bytes), but the
+#: wrap must fail LOUD per-row instead of sampling wrong bytes: the
+#: DuckDB oracles compute the same positions in BIGINT, so a silent
+#: wrap here is a silent cross-engine divergence (ADVICE r11).
+_MAX_HEX_SAMPLE_BYTES = (1 << 30) - 1
+
+
+def _hex_pos_guard(len_col: str, caller: str):
+    """Fail-loud bound on a staged blob-length column (see
+    ``_MAX_HEX_SAMPLE_BYTES``); returns the guarded long column."""
+    return F.expr(
+        f"if({len_col} <= {_MAX_HEX_SAMPLE_BYTES}, {len_col}, "
+        f"raise_error(concat('{caller}: blob of ', "
+        f"cast({len_col} as string), ' bytes exceeds the "
+        f"{_MAX_HEX_SAMPLE_BYTES}-byte hex-sampling bound — substr "
+        f"positions are 32-bit in Spark, the sample arithmetic would "
+        f"wrap; decode or segment the blob upstream')))"
+    ).cast("long")
+
+
 def attach_media(
     df: DataFrame, binary_col: str, media_format: str, **meta_literals
 ) -> DataFrame:
@@ -271,7 +295,7 @@ def image_phash(
         F.col(id_col).alias("id"),
         F.hex(content).alias("_hx"),
         F.octet_length(content).cast("long").alias("_n"),
-    )
+    ).withColumn("_n", _hex_pos_guard("_n", "image_phash"))
 
     def sample(j: int):
         pos = f"cast(({j} * _n) div {n_samples} as int) * 2 + 1"
@@ -515,7 +539,7 @@ def video_frame_phash(
         vid_guard.alias("vid"),
         F.hex(content).alias("_hx"),
         F.octet_length(content).cast("long").alias("byte_len"),
-    )
+    ).withColumn("byte_len", _hex_pos_guard("byte_len", "video_frame_phash"))
     fr = (
         staged.select(
             "vid",
@@ -570,20 +594,36 @@ def _nfr_from_banded(new_banded, index, cap: int, bands: int, caller: str):
     band_fingerprint at this geometry would silently skew the vote
     denominators, so a nonzero remainder raises per-group. THE one
     definition for the video and audio incremental probes (r11
-    review: the two inline copies had already drifted in wording)."""
+    review: the two inline copies had already drifted in wording).
+
+    Disjoint-ids tripwire (ADVICE r11): an entity present in BOTH the
+    probe batch and the persisted index contributes its banded rows
+    twice to the union — a doubled count is still a multiple of bands,
+    so the %-tripwire alone cannot see it, and the inflated
+    denominator silently suppresses that entity's edges. The contract
+    is disjoint ids (the sinks run the re-delivery guard first), so a
+    min/max source-tag mismatch raises per-group — same shuffle, two
+    map-side-combinable extra aggregates."""
+    tagged = new_banded.select("id", F.lit(0).alias("_src")).unionByName(
+        index.select("id", F.lit(1).alias("_src"))
+    )
     return (
-        new_banded.select("id")
-        .unionByName(index.select("id"))
-        .groupBy(F.expr(f"id div {cap}").alias("vid"))
+        tagged.groupBy(F.expr(f"id div {cap}").alias("vid"))
         .agg(
             F.expr(
+                f"if(min(_src) != max(_src), "
+                f"raise_error(concat('{caller}: entity ', "
+                f"cast(vid as string), ' has banded rows in BOTH the "
+                f"probe batch and the persisted index — the disjoint-"
+                f"ids contract is violated (run the re-delivery guard "
+                f"first); its vote denominator would silently double')), "
                 f"if(count(*) % {bands} = 0, count(*) div {bands}, "
                 f"raise_error(concat('{caller}: banded row count ', "
                 f"cast(count(*) as string), ' for entity ', "
                 f"cast(vid as string), ' is not a multiple of bands="
                 f"{bands} — the index was not built by band_fingerprint "
                 f"at this geometry; read it via the meta-validated "
-                f"probe')))"
+                f"probe'))))"
             )
             .cast("long")
             .alias("nfr")
@@ -921,7 +961,7 @@ def audio_window_fp(
         vid_guard.alias("vid"),
         F.hex(content).alias("_hx"),
         F.octet_length(content).cast("long").alias("byte_len"),
-    )
+    ).withColumn("byte_len", _hex_pos_guard("byte_len", "audio_window_fp"))
     wins = (
         staged.select(
             "vid",

@@ -67,31 +67,48 @@ GRADED_SCALE = 1000
 GRADED_MAX_WORD_LEN = 12
 
 
-def unigram_check_words(wc: DataFrame) -> DataFrame:
+def unigram_check_words(
+    wc: DataFrame, max_word_len: Optional[int] = None
+) -> DataFrame:
     """The unigram family's fail-loud domain gate over any (w, cnt)
-    word table — a word containing the 0x1f path separator or longer
-    than the DP unroll bound would silently corrupt segmentations, so
-    both raise per-row. Split out so the CONTINUOUS trainer can guard
-    the maintained word-count state the same way the batch path
-    guards its fresh scan."""
+    word table. A word containing the 0x1f path separator would
+    silently corrupt segmentations, so that ALWAYS raises per-row.
+    ``max_word_len`` is an OPTIONAL length bound (default None = no
+    bound): the engine's Viterbi DP (`_make_viterbi_runner`) is
+    length-agnostic — the only consumer that needs a bound is the
+    GRADED oracle, whose unrolled SQL DP has ``w_max`` stages, so the
+    graded queries pass ``max_word_len=GRADED_MAX_WORD_LEN`` to keep a
+    fixture drift loud while real corpora (URLs, compounds) train
+    unbounded (VERDICT r11 item 3). Split out so the CONTINUOUS
+    trainer can guard the maintained word-count state the same way
+    the batch path guards its fresh scan."""
+    len_sql = (
+        "true" if max_word_len is None else f"length(w) <= {max_word_len}"
+    )
     return wc.select(
         F.expr(
-            f"if(w not like '%{SEP}%' and length(w) <= "
-            f"{GRADED_MAX_WORD_LEN}, w, raise_error(concat("
+            f"if(w not like '%{SEP}%' and {len_sql}, w, "
+            f"raise_error(concat("
             f"'unigram: word \"', w, '\" contains the 0x1f path "
             f"separator or exceeds max word length "
-            f"{GRADED_MAX_WORD_LEN} — unsupported domain')))"
+            f"{max_word_len} — unsupported domain')))"
         ).alias("w"),
         "cnt",
     )
 
 
-def unigram_word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_word_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    max_word_len: Optional[int] = None,
+) -> DataFrame:
     """(w, cnt): the shared one-corpus-scan word table (BPE's
     `bpe_word_counts`) behind the domain gate."""
     from transporter_spark.operators.text import bpe_word_counts
 
-    return unigram_check_words(bpe_word_counts(df, text_col))
+    return unigram_check_words(
+        bpe_word_counts(df, text_col), max_word_len
+    )
 
 
 def unigram_seed_counts(
@@ -279,12 +296,15 @@ def unigram_learn_vocab(
     num_iters: int = GRADED_NUM_ITERS,
     min_count: int = GRADED_MIN_COUNT,
     scale: int = GRADED_SCALE,
+    max_word_len: Optional[int] = None,
 ) -> DataFrame:
     """Corpus -> final unigram vocabulary (piece, cnt, score,
-    token_id)."""
+    token_id). ``max_word_len=None`` (default) trains unbounded —
+    the graded queries pass GRADED_MAX_WORD_LEN (oracle DP bound,
+    see `unigram_check_words`)."""
     return unigram_vocab(
         unigram_em(
-            unigram_word_counts(df, text_col),
+            unigram_word_counts(df, text_col, max_word_len),
             max_piece_len,
             num_iters,
             min_count,
@@ -300,6 +320,7 @@ def unigram_encode_ids(
     id_col: str = "doc_id",
     max_piece_len: int = GRADED_MAX_PIECE_LEN,
     word_counts: Optional[DataFrame] = None,
+    max_word_len: Optional[int] = None,
 ) -> DataFrame:
     """Tokenize to (id_col, tok_idx, token_id) with a learned unigram
     vocabulary (`unigram_learn_vocab` output — needs piece/score/
@@ -318,7 +339,7 @@ def unigram_encode_ids(
     words = (
         word_counts
         if word_counts is not None
-        else unigram_word_counts(df, text_col)
+        else unigram_word_counts(df, text_col, max_word_len)
     ).select("w")
     seg = unigram_viterbi(words, vocab, max_piece_len).select(
         "w", F.split("path", SEP).alias("_pieces")

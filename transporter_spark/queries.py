@@ -3747,9 +3747,18 @@ def _audio_corpus(docs):
     temporal-delta fingerprint covers at once."""
     shift = docs.filter(F.col("doc_id") % 7 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
+        # the shift is engine-exact ONLY on ASCII: Spark char() wraps
+        # mod 256 while the oracle's DuckDB chr() takes the full code
+        # point, so any code point > 126 diverges silently — raise
+        # per-character instead (ADVICE r11; the graded corpus is
+        # ASCII, this guard keeps a fixture change loud)
         F.expr(
             "array_join(transform(split(text, ''), "
-            "x -> char(ascii(x) + 1)), '')"
+            "x -> char(if(ascii(x) between 0 and 126, ascii(x) + 1, "
+            "raise_error(concat('_audio_corpus: code point ', "
+            "cast(ascii(x) as string), ' > 126 — the byte-shift copy "
+            "class is engine-exact only on ASCII (Spark char wraps "
+            "mod 256, DuckDB chr is full-code-point)'))))), '')"
         ).alias("text"),
     )
     scram = docs.filter(F.col("doc_id") % 11 == 0).select(
@@ -4356,10 +4365,15 @@ def q_unigram_learn_vocab(spark, sf_dir):
     12-position DP per round, every stage materialized), and the
     rank; a pure-Python differential pins both engines in
     tests/test_unigram.py."""
-    from transporter_spark.operators.unigram import unigram_learn_vocab
+    from transporter_spark.operators.unigram import (
+        GRADED_MAX_WORD_LEN,
+        unigram_learn_vocab,
+    )
 
     docs = read_table(spark, sf_dir, "documents")
-    return unigram_learn_vocab(docs).orderBy("token_id")
+    return unigram_learn_vocab(
+        docs, max_word_len=GRADED_MAX_WORD_LEN
+    ).orderBy("token_id")
 
 
 @q("unigram_encode_ids", oracle=_unigram_encode_oracle())
@@ -4375,6 +4389,7 @@ def q_unigram_encode_ids(spark, sf_dir):
     piece table and the same positional assembly."""
     from transporter_spark.operators.dedup import _materialize
     from transporter_spark.operators.unigram import (
+        GRADED_MAX_WORD_LEN,
         unigram_em,
         unigram_encode_ids,
         unigram_vocab,
@@ -4382,7 +4397,9 @@ def q_unigram_encode_ids(spark, sf_dir):
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    wc = _materialize(unigram_word_counts(docs))
+    wc = _materialize(
+        unigram_word_counts(docs, max_word_len=GRADED_MAX_WORD_LEN)
+    )
     vocab = unigram_vocab(unigram_em(wc))
     ids = unigram_encode_ids(docs, vocab, word_counts=wc)
     return (
@@ -4424,6 +4441,7 @@ def q_unigram_tokenize_pack(spark, sf_dir):
     from transporter_spark.operators.dedup import _materialize
     from transporter_spark.operators.text import pack_token_ids
     from transporter_spark.operators.unigram import (
+        GRADED_MAX_WORD_LEN,
         unigram_em,
         unigram_encode_ids,
         unigram_vocab,
@@ -4431,7 +4449,9 @@ def q_unigram_tokenize_pack(spark, sf_dir):
     )
 
     docs = read_table(spark, sf_dir, "documents")
-    wc = _materialize(unigram_word_counts(docs))
+    wc = _materialize(
+        unigram_word_counts(docs, max_word_len=GRADED_MAX_WORD_LEN)
+    )
     vocab = unigram_vocab(unigram_em(wc))
     ids = unigram_encode_ids(docs, vocab, word_counts=wc)
     return pack_token_ids(
@@ -4454,13 +4474,17 @@ def q_stream_unigram_vocab(spark, sf_dir):
     (`unigram_check_words`) guards the maintained counts exactly as
     the batch path guards its scan."""
     from transporter_spark.operators.unigram import (
+        GRADED_MAX_WORD_LEN,
         unigram_check_words,
         unigram_em,
         unigram_vocab,
     )
     from transporter_spark.streaming.vocab import drain_documents_vocab
 
-    counts = unigram_check_words(drain_documents_vocab(spark, sf_dir))
+    counts = unigram_check_words(
+        drain_documents_vocab(spark, sf_dir),
+        max_word_len=GRADED_MAX_WORD_LEN,
+    )
     return unigram_vocab(unigram_em(counts)).orderBy("token_id")
 
 

@@ -407,6 +407,12 @@ def read_packed_bins(spark: SparkSession, state_dir: str) -> DataFrame:
             f"no committed packing state at {state_dir!r}: the sink "
             "has not applied any non-empty epoch yet"
         )
+    if open_bins is None:
+        # a manually seeded or partially compacted state can hold
+        # closed history with no open table — that is an EMPTY open
+        # set, not an error; rendering None would raise an opaque
+        # AttributeError instead (ADVICE r11)
+        open_bins = spark.createDataFrame([], _OPEN_SCHEMA)
     rendered = open_bins.select(
         "source",
         "bin_id",
