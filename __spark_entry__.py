@@ -24,100 +24,117 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries. Rotation rule (adopted round 4, VERDICT r3 item 3): new
 # queries and any query whose implementation or oracle changed since
 # its last green CORRECTNESS row take slots first; remaining slots go
-# to the STALEST greens. Round 11 (VERDICT r10 item 2): 8 new + 5
-# changed + the ENTIRE r5 remainder (37 queries last graded in r5 —
-# computed as CORRECTNESS_r05 names absent from every r06-r10 file;
-# includes the five r10-displaced: q2_min_cost_supplier,
-# scalar_subquery, having_clause, anti_join_not_in, exists_subquery)
-# = exactly 50; the late additions stream_unigram_vocab,
-# unigram_tokenize_pack, and stream_pack_bins (9th-11th new) then
-# displaced stratified_sample, collect_agg, and sliding_window_agg,
-# which head the r12 queue.
-# "Changed" is read strictly, per FUNCTION executed:
-# - l2_normalize_rows gained the zero-norm per-row raise (ADVICE r10)
-#   -> re-grades ivfpq_refine_topk and ann_recall_tuned (which
-#   executes ivfpq_refine_topk's fn for its approx side);
-# - incremental_video_pairs gained the banded-row-count % bands
-#   tripwire (ADVICE r10) -> re-grades stream_video_index;
-# - _curated_docs now delegates to operators/text.curate_docs (the
-#   pretraining sink must share the one curation definition) ->
-#   re-grades training_pipeline and pretraining_pipeline;
-# - mongo_bulk_ops gained the extended_json flag (default-off branch)
-#   — no graded query executes it (connector wire contracts are
-#   pytest-pinned), payloads pinned in tests/test_connectors.py.
-# NOT re-graded: video_phash_dedup's headline flag moved to the new
-# video_phash_dedup_hd (registry metadata, not executed code); all
-# oracle builders added this round are NEW (unigram/ffd/audio/hd/
-# extended_json_render); no shared builder's emitted string changed
-# (pinned, tests/test_oracle_builders.py).
-# The r6/r8 cohorts are next-stalest after this window and head the
-# r12 queue via the registry fallback.
+# to the STALEST greens. MOVES are exempt per the judge's explicit
+# r11 relaxation (VERDICT r11 item 5): a function relocated verbatim
+# (body hash unchanged, emitted oracle strings byte-identical) does
+# NOT count as changed.
+#
+# Round 12 window = 1 new + 19 changed + 30 stalest (the 3
+# r11-displaced r5 greens + 27 of the 29-query r6 cohort) = 50.
+# The 2 r6 spills — frame_sample, media_resize (thin mapInPandas
+# plumbing wrappers; their decode path gets indirect coverage via
+# media_features, which IS in the window) — head the r13 queue,
+# followed by the 39-query r8 cohort, then r9/r10 via the registry
+# fallback.
+#
+# "Changed" read strictly, per FUNCTION executed:
+# - unigram_check_words/word_counts/learn_vocab/encode_ids gained the
+#   optional max_word_len gate (VERDICT r11 item 3: the 12-char bound
+#   is now the graded ORACLE's DP domain, passed explicitly by the
+#   graded queries; engine default unbounded) -> re-grades
+#   unigram_learn_vocab, unigram_encode_ids, unigram_tokenize_pack,
+#   stream_unigram_vocab.
+# - image_phash/video_frame_phash/audio_window_fp gained the
+#   _hex_pos_guard fail-loud bound and _nfr_from_banded the
+#   disjoint-ids tripwire (ADVICE r11) -> re-grades image_phash_dedup,
+#   multimodal_pipeline, stream_phash_index, video_phash_dedup,
+#   video_phash_dedup_hd, stream_video_index, audio_fp_dedup (also
+#   the _audio_corpus ASCII guard), stream_audio_index.
+# - read_packed_bins gained the closed-only-state render (ADVICE r11)
+#   -> re-grades stream_pack_bins.
+# - drain_documents_dedup / drain_documents_span_prune /
+#   drain_embeddings_semdedup moved their single/multi-epoch asserts
+#   to APPLIED-segment counts (the r11 skipped-empty-leading-batch
+#   breadcrumb) and grew num_chunks/min_epochs -> re-grades
+#   stream_ingest_dedup, stream_curation, stream_curation_full,
+#   stream_decontaminate, stream_span_prune, stream_semdedup.
+# - REAL MULTI-EPOCH conversions (VERDICT r11 items 4+7):
+#   stream_span_prune (NEW cumulative-df oracle — the loop has no
+#   feedback, so chunk-e docs excise on cumulative df over chunks
+#   <= e: closed form, no unrolling), stream_unigram_vocab,
+#   stream_video_index, stream_phash_index, stream_audio_index all
+#   now drain 4 doc_id-ordered chunks with min-epochs raises. The
+#   recursive-feedback sinks (ingest minhash dedup, semdedup, FFD
+#   packing, and the curation compositions that end in them) keep the
+#   single-epoch graded contract WITH documented reasons in their
+#   drains: their kept-only state makes cross-epoch chains genuinely
+#   different semantics, pinned multi-epoch in pytest instead.
+# - NOT re-graded under the move relaxation: stream_pretraining
+#   (chunked_table_stream moved VERBATIM pretrain.py -> sources.py,
+#   body hash unchanged; drain_documents_pretraining untouched);
+#   training_pipeline/pretraining_pipeline (nothing they execute
+#   changed).
+# - NEW: extended_json_ops — mongo_bulk_ops(extended_json=True)
+#   graded end-to-end (VERDICT r11 item 6), string-exact op docs +
+#   the max_ops split rule vs a DuckDB json_object replay.
 _PRIORITY = [
-    # --- NEW round 11: must take a slot ---
-    "stream_pretraining",       # multi-epoch curate->encode->pack drain == batch
-    "unigram_learn_vocab",      # Viterbi-EM unigram tokenizer trainer
-    "unigram_encode_ids",       # unigram encode to token ids
-    "stream_unigram_vocab",     # unigram trained on the maintained count state
-    "unigram_tokenize_pack",    # unigram ids -> fixed 512-id training rows
-    "stream_pack_bins",         # continuous FFD packing, open-bin state
-    "pack_bins_ffd",            # boundary-respecting first-fit-decreasing packing
-    "audio_fp_dedup",           # temporal-delta window-vote audio dedup
-    "stream_audio_index",       # continuous audio index + incremental probe
-    "video_phash_dedup_hd",     # realistic-entropy video corpus (new bench headline)
-    "extended_json_render",     # mejson write-side render-out (string-exact)
+    # --- NEW round 12: must take a slot ---
+    "extended_json_ops",        # mongo sink extended_json wire path, graded
     # --- changed since their last green row (see header) ---
-    "ivfpq_refine_topk",
-    "ann_recall_tuned",
-    "stream_video_index",
-    "training_pipeline",
-    "pretraining_pipeline",
-    # --- the full r5 remainder: stalest greens, r5-window order ---
-    "gopher_quality_gate",
-    "domain_mix_weights",
-    "domain_mix_sample",
-    "semantic_decontaminate",
-    "curation_pipeline",
-    "asof_join_forward",
-    "asof_join_nearest",
-    "temperature_mix_weights",
-    "balanced_shards",
-    "dsir_select",
-    "kmeans_update",
-    "dataset_split",
-    "containment_pairs",
-    "lm_perplexity_gate",
-    "hll_distinct",
-    "hll_merge_shards",
-    "cms_topk_users",
-    "ddsketch_quantiles",
-    "dd_quantile_gate",
-    "sketch_profile",
-    "asof_join",
-    "q19_disjunctive",
-    "percentiles",
-    "exists_subquery",
-    "anti_join_not_in",
-    "scalar_subquery",
-    "q2_min_cost_supplier",
-    "q21_waiting_suppliers",
-    "window_analytics",
-    "having_clause",
-    "pivot_table",
-    "extended_json_normalize",
-    "dedup_normalized",
-    "range_join_recent_count",
-    # --- past the graded window: stratified_sample, collect_agg, and
-    # --- sliding_window_agg (displaced r11) head the r12 queue; the
-    # --- r6/r8/r9/r10 cohorts follow via the registry fallback.
-    # r12 note: the OLDER drains' single-epoch asserts
-    # (streaming/ingest.py drain_documents_dedup, streaming/spans.py)
-    # still key on `last_epoch != 0`, which misreads a skipped-empty
-    # leading batch as multi-epoch; the packing drain moved to an
-    # n_applied meta counter in r11. Migrating the old drains
-    # re-grades stream_ingest_dedup / stream_curation{,_full} /
-    # stream_decontaminate / stream_span_prune — schedule those slots
-    # together (benign today: the documents fixture is one non-empty
-    # file).
+    "unigram_learn_vocab",
+    "unigram_encode_ids",
+    "unigram_tokenize_pack",
+    "stream_unigram_vocab",     # + REAL multi-epoch drain (r12)
+    "image_phash_dedup",
+    "multimodal_pipeline",
+    "stream_phash_index",       # + REAL multi-epoch drain (r12)
+    "video_phash_dedup",
+    "video_phash_dedup_hd",
+    "stream_video_index",       # + REAL multi-epoch drain (r12)
+    "audio_fp_dedup",
+    "stream_audio_index",       # + REAL multi-epoch drain (r12)
+    "stream_pack_bins",
+    "stream_ingest_dedup",
+    "stream_curation",
+    "stream_curation_full",
+    "stream_decontaminate",
+    "stream_span_prune",        # + REAL multi-epoch drain, NEW oracle (r12)
+    "stream_semdedup",
+    # --- the 3 r11-displaced r5 greens: stalest ---
+    "stratified_sample",
+    "collect_agg",
+    "sliding_window_agg",
+    # --- the r6 cohort (27 of 29; frame_sample/media_resize head r13) ---
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_priority_lines",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_quantity",
+    "q20_promotion_suppliers",
+    "q22_idle_customers",
+    "variant_json",
+    "scd2_history",
+    "gapfill_hourly",
+    "rollup_lattice_daily",
+    "sessionize_events",
+    "array_funcs",
+    "js_transform",
+    "pii_redact",
+    "repetition_stats",
+    "length_quantile_gate",
+    "classifier_quality_gate",
+    "span_df_histogram",
+    "repeated_span_prune",
+    "incremental_span_prune",
+    "ann_ivf_topk",
+    # --- past the graded window: frame_sample + media_resize (r6),
+    # --- then the 39-query r8 cohort, head the r13 queue via the
+    # --- registry fallback.
 ]
 
 

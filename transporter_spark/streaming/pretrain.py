@@ -62,6 +62,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from transporter_spark.streaming.sources import chunked_table_stream  # noqa: F401  (moved r12 — shared drain harness; re-exported for compat)
 from transporter_spark.streaming.state import SegmentStore
 
 _TABLES = ("packed", "curated", "tail")
@@ -464,62 +465,6 @@ def read_pretrain_packed(spark: SparkSession, state_dir: str) -> DataFrame:
         )
     )
     return packed.unionByName(rendered)
-
-
-def chunked_table_stream(
-    spark: SparkSession,
-    sf_dir: str,
-    name: str,
-    num_chunks: int = 4,
-    order_col: str = "doc_id",
-    out_dir: Optional[str] = None,
-) -> DataFrame:
-    """A genuinely MULTI-EPOCH availableNow stream over one testdata
-    table: split it into ``num_chunks`` single-file parquet chunks by
-    ascending ``order_col`` ranges (exact percentile boundaries), with
-    strictly increasing mtimes so the file source delivers them in
-    order, and read the chunk dir with maxFilesPerTrigger=1 — one
-    epoch per chunk. This is the drain harness that lets the graded
-    stream_pretraining query prove MULTI-epoch == batch (the other
-    stream queries' single-epoch assert, upgraded)."""
-    from transporter_spark.sources.files import read_table
-
-    df = read_table(spark, sf_dir, name)
-    qs = [i / num_chunks for i in range(1, num_chunks)]
-    bounds = df.select(
-        F.expr(
-            f"percentile({order_col}, array({', '.join(str(q) for q in qs)}))"
-        ).alias("b")
-    ).collect()[0].b
-    chunk_dir = out_dir or tempfile.mkdtemp(prefix="ts_chunks_")
-    os.makedirs(chunk_dir, exist_ok=True)
-    stage = tempfile.mkdtemp(prefix="ts_chunk_stage_")
-    lows = [None] + list(bounds)
-    highs = list(bounds) + [None]
-    now = time.time()
-    for i, (lo, hi) in enumerate(zip(lows, highs)):
-        part = df
-        if lo is not None:
-            part = part.where(F.col(order_col) > lo)
-        if hi is not None:
-            part = part.where(F.col(order_col) <= hi)
-        stage_i = os.path.join(stage, f"c{i}")
-        part.coalesce(1).write.mode("overwrite").parquet(stage_i)
-        src = [
-            f
-            for f in os.listdir(stage_i)
-            if f.endswith(".parquet") and not f.startswith(".")
-        ]
-        assert len(src) == 1, f"expected one part file, got {src}"
-        dst = os.path.join(chunk_dir, f"chunk_{i:03d}.parquet")
-        shutil.move(os.path.join(stage_i, src[0]), dst)
-        os.utime(dst, (now + 10 * i, now + 10 * i))
-    shutil.rmtree(stage, ignore_errors=True)
-    return (
-        spark.readStream.schema(df.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(chunk_dir)
-    )
 
 
 def drain_documents_pretraining(

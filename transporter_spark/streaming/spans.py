@@ -341,31 +341,64 @@ def read_pruned_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
     return df
 
 
+def span_prune_epochs_applied(state_dir: str) -> int:
+    """Applied-epoch count = ``pruned`` segment count (one appended
+    per applied epoch; the graded drains never compact) — the
+    skipped-empty-leading-batch-safe counter (the r11 packing-sink
+    lesson, derived from the manifest instead of the last epoch id)."""
+    return len(SegmentStore(state_dir).table_segments(_PRUNED))
+
+
 def drain_documents_span_prune(
     spark: SparkSession,
     sf_dir: str,
     state_dir: Optional[str] = None,
     assert_single_epoch: bool = False,
+    num_chunks: int = 1,
+    min_epochs: int = 1,
     **kw,
 ) -> DataFrame:
     """Convenience: stream the documents table through the prune loop
     and return the pruned corpus (used by the graded query).
 
-    assert_single_epoch: the graded oracle replays the ONE-epoch
-    equivalence (drain == batch prune_repeated_spans); first-wins
-    order dependence means a multi-epoch source would diverge from
-    the order-free oracle. Raise loudly instead of hash-mismatching
-    (the stream_ingest_dedup policy)."""
-    from transporter_spark.streaming.sources import stream_table
+    num_chunks > 1 (the graded mode since r12): deliver doc_id-ordered
+    single-file chunks (`chunked_table_stream`), one applied epoch per
+    chunk, raising unless >= ``min_epochs`` applied. The loop's
+    multi-epoch semantics ARE a closed form the oracle can replay
+    without unrolling: the index partials come from each batch's RAW
+    windows (never from pruned text — no feedback loop), so a doc in
+    chunk e is excised exactly against windows whose CUMULATIVE df
+    over chunks <= e reaches min_df. The graded oracle computes that
+    same cumulative-df excision in one SQL pass (per-(h, chunk)
+    partials + a running sum), with the chunk assignment derived from
+    the same percentile bounds the harness splits on.
+
+    assert_single_epoch: the pre-r12 graded contract (drain == batch
+    prune_repeated_spans, which is the num_chunks=1 degenerate case);
+    keyed on the APPLIED count so a skipped-empty leading batch cannot
+    read as multi-epoch."""
+    from transporter_spark.streaming.sources import (
+        chunked_table_stream,
+        stream_table,
+    )
 
     state = state_dir or tempfile.mkdtemp(prefix="ts_spanprune_") + "/state"
-    docs = stream_table(spark, sf_dir, "documents")
+    if num_chunks > 1:
+        docs = chunked_table_stream(spark, sf_dir, "documents", num_chunks)
+    else:
+        docs = stream_table(spark, sf_dir, "documents")
     span_prune_sink(docs, state, **kw)
-    if assert_single_epoch and (SegmentStore(state).last_epoch() or 0) != 0:
+    applied = span_prune_epochs_applied(state)
+    if assert_single_epoch and applied > 1:
         raise RuntimeError(
-            "drain applied multiple epochs (last="
-            f"{SegmentStore(state).last_epoch()}); the single-epoch "
+            f"drain applied {applied} epochs; the single-epoch "
             "oracle equivalence no longer holds — the documents table "
             "is no longer a single-file availableNow batch"
+        )
+    if applied < min_epochs:
+        raise RuntimeError(
+            f"drain applied {applied} epochs; the graded multi-epoch "
+            f"claim needs >= {min_epochs} — the chunked harness is no "
+            "longer delivering one epoch per chunk"
         )
     return read_pruned_corpus(spark, state)

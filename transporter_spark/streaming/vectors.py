@@ -456,19 +456,25 @@ def drain_embeddings_semdedup(
     dedup loop and return the kept set (used by the graded query).
 
     assert_single_epoch: the graded oracle replays the ONE-epoch
-    equivalence (drain == batch semdedup_prune canonicals); first-wins
-    order dependence means a multi-epoch source would diverge from the
-    order-free oracle — raise loudly instead of hash-mismatching (the
-    stream_ingest_dedup / span-loop policy)."""
+    equivalence (drain == batch semdedup_prune canonicals). A
+    multi-epoch drain is DIFFERENT SEMANTICS, not harness noise: the
+    kept set stores canonicals only, and a batch vector rejected by
+    the standing set does not participate in its batch's own
+    clustering (module doc — the A~B~C chain keeps C), so the batch
+    CC oracle genuinely diverges; raise loudly instead of
+    hash-mismatching. Keyed on the APPLIED count (one kept segment
+    appended per applied epoch; the graded drain never compacts) so a
+    skipped-empty leading batch cannot read as multi-epoch (the r11
+    packing-sink lesson)."""
     from transporter_spark.streaming.sources import stream_table
 
     state = state_dir or tempfile.mkdtemp(prefix="ts_semdd_") + "/state"
     emb = stream_table(spark, sf_dir, "embeddings")
     semdedup_sink(emb, state, centroids, threshold, **kw)
-    if assert_single_epoch and (SegmentStore(state).last_epoch() or 0) != 0:
+    applied = len(SegmentStore(state).table_segments(_SEM_TABLE))
+    if assert_single_epoch and applied > 1:
         raise RuntimeError(
-            "drain applied multiple epochs (last="
-            f"{SegmentStore(state).last_epoch()}); the single-epoch "
+            f"drain applied {applied} epochs; the single-epoch "
             "oracle equivalence no longer holds — the embeddings table "
             "is no longer a single-file availableNow batch"
         )
