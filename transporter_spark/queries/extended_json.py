@@ -176,7 +176,12 @@ def q_extended_json_ops(spark, sf_dir):
     sorted-key order, proving escaping, number rendering, $date
     millis, $numberDecimal scale, and $binary b64 identical — the
     extended_json_render proof carried one step further into the
-    wire path.
+    wire path. Known fixture-gated parity bound (shared with
+    extended_json_render since r11): a value of exactly 0 (or
+    |value| < 1e-6 at scale 10) renders "0E-10" from Python/Java
+    decimal toString but plain notation from DuckDB's VARCHAR cast —
+    the events fixture's min(value) is 0.01, and a regeneration that
+    crosses the bound fails the hash gate loudly.
 
     Driver boundary (deliberate, the bounded-epoch class): the op
     stream is exactly what the sink flushes from foreachBatch per
@@ -191,6 +196,8 @@ def q_extended_json_ops(spark, sf_dir):
 
     from transporter_spark.sources.bulk import _dumps, mongo_bulk_ops
 
+    _EPOCH = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
     ev = read_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
@@ -201,7 +208,12 @@ def q_extended_json_ops(spark, sf_dir):
         .select(
             "user_id",
             "event_id",
-            F.col("ts").cast("timestamp").alias("at"),
+            # unix_millis computed SPARK-side: toLocalIterator would
+            # otherwise hand back naive datetimes in the driver OS
+            # timezone, which mejson_wrap interprets as UTC — a silent
+            # $date shift on any non-UTC host (r12 review); the aware
+            # datetime rebuilt from millis is OS-TZ-independent
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("at_ms"),
             F.col("value").cast("string").cast("decimal(38,10)")
             .cast("string").alias("amt_str"),
             "event_type",
@@ -217,7 +229,7 @@ def q_extended_json_ops(spark, sf_dir):
                 "data": {
                     "_id": int(r.user_id),
                     "amt": _dec.Decimal(r.amt_str),
-                    "at": r.at,
+                    "at": _EPOCH + _dt.timedelta(milliseconds=r.at_ms),
                     "blob": r.event_type.encode("utf-8"),
                     "kind": r.event_type,
                 },

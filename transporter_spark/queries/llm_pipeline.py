@@ -3247,23 +3247,27 @@ def q_stream_unigram_vocab(spark, sf_dir):
         unigram_em,
         unigram_vocab,
     )
-    from transporter_spark.streaming.sources import chunked_table_stream
+    from transporter_spark.streaming.sources import (
+        assert_epochs_applied,
+        chunked_table_stream,
+    )
     from transporter_spark.streaming.state import SegmentStore
     from transporter_spark.streaming.vocab import (
         read_vocab_counts,
         vocab_ingest_sink,
     )
 
+    # inline drain (NOT a drain_documents_vocab num_chunks param, on
+    # purpose): growing the shared vocab drain would change executed
+    # code for stream_bpe_vocab and burn an r12 window slot on an
+    # r9-green query; fold the param in when stream_bpe_vocab next
+    # rotates (named in the __spark_entry__ header).
     state = tempfile.mkdtemp(prefix="ts_ugvocab_") + "/state"
     stream = chunked_table_stream(spark, sf_dir, "documents", 4)
     vocab_ingest_sink(stream, state)
-    applied = len(SegmentStore(state).table_segments("wc"))
-    if applied < 2:
-        raise RuntimeError(
-            f"drain applied {applied} epochs; the graded multi-epoch "
-            "claim needs >= 2 — the chunked harness is no longer "
-            "delivering one epoch per chunk"
-        )
+    assert_epochs_applied(
+        len(SegmentStore(state).table_segments("wc")), 2
+    )
     counts = unigram_check_words(
         read_vocab_counts(spark, state),
         max_word_len=GRADED_MAX_WORD_LEN,

@@ -325,33 +325,25 @@ def probe_video_index(
 
 
 def _chunked_or_single_docs(spark, sf_dir, num_chunks):
-    """Shared drain source: doc_id-ordered single-file chunks (one
-    applied epoch each) when num_chunks > 1, else the plain one-file
-    availableNow stream. The banded fingerprints are PURE per-blob, so
-    the maintained index equals the batch build at ANY epoch count —
-    multi-epoch grading needs no oracle change, only the honest
+    """The shared drain-source selector (streaming/sources.py since
+    the r12 review dedup). The banded fingerprints are PURE per-blob,
+    so the maintained index equals the batch build at ANY epoch count
+    — multi-epoch grading needs no oracle change, only the honest
     min_epochs raise (VERDICT r11 item 4/7)."""
-    from transporter_spark.streaming.sources import (
-        chunked_table_stream,
-        stream_table,
-    )
+    from transporter_spark.streaming.sources import chunked_or_single_stream
 
-    if num_chunks > 1:
-        return chunked_table_stream(spark, sf_dir, "documents", num_chunks)
-    return stream_table(spark, sf_dir, "documents")
+    return chunked_or_single_stream(spark, sf_dir, "documents", num_chunks)
 
 
 def _assert_min_epochs(state_dir: str, fp_table: str, min_epochs: int):
     """Applied-epoch count = fp-segment count (one appended per
-    applied epoch; graded drains never compact) — raise when the
-    chunked harness stopped delivering one epoch per chunk."""
-    applied = len(SegmentStore(state_dir).table_segments(fp_table))
-    if applied < min_epochs:
-        raise RuntimeError(
-            f"drain applied {applied} epochs; the graded multi-epoch "
-            f"claim needs >= {min_epochs} — the chunked harness is no "
-            "longer delivering one epoch per chunk"
-        )
+    applied epoch; graded drains never compact) through the ONE shared
+    min-epochs raise (streaming/sources.assert_epochs_applied)."""
+    from transporter_spark.streaming.sources import assert_epochs_applied
+
+    assert_epochs_applied(
+        len(SegmentStore(state_dir).table_segments(fp_table)), min_epochs
+    )
 
 
 def drain_documents_video(

@@ -53,10 +53,7 @@ raises, compaction folds segments with one-commit reader retention.
 from __future__ import annotations
 
 import hashlib
-import os
-import shutil
 import tempfile
-import time
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession

@@ -118,3 +118,34 @@ def chunked_table_stream(
         .option("maxFilesPerTrigger", 1)
         .parquet(chunk_dir)
     )
+
+
+def chunked_or_single_stream(
+    spark: SparkSession, sf_dir: str, name: str, num_chunks: int
+) -> DataFrame:
+    """THE graded drains' source selector (r12 review: four inline
+    copies had appeared): doc_id-ordered single-file chunks — one
+    applied epoch each — when num_chunks > 1, else the plain one-file
+    availableNow stream."""
+    if num_chunks > 1:
+        return chunked_table_stream(spark, sf_dir, name, num_chunks)
+    return stream_table(spark, sf_dir, name)
+
+
+def assert_epochs_applied(applied: int, min_epochs: int) -> None:
+    """THE min-epochs raise shared by every graded drain. applied == 0
+    is its own diagnosis — no chunk harness is at fault when the sink
+    simply never applied a non-empty epoch (r12 review: the chunked
+    wording was misleading on an empty single-file drain)."""
+    if applied >= min_epochs:
+        return
+    if applied == 0:
+        raise RuntimeError(
+            "drain applied no non-empty epoch — the source delivered "
+            "nothing (empty table, or every row gated/redelivered)"
+        )
+    raise RuntimeError(
+        f"drain applied {applied} epochs; the graded multi-epoch "
+        f"claim needs >= {min_epochs} — the chunked harness is no "
+        "longer delivering one epoch per chunk"
+    )

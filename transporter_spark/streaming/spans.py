@@ -378,15 +378,12 @@ def drain_documents_span_prune(
     keyed on the APPLIED count so a skipped-empty leading batch cannot
     read as multi-epoch."""
     from transporter_spark.streaming.sources import (
-        chunked_table_stream,
-        stream_table,
+        assert_epochs_applied,
+        chunked_or_single_stream,
     )
 
     state = state_dir or tempfile.mkdtemp(prefix="ts_spanprune_") + "/state"
-    if num_chunks > 1:
-        docs = chunked_table_stream(spark, sf_dir, "documents", num_chunks)
-    else:
-        docs = stream_table(spark, sf_dir, "documents")
+    docs = chunked_or_single_stream(spark, sf_dir, "documents", num_chunks)
     span_prune_sink(docs, state, **kw)
     applied = span_prune_epochs_applied(state)
     if assert_single_epoch and applied > 1:
@@ -395,10 +392,5 @@ def drain_documents_span_prune(
             "oracle equivalence no longer holds — the documents table "
             "is no longer a single-file availableNow batch"
         )
-    if applied < min_epochs:
-        raise RuntimeError(
-            f"drain applied {applied} epochs; the graded multi-epoch "
-            f"claim needs >= {min_epochs} — the chunked harness is no "
-            "longer delivering one epoch per chunk"
-        )
+    assert_epochs_applied(applied, min_epochs)
     return read_pruned_corpus(spark, state)
