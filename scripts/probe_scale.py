@@ -434,6 +434,38 @@ def probe_spans_w50(spark):
     return times[10], times[50], "W10", "W50"
 
 
+def probe_span_chunks(spark):
+    """Multi-epoch drain IO-shape probe (r12): drain the graded
+    4-chunk span-prune loop and compare the FIRST vs LAST epoch's
+    committed segment bytes (pruned + spandf partials). Per-epoch IO
+    must be ∝ the chunk, never ∝ accumulated state — a rising ratio
+    would mean an epoch rewrites standing state (the O(corpus)-per-
+    batch failure mode the append-only commit exists to prevent)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from transporter_spark.streaming.spans import (
+        drain_documents_span_prune,
+    )
+
+    state = _tempfile.mkdtemp(prefix="probe_spanchunks_") + "/state"
+    drain_documents_span_prune(
+        spark, SF_DIR, state_dir=state, num_chunks=4, min_epochs=2
+    )
+    seg_root = _os.path.join(state, "segments")
+
+    def kib(epoch):
+        tot = 0
+        for d in _os.listdir(seg_root):
+            if d.endswith(f"-e{epoch}"):
+                for dp, _dd, fs in _os.walk(_os.path.join(seg_root, d)):
+                    for f in fs:
+                        tot += _os.path.getsize(_os.path.join(dp, f))
+        return tot / 1024.0
+
+    return kib(0), kib(3), "e0KiB", "e3KiB"
+
+
 def probe_pq(spark):
     """PQ ADC search at 1x/Nx corpus vectors (fixed query set): encode
     + code-scan must scale ~linearly in corpus size — the scan reads m
@@ -827,6 +859,7 @@ PROBES = {
     "bloom": probe_bloom,
     "spans": probe_spans,
     "spans_w50": probe_spans_w50,
+    "span_chunks": probe_span_chunks,
     "pq": probe_pq,
     "phash": probe_phash,
     "bpe": probe_bpe,
@@ -848,7 +881,11 @@ def main():
         out = probe(spark)
         t1, tn = out[0], out[1]
         l1, ln = (out[2], out[3]) if len(out) > 2 else ("1x", f"{MULT}x")
-        print(f"{name}: {l1}={t1:.2f}s {ln}={tn:.2f}s ratio={tn / t1:.2f}")
+        unit = "" if "KiB" in l1 else "s"
+        print(
+            f"{name}: {l1}={t1:.2f}{unit} {ln}={tn:.2f}{unit} "
+            f"ratio={tn / t1:.2f}"
+        )
     spark.stop()
 
 
