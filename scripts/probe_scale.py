@@ -449,8 +449,11 @@ def probe_span_chunks(spark):
     )
 
     state = _tempfile.mkdtemp(prefix="probe_spanchunks_") + "/state"
+    # min_epochs=4: this probe reads e0 vs e3 by construction, so a
+    # harness regression to fewer epochs must fail here, not report a
+    # bogus flat ratio (r12 review)
     drain_documents_span_prune(
-        spark, SF_DIR, state_dir=state, num_chunks=4, min_epochs=2
+        spark, SF_DIR, state_dir=state, num_chunks=4, min_epochs=4
     )
     seg_root = _os.path.join(state, "segments")
 
@@ -463,7 +466,9 @@ def probe_span_chunks(spark):
                         tot += _os.path.getsize(_os.path.join(dp, f))
         return tot / 1024.0
 
-    return kib(0), kib(3), "e0KiB", "e3KiB"
+    k0, k3 = kib(0), kib(3)
+    assert k0 > 0 and k3 > 0, (k0, k3)
+    return k0, k3, "e0KiB", "e3KiB"
 
 
 def probe_pq(spark):

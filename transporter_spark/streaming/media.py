@@ -324,17 +324,6 @@ def probe_video_index(
 
 
 
-def _chunked_or_single_docs(spark, sf_dir, num_chunks):
-    """The shared drain-source selector (streaming/sources.py since
-    the r12 review dedup). The banded fingerprints are PURE per-blob,
-    so the maintained index equals the batch build at ANY epoch count
-    — multi-epoch grading needs no oracle change, only the honest
-    min_epochs raise (VERDICT r11 item 4/7)."""
-    from transporter_spark.streaming.sources import chunked_or_single_stream
-
-    return chunked_or_single_stream(spark, sf_dir, "documents", num_chunks)
-
-
 def _assert_min_epochs(state_dir: str, fp_table: str, min_epochs: int):
     """Applied-epoch count = fp-segment count (one appended per
     applied epoch; graded drains never compact) through the ONE shared
@@ -360,8 +349,10 @@ def drain_documents_video(
     STATE DIR — probe with `probe_video_index` (the graded query
     does), which validates geometry from the manifest. num_chunks > 1
     drains genuinely multi-epoch (`_chunked_or_single_docs`)."""
+    from transporter_spark.streaming.sources import chunked_or_single_stream
+
     state = state_dir or tempfile.mkdtemp(prefix="ts_video_") + "/state"
-    docs = _chunked_or_single_docs(spark, sf_dir, num_chunks)
+    docs = chunked_or_single_stream(spark, sf_dir, "documents", num_chunks)
     if content_from_text:
         docs = docs.select(
             "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
@@ -385,8 +376,10 @@ def drain_documents_phash(
     ``content_from_text`` — the multimodal fake-decode discipline) and
     return the maintained banded index (used by the graded query).
     num_chunks > 1 drains genuinely multi-epoch."""
+    from transporter_spark.streaming.sources import chunked_or_single_stream
+
     state = state_dir or tempfile.mkdtemp(prefix="ts_phash_") + "/state"
-    docs = _chunked_or_single_docs(spark, sf_dir, num_chunks)
+    docs = chunked_or_single_stream(spark, sf_dir, "documents", num_chunks)
     if content_from_text:
         docs = docs.select(
             "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
@@ -548,8 +541,10 @@ def drain_documents_audio(
     fake-decode discipline) and return the STATE DIR; probe with
     `probe_audio_index`. num_chunks > 1 drains genuinely
     multi-epoch."""
+    from transporter_spark.streaming.sources import chunked_or_single_stream
+
     state = state_dir or tempfile.mkdtemp(prefix="ts_audio_") + "/state"
-    docs = _chunked_or_single_docs(spark, sf_dir, num_chunks)
+    docs = chunked_or_single_stream(spark, sf_dir, "documents", num_chunks)
     if content_from_text:
         docs = docs.select(
             "doc_id", F.encode(F.col("text"), "UTF-8").alias("content")
