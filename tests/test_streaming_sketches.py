@@ -540,3 +540,42 @@ def test_span_prune_multi_epoch_drain_is_discriminating_and_closed_form(
         ).collect()
     }
     assert batch[1] == "one" != got[1]
+
+
+def test_chunked_table_stream_chunks_cover_ordered_disjoint(
+    spark, sf_dir, tmp_path
+):
+    """The shared multi-epoch drain harness contract (six graded
+    queries ride it since r12): the chunk files disjointly cover the
+    table, are doc_id-range-ordered file-to-file, and carry strictly
+    increasing mtimes so the file source delivers one epoch per chunk
+    in order."""
+    import os
+
+    from transporter_spark.sources.files import read_table
+    from transporter_spark.streaming.sources import chunked_table_stream
+
+    chunk_dir = str(tmp_path / "chunks")
+    chunked_table_stream(
+        spark, sf_dir, "documents", num_chunks=4, out_dir=chunk_dir
+    )
+    files = sorted(
+        f for f in os.listdir(chunk_dir) if f.endswith(".parquet")
+    )
+    assert len(files) == 4
+    ranges, total, mtimes = [], 0, []
+    for f in files:
+        p = os.path.join(chunk_dir, f)
+        df = spark.read.parquet(p)
+        lo, hi, n = df.selectExpr(
+            "min(doc_id)", "max(doc_id)", "count(*)"
+        ).collect()[0]
+        assert n > 0, f
+        ranges.append((lo, hi))
+        total += n
+        mtimes.append(os.stat(p).st_mtime)
+    docs = read_table(spark, sf_dir, "documents")
+    assert total == docs.count()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi < lo, ranges
+    assert mtimes == sorted(mtimes) and len(set(mtimes)) == 4
