@@ -135,6 +135,12 @@ _PRIORITY = [
     # --- past the graded window: frame_sample + media_resize (r6),
     # --- then the 39-query r8 cohort, head the r13 queue via the
     # --- registry fallback.
+    # r13 note: grow drain_documents_vocab with num_chunks/min_epochs
+    # (the one drain still without the params) when stream_bpe_vocab
+    # rotates — it was deliberately left untouched this round so the
+    # r9-green stream_bpe_vocab would not burn an r12 slot; the
+    # stream_unigram_vocab query inlines its chunked drain until then
+    # (queries/llm_pipeline.py, commented at the call site).
 ]
 
 
