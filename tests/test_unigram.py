@@ -191,8 +191,13 @@ def test_word_domain_guards_raise(spark):
     sep_word = spark.createDataFrame(
         [(1, f"ab{SEP}cd")], ["doc_id", "text"]
     )
-    with pytest.raises(Exception, match="unsupported domain"):
+    # unbounded mode: the separator is the ONLY violation class, so
+    # the diagnostic must not mention a (nonexistent) length bound —
+    # in particular never interpolate None into it (ADVICE r12)
+    with pytest.raises(Exception, match="unsupported domain") as ei:
         unigram_word_counts(sep_word).collect()
+    assert "max word length" not in str(ei.value)
+    assert "None" not in str(ei.value)
 
 
 def test_trainer_unbounded_words_match_pure_python(spark):

@@ -82,16 +82,23 @@ def unigram_check_words(
     unbounded (VERDICT r11 item 3). Split out so the CONTINUOUS
     trainer can guard the maintained word-count state the same way
     the batch path guards its fresh scan."""
+    # diagnostic mentions the length bound only when one exists: in
+    # unbounded mode the separator is the only violation class, and
+    # "max word length None" would misdescribe it (ADVICE r12)
     len_sql = (
         "true" if max_word_len is None else f"length(w) <= {max_word_len}"
+    )
+    len_msg = (
+        ""
+        if max_word_len is None
+        else f" or exceeds max word length {max_word_len}"
     )
     return wc.select(
         F.expr(
             f"if(w not like '%{SEP}%' and {len_sql}, w, "
             f"raise_error(concat("
             f"'unigram: word \"', w, '\" contains the 0x1f path "
-            f"separator or exceeds max word length "
-            f"{max_word_len} — unsupported domain')))"
+            f"separator{len_msg} — unsupported domain')))"
         ).alias("w"),
         "cnt",
     )
