@@ -34,6 +34,31 @@ def test_xlog_offset_bad_args_print_usage(capsys):
     assert "usage: offset" in capsys.readouterr().out
     assert main(["offset", "mark", "/tmp/ckpt", "notanint"]) == 2
     assert "usage: offset" in capsys.readouterr().out
+    assert main(["offset", "delete", "/tmp/ckpt", "notanint"]) == 2
+    assert "usage: offset" in capsys.readouterr().out
+
+
+def test_offset_delete_removes_marked_batch(tmp_path, capsys):
+    """mark -> delete round-trip, the reference's poison-message
+    escape-hatch pair (cmd/transporter/offset.go:1-143): delete drops
+    the batch's offsets file (and commit marker when present) so a
+    restart re-plans from the prior batch; a second delete of the
+    same batch is a loud error, not a silent no-op."""
+    ckpt = str(tmp_path / "ckpt")
+    assert main(["offset", "mark", ckpt, "7", '{"logOffset":3}']) == 0
+    out = capsys.readouterr().out
+    assert "wrote" in out
+    # a commit marker alongside, as a finished batch would have
+    commits = tmp_path / "ckpt" / "commits"
+    commits.mkdir()
+    (commits / "7").write_text("v1\n{}\n")
+    assert main(["offset", "delete", ckpt, "7"]) == 0
+    out = capsys.readouterr().out
+    assert out.count("removed") == 2
+    assert not (tmp_path / "ckpt" / "offsets" / "7").exists()
+    assert not (commits / "7").exists()
+    assert main(["offset", "delete", ckpt, "7"]) == 1
+    assert "no offsets or commit entry" in capsys.readouterr().err
 
 
 def test_pipeline_from_config_steps_are_sequential(tmp_path):

@@ -206,9 +206,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 0
 
     if cmd == "offset":
-        from transporter_spark.tools import list_offsets, mark_offset
+        from transporter_spark.tools import (
+            delete_offset,
+            list_offsets,
+            mark_offset,
+        )
 
-        usage = "usage: offset list|show|mark <checkpoint> [batch entries...]"
+        usage = (
+            "usage: offset list|show|mark|delete <checkpoint> "
+            "[batch entries...]"
+        )
         sub = rest[0] if rest else "list"
         if sub in ("list", "show"):
             if len(rest) < 2:
@@ -221,6 +228,19 @@ def main(argv: Optional[List[str]] = None) -> int:
                 return 2
             path = mark_offset(rest[1], int(rest[2]), rest[3:])
             print(f"wrote {path}")
+        elif sub == "delete":
+            # mark's pair: the reference's offset delete verb
+            # (cmd/transporter/offset.go) — drop one batch's offsets +
+            # commit marker so a restart re-plans from the prior batch
+            if len(rest) < 3 or not rest[2].lstrip("-").isdigit():
+                print(usage)
+                return 2
+            try:
+                for path in delete_offset(rest[1], int(rest[2])):
+                    print(f"removed {path}")
+            except FileNotFoundError as e:
+                print(str(e), file=sys.stderr)
+                return 1
         else:
             print(usage)
             return 2

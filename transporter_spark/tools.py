@@ -84,6 +84,29 @@ def mark_offset(checkpoint_dir: str, batch: int, new_entries: List[str]) -> str:
     return path
 
 
+def delete_offset(checkpoint_dir: str, batch: int) -> List[str]:
+    """`offset delete` analog — `mark`'s pair in the reference's
+    poison-message escape hatch (cmd/transporter/offset.go:1-143,
+    DESIGN.md:221-236): remove one batch's offsets file AND its commit
+    marker, so the restarted query re-plans from the previous batch's
+    offsets (the reference deletes a sink's saved offset to force a
+    resync from an earlier position). DESTRUCTIVE to the checkpoint;
+    stop the query first. Returns the paths removed; raises if the
+    batch has neither an offsets file nor a commit marker."""
+    removed = []
+    for sub in ("offsets", "commits"):
+        path = os.path.join(checkpoint_dir, sub, str(batch))
+        if os.path.exists(path):
+            os.remove(path)
+            removed.append(path)
+    if not removed:
+        raise FileNotFoundError(
+            f"batch {batch} has no offsets or commit entry under "
+            f"{checkpoint_dir!r}"
+        )
+    return removed
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if len(argv) < 2 or argv[0] not in ("show", "offsets"):
