@@ -86,6 +86,46 @@ def test_cross_epoch_first_wins_and_index_grows(spark, sf_dir, tmp_path):
     assert n1 + originals.count() == corpus.count()
 
 
+def test_cross_epoch_chain_diverges_from_batch_closure(spark, tmp_path):
+    """The divergence case the 2-epoch unrolled oracle exists for
+    (queries/llm_pipeline._ingest_dedup_2epoch_oracle, graded r13;
+    the testdata's fully-connected clusters never hit it): a bridge
+    chain A~B, B~C, A!~C with A,B in epoch 0 and C in epoch 1.
+    Epoch 0 keeps A (min id) and drops B; epoch 1 checks C against
+    the PERSISTED index — which holds only A, no near-dup — so C is
+    KEPT, while the batch closure over {A,B,C} is one component and
+    keeps A alone. Streaming dedup's kept-only state is genuinely
+    different semantics across epochs, by construction."""
+    state = str(tmp_path / "state")
+    y = " ".join(f"y{i}" for i in range(60))
+    z = " ".join(f"z{i}" for i in range(60))
+    a_txt = " ".join(f"x{i}" for i in range(10)) + " " + y
+    b_txt = y + " " + z
+    c_txt = z + " " + " ".join(f"w{i}" for i in range(10))
+    # Jaccard(A,B) = Jaccard(B,C) ~ 0.45 on 3-gram shingles via the
+    # shared 60-token block; Jaccard(A,C) = 0. bands=num_hashes (r=1)
+    # makes every >=0.3 pair a certain LSH candidate, so the pair set
+    # is exactly {(A,B),(B,C)} after exact-Jaccard verification.
+    kw = dict(threshold=0.3, num_hashes=64, bands=64)
+    e0 = spark.createDataFrame([(1, a_txt), (2, b_txt)], "doc_id long, text string")
+    e1 = spark.createDataFrame([(3, c_txt)], "doc_id long, text string")
+    assert ingest_dedup_batch(e0, 0, state, **kw)
+    assert ingest_dedup_batch(e1, 1, state, **kw)
+    kept = sorted(
+        r.doc_id for r in read_ingest_corpus(spark, state).collect()
+    )
+    assert kept == [1, 3]
+    # batch expectation on the exact all-pairs path (deterministic on
+    # 3 docs; dedup_clusters' banding knobs are fixed internally)
+    batch = dedup_clusters(
+        e0.unionByName(e1), threshold=0.3, use_lsh=False
+    )
+    batch_kept = sorted(
+        r.doc_id for r in batch.filter(F.col("is_canonical")).collect()
+    )
+    assert batch_kept == [1]
+
+
 def test_cross_epoch_redelivery_of_same_id_not_duplicated(spark, sf_dir, tmp_path):
     """At-least-once sources can re-deliver earlier data in a LATER
     epoch (the epoch marker only stops same-epoch replay). A

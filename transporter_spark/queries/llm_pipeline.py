@@ -683,6 +683,105 @@ QUERIES["stream_ingest_dedup"] = QUERIES["stream_ingest_dedup"]._replace(
 )
 
 
+def _ingest_dedup_2epoch_oracle() -> str:
+    """TWO-EPOCH unrolled closure for the recursive-feedback ingest
+    sink (VERDICT r12 item 6). The sink's kept-only state makes a
+    general multi-epoch drain non-closed-form, but TWO chunks unroll
+    exactly: epoch 0 keeps the canonical docs of the closure over
+    chunk-0's own verified pairs; epoch 1 keeps chunk-1 docs that are
+    (a) canonical in the closure over chunk-1's own pairs AND (b) not
+    exact-Jaccard-verified against ANY kept-0 doc — the engine drops
+    corpus-hit docs and within-batch non-canonicals from the SAME
+    pair set (ingest.py corpus_hit ∪ non_canonical), so a chunk-1 doc
+    whose within-batch canonical was itself a corpus hit is still
+    dropped; this oracle reproduces that by intersecting (a) and (b)
+    rather than re-running a closure over survivors. Pair restriction
+    is exact because banding is per-doc: the full-corpus mh_pairs CTE
+    restricted to a chunk (or to kept0 x chunk1) equals the pairs the
+    incremental index join produces for that epoch. Chunk assignment
+    replays the drain harness (`chunked_table_stream` Spark
+    `percentile` bounds == DuckDB `quantile_cont`, the
+    stream_span_prune precedent)."""
+    return (
+        _minhash_portable_ctes().replace("WITH", "WITH RECURSIVE", 1)
+        + """,
+chunkb AS (SELECT quantile_cont(doc_id, 0.5) AS b FROM documents),
+dchunk AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN doc_id <= b THEN 0 ELSE 1 END AS chunk
+  FROM documents, chunkb),
+mhp AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, ca.chunk AS chunk_a, cb.chunk AS chunk_b
+  FROM mh_pairs p
+  JOIN dchunk ca ON ca.doc_id = p.id_a
+  JOIN dchunk cb ON cb.doc_id = p.id_b),
+e0 AS (
+  SELECT id_a AS src, id_b AS dst FROM mhp WHERE chunk_a = 0 AND chunk_b = 0
+  UNION ALL
+  SELECT id_b, id_a FROM mhp WHERE chunk_a = 0 AND chunk_b = 0),
+r0(id, r) AS (
+  SELECT doc_id, doc_id FROM dchunk WHERE chunk = 0
+  UNION
+  SELECT r0.id, e0.dst FROM r0 JOIN e0 ON r0.r = e0.src),
+kept0 AS MATERIALIZED (
+  SELECT id AS doc_id FROM r0 GROUP BY id HAVING MIN(r) = id),
+e1 AS (
+  SELECT id_a AS src, id_b AS dst FROM mhp WHERE chunk_a = 1 AND chunk_b = 1
+  UNION ALL
+  SELECT id_b, id_a FROM mhp WHERE chunk_a = 1 AND chunk_b = 1),
+r1(id, r) AS (
+  SELECT doc_id, doc_id FROM dchunk WHERE chunk = 1
+  UNION
+  SELECT r1.id, e1.dst FROM r1 JOIN e1 ON r1.r = e1.src),
+canon1 AS (SELECT id AS doc_id FROM r1 GROUP BY id HAVING MIN(r) = id),
+hits AS (
+  SELECT DISTINCT CASE WHEN chunk_a = 1 THEN id_a ELSE id_b END AS doc_id
+  FROM mhp
+  WHERE chunk_a <> chunk_b
+    AND (CASE WHEN chunk_a = 0 THEN id_a ELSE id_b END)
+        IN (SELECT doc_id FROM kept0))
+SELECT doc_id FROM kept0
+UNION ALL
+SELECT doc_id FROM canon1
+WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+ORDER BY doc_id"""
+    )
+
+
+@q("stream_ingest_dedup_2epoch", oracle=_ingest_dedup_2epoch_oracle())
+def q_stream_ingest_dedup_2epoch(spark, sf_dir):
+    """CONTINUOUS ingest dedup under a REAL TWO-EPOCH drain (VERDICT
+    r12 item 6 — the first recursive-feedback sink graded
+    multi-epoch): the documents table arrives as 2 doc_id-ordered
+    chunks (`chunked_table_stream`, one applied epoch each, raising
+    unless both applied), so epoch 1 genuinely checks its batch
+    against the PERSISTED index epoch 0 committed — the cross-epoch
+    first-wins path that `stream_ingest_dedup`'s single-epoch grade
+    cannot see, now value-checked against the two-stage unrolled
+    closure (`_ingest_dedup_2epoch_oracle`; deeper chains stay
+    pytest-pinned — K epochs would need K unrolled closure stages,
+    feedback has no closed form). Same engine knobs as
+    stream_ingest_dedup (threshold=0.1, portable hash family).
+
+    Fixture note (checked at sf0.01 AND sf0.1): the testdata's
+    near-dup clusters are fully connected with min-id canonicals in
+    chunk 0, so the 2-epoch kept SET happens to coincide with the
+    batch closure's — but the graded row still proves the cross-epoch
+    path: 13 verified pairs straddle the chunk boundary at sf0.01, so
+    an epoch-1 that failed to reject against the PERSISTED index
+    (rather than against in-batch text) would keep those 13 docs and
+    hash-mismatch. The divergence case the unroll exists for (a
+    chunk-1 doc whose only link to a kept-0 doc runs through a
+    DROPPED chunk-0 doc stays kept here, dropped by the batch
+    closure) is pinned engine-side in tests/test_ingest_dedup.py."""
+    from transporter_spark.streaming.ingest import drain_documents_dedup
+
+    kept = drain_documents_dedup(
+        spark, sf_dir, threshold=0.1, portable=True,
+        num_chunks=2, min_epochs=2,
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 @q(
     "simhash_pairs",
     oracle=None,  # generated below — shares the portable token hash
@@ -2859,14 +2958,17 @@ def q_stream_bpe_vocab(spark, sf_dir):
     vocab-sized iterations only. Doc-disjoint epochs make the
     maintained counts equal the single-pass batch count bit-for-bit
     (pinned in tests/test_streaming_vocab.py), so this shares
-    bpe_learn_merges' oracle verbatim."""
+    bpe_learn_merges' oracle verbatim — graded since r13 under a REAL
+    multi-epoch drain (4 doc_id-ordered chunks via
+    `chunked_table_stream`, maxFilesPerTrigger=1, raising unless >= 2
+    epochs applied — VERDICT r12 item 4)."""
     from transporter_spark.operators.text import (
         bpe_learn_from_counts,
         bpe_merges_df,
     )
     from transporter_spark.streaming.vocab import drain_documents_vocab
 
-    counts = drain_documents_vocab(spark, sf_dir)
+    counts = drain_documents_vocab(spark, sf_dir, num_chunks=4, min_epochs=2)
     merges = bpe_learn_from_counts(counts, _BPE_GRADED_MERGES)
     return bpe_merges_df(spark, merges).orderBy("step")
 
@@ -3239,37 +3341,19 @@ def q_stream_unigram_vocab(spark, sf_dir):
     state, which is the point of maintaining it. The domain gate
     (`unigram_check_words`) guards the maintained counts exactly as
     the batch path guards its scan."""
-    import tempfile
-
     from transporter_spark.operators.unigram import (
         GRADED_MAX_WORD_LEN,
         unigram_check_words,
         unigram_em,
         unigram_vocab,
     )
-    from transporter_spark.streaming.sources import (
-        assert_epochs_applied,
-        chunked_table_stream,
-    )
-    from transporter_spark.streaming.state import SegmentStore
-    from transporter_spark.streaming.vocab import (
-        read_vocab_counts,
-        vocab_ingest_sink,
-    )
+    from transporter_spark.streaming.vocab import drain_documents_vocab
 
-    # inline drain (NOT a drain_documents_vocab num_chunks param, on
-    # purpose): growing the shared vocab drain would change executed
-    # code for stream_bpe_vocab and burn an r12 window slot on an
-    # r9-green query; fold the param in when stream_bpe_vocab next
-    # rotates (named in the __spark_entry__ header).
-    state = tempfile.mkdtemp(prefix="ts_ugvocab_") + "/state"
-    stream = chunked_table_stream(spark, sf_dir, "documents", 4)
-    vocab_ingest_sink(stream, state)
-    assert_epochs_applied(
-        len(SegmentStore(state).table_segments("wc")), 2
-    )
+    # r12 drained inline so stream_bpe_vocab (then r9-green) would not
+    # burn a window slot; r13 folded num_chunks/min_epochs into the
+    # shared drain (VERDICT r12 item 4) and both vocab queries use it.
     counts = unigram_check_words(
-        read_vocab_counts(spark, state),
+        drain_documents_vocab(spark, sf_dir, num_chunks=4, min_epochs=2),
         max_word_len=GRADED_MAX_WORD_LEN,
     )
     return unigram_vocab(unigram_em(counts)).orderBy("token_id")

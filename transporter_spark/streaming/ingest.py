@@ -380,11 +380,13 @@ def drain_documents_dedup(
 
     num_chunks > 1: deliver the documents table as doc_id-ordered
     single-file chunks (`chunked_table_stream`) — one applied epoch
-    per chunk, raising unless at least ``min_epochs`` applied. Only
-    compositions whose per-epoch work is row-local (e.g. the
-    decontamination gate: drop-against-a-static-benchmark commutes
-    with chunking, so the multi-epoch drain equals the batch oracle
-    EXACTLY) should grade this way."""
+    per chunk, raising unless at least ``min_epochs`` applied.
+    Gradeable multi-epoch when the oracle can replay the epoch
+    structure: row-local compositions (the decontamination gate)
+    commute with chunking and share the batch oracle EXACTLY, and the
+    2-chunk dedup itself unrolls into a two-stage closure
+    (queries/llm_pipeline._ingest_dedup_2epoch_oracle, graded r13);
+    DEEPER feedback chains have no closed form and stay pytest-pinned."""
     from transporter_spark.streaming.sources import (
         assert_epochs_applied,
         chunked_or_single_stream,

@@ -142,14 +142,41 @@ def drain_documents_vocab(
     spark: SparkSession,
     sf_dir: str,
     state_dir: Optional[str] = None,
+    num_chunks: int = 1,
+    min_epochs: int = 1,
     **kw,
 ) -> DataFrame:
     """Convenience: stream the documents table through the vocabulary
     sink and return the maintained word counts (used by the graded
-    query)."""
-    from transporter_spark.streaming.sources import stream_table
+    queries).
 
+    num_chunks > 1 (the graded mode since r13 — VERDICT r12 item 4):
+    deliver doc_id-ordered single-file chunks (`chunked_table_stream`),
+    one applied epoch per chunk, raising unless >= ``min_epochs``
+    applied. Word counting has no feedback loop and doc-disjoint
+    epochs SUM exactly, so the maintained counts over ANY epoch
+    structure equal the one-pass batch `bpe_word_counts` bit-for-bit —
+    the multi-epoch drain shares the batch oracles verbatim.
+
+    The applied-epoch count is the ``wc`` segment count (one appended
+    per applied epoch); that equality holds only while the drain never
+    compacts, so ``compact_every`` cannot be combined with a
+    min_epochs requirement."""
+    from transporter_spark.streaming.sources import (
+        assert_epochs_applied,
+        chunked_or_single_stream,
+    )
+
+    if min_epochs > 1 and kw.get("compact_every"):
+        raise ValueError(
+            "compact_every collapses wc segments, so the applied-epoch "
+            "count (segment count) would undercount; drop min_epochs "
+            "or the compaction"
+        )
     state = state_dir or tempfile.mkdtemp(prefix="ts_vocab_") + "/state"
-    docs = stream_table(spark, sf_dir, "documents")
+    docs = chunked_or_single_stream(spark, sf_dir, "documents", num_chunks)
     vocab_ingest_sink(docs, state, **kw)
+    assert_epochs_applied(
+        len(SegmentStore(state).table_segments("wc")), min_epochs
+    )
     return read_vocab_counts(spark, state)
