@@ -29,118 +29,91 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 12 window = 1 new + 19 changed + 30 stalest (the 3
-# r11-displaced r5 greens + 27 of the 29-query r6 cohort) = 50.
-# The 2 r6 spills — frame_sample, media_resize (thin mapInPandas
-# plumbing wrappers; their decode path gets indirect coverage via
-# media_features, which IS in the window) — head the r13 queue,
-# followed by the 39-query r8 cohort, then r9/r10 via the registry
-# fallback.
+# Round 13 window = 3 new + 5 changed + 42 stalest (frame_sample +
+# media_resize at r6, the FULL 37-query r8 cohort — VERDICT r12 item
+# 1's staleness job, done — and the 3 registry-first r9 queries) = 50.
+# Max staleness after this round: r9 (the remaining 34-query r9
+# cohort heads the r14 queue, then r10).
 #
 # "Changed" read strictly, per FUNCTION executed:
-# - unigram_check_words/word_counts/learn_vocab/encode_ids gained the
-#   optional max_word_len gate (VERDICT r11 item 3: the 12-char bound
-#   is now the graded ORACLE's DP domain, passed explicitly by the
-#   graded queries; engine default unbounded) -> re-grades
-#   unigram_learn_vocab, unigram_encode_ids, unigram_tokenize_pack,
-#   stream_unigram_vocab.
-# - image_phash/video_frame_phash/audio_window_fp gained the
-#   _hex_pos_guard fail-loud bound and _nfr_from_banded the
-#   disjoint-ids tripwire (ADVICE r11) -> re-grades image_phash_dedup,
-#   multimodal_pipeline, stream_phash_index, video_phash_dedup,
-#   video_phash_dedup_hd, stream_video_index, audio_fp_dedup (also
-#   the _audio_corpus ASCII guard), stream_audio_index.
-# - read_packed_bins gained the closed-only-state render (ADVICE r11)
-#   -> re-grades stream_pack_bins.
-# - drain_documents_dedup / drain_documents_span_prune /
-#   drain_embeddings_semdedup moved their single/multi-epoch asserts
-#   to APPLIED-segment counts (the r11 skipped-empty-leading-batch
-#   breadcrumb) and grew num_chunks/min_epochs -> re-grades
-#   stream_ingest_dedup, stream_curation, stream_curation_full,
-#   stream_decontaminate, stream_span_prune, stream_semdedup.
-# - REAL MULTI-EPOCH conversions (VERDICT r11 items 4+7):
-#   stream_span_prune (NEW cumulative-df oracle — the loop has no
-#   feedback, so chunk-e docs excise on cumulative df over chunks
-#   <= e: closed form, no unrolling), stream_unigram_vocab,
-#   stream_video_index, stream_phash_index, stream_audio_index all
-#   now drain 4 doc_id-ordered chunks with min-epochs raises. The
-#   recursive-feedback sinks (ingest minhash dedup, semdedup, FFD
-#   packing, and the curation compositions that end in them) keep the
-#   single-epoch graded contract WITH documented reasons in their
-#   drains: their kept-only state makes cross-epoch chains genuinely
-#   different semantics, pinned multi-epoch in pytest instead.
-# - NOT re-graded under the move relaxation: stream_pretraining
-#   (chunked_table_stream moved VERBATIM pretrain.py -> sources.py,
-#   body hash unchanged; drain_documents_pretraining untouched);
-#   training_pipeline/pretraining_pipeline (nothing they execute
-#   changed).
-# - NEW: extended_json_ops — mongo_bulk_ops(extended_json=True)
-#   graded end-to-end (VERDICT r11 item 6), string-exact op docs +
-#   the max_ops split rule vs a DuckDB json_object replay.
+# - unigram_check_words' raise diagnostic no longer interpolates None
+#   in unbounded mode (ADVICE r12) -> re-grades unigram_learn_vocab,
+#   unigram_encode_ids, unigram_tokenize_pack, stream_unigram_vocab
+#   (an error-branch string, but the rule is per-function-executed).
+# - drain_documents_vocab grew num_chunks/min_epochs (VERDICT r12
+#   item 4) -> re-grades stream_bpe_vocab (now a REAL 4-chunk
+#   multi-epoch drain) and stream_unigram_vocab (inline drain
+#   replaced by the shared helper, same 4-chunk geometry).
+# - NEW: es_bulk_ops + jdbc_upsert_ops (VERDICT r12 item 5 — the ES
+#   v5 _bulk NDJSON bodies and the JDBC staging-upsert statement/row
+#   wire paths graded string-exact, the extended_json_ops pattern),
+#   and stream_ingest_dedup_2epoch (VERDICT r12 item 6 — the first
+#   recursive-feedback sink graded under a REAL 2-epoch drain, via
+#   the two-stage unrolled closure oracle; stream_ingest_dedup itself
+#   is UNCHANGED — the 2-epoch form is a separate query precisely so
+#   the curation/sketch compositions that splice its single-epoch
+#   closure SQL keep their proven oracles).
 _PRIORITY = [
-    # --- NEW round 12: must take a slot ---
-    "extended_json_ops",        # mongo sink extended_json wire path, graded
+    # --- NEW round 13: must take a slot ---
+    "es_bulk_ops",
+    "jdbc_upsert_ops",
+    "stream_ingest_dedup_2epoch",
     # --- changed since their last green row (see header) ---
     "unigram_learn_vocab",
     "unigram_encode_ids",
     "unigram_tokenize_pack",
-    "stream_unigram_vocab",     # + REAL multi-epoch drain (r12)
-    "image_phash_dedup",
-    "multimodal_pipeline",
-    "stream_phash_index",       # + REAL multi-epoch drain (r12)
-    "video_phash_dedup",
-    "video_phash_dedup_hd",
-    "stream_video_index",       # + REAL multi-epoch drain (r12)
-    "audio_fp_dedup",
-    "stream_audio_index",       # + REAL multi-epoch drain (r12)
-    "stream_pack_bins",
-    "stream_ingest_dedup",
-    "stream_curation",
-    "stream_curation_full",
-    "stream_decontaminate",
-    "stream_span_prune",        # + REAL multi-epoch drain, NEW oracle (r12)
-    "stream_semdedup",
-    # --- the 3 r11-displaced r5 greens: stalest ---
-    "stratified_sample",
-    "collect_agg",
-    "sliding_window_agg",
-    # --- the r6 cohort (27 of 29; frame_sample/media_resize head r13) ---
-    "q1_pricing_summary",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_priority_lines",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_counts",
-    "q17_small_quantity",
-    "q20_promotion_suppliers",
-    "q22_idle_customers",
-    "variant_json",
-    "scd2_history",
-    "gapfill_hourly",
-    "rollup_lattice_daily",
-    "sessionize_events",
-    "array_funcs",
-    "js_transform",
-    "pii_redact",
-    "repetition_stats",
-    "length_quantile_gate",
-    "classifier_quality_gate",
-    "span_df_histogram",
-    "repeated_span_prune",
-    "incremental_span_prune",
-    "ann_ivf_topk",
-    # --- past the graded window: frame_sample + media_resize (r6),
-    # --- then the 39-query r8 cohort, head the r13 queue via the
-    # --- registry fallback.
-    # r13 note: grow drain_documents_vocab with num_chunks/min_epochs
-    # (the one drain still without the params) when stream_bpe_vocab
-    # rotates — it was deliberately left untouched this round so the
-    # r9-green stream_bpe_vocab would not burn an r12 slot; the
-    # stream_unigram_vocab query inlines its chunked drain until then
-    # (queries/llm_pipeline.py, commented at the call site).
+    "stream_unigram_vocab",
+    "stream_bpe_vocab",         # + REAL multi-epoch drain (r13)
+    # --- the 2 r6 spills (named as heading this queue since r12) ---
+    "frame_sample",
+    "media_resize",
+    # --- the full 37-query r8 cohort ---
+    "bloom_member",
+    "bloom_member_grouped",
+    "bpe_token_stats",
+    "chunk_documents",
+    "dedup_clusters_exact",
+    "dedup_keep_longest",
+    "deterministic_shuffle",
+    "domain_cap",
+    "except_all",
+    "incremental_dedup_exact",
+    "ivfpq_ann_topk",
+    "ivfpq_residual_topk",
+    "map_funcs",
+    "pack_sequences",
+    "pq_ann_topk",
+    "pq_encode_codes",
+    "pretty_passthrough",
+    "profile_columns",
+    "range_frame_window",
+    "rarity_score",
+    "regexp_funcs",
+    "repeated_span_prune_w50",
+    "running_total",
+    "semdedup_prune",
+    "stream_ann_index",
+    "stream_cdc_apply",
+    "stream_dd_quantiles",
+    "stream_dedup",
+    "stream_hll_distinct",
+    "stream_ivfpq_index",
+    "stream_span_index",
+    "stream_stateful_count",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_windowed_agg",
+    "unpivot_long",
+    "value_histogram",
+    # --- 3 slots left: the registry-first r9 queries ---
+    "pick",
+    "omit",
+    "opfilter",
+    # --- past the graded window: the remaining r9 cohort (34
+    # --- queries: remap, envelope, ns_filter, py_transform, the r9
+    # --- TPC-H breadth set, dedup_exact, ann family, fuzzy family,
+    # --- stream_kmeans_update/bloom/symspell, bm25, bpe_learn_merges)
+    # --- heads the r14 queue, then r10, via the registry fallback.
 ]
 
 

@@ -30,11 +30,12 @@ from transporter_spark.queries import tpch_breadth
 from transporter_spark.queries import pipeline_round2
 from transporter_spark.queries import mixing_sampling
 from transporter_spark.queries import sketches
+from transporter_spark.queries import wire_sinks
 
 _FAMILY_MODULES = (
     _base, transforms, relational, llm_pipeline, streaming_core,
     relational_udf, subqueries, extended_json, temporal, quality_gates,
-    tpch_breadth, pipeline_round2, mixing_sampling, sketches,
+    tpch_breadth, pipeline_round2, mixing_sampling, sketches, wire_sinks,
 )
 
 # Hoist every family-module top-level name (underscore included) into
