@@ -29,10 +29,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 13 window = 3 new + 5 changed + 42 stalest (frame_sample +
+# Round 13 window = 4 new + 5 changed + 41 stalest (frame_sample +
 # media_resize at r6, the FULL 37-query r8 cohort — VERDICT r12 item
-# 1's staleness job, done — and the 3 registry-first r9 queries) = 50.
-# Max staleness after this round: r9 (the remaining 34-query r9
+# 1's staleness job, done — and 2 registry-first r9 queries) = 50.
+# Max staleness after this round: r9 (the remaining 35-query r9
 # cohort heads the r14 queue, then r10).
 #
 # "Changed" read strictly, per FUNCTION executed:
@@ -47,17 +47,20 @@ def entry(spark: SparkSession) -> DataFrame:
 # - NEW: es_bulk_ops + jdbc_upsert_ops (VERDICT r12 item 5 — the ES
 #   v5 _bulk NDJSON bodies and the JDBC staging-upsert statement/row
 #   wire paths graded string-exact, the extended_json_ops pattern),
-#   and stream_ingest_dedup_2epoch (VERDICT r12 item 6 — the first
-#   recursive-feedback sink graded under a REAL 2-epoch drain, via
-#   the two-stage unrolled closure oracle; stream_ingest_dedup itself
-#   is UNCHANGED — the 2-epoch form is a separate query precisely so
-#   the curation/sketch compositions that splice its single-epoch
-#   closure SQL keep their proven oracles).
+#   and stream_ingest_dedup_2epoch + stream_semdedup_2epoch (VERDICT
+#   r12 item 6 and its extension — the first TWO recursive-feedback
+#   sinks graded under REAL 2-epoch drains, via two-stage unrolled
+#   closure oracles; stream_ingest_dedup / stream_semdedup themselves
+#   are UNCHANGED — the 2-epoch forms are separate queries precisely
+#   so the compositions that splice the single-epoch closure SQL and
+#   the r12-green rows keep their proven oracles; the semdedup drain
+#   is inlined per the r12 stream_unigram_vocab precedent).
 _PRIORITY = [
     # --- NEW round 13: must take a slot ---
     "es_bulk_ops",
     "jdbc_upsert_ops",
     "stream_ingest_dedup_2epoch",
+    "stream_semdedup_2epoch",
     # --- changed since their last green row (see header) ---
     "unigram_learn_vocab",
     "unigram_encode_ids",
@@ -105,13 +108,13 @@ _PRIORITY = [
     "stream_windowed_agg",
     "unpivot_long",
     "value_histogram",
-    # --- 3 slots left: the registry-first r9 queries ---
+    # --- 2 slots left: the registry-first r9 queries ---
     "pick",
     "omit",
-    "opfilter",
-    # --- past the graded window: the remaining r9 cohort (34
-    # --- queries: remap, envelope, ns_filter, py_transform, the r9
-    # --- TPC-H breadth set, dedup_exact, ann family, fuzzy family,
+    # --- past the graded window: the remaining r9 cohort (35
+    # --- queries, opfilter now at its head: remap, envelope,
+    # --- ns_filter, py_transform, the r9 TPC-H breadth set,
+    # --- dedup_exact, ann family, fuzzy family,
     # --- stream_kmeans_update/bloom/symspell, bm25, bpe_learn_merges)
     # --- heads the r14 queue, then r10, via the registry fallback.
 ]

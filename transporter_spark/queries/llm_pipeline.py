@@ -1868,6 +1868,130 @@ def q_stream_semdedup(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _semdedup_2epoch_oracle() -> str:
+    """TWO-EPOCH unrolled closure for the semdedup sink (the
+    stream_ingest_dedup_2epoch discipline applied to the second
+    recursive-feedback family): epoch 0 keeps the batch operator's
+    canonicals over chunk 0; epoch 1 REJECTS chunk-1 vectors with a
+    same-cell cosine >= threshold against any kept-0 vector (the
+    engine's standing-set join, vectors.py semdedup_merge_batch),
+    then runs the batch operator over the SURVIVORS ALONE — rejected
+    vectors do not participate in their batch's clustering (module
+    doc), so the epoch-1 closure is seeded on survivors, not on all
+    of chunk 1. The assignment/pair CTEs are the proven
+    _SEMDEDUP_CTES text verbatim (prefix-sliced before the
+    full-corpus closure); the `pairs` CTE already encodes exactly the
+    rejection predicate (same assigned cell + 8dp-rounded cosine >=
+    0.3), so cross-epoch hits are its restriction to (kept0,
+    chunk1). Chunk bounds replay the drain harness on vec_id
+    (quantile_cont == Spark percentile)."""
+    prefix, found, _rest = _SEMDEDUP_CTES.partition("edges AS")
+    assert found, "semdedup CTE prefix marker moved"
+    return prefix + """chunkb AS (SELECT quantile_cont(vec_id, 0.5) AS b FROM embeddings),
+dchunk AS MATERIALIZED (
+  SELECT vec_id, CASE WHEN vec_id <= b THEN 0 ELSE 1 END AS chunk
+  FROM embeddings, chunkb),
+cpairs AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, ca.chunk AS chunk_a, cb.chunk AS chunk_b
+  FROM pairs p
+  JOIN dchunk ca ON ca.vec_id = p.id_a
+  JOIN dchunk cb ON cb.vec_id = p.id_b),
+e0 AS (
+  SELECT id_a AS src, id_b AS dst FROM cpairs WHERE chunk_a = 0 AND chunk_b = 0
+  UNION ALL
+  SELECT id_b, id_a FROM cpairs WHERE chunk_a = 0 AND chunk_b = 0),
+r0(id, r) AS (
+  SELECT vec_id, vec_id FROM dchunk WHERE chunk = 0
+  UNION
+  SELECT r0.id, e0.dst FROM r0 JOIN e0 ON r0.r = e0.src),
+comp0 AS (SELECT id AS vec_id, MIN(r) AS component FROM r0 GROUP BY id),
+kept0 AS MATERIALIZED (
+  SELECT vec_id FROM (
+    SELECT i.vec_id,
+           row_number() OVER (PARTITION BY c.component
+               ORDER BY i.centroid_sim ASC, i.vec_id ASC) AS rn
+    FROM indexed i JOIN comp0 c USING (vec_id)) WHERE rn = 1),
+hits AS (
+  SELECT DISTINCT CASE WHEN chunk_a = 1 THEN id_a ELSE id_b END AS vec_id
+  FROM cpairs
+  WHERE chunk_a <> chunk_b
+    AND (CASE WHEN chunk_a = 0 THEN id_a ELSE id_b END)
+        IN (SELECT vec_id FROM kept0)),
+surv AS MATERIALIZED (
+  SELECT vec_id FROM dchunk WHERE chunk = 1
+  AND vec_id NOT IN (SELECT vec_id FROM hits)),
+e1 AS (
+  SELECT id_a AS src, id_b AS dst FROM cpairs
+  WHERE id_a IN (SELECT vec_id FROM surv) AND id_b IN (SELECT vec_id FROM surv)
+  UNION ALL
+  SELECT id_b, id_a FROM cpairs
+  WHERE id_a IN (SELECT vec_id FROM surv) AND id_b IN (SELECT vec_id FROM surv)),
+r1(id, r) AS (
+  SELECT vec_id, vec_id FROM surv
+  UNION
+  SELECT r1.id, e1.dst FROM r1 JOIN e1 ON r1.r = e1.src),
+comp1 AS (SELECT id AS vec_id, MIN(r) AS component FROM r1 GROUP BY id),
+kept1 AS (
+  SELECT vec_id FROM (
+    SELECT i.vec_id,
+           row_number() OVER (PARTITION BY c.component
+               ORDER BY i.centroid_sim ASC, i.vec_id ASC) AS rn
+    FROM indexed i JOIN comp1 c USING (vec_id)) WHERE rn = 1)
+SELECT i.vec_id, CAST(i.cell AS BIGINT) AS cell, i.centroid_sim
+FROM indexed i
+WHERE i.vec_id IN (SELECT vec_id FROM kept0)
+   OR i.vec_id IN (SELECT vec_id FROM kept1)
+ORDER BY i.vec_id
+"""
+
+
+@q("stream_semdedup_2epoch", oracle=_semdedup_2epoch_oracle())
+def q_stream_semdedup_2epoch(spark, sf_dir):
+    """CONTINUOUS semantic dedup under a REAL TWO-EPOCH drain — the
+    second recursive-feedback sink graded multi-epoch (the
+    stream_ingest_dedup_2epoch pattern): the embeddings table arrives
+    as 2 vec_id-ordered chunks, so epoch 1 genuinely rejects against
+    the PERSISTED kept set epoch 0 committed (same-cell cosine,
+    first-wins) before clustering its survivors — the cross-epoch
+    path stream_semdedup's single-epoch grade cannot see, now
+    value-checked against the two-stage unrolled closure. The drain
+    is inlined (NOT a drain_embeddings_semdedup num_chunks param, on
+    purpose — the r12 stream_unigram_vocab precedent: growing the
+    shared drain would change executed code for the r12-green
+    stream_semdedup and burn a window slot; fold the param in when
+    stream_semdedup next rotates). Deeper chains stay pytest-pinned
+    (K epochs = K unrolled stages)."""
+    import tempfile
+
+    from transporter_spark.streaming.sources import (
+        assert_epochs_applied,
+        chunked_table_stream,
+    )
+    from transporter_spark.streaming.state import SegmentStore
+    from transporter_spark.streaming.vectors import (
+        read_semdedup_kept,
+        semdedup_sink,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    state = tempfile.mkdtemp(prefix="ts_semdd2_") + "/state"
+    stream = chunked_table_stream(
+        spark, sf_dir, "embeddings", 2, order_col="vec_id"
+    )
+    semdedup_sink(stream, state, centroids, threshold=0.3, round_dp=8)
+    assert_epochs_applied(
+        len(SegmentStore(state).table_segments("kept")), 2
+    )
+    kept = read_semdedup_kept(spark, state)
+    return kept.select(
+        "vec_id", F.col("cell").cast("long").alias("cell"), "centroid_sim"
+    ).orderBy("vec_id")
+
+
 def _lang_id_oracle() -> str:
     """Generate the DuckDB lang-id expression from the SAME stopword
     constants the Spark operator uses — one source of truth."""
