@@ -29,10 +29,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 13 window = 4 new + 5 changed + 41 stalest (frame_sample +
+# Round 13 window = 5 new + 5 changed + 40 stalest (frame_sample +
 # media_resize at r6, the FULL 37-query r8 cohort — VERDICT r12 item
-# 1's staleness job, done — and 2 registry-first r9 queries) = 50.
-# Max staleness after this round: r9 (the remaining 35-query r9
+# 1's staleness job, done — and the registry-first r9 query) = 50.
+# Max staleness after this round: r9 (the remaining 36-query r9
 # cohort heads the r14 queue, then r10).
 #
 # "Changed" read strictly, per FUNCTION executed:
@@ -47,20 +47,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # - NEW: es_bulk_ops + jdbc_upsert_ops (VERDICT r12 item 5 — the ES
 #   v5 _bulk NDJSON bodies and the JDBC staging-upsert statement/row
 #   wire paths graded string-exact, the extended_json_ops pattern),
-#   and stream_ingest_dedup_2epoch + stream_semdedup_2epoch (VERDICT
-#   r12 item 6 and its extension — the first TWO recursive-feedback
-#   sinks graded under REAL 2-epoch drains, via two-stage unrolled
-#   closure oracles; stream_ingest_dedup / stream_semdedup themselves
-#   are UNCHANGED — the 2-epoch forms are separate queries precisely
-#   so the compositions that splice the single-epoch closure SQL and
-#   the r12-green rows keep their proven oracles; the semdedup drain
-#   is inlined per the r12 stream_unigram_vocab precedent).
+#   and stream_ingest_dedup_2epoch + stream_semdedup_2epoch +
+#   stream_curation_2epoch (VERDICT r12 item 6 and its extensions —
+#   recursive-feedback sinks graded under REAL 2-epoch drains via
+#   two-stage unrolled closure oracles, plus the Gopher-gated
+#   composition whose row-local gate is chunk-invariant;
+#   stream_ingest_dedup / stream_semdedup / stream_curation
+#   themselves are UNCHANGED — the 2-epoch forms are separate queries
+#   precisely so the compositions that splice the single-epoch
+#   closure SQL and the r12-green rows keep their proven oracles; the
+#   semdedup drain is inlined per the r12 stream_unigram_vocab
+#   precedent).
 _PRIORITY = [
     # --- NEW round 13: must take a slot ---
     "es_bulk_ops",
     "jdbc_upsert_ops",
     "stream_ingest_dedup_2epoch",
     "stream_semdedup_2epoch",
+    "stream_curation_2epoch",
     # --- changed since their last green row (see header) ---
     "unigram_learn_vocab",
     "unigram_encode_ids",
@@ -108,11 +112,10 @@ _PRIORITY = [
     "stream_windowed_agg",
     "unpivot_long",
     "value_histogram",
-    # --- 2 slots left: the registry-first r9 queries ---
+    # --- 1 slot left: the registry-first r9 query ---
     "pick",
-    "omit",
-    # --- past the graded window: the remaining r9 cohort (35
-    # --- queries, opfilter now at its head: remap, envelope,
+    # --- past the graded window: the remaining r9 cohort (36
+    # --- queries, omit/opfilter now at its head: remap, envelope,
     # --- ns_filter, py_transform, the r9 TPC-H breadth set,
     # --- dedup_exact, ann family, fuzzy family,
     # --- stream_kmeans_update/bloom/symspell, bm25, bpe_learn_merges)

@@ -242,3 +242,34 @@ def test_unigram_encode_oracle_refactor_identity():
     pack = unigram_pack_oracle(seq_len=512)
     assert pack.startswith("\nWITH " + unigram_encode_ctes())
     assert "gpos // 512" in pack and "upcnt AS (" in pack
+
+
+def test_ingest_2epoch_builder_rewires_membership_not_bound():
+    """The r13 corpus param on _ingest_dedup_2epoch_oracle rewires
+    dedup PARTICIPATION (shingles/pairs/closure membership) to the
+    gated subset while the chunk BOUND stays on raw documents — the
+    drain harness splits the raw table, the gate runs inside each
+    epoch. The default must emit the same text the parameterization
+    was extracted from (the r9 exemption rule: corpus='documents' is
+    the identity)."""
+    from transporter_spark.queries.llm_pipeline import (
+        _ingest_dedup_2epoch_oracle,
+    )
+
+    default = _ingest_dedup_2epoch_oracle()
+    gated = _ingest_dedup_2epoch_oracle(corpus="gated_docs")
+    assert default == _ingest_dedup_2epoch_oracle(corpus="documents")
+    # bound on the raw table in BOTH variants
+    assert "quantile_cont(doc_id, 0.5) AS b FROM documents" in gated
+    assert "quantile_cont(doc_id, 0.5) AS b FROM documents" in default
+    # membership (dchunk) and the shingle chain on the gated subset
+    assert "FROM gated_docs, chunkb" in gated
+    assert "FROM documents, chunkb" in default
+    assert "FROM gated_docs" in gated.split("chunkb AS")[0]
+    assert "FROM documents" not in gated.split("chunkb AS")[0]
+    # the curation composition embeds the gated variant verbatim
+    from transporter_spark.queries import QUERIES
+
+    assert gated.replace("WITH RECURSIVE ", "", 1).lstrip() in (
+        QUERIES["stream_curation_2epoch"].oracle
+    )

@@ -683,7 +683,7 @@ QUERIES["stream_ingest_dedup"] = QUERIES["stream_ingest_dedup"]._replace(
 )
 
 
-def _ingest_dedup_2epoch_oracle() -> str:
+def _ingest_dedup_2epoch_oracle(corpus: str = "documents") -> str:
     """TWO-EPOCH unrolled closure for the recursive-feedback ingest
     sink (VERDICT r12 item 6). The sink's kept-only state makes a
     general multi-epoch drain non-closed-form, but TWO chunks unroll
@@ -701,14 +701,23 @@ def _ingest_dedup_2epoch_oracle() -> str:
     incremental index join produces for that epoch. Chunk assignment
     replays the drain harness (`chunked_table_stream` Spark
     `percentile` bounds == DuckDB `quantile_cont`, the
-    stream_span_prune precedent)."""
+    stream_span_prune precedent).
+
+    ``corpus`` rewires dedup PARTICIPATION (shingles/pairs/closure
+    membership) to a gated subset for the curation composition; the
+    chunk BOUND stays on raw `documents` — the drain harness splits
+    the raw table, the gate runs inside each epoch, so a gated doc's
+    chunk is still decided by the raw-table median."""
+    mh = _minhash_portable_ctes().replace("WITH", "WITH RECURSIVE", 1)
+    if corpus != "documents":
+        mh = mh.replace("FROM documents", f"FROM {corpus}")
     return (
-        _minhash_portable_ctes().replace("WITH", "WITH RECURSIVE", 1)
-        + """,
+        mh
+        + f""",
 chunkb AS (SELECT quantile_cont(doc_id, 0.5) AS b FROM documents),
 dchunk AS MATERIALIZED (
   SELECT doc_id, CASE WHEN doc_id <= b THEN 0 ELSE 1 END AS chunk
-  FROM documents, chunkb),
+  FROM {corpus}, chunkb),
 mhp AS MATERIALIZED (
   SELECT p.id_a, p.id_b, ca.chunk AS chunk_a, cb.chunk AS chunk_b
   FROM mh_pairs p

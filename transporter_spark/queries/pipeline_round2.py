@@ -947,6 +947,61 @@ def q_stream_curation(spark, sf_dir):
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def _stream_curation_2epoch_oracle() -> str:
+    """The curation composition under a REAL 2-epoch drain: gate CTEs
+    in front (same blocks as _STREAM_CURATION_ORACLE), then the
+    two-stage unrolled ingest closure with dedup PARTICIPATION
+    rewired to the gated subset while the chunk bound stays on raw
+    `documents` — the drain harness splits the raw table and the
+    Gopher gate (row-local, chunk-invariant by construction) runs
+    inside each epoch."""
+    from transporter_spark.queries.llm_pipeline import (
+        _ingest_dedup_2epoch_oracle,
+    )
+
+    return (
+        "WITH RECURSIVE "
+        + _GOPHER_CTES.strip()[len("WITH ") :]
+        + f""",
+gated_docs AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN (SELECT doc_id FROM m WHERE {_GOPHER_KEEP_SQL}) g USING (doc_id)),
+"""
+        + _ingest_dedup_2epoch_oracle(corpus="gated_docs")
+        .replace("WITH RECURSIVE ", "", 1)
+        .lstrip()
+    )
+
+
+@q("stream_curation_2epoch", oracle=_stream_curation_2epoch_oracle())
+def q_stream_curation_2epoch(spark, sf_dir):
+    """CONTINUOUS curation under a REAL TWO-EPOCH drain (the
+    stream_ingest_dedup_2epoch pattern composed with the Gopher
+    pre-filter): two doc_id-ordered chunks, the gate dropping docs
+    inside each epoch BEFORE any dedup work, epoch 1 rejecting
+    against the index epoch 0 committed. Gradeable because the
+    Gopher gate is row-local — a doc's verdict is chunk-invariant —
+    so the oracle is the gate blocks composed mechanically in front
+    of the unrolled 2-epoch closure over the gated subset (the
+    full-stack gates fit batch statistics per epoch and stay
+    single-epoch graded / pytest-pinned). stream_curation itself is
+    untouched (r12-green)."""
+    from transporter_spark.operators.text import gopher_rules
+    from transporter_spark.streaming.ingest import drain_documents_dedup
+
+    keep = gopher_rules(stopwords=_GATE_STOPWORDS)["keep"]
+    kept = drain_documents_dedup(
+        spark,
+        sf_dir,
+        threshold=0.1,
+        portable=True,
+        num_chunks=2,
+        min_epochs=2,
+        pre_filter=keep,
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 @q(
     "asof_join_forward",
     oracle="""
