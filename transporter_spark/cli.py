@@ -216,6 +216,16 @@ def main(argv: Optional[List[str]] = None) -> int:
             "usage: offset list|show|mark|delete <checkpoint> "
             "[batch entries...]"
         )
+
+        def _batch_arg():
+            # int() is the authority: lstrip('-').isdigit() accepts
+            # "--5" and non-ASCII digits that int() then rejects with
+            # an uncaught ValueError (review r13)
+            try:
+                return int(rest[2]) if len(rest) >= 3 else None
+            except ValueError:
+                return None
+
         sub = rest[0] if rest else "list"
         if sub in ("list", "show"):
             if len(rest) < 2:
@@ -223,20 +233,22 @@ def main(argv: Optional[List[str]] = None) -> int:
                 return 2
             print(json.dumps(list_offsets(rest[1]), indent=2, default=str))
         elif sub == "mark":
-            if len(rest) < 3 or not rest[2].lstrip("-").isdigit():
+            batch = _batch_arg()
+            if batch is None:
                 print(usage)
                 return 2
-            path = mark_offset(rest[1], int(rest[2]), rest[3:])
+            path = mark_offset(rest[1], batch, rest[3:])
             print(f"wrote {path}")
         elif sub == "delete":
             # mark's pair: the reference's offset delete verb
             # (cmd/transporter/offset.go) — drop one batch's offsets +
             # commit marker so a restart re-plans from the prior batch
-            if len(rest) < 3 or not rest[2].lstrip("-").isdigit():
+            batch = _batch_arg()
+            if batch is None:
                 print(usage)
                 return 2
             try:
-                for path in delete_offset(rest[1], int(rest[2])):
+                for path in delete_offset(rest[1], batch):
                     print(f"removed {path}")
             except FileNotFoundError as e:
                 print(str(e), file=sys.stderr)

@@ -92,17 +92,22 @@ def q_es_bulk_ops(spark, sf_dir):
     the distributed LWW collapse, never ∝ raw events; the production
     sink (`es_cdc_sink`) builds the same payloads per-partition on
     executors."""
-    from pyspark.sql import Window as W
-
     from transporter_spark.sources.bulk import es_bulk_payloads
+    from transporter_spark.streaming.cdc import latest_per_key
 
     ev = read_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    # the REAL sink collapse (latest_per_key is what es_cdc_sink /
+    # jdbc_cdc_sink run), tiebroken on event_id for determinism —
+    # review r13: a hand-rolled window here could drift from the
+    # sink's actual nulls/ordering semantics
+    flat = ev.select(
+        F.col("ts").cast("timestamp").alias("_ts"),
+        "event_id",
+        "user_id",
+        "event_type",
     )
     latest = (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        latest_per_key(flat, ["user_id"], ["_ts", "event_id"])
         .select("user_id", "event_id", "event_type")
         .orderBy("user_id")
     )
