@@ -29,11 +29,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 13 window = 5 new + 5 changed + 40 stalest (frame_sample +
-# media_resize at r6, the FULL 37-query r8 cohort — VERDICT r12 item
-# 1's staleness job, done — and the registry-first r9 query) = 50.
-# Max staleness after this round: r9 (the remaining 36-query r9
-# cohort heads the r14 queue, then r10).
+# Round 13 window = 6 new + 5 changed + 39 stalest (frame_sample +
+# media_resize at r6 and the FULL 37-query r8 cohort — VERDICT r12
+# item 1's staleness job, done) = 50. Max staleness after this
+# round: r9 (the full 37-query r9 cohort heads the r14 queue, then
+# r10). The r9/r10 cohorts were nonetheless ALL sim-verified green
+# on this round's final code (COVERAGE.md round-13 delta).
 #
 # "Changed" read strictly, per FUNCTION executed:
 # - unigram_check_words' raise diagnostic no longer interpolates None
@@ -65,6 +66,7 @@ _PRIORITY = [
     "stream_ingest_dedup_2epoch",
     "stream_semdedup_2epoch",
     "stream_curation_2epoch",
+    "stream_curation_full_2epoch",
     # --- changed since their last green row (see header) ---
     "unigram_learn_vocab",
     "unigram_encode_ids",
@@ -112,14 +114,13 @@ _PRIORITY = [
     "stream_windowed_agg",
     "unpivot_long",
     "value_histogram",
-    # --- 1 slot left: the registry-first r9 query ---
-    "pick",
-    # --- past the graded window: the remaining r9 cohort (36
-    # --- queries, omit/opfilter now at its head: remap, envelope,
+    # --- past the graded window: the FULL 37-query r9 cohort
+    # --- (pick/omit/opfilter at its head, then remap, envelope,
     # --- ns_filter, py_transform, the r9 TPC-H breadth set,
     # --- dedup_exact, ann family, fuzzy family,
     # --- stream_kmeans_update/bloom/symspell, bm25, bpe_learn_merges)
     # --- heads the r14 queue, then r10, via the registry fallback.
+    # --- (scripts/stale_report.py --queue prints it.)
 ]
 
 

@@ -259,17 +259,36 @@ def test_ingest_2epoch_builder_rewires_membership_not_bound():
     default = _ingest_dedup_2epoch_oracle()
     gated = _ingest_dedup_2epoch_oracle(corpus="gated_docs")
     assert default == _ingest_dedup_2epoch_oracle(corpus="documents")
-    # bound on the raw table in BOTH variants
-    assert "quantile_cont(doc_id, 0.5) AS b FROM documents" in gated
-    assert "quantile_cont(doc_id, 0.5) AS b FROM documents" in default
-    # membership (dchunk) and the shingle chain on the gated subset
-    assert "FROM gated_docs, chunkb" in gated
-    assert "FROM documents, chunkb" in default
-    assert "FROM gated_docs" in gated.split("chunkb AS")[0]
-    assert "FROM documents" not in gated.split("chunkb AS")[0]
-    # the curation composition embeds the gated variant verbatim
+    # bound AND chunk tags on the raw table in BOTH variants
+    for o in (default, gated):
+        assert "quantile_cont(doc_id, 0.5) AS b FROM documents" in o
+        assert "FROM documents, chunkb" in o
+    # corpus-membership × chunk (dcorp) and the shingle chain on the
+    # gated subset; closure seeds come from dcorp, never raw dchunk
+    assert "FROM gated_docs c" in gated
+    assert "FROM documents c" in default
+    shingle_part = gated.split("FROM documents, chunkb),", 1)[1].split(
+        "dcorp AS"
+    )[0]
+    assert "FROM gated_docs" in shingle_part
+    assert "FROM documents" not in shingle_part
+    assert "FROM dcorp WHERE chunk = 0" in default
+    # pre_ctes land between dchunk and the shingle chain
+    wrapped = _ingest_dedup_2epoch_oracle(
+        corpus="g9", pre_ctes="g9 AS (SELECT doc_id, text FROM documents)"
+    )
+    body = wrapped.split("dchunk AS")[1]
+    assert body.index("g9 AS (SELECT") < body.index("sh AS")
+    # the curation composition embeds its gated variant verbatim
     from transporter_spark.queries import QUERIES
+    from transporter_spark.queries.pipeline_round2 import (
+        _stream_curation_2epoch_oracle,
+    )
 
-    assert gated.replace("WITH RECURSIVE ", "", 1).lstrip() in (
+    assert (
+        QUERIES["stream_curation_2epoch"].oracle
+        == _stream_curation_2epoch_oracle()
+    )
+    assert "gated_docs AS MATERIALIZED" in (
         QUERIES["stream_curation_2epoch"].oracle
     )

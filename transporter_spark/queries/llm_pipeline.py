@@ -683,7 +683,9 @@ QUERIES["stream_ingest_dedup"] = QUERIES["stream_ingest_dedup"]._replace(
 )
 
 
-def _ingest_dedup_2epoch_oracle(corpus: str = "documents") -> str:
+def _ingest_dedup_2epoch_oracle(
+    corpus: str = "documents", pre_ctes: str = ""
+) -> str:
     """TWO-EPOCH unrolled closure for the recursive-feedback ingest
     sink (VERDICT r12 item 6). The sink's kept-only state makes a
     general multi-epoch drain non-closed-form, but TWO chunks unroll
@@ -704,31 +706,45 @@ def _ingest_dedup_2epoch_oracle(corpus: str = "documents") -> str:
     stream_span_prune precedent).
 
     ``corpus`` rewires dedup PARTICIPATION (shingles/pairs/closure
-    membership) to a gated subset for the curation composition; the
+    membership) to a gated subset for the curation compositions; the
     chunk BOUND stays on raw `documents` — the drain harness splits
     the raw table, the gate runs inside each epoch, so a gated doc's
-    chunk is still decided by the raw-table median."""
-    mh = _minhash_portable_ctes().replace("WITH", "WITH RECURSIVE", 1)
+    chunk is still decided by the raw-table median. ``pre_ctes``
+    splices gate CTE blocks in AFTER chunkb/dchunk (so per-chunk
+    batch-statistic gates can reference the chunk tags) and BEFORE
+    the shingle chain (so ``corpus`` can name a CTE the gates
+    define); corpus-membership × chunk lives in ``dcorp``."""
+    mh = _minhash_portable_ctes()
     if corpus != "documents":
         mh = mh.replace("FROM documents", f"FROM {corpus}")
+    mh = mh.lstrip()
+    assert mh.startswith("WITH "), "minhash CTE prefix marker moved"
+    mh_ctes = mh[len("WITH ") :]
+    pre = (pre_ctes.strip().rstrip(",") + ",\n") if pre_ctes else ""
     return (
-        mh
-        + f""",
+        f"""
+WITH RECURSIVE
 chunkb AS (SELECT quantile_cont(doc_id, 0.5) AS b FROM documents),
 dchunk AS MATERIALIZED (
   SELECT doc_id, CASE WHEN doc_id <= b THEN 0 ELSE 1 END AS chunk
-  FROM {corpus}, chunkb),
+  FROM documents, chunkb),
+{pre}"""
+        + mh_ctes
+        + f""",
+dcorp AS MATERIALIZED (
+  SELECT c.doc_id, d.chunk FROM {corpus} c
+  JOIN dchunk d ON c.doc_id = d.doc_id),
 mhp AS MATERIALIZED (
   SELECT p.id_a, p.id_b, ca.chunk AS chunk_a, cb.chunk AS chunk_b
   FROM mh_pairs p
-  JOIN dchunk ca ON ca.doc_id = p.id_a
-  JOIN dchunk cb ON cb.doc_id = p.id_b),
+  JOIN dcorp ca ON ca.doc_id = p.id_a
+  JOIN dcorp cb ON cb.doc_id = p.id_b),
 e0 AS (
   SELECT id_a AS src, id_b AS dst FROM mhp WHERE chunk_a = 0 AND chunk_b = 0
   UNION ALL
   SELECT id_b, id_a FROM mhp WHERE chunk_a = 0 AND chunk_b = 0),
 r0(id, r) AS (
-  SELECT doc_id, doc_id FROM dchunk WHERE chunk = 0
+  SELECT doc_id, doc_id FROM dcorp WHERE chunk = 0
   UNION
   SELECT r0.id, e0.dst FROM r0 JOIN e0 ON r0.r = e0.src),
 kept0 AS MATERIALIZED (
@@ -738,7 +754,7 @@ e1 AS (
   UNION ALL
   SELECT id_b, id_a FROM mhp WHERE chunk_a = 1 AND chunk_b = 1),
 r1(id, r) AS (
-  SELECT doc_id, doc_id FROM dchunk WHERE chunk = 1
+  SELECT doc_id, doc_id FROM dcorp WHERE chunk = 1
   UNION
   SELECT r1.id, e1.dst FROM r1 JOIN e1 ON r1.r = e1.src),
 canon1 AS (SELECT id AS doc_id FROM r1 GROUP BY id HAVING MIN(r) = id),

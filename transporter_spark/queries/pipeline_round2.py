@@ -949,28 +949,24 @@ def q_stream_curation(spark, sf_dir):
 
 def _stream_curation_2epoch_oracle() -> str:
     """The curation composition under a REAL 2-epoch drain: gate CTEs
-    in front (same blocks as _STREAM_CURATION_ORACLE), then the
-    two-stage unrolled ingest closure with dedup PARTICIPATION
-    rewired to the gated subset while the chunk bound stays on raw
-    `documents` — the drain harness splits the raw table and the
-    Gopher gate (row-local, chunk-invariant by construction) runs
-    inside each epoch."""
+    spliced through the builder's pre_ctes hook (same blocks as
+    _STREAM_CURATION_ORACLE), then the two-stage unrolled ingest
+    closure with dedup PARTICIPATION rewired to the gated subset
+    while the chunk bound stays on raw `documents` — the drain
+    harness splits the raw table and the Gopher gate (row-local,
+    chunk-invariant by construction) runs inside each epoch."""
     from transporter_spark.queries.llm_pipeline import (
         _ingest_dedup_2epoch_oracle,
     )
 
-    return (
-        "WITH RECURSIVE "
-        + _GOPHER_CTES.strip()[len("WITH ") :]
+    pre = (
+        _GOPHER_CTES.strip()[len("WITH ") :]
         + f""",
-gated_docs AS (
+gated_docs AS MATERIALIZED (
   SELECT d.doc_id, d.text FROM documents d
-  JOIN (SELECT doc_id FROM m WHERE {_GOPHER_KEEP_SQL}) g USING (doc_id)),
-"""
-        + _ingest_dedup_2epoch_oracle(corpus="gated_docs")
-        .replace("WITH RECURSIVE ", "", 1)
-        .lstrip()
+  JOIN (SELECT doc_id FROM m WHERE {_GOPHER_KEEP_SQL}) g USING (doc_id))"""
     )
+    return _ingest_dedup_2epoch_oracle(corpus="gated_docs", pre_ctes=pre)
 
 
 @q("stream_curation_2epoch", oracle=_stream_curation_2epoch_oracle())

@@ -781,6 +781,141 @@ def q_stream_curation_full(spark, sf_dir):
     return _attach_cached(out, *caches) if caches else out
 
 
+def _stream_curation_full_2epoch_oracle() -> str:
+    """The FULL gate stack under a REAL 2-epoch drain. The
+    batch-statistic gates (bigram-LM tertiles, dd p90 length cut) fit
+    their statistics on EACH EPOCH'S gated batch — under a 2-chunk
+    drain that means per chunk — so the oracle instantiates the SAME
+    proven gate builders TWICE, once per chunk's input: gopher is
+    row-local (one `m` pass, chunk tags from dchunk select the
+    epoch), `_lm_ctes` takes a per-chunk prefix (lm0_/lm1_), and the
+    unprefixed dd block is wrapped per chunk as a named subquery
+    (the sketch_profile collision discipline). The per-chunk g3
+    survivors union into the 2-epoch unrolled closure via the
+    builder's pre_ctes hook, participation = g3, chunk bound = raw
+    documents."""
+    from transporter_spark.operators.sketches import dd_oracle_ctes
+    from transporter_spark.queries.llm_pipeline import (
+        _ingest_dedup_2epoch_oracle,
+    )
+
+    def dd_wrap(name: str, table: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT grp, q, est FROM (WITH "
+            + dd_oracle_ctes("n_chars", "lang", table).strip()
+            + "\nSELECT grp, q, est FROM ddq))"
+        )
+
+    def chunk_gates(e: int) -> str:
+        return (
+            f"""g1c{e} AS MATERIALIZED (
+  SELECT d.* FROM documents d
+  JOIN gk ON d.doc_id = gk.doc_id
+  JOIN dchunk dc ON d.doc_id = dc.doc_id
+  WHERE dc.chunk = {e}),
+"""
+            + _lm_ctes(f"g1c{e}", f"lm{e}_")
+            + f""",
+g2c{e} AS MATERIALIZED (
+  SELECT g1c{e}.* FROM g1c{e}
+  JOIN (SELECT doc_id FROM lm{e}_bucketed
+        WHERE lm_score IS NOT NULL AND ppl_bucket <> 'tail') lk{e}
+    USING (doc_id)),
+"""
+            + dd_wrap(f"ddq{e}", f"g2c{e}")
+            + f""",
+g3c{e} AS MATERIALIZED (
+  SELECT g2c{e}.doc_id, g2c{e}.text FROM g2c{e}
+  JOIN ddq{e} ON ddq{e}.grp = g2c{e}.lang AND ddq{e}.q = 'p90'
+  WHERE g2c{e}.n_chars <= ddq{e}.est)"""
+        )
+
+    pre = (
+        _GOPHER_CTES.strip()[len("WITH ") :]
+        + f""",
+gk AS MATERIALIZED (SELECT doc_id FROM m WHERE {_GOPHER_KEEP_SQL}),
+"""
+        + chunk_gates(0)
+        + ",\n"
+        + chunk_gates(1)
+        + """,
+g3 AS MATERIALIZED (
+  SELECT doc_id, text FROM g3c0 UNION ALL SELECT doc_id, text FROM g3c1)"""
+    )
+    composed = _ingest_dedup_2epoch_oracle(corpus="g3", pre_ctes=pre)
+    for name in (
+        "\nm AS (",
+        "\nlm0_doc AS (",
+        "\nlm0_bucketed AS (",
+        "\nlm1_doc AS (",
+        "\nlm1_bucketed AS (",
+    ):
+        composed = composed.replace(
+            name, name.replace(" AS (", " AS MATERIALIZED (")
+        )
+    return composed
+
+
+@q(
+    "stream_curation_full_2epoch",
+    oracle=_stream_curation_full_2epoch_oracle(),
+)
+def q_stream_curation_full_2epoch(spark, sf_dir):
+    """CONTINUOUS full-stack curation under a REAL TWO-EPOCH drain —
+    closing the batch-statistic-gate gap the single-epoch grade left:
+    the LM tertiles and dd p90 cut fit on EACH epoch's gated batch by
+    design (the pre_filter callable runs per foreachBatch epoch), so
+    under a 2-chunk drain the fits are per-chunk and the oracle
+    replays them per-chunk with the same proven builders
+    (`_stream_curation_full_2epoch_oracle`). Epoch 1's survivors then
+    reject against the persisted index epoch 0 committed — the full
+    gate→dedup pipeline graded under genuine cross-epoch arrival.
+    stream_curation_full itself is untouched (its single-epoch grade
+    stands); with this, EVERY feedback-sink composition that has a
+    closed 2-epoch form is multi-epoch graded — only FFD packing
+    (open-bin carry state) remains single-epoch, with its reason
+    documented at the drain."""
+    from transporter_spark.operators.dedup import _attach_cached
+    from transporter_spark.operators.text import gopher_rules
+    from transporter_spark.streaming.ingest import drain_documents_dedup
+
+    caches = []
+
+    def full_gate(batch):
+        from transporter_spark.operators.selection import lm_perplexity_gate
+        from transporter_spark.operators.sketches import dd_bins, dd_quantiles
+
+        g1 = batch.filter(gopher_rules(stopwords=_GATE_STOPWORDS)["keep"])
+        lm = lm_perplexity_gate(g1)
+        caches.extend(getattr(lm, "_ts_cached", ()))
+        g2 = g1.join(
+            lm.where(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+        )
+        thr = (
+            dd_quantiles(dd_bins(g2, "n_chars", ["lang"]), ["lang"])
+            .where(F.col("q") == "p90")
+            .select("lang", F.col("est").alias("_thr"))
+        )
+        g3 = (
+            g2.join(F.broadcast(thr), "lang")
+            .where(F.col("n_chars") <= F.col("_thr"))
+            .drop("_thr")
+        )
+        return g3.select(*batch.columns)
+
+    kept = drain_documents_dedup(
+        spark,
+        sf_dir,
+        threshold=0.1,
+        portable=True,
+        num_chunks=2,
+        min_epochs=2,
+        pre_filter=full_gate,
+    )
+    out = kept.select("doc_id").orderBy("doc_id")
+    return _attach_cached(out, *caches) if caches else out
+
+
 def _stream_decontaminate_oracle() -> str:
     """The Bloom-prefiltered decontamination gate (the SAME
     `_decon_bloom_ctes` chain the batch `decontaminate_bloom` oracle
