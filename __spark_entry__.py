@@ -29,12 +29,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 13 window = 6 new + 5 changed + 39 stalest (frame_sample +
-# media_resize at r6 and the FULL 37-query r8 cohort — VERDICT r12
-# item 1's staleness job, done) = 50. Max staleness after this
-# round: r9 (the full 37-query r9 cohort heads the r14 queue, then
-# r10). The r9/r10 cohorts were nonetheless ALL sim-verified green
-# on this round's final code (COVERAGE.md round-13 delta).
+# Round 13 window = 7 new + 5 changed + 38 stalest (frame_sample +
+# media_resize at r6 and 36 of the 37-query r8 cohort — VERDICT r12
+# item 1's staleness job; value_histogram is the one r8 spill,
+# heading r14) = 50. Max staleness after this round: r8 for that
+# single spill, then r9 (the full 37-query r9 cohort follows it in
+# the r14 queue, then r10). The spill and the r9/r10 cohorts were
+# nonetheless ALL sim-verified green on this round's final code
+# (COVERAGE.md round-13 delta).
 #
 # "Changed" read strictly, per FUNCTION executed:
 # - unigram_check_words' raise diagnostic no longer interpolates None
@@ -48,17 +50,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # - NEW: es_bulk_ops + jdbc_upsert_ops (VERDICT r12 item 5 — the ES
 #   v5 _bulk NDJSON bodies and the JDBC staging-upsert statement/row
 #   wire paths graded string-exact, the extended_json_ops pattern),
-#   and stream_ingest_dedup_2epoch + stream_semdedup_2epoch +
-#   stream_curation_2epoch (VERDICT r12 item 6 and its extensions —
-#   recursive-feedback sinks graded under REAL 2-epoch drains via
-#   two-stage unrolled closure oracles, plus the Gopher-gated
-#   composition whose row-local gate is chunk-invariant;
-#   stream_ingest_dedup / stream_semdedup / stream_curation
-#   themselves are UNCHANGED — the 2-epoch forms are separate queries
-#   precisely so the compositions that splice the single-epoch
-#   closure SQL and the r12-green rows keep their proven oracles; the
-#   semdedup drain is inlined per the r12 stream_unigram_vocab
-#   precedent).
+#   and the FIVE 2-epoch queries (VERDICT r12 item 6 and its
+#   extensions): stream_ingest_dedup_2epoch + stream_semdedup_2epoch
+#   via two-stage unrolled closure oracles;
+#   stream_curation_2epoch (the row-local Gopher gate is
+#   chunk-invariant) and stream_curation_full_2epoch (the
+#   batch-statistic gates fit per EPOCH by design, so the oracle
+#   instantiates the proven gate builders once per chunk) composed
+#   through the closure builder's pre_ctes hook; and
+#   stream_pack_bins_2epoch, whose open-bin carry state unrolls as a
+#   SEEDED second FFD fold — with this, ALL FOUR recursive-feedback
+#   families are multi-epoch graded. The single-epoch originals
+#   (stream_ingest_dedup / stream_semdedup / stream_curation /
+#   stream_curation_full / stream_pack_bins) are UNCHANGED — the
+#   2-epoch forms are separate queries precisely so the compositions
+#   that splice the single-epoch closure SQL and the r12-green rows
+#   keep their proven oracles; drains without chunk params are
+#   inlined per the r12 stream_unigram_vocab precedent.
 _PRIORITY = [
     # --- NEW round 13: must take a slot ---
     "es_bulk_ops",
@@ -67,6 +75,7 @@ _PRIORITY = [
     "stream_semdedup_2epoch",
     "stream_curation_2epoch",
     "stream_curation_full_2epoch",
+    "stream_pack_bins_2epoch",
     # --- changed since their last green row (see header) ---
     "unigram_learn_vocab",
     "unigram_encode_ids",
@@ -113,13 +122,13 @@ _PRIORITY = [
     "stream_stream_join",
     "stream_windowed_agg",
     "unpivot_long",
-    "value_histogram",
-    # --- past the graded window: the FULL 37-query r9 cohort
-    # --- (pick/omit/opfilter at its head, then remap, envelope,
-    # --- ns_filter, py_transform, the r9 TPC-H breadth set,
-    # --- dedup_exact, ann family, fuzzy family,
-    # --- stream_kmeans_update/bloom/symspell, bm25, bpe_learn_merges)
-    # --- heads the r14 queue, then r10, via the registry fallback.
+    # --- past the graded window: value_histogram (the one r8 spill,
+    # --- displaced by the 7th new query) heads the r14 queue, then
+    # --- the FULL 37-query r9 cohort (pick/omit/opfilter at its
+    # --- head, then remap, envelope, ns_filter, py_transform, the
+    # --- r9 TPC-H breadth set, dedup_exact, ann family, fuzzy
+    # --- family, stream_kmeans_update/bloom/symspell, bm25,
+    # --- bpe_learn_merges), then r10, via the registry fallback.
     # --- (scripts/stale_report.py --queue prints it.)
 ]
 

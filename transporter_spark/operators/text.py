@@ -1399,3 +1399,171 @@ SELECT source, bin_id, count(*)::BIGINT AS n_items,
 FROM allit GROUP BY source, bin_id
 ORDER BY source, bin_id
 """
+
+
+def ffd_2epoch_oracle_sql(
+    seq_len: int, close_slack: int = 0, source: str = "documents"
+) -> str:
+    """TWO-EPOCH replay of the CONTINUOUS packing sink
+    (streaming/packing.py) — the last recursive-feedback family's
+    2-epoch unroll: the open-bin carry state IS expressible as a
+    SEEDED second fold. Epoch 0 = the batch FFD fold over chunk-0
+    docs; its ending loads list yields per-bin states — bins at
+    load >= seq_len - close_slack CLOSE (immutable), the rest carry
+    in ascending id order. Epoch 1 re-runs the SAME fold over
+    chunk-1 items with the recursion INITIALIZED to the carried
+    loads (first-fit scans carried bins before new ones — exactly
+    the engine's open_ids-then-append order), full chunks taking ids
+    from the carried next_bin counter (F0 + P0) FIRST. Fold
+    positions <= seed size map back to the carried bins' ORIGINAL
+    epoch-0 ids (members merge across epochs); later positions mint
+    new ids after the epoch-1 fulls. Chunk assignment replays the
+    drain harness (quantile_cont == Spark percentile on doc_id)."""
+    L = seq_len
+    return f"""
+WITH RECURSIVE
+chunkb AS (SELECT quantile_cont(doc_id, 0.5) AS b FROM {source}),
+dchunk AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN doc_id <= b THEN 0 ELSE 1 END AS chunk_e
+  FROM {source}, chunkb),
+cnts AS (
+  SELECT d.source, d.doc_id,
+         len(regexp_extract_all(d.text, '\\S+'))::BIGINT AS n,
+         dc.chunk_e
+  FROM {source} d JOIN dchunk dc ON d.doc_id = dc.doc_id),
+srcs AS (SELECT DISTINCT source FROM cnts),
+fullb AS (
+  SELECT source, doc_id, u.k AS chunk, chunk_e
+  FROM cnts, unnest(generate_series(0, n // {L} - 1)) AS u(k)
+  WHERE n >= {L}),
+pool AS (
+  SELECT source, doc_id, n // {L} AS chunk, n % {L} AS rem, chunk_e
+  FROM cnts WHERE n % {L} > 0),
+items0 AS MATERIALIZED (
+  SELECT source, doc_id, rem,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY rem DESC, doc_id) AS step
+  FROM pool WHERE chunk_e = 0),
+rec0 AS (
+  SELECT source, CAST(0 AS BIGINT) AS step,
+         CAST([] AS BIGINT[]) AS loads,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin
+  FROM srcs
+  UNION ALL
+  SELECT source, step,
+         CASE WHEN fit IS NULL THEN list_append(loads0, rem)
+              ELSE list_transform(range(1, len(loads0) + 1),
+                     k -> CASE WHEN k = fit THEN loads0[k] + rem
+                               ELSE loads0[k] END)
+         END AS loads,
+         doc_id,
+         COALESCE(fit, len(loads0) + 1) AS bin
+  FROM (
+    SELECT i.source, i.step, i.doc_id, i.rem, r.loads AS loads0,
+           NULLIF(list_position(
+             list_transform(r.loads, x -> x + i.rem <= {L}),
+             true), 0) AS fit
+    FROM rec0 r JOIN items0 i
+      ON i.source = r.source AND i.step = r.step + 1)),
+fin0 AS MATERIALIZED (
+  SELECT source, loads FROM (
+    SELECT source, loads,
+           row_number() OVER (PARTITION BY source ORDER BY step DESC) AS rn
+    FROM rec0) WHERE rn = 1),
+nf0 AS (SELECT source, count(*)::BIGINT AS f0
+        FROM fullb WHERE chunk_e = 0 GROUP BY source),
+e0bins AS MATERIALIZED (
+  SELECT f.source, t.j::BIGINT AS pos0, f.loads[t.j]::BIGINT AS load0,
+         (COALESCE(nf.f0, 0) + t.j - 1)::BIGINT AS bin_id
+  FROM fin0 f LEFT JOIN nf0 nf ON nf.source = f.source,
+       unnest(generate_series(1, len(f.loads))) AS t(j)),
+carried AS MATERIALIZED (
+  SELECT source,
+         list(bin_id ORDER BY pos0) AS cids,
+         list(load0 ORDER BY pos0) AS cloads
+  FROM e0bins WHERE load0 < {L - close_slack}
+  GROUP BY source),
+nb0 AS (
+  SELECT s.source,
+         (COALESCE(nf.f0, 0)
+          + COALESCE(len(f.loads), 0))::BIGINT AS nb
+  FROM srcs s
+  LEFT JOIN nf0 nf ON nf.source = s.source
+  LEFT JOIN fin0 f ON f.source = s.source),
+nf1 AS (SELECT source, count(*)::BIGINT AS f1
+        FROM fullb WHERE chunk_e = 1 GROUP BY source),
+items1 AS MATERIALIZED (
+  SELECT source, doc_id, rem,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY rem DESC, doc_id) AS step
+  FROM pool WHERE chunk_e = 1),
+rec1 AS (
+  SELECT s.source, CAST(0 AS BIGINT) AS step,
+         COALESCE(c.cloads, CAST([] AS BIGINT[])) AS loads,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin
+  FROM srcs s LEFT JOIN carried c ON c.source = s.source
+  UNION ALL
+  SELECT source, step,
+         CASE WHEN fit IS NULL THEN list_append(loads0, rem)
+              ELSE list_transform(range(1, len(loads0) + 1),
+                     k -> CASE WHEN k = fit THEN loads0[k] + rem
+                               ELSE loads0[k] END)
+         END AS loads,
+         doc_id,
+         COALESCE(fit, len(loads0) + 1) AS bin
+  FROM (
+    SELECT i.source, i.step, i.doc_id, i.rem, r.loads AS loads0,
+           NULLIF(list_position(
+             list_transform(r.loads, x -> x + i.rem <= {L}),
+             true), 0) AS fit
+    FROM rec1 r JOIN items1 i
+      ON i.source = r.source AND i.step = r.step + 1)),
+seedsz AS (
+  SELECT s.source, COALESCE(len(c.cids), 0)::BIGINT AS sz
+  FROM srcs s LEFT JOIN carried c ON c.source = s.source),
+a1map AS (
+  SELECT a.source, a.doc_id,
+         CASE WHEN a.bin <= ss.sz THEN c.cids[a.bin]
+              ELSE nb.nb + COALESCE(nf1.f1, 0) + (a.bin - ss.sz - 1)
+         END::BIGINT AS bin_id
+  FROM (SELECT source, doc_id, bin FROM rec1 WHERE step > 0) a
+  JOIN seedsz ss ON ss.source = a.source
+  LEFT JOIN carried c ON c.source = a.source
+  JOIN nb0 nb ON nb.source = a.source
+  LEFT JOIN nf1 ON nf1.source = a.source),
+a0map AS (
+  SELECT a.source, a.doc_id,
+         (COALESCE(nf.f0, 0) + a.bin - 1)::BIGINT AS bin_id
+  FROM (SELECT source, doc_id, bin FROM rec0 WHERE step > 0) a
+  LEFT JOIN nf0 nf ON nf.source = a.source),
+allit AS (
+  SELECT source,
+         (row_number() OVER (PARTITION BY source
+                             ORDER BY doc_id, chunk) - 1)::BIGINT AS bin_id,
+         doc_id, chunk, CAST({L} AS BIGINT) AS tokens
+  FROM fullb WHERE chunk_e = 0
+  UNION ALL
+  SELECT f.source,
+         (nb.nb + row_number() OVER (PARTITION BY f.source
+                             ORDER BY f.doc_id, f.chunk) - 1)::BIGINT,
+         f.doc_id, f.chunk, CAST({L} AS BIGINT)
+  FROM fullb f JOIN nb0 nb ON nb.source = f.source
+  WHERE f.chunk_e = 1
+  UNION ALL
+  SELECT p.source, m.bin_id, p.doc_id, p.chunk, p.rem
+  FROM pool p JOIN a0map m
+    ON m.source = p.source AND m.doc_id = p.doc_id
+  WHERE p.chunk_e = 0
+  UNION ALL
+  SELECT p.source, m.bin_id, p.doc_id, p.chunk, p.rem
+  FROM pool p JOIN a1map m
+    ON m.source = p.source AND m.doc_id = p.doc_id
+  WHERE p.chunk_e = 1)
+SELECT source, bin_id, count(*)::BIGINT AS n_items,
+       SUM(tokens)::BIGINT AS n_tokens,
+       array_to_string(
+         list(doc_id || '.' || chunk ORDER BY doc_id, chunk),
+         '-') AS members
+FROM allit GROUP BY source, bin_id
+ORDER BY source, bin_id
+"""

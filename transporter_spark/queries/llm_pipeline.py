@@ -3346,6 +3346,52 @@ def q_stream_pack_bins(spark, sf_dir):
     return out.orderBy("source", "bin_id")
 
 
+def _ffd_2epoch_oracle():
+    from transporter_spark.operators.text import ffd_2epoch_oracle_sql
+
+    return ffd_2epoch_oracle_sql(64)
+
+
+@q("stream_pack_bins_2epoch", oracle=_ffd_2epoch_oracle())
+def q_stream_pack_bins_2epoch(spark, sf_dir):
+    """CONTINUOUS packing under a REAL TWO-EPOCH drain — the LAST
+    recursive-feedback family graded multi-epoch: the open-bin carry
+    state is not a closure like the dedup sinks', but it IS
+    expressible as a SEEDED second FFD fold
+    (operators/text.ffd_2epoch_oracle_sql): epoch 1's first-fit scans
+    the bins epoch 0 left open (ascending id, exactly the engine's
+    open_ids order) before opening new ones, chunk-1 full chunks
+    take ids from the carried next_bin counter first, and carried
+    bins merge members across epochs. At close_slack=0 most epoch-0
+    pool bins carry, so the cross-epoch fill path dominates the
+    graded rows — genuinely different bins from the batch
+    `pack_bins_ffd` at the same corpus, graded as such. The drain is
+    inlined (the stream_semdedup_2epoch precedent — growing
+    drain_documents_packing would re-grade the r12-green
+    stream_pack_bins); deeper epoch counts stay pytest-pinned
+    against the pure-Python incremental replay
+    (tests/test_streaming_pretrain.py)."""
+    import tempfile
+
+    from transporter_spark.streaming.packing import (
+        pack_bins_ingest_sink,
+        read_packed_bins,
+    )
+    from transporter_spark.streaming.sources import (
+        assert_epochs_applied,
+        chunked_table_stream,
+    )
+    from transporter_spark.streaming.state import SegmentStore
+
+    state = tempfile.mkdtemp(prefix="ts_pack2_") + "/state"
+    stream = chunked_table_stream(spark, sf_dir, "documents", 2)
+    pack_bins_ingest_sink(stream, state, seq_len=64)
+    assert_epochs_applied(
+        int(SegmentStore(state).meta().get("n_applied", 0)), 2
+    )
+    return read_packed_bins(spark, state).orderBy("source", "bin_id")
+
+
 def _unigram_vocab_oracle():
     from transporter_spark.operators.unigram import unigram_vocab_oracle
 
