@@ -85,7 +85,7 @@ _PRIORITY = [
     # --- the 2 r6 spills (named as heading this queue since r12) ---
     "frame_sample",
     "media_resize",
-    # --- the full 37-query r8 cohort ---
+    # --- 36 of the 37-query r8 cohort (value_histogram spills) ---
     "bloom_member",
     "bloom_member_grouped",
     "bpe_token_stats",

@@ -8,7 +8,7 @@ tiebreak — the `__spark_entry__._PRIORITY` fallback order).
 Every round's window planning re-derived this by hand from the
 CORRECTNESS files; this makes it one command:
 
-    python scripts/stale_report.py            # full table
+    python scripts/stale_report.py            # per-query table + summary
     python scripts/stale_report.py --queue    # next-round queue only
 """
 
@@ -26,11 +26,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def last_graded() -> dict:
-    """{query: (round, green)} from every CORRECTNESS_r*.json."""
+    """{query: (round, green)} from every CORRECTNESS_r*.json —
+    max-round wins explicitly (never rely on glob/filename order:
+    CORRECTNESS_r100 would sort before r11 lexicographically)."""
     out = {}
-    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
         for name, row in json.load(open(f)).items():
+            if rnd < out.get(name, (0, None))[0]:
+                continue
             green = bool(
                 row.get("rows_match")
                 and row.get("schema_match")
@@ -41,37 +45,42 @@ def last_graded() -> dict:
     return out
 
 
+def _tag(rnd: int, green) -> str:
+    if rnd == 0:
+        return "NEVER"
+    return f"r{rnd}" + ("" if green else " RED")
+
+
 def main() -> None:
     import __spark_entry__ as entry
 
     registry = list(entry.queries())
     graded = last_graded()
-    rows = [
-        (name, *graded.get(name, (0, None)))
-        for name in registry
-    ]
+    # rows carry registry order; rounds ascend via a STABLE sort, so
+    # equal-round ties keep registry order (the _PRIORITY fallback)
+    rows = [(name, *graded.get(name, (0, None))) for name in registry]
+    queue = sorted(rows, key=lambda r: r[1])
     if "--queue" in sys.argv:
-        # never-graded first (round 0), then stalest, registry order
-        queue = sorted(
-            rows, key=lambda r: (r[1], registry.index(r[0]))
-        )
         for name, rnd, green in queue:
-            tag = "NEVER" if rnd == 0 else f"r{rnd}" + (
-                "" if green else " RED"
-            )
-            print(f"{name}\t{tag}")
+            print(f"{name}\t{_tag(rnd, green)}")
         return
+    width = max(len(n) for n in registry)
+    for name, rnd, green in queue:
+        print(f"{name:<{width}}  {_tag(rnd, green)}")
     from collections import Counter
 
     by_round = Counter(r[1] for r in rows)
-    print("last-graded round histogram:", dict(sorted(by_round.items())))
-    red = [r for r in rows if r[2] is False]
+    print("\nlast-graded round histogram:", dict(sorted(by_round.items())))
+    red = [r[0] for r in rows if r[2] is False]
     if red:
-        print("NOT GREEN at last grading:", [r[0] for r in red])
+        print("NOT GREEN at last grading:", red)
     never = [r[0] for r in rows if r[1] == 0]
     if never:
         print("never graded:", never)
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # `| head` closing the pipe is normal use
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())

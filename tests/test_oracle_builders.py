@@ -279,16 +279,46 @@ def test_ingest_2epoch_builder_rewires_membership_not_bound():
     )
     body = wrapped.split("dchunk AS")[1]
     assert body.index("g9 AS (SELECT") < body.index("sh AS")
-    # the curation composition embeds its gated variant verbatim
+    # the registered curation composition carries the STRUCTURAL
+    # invariants (not just builder == builder, which is tautological):
+    # gate CTEs land between dchunk and the shingle chain, dedup
+    # membership is rewired to the gated subset, and the bound stays
+    # raw — a splice regression in any of these fails here
     from transporter_spark.queries import QUERIES
-    from transporter_spark.queries.pipeline_round2 import (
-        _stream_curation_2epoch_oracle,
-    )
 
-    assert (
-        QUERIES["stream_curation_2epoch"].oracle
-        == _stream_curation_2epoch_oracle()
-    )
-    assert "gated_docs AS MATERIALIZED" in (
-        QUERIES["stream_curation_2epoch"].oracle
+    cur = QUERIES["stream_curation_2epoch"].oracle
+    assert "gated_docs AS MATERIALIZED" in cur
+    assert "FROM gated_docs c" in cur  # dcorp membership on the gate
+    assert "quantile_cont(doc_id, 0.5) AS b FROM documents" in cur
+    tail = cur.split("FROM documents, chunkb),", 1)[1]
+    assert tail.index("gated_docs AS MATERIALIZED") < tail.index("sh AS")
+    assert "FROM dcorp WHERE chunk = 0" in cur
+
+
+def test_curation_full_2epoch_gate_copies_are_identical():
+    """q_stream_curation_full_2epoch deliberately duplicates
+    q_stream_curation_full's full_gate closure VERBATIM (extracting a
+    shared helper would change the r12-green query's executed code
+    and burn a rotation slot — fold together when it next rotates).
+    The 2-epoch grade only reflects the single-epoch gate semantics
+    while the copies stay identical; pin them structurally (AST dump
+    with positions stripped) so a fix applied to one copy cannot
+    silently diverge the other."""
+    import ast
+    import inspect
+
+    from transporter_spark.queries import sketches
+
+    def gate_ast(fn):
+        tree = ast.parse(inspect.getsource(fn))
+        gates = [
+            n
+            for n in ast.walk(tree)
+            if isinstance(n, ast.FunctionDef) and n.name == "full_gate"
+        ]
+        assert len(gates) == 1
+        return ast.dump(gates[0], include_attributes=False)
+
+    assert gate_ast(sketches.q_stream_curation_full) == gate_ast(
+        sketches.q_stream_curation_full_2epoch
     )

@@ -871,10 +871,11 @@ def q_stream_curation_full_2epoch(spark, sf_dir):
     reject against the persisted index epoch 0 committed — the full
     gate→dedup pipeline graded under genuine cross-epoch arrival.
     stream_curation_full itself is untouched (its single-epoch grade
-    stands); with this, EVERY feedback-sink composition that has a
-    closed 2-epoch form is multi-epoch graded — only FFD packing
-    (open-bin carry state) remains single-epoch, with its reason
-    documented at the drain."""
+    stands). full_gate below is a deliberate verbatim copy of
+    stream_curation_full's (extracting a shared helper would change
+    that r12-green query's executed code and burn a window slot —
+    fold together when it next rotates); byte-equality of the two
+    copies is AST-pinned in tests/test_oracle_builders.py."""
     from transporter_spark.operators.dedup import _attach_cached
     from transporter_spark.operators.text import gopher_rules
     from transporter_spark.streaming.ingest import drain_documents_dedup
