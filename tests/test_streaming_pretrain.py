@@ -295,3 +295,64 @@ def test_chunked_drain_with_compaction_equals_batch(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_pack_2epoch_oracle_matches_drain_at_nonzero_slack(spark, tmp_path):
+    """The graded stream_pack_bins_2epoch row runs at close_slack=0;
+    this differential pins `ffd_2epoch_oracle_sql`'s close_slack
+    PARAMETERIZATION against the real 2-chunk drain on synthetic
+    counts engineered so epoch-0 bins close mid-stream (load >=
+    seq_len - slack), others carry, and epoch-1 items land in carried
+    bins — the cross-epoch fill path is asserted to have actually
+    occurred, not just matched vacuously."""
+    import duckdb
+
+    from transporter_spark.operators.text import ffd_2epoch_oracle_sql
+    from transporter_spark.streaming.packing import (
+        pack_bins_ingest_sink,
+        read_packed_bins,
+    )
+    from transporter_spark.streaming.sources import chunked_table_stream
+
+    counts = {
+        ("a", 0): 10, ("b", 1): 7, ("a", 2): 8, ("b", 3): 6,
+        ("a", 4): 40, ("b", 5): 14, ("a", 6): 4, ("b", 7): 9,
+        ("a", 8): 3, ("b", 9): 5, ("a", 10): 12, ("b", 11): 20,
+    }
+    rows = [
+        (doc_id, src, " ".join(f"t{doc_id}x{j}" for j in range(n)))
+        for (src, doc_id), n in counts.items()
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    docs.coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    state = str(tmp_path / "state")
+    stream = chunked_table_stream(spark, sf_dir, "documents", 2)
+    pack_bins_ingest_sink(stream, state, seq_len=16, close_slack=3)
+    got = sorted(
+        (r.source, r.bin_id, r.n_items, r.n_tokens, r.members)
+        for r in read_packed_bins(spark, state).collect()
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{os.path.join(sf_dir, 'documents.parquet')}/*.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(
+            ffd_2epoch_oracle_sql(16, close_slack=3)
+        ).fetchall()
+    )
+    assert got == want
+    # the carry path genuinely fired: some bin holds members from
+    # both chunks (doc_id <= 5 and >= 6 — the 0.5-quantile split)
+    def doc_ids(members):
+        return [int(m.split(".")[0]) for m in members.split("-")]
+
+    assert any(
+        min(doc_ids(m)) <= 5 and max(doc_ids(m)) >= 6
+        for _s, _b, _i, _t, m in got
+    )
