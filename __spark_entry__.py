@@ -29,14 +29,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 13 window = 7 new + 5 changed + 38 stalest (frame_sample +
-# media_resize at r6 and 36 of the 37-query r8 cohort — VERDICT r12
-# item 1's staleness job; value_histogram is the one r8 spill,
-# heading r14) = 50. Max staleness after this round: r8 for that
-# single spill, then r9 (the full 37-query r9 cohort follows it in
-# the r14 queue, then r10). The spill and the r9/r10 cohorts were
-# nonetheless ALL sim-verified green on this round's final code
-# (COVERAGE.md round-13 delta).
+# Round 13 window = 8 new + 5 changed + 37 stalest (frame_sample +
+# media_resize at r6 and 35 of the 37-query r8 cohort — VERDICT r12
+# item 1's staleness job; unpivot_long + value_histogram are the two
+# r8 spills, heading r14) = 50. Max staleness after this round: r8
+# for those two spills, then r9 (the full 37-query r9 cohort follows
+# them in the r14 queue, then r10). The spills and the r9/r10
+# cohorts were nonetheless ALL sim-verified green on this round's
+# final code (COVERAGE.md round-13 delta).
 #
 # "Changed" read strictly, per FUNCTION executed:
 # - unigram_check_words' raise diagnostic no longer interpolates None
@@ -50,9 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # - NEW: es_bulk_ops + jdbc_upsert_ops (VERDICT r12 item 5 — the ES
 #   v5 _bulk NDJSON bodies and the JDBC staging-upsert statement/row
 #   wire paths graded string-exact, the extended_json_ops pattern),
-#   and the FIVE 2-epoch queries (VERDICT r12 item 6 and its
+#   and the SIX multi-epoch queries (VERDICT r12 item 6 and its
 #   extensions): stream_ingest_dedup_2epoch + stream_semdedup_2epoch
-#   via two-stage unrolled closure oracles;
+#   via two-stage unrolled closure oracles (plus
+#   stream_ingest_dedup_3epoch, the K-stage generalization — epoch 2
+#   rejects against the ACCUMULATED kept set read as a multi-segment
+#   index union, a path no 2-epoch drain reaches);
 #   stream_curation_2epoch (the row-local Gopher gate is
 #   chunk-invariant) and stream_curation_full_2epoch (the
 #   batch-statistic gates fit per EPOCH by design, so the oracle
@@ -72,6 +75,7 @@ _PRIORITY = [
     "es_bulk_ops",
     "jdbc_upsert_ops",
     "stream_ingest_dedup_2epoch",
+    "stream_ingest_dedup_3epoch",
     "stream_semdedup_2epoch",
     "stream_curation_2epoch",
     "stream_curation_full_2epoch",
@@ -85,7 +89,8 @@ _PRIORITY = [
     # --- the 2 r6 spills (named as heading this queue since r12) ---
     "frame_sample",
     "media_resize",
-    # --- 36 of the 37-query r8 cohort (value_histogram spills) ---
+    # --- 35 of the 37-query r8 cohort (unpivot_long +
+    # --- value_histogram spill) ---
     "bloom_member",
     "bloom_member_grouped",
     "bpe_token_stats",
@@ -121,9 +126,9 @@ _PRIORITY = [
     "stream_static_join",
     "stream_stream_join",
     "stream_windowed_agg",
-    "unpivot_long",
-    # --- past the graded window: value_histogram (the one r8 spill,
-    # --- displaced by the 7th new query) heads the r14 queue, then
+    # --- past the graded window: unpivot_long + value_histogram (the
+    # --- two r8 spills, displaced by the 7th/8th new queries) head
+    # --- the r14 queue, then
     # --- the FULL 37-query r9 cohort (pick/omit/opfilter at its
     # --- head, then remap, envelope, ns_filter, py_transform, the
     # --- r9 TPC-H breadth set, dedup_exact, ann family, fuzzy

@@ -772,6 +772,109 @@ ORDER BY doc_id"""
     )
 
 
+def _ingest_dedup_3epoch_oracle() -> str:
+    """THREE-stage unroll — the K-epochs-need-K-stages generalization
+    the 2-epoch docstrings describe, written out once at K=3 because
+    it grades a path no 2-epoch drain can reach: epoch 2's corpus-hit
+    rejection reads the index/fps as a MULTI-SEGMENT union (kept-0's
+    and kept-1's segments merged on read by the SegmentStore), so
+    first-wins must hold against the ACCUMULATED kept set, not a
+    single prior epoch. Structure per stage e: canonical docs of the
+    closure over chunk-e's own verified pairs, minus docs with a
+    verified pair into ANY earlier stage's kept set. Chunk bounds =
+    the drain harness's tertile split (quantile_cont(doc_id,
+    [1/3, 2/3]) == Spark percentile, the stream_span_prune pattern)."""
+    mh = _minhash_portable_ctes().lstrip()
+    assert mh.startswith("WITH "), "minhash CTE prefix marker moved"
+    return (
+        "\nWITH RECURSIVE\n"
+        + mh[len("WITH ") :]
+        + f""",
+chunkb AS (
+  SELECT quantile_cont(doc_id, [{1 / 3!r}, {2 / 3!r}]) AS b
+  FROM documents),
+dchunk AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN doc_id <= b[1] THEN 0
+              WHEN doc_id <= b[2] THEN 1
+              ELSE 2 END AS chunk
+  FROM documents, chunkb),
+mhp AS MATERIALIZED (
+  SELECT p.id_a, p.id_b, ca.chunk AS chunk_a, cb.chunk AS chunk_b
+  FROM mh_pairs p
+  JOIN dchunk ca ON ca.doc_id = p.id_a
+  JOIN dchunk cb ON cb.doc_id = p.id_b),
+e0 AS (
+  SELECT id_a AS src, id_b AS dst FROM mhp WHERE chunk_a = 0 AND chunk_b = 0
+  UNION ALL
+  SELECT id_b, id_a FROM mhp WHERE chunk_a = 0 AND chunk_b = 0),
+r0(id, r) AS (
+  SELECT doc_id, doc_id FROM dchunk WHERE chunk = 0
+  UNION
+  SELECT r0.id, e0.dst FROM r0 JOIN e0 ON r0.r = e0.src),
+kept0 AS MATERIALIZED (
+  SELECT id AS doc_id FROM r0 GROUP BY id HAVING MIN(r) = id),
+e1 AS (
+  SELECT id_a AS src, id_b AS dst FROM mhp WHERE chunk_a = 1 AND chunk_b = 1
+  UNION ALL
+  SELECT id_b, id_a FROM mhp WHERE chunk_a = 1 AND chunk_b = 1),
+r1(id, r) AS (
+  SELECT doc_id, doc_id FROM dchunk WHERE chunk = 1
+  UNION
+  SELECT r1.id, e1.dst FROM r1 JOIN e1 ON r1.r = e1.src),
+hits1 AS (
+  SELECT DISTINCT CASE WHEN chunk_a = 1 THEN id_a ELSE id_b END AS doc_id
+  FROM mhp
+  WHERE chunk_a + chunk_b = 1
+    AND (CASE WHEN chunk_a = 0 THEN id_a ELSE id_b END)
+        IN (SELECT doc_id FROM kept0)),
+kept1 AS MATERIALIZED (
+  SELECT id AS doc_id FROM r1 GROUP BY id HAVING MIN(r) = id
+  AND id NOT IN (SELECT doc_id FROM hits1)),
+e2 AS (
+  SELECT id_a AS src, id_b AS dst FROM mhp WHERE chunk_a = 2 AND chunk_b = 2
+  UNION ALL
+  SELECT id_b, id_a FROM mhp WHERE chunk_a = 2 AND chunk_b = 2),
+r2(id, r) AS (
+  SELECT doc_id, doc_id FROM dchunk WHERE chunk = 2
+  UNION
+  SELECT r2.id, e2.dst FROM r2 JOIN e2 ON r2.r = e2.src),
+hits2 AS (
+  SELECT DISTINCT CASE WHEN chunk_a = 2 THEN id_a ELSE id_b END AS doc_id
+  FROM mhp
+  WHERE chunk_a <> chunk_b AND (chunk_a = 2 OR chunk_b = 2)
+    AND (CASE WHEN chunk_a = 2 THEN id_b ELSE id_a END) IN
+        (SELECT doc_id FROM kept0 UNION ALL SELECT doc_id FROM kept1)),
+kept2 AS (
+  SELECT id AS doc_id FROM r2 GROUP BY id HAVING MIN(r) = id
+  AND id NOT IN (SELECT doc_id FROM hits2))
+SELECT doc_id FROM kept0
+UNION ALL SELECT doc_id FROM kept1
+UNION ALL SELECT doc_id FROM kept2
+ORDER BY doc_id"""
+    )
+
+
+@q("stream_ingest_dedup_3epoch", oracle=_ingest_dedup_3epoch_oracle())
+def q_stream_ingest_dedup_3epoch(spark, sf_dir):
+    """CONTINUOUS ingest dedup under a REAL THREE-EPOCH drain — the
+    K-stage generalization of stream_ingest_dedup_2epoch, graded
+    because K=3 reaches a path K=2 cannot: epoch 2 rejects against
+    the ACCUMULATED kept set, read as a multi-segment index/fps UNION
+    (two `index`/`fps` segments merged on read by the SegmentStore) —
+    first-wins across more than one prior commit. The oracle unrolls
+    three closure stages over tertile chunks
+    (`_ingest_dedup_3epoch_oracle`); same engine knobs as the 2-epoch
+    row (threshold=0.1, portable hash family)."""
+    from transporter_spark.streaming.ingest import drain_documents_dedup
+
+    kept = drain_documents_dedup(
+        spark, sf_dir, threshold=0.1, portable=True,
+        num_chunks=3, min_epochs=3,
+    )
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 @q("stream_ingest_dedup_2epoch", oracle=_ingest_dedup_2epoch_oracle())
 def q_stream_ingest_dedup_2epoch(spark, sf_dir):
     """CONTINUOUS ingest dedup under a REAL TWO-EPOCH drain (VERDICT
