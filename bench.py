@@ -42,6 +42,54 @@ def main() -> None:
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     timings = {}
+
+    def _floors():
+        """Control floors from BENCH_FLOORS.md's table (best-effort:
+        the adjudication protocol lives there; this just mirrors the
+        three control rows into the bench JSON so a judge reads
+        host-noise calibration from ONE artifact — VERDICT r13
+        item 8)."""
+        floors = {}
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_FLOORS.md")
+        try:
+            with open(path) as f:
+                for line in f:
+                    parts = [p.strip() for p in line.split("|")]
+                    if len(parts) >= 3 and parts[1] in CONTROLS:
+                        try:
+                            floors[parts[1]] = float(parts[2])
+                        except ValueError:
+                            pass
+        except OSError:
+            pass
+        return floors
+
+    # Host-noise calibration FIRST, before the suite's codegen load
+    # builds up: time the three untouched-control queries (same code
+    # since r1) and record their floor ratios. A per-query flag later
+    # in the suite is adjudicated against these controls — ratios
+    # well above 1 here mean the host is noisy, not the code slow.
+    CONTROLS = ("q1_pricing_summary", "dedup_exact", "text_stats")
+    control_floors = _floors()
+    controls = {}
+    for name in CONTROLS:
+        query = headline.get(name) or QUERIES[name]
+        query.fn(spark, sf_dir).count()  # warm pass, untimed
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            query.fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        floor = control_floors.get(name)
+        controls[name] = {
+            "sec": round(best, 3),
+            "floor": floor,
+            "ratio": round(best / floor, 2) if floor else None,
+        }
+        print(f"control {name}: {best:.2f}s floor={floor} "
+              f"ratio={controls[name]['ratio']}", file=sys.stderr)
     # codegen-light queries first: the LSH/dedup family generates huge
     # classes that back up the JIT compile queue; measuring the
     # relational queries after them catches interpreted execution
@@ -83,6 +131,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "controls": controls,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -61,6 +61,24 @@ def test_offset_delete_removes_marked_batch(tmp_path, capsys):
     assert "no offsets or commit entry" in capsys.readouterr().err
 
 
+def test_offset_delete_refuses_mid_log_batch(tmp_path, capsys):
+    """Deleting a non-newest batch leaves a hole in the checkpoint
+    log (ADVICE r13): refused without --force, allowed with it."""
+    ckpt = str(tmp_path / "ckpt")
+    assert main(["offset", "mark", ckpt, "5", '{"logOffset":1}']) == 0
+    assert main(["offset", "mark", ckpt, "6", '{"logOffset":2}']) == 0
+    capsys.readouterr()
+    assert main(["offset", "delete", ckpt, "5"]) == 1
+    err = capsys.readouterr().err
+    assert "not the newest" in err and "--force" in err
+    assert (tmp_path / "ckpt" / "offsets" / "5").exists()
+    assert main(["offset", "delete", ckpt, "5", "--force"]) == 0
+    assert not (tmp_path / "ckpt" / "offsets" / "5").exists()
+    # the tail entry still deletes without --force
+    assert main(["offset", "delete", ckpt, "6"]) == 0
+    assert not (tmp_path / "ckpt" / "offsets" / "6").exists()
+
+
 def test_pipeline_from_config_steps_are_sequential(tmp_path):
     cfg = {
         "name": "p",

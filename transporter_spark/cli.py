@@ -219,8 +219,11 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         def _batch_arg():
             # int() is the authority: lstrip('-').isdigit() accepts
-            # "--5" and non-ASCII digits that int() then rejects with
-            # an uncaught ValueError (review r13)
+            # "--5" and non-decimal digit characters (superscripts,
+            # vulgar fractions — str.isdigit() is true for them) that
+            # int() then rejects with an uncaught ValueError
+            # (review r13; reworded per ADVICE r13 — int() does
+            # accept non-ASCII *decimal* digits)
             try:
                 return int(rest[2]) if len(rest) >= 3 else None
             except ValueError:
@@ -248,9 +251,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                 print(usage)
                 return 2
             try:
-                for path in delete_offset(rest[1], batch):
+                force = "--force" in rest[3:]
+                for path in delete_offset(rest[1], batch, force=force):
                     print(f"removed {path}")
-            except FileNotFoundError as e:
+            except (FileNotFoundError, ValueError) as e:
                 print(str(e), file=sys.stderr)
                 return 1
         else:

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from transporter_spark.queries._base import (
     F,
-    QUERIES,
     q,
     read_table,
 )

@@ -84,7 +84,9 @@ def mark_offset(checkpoint_dir: str, batch: int, new_entries: List[str]) -> str:
     return path
 
 
-def delete_offset(checkpoint_dir: str, batch: int) -> List[str]:
+def delete_offset(
+    checkpoint_dir: str, batch: int, force: bool = False
+) -> List[str]:
     """`offset delete` analog — `mark`'s pair in the reference's
     poison-message escape hatch (cmd/transporter/offset.go:1-143,
     DESIGN.md:221-236): remove one batch's offsets file AND its commit
@@ -92,7 +94,27 @@ def delete_offset(checkpoint_dir: str, batch: int) -> List[str]:
     offsets (the reference deletes a sink's saved offset to force a
     resync from an earlier position). DESTRUCTIVE to the checkpoint;
     stop the query first. Returns the paths removed; raises if the
-    batch has neither an offsets file nor a commit marker."""
+    batch has neither an offsets file nor a commit marker.
+
+    Only the NEWEST batch may be deleted unless ``force`` is set:
+    removing a mid-log batch leaves a hole in the checkpoint log that
+    a restart may not tolerate (ADVICE r13) — the documented
+    re-plan-from-prior-batch behavior only holds for the tail entry.
+    """
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    if not force and os.path.isdir(offsets_dir):
+        batches = [
+            int(name)
+            for name in os.listdir(offsets_dir)
+            if name.lstrip("-").isdigit()
+        ]
+        if batches and batch != max(batches):
+            raise ValueError(
+                f"batch {batch} is not the newest offsets entry "
+                f"(newest is {max(batches)}); deleting a mid-log "
+                f"batch leaves a hole in the checkpoint log — pass "
+                f"--force to override"
+            )
     removed = []
     for sub in ("offsets", "commits"):
         path = os.path.join(checkpoint_dir, sub, str(batch))
