@@ -322,3 +322,64 @@ def test_curation_full_2epoch_gate_copies_are_identical():
     assert gate_ast(sketches.q_stream_curation_full) == gate_ast(
         sketches.q_stream_curation_full_2epoch
     )
+
+
+def test_ingest_2epoch_chain_kept_set_diverges_from_batch(duck):
+    """VERDICT r13 item 5: the seeded A~B, B~C, A≁C triple makes the
+    2-epoch kept SET discriminate the cross-epoch kept-only index path
+    from the batch closure — B is dropped in epoch 0 and never
+    persisted, so C (id 10^10, chunk 1) keeps under streaming while
+    the batch closure drops it through the A-B-C component. Pins the
+    exact symmetric difference at sf0.01: {10^10}, one direction."""
+    from transporter_spark.queries.llm_pipeline import _chain_corpus_cte
+    from transporter_spark.queries import QUERIES
+
+    two = {
+        r[0]
+        for r in duck.execute(
+            QUERIES["stream_ingest_dedup_2epoch_chain"].oracle
+        ).fetchall()
+    }
+    base = QUERIES["stream_ingest_dedup"].oracle.lstrip()
+    assert base.startswith("WITH RECURSIVE")
+    rest = (
+        base[len("WITH RECURSIVE"):]
+        .lstrip()
+        .replace("FROM documents", "FROM chaincorp")
+    )
+    batch_sql = "WITH RECURSIVE " + _chain_corpus_cte() + ",\n" + rest
+    batch = {r[0] for r in duck.execute(batch_sql).fetchall()}
+    assert two - batch == {10_000_000_000}
+    assert batch - two == set()
+
+
+def test_ingest_2epoch_chain_builder_params_identity():
+    """chunk_source/head_ctes (r14) default to the identity: the
+    emitted default string is byte-identical to the r13 graded oracle
+    (covered transitively by the default == corpus='documents' pin
+    above), and the chain variant rewires BOTH the bound and the
+    membership to the augmented corpus while the head CTE lands
+    before chunkb."""
+    from transporter_spark.queries.llm_pipeline import (
+        _chain_corpus_cte,
+        _ingest_dedup_2epoch_oracle,
+    )
+
+    default = _ingest_dedup_2epoch_oracle()
+    assert default == _ingest_dedup_2epoch_oracle(
+        chunk_source="documents", head_ctes=""
+    )
+    chain = _ingest_dedup_2epoch_oracle(
+        corpus="chaincorp",
+        chunk_source="chaincorp",
+        head_ctes=_chain_corpus_cte(),
+    )
+    assert "quantile_cont(doc_id, 0.5) AS b FROM chaincorp" in chain
+    assert "FROM chaincorp, chunkb" in chain
+    assert chain.index("chaincorp AS MATERIALIZED") < chain.index(
+        "chunkb AS"
+    )
+    # chain texts are single-quote-free (inlined as SQL literals)
+    from transporter_spark.queries.llm_pipeline import _chain_docs
+
+    assert all("'" not in t for _, t in _chain_docs())

@@ -684,7 +684,10 @@ QUERIES["stream_ingest_dedup"] = QUERIES["stream_ingest_dedup"]._replace(
 
 
 def _ingest_dedup_2epoch_oracle(
-    corpus: str = "documents", pre_ctes: str = ""
+    corpus: str = "documents",
+    pre_ctes: str = "",
+    chunk_source: str = "documents",
+    head_ctes: str = "",
 ) -> str:
     """TWO-EPOCH unrolled closure for the recursive-feedback ingest
     sink (VERDICT r12 item 6). The sink's kept-only state makes a
@@ -713,7 +716,15 @@ def _ingest_dedup_2epoch_oracle(
     splices gate CTE blocks in AFTER chunkb/dchunk (so per-chunk
     batch-statistic gates can reference the chunk tags) and BEFORE
     the shingle chain (so ``corpus`` can name a CTE the gates
-    define); corpus-membership × chunk lives in ``dcorp``."""
+    define); corpus-membership × chunk lives in ``dcorp``.
+
+    ``chunk_source`` (r14) swaps the relation the chunk bound and tags
+    are computed over — the divergence-chain grade streams an
+    AUGMENTED corpus, so its drain harness medians the augmented
+    table, not raw documents; ``head_ctes`` splices CTE blocks BEFORE
+    chunkb so that relation can itself be defined here (defaults keep
+    the emitted string byte-identical to the graded r13 oracle —
+    pinned in tests/test_oracle_builders.py)."""
     mh = _minhash_portable_ctes()
     if corpus != "documents":
         mh = mh.replace("FROM documents", f"FROM {corpus}")
@@ -721,13 +732,14 @@ def _ingest_dedup_2epoch_oracle(
     assert mh.startswith("WITH "), "minhash CTE prefix marker moved"
     mh_ctes = mh[len("WITH ") :]
     pre = (pre_ctes.strip().rstrip(",") + ",\n") if pre_ctes else ""
+    head = (head_ctes.strip().rstrip(",") + ",\n") if head_ctes else ""
     return (
         f"""
 WITH RECURSIVE
-chunkb AS (SELECT quantile_cont(doc_id, 0.5) AS b FROM documents),
+{head}chunkb AS (SELECT quantile_cont(doc_id, 0.5) AS b FROM {chunk_source}),
 dchunk AS MATERIALIZED (
   SELECT doc_id, CASE WHEN doc_id <= b THEN 0 ELSE 1 END AS chunk
-  FROM documents, chunkb),
+  FROM {chunk_source}, chunkb),
 {pre}"""
         + mh_ctes
         + f""",
@@ -908,6 +920,93 @@ def q_stream_ingest_dedup_2epoch(spark, sf_dir):
         num_chunks=2, min_epochs=2,
     )
     return kept.select("doc_id").orderBy("doc_id")
+
+
+def _chain_docs() -> list:
+    """The seeded A~B, B~C, A≁C divergence triple (VERDICT r13 item 5)
+    as (doc_id, text) rows. A and B share a 30-word block Y, B and C a
+    disjoint 30-word block Z (word-3-gram Jaccard 0.467 / 0.467 / 0.0);
+    the salt was searched so BOTH pairs band-collide under the portable
+    64-hash/16-band geometry while A-C shares no band (verified with
+    the real operator at sf0.01 AND sf0.1: exactly the two chain pairs,
+    zero pairs into the real corpus — the block tokens are nonsense
+    words no real document contains). ids: A=-3, B=-2 sit below any
+    corpus median (chunk 0); C=10^10 above any corpus id (chunk 1)."""
+    salt = 2
+
+    def words(prefix: str, k: int) -> str:
+        return " ".join(f"{prefix}{i:02d}" for i in range(k))
+
+    y = words(f"ychain{salt}x", 30)
+    z = words(f"zchain{salt}x", 30)
+    return [
+        (-3, y + " " + words(f"atl{salt}x", 2)),
+        (-2, y + " " + z),
+        (10_000_000_000, z + " " + words(f"ctl{salt}x", 2)),
+    ]
+
+
+def _chain_corpus_cte() -> str:
+    """`chaincorp` = documents ∪ the divergence triple, as a head CTE
+    for `_ingest_dedup_2epoch_oracle` (texts inlined as literals —
+    they are single-quote-free by construction)."""
+    vals = ",\n    ".join(
+        f"(CAST({i} AS BIGINT), '{t}')" for i, t in _chain_docs()
+    )
+    return f"""chaincorp AS MATERIALIZED (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {vals}) AS t(doc_id, text))"""
+
+
+@q(
+    "stream_ingest_dedup_2epoch_chain",
+    oracle=_ingest_dedup_2epoch_oracle(
+        corpus="chaincorp",
+        chunk_source="chaincorp",
+        head_ctes=_chain_corpus_cte(),
+    ),
+)
+def q_stream_ingest_dedup_2epoch_chain(spark, sf_dir):
+    """stream_ingest_dedup_2epoch with a SEEDED divergence chain
+    (VERDICT r13 item 5): the testdata's near-dup clusters are fully
+    connected, so the plain 2-epoch kept SET coincides with the batch
+    closure's — this grade augments the corpus with the A~B, B~C, A≁C
+    triple (`_chain_docs`; testdata is driver-generated read-only, so
+    the chain is spliced at the query layer on BOTH sides, the
+    simhash_pairs_capped corpus-CTE precedent) and the kept set now
+    DIFFERS from the batch closure's: B's canonical A is kept in epoch
+    0, B is dropped and NEVER PERSISTED, so when C arrives in epoch 1
+    its only chain link (B) is absent from the index and C is KEPT —
+    the batch closure drops C through the A-B-C component. A
+    hash-match therefore proves the kept-only cross-epoch index
+    semantics at the SET level, not just via boundary-pair rejection
+    (the set-level divergence |2epoch \\ batch| = {10^10} is pinned in
+    tests/test_oracle_builders.py). Engine: the augmented frame drains
+    through `chunked_df_stream` (2 doc_id-ordered chunks, one applied
+    epoch each) into the SAME production sink; oracle: the proven
+    two-stage unrolled closure with chunk bound and participation
+    rewired to the augmented corpus."""
+    from transporter_spark.streaming.ingest import (
+        dedup_ingest_sink,
+        ingest_epochs_applied,
+        read_ingest_corpus,
+    )
+    from transporter_spark.streaming.sources import (
+        assert_epochs_applied,
+        chunked_df_stream,
+    )
+    import tempfile as _tempfile
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    chain = spark.createDataFrame(_chain_docs(), "doc_id long, text string")
+    aug = docs.unionByName(chain)
+    state = _tempfile.mkdtemp(prefix="ts_ingest_chain_") + "/state"
+    stream = chunked_df_stream(spark, aug, num_chunks=2)
+    dedup_ingest_sink(stream, state, threshold=0.1, portable=True)
+    assert_epochs_applied(ingest_epochs_applied(state), 2)
+    return read_ingest_corpus(spark, state).select("doc_id").orderBy("doc_id")
 
 
 @q(

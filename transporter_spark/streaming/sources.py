@@ -120,6 +120,60 @@ def chunked_table_stream(
     )
 
 
+def chunked_df_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    num_chunks: int = 4,
+    order_col: str = "doc_id",
+    out_dir: Optional[str] = None,
+) -> DataFrame:
+    """`chunked_table_stream` over an in-memory DataFrame instead of a
+    testdata table — the drain harness for graded queries whose corpus
+    is a deterministic AUGMENTATION of a testdata table (the
+    divergence-chain ingest grade, VERDICT r13 item 5: testdata is
+    driver-generated and read-only, so the chain docs are spliced at
+    the query layer on both sides). Split logic duplicated VERBATIM
+    from `chunked_table_stream` minus the read_table line — NOT a
+    refactor of it, per the window-slot discipline (r13: touching the
+    executed code of every green drain query burns ~15 rotation
+    slots); fold the two together when the drain cohort next rotates."""
+    qs = [i / num_chunks for i in range(1, num_chunks)]
+    bounds = df.select(
+        F.expr(
+            f"percentile({order_col}, array({', '.join(str(q) for q in qs)}))"
+        ).alias("b")
+    ).collect()[0].b
+    chunk_dir = out_dir or tempfile.mkdtemp(prefix="ts_chunks_")
+    os.makedirs(chunk_dir, exist_ok=True)
+    stage = tempfile.mkdtemp(prefix="ts_chunk_stage_")
+    lows = [None] + list(bounds)
+    highs = list(bounds) + [None]
+    now = time.time()
+    for i, (lo, hi) in enumerate(zip(lows, highs)):
+        part = df
+        if lo is not None:
+            part = part.where(F.col(order_col) > lo)
+        if hi is not None:
+            part = part.where(F.col(order_col) <= hi)
+        stage_i = os.path.join(stage, f"c{i}")
+        part.coalesce(1).write.mode("overwrite").parquet(stage_i)
+        src = [
+            f
+            for f in os.listdir(stage_i)
+            if f.endswith(".parquet") and not f.startswith(".")
+        ]
+        assert len(src) == 1, f"expected one part file, got {src}"
+        dst = os.path.join(chunk_dir, f"chunk_{i:03d}.parquet")
+        shutil.move(os.path.join(stage_i, src[0]), dst)
+        os.utime(dst, (now + 10 * i, now + 10 * i))
+    shutil.rmtree(stage, ignore_errors=True)
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunk_dir)
+    )
+
+
 def chunked_or_single_stream(
     spark: SparkSession, sf_dir: str, name: str, num_chunks: int
 ) -> DataFrame:
