@@ -383,3 +383,26 @@ def test_ingest_2epoch_chain_builder_params_identity():
     from transporter_spark.queries.llm_pipeline import _chain_docs
 
     assert all("'" not in t for _, t in _chain_docs())
+
+
+def test_kmeans_refresh_2epoch_diverges_from_fixed_centroids(duck):
+    """The refresh grade must discriminate the feedback path: at
+    sf0.01 ZERO rows of the seeded-fold oracle match the
+    fixed-centroid batch oracle (the refresh moves chunk-1 vectors
+    across cells), so an engine that ignored the epoch-0 evidence
+    when assigning epoch 1 cannot hash-match."""
+    from transporter_spark.queries import QUERIES
+
+    ref = set(
+        map(
+            tuple,
+            duck.execute(
+                QUERIES["stream_kmeans_refresh_2epoch"].oracle
+            ).fetchall(),
+        )
+    )
+    fix = set(
+        map(tuple, duck.execute(QUERIES["kmeans_update"].oracle).fetchall())
+    )
+    assert len(ref) == len(fix) == 256
+    assert not (ref & fix)

@@ -17,6 +17,7 @@ from transporter_spark.queries._base import (
 )
 from transporter_spark.queries.relational import (
     _DSUM,
+    _DSUM_DEC,
 )
 from transporter_spark.queries.llm_pipeline import (
     _SHINGLES_SQL,
@@ -348,6 +349,111 @@ def q_stream_kmeans_update(spark, sf_dir):
 QUERIES["stream_kmeans_update"] = QUERIES["stream_kmeans_update"]._replace(
     oracle=QUERIES["kmeans_update"].oracle
 )
+
+
+def _kmeans_refresh_2epoch_oracle() -> str:
+    """Seeded second fold for the mini-batch k-means feedback sink
+    (VERDICT r13 item 6 — the FFD-carry pattern applied to centroid
+    refresh): epoch 0 assigns chunk 0 (vec_id <= median, the
+    quantile_cont == Spark percentile chunk-bound precedent) to the
+    seed centroids and accumulates decimal partials; the refresh
+    computes each component as double(sum_dec VIA STRING) / n — one
+    correctly-rounded parse plus one IEEE division, bit-identical in
+    both engines; epoch 1 assigns chunk 1 to the REFRESHED centroids;
+    the output is the merged partials (decimal addition is
+    associative, so one aggregate over the union of per-epoch
+    assignment rows equals the sink's delta-merge exactly)."""
+
+    def assign(src: str, cen: str, tag: str) -> str:
+        return f"""cos{tag} AS (
+  SELECT {src}.vec_id, {src}.e, {cen}.cell,
+         round(list_dot_product({src}.e, {cen}.cv)
+               / (sqrt(list_dot_product({src}.e, {src}.e))
+                  * sqrt(list_dot_product({cen}.cv, {cen}.cv))),
+               8) AS sim
+  FROM {src} CROSS JOIN {cen}),
+a{tag} AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT vec_id, e, cell,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY sim DESC, cell) AS rn
+    FROM cos{tag}) WHERE rn = 1),
+c{tag} AS (
+  SELECT cell, i - 1 AS dim, e[i] AS comp
+  FROM (SELECT cell, e, unnest(generate_series(1, len(e))) AS i
+        FROM a{tag}))"""
+
+    return f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+bnd AS (SELECT quantile_cont(vec_id, 0.5) AS b FROM embeddings),
+v0 AS (SELECT v.vec_id, v.e FROM v, bnd WHERE vec_id <= b),
+v1 AS (SELECT v.vec_id, v.e FROM v, bnd WHERE vec_id > b),
+cen0 AS (SELECT vec_id AS cell, e AS cv FROM v WHERE vec_id IN (0, 1, 2, 3)),
+{assign("v0", "cen0", "0")},
+p0 AS (
+  SELECT cell, dim,
+         {_DSUM_DEC('round(comp, 6)')} AS sum_dec,
+         COUNT(*) AS n
+  FROM c0 GROUP BY cell, dim),
+cen1 AS (
+  SELECT cell,
+         list(CAST(CAST(sum_dec AS VARCHAR) AS DOUBLE) / n
+              ORDER BY dim) AS cv
+  FROM p0 GROUP BY cell),
+{assign("v1", "cen1", "1")},
+allc AS (
+  SELECT cell, dim, comp FROM c0
+  UNION ALL
+  SELECT cell, dim, comp FROM c1)
+SELECT cell, CAST(dim AS BIGINT) AS dim,
+       {_DSUM('round(comp, 6)')} AS sum_val,
+       COUNT(*) AS n
+FROM allc GROUP BY cell, dim ORDER BY cell, dim
+"""
+
+
+@q(
+    "stream_kmeans_refresh_2epoch",
+    oracle=_kmeans_refresh_2epoch_oracle(),
+)
+def q_stream_kmeans_refresh_2epoch(spark, sf_dir):
+    """MINI-BATCH k-means under a REAL two-epoch drain (VERDICT r13
+    item 6): unlike stream_kmeans_update's fixed-centroid additive
+    sink, `kmeans_refresh_sink` REFRESHES the centroids from the
+    standing partials before every epoch's assignment — epoch 1
+    genuinely assigns to centroids computed from epoch 0's evidence
+    (the recursive-feedback class: state feeds the next epoch's
+    decisions), so the result is order-dependent by design and the
+    oracle unrolls the two epochs as a seeded second fold (the
+    stream_pack_bins_2epoch pattern). Exactness chain: partials stay
+    decimal (associative merge); refreshed components cross
+    decimal→double VIA STRING then one IEEE division; assignments
+    round cosine to 8 dp with the cell-asc tiebreak (the proven
+    kmeans_update recipe) — every stage bit-reproducible in both
+    engines. Output = the merged (cell, dim) partials over both
+    epochs at the kmeans_update boundary.
+
+    Discriminating power (measured at sf0.01, pinned in
+    tests/test_oracle_builders.py): ZERO of the 256 output rows match
+    the fixed-centroid batch oracle's — the refresh moves 23 chunk-1
+    vectors across cells (n per cell 110/121/148/121 vs
+    133/117/129/121), so a sink that failed to read back epoch 0's
+    partials before assigning epoch 1 hash-mismatches on every row."""
+    from transporter_spark.streaming.kmeans import (
+        drain_embeddings_kmeans_refresh,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cen = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    state = drain_embeddings_kmeans_refresh(
+        spark, sf_dir, cen, num_chunks=2, min_epochs=2
+    )
+    return state.select(
+        "cell", F.col("dim").cast("long").alias("dim"), "sum_val", "n"
+    ).orderBy("cell", "dim")
 
 
 def _lm_ctes(table: str = "documents", p: str = "") -> str:

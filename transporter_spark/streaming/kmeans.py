@@ -104,6 +104,104 @@ def kmeans_ingest_sink(
     run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
 
 
+def refreshed_centroids(
+    spark: SparkSession, state_dir: str
+) -> Optional[DataFrame]:
+    """The mini-batch k-means FEEDBACK step: rebuild (centroid_id,
+    centroid_vec) from the standing partials — component = sum/n with
+    the sum crossing the decimal→double boundary VIA STRING (the
+    `_dsum` exactness discipline: an exact decimal parses to the
+    identical nearest IEEE double in both engines, and the single
+    double division after it is one correctly-rounded IEEE op, so the
+    refreshed centroids are bit-reproducible for the oracle replay).
+    Returns None before the first commit (callers fall back to their
+    seed centroids). k×dims rows — metadata-sized at any corpus."""
+    df = SegmentStore(state_dir).read_keyed(spark, "partials")
+    if df is None:
+        return None
+    comp = (
+        F.col("sum_dec").cast("string").cast("double") / F.col("n")
+    ).alias("comp")
+    return (
+        df.select("cell", "dim", comp)
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "comp"))),
+                lambda s: s["comp"],
+            ).alias("centroid_vec")
+        )
+        .select(F.col("cell").alias("centroid_id"), "centroid_vec")
+    )
+
+
+def kmeans_refresh_sink(
+    stream_df: DataFrame,
+    state_dir: str,
+    init_centroids: DataFrame,
+    checkpoint_dir: Optional[str] = None,
+    applied_counter: Optional[list] = None,
+    **kw,
+) -> None:
+    """Mini-batch k-means with per-epoch centroid REFRESH — the
+    recursive-feedback variant of `kmeans_ingest_sink`: each epoch
+    assigns its batch to the CURRENT refreshed centroids (sum/n over
+    the standing partials; the seed set before any commit) and
+    delta-merges the batch's partials back in, so the next epoch's
+    assignment reads this epoch's evidence. This is the classic
+    mini-batch k-means loop (Sculley 2010) in foreachBatch form;
+    state stays k×dims rows, per-epoch work ∝ batch + a
+    metadata-sized refresh. Unlike the fixed-centroid sink the result
+    is ORDER-DEPENDENT by design — the graded oracle unrolls the
+    epochs as a seeded second fold (the FFD-carry pattern,
+    queries/mixing_sampling.stream_kmeans_refresh_2epoch)."""
+    from transporter_spark.streaming.windows import (
+        run_foreach_batch_available_now,
+    )
+
+    def apply(batch: DataFrame, epoch_id: int) -> None:
+        cents = refreshed_centroids(batch.sparkSession, state_dir)
+        applied = kmeans_merge_batch(
+            batch, epoch_id, state_dir,
+            cents if cents is not None else init_centroids, **kw,
+        )
+        if applied and applied_counter is not None:
+            applied_counter.append(epoch_id)
+
+    run_foreach_batch_available_now(stream_df, apply, checkpoint_dir)
+
+
+def drain_embeddings_kmeans_refresh(
+    spark: SparkSession,
+    sf_dir: str,
+    init_centroids: DataFrame,
+    num_chunks: int = 2,
+    min_epochs: int = 2,
+    state_dir: Optional[str] = None,
+    **kw,
+) -> DataFrame:
+    """Convenience: stream the embeddings table as vec_id-ordered
+    chunks (one applied epoch each) through the refresh sink and
+    return the maintained partials, raising unless at least
+    ``min_epochs`` applied (used by the graded
+    stream_kmeans_refresh_2epoch query)."""
+    from transporter_spark.streaming.sources import (
+        assert_epochs_applied,
+        chunked_table_stream,
+    )
+
+    state = state_dir or tempfile.mkdtemp(prefix="ts_kmeansr_") + "/state"
+    emb = chunked_table_stream(
+        spark, sf_dir, "embeddings", num_chunks, order_col="vec_id"
+    )
+    applied: list = []
+    kmeans_refresh_sink(
+        emb, state, init_centroids, applied_counter=applied, **kw
+    )
+    assert_epochs_applied(len(applied), min_epochs)
+    return read_kmeans_state(spark, state)
+
+
 def read_kmeans_state(spark: SparkSession, state_dir: str) -> DataFrame:
     """The maintained partials at the `kmeans_update` output boundary:
     (cell, dim, sum_val DOUBLE via the exact string hop, n)."""
