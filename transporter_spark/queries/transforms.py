@@ -275,3 +275,72 @@ function transform(doc) {
         "ns",
         "op",
     )
+
+
+@q(
+    "stream_js_transform",
+    oracle=(
+        f"SELECT event_id, value * 2 AS doubled, 'app.events_v2' AS ns, op "
+        f"FROM (SELECT event_id, value, {_EVENTS_OP_SQL} AS op FROM events) "
+        f"WHERE op <> 'delete'"
+    ),
+)
+def q_stream_js_transform(spark, sf_dir):
+    """The user-JS contract under a REAL drain (VERDICT r13 item 7 —
+    the last transform×streaming composition cell): the SAME
+    `function transform(doc)` as js_transform, loaded from a real
+    `.js` FILE (the reference's config names script files,
+    function/gojajs/goja.go:53-76), applied to the streaming events
+    envelope and drained as TWO event_id-ordered chunks — one node
+    invocation per Arrow batch per epoch, so the subprocess runtime
+    genuinely executes inside foreachBatch micro-batches. The
+    transform is row-local, so chunking commutes and the batch oracle
+    grades the drain unchanged (the additive-class rule)."""
+    import os as _os
+    import tempfile as _tempfile
+
+    from transporter_spark.envelope import to_envelope
+    from transporter_spark.streaming.sources import chunked_table_stream
+    from transporter_spark.streaming.windows import run_available_now
+
+    js = """
+function transform(doc) {
+  if (doc.op === 'delete') { return null; }
+  doc.ns = 'app.events_v2';
+  doc.data = {event_id: doc.data.event_id, doubled: doc.data.value * 2};
+  return doc;
+}
+"""
+    fd, path = _tempfile.mkstemp(suffix=".js", prefix="ts_transform_")
+    with _os.fdopen(fd, "w") as fh:
+        fh.write(js)
+    ev = chunked_table_stream(
+        spark, sf_dir, "events", num_chunks=2, order_col="event_id"
+    )
+    op = (
+        F.when(F.col("event_type") == "signup", "insert")
+        .when(F.col("event_type") == "error", "delete")
+        .otherwise("update")
+    )
+    env = to_envelope(
+        ev.withColumn("_op", op),
+        ns="app.events",
+        op_col="_op",
+        ts_col="ts",
+        payload_cols=["event_id", "user_id", "event_type", "value", "props"],
+    )
+    # the file is read EAGERLY at operator build (goja.go reads the
+    # script at config time too) — safe to unlink before the drain
+    out = build_operator("js", filename=path)(env)
+    _os.unlink(path)
+    drained = run_available_now(out)
+    return drained.select(
+        F.get_json_object("data.json", "$.event_id").cast("long").alias(
+            "event_id"
+        ),
+        F.get_json_object("data.json", "$.doubled").cast("double").alias(
+            "doubled"
+        ),
+        "ns",
+        "op",
+    )
