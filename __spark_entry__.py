@@ -29,111 +29,104 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 13 window = 8 new + 5 changed + 37 stalest (frame_sample +
-# media_resize at r6 and 35 of the 37-query r8 cohort — VERDICT r12
-# item 1's staleness job; unpivot_long + value_histogram are the two
-# r8 spills, heading r14) = 50. Max staleness after this round: r8
-# for those two spills, then r9 (the full 37-query r9 cohort follows
-# them in the r14 queue, then r10). The spills and the r9/r10
-# cohorts were nonetheless ALL sim-verified green on this round's
-# final code (COVERAGE.md round-13 delta).
+# Round 14 window = 5 new + 1 changed + 44 stalest (the two r8
+# spills, the FULL 36-query r9 cohort, and the first 7 of the r10
+# cohort) = 50. Max staleness after this round: r10 (the remaining
+# 30-query r10 cohort heads r15, then r11). VERDICT r13 items
+# closed here:
+# - item 2: rethink_bulk_ops + amqp_publish_ops — the last two §2.2
+#   sink wire paths, graded byte-exact (the es_bulk_ops pattern);
+#   every sink row now has a driver-graded wire query or is the
+#   file sink.
+# - item 5: stream_ingest_dedup_2epoch_chain — the corpus augmented
+#   with a seeded A~B, B~C, A!~C triple (testdata is read-only, so
+#   the chain splices at the query layer on both sides); its 2-epoch
+#   kept SET differs from the batch closure by exactly {10^10}
+#   (pinned), making the cross-epoch kept-only index path
+#   set-discriminating. The original stream_ingest_dedup_2epoch/_3epoch
+#   are UNCHANGED (r13-green; their oracle builder gained
+#   chunk_source/head_ctes params with byte-identical defaults —
+#   pinned — so the r9 refactor exemption applies).
+# - item 6: stream_kmeans_refresh_2epoch — mini-batch k-means with
+#   per-epoch centroid refresh (recursive feedback), seeded-fold
+#   oracle, ZERO of 256 rows shared with the fixed-centroid oracle
+#   (pinned); and stream_symspell_index now drains 2 REAL
+#   c_custkey-ordered chunks (additive state, oracle unchanged) —
+#   the CHANGED slot (it was r9-stale anyway).
+# - item 7: stream_js_transform — the .js-file user transform under
+#   a real 2-chunk drain (node per Arrow batch per epoch).
 #
 # "Changed" read strictly, per FUNCTION executed:
-# - unigram_check_words' raise diagnostic no longer interpolates None
-#   in unbounded mode (ADVICE r12) -> re-grades unigram_learn_vocab,
-#   unigram_encode_ids, unigram_tokenize_pack, stream_unigram_vocab
-#   (an error-branch string, but the rule is per-function-executed).
-# - drain_documents_vocab grew num_chunks/min_epochs (VERDICT r12
-#   item 4) -> re-grades stream_bpe_vocab (now a REAL 4-chunk
-#   multi-epoch drain) and stream_unigram_vocab (inline drain
-#   replaced by the shared helper, same 4-chunk geometry).
-# - NEW: es_bulk_ops + jdbc_upsert_ops (VERDICT r12 item 5 — the ES
-#   v5 _bulk NDJSON bodies and the JDBC staging-upsert statement/row
-#   wire paths graded string-exact, the extended_json_ops pattern),
-#   and the SIX multi-epoch queries (VERDICT r12 item 6 and its
-#   extensions): stream_ingest_dedup_2epoch + stream_semdedup_2epoch
-#   via two-stage unrolled closure oracles (plus
-#   stream_ingest_dedup_3epoch, the K-stage generalization — epoch 2
-#   rejects against the ACCUMULATED kept set read as a multi-segment
-#   index union, a path no 2-epoch drain reaches);
-#   stream_curation_2epoch (the row-local Gopher gate is
-#   chunk-invariant) and stream_curation_full_2epoch (the
-#   batch-statistic gates fit per EPOCH by design, so the oracle
-#   instantiates the proven gate builders once per chunk) composed
-#   through the closure builder's pre_ctes hook; and
-#   stream_pack_bins_2epoch, whose open-bin carry state unrolls as a
-#   SEEDED second FFD fold — with this, ALL FOUR recursive-feedback
-#   families are multi-epoch graded. The single-epoch originals
-#   (stream_ingest_dedup / stream_semdedup / stream_curation /
-#   stream_curation_full / stream_pack_bins) are UNCHANGED — the
-#   2-epoch forms are separate queries precisely so the compositions
-#   that splice the single-epoch closure SQL and the r12-green rows
-#   keep their proven oracles; drains without chunk params are
-#   inlined per the r12 stream_unigram_vocab precedent.
+# - stream_symspell_index: drain_customers_fuzzy gained
+#   num_chunks/min_epochs and the query now passes them (executed
+#   code changed on the graded path).
+# - stream_kmeans_update is NOT changed: streaming/kmeans.py only
+#   gained NEW functions (refreshed_centroids, kmeans_refresh_sink,
+#   drain_embeddings_kmeans_refresh); its own executed chain is
+#   untouched — but it is r9-stale, so it re-grades on staleness.
+# - stream_ingest_dedup / _2epoch / _3epoch / the curation
+#   compositions: emitted oracle strings verified byte-identical
+#   against a pre-edit snapshot of all 214 registered oracles
+#   (drifted: []), query fns untouched -> exempt (r9 rule).
 _PRIORITY = [
-    # --- NEW round 13: must take a slot ---
-    "es_bulk_ops",
-    "jdbc_upsert_ops",
-    "stream_ingest_dedup_2epoch",
-    "stream_ingest_dedup_3epoch",
-    "stream_semdedup_2epoch",
-    "stream_curation_2epoch",
-    "stream_curation_full_2epoch",
-    "stream_pack_bins_2epoch",
-    # --- changed since their last green row (see header) ---
-    "unigram_learn_vocab",
-    "unigram_encode_ids",
-    "unigram_tokenize_pack",
-    "stream_unigram_vocab",
-    "stream_bpe_vocab",         # + REAL multi-epoch drain (r13)
-    # --- the 2 r6 spills (named as heading this queue since r12) ---
-    "frame_sample",
-    "media_resize",
-    # --- 35 of the 37-query r8 cohort (unpivot_long +
-    # --- value_histogram spill) ---
-    "bloom_member",
-    "bloom_member_grouped",
-    "bpe_token_stats",
-    "chunk_documents",
-    "dedup_clusters_exact",
-    "dedup_keep_longest",
-    "deterministic_shuffle",
-    "domain_cap",
-    "except_all",
-    "incremental_dedup_exact",
-    "ivfpq_ann_topk",
-    "ivfpq_residual_topk",
-    "map_funcs",
-    "pack_sequences",
-    "pq_ann_topk",
-    "pq_encode_codes",
-    "pretty_passthrough",
-    "profile_columns",
-    "range_frame_window",
-    "rarity_score",
-    "regexp_funcs",
-    "repeated_span_prune_w50",
-    "running_total",
-    "semdedup_prune",
-    "stream_ann_index",
-    "stream_cdc_apply",
-    "stream_dd_quantiles",
-    "stream_dedup",
-    "stream_hll_distinct",
-    "stream_ivfpq_index",
-    "stream_span_index",
-    "stream_stateful_count",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_windowed_agg",
-    # --- past the graded window: unpivot_long + value_histogram (the
-    # --- two r8 spills, displaced by the 7th/8th new queries) head
-    # --- the r14 queue, then
-    # --- the FULL 37-query r9 cohort (pick/omit/opfilter at its
-    # --- head, then remap, envelope, ns_filter, py_transform, the
-    # --- r9 TPC-H breadth set, dedup_exact, ann family, fuzzy
-    # --- family, stream_kmeans_update/bloom/symspell, bm25,
-    # --- bpe_learn_merges), then r10, via the registry fallback.
+    # --- NEW round 14: must take a slot ---
+    "rethink_bulk_ops",
+    "amqp_publish_ops",
+    "stream_ingest_dedup_2epoch_chain",
+    "stream_kmeans_refresh_2epoch",
+    "stream_js_transform",
+    # --- the 2 r8 spills (named as heading this queue since r13) ---
+    "unpivot_long",
+    "value_histogram",
+    # --- the FULL 36-query r9 cohort (stream_symspell_index is also
+    # --- the round's one CHANGED query) ---
+    "pick",
+    "omit",
+    "opfilter",
+    "remap",
+    "envelope",
+    "ns_filter",
+    "py_transform",
+    "q3_shipping_priority",
+    "join_region_rollup",
+    "distinct_agg",
+    "cdc_lww_dedup",
+    "q14_promo_revenue",
+    "q18_large_orders",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q10_returned_items",
+    "conditional_agg",
+    "grouping_sets",
+    "full_outer_join",
+    "date_funcs",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "incremental_dedup_exact_bloom",
+    "embedding_dup_pairs",
+    "ann_cosine_topk",
+    "ann_recall_at_k",
+    "multimodal_meta",
+    "bpe_learn_merges",
+    "fuzzy_name_pairs",
+    "fuzzy_name_pairs_d2",
+    "stream_symspell_index",
+    "stream_kmeans_update",
+    "bm25_select",
+    "bm25_select_log2",
+    "stream_bloom",
+    # --- the first 7 of the 37-query r10 cohort ---
+    "rename",
+    "skip_gt",
+    "skip_numeric_string",
+    "skip_eq",
+    "skip_regex",
+    "window_topn",
+    "sort_limit",
+    # --- past the graded window: the remaining 30-query r10 cohort
+    # --- (set_ops/scalar_funcs at its head) heads r15, then r11,
+    # --- via the registry fallback.
     # --- (scripts/stale_report.py --queue prints it.)
 ]
 
