@@ -72,6 +72,19 @@ def test_offset_delete_refuses_mid_log_batch(tmp_path, capsys):
     err = capsys.readouterr().err
     assert "not the newest" in err and "--force" in err
     assert (tmp_path / "ckpt" / "offsets" / "5").exists()
+    # a batch that does not exist gets the ACCURATE error, not the
+    # newest-guard one (review r14: existence is checked first)
+    assert main(["offset", "delete", ckpt, "7"]) == 1
+    assert "no offsets or commit entry" in capsys.readouterr().err
+    # a commit-marker-only batch deletes without --force: removing it
+    # cannot hole the offsets log (review r14)
+    commits = tmp_path / "ckpt" / "commits"
+    commits.mkdir()
+    (commits / "4").write_text("v1\n{}\n")
+    assert main(["offset", "delete", ckpt, "4"]) == 0
+    assert not (commits / "4").exists()
+    # stray non-integer names in offsets/ are skipped, not a crash
+    (tmp_path / "ckpt" / "offsets" / "--5").write_text("junk\n")
     assert main(["offset", "delete", ckpt, "5", "--force"]) == 0
     assert not (tmp_path / "ckpt" / "offsets" / "5").exists()
     # the tail entry still deletes without --force

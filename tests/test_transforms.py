@@ -258,8 +258,12 @@ function transform(doc) {
               sum: _.reduce(_.values(doc.data),
                             function (x, y) { return x + y; }, 0),
               uniq: _.uniq([3, 3, 1]), rng: _.range(1, 7, 2),
+              rng_neg: _.range(-3),
               plucked: _.pluck([{v: 1}, {v: 2}], 'v'),
-              flat: _.flatten([[1], [2, 3]]),
+              flat: _.flatten([[1], [2, [3]]]),
+              flat_sh: _.flatten([[1], [2, [3]]], true),
+              first2: _.first([7, 8, 9], 2), first1: _.first([7, 8, 9]),
+              last2: _.last([7, 8, 9], 2), last1: _.last([7, 8, 9]),
               omitted: _.omit(doc.data, 'b'),
               cloned: _.clone(doc.data)};
   return doc;
@@ -271,7 +275,13 @@ function transform(doc) {
     assert d["n"] == 2 and sorted(d["ks"]) == ["a", "b"]
     assert d["picked"] == {"a": 1} and d["sum"] == 3
     assert d["uniq"] == [3, 1] and d["rng"] == [1, 3, 5]
-    assert d["plucked"] == [1, 2] and d["flat"] == [1, 2, 3]
+    # underscore argument-variant parity (review r14): n-arg
+    # first/last, deep-by-default flatten, negative single-arg range
+    assert d["rng_neg"] == [0, -1, -2]
+    assert d["plucked"] == [1, 2]
+    assert d["flat"] == [1, 2, 3] and d["flat_sh"] == [1, 2, [3]]
+    assert d["first2"] == [7, 8] and d["first1"] == 7
+    assert d["last2"] == [8, 9] and d["last1"] == 9
     assert d["omitted"] == {"a": 1}
     assert d["cloned"] == {"a": 1, "b": 2}
     # without the shim the same script is a loud ReferenceError

@@ -514,15 +514,26 @@ _UNDERSCORE_SHIM = """var _ = (function () {
   u.contains = u.includes = function (xs, v) {
     return xs.indexOf(v) !== -1;
   };
-  u.first = function (xs) { return xs[0]; };
-  u.last = function (xs) { return xs[xs.length - 1]; };
+  u.first = u.head = u.take = function (xs, n) {
+    return n === undefined ? xs[0] : xs.slice(0, Math.max(0, n));
+  };
+  u.last = function (xs, n) {
+    return n === undefined ? xs[xs.length - 1]
+                           : xs.slice(Math.max(0, xs.length - n));
+  };
   u.uniq = function (xs) {
     var out = [];
     u.each(xs, function (v) { if (out.indexOf(v) === -1) out.push(v); });
     return out;
   };
-  u.flatten = function (xs) {              // shallow, like _.flatten(x, true)
-    return Array.prototype.concat.apply([], xs);
+  u.flatten = function (xs, shallow) {     // deep by default, like _
+    var out = [];
+    u.each(xs, function (v) {
+      if (u.isArray(v)) {
+        out = out.concat(shallow ? v : u.flatten(v));
+      } else { out.push(v); }
+    });
+    return out;
   };
   u.extend = function (o) {
     for (var i = 1; i < arguments.length; i++) {
@@ -549,8 +560,8 @@ _UNDERSCORE_SHIM = """var _ = (function () {
     return out;
   };
   u.range = function (a, b, step) {
-    if (b === undefined) { b = a; a = 0; }
-    step = step || 1;
+    if (b === undefined) { b = a || 0; a = 0; }
+    if (!step) { step = b < a ? -1 : 1; }  // _.range(-5) counts down
     var out = [];
     for (var v = a; step > 0 ? v < b : v > b; v += step) out.push(v);
     return out;

@@ -101,13 +101,33 @@ def delete_offset(
     a restart may not tolerate (ADVICE r13) — the documented
     re-plan-from-prior-batch behavior only holds for the tail entry.
     """
+    targets = [
+        path
+        for sub in ("offsets", "commits")
+        if os.path.exists(
+            path := os.path.join(checkpoint_dir, sub, str(batch))
+        )
+    ]
+    if not targets:
+        raise FileNotFoundError(
+            f"batch {batch} has no offsets or commit entry under "
+            f"{checkpoint_dir!r}"
+        )
     offsets_dir = os.path.join(checkpoint_dir, "offsets")
-    if not force and os.path.isdir(offsets_dir):
-        batches = [
-            int(name)
-            for name in os.listdir(offsets_dir)
-            if name.lstrip("-").isdigit()
-        ]
+    has_offsets = os.path.exists(os.path.join(offsets_dir, str(batch)))
+    # the guard protects the OFFSETS log from holes, so it applies
+    # only when this batch actually has an offsets entry (review r14:
+    # existence is checked first so a missing batch gets the accurate
+    # error, and a commit-marker-only delete can't hole the log)
+    if not force and has_offsets and os.path.isdir(offsets_dir):
+        batches = []
+        for name in os.listdir(offsets_dir):
+            # int() is the authority (the cli._batch_arg lesson):
+            # isdigit() both over- and under-accepts vs int()
+            try:
+                batches.append(int(name))
+            except ValueError:
+                continue
         if batches and batch != max(batches):
             raise ValueError(
                 f"batch {batch} is not the newest offsets entry "
