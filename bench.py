@@ -41,7 +41,25 @@ def main() -> None:
     print(f"warmup {time.time() - t0:.2f}s", file=sys.stderr)
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    max_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "8"))
     timings = {}
+
+    def timed_min(query):
+        """One warm pass (discarded), then the adaptive min the whole
+        suite uses: keep re-running while the floor is still dropping
+        (same-code noise up to 3x between runs on this host) — a
+        stabilized min, not the first lucky sample."""
+        query.fn(spark, sf_dir).count()
+        best, n, runs, improved = None, 0, 0, False
+        while runs < repeats or (runs < max_repeats and improved):
+            t0 = time.time()
+            df = query.fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            improved = best is None or dt < best
+            best = dt if improved else best
+            runs += 1
+        return best, n, runs
 
     def _floors():
         """Control floors from BENCH_FLOORS.md's table (best-effort:
@@ -75,13 +93,10 @@ def main() -> None:
     controls = {}
     for name in CONTROLS:
         query = headline.get(name) or QUERIES[name]
-        query.fn(spark, sf_dir).count()  # warm pass, untimed
-        best = None
-        for _ in range(3):
-            t0 = time.time()
-            query.fn(spark, sf_dir).count()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
+        # same warm-pass + adaptive-min discipline as the suite: a
+        # min-of-3 on the young JVM reads cold JIT as "host noise"
+        # (observed 6.9x vs the same query's 2.1x later in-suite)
+        best, _n, _runs = timed_min(query)
         floor = control_floors.get(name)
         controls[name] = {
             "sec": round(best, 3),
@@ -97,29 +112,15 @@ def main() -> None:
     ordered = [n for n in sorted(headline) if n not in heavy] + [
         n for n in heavy if n in headline
     ]
-    max_repeats = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "8"))
     for name in ordered:
         query = headline[name]
-        # discard the first execution: the suite's earlier queries leave
-        # codegen classes still compiling on JIT background threads, so
-        # whichever query runs next absorbs that backlog (4 rounds of
-        # flags on the alphabet head — VERDICT r12 item 2). One untimed
-        # warm pass per query drains it before any timed sample.
-        query.fn(spark, sf_dir).count()
-        best, n, runs, improved = None, 0, 0, False
-        while runs < repeats or (runs < max_repeats and improved):
-            t0 = time.time()
-            df = query.fn(spark, sf_dir)
-            n = df.count()
-            dt = time.time() - t0
-            improved = best is None or dt < best
-            best = dt if improved else best
-            runs += 1
-        # min over repeats: the least-noise estimate of plan cost on a
-        # shared host (hot caches are realistic for a resident engine).
-        # Adaptive tail: keep re-running while the floor is still
-        # dropping (observed same-code noise up to 3x between runs on
-        # this host) — a stabilized min, not the first lucky sample.
+        # warm pass discards the first execution: the suite's earlier
+        # queries leave codegen classes still compiling on JIT
+        # background threads, so whichever query runs next absorbs
+        # that backlog (4 rounds of flags on the alphabet head —
+        # VERDICT r12 item 2); the adaptive min then stabilizes the
+        # floor (timed_min above).
+        best, n, runs = timed_min(query)
         timings[name] = round(best, 3)
         print(f"{name}: {best:.2f}s ({n} rows, {runs} runs)", file=sys.stderr)
 
