@@ -332,7 +332,13 @@ def q_stream_kmeans_update(spark, sf_dir):
     state stays k x dims rows forever, per-epoch work ∝ batch. Decimal
     associativity makes maintained == batch-recomputed exact (pinned
     multi-epoch in tests/test_streaming.py), so this query shares
-    `kmeans_update`'s oracle verbatim."""
+    `kmeans_update`'s oracle verbatim.
+
+    r14: the partials now build under a REAL 2-epoch drain
+    (vec_id-ordered chunks, one applied epoch each, raising unless
+    both applied) — the additive-class upgrade, oracle unchanged by
+    decimal associativity. Contrast stream_kmeans_refresh_2epoch,
+    where the centroids FEED BACK and the oracle must seeded-fold."""
     from transporter_spark.streaming.kmeans import drain_embeddings_kmeans
 
     emb = read_table(spark, sf_dir, "embeddings")
@@ -340,7 +346,9 @@ def q_stream_kmeans_update(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )
-    state = drain_embeddings_kmeans(spark, sf_dir, cen)
+    state = drain_embeddings_kmeans(
+        spark, sf_dir, cen, num_chunks=2, min_epochs=2
+    )
     return state.select(
         "cell", F.col("dim").cast("long").alias("dim"), "sum_val", "n"
     ).orderBy("cell", "dim")

@@ -462,11 +462,19 @@ def q_stream_bloom(spark, sf_dir):
     regardless of epoch boundaries or at-least-once re-delivery
     (pinned multi-epoch in tests/test_streaming_sketches.py) — which
     is why this query probes the MAINTAINED words and shares
-    `bloom_member`'s engine-exact oracle verbatim."""
+    `bloom_member`'s engine-exact oracle verbatim.
+
+    r14: the sketch now builds under a REAL 2-epoch drain
+    (doc_id-ordered chunks, one applied epoch each, raising unless
+    both applied; the `where` gate runs inside each epoch) — the
+    additive-class upgrade (the stream_bpe_vocab precedent), oracle
+    unchanged by the OR idempotence above."""
     from transporter_spark.operators.sketches import bloom_contains
     from transporter_spark.streaming.sketches import drain_documents_bloom
 
-    words = drain_documents_bloom(spark, sf_dir, where="source = 'src0'")
+    words = drain_documents_bloom(
+        spark, sf_dir, where="source = 'src0'", num_chunks=2, min_epochs=2
+    )
     docs = read_table(spark, sf_dir, "documents")
     return bloom_contains(words, docs, "text", ["doc_id", "source"]).orderBy(
         "doc_id"

@@ -86,16 +86,21 @@ def kmeans_ingest_sink(
     centroids: DataFrame,
     checkpoint_dir: Optional[str] = None,
     compact_every: Optional[int] = None,
+    applied_counter: Optional[list] = None,
     **kw,
 ) -> None:
     """Drain an embedding stream into the maintained centroid-partial
     table (availableNow). ``compact_every``: fold the segment log at N
     segments, in-slot (single-writer), like the other continuous
-    sinks."""
+    sinks. ``applied_counter``: a list the sink appends each applied
+    epoch id to — the drains' min-epochs assert reads its length (the
+    refresh sink's pattern)."""
     from transporter_spark.streaming.windows import run_foreach_batch_available_now
 
     def apply(batch: DataFrame, epoch_id: int) -> None:
         applied = kmeans_merge_batch(batch, epoch_id, state_dir, centroids, **kw)
+        if applied and applied_counter is not None:
+            applied_counter.append(epoch_id)
         if applied and compact_every:
             segs = set(SegmentStore(state_dir).keyed_mapping("partials").values())
             if len(segs) >= compact_every:
@@ -233,13 +238,32 @@ def drain_embeddings_kmeans(
     sf_dir: str,
     centroids: DataFrame,
     state_dir: Optional[str] = None,
+    num_chunks: int = 1,
+    min_epochs: int = 1,
     **kw,
 ) -> DataFrame:
     """Convenience: stream the embeddings table through the sink and
-    return the maintained partials (used by the graded query)."""
-    from transporter_spark.streaming.sources import stream_table
+    return the maintained partials (used by the graded query).
+
+    num_chunks > 1 (r14): deliver the table as vec_id-ordered chunks —
+    one applied epoch each, raising unless at least ``min_epochs``
+    applied. The decimal partials are associative, so maintained ==
+    batch at ANY epoch structure (the additive class) and the batch
+    oracle grades the real multi-epoch drain unchanged."""
+    from transporter_spark.streaming.sources import (
+        assert_epochs_applied,
+        chunked_table_stream,
+        stream_table,
+    )
 
     state = state_dir or tempfile.mkdtemp(prefix="ts_kmeans_") + "/state"
-    emb = stream_table(spark, sf_dir, "embeddings")
-    kmeans_ingest_sink(emb, state, centroids, **kw)
+    if num_chunks > 1:
+        emb = chunked_table_stream(
+            spark, sf_dir, "embeddings", num_chunks, order_col="vec_id"
+        )
+    else:
+        emb = stream_table(spark, sf_dir, "embeddings")
+    applied: list = []
+    kmeans_ingest_sink(emb, state, centroids, applied_counter=applied, **kw)
+    assert_epochs_applied(len(applied), min_epochs)
     return read_kmeans_state(spark, state)

@@ -333,15 +333,24 @@ def bloom_sketch_sink(
     compact_every: Optional[int] = None,
     k: int = DEFAULT_K,
     m_bits: int = DEFAULT_M_BITS,
+    applied_counter: Optional[list] = None,
 ) -> None:
     """Drain a stream into the maintained word table — the continuous
     blocklist: feed read_bloom_state to operators.sketches
     .bloom_contains to probe membership (decontamination, exact-dup
     candidacy) against everything ever ingested, at m_bits of state
-    per group forever."""
+    per group forever. ``applied_counter``: a list the sink appends
+    each applied epoch id to (the kmeans sinks' pattern) — the
+    drains' min-epochs assert reads its length."""
+
+    def merge(b, e):
+        applied = bloom_merge_batch(b, e, state_dir, item_col, by, k, m_bits)
+        if applied and applied_counter is not None:
+            applied_counter.append(e)
+        return applied
+
     _keyed_sketch_sink(
-        stream_df, state_dir, _BLOOM_STORE,
-        lambda b, e: bloom_merge_batch(b, e, state_dir, item_col, by, k, m_bits),
+        stream_df, state_dir, _BLOOM_STORE, merge,
         checkpoint_dir, compact_every,
     )
 
@@ -387,6 +396,8 @@ def drain_documents_bloom(
     item_col: str = "text",
     where: Optional[str] = None,
     state_dir: Optional[str] = None,
+    num_chunks: int = 1,
+    min_epochs: int = 1,
     **kw,
 ) -> "BloomSketch":
     """Convenience: stream the documents table (optionally filtered —
@@ -395,14 +406,31 @@ def drain_documents_bloom(
     query). Returns a geometry-carrying `BloomSketch` recovered from
     the state meta via `read_bloom_sketch` (VERDICT r8 item 3) — a
     downstream probe validates the build k/m_bits instead of trusting
-    its own defaults."""
-    from transporter_spark.streaming.sources import stream_table
+    its own defaults.
+
+    num_chunks > 1 (r14): deliver the documents table as
+    doc_id-ordered chunks — one applied epoch each, raising unless at
+    least ``min_epochs`` applied. Word bit-OR is associative AND
+    idempotent, so maintained == batch at ANY epoch structure (the
+    additive class) and the batch oracle grades the real multi-epoch
+    drain unchanged. The ``where`` gate runs INSIDE each epoch (the
+    chunk bound stays on the raw table)."""
+    from transporter_spark.streaming.sources import (
+        assert_epochs_applied,
+        chunked_table_stream,
+        stream_table,
+    )
 
     state = state_dir or tempfile.mkdtemp(prefix="ts_bloom_") + "/state"
-    docs = stream_table(spark, sf_dir, "documents")
+    if num_chunks > 1:
+        docs = chunked_table_stream(spark, sf_dir, "documents", num_chunks)
+    else:
+        docs = stream_table(spark, sf_dir, "documents")
     if where is not None:
         docs = docs.where(where)
-    bloom_sketch_sink(docs, state, item_col, **kw)
+    applied: list = []
+    bloom_sketch_sink(docs, state, item_col, applied_counter=applied, **kw)
+    assert_epochs_applied(len(applied), min_epochs)
     return read_bloom_sketch(spark, state)
 
 
