@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 14 window = 6 new + 1 changed + 43 stalest (the two r8
+# Round 14 window = 6 new + 3 changed-and-stale + 40 other stalest (the two r8
 # spills, the FULL 36-query r9 cohort, and the first 6 of the r10
 # cohort) = 50. Max staleness after this round: r10 (the remaining
 # 31-query r10 cohort, sort_limit/set_ops at its head, heads r15,
@@ -67,13 +67,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #   resolves to the identical factory as before).
 #
 # "Changed" read strictly, per FUNCTION executed:
-# - stream_symspell_index: drain_customers_fuzzy gained
-#   num_chunks/min_epochs and the query now passes them (executed
-#   code changed on the graded path).
-# - stream_kmeans_update is NOT changed: streaming/kmeans.py only
-#   gained NEW functions (refreshed_centroids, kmeans_refresh_sink,
-#   drain_embeddings_kmeans_refresh); its own executed chain is
-#   untouched — but it is r9-stale, so it re-grades on staleness.
+# - stream_symspell_index, stream_bloom, stream_kmeans_update: their
+#   drains gained num_chunks/min_epochs and the queries now drain 2
+#   REAL chunks (the additive class — pure/idempotent/associative
+#   state, so the batch oracles grade the multi-epoch drains
+#   unchanged). All three were r9-stale and in the window anyway, so
+#   the upgrades cost no extra slots.
 # - stream_ingest_dedup / _2epoch / _3epoch / the curation
 #   compositions: emitted oracle strings verified byte-identical
 #   against a pre-edit snapshot of all 214 registered oracles
