@@ -1026,3 +1026,45 @@ def test_pq_index_sink_multi_epoch_equals_batch_and_redelivery_guard(
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_chunked_df_stream_matches_table_stream_chunks(spark, tmp_path):
+    """chunked_df_stream duplicates chunked_table_stream's split logic
+    verbatim (the r14 window-slot duplication — review flagged the
+    drift risk): pin that both harnesses produce IDENTICAL per-chunk
+    row sets and delivery order over the same table, so a fix to one
+    that misses the other fails here instead of silently diverging."""
+    import os
+
+    from transporter_spark.sources.files import read_table
+    from transporter_spark.streaming.sources import (
+        chunked_df_stream,
+        chunked_table_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    dir_a = str(tmp_path / "a")
+    dir_b = str(tmp_path / "b")
+    chunked_table_stream(spark, sf, "documents", 3, out_dir=dir_a)
+    chunked_df_stream(
+        spark, read_table(spark, sf, "documents"), 3, out_dir=dir_b
+    )
+    names_a = sorted(os.listdir(dir_a))
+    names_b = sorted(os.listdir(dir_b))
+    assert names_a == names_b == [f"chunk_{i:03d}.parquet" for i in range(3)]
+    for name in names_a:
+        rows_a = {
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(dir_a, name)).collect()
+        }
+        rows_b = {
+            r.doc_id
+            for r in spark.read.parquet(os.path.join(dir_b, name)).collect()
+        }
+        assert rows_a == rows_b and rows_a
+    # mtimes strictly increase in chunk order on both (delivery order)
+    for d in (dir_a, dir_b):
+        mtimes = [
+            os.stat(os.path.join(d, n)).st_mtime for n in sorted(os.listdir(d))
+        ]
+        assert mtimes == sorted(mtimes) and len(set(mtimes)) == len(mtimes)
