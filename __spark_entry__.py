@@ -29,7 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 14 window = 6 new + 3 changed-and-stale + 40 other stalest (the two r8
+# Round 14 window = 6 new + 3 changed-and-stale + 41 other stalest
+# (2 r8 + the 33 non-changed r9 + 6 r10) (the two r8
 # spills, the FULL 36-query r9 cohort, and the first 6 of the r10
 # cohort) = 50. Max staleness after this round: r10 (the remaining
 # 31-query r10 cohort, sort_limit/set_ops at its head, heads r15,

@@ -249,7 +249,9 @@ def drain_embeddings_kmeans(
     one applied epoch each, raising unless at least ``min_epochs``
     applied. The decimal partials are associative, so maintained ==
     batch at ANY epoch structure (the additive class) and the batch
-    oracle grades the real multi-epoch drain unchanged."""
+    oracle grades the real multi-epoch drain unchanged. The inline
+    if/else (instead of an order_col-aware chunked_or_single_stream)
+    is the deferred-fold discipline — see drain_documents_bloom."""
     from transporter_spark.streaming.sources import (
         assert_epochs_applied,
         chunked_table_stream,

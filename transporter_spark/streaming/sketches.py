@@ -414,7 +414,14 @@ def drain_documents_bloom(
     idempotent, so maintained == batch at ANY epoch structure (the
     additive class) and the batch oracle grades the real multi-epoch
     drain unchanged. The ``where`` gate runs INSIDE each epoch (the
-    chunk bound stays on the raw table)."""
+    chunk bound stays on the raw table).
+
+    The num_chunks if/else is deliberately inline, NOT
+    `chunked_or_single_stream` (review r14): folding through the
+    shared selector edits executed code of every green drain that
+    calls it (the r7 shared-infra precedent re-graded all stream_*);
+    fold this and the fuzzy/kmeans twins into an order_col-aware
+    selector when the r12/r13 drain cohorts next rotate."""
     from transporter_spark.streaming.sources import (
         assert_epochs_applied,
         chunked_table_stream,
