@@ -850,6 +850,51 @@ def probe_pack_epoch(spark):
     return times[1], times[MULT]
 
 
+
+
+def probe_kmeans_refresh(spark):
+    """One mini-batch-kmeans refresh+merge epoch (fixed 1k-vector
+    batch) against a standing partials state built from 1 vs N prior
+    full-table epochs. The keyed delta-merge folds each cell's
+    partials on every commit, so the standing state is k x dims rows
+    NO MATTER how many epochs (or vectors) preceded it -- the probed
+    epoch's wall (refresh read + assignment + merge) must stay ~flat."""
+    import tempfile
+
+    from transporter_spark.streaming.kmeans import (
+        kmeans_merge_batch,
+        refreshed_centroids,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    cen = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    batch = emb.limit(1000).select(
+        (F.col("vec_id") + 77_000_000).alias("vec_id"), "embedding"
+    ).localCheckpoint(eager=True)
+    times = {}
+    for mult in (1, MULT):
+        state = tempfile.mkdtemp(prefix=f"probe_kmr_{mult}x_") + "/state"
+        for e in range(mult):
+            seed = emb.select(
+                (F.col("vec_id") + e * 1_000_000).alias("vec_id"),
+                "embedding",
+            )
+            kmeans_merge_batch(seed, e, state, cen)
+        t0 = time.time()
+        cents = refreshed_centroids(spark, state)
+        kmeans_merge_batch(batch, mult, state, cents)
+        times[mult] = time.time() - t0
+        n_rows = len(
+            refreshed_centroids(spark, state).collect()
+        )
+        print(f"  kmeans_refresh {mult}x prior epochs: state {n_rows} "
+              f"centroid rows (constant by construction)")
+    return times[1], times[MULT]
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -873,6 +918,7 @@ PROBES = {
     "unigram": probe_unigram,
     "pretrain_epoch": probe_pretrain_epoch,
     "pack_epoch": probe_pack_epoch,
+    "kmeans_refresh": probe_kmeans_refresh,
 }
 
 

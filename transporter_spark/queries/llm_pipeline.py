@@ -982,7 +982,8 @@ def q_stream_ingest_dedup_2epoch_chain(spark, sf_dir):
     the batch closure drops C through the A-B-C component. A
     hash-match therefore proves the kept-only cross-epoch index
     semantics at the SET level, not just via boundary-pair rejection
-    (the set-level divergence |2epoch \\ batch| = {10^10} is pinned in
+    (the set-level divergence |2epoch \\ batch| = {10^10} holds at
+    sf0.01 AND sf0.1, pinned at sf0.01 in
     tests/test_oracle_builders.py). Engine: the augmented frame drains
     through `chunked_df_stream` (2 doc_id-ordered chunks, one applied
     epoch each) into the SAME production sink; oracle: the proven
