@@ -29,8 +29,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 14 window = 6 new + 3 changed-and-stale + 41 other stalest
-# (2 r8 + the 33 non-changed r9 + 6 r10) (the two r8
+# Round 14 window = 8 new + 3 changed-and-stale + 39 other stalest
+# (2 r8 + the 33 non-changed r9 + 4 r10) (the two r8
 # spills, the FULL 36-query r9 cohort, and the first 6 of the r10
 # cohort) = 50. Max staleness after this round: r10 (the remaining
 # 31-query r10 cohort, sort_limit/set_ops at its head, heads r15,
@@ -66,6 +66,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #   decorator list shrank by the two otto aliases, now registered to
 #   the new otto_transform factory — build_operator("py"/"js")
 #   resolves to the identical factory as before).
+# - NEW (late r14): pgdecode_parse_ops + binlog_map_ops — the first
+#   SOURCE-side wire grades (VERDICT r13 "missing" item 1's closable
+#   half): the REAL test_decoding parser and binlog rows-event
+#   mapper graded byte-exact over fixture streams derived from the
+#   events table (quoted idents, ''-escapes, nulls, coercions,
+#   after-image rule, _colN backfill, noise-line skips all in the
+#   hash). They displace skip_regex/window_topn to the r15 queue.
 #
 # "Changed" read strictly, per FUNCTION executed:
 # - stream_symspell_index, stream_bloom, stream_kmeans_update: their
@@ -86,6 +93,8 @@ _PRIORITY = [
     "stream_kmeans_refresh_2epoch",
     "stream_js_transform",
     "otto_underscore_transform",
+    "pgdecode_parse_ops",
+    "binlog_map_ops",
     # --- the 2 r8 spills (named as heading this queue since r13) ---
     "unpivot_long",
     "value_histogram",
@@ -127,15 +136,14 @@ _PRIORITY = [
     "bm25_select",
     "bm25_select_log2",
     "stream_bloom",
-    # --- the first 6 of the 37-query r10 cohort ---
+    # --- the first 4 of the 37-query r10 cohort ---
     "rename",
     "skip_gt",
     "skip_numeric_string",
     "skip_eq",
-    "skip_regex",
-    "window_topn",
-    # --- past the graded window: the remaining 31-query r10 cohort
-    # --- (sort_limit/set_ops at its head) heads r15, then r11,
+    # --- past the graded window: the remaining 33-query r10 cohort
+    # --- (skip_regex/window_topn/sort_limit at its head) heads r15,
+    # --- then r11,
     # --- via the registry fallback.
     # --- (scripts/stale_report.py --queue prints it.)
 ]

@@ -31,11 +31,13 @@ from transporter_spark.queries import pipeline_round2
 from transporter_spark.queries import mixing_sampling
 from transporter_spark.queries import sketches
 from transporter_spark.queries import wire_sinks
+from transporter_spark.queries import wire_sources
 
 _FAMILY_MODULES = (
     _base, transforms, relational, llm_pipeline, streaming_core,
     relational_udf, subqueries, extended_json, temporal, quality_gates,
     tpch_breadth, pipeline_round2, mixing_sampling, sketches, wire_sinks,
+    wire_sources,
 )
 
 # Hoist every family-module top-level name (underscore included) into
