@@ -30,11 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # NOT count as changed.
 #
 # Round 14 window = 8 new + 3 changed-and-stale + 39 other stalest
-# (2 r8 + the 33 non-changed r9 + 4 r10) (the two r8
-# spills, the FULL 36-query r9 cohort, and the first 6 of the r10
-# cohort) = 50. Max staleness after this round: r10 (the remaining
-# 31-query r10 cohort, sort_limit/set_ops at its head, heads r15,
-# then r11). VERDICT r13 items closed here:
+# (the two r8 spills, the 33 non-changed r9 queries, and the first
+# 4 of the r10 cohort) = 50. Max staleness after this round: r10
+# (the remaining 33-query r10 cohort,
+# skip_regex/window_topn/sort_limit at its head, heads r15, then
+# r11). VERDICT r13 items closed here:
 # - item 2: rethink_bulk_ops + amqp_publish_ops — the last two §2.2
 #   sink wire paths, graded byte-exact (the es_bulk_ops pattern);
 #   every sink row now has a driver-graded wire query or is the

@@ -25,7 +25,6 @@ readStream in tests/test_connectors.py).
 from __future__ import annotations
 
 from transporter_spark.queries._base import (
-    F,
     q,
     read_table,
 )
@@ -197,6 +196,16 @@ def q_binlog_map_ops(spark, sf_dir):
         .select("event_id", "user_id", "event_type")
         .orderBy("event_id")
     )
+    # row-invariant pin, once per run (review r14: was per-row): XID
+    # noise events must BinlogSkip, never map to ops
+    try:
+        map_rows_event(
+            {"event_type": "XID_EVENT", "schema": "x", "table": "y"},
+            columns,
+        )
+        raise AssertionError("XID noise must BinlogSkip")
+    except BinlogSkip:
+        pass
     out = []
     for r in ev.toLocalIterator():
         eid, uid = int(r.event_id), int(r.user_id)
@@ -229,14 +238,6 @@ def q_binlog_map_ops(spark, sf_dir):
                 "rows": [after],
             }
             cols = columns
-        try:
-            map_rows_event(
-                {"event_type": "XID_EVENT", "schema": "x", "table": "y"},
-                cols,
-            )
-            raise AssertionError("XID noise must BinlogSkip")
-        except BinlogSkip:
-            pass
         for op, ns, doc in map_rows_event(event, cols):
             out.append(
                 (
