@@ -29,11 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 14 window = 8 new + 3 changed-and-stale + 39 other stalest
+# Round 14 window = 9 new + 3 changed-and-stale + 38 other stalest
 # (the two r8 spills, the 33 non-changed r9 queries, and the first
-# 4 of the r10 cohort) = 50. Max staleness after this round: r10
-# (the remaining 33-query r10 cohort,
-# skip_regex/window_topn/sort_limit at its head, heads r15, then
+# 3 of the r10 cohort) = 50. Max staleness after this round: r10
+# (the remaining 34-query r10 cohort,
+# skip_eq/skip_regex/window_topn at its head, heads r15, then
 # r11). VERDICT r13 items closed here:
 # - item 2: rethink_bulk_ops + amqp_publish_ops — the last two §2.2
 #   sink wire paths, graded byte-exact (the es_bulk_ops pattern);
@@ -66,13 +66,16 @@ def entry(spark: SparkSession) -> DataFrame:
 #   decorator list shrank by the two otto aliases, now registered to
 #   the new otto_transform factory — build_operator("py"/"js")
 #   resolves to the identical factory as before).
-# - NEW (late r14): pgdecode_parse_ops + binlog_map_ops — the first
-#   SOURCE-side wire grades (VERDICT r13 "missing" item 1's closable
-#   half): the REAL test_decoding parser and binlog rows-event
-#   mapper graded byte-exact over fixture streams derived from the
-#   events table (quoted idents, ''-escapes, nulls, coercions,
-#   after-image rule, _colN backfill, noise-line skips all in the
-#   hash). They displace skip_regex/window_topn to the r15 queue.
+# - NEW (late r14): pgdecode_parse_ops + binlog_map_ops +
+#   oplog_classify_ops — the SOURCE-side wire grades (VERDICT r13
+#   "missing" item 1's closable half): the REAL test_decoding
+#   parser, binlog rows-event mapper, and oplog entry classifier
+#   graded byte-exact over fixture streams derived from the events
+#   table (quoted idents, ''-escapes, nulls, coercions, the
+#   after-image rule, _colN backfill, the update RE-FETCH contract
+#   with the filter-merged find query embedded in the hash, ts
+#   seconds-half extraction, and every skip rule as row absence).
+#   They displace skip_eq/skip_regex/window_topn to the r15 queue.
 #
 # "Changed" read strictly, per FUNCTION executed:
 # - stream_symspell_index, stream_bloom, stream_kmeans_update: their
@@ -95,11 +98,13 @@ _PRIORITY = [
     "otto_underscore_transform",
     "pgdecode_parse_ops",
     "binlog_map_ops",
+    "oplog_classify_ops",
     # --- the 2 r8 spills (named as heading this queue since r13) ---
     "unpivot_long",
     "value_histogram",
-    # --- the FULL 36-query r9 cohort (stream_symspell_index is also
-    # --- the round's one CHANGED query) ---
+    # --- the FULL 36-query r9 cohort (stream_symspell_index,
+    # --- stream_kmeans_update, and stream_bloom are also the round's
+    # --- 3 changed queries — see the per-function block above) ---
     "pick",
     "omit",
     "opfilter",
@@ -136,13 +141,12 @@ _PRIORITY = [
     "bm25_select",
     "bm25_select_log2",
     "stream_bloom",
-    # --- the first 4 of the 37-query r10 cohort ---
+    # --- the first 3 of the 37-query r10 cohort ---
     "rename",
     "skip_gt",
     "skip_numeric_string",
-    "skip_eq",
-    # --- past the graded window: the remaining 33-query r10 cohort
-    # --- (skip_regex/window_topn/sort_limit at its head) heads r15,
+    # --- past the graded window: the remaining 34-query r10 cohort
+    # --- (skip_eq/skip_regex/window_topn at its head) heads r15,
     # --- then r11,
     # --- via the registry fallback.
     # --- (scripts/stale_report.py --queue prints it.)

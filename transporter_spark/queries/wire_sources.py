@@ -250,3 +250,117 @@ def q_binlog_map_ops(spark, sf_dir):
     return spark.createDataFrame(
         out, "event_id long, ns string, op string, doc string"
     ).orderBy("event_id")
+
+
+@q(
+    "oplog_classify_ops",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 13 = 0 THEN 'delete'
+              WHEN event_id % 7 = 0 THEN 'update'
+              ELSE 'insert' END AS op
+  FROM events
+),
+kept AS (
+  SELECT * FROM e
+  WHERE NOT (op = 'update'
+             AND (event_id % 14 = 0 OR event_id % 21 = 0))
+)
+SELECT event_id, op, event_id AS ts,
+       CASE WHEN op = 'delete' THEN
+         json_object('_id', event_id)::VARCHAR
+       WHEN op = 'update' THEN
+         json_object(
+           '_id', event_id,
+           'fq', '{"_id":' || event_id || ',"kind":{"$ne":"zzz"}}',
+           'kind', event_type,
+           'n', user_id)::VARCHAR
+       ELSE
+         json_object('_id', event_id, 'kind', event_type,
+                     'n', user_id)::VARCHAR
+       END AS doc
+FROM kept ORDER BY event_id
+""",
+)
+def q_oplog_classify_ops(spark, sf_dir):
+    """The mongodb oplog tail's ENTRY CLASSIFIER, graded end-to-end
+    (the third §2.1 CDC parse grade, completing the
+    pgdecode/binlog/oplog set): oplog entries are built from the
+    events table and run through the REAL `valid_op` +
+    `classify_oplog_entry` chain (sources/mongo.py; reference
+    adaptor/mongodb/reader.go:246-313). The hash pins: i/d/u → op
+    mapping, the MongoTimestamp seconds-half extraction (entries
+    carry (secs << 32) | 7 — a classifier reading the full value
+    mismatches every ts), and above all the UPDATE RE-FETCH contract
+    (getOriginalDoc, reader.go:296-313): the emitted update doc is
+    the CURRENT full document from the injected `fetch_doc`, whose
+    oplog delta carries poison that must never appear, and whose
+    returned doc EMBEDS the find query it received — so the
+    copy_query filter-merge (user filter + `_id` overwrite) is in
+    the hash too. Skip rules land as row ABSENCE: u entries with a
+    missing o2._id (reader.go:300-302) and failed re-fetches
+    (reader.go:258-261, not fatal) drop their rows; noop/command and
+    wrong-namespace entries are pinned once pre-loop via valid_op."""
+    import json as _json
+
+    from transporter_spark.sources.mongo import (
+        classify_oplog_entry,
+        copy_query,
+        valid_op,
+    )
+
+    filters = {"events": {"kind": {"$ne": "zzz"}}}
+    # row-invariant pins, once per run: noops/commands and foreign
+    # namespaces never reach the classifier
+    assert not valid_op({"op": "n", "ns": "db.events"}, "db.events")
+    assert not valid_op({"op": "c", "ns": "db.events"}, "db.events")
+    assert not valid_op({"op": "i", "ns": "db.other"}, "db.events")
+    assert valid_op({"op": "i", "ns": "db.events"}, "db.events")
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+    out = []
+    for r in ev.toLocalIterator():
+        eid, uid = int(r.event_id), int(r.user_id)
+        ts_full = (eid << 32) | 7
+        if eid % 13 == 0:
+            entry = {"op": "d", "ns": "db.events", "ts": ts_full,
+                     "o": {"_id": eid}}
+            fetch = None
+        elif eid % 7 == 0:
+            o2 = {} if eid % 21 == 0 else {"_id": eid}
+            entry = {"op": "u", "ns": "db.events", "ts": ts_full,
+                     "o": {"$set": {"poison": 1}}, "o2": o2}
+
+            def fetch(query, _eid=eid, _kind=r.event_type, _uid=uid):
+                if _eid % 14 == 0:
+                    return None  # dead doc: skip, not fatal
+                return {
+                    "_id": _eid,
+                    "kind": _kind,
+                    "n": _uid,
+                    "fq": _json.dumps(
+                        query, sort_keys=True, separators=(",", ":")
+                    ),
+                }
+        else:
+            entry = {"op": "i", "ns": "db.events", "ts": ts_full,
+                     "o": {"_id": eid, "kind": r.event_type, "n": uid}}
+            fetch = None
+        classified = classify_oplog_entry(
+            entry, "events", fetch or (lambda q: None), filters
+        )
+        if classified is None:
+            continue  # missing o2._id / failed re-fetch: row absent
+        op, doc, ts = classified
+        out.append(
+            (eid, op, int(ts),
+             _json.dumps(doc, sort_keys=True, separators=(",", ":")))
+        )
+    return spark.createDataFrame(
+        out, "event_id long, op string, ts long, doc string"
+    ).orderBy("event_id")
