@@ -510,3 +510,205 @@ def test_es_bulk_body_split_laws(ops, max_actions):
             if ops[i] == "delete" and i > 0:
                 # a delete never sits mid-body: it opened this body
                 assert pos == 0, (bi, pos, i)
+
+
+# --- CDC parser laws (r14: the wire_sources grade family randomized) ---
+
+_bare_ident = st.text(alphabet="abcdefghijklmnop_", min_size=1, max_size=8).filter(
+    lambda s: not s[0].isdigit()
+)
+# quoted idents: any printable char except the delimiters the renderer
+# can't escape ("), newlines, and the brackets/colon the bare grammar owns
+_quoted_inner = st.text(
+    alphabet=st.characters(
+        blacklist_characters='"\n\r', blacklist_categories=("Cs", "Cc")
+    ),
+    min_size=1,
+    max_size=10,
+)
+_pg_value_text = st.text(
+    alphabet=st.characters(blacklist_characters="\n\r", blacklist_categories=("Cs", "Cc")),
+    max_size=20,
+)
+
+
+def _render_ident(name, quoted):
+    return f'"{name}"' if quoted else name
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    schema=st.tuples(st.booleans(), _bare_ident, _quoted_inner),
+    table=st.tuples(st.booleans(), _bare_ident, _quoted_inner),
+    op=st.sampled_from(["INSERT", "UPDATE", "DELETE"]),
+    cols=st.lists(
+        st.tuples(
+            st.tuples(st.booleans(), _bare_ident, _quoted_inner),
+            st.one_of(
+                st.tuples(st.just("integer"), st.integers(-(2**62), 2**62)),
+                st.tuples(
+                    st.just("double precision"),
+                    st.floats(allow_nan=False, allow_infinity=False),
+                ),
+                st.tuples(st.just("boolean"), st.booleans()),
+                st.tuples(st.just("text"), _pg_value_text),
+                st.tuples(st.just("text"), st.none()),
+                # parametrized numerics coerce on the BASE type;
+                # array types stay literal text
+                st.tuples(st.just("numeric(10,2)"), st.just("12.34")),
+                st.tuples(st.just("integer[]"), st.just("{1,2,3}")),
+            ),
+        ),
+        max_size=5,
+    ),
+)
+def test_pgdecode_parse_roundtrip_law(schema, table, op, cols):
+    """parse_test_decoding_line inverts the test_decoding render for
+    ARBITRARY identifiers and values (the graded pgdecode_parse_ops
+    fixtures walk specific cases; this walks the grammar): quoted
+    idents (spaces/dots/brackets inside), '' escaping for any quote
+    pattern in text values, null, the casify coercions, and the
+    literal-text passthrough for parametrized/array types. Renderer
+    written from the postgres contrib format spec, independent of the
+    parser's regexes."""
+    from transporter_spark.sources.pgdecode import parse_test_decoding_line
+
+    def ident(t, *, allow_dot):
+        q, bare, quoted = t
+        if q:
+            return _render_ident(quoted, True), quoted
+        # bare grammar: no dots in schema (the ns split), no colon in table
+        name = bare if allow_dot else bare.replace(".", "_")
+        return name, name
+
+    schema_txt, schema_name = ident(schema, allow_dot=False)
+    table_txt, table_name = ident(table, allow_dot=False)
+
+    parts, expected = [], {}
+    seen = set()
+    for (col_t, (typ, val)) in cols:
+        col_txt, col_name = ident(col_t, allow_dot=True)
+        if col_name in seen:
+            continue  # dict semantics: last wins; keep names unique instead
+        seen.add(col_name)
+        if val is None:
+            raw, want = "null", None
+        elif typ == "integer":
+            raw, want = str(val), val
+        elif typ == "double precision":
+            raw, want = repr(val), float(repr(val))
+        elif typ == "boolean":
+            raw, want = ("true", True) if val else ("false", False)
+        elif typ == "text":
+            raw, want = "'" + val.replace("'", "''") + "'", val
+        elif typ == "numeric(10,2)":
+            raw, want = val, float(val)
+        else:  # array: literal passthrough
+            raw, want = val, val
+        parts.append(f"{col_txt}[{typ}]:{raw}")
+        expected[col_name] = want
+
+    line = f"table {schema_txt}.{table_txt}: {op}: " + " ".join(parts)
+    parsed = parse_test_decoding_line(line)
+    assert parsed is not None, line
+    ns, got_op, doc = parsed
+    assert ns == f"{schema_name}.{table_name}"
+    assert got_op == op.lower()
+    assert doc == expected, (line, doc, expected)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    noise=st.sampled_from(
+        ["", "BEGIN 701", "COMMIT 701", "table ", "no match here"]
+    ),
+    xid=st.integers(0, 2**31),
+)
+def test_pgdecode_skips_non_row_lines(noise, xid):
+    from transporter_spark.sources.pgdecode import parse_test_decoding_line
+
+    assert parse_test_decoding_line(noise) is None
+    assert parse_test_decoding_line(f"BEGIN {xid}") is None
+    assert parse_test_decoding_line(f"COMMIT {xid}") is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    op=st.sampled_from(["i", "u", "d", "n", "c"]),
+    doc_id=st.integers(-(2**31), 2**31),
+    secs=st.integers(0, 2**31 - 1),
+    ordinal=st.integers(0, 2**32 - 1),
+    have_o2_id=st.booleans(),
+    fetch_found=st.booleans(),
+    filters=st.dictionaries(
+        st.text(alphabet="abcxyz", min_size=1, max_size=5),
+        st.integers(0, 9),
+        max_size=3,
+    ),
+)
+def test_oplog_classify_laws(op, doc_id, secs, ordinal, have_o2_id, fetch_found, filters):
+    """classify_oplog_entry laws over random entries: (1) ts is ALWAYS
+    the MongoTimestamp seconds half regardless of the ordinal bits;
+    (2) i/d pass entry.o through untouched; (3) u emits the re-fetched
+    doc, never the oplog delta, and the find query is exactly
+    copy_query(filters) + the _id overwrite; (4) u skips (None) when
+    o2._id is missing or the fetch fails; (5) non-i/u/d never
+    classify."""
+    from transporter_spark.sources.mongo import classify_oplog_entry, copy_query
+
+    ts_full = (secs << 32) | ordinal
+    o = {"_id": doc_id, "v": "x"}
+    entry = {"op": op, "ns": "db.c", "ts": ts_full, "o": {"$set": {"poison": 1}} if op == "u" else o}
+    if op == "u":
+        entry["o2"] = {"_id": doc_id} if have_o2_id else {}
+
+    seen_queries = []
+
+    def fetch(query):
+        seen_queries.append(query)
+        return {"_id": doc_id, "cur": True} if fetch_found else None
+
+    got = classify_oplog_entry(entry, "c", fetch, {"c": dict(filters)})
+
+    if op in ("n", "c"):
+        assert got is None
+        return
+    if op == "i":
+        assert got == ("insert", o, secs)
+        return
+    if op == "d":
+        assert got == ("delete", o, secs)
+        return
+    # op == "u"
+    if not have_o2_id:
+        assert got is None and not seen_queries
+        return
+    expected_query = copy_query("c", {"c": dict(filters)})
+    expected_query["_id"] = doc_id
+    assert seen_queries == [expected_query]
+    if fetch_found:
+        assert got == ("update", {"_id": doc_id, "cur": True}, secs)
+        assert "$set" not in got[1]  # the delta never leaks
+    else:
+        assert got is None
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    n_cols=st.integers(0, 4),
+    extra=st.integers(0, 3),
+    vals=st.lists(st.integers(-100, 100), min_size=0, max_size=7),
+)
+def test_binlog_backfill_drift_law(n_cols, extra, vals):
+    """backfill_columns law: a row longer than the column metadata
+    (schema drift mid-binlog) names the overflow positionally _colN at
+    the ABSOLUTE index, and never drops or reorders a value."""
+    from transporter_spark.sources.binlog import backfill_columns
+
+    row = (vals + [0] * 10)[: n_cols + extra]
+    columns = [(f"c{i}", "bigint") for i in range(n_cols)]
+    doc = backfill_columns(row, columns)
+    assert list(doc) == [f"c{i}" for i in range(min(n_cols, len(row)))] + [
+        f"_col{i}" for i in range(n_cols, len(row))
+    ]
+    assert list(doc.values()) == list(row)
