@@ -712,3 +712,29 @@ def test_binlog_backfill_drift_law(n_cols, extra, vals):
         f"_col{i}" for i in range(n_cols, len(row))
     ]
     assert list(doc.values()) == list(row)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    seq_a=st.integers(1, 10**8),
+    seq_b=st.integers(1, 10**8),
+    pos_a=st.integers(0, 2**31),
+    pos_b=st.integers(0, 2**31),
+    width=st.integers(6, 6),
+)
+def test_binlog_offset_rotation_total_order(seq_a, seq_b, pos_a, pos_b, width):
+    """_offset_key orders binlog positions by NUMERIC file suffix then
+    position, including the widening past 999999 that wedges a
+    lexicographic comparison (mysql-bin.1000000 must sort AFTER
+    mysql-bin.999999): the key order must equal (seq, pos) order for
+    any suffix pair, zero-padded or widened."""
+    from transporter_spark.sources.binlog import _offset_key, binlog_offset
+
+    def name(seq):
+        return f"mysql-bin.{seq:0{width}d}"  # pads short, widens long
+
+    ka = _offset_key(binlog_offset(name(seq_a), pos_a))
+    kb = _offset_key(binlog_offset(name(seq_b), pos_b))
+    want = ((seq_a, pos_a) > (seq_b, pos_b)) - ((seq_a, pos_a) < (seq_b, pos_b))
+    got = (ka > kb) - (ka < kb)
+    assert got == want, (ka, kb)
