@@ -29,11 +29,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # (body hash unchanged, emitted oracle strings byte-identical) does
 # NOT count as changed.
 #
-# Round 14 window = 9 new + 3 changed-and-stale + 38 other stalest
+# Round 14 window = 11 new + 3 changed-and-stale + 36 other stalest
 # (the two r8 spills, the 33 non-changed r9 queries, and the first
-# 3 of the r10 cohort) = 50. Max staleness after this round: r10
-# (the remaining 34-query r10 cohort,
-# skip_eq/skip_regex/window_topn at its head, heads r15, then
+# 1 of the r10 cohort) = 50. Max staleness after this round: r10
+# (the remaining 36-query r10 cohort,
+# skip_gt/skip_numeric_string/skip_eq at its head, heads r15, then
 # r11). VERDICT r13 items closed here:
 # - item 2: rethink_bulk_ops + amqp_publish_ops — the last two §2.2
 #   sink wire paths, graded byte-exact (the es_bulk_ops pattern);
@@ -76,6 +76,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #   with the filter-merged find query embedded in the hash, ts
 #   seconds-half extraction, and every skip rule as row absence).
 #   They displace skip_eq/skip_regex/window_topn to the r15 queue.
+# - NEW (late r14, after the context reset): rethink_changes_ops +
+#   amqp_consume_ops — the LAST two §2.1 parse/classify contracts
+#   (rethinkdb copy-scan + changefeed old_val/new_val matrix with
+#   whole-table ns pruning and the barrier/error paths; rabbitmq
+#   decode matrix + the two-epoch ack-after-commit ledger with the
+#   amq.* skip and the bounded multi-micro-batch backlog drain).
+#   With these, EVERY §2.1 source row has a driver-graded wire
+#   query (the file source reads every oracle row already). They
+#   displace skip_gt/skip_numeric_string to the r15 queue head.
 #
 # "Changed" read strictly, per FUNCTION executed:
 # - stream_symspell_index, stream_bloom, stream_kmeans_update: their
@@ -99,6 +108,8 @@ _PRIORITY = [
     "pgdecode_parse_ops",
     "binlog_map_ops",
     "oplog_classify_ops",
+    "rethink_changes_ops",
+    "amqp_consume_ops",
     # --- the 2 r8 spills (named as heading this queue since r13) ---
     "unpivot_long",
     "value_histogram",
@@ -141,13 +152,11 @@ _PRIORITY = [
     "bm25_select",
     "bm25_select_log2",
     "stream_bloom",
-    # --- the first 3 of the 37-query r10 cohort ---
+    # --- the first 1 of the 37-query r10 cohort ---
     "rename",
-    "skip_gt",
-    "skip_numeric_string",
-    # --- past the graded window: the remaining 34-query r10 cohort
-    # --- (skip_eq/skip_regex/window_topn at its head) heads r15,
-    # --- then r11,
+    # --- past the graded window: the remaining 36-query r10 cohort
+    # --- (skip_gt/skip_numeric_string/skip_eq at its head) heads
+    # --- r15, then r11,
     # --- via the registry fallback.
     # --- (scripts/stale_report.py --queue prints it.)
 ]

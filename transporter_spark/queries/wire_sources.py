@@ -364,3 +364,249 @@ def q_oplog_classify_ops(spark, sf_dir):
     return spark.createDataFrame(
         out, "event_id long, op string, ts long, doc string"
     ).orderBy("event_id")
+
+
+@q(
+    "rethink_changes_ops",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % 5 = 0 THEN 'copy'
+              WHEN event_id % 13 = 0 THEN 'delete'
+              WHEN event_id % 7 = 0 THEN 'update'
+              WHEN event_id % 11 = 0 THEN 'barrier'
+              ELSE 'insert' END AS cls
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN cls = 'copy' THEN 'copy' ELSE 'tail' END AS phase,
+       CASE WHEN cls = 'copy' THEN 'insert' ELSE cls END AS op,
+       'events' AS ns,
+       CASE WHEN cls = 'delete' THEN
+         json_object('id', event_id, 'stale', true)::VARCHAR
+       WHEN cls = 'update' THEN
+         json_object('id', event_id, 'kind', event_type,
+                     'n', user_id, 'rev', 2)::VARCHAR
+       ELSE
+         json_object('id', event_id, 'kind', event_type,
+                     'n', user_id)::VARCHAR
+       END AS doc
+FROM e WHERE cls <> 'barrier' ORDER BY event_id
+""",
+)
+def q_rethink_changes_ops(spark, sf_dir):
+    """The rethinkdb SOURCE's copy-scan + changefeed classifier,
+    graded end-to-end (the fourth §2.1 wire grade; with it every
+    source row's parse/classify contract is driver-graded): events
+    rows split into a copy-phase table (eid%5==0) scanned through the
+    REAL `scan_rows` (whole-table ns pruning included — a poison
+    `audit_tmp` table with id=-1 docs must be pruned by
+    `filter_tables`, reference adaptor/rethinkdb/reader.go:83-105, or
+    its rows appear and the hash mismatches) and a changefeed of
+    notifications run through the REAL `classify_change`
+    (reader.go:184-192). The hash pins the old_val/new_val presence
+    matrix: update emits NEW_VAL (the old_val carries a 'stale'
+    marker that may only ever surface on deletes), insert emits
+    new_val, delete emits old_val, and the empty barrier notification
+    (neither value) classifies to None = row ABSENCE. The error-field
+    path (reader.go:181-182) is pinned once pre-loop as a raise. JSON
+    is whitespace-normalized to DuckDB's compact rendering; key order
+    and values are the classifier's own."""
+    import json as _json
+
+    from transporter_spark.sources.rethinkdb import (
+        RethinkChangeError,
+        classify_change,
+        scan_rows,
+    )
+
+    # error notifications push on the error channel, never classify
+    try:
+        classify_change({"error": "boom"})
+        raise AssertionError("error notification must raise")
+    except RethinkChangeError:
+        pass
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+    copy_docs, changes = [], []
+    for r in ev.toLocalIterator():
+        eid, uid, et = int(r.event_id), int(r.user_id), r.event_type
+        live = {"id": eid, "kind": et, "n": uid}
+        if eid % 5 == 0:
+            copy_docs.append(live)
+        elif eid % 13 == 0:
+            changes.append({"old_val": {"id": eid, "stale": True}})
+        elif eid % 7 == 0:
+            changes.append(
+                {"old_val": {"id": eid, "stale": True},
+                 "new_val": dict(live, rev=2)}
+            )
+        elif eid % 11 == 0:
+            changes.append({"old_val": None, "new_val": None})
+        else:
+            changes.append({"new_val": live})
+
+    class _Client:  # the injectable driver-session contract
+        def table_list(self):
+            return ["events", "audit_tmp"]
+
+        def table_docs(self, name):
+            if name == "audit_tmp":  # pruned — reaching here is the bug
+                return iter([{"id": -1, "poison": True}])
+            return iter(copy_docs)
+
+    def dumps(d):
+        return _json.dumps(d, sort_keys=True, separators=(",", ":"))
+
+    out = []
+    for op, _ts, ns, j in scan_rows(_Client(), "events"):
+        doc = _json.loads(j)
+        out.append((int(doc["id"]), "copy", op, ns, dumps(doc)))
+    for change in changes:
+        classified = classify_change(change)
+        if classified is None:
+            continue  # barrier: row absent
+        op, doc = classified
+        out.append((int(doc["id"]), "tail", op, "events", dumps(doc)))
+    return spark.createDataFrame(
+        out, "event_id long, phase string, op string, ns string, doc string"
+    ).orderBy("event_id")
+
+
+@q(
+    "amqp_consume_ops",
+    oracle="""
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (ORDER BY event_id) AS rn,
+         count(*) OVER () AS n
+  FROM events
+)
+SELECT event_id,
+       CASE WHEN rn <= n // 2 THEN 1 ELSE 2 END AS epoch,
+       CASE WHEN event_id % 11 <> 0 AND event_id % 9 <> 0
+                 AND event_id % 7 = 0
+            THEN 'update' ELSE 'insert' END AS op,
+       CASE WHEN event_id % 11 <> 0 AND event_id % 9 <> 0
+                 AND event_id % 7 = 0
+            THEN event_id::VARCHAR ELSE '' END AS ts,
+       'rmq.events' AS ns,
+       CASE WHEN event_id % 11 = 0 THEN
+         json_object('_raw', '{oops' || event_id)::VARCHAR
+       WHEN event_id % 9 = 0 THEN
+         json_object('_value', event_id)::VARCHAR
+       WHEN event_id % 7 = 0 THEN
+         json_object('id', event_id, 'n', user_id)::VARCHAR
+       ELSE
+         json_object('id', event_id, 'kind', event_type)::VARCHAR
+       END AS doc
+FROM e ORDER BY event_id
+""",
+)
+def q_amqp_consume_ops(spark, sf_dir):
+    """The rabbitmq CONSUMER's decode policy + ack-after-commit state
+    machine, graded end-to-end (the fifth §2.1 wire grade): every
+    events row becomes a broker message and drains through the REAL
+    `AmqpTailStreamReader` offset/buffer/commit cycle over TWO
+    micro-batch epochs (reference adaptor/rabbitmq/reader.go:34-129;
+    ack-after-emit at-least-once). The hash pins the decode matrix —
+    valid envelope ({op, ts, data}) extracts op/ts and emits data
+    only; a bare non-dict JSON body wraps as {_value}; a poison
+    unparsable body wraps as {_raw} with replacement decode (never a
+    crash, reader.go:96-101's json.Unmarshal fallback analog); ns =
+    prefix + queue — and the `amq.*` internal-queue skip lands as row
+    absence (its poison messages would hash-mismatch). The ack ledger
+    is asserted engine-side per epoch: after each commit exactly that
+    epoch's delivery tags are acked, exactly once, none from the
+    internal queue, nothing left unacked at the end — the contract
+    whose violation silently loses or double-acks messages. JSON is
+    whitespace-normalized to DuckDB's compact rendering; content is
+    the reader's own _decode output."""
+    import json as _json
+
+    from transporter_spark.sources.amqp import AmqpTailStreamReader
+
+    ev = (
+        read_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+    )
+    bodies = []  # (eid, body bytes) in event_id order
+    for r in ev.toLocalIterator():
+        eid, uid, et = int(r.event_id), int(r.user_id), r.event_type
+        if eid % 11 == 0:
+            body = ("{oops%d" % eid).encode()
+        elif eid % 9 == 0:
+            body = _json.dumps(eid).encode()
+        elif eid % 7 == 0:
+            body = _json.dumps(
+                {"op": "update", "ts": eid, "data": {"id": eid, "n": uid}}
+            ).encode()
+        else:
+            body = _json.dumps({"id": eid, "kind": et}).encode()
+        bodies.append((eid, body))
+    half = len(bodies) // 2
+
+    class _Channel:  # the injectable pika-channel contract
+        def __init__(self):
+            self.pending = {"events": [], "amq.gen-internal": [(-1, b"{poison")]}
+            self.acked = []
+
+        def basic_get(self, queue):
+            if not self.pending.get(queue):
+                return None
+            return self.pending[queue].pop(0)  # (delivery_tag=eid, body)
+
+        def basic_ack(self, tag):
+            self.acked.append(tag)
+
+    ch = _Channel()
+    reader = AmqpTailStreamReader(
+        ["events", "amq.gen-internal"], ch, ns_prefix="rmq."
+    )
+    out = []
+    start = reader.initialOffset()
+    for epoch, chunk in enumerate((bodies[:half], bodies[half:]), start=1):
+        ch.pending["events"].extend(chunk)
+        # a big broker backlog drains through MULTIPLE bounded
+        # micro-batches (latestOffset caps at max_per_batch per call
+        # — the flow-control knob a 100k-message backlog needs); the
+        # chunk label spans them, the ack assert lands after the last
+        while True:
+            end = reader.latestOffset()
+            if end["seq"] == start["seq"]:
+                break
+            for part in reader.partitions(start, end):
+                for op, ts, ns, j in reader.read(part):
+                    doc = _json.loads(j)
+                    out.append(
+                        (None, epoch, op, ts, ns,
+                         _json.dumps(doc, sort_keys=True, separators=(",", ":")))
+                    )
+            reader.commit(end)
+            start = end
+        # ack-after-commit: exactly this prefix of tags, exactly once
+        want = [eid for eid, _ in bodies[: half if epoch == 1 else None]]
+        assert sorted(ch.acked) == sorted(want), "ack ledger drift"
+    assert not reader._buffer, "committed messages must leave the buffer"
+    assert ch.pending["amq.gen-internal"], "internal queue must stay untouched"
+
+    # recover event_id from the decoded doc for the graded key column
+    keyed = []
+    for _eid, epoch, op, ts, ns, doc_s in out:
+        d = _json.loads(doc_s)
+        if "_raw" in d:
+            eid = int(d["_raw"][5:])
+        elif "_value" in d:
+            eid = int(d["_value"])
+        else:
+            eid = int(d["id"])
+        keyed.append((eid, epoch, op, ts, ns, doc_s))
+    return spark.createDataFrame(
+        keyed,
+        "event_id long, epoch int, op string, ts string, ns string, doc string",
+    ).orderBy("event_id")
