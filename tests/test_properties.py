@@ -514,7 +514,7 @@ def test_es_bulk_body_split_laws(ops, max_actions):
 
 # --- CDC parser laws (r14: the wire_sources grade family randomized) ---
 
-_bare_ident = st.text(alphabet="abcdefghijklmnop_", min_size=1, max_size=8).filter(
+_bare_ident = st.text(alphabet="abcdefgh012.9_", min_size=1, max_size=8).filter(
     lambda s: not s[0].isdigit()
 )
 # quoted idents: any printable char except the delimiters the renderer
@@ -720,9 +720,8 @@ def test_binlog_backfill_drift_law(n_cols, extra, vals):
     seq_b=st.integers(1, 10**8),
     pos_a=st.integers(0, 2**31),
     pos_b=st.integers(0, 2**31),
-    width=st.integers(6, 6),
 )
-def test_binlog_offset_rotation_total_order(seq_a, seq_b, pos_a, pos_b, width):
+def test_binlog_offset_rotation_total_order(seq_a, seq_b, pos_a, pos_b):
     """_offset_key orders binlog positions by NUMERIC file suffix then
     position, including the widening past 999999 that wedges a
     lexicographic comparison (mysql-bin.1000000 must sort AFTER
@@ -731,7 +730,7 @@ def test_binlog_offset_rotation_total_order(seq_a, seq_b, pos_a, pos_b, width):
     from transporter_spark.sources.binlog import _offset_key, binlog_offset
 
     def name(seq):
-        return f"mysql-bin.{seq:0{width}d}"  # pads short, widens long
+        return f"mysql-bin.{seq:06d}"  # mysql's width: pads short, widens long
 
     ka = _offset_key(binlog_offset(name(seq_a), pos_a))
     kb = _offset_key(binlog_offset(name(seq_b), pos_b))

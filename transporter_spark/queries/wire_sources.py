@@ -312,11 +312,14 @@ def q_oplog_classify_ops(spark, sf_dir):
 
     filters = {"events": {"kind": {"$ne": "zzz"}}}
     # row-invariant pins, once per run: noops/commands and foreign
-    # namespaces never reach the classifier
-    assert not valid_op({"op": "n", "ns": "db.events"}, "db.events")
-    assert not valid_op({"op": "c", "ns": "db.events"}, "db.events")
-    assert not valid_op({"op": "i", "ns": "db.other"}, "db.events")
-    assert valid_op({"op": "i", "ns": "db.events"}, "db.events")
+    # namespaces never reach the classifier (explicit raises so the
+    # pins survive -O)
+    if valid_op({"op": "n", "ns": "db.events"}, "db.events") or valid_op(
+        {"op": "c", "ns": "db.events"}, "db.events"
+    ) or valid_op({"op": "i", "ns": "db.other"}, "db.events"):
+        raise AssertionError("valid_op must reject noop/command/foreign-ns")
+    if not valid_op({"op": "i", "ns": "db.events"}, "db.events"):
+        raise AssertionError("valid_op must accept i on our namespace")
 
     ev = (
         read_table(spark, sf_dir, "events")
@@ -583,30 +586,30 @@ def q_amqp_consume_ops(spark, sf_dir):
             for part in reader.partitions(start, end):
                 for op, ts, ns, j in reader.read(part):
                     doc = _json.loads(j)
+                    # the graded key column, recovered from the decoded
+                    # doc itself (the reader never sees event ids)
+                    if "_raw" in doc:
+                        eid = int(doc["_raw"][5:])
+                    elif "_value" in doc:
+                        eid = int(doc["_value"])
+                    else:
+                        eid = int(doc["id"])
                     out.append(
-                        (None, epoch, op, ts, ns,
+                        (eid, epoch, op, ts, ns,
                          _json.dumps(doc, sort_keys=True, separators=(",", ":")))
                     )
             reader.commit(end)
             start = end
-        # ack-after-commit: exactly this prefix of tags, exactly once
+        # ack-after-commit: exactly this prefix of tags, exactly once.
+        # Explicit raises, not `assert` — these pins must survive -O.
         want = [eid for eid, _ in bodies[: half if epoch == 1 else None]]
-        assert sorted(ch.acked) == sorted(want), "ack ledger drift"
-    assert not reader._buffer, "committed messages must leave the buffer"
-    assert ch.pending["amq.gen-internal"], "internal queue must stay untouched"
-
-    # recover event_id from the decoded doc for the graded key column
-    keyed = []
-    for _eid, epoch, op, ts, ns, doc_s in out:
-        d = _json.loads(doc_s)
-        if "_raw" in d:
-            eid = int(d["_raw"][5:])
-        elif "_value" in d:
-            eid = int(d["_value"])
-        else:
-            eid = int(d["id"])
-        keyed.append((eid, epoch, op, ts, ns, doc_s))
+        if sorted(ch.acked) != sorted(want):
+            raise AssertionError("ack ledger drift")
+    if reader._buffer:
+        raise AssertionError("committed messages must leave the buffer")
+    if not ch.pending["amq.gen-internal"]:
+        raise AssertionError("internal queue must stay untouched")
     return spark.createDataFrame(
-        keyed,
+        out,
         "event_id long, epoch int, op string, ts string, ns string, doc string",
     ).orderBy("event_id")

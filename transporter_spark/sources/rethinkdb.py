@@ -68,10 +68,14 @@ def classify_change(change: dict) -> Optional[Tuple[str, dict]]:
 
 
 def filter_tables(tables: Sequence[str], ns_pattern: str = ".*") -> List[str]:
-    """TableList() + namespace regex filter (reader.go:83-105): tables
-    not matching are skipped before any read — whole-table pruning."""
+    """TableList() + namespace regex filter (reader.go:81-105): tables
+    not matching are skipped before any read — whole-table pruning.
+    Match semantics are the reference's ``regexp.MatchString``
+    (pipeline/node.go:453) = UNANCHORED search, the same contract
+    ``catalog.expand_namespaces`` implements (property-pinned as plain
+    ``re.search``) — not fullmatch, not prefix."""
     pat = re.compile(ns_pattern)
-    return [t for t in tables if pat.fullmatch(t) or pat.match(t)]
+    return [t for t in tables if pat.search(t)]
 
 
 def scan_rows(
