@@ -737,3 +737,28 @@ def test_binlog_offset_rotation_total_order(seq_a, seq_b, pos_a, pos_b):
     want = ((seq_a, pos_a) > (seq_b, pos_b)) - ((seq_a, pos_a) < (seq_b, pos_b))
     got = (ka > kb) - (ka < kb)
     assert got == want, (ka, kb)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    tables=st.lists(
+        st.text(alphabet="abcuv_0123", min_size=1, max_size=10), max_size=8
+    ),
+    pattern=st.text(alphabet="abcuv.*_", min_size=1, max_size=6),
+)
+def test_filter_tables_is_unanchored_search(tables, pattern):
+    """filter_tables == plain re.search over the listing — the
+    reference's regexp.MatchString namespace semantics
+    (pipeline/node.go:453), the same law expand_namespaces pins.
+    Unanchored: a mid-name match keeps the table; no implicit ^ or $."""
+    import re
+
+    from transporter_spark.sources.rethinkdb import filter_tables
+
+    try:
+        pat = re.compile(pattern)
+    except re.error:
+        return  # strategy can emit invalid regex (e.g. leading '*')
+    assert filter_tables(tables, pattern) == [
+        t for t in tables if pat.search(t)
+    ]
