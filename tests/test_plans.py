@@ -678,15 +678,19 @@ def test_dsir_single_corpus_tokenization_and_broadcast_scores(spark, sf_dir):
 
 def test_kmeans_update_broadcast_assign_tiny_final_agg(spark, sf_dir):
     """Centroid update: centroids broadcast for assignment (never a
-    shuffled join), the per-vector argmin prunes map-side
-    (WindowGroupLimit), and the only exchanges are the per-vector
-    window plus the k x dims final aggregate — both with map-side
-    partial aggregation."""
+    shuffled join), the per-vector argmax is a map-side-combining
+    max(struct) aggregate (r15: replaced the row_number window — the
+    exchange now carries one row per vector instead of one per
+    (vector, centroid) and the per-partition sort is gone), and the
+    only exchanges are that per-vector aggregate plus the k x dims
+    final aggregate — both with partial aggregation."""
     df = QUERIES["kmeans_update"].fn(spark, sf_dir)
     body = explain_str(df).split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in body
     assert "BroadcastNestedLoopJoin" in body and "BuildRight" in body
-    assert "WindowGroupLimit" in body
+    # the argmax must stay an aggregate, never a window/sort shape
+    assert "max(struct(" in body, body
+    assert "Window" not in body, body
     assert body.count("hashpartitioning") <= 2, body
     assert body.count("HashAggregate") >= 2
 
@@ -864,9 +868,28 @@ def test_semdedup_pairs_come_from_cell_equijoin(spark, sf_dir):
     must come from a self equi-join on the cell key (O(n^2/k) — the
     paper's cluster economics), never a cartesian/BNLJ all-pairs pass;
     the only non-equi condition (id < id) rides the cell join as a
-    post-filter. Centroids broadcast on both assignment branches."""
-    df = QUERIES["semdedup_prune"].fn(spark, sf_dir)
-    body = df._jdf.queryExecution().executedPlan().toString()
+    post-filter. Centroids broadcast on both assignment branches.
+
+    r15: the edge join now executes inside the connected-components
+    entry materialization (it is no longer part of the final frame's
+    plan), so the pin inspects the edges subtree the operator builds —
+    `_semdedup_edges` over the same assigned frame — plus the
+    assignment plan itself for the broadcast-centroid contract."""
+    from transporter_spark.operators.similarity import (
+        _semdedup_assign,
+        _semdedup_edges,
+    )
+    from transporter_spark.queries._base import read_table
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    ws = _semdedup_assign(emb, cent, "vec_id", "embedding", 8, 64)
+    edges = _semdedup_edges(ws, 0.3, "vec_id", 8, 64)
+    body = edges._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in body, body
     # the candidate-pair self-join keys on the cell column (equi)
     assert re.search(r"Join \[cell#\d+L?\]", body), body
@@ -875,6 +898,15 @@ def test_semdedup_pairs_come_from_cell_equijoin(spark, sf_dir):
     for line in body.splitlines():
         if "BroadcastNestedLoopJoin" in line:
             assert "BuildRight, Cross" in line, line
+    # the threshold filter must sit ABOVE the join, not inside its
+    # condition (pushed down it is evaluated interpreted per pair)
+    join_lines = [
+        ln for ln in body.splitlines() if "SortMergeJoin" in ln
+        or "ShuffledHashJoin" in ln or "BroadcastHashJoin" in ln
+    ]
+    assert join_lines and not any("round(" in ln for ln in join_lines), (
+        join_lines
+    )
 
 
 def test_pq_search_scans_codes_broadcasts_lut(spark, sf_dir):

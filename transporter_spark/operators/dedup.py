@@ -1041,6 +1041,21 @@ def incremental_simhash_pairs(
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
+def no_pushdown(col: Column) -> Column:
+    """Identity wrapper that stops the optimizer pushing a predicate
+    built on ``col`` below its Project — e.g. into a join CONDITION,
+    where Spark evaluates it with interpreted expression eval per
+    candidate pair instead of in the codegen'd post-join pipeline
+    (measured: the semdedup pair-cosine threshold pushed into the SMJ
+    condition cost ~200us/pair interpreted; kept above the join it
+    whole-stage-codegens). spark_partition_id() is declared
+    non-deterministic, so any expression containing it is ineligible
+    for pushdown; the WHEN branch is always taken (partition ids are
+    >= 0), so the value — and therefore the query result — is
+    unchanged."""
+    return F.when(F.spark_partition_id() >= 0, col)
+
+
 def cosine_expr(a: str, b: str) -> Column:
     """Cosine similarity of two array<double> columns, JVM-side:
     zip_with product + aggregate sum — no Python in the loop."""
@@ -1277,27 +1292,90 @@ def connected_components(
     # synchronous) keeps the pre-partitioned frames and each round's
     # join/agg on the SAME width, so the only per-round exchange stays
     # the groupBy. At cluster scale defaultParallelism = total cores.
-    from transporter_spark.session import scoped_shuffle_partitions
+    from transporter_spark.session import (
+        scoped_confs,
+        scoped_shuffle_partitions,
+    )
 
     spark = edges.sparkSession
     np = spark.sparkContext.defaultParallelism
+    # AQE off inside the loop (r15): both loop frames are pre-hash-
+    # partitioned on their join keys at the scoped width, so the
+    # per-round join plans with NO exchange and the only shuffle is
+    # the fixed-width groupBy — there is nothing for AQE to coalesce,
+    # demote, or skew-split (its skew handling applies to joins with
+    # exchanges, which this loop deliberately has none of). What AQE
+    # DOES add here is a sequential QueryStage materialization + driver
+    # replan per exchange per round — pure latency on an iterative
+    # loop (measured ~3x the round cost at sf0.1, any scale's round
+    # count). Static planning keeps each round one job, one plan.
     with scoped_shuffle_partitions(spark, np):
-        return _cc_loop(sym, vertices, max_iter, reliable_checkpoint)
+        # entry frames materialize EAGERLY and OUTSIDE the AQE-off
+        # scope: their lineage holds the expensive candidate/edge
+        # subtrees (banded joins, pair cosines), which should keep
+        # AQE's coalescing and join demotion
+        sym = _materialize(
+            sym.repartition(F.col("id_b")), reliable_checkpoint
+        )
+        labels0 = _materialize(
+            vertices.select(
+                F.col("id"), F.col("id").alias("component")
+            ).repartition(F.col("id")),
+            reliable_checkpoint,
+        )
+    # Scale-adaptive loop width (r15, guide §2: derive partitioning
+    # from input size, not a constant): label propagation is ~tens of
+    # bytes and ~no CPU per row, so the right width is rows-per-task
+    # sized — a fixed defaultParallelism pays (cores x stages x
+    # rounds) task dispatches even when the whole graph fits one task
+    # (measured ~2s/round of pure dispatch at sf0.1), while one task
+    # per ~1M rows keeps cluster-scale graphs at full parallelism
+    # (width clamps back to defaultParallelism). The two counts are
+    # single cheap jobs over just-checkpointed frames.
+    n_rows = max(sym.count(), labels0.count())
+    width = max(1, min(np, (n_rows + 999_999) // 1_000_000))
+    if width != np:
+        # re-cut at the loop width so every round's join sees both
+        # sides hash-partitioned at shuffle.partitions and plans NO
+        # exchange (the whole point of the pre-partitioning)
+        with scoped_shuffle_partitions(spark, width):
+            sym = _materialize(
+                sym.repartition(width, F.col("id_b")), reliable_checkpoint
+            )
+            labels0 = _materialize(
+                labels0.repartition(width, F.col("id")),
+                reliable_checkpoint,
+            )
+    with scoped_confs(
+        spark,
+        {
+            "spark.sql.shuffle.partitions": width,
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        return _cc_loop(sym, labels0, max_iter, reliable_checkpoint)
 
 
 def _cc_loop(
     sym: DataFrame,
-    vertices: DataFrame,
+    labels: DataFrame,
     max_iter: int,
     reliable_checkpoint: bool,
 ) -> DataFrame:
-    sym = _materialize(sym.repartition(F.col("id_b")), reliable_checkpoint)
-    labels = _materialize(
-        vertices.select(F.col("id"), F.col("id").alias("component")).repartition(
-            F.col("id")
-        ),
-        reliable_checkpoint,
-    )
+    """``sym`` and ``labels`` arrive pre-materialized and pre-hash-
+    partitioned on id_b / id (connected_components does that outside
+    the AQE-off scope)."""
+    # LAZY local checkpoints (r15): the loop is strictly sequential and
+    # every round ends in a counting action anyway, so marking the frame
+    # for checkpoint and letting the convergence count materialize it
+    # runs ONE job per round instead of two (eager checkpoint + count).
+    # Reliable checkpoints stay eager: a lazy rdd.checkpoint() would
+    # re-compute the frame in a second job to write it to storage.
+    def _cut(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return _materialize(df, True)
+        return df.localCheckpoint(eager=False)
+
     changed = 0
     for _ in range(max_iter):
         neighbor_min = (
@@ -1306,7 +1384,8 @@ def _cc_loop(
             .agg(F.min("component").alias("nmin"))
         )
         # carry the change flag through the materialization: convergence
-        # is then a cheap count over the checkpointed frame, not a
+        # is then part of the SAME job that stores the round's frame
+        # (the count computes the lazily-checkpointed RDD), not a
         # second old-vs-new join per round
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
@@ -1321,7 +1400,7 @@ def _cc_loop(
                 ).alias("_changed"),
             )
         )
-        new_labels = _materialize(new_labels, reliable_checkpoint)
+        new_labels = _cut(new_labels)
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:

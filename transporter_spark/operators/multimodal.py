@@ -459,17 +459,23 @@ def image_phash_dedup(
     canonical argmax is one (id, component, byte_len) shuffle plus a
     rank window over star-shaped (small) partitions."""
     from transporter_spark.operators.dedup import (
+        _materialize,
         check_banding,
         connected_components,
     )
 
-    check_banding(bits, bands, max_hamming)  # before the persist job
+    check_banding(bits, bands, max_hamming)  # before the materialize job
     # ONE fingerprint pass (byte_len rides the same staged projection)
     # feeds the banded pairs, the CC vertex set, AND the output's
     # size-proxy column — persisted because Spark plans no CSE across
     # join branches (the r7 broadcast-reuse lesson); the content blobs
     # are scanned exactly once
-    ph = image_phash(df, content_col, id_col, bits, with_len=True).persist()
+    # eager materialize (r15: was .persist()) — same broadcast-race
+    # rationale as video_phash_dedup; the fingerprint pass runs once
+    ph = _materialize(
+        image_phash(df, content_col, id_col, bits, with_len=True),
+        reliable_checkpoint,
+    )
     pairs = _phash_pairs_from_fp(ph, bits, max_hamming, bands, max_bucket)
     comp = connected_components(
         pairs.select("id_a", "id_b"),
@@ -488,9 +494,8 @@ def image_phash_dedup(
         "component",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
-    from transporter_spark.operators.dedup import _attach_cached
-
-    return _attach_cached(out, ph)
+    # ph is localCheckpointed (eager) — nothing persisted to release
+    return out
 
 
 def video_frame_phash(
@@ -540,32 +545,56 @@ def video_frame_phash(
         F.hex(content).alias("_hx"),
         F.octet_length(content).cast("long").alias("byte_len"),
     ).withColumn("byte_len", _hex_pos_guard("byte_len", "video_frame_phash"))
+    # r15: slice each frame's OWN hex window out BEFORE the explode —
+    # the former shape exploded first and carried the whole-blob hex
+    # through every per-frame row (n_frames x blob bytes of string
+    # copying per video through the sampling projections); here the
+    # explode emits (frame_no, frame-slice, frame-len) and each row
+    # carries only its 1/n_frames share. The sampling arithmetic is
+    # unchanged: the global sample position _fs + (i*_fl) div s always
+    # lands inside the frame's [_fs, _fs+_fl) window (max in-frame
+    # offset ((s-1)*_fl) div s <= _fl - 1 for _fl >= 1), so reading
+    # chars (d*2+1, 2) of substr(_hx, _fs*2+1, _fl*2) returns the
+    # identical two hex chars the old global substr read.
+    def _fs(j: int) -> str:
+        return f"(({j} * byte_len) div {n_frames})"
+
+    def _fl(j: int) -> str:
+        return f"((({j} + 1) * byte_len) div {n_frames} - {_fs(j)})"
+
     fr = (
         staged.select(
             "vid",
             "byte_len",
-            "_hx",
             F.explode(
-                F.array(*[F.lit(j).cast("long") for j in range(n_frames)])
-            ).alias("frame_no"),
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).cast("long").alias("frame_no"),
+                            F.expr(
+                                f"substr(_hx, cast({_fs(j)} as int) * 2 + 1, "
+                                f"cast({_fl(j)} as int) * 2)"
+                            ).alias("_fhx"),
+                            F.expr(_fl(j)).alias("_fl"),
+                        )
+                        for j in range(n_frames)
+                    ]
+                )
+            ).alias("f"),
         )
         .select(
             "vid",
             "byte_len",
-            "_hx",
-            "frame_no",
-            F.expr(f"(frame_no * byte_len) div {n_frames}").alias("_fs"),
-            F.expr(
-                f"((frame_no + 1) * byte_len) div {n_frames} "
-                f"- (frame_no * byte_len) div {n_frames}"
-            ).alias("_fl"),
+            F.col("f.frame_no").alias("frame_no"),
+            F.col("f._fhx").alias("_fhx"),
+            F.col("f._fl").alias("_fl"),
         )
         .where(F.col("_fl") > 0)
     )
 
     def sample(i: int):
-        pos = f"cast((_fs + ({i} * _fl) div {s}) as int) * 2 + 1"
-        return F.conv(F.expr(f"substr(_hx, {pos}, 2)"), 16, 10).cast("long")
+        pos = f"cast(({i} * _fl) div {s} as int) * 2 + 1"
+        return F.conv(F.expr(f"substr(_fhx, {pos}, 2)"), 16, 10).cast("long")
 
     smp = fr.select(
         "vid",
@@ -726,7 +755,7 @@ def video_phash_dedup(
     absent from the fingerprint table is PROVABLY empty, since any
     non-empty blob yields at least one non-empty slice)."""
     from transporter_spark.operators.dedup import (
-        _attach_cached,
+        _materialize,
         check_banding,
         connected_components,
     )
@@ -736,10 +765,17 @@ def video_phash_dedup(
             f"vote fraction must satisfy 0 < vote_num <= vote_den, "
             f"got {vote_num}/{vote_den}"
         )
-    check_banding(bits, bands, max_hamming)  # before the persist job
-    fp = video_frame_phash(
-        df, content_col, id_col, n_frames, bits, frame_cap
-    ).persist()
+    check_banding(bits, bands, max_hamming)  # before the materialize job
+    # materialized eagerly (r15: was a lazy .persist()): the banded
+    # pair join, the frame-count aggregate, and the size spine all
+    # consume fp, several of them as concurrently-submitted
+    # broadcast-build jobs — with a lazy cache they raced the empty
+    # cache and EACH recomputed the blob-hex fingerprint pass
+    # (measured ~4x redundant compute per run at sf0.1)
+    fp = _materialize(
+        video_frame_phash(df, content_col, id_col, n_frames, bits, frame_cap),
+        reliable_checkpoint,
+    )
     pairs = _phash_pairs_from_fp(
         fp.select(F.col("fid").alias("id"), "phash"),
         bits, max_hamming, bands, max_bucket,
@@ -770,7 +806,8 @@ def video_phash_dedup(
         "component",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
-    return _attach_cached(out, fp)
+    # fp is localCheckpointed (eager) — nothing persisted to release
+    return out
 
 
 def incremental_video_pairs(
@@ -1051,7 +1088,7 @@ def audio_fingerprint_dedup(
     fingerprint table (a row absent from it has < 2 non-empty
     windows)."""
     from transporter_spark.operators.dedup import (
-        _attach_cached,
+        _materialize,
         check_banding,
         connected_components,
     )
@@ -1062,9 +1099,13 @@ def audio_fingerprint_dedup(
             f"got {vote_num}/{vote_den}"
         )
     check_banding(bits, bands, max_hamming)
-    fp = audio_window_fp(
-        df, content_col, id_col, n_windows, bits, window_cap
-    ).persist()
+    # eager materialize (r15): same multi-consumer broadcast-race as
+    # video_phash_dedup — a lazy persist let concurrent broadcast-build
+    # jobs each recompute the window-fingerprint pass
+    fp = _materialize(
+        audio_window_fp(df, content_col, id_col, n_windows, bits, window_cap),
+        reliable_checkpoint,
+    )
     pairs = _phash_pairs_from_fp(
         fp.select(F.col("wid").alias("id"), F.col("fp").alias("phash")),
         bits,
@@ -1105,7 +1146,8 @@ def audio_fingerprint_dedup(
         "component",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
-    return _attach_cached(out, fp)
+    # fp is localCheckpointed (eager) — nothing persisted to release
+    return out
 
 
 def incremental_audio_pairs(

@@ -68,6 +68,7 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: Optional[int] = None,
+    dims: Optional[int] = None,
 ) -> DataFrame:
     """Assign each corpus vector to its nearest centroid (IVF cell).
 
@@ -81,28 +82,100 @@ def ivf_index(
     cell-asc tiebreak this makes assignments engine- and
     partitioning-invariant — used by the oracle-checked query).
     """
+    return _ivf_assign(
+        corpus, centroids, id_col, vec_col, round_dp, dims
+    ).select(id_col, "vec", "cell")
+
+
+def _ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: Optional[int] = None,
+    dims: Optional[int] = None,
+) -> DataFrame:
+    """`ivf_index` plus the assignment similarity: (id, vec, cell, sim)
+    — one row per corpus vector, `sim` the (rounded) cosine to the
+    chosen centroid. The argmax is a groupBy max(struct) instead of a
+    row_number window (r15): identical selection — the struct orders by
+    (sim, -cell), i.e. sim DESC then cell ASC, over the same rounded
+    sims, and NaN/null field ordering agrees with the window's
+    (desc = NaN first, nulls last; struct max = NaN largest, null
+    field smallest) — but the aggregate combines map-side, so the
+    exchange carries one row per vector instead of one per
+    (vector, centroid), and the per-partition sort disappears.
+
+    Per-side norms are computed ONCE per row / per centroid before the
+    crossJoin (the `semantic_decontaminate` precedent): bit-identical
+    arithmetic — the pair expression is still dot / (na * nb) with
+    na = sqrt(sum(v*v)) — with k-fold fewer norm reductions."""
     cen = centroids.select(
         F.col("centroid_id").alias("cell"),
         F.col("centroid_vec").cast("array<double>").alias("cen_vec"),
-    )
-    sim = cosine_expr("vec", "cen_vec")
+    ).withColumn("_cn", _norm_expr("cen_vec", dims))
+    sim = dot_expr("vec", "cen_vec", dims) / (F.col("_vn") * F.col("_cn"))
     if round_dp is not None:
         sim = F.round(sim, round_dp)
-    scored = corpus.select(
-        F.col(id_col),
-        F.col(vec_col).cast("array<double>").alias("vec"),
-    ).crossJoin(F.broadcast(cen)).select(
+    scored = (
+        corpus.select(
+            F.col(id_col),
+            F.col(vec_col).cast("array<double>").alias("vec"),
+        )
+        .withColumn("_vn", _norm_expr("vec", dims))
+        .crossJoin(F.broadcast(cen))
+        .select(id_col, "vec", "cell", "_vn", sim.alias("sim"))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(
+            F.struct(
+                F.col("sim"),
+                (-F.col("cell")).alias("_nc"),
+                F.col("vec"),
+                F.col("_vn"),
+            )
+        ).alias("_b")
+    )
+    return best.select(
         id_col,
-        "vec",
-        "cell",
-        sim.alias("sim"),
+        F.col("_b.vec").alias("vec"),
+        (-F.col("_b._nc")).alias("cell"),
+        F.col("_b.sim").alias("sim"),
+        F.col("_b._vn").alias("_vn"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("sim"), F.asc("cell"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(id_col, "vec", "cell")
+
+
+def dot_expr(a: str, b: str, dims: Optional[int] = None) -> Column:
+    """JVM-side dot product of two array<double> columns — the shared
+    reduction of `cosine_expr` exposed on its own so callers can hoist
+    the per-side norms out of pair loops (same fold, same order, same
+    doubles).
+
+    ``dims`` (r15): higher-order functions are CodegenFallback —
+    interpreted, ~20us per 64-dim pair — so when the caller KNOWS the
+    vector width it gets an unrolled `0D + a[0]*b[0] + ...` expression
+    instead, which whole-stage codegen compiles (~100x). The unrolled
+    sum is the SAME left fold starting from the same 0D literal —
+    identical IEEE adds in identical order — and it is guarded by a
+    size check per row: any row not exactly ``dims`` wide falls back
+    to the aggregate expression, so results are bit-identical for
+    every input, right or ragged."""
+    slow = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
     )
+    if dims is None:
+        return slow
+    fast = F.lit(0.0)
+    for i in range(dims):
+        fast = fast + F.expr(f"{a}[{i}] * {b}[{i}]")
+    guard = (F.expr(f"size({a})") == dims) & (F.expr(f"size({b})") == dims)
+    return F.when(guard, fast).otherwise(slow)
+
+
+def _norm_expr(col: str, dims: Optional[int] = None) -> Column:
+    """sqrt of the self dot product — the exact per-side factor
+    `cosine_expr` computes inline, hoisted to once per row."""
+    return F.sqrt(dot_expr(col, col, dims))
 
 
 def ann_ivf(
@@ -295,6 +368,7 @@ def semdedup_prune(
     round_dp: Optional[int] = 8,
     max_iter: int = 20,
     reliable_checkpoint: bool = False,
+    dims: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup-style embedding-cluster near-dedup (Abbas et al. 2023,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -321,21 +395,32 @@ def semdedup_prune(
     one (id, component, sim) shuffle — vectors never re-shuffle after
     assignment. ``round_dp`` rounds both the assignment and the pair
     cosines so verdicts are partitioning- and engine-invariant."""
-    from transporter_spark.operators.dedup import _attach_cached
+    from transporter_spark.operators.dedup import _materialize
 
-    # persisted: the assignment (corpus x centroids cross + per-id
-    # window) feeds the self-join's two branches AND the final label
-    # join — Spark plans no CSE across join branches (the same reason
-    # decontaminate persists its word table), so without this the
-    # corpus assignment runs ~3x per call
-    with_sim = _semdedup_assign(
-        corpus, centroids, id_col, vec_col, round_dp
-    ).persist()
-    out = _semdedup_label(
-        with_sim, threshold, id_col, round_dp, max_iter,
+    # materialized (r15: was a lazy .persist()): the assignment feeds
+    # the self-join's two branches AND the final label join — Spark
+    # plans no CSE across join branches — and with a LAZY cache the
+    # concurrently-submitted broadcast-build jobs of those branches
+    # all raced the empty cache and each recomputed the full
+    # assignment (measured: a cold first run cost ~7x the steady
+    # state). The eager cut runs the assignment exactly once.
+    # repartition(defaultParallelism) before the cut: the assignment's
+    # groupBy output is BYTE-tiny relative to the O(n^2/k) pair-cosine
+    # loop it feeds, so AQE's byte-based coalescing collapses it to 1-2
+    # partitions and the pair scoring runs nearly serial (measured: a
+    # 2-task 4s stage at sf0.1). One round-robin pass of (id, vec,
+    # norm) rows is negligible next to the intra-cell pair work at any
+    # scale — the semantic_decontaminate precedent.
+    spark = corpus.sparkSession
+    with_sim = _materialize(
+        _semdedup_assign(corpus, centroids, id_col, vec_col, round_dp, dims)
+        .repartition(spark.sparkContext.defaultParallelism),
         reliable_checkpoint,
     )
-    return _attach_cached(out, with_sim)
+    return _semdedup_label(
+        with_sim, threshold, id_col, round_dp, max_iter,
+        reliable_checkpoint, dims,
+    )
 
 
 def _semdedup_assign(
@@ -344,22 +429,24 @@ def _semdedup_assign(
     id_col: str,
     vec_col: str,
     round_dp: Optional[int],
+    dims: Optional[int] = None,
 ) -> DataFrame:
-    """(id, vec, cell, centroid_sim): every vector with its assigned
-    cell and (rounded) cosine to that cell's centroid — the frame the
-    batch operator and the continuous sink both start from (computed
-    ONCE per epoch there; the sink's standing-set rejection reuses
-    it)."""
-    assigned = ivf_index(corpus, centroids, id_col, vec_col, round_dp)
-    cen = centroids.select(
-        F.col("centroid_id").alias("cell"),
-        F.col("centroid_vec").cast("array<double>").alias("cen_vec"),
-    )
-    sim = cosine_expr("vec", "cen_vec")
-    if round_dp is not None:
-        sim = F.round(sim, round_dp)
-    return assigned.join(F.broadcast(cen), "cell").select(
-        id_col, "vec", "cell", sim.alias("centroid_sim")
+    """(id, vec, cell, centroid_sim, _vn): every vector with its
+    assigned cell and (rounded) cosine to that cell's centroid — the
+    frame the batch operator and the continuous sink both start from
+    (computed ONCE per epoch there; the sink's standing-set rejection
+    reuses it). `_vn` is the row's vector norm, hoisted here so pair
+    scoring downstream (`_semdedup_label`, the sink's standing-set
+    join) never recomputes per-side norms inside the pair loop.
+
+    r15: the assignment similarity rides the `_ivf_assign` argmax
+    directly — the former re-join of the centroid table and second
+    cosine evaluation computed the SAME rounded value the argmax had
+    already produced."""
+    return _ivf_assign(
+        corpus, centroids, id_col, vec_col, round_dp, dims
+    ).select(
+        id_col, "vec", "cell", F.col("sim").alias("centroid_sim"), "_vn"
     )
 
 
@@ -370,30 +457,14 @@ def _semdedup_label(
     round_dp: Optional[int],
     max_iter: int,
     reliable_checkpoint: bool,
+    dims: Optional[int] = None,
 ) -> DataFrame:
     """Component labels + canonical argmax over an assigned frame
     (see `semdedup_prune` for semantics). Callers persist ``with_sim``
     — it is referenced by three join branches."""
     from transporter_spark.operators.dedup import connected_components
 
-    a, b = with_sim.alias("a"), with_sim.alias("b")
-    pcos = cosine_expr("a.vec", "b.vec")
-    if round_dp is not None:
-        pcos = F.round(pcos, round_dp)
-    edges = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            pcos.alias("_c"),
-        )
-        .where(F.col("_c") >= threshold)
-        .select("id_a", "id_b")
-    )
+    edges = _semdedup_edges(with_sim, threshold, id_col, round_dp, dims)
     comp = connected_components(
         edges,
         with_sim.select(F.col(id_col).alias("id")),
@@ -412,6 +483,47 @@ def _semdedup_label(
         "centroid_sim",
         "component",
         (F.row_number().over(w) == 1).alias("is_canonical"),
+    )
+
+
+def _semdedup_edges(
+    with_sim: DataFrame,
+    threshold: float,
+    id_col: str,
+    round_dp: Optional[int],
+    dims: Optional[int] = None,
+) -> DataFrame:
+    """Intra-cell duplicate EDGES over an assigned frame — the scale
+    contract of the family: a self EQUI-join on the cell key
+    (O(n^2/k)), never all-pairs (plan-pinned in tests/test_plans.py).
+    Per-side norms come hoisted from the frame (`_vn`): the pair
+    expression is still dot / (na * nb) — identical doubles, identical
+    order — but the two sqrt reductions run once per ROW instead of
+    once per PAIR (the semantic_decontaminate ~3x lesson). The
+    threshold filter stays ABOVE the join (`no_pushdown`): folded into
+    the SMJ condition the whole pair-cosine would be evaluated with
+    interpreted expression eval per candidate pair (measured 3x)."""
+    from transporter_spark.operators.dedup import no_pushdown
+
+    a, b = with_sim.alias("a"), with_sim.alias("b")
+    pcos = dot_expr("a.vec", "b.vec", dims) / (
+        F.col("a._vn") * F.col("b._vn")
+    )
+    if round_dp is not None:
+        pcos = F.round(pcos, round_dp)
+    return (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            pcos.alias("_c"),
+        )
+        .where(no_pushdown(F.col("_c")) >= threshold)
+        .select("id_a", "id_b")
     )
 
 
@@ -440,7 +552,16 @@ def _sq_l2_fix(a: str, b: str) -> Column:
             f"aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0D, (s, v) -> s + v)"
         )
 
-    l2 = dot(a, a) - 2 * dot(a, b) + dot(b, b)
+    return _l2_fix_from(dot(a, a), dot(a, b), dot(b, b))
+
+
+def _l2_fix_from(aa: Column, ab: Column, bb: Column) -> Column:
+    """The `_sq_l2_fix` fixed-point boundary over already-computed dot
+    products: (aa - 2*ab + bb) evaluated in the SAME association order
+    as the inline form, so callers can hoist the per-side self-dots
+    out of pair loops (computed once per row / once per codebook
+    entry) with bit-identical results."""
+    l2 = aa - 2 * ab + bb
     return (
         (F.round(l2, 6).cast("string").cast("decimal(38,12)") * 1_000_000)
         .cast("long")
@@ -494,6 +615,7 @@ def pq_encode_rows(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     carry: Sequence[str] = (),
+    dims: Optional[int] = None,
 ) -> DataFrame:
     """(id, [carry...], j, code): each vector's m sub-assignments —
     argmin integer-micro L2 to its subquantizer's entries, ties to the
@@ -505,21 +627,41 @@ def pq_encode_rows(
     names extra columns to ride along (e.g. the IVF ``cell`` for the
     residual index — avoids re-joining the assignment)."""
     carry = list(carry)
+    # per-side self-dots hoisted out of the ksub-wide candidate loop
+    # (r15): _aa once per (id, j) slice, _bb once per codebook entry;
+    # the pair expression `_l2_fix_from` keeps the exact inline
+    # association order, so every d2 is bit-identical. ``dims`` is the
+    # FULL vector width; slices are dims div m wide (the `_pq_slices`
+    # guard already enforces divisibility per row).
+    sub = dims // m if dims is not None else None
     sliced = corpus.select(
         F.col(id_col),
         *carry,
         F.posexplode(
             F.expr(_pq_slices(vec_col, m))
         ).alias("j", "svec"),
+    ).withColumn("_aa", dot_expr("svec", "svec", sub))
+    cb = codebooks.withColumn("_bb", dot_expr("cvec", "cvec", sub))
+    scored = sliced.join(F.broadcast(cb), "j").select(
+        id_col,
+        *carry,
+        "j",
+        "code",
+        _l2_fix_from(
+            F.col("_aa"), dot_expr("svec", "cvec", sub), F.col("_bb")
+        ).alias("d2"),
     )
-    scored = sliced.join(F.broadcast(codebooks), "j").select(
-        id_col, *carry, "j", "code", _sq_l2_fix("svec", "cvec").alias("d2")
-    )
-    w = Window.partitionBy(id_col, "j").orderBy(F.asc("d2"), F.asc("code"))
+    # groupBy min(struct) replaces the row_number window (r15): within
+    # an (id, j) group `code` is unique, so min(struct(d2, code)) IS
+    # the (d2 ASC, code ASC) top-1 — but it combines map-side, so the
+    # exchange carries one row per (id, j) instead of ksub rows, and
+    # the per-partition sort disappears. ``carry`` columns are
+    # functionally dependent on id (the IVF cell), so adding them to
+    # the grouping key changes no groups.
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(id_col, *carry, "j", "code")
+        scored.groupBy(id_col, *carry, "j")
+        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("_b"))
+        .select(id_col, *carry, "j", F.col("_b.code").alias("code"))
     )
 
 
@@ -665,6 +807,7 @@ def pq_residual_frame(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: Optional[int] = 8,
+    dims: Optional[int] = None,
 ) -> DataFrame:
     """(id, cell, rvec): each vector's RESIDUAL to its assigned
     centroid (element-wise subtraction — identical IEEE ops on both
@@ -672,7 +815,7 @@ def pq_residual_frame(
     within a cell they are centered near zero, so a shared sub-codebook
     quantizes them far better than raw vectors — the coarse quantizer
     removes the mean, PQ encodes the remainder."""
-    assigned = ivf_index(corpus, centroids, id_col, vec_col, round_dp)
+    assigned = ivf_index(corpus, centroids, id_col, vec_col, round_dp, dims)
     cen = centroids.select(
         F.col("centroid_id").alias("cell"),
         F.col("centroid_vec").cast("array<double>").alias("cen_vec"),
@@ -692,15 +835,19 @@ def ivfpq_residual_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: Optional[int] = 8,
+    dims: Optional[int] = None,
 ) -> DataFrame:
     """(id, cell, j, code): the residual-encoded IVF-PQ index rows —
     ONE corpus pass (assignment + residual + sub-code argmin; the cell
     rides the encode via `carry`, no re-join). Write partitioned by
     cell; ``codebooks`` must live in residual space (build them with
     `pq_codebooks` over `pq_residual_frame` of the seed vectors)."""
-    res = pq_residual_frame(corpus, centroids, id_col, vec_col, round_dp)
+    res = pq_residual_frame(
+        corpus, centroids, id_col, vec_col, round_dp, dims
+    )
     return pq_encode_rows(
-        res, codebooks, m, id_col=id_col, vec_col="rvec", carry=["cell"]
+        res, codebooks, m, id_col=id_col, vec_col="rvec", carry=["cell"],
+        dims=dims,
     )
 
 

@@ -1924,7 +1924,11 @@ def q_ivfpq_refine_topk(spark, sf_dir):
         vn.filter(F.col("vec_id") < 64), centroids, round_dp=8
     )
     cbs = pq_codebooks(seeds, m=8, vec_col="rvec")
-    indexed = ivfpq_residual_index(vn, centroids, cbs, m=8, round_dp=8)
+    # dims=64: the embeddings table is 64-wide — unlocks the unrolled
+    # codegen dot product (size-guarded per row, bit-identical)
+    indexed = ivfpq_residual_index(
+        vn, centroids, cbs, m=8, round_dp=8, dims=64
+    )
     queries = vn.filter(F.col("vec_id") < 10)
     return ivfpq_refine_search(
         indexed, vn, queries, centroids, cbs,
@@ -2059,9 +2063,11 @@ def q_semdedup_prune(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )
-    return semdedup_prune(emb, centroids, threshold=0.3, round_dp=8).orderBy(
-        "vec_id"
-    )
+    # dims=64: embeddings are 64-wide — unrolled codegen dot product
+    # (size-guarded per row, bit-identical)
+    return semdedup_prune(
+        emb, centroids, threshold=0.3, round_dp=8, dims=64
+    ).orderBy("vec_id")
 
 
 @q("stream_semdedup", oracle=_STREAM_SEMDEDUP_ORACLE)

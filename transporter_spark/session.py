@@ -28,6 +28,10 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # (r15 note: a global coalescePartitions.minPartitionSize=64KB was
+    # tried for the CPU-dense embedding stages and REVERTED — it made
+    # every small-shuffle query wider and cost more in task dispatch
+    # than it saved; the codegen'd dot products made it unnecessary.)
     # Keep small-dim joins broadcast (region/nation/customer dims).
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     # Arrow for pandas UDF / mapInPandas / toPandas hops.
@@ -88,6 +92,55 @@ _SCOPE_HOLDERS: dict = {}
 
 def _session_uuid(spark: SparkSession) -> str:
     return spark._jsparkSession.sessionUUID()
+
+
+@contextmanager
+def scoped_confs(spark: SparkSession, confs: dict):
+    """Set several session confs for a synchronous block and restore
+    them on exit — the generalized form of `scoped_shuffle_partitions`
+    (same holder discipline: one thread per session, LIFO nesting
+    allowed, concurrent cross-thread scopes raise)."""
+    key = _session_uuid(spark)
+    me = threading.get_ident()
+    with _SCOPE_LOCK:
+        holder, depth = _SCOPE_HOLDERS.get(key, (None, 0))
+        if holder is not None and holder != me:
+            raise RuntimeError(
+                "concurrent conf scopes on one SparkSession: another "
+                "thread is mid-drain on this session; run concurrent "
+                "drains on spark.newSession() (same SparkContext, "
+                "independent conf) instead"
+            )
+        _SCOPE_HOLDERS[key] = (me, depth + 1)
+
+    def _release() -> None:
+        with _SCOPE_LOCK:
+            holder, depth = _SCOPE_HOLDERS[key]
+            if depth <= 1:
+                del _SCOPE_HOLDERS[key]
+            else:
+                _SCOPE_HOLDERS[key] = (holder, depth - 1)
+
+    before: dict = {}
+    try:
+        for k, v in confs.items():
+            before[k] = spark.conf.get(k)
+            spark.conf.set(k, str(v))
+    except BaseException:
+        try:
+            for k, v in before.items():
+                spark.conf.set(k, v)
+        finally:
+            _release()
+        raise
+    try:
+        yield
+    finally:
+        try:
+            for k, v in before.items():
+                spark.conf.set(k, v)
+        finally:
+            _release()
 
 
 @contextmanager
