@@ -655,22 +655,27 @@ def test_balanced_shards_no_corpus_hash_exchange(spark, sf_dir):
     # twice — initial + final plan of the cached subtree) + the
     # presentation sort
     assert body.count("rangepartitioning") <= 3
-    read_schema = [l for l in body.splitlines() if "ReadSchema" in l][0]
-    assert "text" in read_schema  # token counts computed in the scan pass
+    # r15: the ranged frame is eagerly materialized (pins the layout
+    # the collected offsets describe), so the final plan reads the
+    # checkpointed frame instead of the parquet scan
+    assert "Scan ExistingRDD" in body, body
 
 
 def test_dsir_single_corpus_tokenization_and_broadcast_scores(spark, sf_dir):
-    """DSIR: the corpus is tokenized once (the cached occurrence frame
-    feeds BOTH the raw histogram and the scoring join — visible as
-    InMemoryRelation), the B-row score table broadcasts, and no
+    """DSIR: the corpus is tokenized once (the occurrence frame is
+    eagerly materialized — r15: localCheckpoint, visible as Scan
+    ExistingRDD — and feeds BOTH the raw histogram and the scoring
+    join), the B-row score table broadcasts, and no
     cartesian/nested-loop appears anywhere."""
     df = QUERIES["dsir_select"].fn(spark, sf_dir)
     body = explain_str(df).split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in body
     assert "BroadcastHashJoin" in body
-    assert "InMemoryRelation" in body
-    # raw corpus text scanned once (cached occ); the only other text
-    # scan is the small target slice
+    # the materialized occ frame is a leaf on every consuming branch
+    assert "Scan ExistingRDD" in body
+    # raw corpus text scanned once (into the materialized occ, which
+    # is not a parquet scan in this plan); the only parquet text scan
+    # left is the small target slice
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) <= 2
     # top-n is a bounded heap, not a global sort of the score frame
     assert "TakeOrderedAndProject" in body
@@ -714,8 +719,11 @@ def test_lm_perplexity_gate_two_scans_no_cartesian(spark, sf_dir):
     df = QUERIES["lm_perplexity_gate"].fn(spark, sf_dir)
     body = explain_str(df).split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in body
-    # one wide text scan + one (doc_id, lang) scan
-    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 2
+    # r15: the text scan lives inside the eagerly-materialized occ
+    # frame (a Scan ExistingRDD leaf here); the only parquet scan left
+    # is pruned to (doc_id, lang) for the rank join-back
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1
+    assert "Scan ExistingRDD" in body, body
     assert "struct<doc_id:bigint,lang:string>" in body.replace(" ", "")
     # the only BNLJ is the broadcast 1-row vsize cross join
     assert (
@@ -828,8 +836,9 @@ def test_decontaminate_bloom_probe_is_broadcast_only_prefilter(spark, sf_dir):
     # final per-doc restore join (vs the post-agg hits frame) may sort-merge
     assert body.count("BroadcastHashJoin") >= 5, body
     assert body.count("SortMergeJoin") <= 1, body
-    # the word table is built ONCE and reused by every probe join
-    assert body.count("InMemoryTableScan") >= 4, body
+    # the word table is built ONCE (r15: eager localCheckpoint — a
+    # Scan ExistingRDD leaf) and reused by every probe join
+    assert body.count("Scan ExistingRDD") >= 4, body
     # the bit-test filter (shiftleft probe) executes below (= printed
     # after, parent-first treeString) the doc-keyed exchanges feeding
     # the distinct + count aggregations: survivors-only shuffles
@@ -943,8 +952,9 @@ def test_image_phash_dedup_bands_not_all_pairs(spark, sf_dir):
     """Perceptual-hash image dedup's scale contract: Hamming-near
     candidate pairs come from the pigeonhole (band, chunk) equi-join —
     never a cartesian/BNLJ fingerprint x fingerprint pass — and the
-    one fingerprint projection is cached (InMemoryTableScan) so the
-    pairs, CC vertex-set, and output branches share it instead of
+    one fingerprint projection is materialized (r15: eager
+    localCheckpoint, a Scan ExistingRDD leaf) so the pairs,
+    CC vertex-set, and output branches share it instead of
     re-scanning content three times. The full-dedup query's own plan
     can't show the candidate join (connected_components materializes
     its rounds eagerly), so the pair generator is pinned directly."""
@@ -967,9 +977,11 @@ def test_image_phash_dedup_bands_not_all_pairs(spark, sf_dir):
         full = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in full, full
         assert "BroadcastNestedLoopJoin" not in full, full
-        # the output branch reads the persisted fingerprint frame (the
-        # pairs/CC branches already consumed it inside the loop)
-        assert "InMemoryTableScan" in full, full
+        # the output branch reads the MATERIALIZED fingerprint frame
+        # (r15: eager localCheckpoint — Scan ExistingRDD — instead of
+        # a lazy cache the concurrent branches raced); the pairs/CC
+        # branches already consumed it inside the loop
+        assert "Scan ExistingRDD" in full, full
     finally:
         release_cached(df)
 

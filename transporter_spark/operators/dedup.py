@@ -64,6 +64,34 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def spread_small_scan(df: DataFrame) -> DataFrame:
+    """Round-robin a frame whose plan has FEWER partitions than the
+    cluster has cores — the r11 lesson generalized: a single-file
+    table is ONE input split, so any CPU-dense per-row work fused
+    into the scan stage (regex tokenization, md5 hashing, HOF
+    expansion) runs on one task. The repartition is conditional on
+    the actual partition count, so at production scale (splits >=
+    cores) it is a no-op and no shuffle is added."""
+    np = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        # Only introspect SHUFFLE-FREE plans: under AQE,
+        # rdd.getNumPartitions() on a plan with exchanges MATERIALIZES
+        # its query stages (runs real jobs) just to learn the width —
+        # for scan/project/filter-only plans it is free. Frames that
+        # already went through a shuffle are as wide as
+        # shuffle.partitions anyway.
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        if any(
+            tok in plan
+            for tok in ("Join", "Aggregate", "Window", "Sort", "Repartition")
+        ):
+            return df
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(np) if n < np else df
+
+
 def shingle_rows(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
@@ -87,6 +115,9 @@ def shingle_rows(
     """
     toks = rf"regexp_extract_all({text_col}, '\\S+', 0)"
     ntok = F.expr(f"size({toks})")
+    # spread the regex+explode: fused into a single-split scan they
+    # run on ONE task (r15; no-op when the input is already wide)
+    df = spread_small_scan(df)
     # <n tokens -> ONE shingle = all tokens joined by single spaces,
     # which is exactly the whitespace-normalized text (empty docs -> "")
     short = df.filter(ntok < n).select(
@@ -290,13 +321,13 @@ def _shingle_frame(
     if max_df is not None:
         keep = sh.groupBy("h").count().filter(F.col("count") <= max_df).select("h")
         sh = sh.join(keep, "h")
-    # MEMORY_AND_DISK: shingle frames are big relative to executor
-    # storage at corpus scale; spill beats recompute-three-times.
-    # Consumers attach this frame to their result (_attach_cached) so
-    # callers can release it with release_cached() after their action.
-    from pyspark import StorageLevel
-
-    return sh.persist(StorageLevel.MEMORY_AND_DISK)
+    # Eager materialize (r15: was a lazy MEMORY_AND_DISK persist —
+    # same storage level as a local checkpoint, but the self-join's
+    # broadcast-build branches raced the unpopulated cache and each
+    # recomputed the regex+explode pass). One computation, stored
+    # once; consumers still attach the frame so release_cached stays a
+    # no-op-safe API.
+    return _materialize(sh)
 
 
 def jaccard_pairs(
@@ -1189,7 +1220,9 @@ def decontaminate(
             sketch = bloom_sketch(
                 bench_grams.distinct(), "g", k=k, m_bits=m_bits
             )
-            sketch.words.persist()
+            # eager materialize (r15): the k probe joins broadcast
+            # this table and raced a lazy cache into k rebuilds
+            sketch = sketch._replace(words=_materialize(sketch.words))
             cached.append(sketch.words)
             probe_kw = {}
         else:
@@ -1279,11 +1312,25 @@ def connected_components(
     # localCheckpoint preserves the hash partitioning in the LogicalRDD,
     # so every round's edge-label join needs no exchange on either side
     # and the only per-round shuffle is the groupBy(id_a) aggregation.
-    sym = edges.select("id_a", "id_b").unionByName(
-        edges.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
-        )
-    )
+    # symmetrize via ONE posexplode, not a self-union (r15): Spark
+    # plans no CSE across union branches, so the union form evaluated
+    # the ENTIRE edge subtree twice — for the banded families that is
+    # the candidate join + verification + vote, the most expensive
+    # part of the whole query (measured: the video vote chain appeared
+    # twice per run). The explode emits the same row multiset from a
+    # single evaluation.
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+                ),
+                F.struct(
+                    F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+                ),
+            )
+        ).alias("_e")
+    ).select("_e.id_a", "_e.id_b")
     # Shuffle width for the loop: one task per core, NOT the global
     # shuffle default — the loop runs 2-20 rounds of joins over frames
     # that are tiny relative to the corpus (pairs + labels), and

@@ -685,9 +685,15 @@ def _frame_votes_to_edges(
         "id_a",
         "id_b",
     ).where(F.col("va") != F.col("vb"))
+    # size(collect_set) instead of two countDistincts (r15): the
+    # multi-distinct plan EXPANDs every candidate row 2x and runs a
+    # distinct-group aggregate over the doubled stream; one
+    # ObjectHashAggregate with per-group sets (bounded by frame_cap
+    # members) computes both counts in a single pass. Equivalent for
+    # the never-null fid columns: |collect_set(x)| == countDistinct(x).
     votes = cross.groupBy("va", "vb").agg(
-        F.countDistinct("id_a").alias("ma"),
-        F.countDistinct("id_b").alias("mb"),
+        F.size(F.collect_set("id_a")).cast("long").alias("ma"),
+        F.size(F.collect_set("id_b")).cast("long").alias("mb"),
     )
     side_a = F.lit(vote_den) * F.col("ma") >= F.lit(vote_num) * F.col("nfa")
     side_b = F.lit(vote_den) * F.col("mb") >= F.lit(vote_num) * F.col("nfb")
@@ -772,8 +778,17 @@ def video_phash_dedup(
     # broadcast-build jobs — with a lazy cache they raced the empty
     # cache and EACH recomputed the blob-hex fingerprint pass
     # (measured ~4x redundant compute per run at sf0.1)
+    # stored at one partition per core (r15): fp inherits its input's
+    # partitioning (e.g. a 128-way union of expansion branches), and
+    # every downstream stage over this 46k-row-scale frame paid the
+    # full task-dispatch width; the fingerprint COMPUTE still runs at
+    # the input's width (map side of the repartition), only the stored
+    # frame narrows
+    np = df.sparkSession.sparkContext.defaultParallelism
     fp = _materialize(
-        video_frame_phash(df, content_col, id_col, n_frames, bits, frame_cap),
+        video_frame_phash(
+            df, content_col, id_col, n_frames, bits, frame_cap
+        ).repartition(np),
         reliable_checkpoint,
     )
     pairs = _phash_pairs_from_fp(
@@ -784,7 +799,15 @@ def video_phash_dedup(
     edges = _frame_votes_to_edges(
         pairs, nf, vote_num, vote_den, vote_both, frame_cap
     )
-    all_ids = df.select(F.col(id_col).alias("id"))
+    # materialized id spine (r15): df's lineage is typically an opaque
+    # materialized blob frame (LogicalRDD — NO column pruning), so
+    # every consumer of the spine re-deserialized the full blobs just
+    # to project ids (measured: 2 extra full reads per run). One read,
+    # stored as a KB-scale id frame, feeds the CC vertex set and the
+    # size join.
+    all_ids = _materialize(
+        df.select(F.col(id_col).alias("id")), reliable_checkpoint
+    )
     comp = connected_components(
         edges, all_ids, max_iter=max_iter,
         reliable_checkpoint=reliable_checkpoint,
@@ -1117,24 +1140,30 @@ def audio_fingerprint_dedup(
     edges = _frame_votes_to_edges(
         pairs, nw, vote_num, vote_den, vote_both, window_cap
     )
-    all_ids = df.select(F.col(id_col).alias("id"))
-    comp = connected_components(
-        edges,
-        all_ids,
-        max_iter=max_iter,
-        reliable_checkpoint=reliable_checkpoint,
-    )
     # byte_len from the INPUT, not the fingerprint table: unlike video
     # (where any non-empty blob yields at least one non-empty slice),
     # a 1..n_windows-1-byte blob can have NO adjacent non-empty window
     # pair and so no fingerprint rows — deriving lengths from fp would
     # report 0 for it and diverge from the oracle's octet_length (r11
-    # review; latent on the graded corpus, whose shortest doc is 44 B)
-    sizes = df.select(
-        F.col(id_col).alias("id"),
-        F.octet_length(F.coalesce(F.col(content_col), F.lit(b"")))
-        .cast("long")
-        .alias("byte_len"),
+    # review; latent on the graded corpus, whose shortest doc is 44 B).
+    # Materialized ONCE (r15) and reused as the CC vertex spine too:
+    # sizes covers every input row, so its id column IS all_ids, and
+    # the opaque blob frame is deserialized once instead of twice.
+    sizes = _materialize(
+        df.select(
+            F.col(id_col).alias("id"),
+            F.octet_length(F.coalesce(F.col(content_col), F.lit(b"")))
+            .cast("long")
+            .alias("byte_len"),
+        ),
+        reliable_checkpoint,
+    )
+    all_ids = sizes.select("id")
+    comp = connected_components(
+        edges,
+        all_ids,
+        max_iter=max_iter,
+        reliable_checkpoint=reliable_checkpoint,
     )
     joined = comp.join(sizes, "id")
     w = Window.partitionBy("component").orderBy(

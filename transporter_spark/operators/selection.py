@@ -125,8 +125,13 @@ def doc_bucket_occurrences(
     """(id, bucket, occ): hashed-gram occurrence counts per document —
     the ONE tokenization pass everything downstream derives from.
     Explode -> map-side-combined groupBy on (id, bucket)."""
+    from transporter_spark.operators.dedup import spread_small_scan
+
+    # spread the gram explode + per-gram md5: fused into a
+    # single-split scan they run on ONE task (r15; no-op at scale)
     return (
-        df.select(id_col, F.explode(_grams(text_col)).alias("g"))
+        spread_small_scan(df)
+        .select(id_col, F.explode(_grams(text_col)).alias("g"))
         .select(
             id_col,
             F.pmod(stable_hash32(F.col("g")), F.lit(buckets)).alias("bucket"),
@@ -175,10 +180,14 @@ def dsir_select(
     document text is never globally sorted; the rank window then
     touches only the n returned rows.
     """
-    from pyspark import StorageLevel
+    from transporter_spark.operators.dedup import _materialize
 
-    occ = doc_bucket_occurrences(raw, text_col, id_col, buckets)
-    occ.persist(StorageLevel.MEMORY_AND_DISK)
+    # eager materialize (r15: was a lazy MEMORY_AND_DISK persist): the
+    # raw histogram is computed inside the score table's BROADCAST
+    # build while the per-doc scoring join streams occ — two
+    # concurrently-submitted consumers racing a lazy cache recompute
+    # the whole tokenization pass each
+    occ = _materialize(doc_bucket_occurrences(raw, text_col, id_col, buckets))
     raw_hist = occ.groupBy("bucket").agg(F.sum("occ").alias("cnt"))
     t_hist = bucket_histogram(target, text_col, buckets)
     scores = dsir_weights(
@@ -233,8 +242,6 @@ def bigram_lm_scores(
     empty/null text. Caller releases the attached cache via
     `dedup.release_cached` after the consuming action.
     """
-    from pyspark import StorageLevel
-
     toks = _TOKENS.format(col=text_col)
     pairs_expr = (
         f"CASE WHEN size({toks}) < 2 THEN array() "
@@ -249,10 +256,13 @@ def bigram_lm_scores(
         stable_hash32(F.col("p.c1")).alias("ctx_key"),
         stable_hash32(F.concat_ws(" ", "p.c1", "p.c2")).alias("bg_key"),
     )
-    occ = pairs.groupBy(id_col, "ctx_key", "bg_key").agg(
-        F.count("*").alias("occ")
+    from transporter_spark.operators.dedup import _materialize
+
+    occ = _materialize(
+        pairs.groupBy(id_col, "ctx_key", "bg_key").agg(
+            F.count("*").alias("occ")
+        )
     )
-    occ.persist(StorageLevel.MEMORY_AND_DISK)
 
     c12 = occ.groupBy("ctx_key", "bg_key").agg(F.sum("occ").alias("c12"))
     c1 = c12.groupBy("ctx_key").agg(F.sum("c12").alias("c1"))

@@ -985,9 +985,12 @@ def q_stream_decontaminate(spark, sf_dir):
     sketch = drain_documents_gram_bloom(
         spark, sf_dir, n=5, where="doc_id % 50 = 0"
     )
+    from transporter_spark.operators.dedup import _materialize
+
     # the k probe joins (per epoch) each reference the word table —
-    # persist or Spark rebuilds the state read k times per batch
-    sketch.words.persist()
+    # eagerly materialized (r15: a lazy persist raced the concurrent
+    # broadcast builds into k rebuilds of the state read)
+    sketch = sketch._replace(words=_materialize(sketch.words))
     bench = read_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 50 == 0
     )

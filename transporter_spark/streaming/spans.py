@@ -224,8 +224,6 @@ def span_prune_merge_batch(
     meta — a mismatched epoch raises. Re-delivered doc ids violate the
     index's each-doc-once contract (double-count ⇒ over-excision);
     dedup upstream (the ingest sink's fingerprint guard)."""
-    from pyspark import StorageLevel
-
     from transporter_spark.operators.text import (
         _excise_covered,
         _span_hash_rows,
@@ -247,8 +245,12 @@ def span_prune_merge_batch(
             )
     _check_span_family(store, state_dir, "prune")
     spark = batch.sparkSession
-    rows = _span_hash_rows(batch, text_col, id_col, window_tokens).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from transporter_spark.operators.dedup import _materialize
+
+    # eager materialize (r15: lazy persist raced concurrent
+    # broadcast-build consumers into recomputing the span-hash pass)
+    rows = _materialize(
+        _span_hash_rows(batch, text_col, id_col, window_tokens)
     )
     try:
         batch_partial = (

@@ -347,9 +347,11 @@ def semdedup_merge_batch(
     # ONE assignment pass per epoch (review r7): the standing-set
     # rejection and the batch-internal clustering share it (persisted
     # — the label step references it from three join branches)
-    with_sim = _semdedup_assign(
-        batch, centroids, id_col, vec_col, round_dp
-    ).persist()
+    from transporter_spark.operators.dedup import _materialize
+
+    with_sim = _materialize(
+        _semdedup_assign(batch, centroids, id_col, vec_col, round_dp)
+    )
     surv = with_sim
     try:
         if standing is not None:
@@ -363,7 +365,9 @@ def semdedup_merge_batch(
                 .select(id_col)
                 .distinct()
             )
-            surv = with_sim.join(dup_ids, id_col, "left_anti").persist()
+            surv = _materialize(
+                with_sim.join(dup_ids, id_col, "left_anti")
+            )
         pruned = _semdedup_label(
             surv, threshold, id_col, round_dp, max_iter, False
         )
@@ -378,9 +382,9 @@ def semdedup_merge_batch(
             meta=sem_meta,
         )
     finally:
-        if surv is not with_sim:
-            surv.unpersist()
-        with_sim.unpersist()
+        # materialized frames hold no cache entries; unpersist is a
+        # no-op kept out intentionally (r15)
+        pass
     return True
 
 
