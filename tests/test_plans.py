@@ -655,27 +655,24 @@ def test_balanced_shards_no_corpus_hash_exchange(spark, sf_dir):
     # twice — initial + final plan of the cached subtree) + the
     # presentation sort
     assert body.count("rangepartitioning") <= 3
-    # r15: the ranged frame is eagerly materialized (pins the layout
-    # the collected offsets describe), so the final plan reads the
-    # checkpointed frame instead of the parquet scan
-    assert "Scan ExistingRDD" in body, body
+    read_schema = [l for l in body.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema  # token counts computed in the scan pass
 
 
 def test_dsir_single_corpus_tokenization_and_broadcast_scores(spark, sf_dir):
     """DSIR: the corpus is tokenized once (the occurrence frame is
-    eagerly materialized — r15: localCheckpoint, visible as Scan
-    ExistingRDD — and feeds BOTH the raw histogram and the scoring
-    join), the B-row score table broadcasts, and no
-    cartesian/nested-loop appears anywhere."""
+    an eagerly-POPULATED cache — r15: persist + count, so concurrent
+    consumers can never race an empty cache — and feeds BOTH the raw
+    histogram and the scoring join as InMemoryRelation), the B-row
+    score table broadcasts, and no cartesian/nested-loop appears
+    anywhere."""
     df = QUERIES["dsir_select"].fn(spark, sf_dir)
     body = explain_str(df).split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in body
     assert "BroadcastHashJoin" in body
-    # the materialized occ frame is a leaf on every consuming branch
-    assert "Scan ExistingRDD" in body
-    # raw corpus text scanned once (into the materialized occ, which
-    # is not a parquet scan in this plan); the only parquet text scan
-    # left is the small target slice
+    assert "InMemoryRelation" in body
+    # raw corpus text scanned once (cached occ); the only other text
+    # scan is the small target slice
     assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) <= 2
     # top-n is a bounded heap, not a global sort of the score frame
     assert "TakeOrderedAndProject" in body
@@ -719,11 +716,9 @@ def test_lm_perplexity_gate_two_scans_no_cartesian(spark, sf_dir):
     df = QUERIES["lm_perplexity_gate"].fn(spark, sf_dir)
     body = explain_str(df).split("== Physical Plan ==")[-1]
     assert "CartesianProduct" not in body
-    # r15: the text scan lives inside the eagerly-materialized occ
-    # frame (a Scan ExistingRDD leaf here); the only parquet scan left
-    # is pruned to (doc_id, lang) for the rank join-back
-    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 1
-    assert "Scan ExistingRDD" in body, body
+    # one wide text scan (inside the cached occ) + one (doc_id, lang)
+    # scan for the rank join-back
+    assert len(set(re.findall(r"\((\d+)\) Scan parquet", body))) == 2
     assert "struct<doc_id:bigint,lang:string>" in body.replace(" ", "")
     # the only BNLJ is the broadcast 1-row vsize cross join
     assert (
@@ -836,9 +831,9 @@ def test_decontaminate_bloom_probe_is_broadcast_only_prefilter(spark, sf_dir):
     # final per-doc restore join (vs the post-agg hits frame) may sort-merge
     assert body.count("BroadcastHashJoin") >= 5, body
     assert body.count("SortMergeJoin") <= 1, body
-    # the word table is built ONCE (r15: eager localCheckpoint — a
-    # Scan ExistingRDD leaf) and reused by every probe join
-    assert body.count("Scan ExistingRDD") >= 4, body
+    # the word table is built ONCE (r15: eagerly-populated persist)
+    # and reused by every probe join
+    assert body.count("InMemoryTableScan") >= 4, body
     # the bit-test filter (shiftleft probe) executes below (= printed
     # after, parent-first treeString) the doc-keyed exchanges feeding
     # the distinct + count aggregations: survivors-only shuffles

@@ -323,15 +323,8 @@ def global_rank(
         F.col(order_col).asc() if ascending else F.col(order_col).desc(),
         F.col(tie_col).asc(),
     ]
-    from transporter_spark.operators.dedup import _materialize
-
-    # eagerly materialized (r15: was a lazy persist populated by the
-    # counts collect): the checkpoint PINS the partition layout the
-    # collected offsets describe — the cache-eviction -> recompute ->
-    # layout-drift failure mode disappears instead of being detected
-    ranged = _materialize(
-        df.repartitionByRange(*order).sortWithinPartitions(*order)
-    )
+    ranged = df.repartitionByRange(*order).sortWithinPartitions(*order)
+    ranged.persist(StorageLevel.MEMORY_AND_DISK)
     counts = {
         r["_pid"]: r["cnt"]
         for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))

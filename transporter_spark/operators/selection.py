@@ -180,14 +180,14 @@ def dsir_select(
     document text is never globally sorted; the rank window then
     touches only the n returned rows.
     """
-    from transporter_spark.operators.dedup import _materialize
+    from transporter_spark.operators.dedup import _cached_eager
 
-    # eager materialize (r15: was a lazy MEMORY_AND_DISK persist): the
-    # raw histogram is computed inside the score table's BROADCAST
-    # build while the per-doc scoring join streams occ — two
-    # concurrently-submitted consumers racing a lazy cache recompute
-    # the whole tokenization pass each
-    occ = _materialize(doc_bucket_occurrences(raw, text_col, id_col, buckets))
+    # eagerly-populated persist (r15: was a LAZY persist): the raw
+    # histogram is computed inside the score table's BROADCAST build
+    # while the per-doc scoring join streams occ — two concurrently-
+    # submitted consumers racing a lazy cache recompute the whole
+    # tokenization pass each; the eager count fills the cache once
+    occ = _cached_eager(doc_bucket_occurrences(raw, text_col, id_col, buckets))
     raw_hist = occ.groupBy("bucket").agg(F.sum("occ").alias("cnt"))
     t_hist = bucket_histogram(target, text_col, buckets)
     scores = dsir_weights(
@@ -256,9 +256,11 @@ def bigram_lm_scores(
         stable_hash32(F.col("p.c1")).alias("ctx_key"),
         stable_hash32(F.concat_ws(" ", "p.c1", "p.c2")).alias("bg_key"),
     )
-    from transporter_spark.operators.dedup import _materialize
+    from transporter_spark.operators.dedup import _cached_eager
 
-    occ = _materialize(
+    # eagerly-populated persist (r15): multi-consumer frame — see
+    # doc_bucket_occurrences
+    occ = _cached_eager(
         pairs.groupBy(id_col, "ctx_key", "bg_key").agg(
             F.count("*").alias("occ")
         )

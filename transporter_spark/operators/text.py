@@ -444,10 +444,10 @@ def prune_repeated_spans(
     covered-position rows. Callers free the cached frame with
     ``operators.dedup.release_cached``.
     """
-    from transporter_spark.operators.dedup import _attach_cached, _materialize
+    from transporter_spark.operators.dedup import _attach_cached, _cached_eager
 
-    # eager materialize (r15): multi-consumer frame, see _cc_loop note
-    rows = _materialize(_span_hash_rows(df, text_col, id_col, window_tokens))
+    # eagerly-populated persist (r15): multi-consumer frame
+    rows = _cached_eager(_span_hash_rows(df, text_col, id_col, window_tokens))
     rep = (
         rows.where(F.col("h").isNotNull())
         .groupBy("h")
@@ -576,10 +576,10 @@ def prune_repeated_spans_incremental(
     the batch's own window hashes. Returns (id_col, kept_text) for
     every batch doc. Callers free the cached per-offset frame with
     ``operators.dedup.release_cached``."""
-    from transporter_spark.operators.dedup import _attach_cached, _materialize
+    from transporter_spark.operators.dedup import _attach_cached, _cached_eager
 
-    # eager materialize (r15): multi-consumer frame, see _cc_loop note
-    rows = _materialize(_span_hash_rows(batch, text_col, id_col, window_tokens))
+    # eagerly-populated persist (r15): multi-consumer frame
+    rows = _cached_eager(_span_hash_rows(batch, text_col, id_col, window_tokens))
     batch_df = (
         rows.where(F.col("h").isNotNull())
         .groupBy("h")

@@ -558,12 +558,12 @@ def q_incremental_dedup_exact_bloom(spark, sf_dir):
     )
     new = docs.filter(F.col("doc_id") % 5 == 0).unionByName(reingested)
     idx = fingerprint_index(corpus, ["text"])
-    from transporter_spark.operators.dedup import _materialize
+    from transporter_spark.operators.dedup import _cached_eager
 
     sketch = bloom_sketch(idx, "fp")
-    # eager materialize (r15): the k probe joins broadcast this table
-    # and raced a lazy cache into k rebuilds
-    sketch = sketch._replace(words=_materialize(sketch.words))
+    # eagerly-populated persist (r15): the k probe joins broadcast
+    # this table and raced a lazy cache into k rebuilds
+    sketch = sketch._replace(words=_cached_eager(sketch.words))
     kept = incremental_dedup_exact(new, idx, ["text"], bloom_words=sketch)
     out = kept.select("doc_id").orderBy("doc_id")
     out._ts_cached = [sketch.words]

@@ -985,12 +985,12 @@ def q_stream_decontaminate(spark, sf_dir):
     sketch = drain_documents_gram_bloom(
         spark, sf_dir, n=5, where="doc_id % 50 = 0"
     )
-    from transporter_spark.operators.dedup import _materialize
+    from transporter_spark.operators.dedup import _cached_eager
 
     # the k probe joins (per epoch) each reference the word table —
-    # eagerly materialized (r15: a lazy persist raced the concurrent
-    # broadcast builds into k rebuilds of the state read)
-    sketch = sketch._replace(words=_materialize(sketch.words))
+    # eagerly-populated persist (r15: a LAZY persist raced the
+    # concurrent broadcast builds into k rebuilds of the state read)
+    sketch = sketch._replace(words=_cached_eager(sketch.words))
     bench = read_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 50 == 0
     )
