@@ -459,6 +459,7 @@ def image_phash_dedup(
     canonical argmax is one (id, component, byte_len) shuffle plus a
     rank window over star-shaped (small) partitions."""
     from transporter_spark.operators.dedup import (
+        _cached_eager,
         _materialize,
         check_banding,
         connected_components,
@@ -470,12 +471,18 @@ def image_phash_dedup(
     # size-proxy column — persisted because Spark plans no CSE across
     # join branches (the r7 broadcast-reuse lesson); the content blobs
     # are scanned exactly once
-    # eager materialize (r15: was .persist()) — same broadcast-race
-    # rationale as video_phash_dedup; the fingerprint pass runs once
-    ph = _materialize(
-        image_phash(df, content_col, id_col, bits, with_len=True),
-        reliable_checkpoint,
-    )
+    # eagerly-populated persist (r15: was a LAZY .persist() that the
+    # concurrent broadcast-build branches raced into recomputing the
+    # fingerprint pass) — the count fills the cache before any branch
+    # runs, and identical re-executions reuse it by plan equality
+    if reliable_checkpoint:
+        ph = _materialize(
+            image_phash(df, content_col, id_col, bits, with_len=True), True
+        )
+    else:
+        ph = _cached_eager(
+            image_phash(df, content_col, id_col, bits, with_len=True)
+        )
     pairs = _phash_pairs_from_fp(ph, bits, max_hamming, bands, max_bucket)
     comp = connected_components(
         pairs.select("id_a", "id_b"),
@@ -494,8 +501,11 @@ def image_phash_dedup(
         "component",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
-    # ph is localCheckpointed (eager) — nothing persisted to release
-    return out
+    from transporter_spark.operators.dedup import _attach_cached
+
+    # attach the cached fingerprint frame for release in long-lived
+    # sessions (no-op when reliable_checkpoint routed to a checkpoint)
+    return _attach_cached(out, ph)
 
 
 def video_frame_phash(
@@ -1111,6 +1121,7 @@ def audio_fingerprint_dedup(
     fingerprint table (a row absent from it has < 2 non-empty
     windows)."""
     from transporter_spark.operators.dedup import (
+        _cached_eager,
         _materialize,
         check_banding,
         connected_components,
@@ -1122,13 +1133,21 @@ def audio_fingerprint_dedup(
             f"got {vote_num}/{vote_den}"
         )
     check_banding(bits, bands, max_hamming)
-    # eager materialize (r15): same multi-consumer broadcast-race as
-    # video_phash_dedup — a lazy persist let concurrent broadcast-build
-    # jobs each recompute the window-fingerprint pass
-    fp = _materialize(
-        audio_window_fp(df, content_col, id_col, n_windows, bits, window_cap),
-        reliable_checkpoint,
-    )
+    # eagerly-populated persist (r15): same multi-consumer
+    # broadcast-race as video_phash_dedup — a lazy persist let
+    # concurrent broadcast-build jobs each recompute the
+    # window-fingerprint pass; the eager count fills the cache once
+    if reliable_checkpoint:
+        fp = _materialize(
+            audio_window_fp(
+                df, content_col, id_col, n_windows, bits, window_cap
+            ),
+            True,
+        )
+    else:
+        fp = _cached_eager(
+            audio_window_fp(df, content_col, id_col, n_windows, bits, window_cap)
+        )
     pairs = _phash_pairs_from_fp(
         fp.select(F.col("wid").alias("id"), F.col("fp").alias("phash")),
         bits,
@@ -1175,8 +1194,11 @@ def audio_fingerprint_dedup(
         "component",
         (F.row_number().over(w) == 1).alias("is_canonical"),
     )
-    # fp is localCheckpointed (eager) — nothing persisted to release
-    return out
+    from transporter_spark.operators.dedup import _attach_cached
+
+    # attach the cached fingerprint frame for release in long-lived
+    # sessions (no-op when reliable_checkpoint routed to a checkpoint)
+    return _attach_cached(out, fp)
 
 
 def incremental_audio_pairs(

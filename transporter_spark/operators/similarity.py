@@ -395,15 +395,16 @@ def semdedup_prune(
     one (id, component, sim) shuffle — vectors never re-shuffle after
     assignment. ``round_dp`` rounds both the assignment and the pair
     cosines so verdicts are partitioning- and engine-invariant."""
-    from transporter_spark.operators.dedup import _materialize
+    from transporter_spark.operators.dedup import _cached_eager, _materialize
 
-    # materialized (r15: was a lazy .persist()): the assignment feeds
-    # the self-join's two branches AND the final label join — Spark
-    # plans no CSE across join branches — and with a LAZY cache the
-    # concurrently-submitted broadcast-build jobs of those branches
-    # all raced the empty cache and each recomputed the full
-    # assignment (measured: a cold first run cost ~7x the steady
-    # state). The eager cut runs the assignment exactly once.
+    # eagerly-populated persist (r15: was a LAZY .persist()): the
+    # assignment feeds the self-join's two branches AND the final
+    # label join — Spark plans no CSE across join branches — and with
+    # a LAZY cache the concurrently-submitted broadcast-build jobs of
+    # those branches all raced the empty cache and each recomputed the
+    # full assignment (measured: a cold first run cost ~7x the steady
+    # state). The eager count fills the cache exactly once; identical
+    # re-executions then reuse it by plan equality.
     # repartition(defaultParallelism) before the cut: the assignment's
     # groupBy output is BYTE-tiny relative to the O(n^2/k) pair-cosine
     # loop it feeds, so AQE's byte-based coalescing collapses it to 1-2
@@ -412,15 +413,21 @@ def semdedup_prune(
     # norm) rows is negligible next to the intra-cell pair work at any
     # scale — the semantic_decontaminate precedent.
     spark = corpus.sparkSession
-    with_sim = _materialize(
-        _semdedup_assign(corpus, centroids, id_col, vec_col, round_dp, dims)
-        .repartition(spark.sparkContext.defaultParallelism),
-        reliable_checkpoint,
-    )
-    return _semdedup_label(
+    assigned = _semdedup_assign(
+        corpus, centroids, id_col, vec_col, round_dp, dims
+    ).repartition(spark.sparkContext.defaultParallelism)
+    if reliable_checkpoint:
+        with_sim = _materialize(assigned, True)
+    else:
+        with_sim = _cached_eager(assigned)
+    from transporter_spark.operators.dedup import _attach_cached
+
+    out = _semdedup_label(
         with_sim, threshold, id_col, round_dp, max_iter,
         reliable_checkpoint, dims,
     )
+    # attach the cached assignment for release in long-lived sessions
+    return _attach_cached(out, with_sim)
 
 
 def _semdedup_assign(

@@ -1905,7 +1905,7 @@ def q_ivfpq_refine_topk(spark, sf_dir):
     brute-force truth = 0.90 (graded by `ann_recall_tuned`;
     recall-vs-nprobe curve in SCALE.md — 0.80 / 0.90 / 0.92 at nprobe
     2 / 4 / 8). The oracle replays all three stages end-to-end."""
-    from transporter_spark.operators.dedup import _materialize
+    from transporter_spark.operators.dedup import _cached_eager
     from transporter_spark.operators.similarity import (
         ivfpq_refine_search,
         ivfpq_residual_index,
@@ -1915,11 +1915,12 @@ def q_ivfpq_refine_topk(spark, sf_dir):
     )
 
     emb = read_table(spark, sf_dir, "embeddings")
-    # materialized: vn feeds centroids, codebook seeds, the index
-    # build, the query side, AND the refine corpus — Spark plans no
-    # CSE across join branches (the r7 lesson), so an un-materialized
-    # vn would re-run the normalization pass per branch
-    vn = _materialize(l2_normalize_rows(emb))
+    # eagerly-populated persist (r15: was a localCheckpoint): vn feeds
+    # centroids, codebook seeds, the index build, the query side, AND
+    # the refine corpus — Spark plans no CSE across join branches (the
+    # r7 lesson) — and the deterministic plan lets identical
+    # re-executions reuse the cache
+    vn = _cached_eager(l2_normalize_rows(emb))
     centroids = vn.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
