@@ -1929,10 +1929,12 @@ def q_ivfpq_refine_topk(spark, sf_dir):
         vn.filter(F.col("vec_id") < 64), centroids, round_dp=8
     )
     cbs = pq_codebooks(seeds, m=8, vec_col="rvec")
-    # dims=64: the embeddings table is 64-wide — unlocks the unrolled
-    # codegen dot product (size-guarded per row, bit-identical)
+    # NOT dims=64 (r15 re-measure): the unrolled dot was isolated-A/B'd
+    # at 6 runs each — the size-guarded CASE WHEN keeps the HOF branch
+    # in the tree and bloats codegen; HOF aggregate is faster here
+    # (min 3.86s vs 4.55s with the unroll)
     indexed = ivfpq_residual_index(
-        vn, centroids, cbs, m=8, round_dp=8, dims=64
+        vn, centroids, cbs, m=8, round_dp=8
     )
     queries = vn.filter(F.col("vec_id") < 10)
     return ivfpq_refine_search(
@@ -2068,10 +2070,11 @@ def q_semdedup_prune(spark, sf_dir):
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
     )
-    # dims=64: embeddings are 64-wide — unrolled codegen dot product
-    # (size-guarded per row, bit-identical)
+    # NOT dims=64 (r15 re-measure): isolated A/B at 5 runs each reads
+    # min 2.82s without the unrolled dot vs 3.70s with it — the HOF
+    # aggregate wins once measured alone; see OPTIMIZATION_r15.md
     return semdedup_prune(
-        emb, centroids, threshold=0.3, round_dp=8, dims=64
+        emb, centroids, threshold=0.3, round_dp=8
     ).orderBy("vec_id")
 
 
