@@ -214,7 +214,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
         usage = (
             "usage: offset list|show|mark|delete <checkpoint> "
-            "[batch entries...]"
+            "[batch entries...] [--force]\n"
+            "       (--force comes AFTER the positional args: it is "
+            "parsed from the trailing tokens)"
         )
 
         def _batch_arg():
