@@ -2814,29 +2814,40 @@ def q_video_phash_dedup_hd(spark, sf_dir):
     like: candidate volume tracks true duplication, not fixture
     degeneracy. Oracle replays expansion, slicing, hashing,
     brute-force frame pairs, vote, closure, and canonical argmax."""
-    from transporter_spark.operators.dedup import _materialize
+    from transporter_spark.operators.dedup import no_pushdown
     from transporter_spark.operators.multimodal import video_phash_dedup
 
     docs = read_table(spark, sf_dir, "documents")
-    # materialized: the expansion is the expensive projection and BOTH
-    # branches (originals + copies) consume it — and Catalyst's lambda
-    # binding loses the outer `text` reference when this HOF lineage
-    # is unioned with itself (key-not-found at analysis), so the cut
-    # is load-bearing, not just a CSE win
+    # r15 batch 4: the shared expansion is no longer localCheckpointed.
+    # The former shape materialized ~80MB of expanded strings per run
+    # (3.4s serialize job) and the fingerprint pass then deserialized
+    # it once PER union branch; instead each branch now builds its OWN
+    # expansion expression (the copies re-expand their 1/6 of the docs
+    # — ~0.1s of extra md5 work vs ~3s of serialize + 2x deserialize
+    # saved; measured min 7.72s -> 6.24s isolated, hash MATCH) and the
+    # whole chain pipelines into the fingerprint pass in one stage.
+    # The no_pushdown wrapper is LOAD-BEARING twice over: without the
+    # non-deterministic barrier CollapseProject inlines the HOF into
+    # every downstream reference (re-running the 256-md5 expansion per
+    # reference — HOFs get no codegen CSE) and the inlining is also
+    # exactly what re-triggers Catalyst's lambda-binding bug
+    # ("key not found: text#N" at analysis, reproduced r15).
     # repartition first: the documents table is one small parquet file
     # (one input split), and the 256-md5/row expansion is interpreted
     # HOF work — on a single task it IS the query's wall clock; spread
-    # it across the cluster before paying it
-    src = _materialize(
-        docs.repartition(64).select(
-            "doc_id",
-            F.expr(
-                "array_join(transform(sequence(0, 255), "
-                "i -> md5(concat(text, cast(i as string)))), '')"
-            ).alias("s"),
-        )
+    # it across the cluster before paying it (copies: 1/6 of the rows,
+    # 1/4 of the width)
+    expansion = (
+        "array_join(transform(sequence(0, 255), "
+        "i -> md5(concat(text, cast(i as string)))), '')"
     )
-    copies = src.filter(F.col("doc_id") % 6 == 0).select(
+    originals = docs.repartition(64).select(
+        "doc_id", no_pushdown(F.expr(expansion)).alias("s")
+    )
+    cop = docs.filter(F.col("doc_id") % 6 == 0).repartition(16).select(
+        "doc_id", no_pushdown(F.expr(expansion)).alias("s")
+    )
+    copies = cop.select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.expr(
             "concat(substr(s, 1, cast((2 * length(s)) div 5 as int)), "
@@ -2845,7 +2856,7 @@ def q_video_phash_dedup_hd(spark, sf_dir):
             "substr(s, cast((3 * length(s)) div 5 as int) + 1))"
         ).alias("s"),
     )
-    base = src.unionByName(copies)
+    base = originals.unionByName(copies)
     media = base.select(
         "doc_id", F.encode("s", "utf-8").alias("content")
     )
