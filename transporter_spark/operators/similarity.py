@@ -852,6 +852,18 @@ def ivfpq_residual_index(
     res = pq_residual_frame(
         corpus, centroids, id_col, vec_col, round_dp, dims
     )
+    # repartition(defaultParallelism) between the assignment and the
+    # encode (r15): the residual rows are byte-tiny relative to the
+    # n x m x ksub encode fan-out they feed (three interpreted-HOF dot
+    # products per candidate ~ m*ksub*dims flops per row), so AQE's
+    # byte-based coalescing collapses the post-assignment exchange to
+    # ONE partition and the entire encode runs serial (measured at
+    # sf0.1: a 1.7-2.4s single-task stage per run, 1M-row broadcast
+    # join). One round-robin pass of (id, cell, rvec) rows is
+    # negligible next to the per-row encode work at any scale — the
+    # semdedup-assignment precedent.
+    spark = corpus.sparkSession
+    res = res.repartition(spark.sparkContext.defaultParallelism)
     return pq_encode_rows(
         res, codebooks, m, id_col=id_col, vec_col="rvec", carry=["cell"],
         dims=dims,
