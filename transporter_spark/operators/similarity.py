@@ -145,7 +145,9 @@ def _ivf_assign(
     )
 
 
-def dot_expr(a: str, b: str, dims: Optional[int] = None) -> Column:
+def dot_expr(
+    a: str, b: str, dims: Optional[int] = None, strict: bool = False
+) -> Column:
     """JVM-side dot product of two array<double> columns — the shared
     reduction of `cosine_expr` exposed on its own so callers can hoist
     the per-side norms out of pair loops (same fold, same order, same
@@ -154,12 +156,25 @@ def dot_expr(a: str, b: str, dims: Optional[int] = None) -> Column:
     ``dims`` (r15): higher-order functions are CodegenFallback —
     interpreted, ~20us per 64-dim pair — so when the caller KNOWS the
     vector width it gets an unrolled `0D + a[0]*b[0] + ...` expression
-    instead, which whole-stage codegen compiles (~100x). The unrolled
-    sum is the SAME left fold starting from the same 0D literal —
-    identical IEEE adds in identical order — and it is guarded by a
-    size check per row: any row not exactly ``dims`` wide falls back
-    to the aggregate expression, so results are bit-identical for
-    every input, right or ragged."""
+    instead, which whole-stage codegen compiles. The unrolled sum is
+    the SAME left fold starting from the same 0D literal — identical
+    IEEE adds in identical order — guarded by a per-row size check.
+
+    ``strict`` (r15 batch 6) picks what the guard's ELSE branch does:
+
+    - strict=False: fall back to the aggregate expression — results are
+      bit-identical for every input, right or ragged. RETRACTED for the
+      hot paths: the HOF fallback is a CodegenFallback child inside
+      every CaseWhen, so the whole conditional is planned interpreted
+      and the tree bloats — measured net LOSS on every query it
+      touched (see OPTIMIZATION_r15.md "dims unroll retraction").
+    - strict=True: raise_error per row — the geometry-guard posture of
+      `_pq_slices`/the sketch family. No HOF child anywhere in the
+      tree, so whole-stage codegen compiles the unrolled sum. Callers
+      assert the corpus width is fixed (the PQ family already enforces
+      divisibility per row and the repo's embedding tables are
+      constant-width); a ragged row fails loud instead of silently
+      computing at a different width."""
     slow = F.expr(
         f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
     )
@@ -169,6 +184,12 @@ def dot_expr(a: str, b: str, dims: Optional[int] = None) -> Column:
     for i in range(dims):
         fast = fast + F.expr(f"{a}[{i}] * {b}[{i}]")
     guard = (F.expr(f"size({a})") == dims) & (F.expr(f"size({b})") == dims)
+    if strict:
+        err = F.expr(
+            f"raise_error(concat('dot_expr: expected width {dims}, got ', "
+            f"cast(size({a}) as string), '/', cast(size({b}) as string)))"
+        ).cast("double")
+        return F.when(guard, fast).otherwise(err)
     return F.when(guard, fast).otherwise(slow)
 
 
@@ -623,23 +644,46 @@ def pq_encode_rows(
     vec_col: str = "embedding",
     carry: Sequence[str] = (),
     dims: Optional[int] = None,
+    strict: bool = False,
 ) -> DataFrame:
     """(id, [carry...], j, code): each vector's m sub-assignments —
     argmin integer-micro L2 to its subquantizer's entries, ties to the
-    smallest code (total, reproducible). ONE corpus scan: slices come
-    from a posexplode, the codebook table (m x ksub rows) is
-    broadcast, and the per-(id, j) argmin is a window over ksub rows.
+    smallest code (total, reproducible). ONE corpus scan and ZERO
+    exchanges: slices come from a posexplode, the codebook arrives as
+    ONE broadcast row per subquantizer (its ksub entries packed into a
+    code-sorted array), and the per-slice argmin is evaluated row-local
+    as array_min(transform(entries, e -> struct(d2, code))).code.
     This row form IS the searchable index (`pq_search` consumes it);
     `pq_encode` packs it to one codes-array row per vector. ``carry``
     names extra columns to ride along (e.g. the IVF ``cell`` for the
-    residual index — avoids re-joining the assignment)."""
+    residual index — avoids re-joining the assignment).
+
+    Shape history (r15): a row_number window over the n x m x ksub
+    candidate fan-out, then a groupBy min(struct(d2, code)) argmin
+    (map-side combine, exchange of one row per slice), now the
+    row-local HOF argmin: the fan-out never becomes rows at all, so
+    the per-partition SORT of n*m*ksub candidate rows (min(struct) is
+    not hash-aggregable — Spark planned a SortAggregate) and the
+    aggregation exchange disappear with it. array_min over
+    struct(d2, code) is the same (d2 ASC, code ASC) total order as
+    min(struct(d2, code)) — entries are code-unique, so the tiebreak
+    is identical — and every d2 is the same `_l2_fix_from` fixed-point
+    over the same hoisted self-dots (_aa per slice, _bb per codebook
+    entry) with the same HOF ab fold: bit-identical selections
+    (verified: scripts/ab_r15.py ivfpq_argmin_hof — identical result
+    sets at sf0.1, old vs new, plus DuckDB oracle sim green on all 8
+    PQ-family queries). Local timings read at parity (min 2.16s old
+    vs 1.98s new on ivfpq_refine_topk; the occasional 15s outlier was
+    observed on BOTH shapes — host scheduling, not the plan); the win
+    is structural and scales: one Exchange + one per-partition Sort
+    of the n*m*ksub candidate rows gone from every encode."""
     carry = list(carry)
     # per-side self-dots hoisted out of the ksub-wide candidate loop
     # (r15): _aa once per (id, j) slice, _bb once per codebook entry;
-    # the pair expression `_l2_fix_from` keeps the exact inline
-    # association order, so every d2 is bit-identical. ``dims`` is the
-    # FULL vector width; slices are dims div m wide (the `_pq_slices`
-    # guard already enforces divisibility per row).
+    # the pair expression keeps the exact inline association order
+    # ((aa - 2*ab) + bb), so every d2 is bit-identical. ``dims`` is
+    # the FULL vector width; slices are dims div m wide (the
+    # `_pq_slices` guard already enforces divisibility per row).
     sub = dims // m if dims is not None else None
     sliced = corpus.select(
         F.col(id_col),
@@ -647,28 +691,32 @@ def pq_encode_rows(
         F.posexplode(
             F.expr(_pq_slices(vec_col, m))
         ).alias("j", "svec"),
-    ).withColumn("_aa", dot_expr("svec", "svec", sub))
-    cb = codebooks.withColumn("_bb", dot_expr("cvec", "cvec", sub))
-    scored = sliced.join(F.broadcast(cb), "j").select(
+    ).withColumn("_aa", dot_expr("svec", "svec", sub, strict))
+    cbarr = (
+        codebooks.withColumn("_bb", dot_expr("cvec", "cvec", sub, strict))
+        .groupBy("j")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("code", "cvec", "_bb"))
+            ).alias("entries")
+        )
+    )
+    # the lambda-side d2 is textually the same fixed-point boundary as
+    # `_l2_fix_from` (round 6dp -> string -> DECIMAL(38,12) * 1e6 ->
+    # BIGINT) over the same HOF ab fold — keep the two in sync
+    d2 = (
+        "cast(cast(cast(round((_aa - 2 * aggregate(zip_with(svec, e.cvec, "
+        "(x, y) -> x * y), 0D, (s, v) -> s + v)) + e._bb, 6) as string) "
+        "as decimal(38,12)) * 1000000 as bigint)"
+    )
+    return sliced.join(F.broadcast(cbarr), "j").select(
         id_col,
         *carry,
         "j",
-        "code",
-        _l2_fix_from(
-            F.col("_aa"), dot_expr("svec", "cvec", sub), F.col("_bb")
-        ).alias("d2"),
-    )
-    # groupBy min(struct) replaces the row_number window (r15): within
-    # an (id, j) group `code` is unique, so min(struct(d2, code)) IS
-    # the (d2 ASC, code ASC) top-1 — but it combines map-side, so the
-    # exchange carries one row per (id, j) instead of ksub rows, and
-    # the per-partition sort disappears. ``carry`` columns are
-    # functionally dependent on id (the IVF cell), so adding them to
-    # the grouping key changes no groups.
-    return (
-        scored.groupBy(id_col, *carry, "j")
-        .agg(F.min(F.struct(F.col("d2"), F.col("code"))).alias("_b"))
-        .select(id_col, *carry, "j", F.col("_b.code").alias("code"))
+        F.expr(
+            f"array_min(transform(entries, e -> named_struct("
+            f"'d2', {d2}, 'code', e.code))).code"
+        ).alias("code"),
     )
 
 
@@ -843,6 +891,7 @@ def ivfpq_residual_index(
     vec_col: str = "embedding",
     round_dp: Optional[int] = 8,
     dims: Optional[int] = None,
+    encode_dims: Optional[int] = None,
 ) -> DataFrame:
     """(id, cell, j, code): the residual-encoded IVF-PQ index rows —
     ONE corpus pass (assignment + residual + sub-code argmin; the cell
@@ -864,9 +913,20 @@ def ivfpq_residual_index(
     # semdedup-assignment precedent.
     spark = corpus.sparkSession
     res = res.repartition(spark.sparkContext.defaultParallelism)
+    # encode_dims (r15 batch 6): strict-unrolled dots for the encode's
+    # n x m x ksub candidate scoring — MEASURED NET LOSS, no caller
+    # passes it (scripts/ab_r15.py ivfpq_encode_unroll, same-session
+    # alternating pairs: HOF 2.40s vs strict unroll 3.05s on the full
+    # refine query). Even WITHOUT the retracted form's HOF fallback
+    # branch (here the ELSE is a raise_error, so whole-stage codegen
+    # does compile the 8-term sums), the codegen'd unroll is slower
+    # than the interpreted HOF aggregate at slice width — the r15
+    # retraction's conclusion holds unconditionally. Kept as
+    # documented plumbing so the A/B stays reproducible.
     return pq_encode_rows(
         res, codebooks, m, id_col=id_col, vec_col="rvec", carry=["cell"],
-        dims=dims,
+        dims=encode_dims if encode_dims is not None else dims,
+        strict=encode_dims is not None,
     )
 
 
