@@ -119,6 +119,29 @@ def test_connected_components_raises_on_nonconvergence(spark):
     assert set(comp.values()) == {0}
 
 
+def test_connected_components_round_budget_exact_under_fusion(spark):
+    """The 2-rounds-per-job fusion must not change the max_iter
+    contract: a path whose farthest vertex needs R propagation rounds
+    (plus the no-change certificate round) still raises at max_iter=R
+    and converges at max_iter=R+1 — the fused loop may not over- or
+    under-spend the round budget, only batch its convergence checks."""
+    from transporter_spark.operators.dedup import connected_components
+
+    # path 0-1-2-3: the min label reaches vertex 3 in round 3; round 4
+    # is the zero-change certificate
+    chain = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(4)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, vertices, max_iter=3)
+    comp = {
+        r.id: r.component
+        for r in connected_components(chain, vertices, max_iter=4).collect()
+    }
+    assert set(comp.values()) == {0}
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """Storage-backed lineage cuts (executor-loss durability at cluster
     scale) must produce identical components to the local fast path."""

@@ -1312,15 +1312,25 @@ def connected_components(
     edges: (id_a, id_b) undirected; vertices: (id). Returns
     (id, component) where component = min id reachable. Iterative —
     each round every vertex adopts the min label among itself and its
-    neighbors; converges in O(graph diameter) rounds, each round one
-    join + one aggregation. Lineage is cut per round (the standard
-    iterative-Spark pattern; same reason GraphX checkpoints).
+    neighbors (one join + one aggregation); converges in O(graph
+    diameter) rounds. The loop runs TWO rounds per Spark job (r15):
+    convergence only needs the certificate that SOME round changed
+    nothing, so the driver checks every second round — half the
+    job/barrier dispatches and half the lineage cuts for every CC
+    consumer, at a worst-case overshoot of one no-op round on an
+    already-converged label frame. Lineage is cut per job (the
+    standard iterative-Spark pattern; same reason GraphX checkpoints).
 
     Dedup graphs are near-degenerate (tiny stars around a canonical
-    doc), so the loop usually converges in 2-3 rounds regardless of
-    corpus size. A chain longer than max_iter hops would NOT converge —
-    the loop raises rather than silently splitting one cluster into
-    several (which would keep extra near-copies).
+    doc), so the loop usually converges in 2-3 rounds (1-2 jobs)
+    regardless of corpus size; measured at sf0.1 the semantic-cell
+    graphs are the exception (semdedup: 8 rounds = 4 jobs). A graph
+    still unconverged after max_iter rounds raises rather than
+    silently splitting one cluster into several (which would keep
+    extra near-copies). (Pointer jumping — label(label(v)) — was
+    measured this round and dropped: min-label jump targets carry no
+    doubling guarantee, 8 -> 7 rounds on the semdedup graph, and
+    fusion already halves its job count.)
 
     reliable_checkpoint=True cuts lineage to storage instead of
     executor memory (set spark.sparkContext.setCheckpointDir first):
@@ -1432,9 +1442,9 @@ def _cc_loop(
     partitioned on id_b / id (connected_components does that outside
     the AQE-off scope)."""
     # LAZY local checkpoints (r15): the loop is strictly sequential and
-    # every round ends in a counting action anyway, so marking the frame
+    # every job ends in a counting action anyway, so marking the frame
     # for checkpoint and letting the convergence count materialize it
-    # runs ONE job per round instead of two (eager checkpoint + count).
+    # runs ONE job per step instead of two (eager checkpoint + count).
     # Reliable checkpoints stay eager: a lazy rdd.checkpoint() would
     # re-compute the frame in a second job to write it to storage.
     def _cut(df: DataFrame) -> DataFrame:
@@ -1442,33 +1452,58 @@ def _cc_loop(
             return _materialize(df, True)
         return df.localCheckpoint(eager=False)
 
-    changed = 0
-    for _ in range(max_iter):
+    spark = labels.sparkSession
+    # the caller scopes shuffle.partitions to the loop width
+    width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def _one_round(cur: DataFrame) -> DataFrame:
         neighbor_min = (
-            sym.join(labels, sym.id_b == labels.id)
+            sym.join(cur, sym.id_b == cur.id)
             .groupBy("id_a")
             .agg(F.min("component").alias("nmin"))
         )
-        # carry the change flag through the materialization: convergence
-        # is then part of the SAME job that stores the round's frame
-        # (the count computes the lazily-checkpointed RDD), not a
-        # second old-vs-new join per round
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.id_a, "left")
-            .select(
-                labels.id,
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
-                ).alias("component"),
-                (
-                    F.coalesce(F.col("nmin"), F.col("component"))
-                    < F.col("component")
-                ).alias("_changed"),
-            )
+        return cur.join(
+            neighbor_min, cur.id == neighbor_min.id_a, "left"
+        ).select(
+            cur.id,
+            F.least(
+                F.col("component"),
+                F.coalesce(F.col("nmin"), F.col("component")),
+            ).alias("component"),
+            (
+                F.coalesce(F.col("nmin"), F.col("component"))
+                < F.col("component")
+            ).alias("_changed"),
         )
-        new_labels = _cut(new_labels)
-        changed = new_labels.filter(F.col("_changed")).count()
-        labels = new_labels.drop("_changed")
+
+    # TWO propagation rounds per job (r15): convergence needs only the
+    # certificate that SOME round changed nothing (min-label updates
+    # are monotone, so a zero-change round == the unique fixed point,
+    # no matter what the previous sub-round did), so the driver checks
+    # every SECOND round: half the job dispatches, driver round-trips
+    # and lineage cuts per CC call, for a worst-case overshoot of one
+    # no-op round over an already-converged (vertex-count-sized) label
+    # frame. The intra-job intermediate frame feeds two consumers (the
+    # edge join and the next round's left-join base); the explicit
+    # repartition pins an Exchange there, which the two consumers
+    # share via ReusedExchange — the sub-round is evaluated ONCE (the
+    # same no-CSE-across-branches trap the sym self-union hit; an
+    # unexchanged intermediate would be pipelined into, and recomputed
+    # by, both consumer stages). The change flag still rides the
+    # materialization: the convergence count is part of the same job
+    # that stores the job's final frame.
+    changed = 0
+    rounds = 0
+    while rounds < max_iter:
+        stepped = _one_round(labels)
+        rounds += 1
+        if rounds < max_iter:
+            mid = stepped.drop("_changed").repartition(width, F.col("id"))
+            stepped = _one_round(mid)
+            rounds += 1
+        stepped = _cut(stepped)
+        changed = stepped.filter(F.col("_changed")).count()
+        labels = stepped.drop("_changed")
         if changed == 0:
             break
     if changed != 0:
