@@ -61,7 +61,15 @@ def bucket_histogram(
 ) -> DataFrame:
     """(bucket, cnt) histogram of hashed unigram+bigram occurrences.
     One explode + map-side-combined groupBy on ``buckets`` keys."""
-    g = df.select(F.explode(_grams(text_col)).alias("g"))
+    from transporter_spark.operators.dedup import spread_small_scan
+
+    # spread the gram explode + per-gram md5 (r15, the
+    # doc_bucket_occurrences fix applied here too): fused into a
+    # single-split scan they run on ONE task — measured 1.56s of
+    # dsir_select's 2.7s steady state was this pass serialized on one
+    # core (the "target is small" assumption priced the DATA, not the
+    # per-gram hash CPU). No-op at production split counts.
+    g = spread_small_scan(df).select(F.explode(_grams(text_col)).alias("g"))
     return (
         g.select(F.pmod(stable_hash32(F.col("g")), F.lit(buckets)).alias("bucket"))
         .groupBy("bucket")
