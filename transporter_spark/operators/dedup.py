@@ -541,6 +541,16 @@ def band_index(
             "ragged band split silently ignores the trailing hashes"
         )
     r = num_hashes // bands
+    # r15 note: AQE's 1MB minPartitionSize floor coalesces the stage
+    # that reads the shingle window's exchange (hash + 64 products per
+    # shingle — the CPU-dense part of the signature build) to 3 tasks
+    # at sf0.1. A 64KB floor SCOPED to this materialization was built
+    # and A/B-measured (alternating, one session): parity — the wider
+    # stage's 32 task dispatches cost exactly what the CPU spread
+    # saves on this host (the batch-1 session-default revert's lesson,
+    # reproduced per-site), so it was retracted. Inert at scale either
+    # way: shuffle bytes / parallelism exceeds the 1MB floor long
+    # before 100 TB and AQE picks full width on its own.
     sig = _materialize(
         minhash_signatures(df, text_col, id_col, n, num_hashes, seed, portable),
         reliable_checkpoint,
