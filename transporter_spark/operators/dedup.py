@@ -83,7 +83,17 @@ def spread_small_scan(df: DataFrame) -> DataFrame:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         if any(
             tok in plan
-            for tok in ("Join", "Aggregate", "Window", "Sort", "Repartition")
+            for tok in (
+                "Join",
+                "Aggregate",
+                "Window",
+                "Sort",
+                "Repartition",
+                # Limit plans exchange to a single partition, so
+                # getNumPartitions() under AQE would materialize query
+                # stages (run the scan) just to learn the width
+                "Limit",
+            )
         ):
             return df
         n = df.rdd.getNumPartitions()

@@ -36,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from transporter_spark.operators.dedup import _attach_cached, stable_hash32
+from transporter_spark.operators.dedup import (
+    _attach_cached,
+    spread_small_scan,
+    stable_hash32,
+)
 from transporter_spark.operators.text import _TOKENS
 
 _SCALE = 1_000_000_000  # parts-per-1e9 fixed point
@@ -56,13 +60,18 @@ def _grams(text_col: str) -> F.Column:
     return F.expr(f"concat({toks}, {bi})")
 
 
+def _bucket_of(gram: F.Column, buckets: int) -> F.Column:
+    """Gram -> bucket id. The ONE definition of DSIR's bucketing —
+    the target histogram and the per-doc occurrence table must hash
+    identically or the scoring join silently desynchronizes."""
+    return F.pmod(stable_hash32(gram), F.lit(buckets))
+
+
 def bucket_histogram(
     df: DataFrame, text_col: str = "text", buckets: int = 1024
 ) -> DataFrame:
     """(bucket, cnt) histogram of hashed unigram+bigram occurrences.
     One explode + map-side-combined groupBy on ``buckets`` keys."""
-    from transporter_spark.operators.dedup import spread_small_scan
-
     # spread the gram explode + per-gram md5 (r15, the
     # doc_bucket_occurrences fix applied here too): fused into a
     # single-split scan they run on ONE task — measured 1.56s of
@@ -71,7 +80,7 @@ def bucket_histogram(
     # per-gram hash CPU). No-op at production split counts.
     g = spread_small_scan(df).select(F.explode(_grams(text_col)).alias("g"))
     return (
-        g.select(F.pmod(stable_hash32(F.col("g")), F.lit(buckets)).alias("bucket"))
+        g.select(_bucket_of(F.col("g"), buckets).alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
@@ -133,17 +142,12 @@ def doc_bucket_occurrences(
     """(id, bucket, occ): hashed-gram occurrence counts per document —
     the ONE tokenization pass everything downstream derives from.
     Explode -> map-side-combined groupBy on (id, bucket)."""
-    from transporter_spark.operators.dedup import spread_small_scan
-
     # spread the gram explode + per-gram md5: fused into a
     # single-split scan they run on ONE task (r15; no-op at scale)
     return (
         spread_small_scan(df)
         .select(id_col, F.explode(_grams(text_col)).alias("g"))
-        .select(
-            id_col,
-            F.pmod(stable_hash32(F.col("g")), F.lit(buckets)).alias("bucket"),
-        )
+        .select(id_col, _bucket_of(F.col("g"), buckets).alias("bucket"))
         .groupBy(id_col, "bucket")
         .agg(F.count("*").alias("occ"))
     )
