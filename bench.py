@@ -62,11 +62,11 @@ def main() -> None:
         return best, n, runs
 
     def _floors():
-        """Control floors from BENCH_FLOORS.md's table (best-effort:
-        the adjudication protocol lives there; this just mirrors the
-        three control rows into the bench JSON so a judge reads
-        host-noise calibration from ONE artifact — VERDICT r13
-        item 8)."""
+        """Per-query floors from BENCH_FLOORS.md's table (best-effort:
+        the adjudication protocol lives there; this mirrors the floor
+        column into the bench JSON so a judge reads host-noise
+        calibration from ONE artifact — VERDICT r13 item 8 — and so
+        the post-suite re-time below can rank outliers)."""
         floors = {}
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_FLOORS.md")
@@ -74,7 +74,7 @@ def main() -> None:
             with open(path) as f:
                 for line in f:
                     parts = [p.strip() for p in line.split("|")]
-                    if len(parts) >= 3 and parts[1] in CONTROLS:
+                    if len(parts) >= 3:
                         try:
                             floors[parts[1]] = float(parts[2])
                         except ValueError:
@@ -125,6 +125,28 @@ def main() -> None:
         print(f"{name}: {best:.2f}s ({n} rows, {runs} runs)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Post-suite re-time of the 3 worst floor-relative outliers
+    # (VERDICT r15 "What's wrong" 2, additions-only): a hot host phase
+    # at one point in the suite can write a 5-10x row into the round's
+    # record for whichever queries ran during it; re-timing the
+    # outliers once at the END of the suite (warmest JVM, different
+    # host moment) gives the adjudicator a same-artifact second sample.
+    # The `queries` values above are NEVER overwritten — `retimed` is
+    # a separate key.
+    retimed = {}
+    ratios = sorted(
+        (
+            (timings[n] / control_floors[n], n)
+            for n in timings
+            if control_floors.get(n)
+        ),
+        reverse=True,
+    )
+    for _ratio, name in ratios[:3]:
+        best, _n, _runs = timed_min(headline[name])
+        retimed[name] = round(best, 3)
+        print(f"retimed {name}: {best:.2f}s (suite read "
+              f"{timings[name]:.2f}s)", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -133,6 +155,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "controls": controls,
+                "retimed": retimed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

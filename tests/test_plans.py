@@ -1186,3 +1186,46 @@ def test_unigram_encode_ids_only_shuffles_broadcast_joins(spark, sf_dir):
         seg = plan[m.start() : m.start() + 400]
         assert "text#" not in seg, seg
     assert "hashpartitioning(doc_id" in body, body
+
+
+def test_spread_small_scan_decisions(spark, sf_dir):
+    """Pin the structural allowlist walk behind spread_small_scan
+    (r16, VERDICT r15 item 5 — it replaced a substring denylist over
+    plan.toString()): the decision on each representative shape must
+    not drift when Spark renames plan nodes. A drift shows up here as
+    either (a) a narrow scan no longer widened — the walk stopped
+    recognizing LogicalRelation/Project/Filter/Generate — or (b) a
+    shuffled frame suddenly introspected (dangerous under AQE: width
+    introspection on exchange-bearing plans materializes query
+    stages)."""
+    from transporter_spark.operators.dedup import spread_small_scan
+
+    np_ = spark.sparkContext.defaultParallelism
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # single-file scan (+ Project/Filter/Generate) -> widened to np
+    for frame in (
+        docs,
+        docs.filter("doc_id % 2 = 0"),
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")),
+    ):
+        assert frame.rdd.getNumPartitions() < np_  # precondition
+        assert spread_small_scan(frame).rdd.getNumPartitions() == np_
+
+    # width override: scale-derived multiples spread to that width
+    assert (
+        spread_small_scan(docs, width=2 * np_).rdd.getNumPartitions()
+        == 2 * np_
+    )
+
+    # checkpointed leaf (LogicalRDD): recognized, widened
+    ck = docs.limit(50).localCheckpoint(eager=True)
+    assert spread_small_scan(ck).rdd.getNumPartitions() == np_
+
+    # shuffle-bearing shapes: returned UNCHANGED (fail-closed walk)
+    joined = docs.join(docs.select("doc_id"), "doc_id")
+    agged = docs.groupBy("doc_id").count()
+    limited = docs.limit(5)
+    reparted = docs.repartition(2)
+    for frame in (joined, agged, limited, reparted):
+        assert spread_small_scan(frame) is frame

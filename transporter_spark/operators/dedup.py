@@ -64,38 +64,62 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
-def spread_small_scan(df: DataFrame) -> DataFrame:
+# Logical-plan node classes that are provably shuffle-free and cheap
+# to width-introspect: leaves that already KNOW their partitioning
+# (file relations, checkpointed/cached RDDs, local data) plus the
+# narrow row-local operators that preserve it. Anything else — joins,
+# aggregates, windows, sorts, repartitions, limits, and every node
+# class a future Spark version might add — fails CLOSED (no spread):
+# under AQE, rdd.getNumPartitions() on a plan with exchanges
+# MATERIALIZES its query stages (runs real jobs) just to learn the
+# width, and frames that went through a shuffle are as wide as
+# shuffle.partitions anyway. (r16: this replaced a substring denylist
+# over plan.toString() — a structural walk can't be fooled by node
+# renames and skips building the full plan string per call; behavior
+# on every current call site is pinned by
+# tests/test_plans.py::test_spread_small_scan_decisions.)
+_SPREADABLE_NODES = frozenset(
+    {
+        "LogicalRelation",       # DSv1 file scan
+        "DataSourceV2Relation",  # DSv2 scan
+        "DataSourceV2ScanRelation",
+        "HiveTableRelation",
+        "LogicalRDD",            # localCheckpoint leaf
+        "InMemoryRelation",      # cached frame
+        "LocalRelation",
+        "Range",
+        "OneRowRelation",
+        "Project",
+        "Filter",
+        "Generate",              # explode: row-local, width-preserving
+        "Union",                 # width = sum of children
+    }
+)
+
+
+def spread_small_scan(df: DataFrame, width: Optional[int] = None) -> DataFrame:
     """Round-robin a frame whose plan has FEWER partitions than the
     cluster has cores — the r11 lesson generalized: a single-file
     table is ONE input split, so any CPU-dense per-row work fused
     into the scan stage (regex tokenization, md5 hashing, HOF
     expansion) runs on one task. The repartition is conditional on
     the actual partition count, so at production scale (splits >=
-    cores) it is a no-op and no shuffle is added."""
-    np = df.sparkSession.sparkContext.defaultParallelism
+    cores) it is a no-op and no shuffle is added.
+
+    ``width``: target task count, defaulting to defaultParallelism.
+    Callers with very CPU-heterogeneous rows pass a multiple of it
+    (e.g. 2x for wave balancing) — still scale-derived, never a
+    constant, and still a no-op once the scan is at least that wide."""
+    np = width or df.sparkSession.sparkContext.defaultParallelism
     try:
-        # Only introspect SHUFFLE-FREE plans: under AQE,
-        # rdd.getNumPartitions() on a plan with exchanges MATERIALIZES
-        # its query stages (runs real jobs) just to learn the width —
-        # for scan/project/filter-only plans it is free. Frames that
-        # already went through a shuffle are as wide as
-        # shuffle.partitions anyway.
-        plan = df._jdf.queryExecution().optimizedPlan().toString()
-        if any(
-            tok in plan
-            for tok in (
-                "Join",
-                "Aggregate",
-                "Window",
-                "Sort",
-                "Repartition",
-                # Limit plans exchange to a single partition, so
-                # getNumPartitions() under AQE would materialize query
-                # stages (run the scan) just to learn the width
-                "Limit",
-            )
-        ):
-            return df
+        stack = [df._jdf.queryExecution().optimizedPlan()]
+        while stack:
+            node = stack.pop()
+            if node.nodeName() not in _SPREADABLE_NODES:
+                return df
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
         n = df.rdd.getNumPartitions()
     except Exception:
         return df
@@ -496,7 +520,6 @@ def minhash_signatures(
     modulus, a < 2^31 and (h mod M) < 2^31 keep every product < 2^62 —
     safe under ANSI overflow checking.
     """
-    fam = _hash_family(num_hashes, seed)
     # shingle_rows spreads the CPU-bound hash work via the window's
     # hash(id) exchange (no explicit repartition needed) and skips
     # dedup — duplicate shingles can't change a MIN aggregate.
@@ -510,6 +533,20 @@ def minhash_signatures(
             F.lit(_MERSENNE),
         ),
     )
+    return _minhash_from_hashes(sh, num_hashes, seed)
+
+
+def _minhash_from_hashes(
+    sh: DataFrame, num_hashes: int, seed: int
+) -> DataFrame:
+    """(id, signature) from a base-hash shingle frame (id, h). A MIN
+    aggregate is invariant under both duplication and deduplication of
+    its inputs, so any (id, h) multiset with the same underlying SET —
+    the raw exploded rows or `_shingle_frame`'s cached distinct — gives
+    bit-identical signatures (r16: lets the LSH path derive signatures
+    from the same cached shingle frame the verify step reads, one
+    tokenization pass per execution instead of two)."""
+    fam = _hash_family(num_hashes, seed)
     mins = []
     for i, (a_coeff, b_coeff) in enumerate(fam):
         expr = f"pmod({a_coeff}L * h + {b_coeff}L, {_MERSENNE}L)"
@@ -530,6 +567,7 @@ def band_index(
     seed: int = 42,
     portable: bool = False,
     reliable_checkpoint: bool = False,
+    shingles: Optional[DataFrame] = None,
 ) -> DataFrame:
     """(id, band, bsig) — the LSH band table for a corpus, i.e. the
     PERSISTABLE index state of near-dup detection. Written once (e.g.
@@ -561,10 +599,36 @@ def band_index(
     # reproduced per-site), so it was retracted. Inert at scale either
     # way: shuffle bytes / parallelism exceeds the 1MB floor long
     # before 100 TB and AQE picks full width on its own.
-    sig = _materialize(
-        minhash_signatures(df, text_col, id_col, n, num_hashes, seed, portable),
-        reliable_checkpoint,
-    )
+    if shingles is not None:
+        # Precomputed (id, h) distinct shingle frame (r16): the MIN
+        # aggregates are invariant under the dedup (see
+        # _minhash_from_hashes), and the base hash of `_shingle_frame`
+        # IS the non-portable xxhash64 — so signatures derived here are
+        # bit-identical to the streamed path. Callers pass the frame
+        # they also verify with (minhash_lsh_pairs), so the corpus is
+        # tokenized ONCE per execution and the sig aggregation reads a
+        # cached leaf; no separate lineage cut needed — the caller
+        # materializes the banded output right after, and the plan
+        # above it is one shallow aggregate over the cached frame.
+        if portable:
+            raise ValueError(
+                "shingles reuse requires the non-portable (xxhash64) "
+                "base hash; the portable signature path hashes the "
+                "shingle STRINGS (stable_hash32), which the (id, h) "
+                "frame no longer carries"
+            )
+        sig = _minhash_from_hashes(
+            shingles.withColumn("h", F.pmod(F.col("h"), F.lit(_MERSENNE))),
+            num_hashes,
+            seed,
+        )
+    else:
+        sig = _materialize(
+            minhash_signatures(
+                df, text_col, id_col, n, num_hashes, seed, portable
+            ),
+            reliable_checkpoint,
+        )
     return sig.select(
         "id",
         F.explode(
@@ -624,10 +688,22 @@ def minhash_lsh_pairs(
     checkpoints die with an executor, restarting the whole dedup job
     at cluster scale.
     """
+    # r16: on the fast (xxhash64) path the signature pass and the
+    # verify pass share ONE cached distinct shingle frame — the corpus
+    # is tokenized once per execution instead of twice (the signature
+    # MIN aggregates are invariant under the distinct, and the verify
+    # join only ever reads candidate docs' rows out of it). portable
+    # signatures hash the shingle strings with a different base hash,
+    # so that path keeps the streamed build.
+    sh_full = (
+        None
+        if portable
+        else _shingle_frame(df, text_col, id_col, n, max_df=None)
+    )
     banded = _materialize(
         band_index(
             df, text_col, id_col, n, num_hashes, bands, seed, portable,
-            reliable_checkpoint,
+            reliable_checkpoint, shingles=sh_full,
         ),
         reliable_checkpoint,
     )
@@ -644,9 +720,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
     if not verify:
-        return cand
+        return cand if sh_full is None else _attach_cached(cand, sh_full)
     cand = _materialize(cand, reliable_checkpoint)
-    return _verify_candidates(cand, df, text_col, id_col, n, threshold)
+    return _verify_candidates(
+        cand, df, text_col, id_col, n, threshold, sh=sh_full
+    )
 
 
 def _cap_buckets(
@@ -684,28 +762,38 @@ def _verify_candidates(
     id_col: str,
     n: int,
     threshold: float,
+    sh: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs: verify ONLY the
     candidates (never the all-pairs exact join — that would defeat
     LSH): candidates fan out to their shingles, then an equi-join on
     (doc, shingle-hash) counts intersections.
 
-    Re-shingle only docs that appear in a candidate pair — a semi-join
-    before the explode. Verify cost then scales with |candidates|, not
-    |corpus|: at 100TB the candidate set is typically <1% of docs, and
-    re-tokenizing the other 99% was the dominant cost of this stage.
-    (Plain semi-join, not forced broadcast: AQE broadcasts it when the
-    candidate id list is small, falls back to shuffle when it isn't.)
+    ``sh``: an already-built full-corpus distinct shingle frame (the
+    one the signature pass consumed — r16). The candidate joins below
+    restrict it to candidate docs' rows by construction (`inter` joins
+    on the pair ids; `sizes` is only ever read through those joins),
+    so reusing it verifies the same pairs with the same counts while
+    skipping a second tokenization pass entirely.
+
+    Without it: re-shingle only docs that appear in a candidate pair —
+    a semi-join before the explode. Verify cost then scales with
+    |candidates|, not |corpus|: at 100TB the candidate set is
+    typically <1% of docs, and re-tokenizing the other 99% was the
+    dominant cost of this stage. (Plain semi-join, not forced
+    broadcast: AQE broadcasts it when the candidate id list is small,
+    falls back to shuffle when it isn't.)
     """
-    cand_ids = (
-        cand.select(F.col("id_a").alias("_cid"))
-        .unionByName(cand.select(F.col("id_b").alias("_cid")))
-        .distinct()
-    )
-    docs_in_play = docs.join(
-        cand_ids, F.col(id_col) == F.col("_cid"), "leftsemi"
-    )
-    sh = _shingle_frame(docs_in_play, text_col, id_col, n, max_df=None)
+    if sh is None:
+        cand_ids = (
+            cand.select(F.col("id_a").alias("_cid"))
+            .unionByName(cand.select(F.col("id_b").alias("_cid")))
+            .distinct()
+        )
+        docs_in_play = docs.join(
+            cand_ids, F.col(id_col) == F.col("_cid"), "leftsemi"
+        )
+        sh = _shingle_frame(docs_in_play, text_col, id_col, n, max_df=None)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -1405,42 +1493,51 @@ def connected_components(
     # replan per exchange per round — pure latency on an iterative
     # loop (measured ~3x the round cost at sf0.1, any scale's round
     # count). Static planning keeps each round one job, one plan.
+    # Lineage cuts here are LAZY local checkpoints (r16): the width
+    # counts right below materialize them in the SAME job — the r15
+    # shape paid an eager checkpoint job AND a count job per frame
+    # (4 jobs per CC call); this runs 2. Reliable checkpoints stay
+    # eager (a lazy rdd.checkpoint() recomputes the frame in a second
+    # job to write it to storage).
+    def _cut_entry(df: DataFrame) -> DataFrame:
+        if reliable_checkpoint:
+            return _materialize(df, True)
+        return df.localCheckpoint(eager=False)
+
     with scoped_shuffle_partitions(spark, np):
-        # entry frames materialize EAGERLY and OUTSIDE the AQE-off
-        # scope: their lineage holds the expensive candidate/edge
-        # subtrees (banded joins, pair cosines), which should keep
-        # AQE's coalescing and join demotion
-        sym = _materialize(
-            sym.repartition(F.col("id_b")), reliable_checkpoint
-        )
-        labels0 = _materialize(
+        # entry frames materialize OUTSIDE the AQE-off scope: their
+        # lineage holds the expensive candidate/edge subtrees (banded
+        # joins, pair cosines), which should keep AQE's coalescing and
+        # join demotion
+        sym = _cut_entry(sym.repartition(F.col("id_b")))
+        labels0 = _cut_entry(
             vertices.select(
                 F.col("id"), F.col("id").alias("component")
-            ).repartition(F.col("id")),
-            reliable_checkpoint,
+            ).repartition(F.col("id"))
         )
-    # Scale-adaptive loop width (r15, guide §2: derive partitioning
-    # from input size, not a constant): label propagation is ~tens of
-    # bytes and ~no CPU per row, so the right width is rows-per-task
-    # sized — a fixed defaultParallelism pays (cores x stages x
-    # rounds) task dispatches even when the whole graph fits one task
-    # (measured ~2s/round of pure dispatch at sf0.1), while one task
-    # per ~1M rows keeps cluster-scale graphs at full parallelism
-    # (width clamps back to defaultParallelism). The two counts are
-    # single cheap jobs over just-checkpointed frames.
-    n_rows = max(sym.count(), labels0.count())
+        # Scale-adaptive loop width (r15, guide §2: derive partitioning
+        # from input size, not a constant): label propagation is ~tens
+        # of bytes and ~no CPU per row, so the right width is
+        # rows-per-task sized — a fixed defaultParallelism pays
+        # (cores x stages x rounds) task dispatches even when the whole
+        # graph fits one task (measured ~2s/round of pure dispatch at
+        # sf0.1), while one task per ~1M rows keeps cluster-scale
+        # graphs at full parallelism (width clamps back to
+        # defaultParallelism). The counts double as the entry frames'
+        # checkpoint materialization (still inside the np-width scope).
+        n_rows = max(sym.count(), labels0.count())
     width = max(1, min(np, (n_rows + 999_999) // 1_000_000))
     if width != np:
         # re-cut at the loop width so every round's join sees both
         # sides hash-partitioned at shuffle.partitions and plans NO
-        # exchange (the whole point of the pre-partitioning)
+        # exchange (the whole point of the pre-partitioning). Also
+        # lazy (r16): the loop's first job materializes both recut
+        # frames (one 1-wide exchange each over the checkpointed
+        # entries) — the r15 eager recut paid two more jobs here.
         with scoped_shuffle_partitions(spark, width):
-            sym = _materialize(
-                sym.repartition(width, F.col("id_b")), reliable_checkpoint
-            )
-            labels0 = _materialize(
-                labels0.repartition(width, F.col("id")),
-                reliable_checkpoint,
+            sym = _cut_entry(sym.repartition(width, F.col("id_b")))
+            labels0 = _cut_entry(
+                labels0.repartition(width, F.col("id"))
             )
     with scoped_confs(
         spark,

@@ -2832,19 +2832,30 @@ def q_video_phash_dedup_hd(spark, sf_dir):
     # reference — HOFs get no codegen CSE) and the inlining is also
     # exactly what re-triggers Catalyst's lambda-binding bug
     # ("key not found: text#N" at analysis, reproduced r15).
-    # repartition first: the documents table is one small parquet file
+    # spread first: the documents table is one small parquet file
     # (one input split), and the 256-md5/row expansion is interpreted
     # HOF work — on a single task it IS the query's wall clock; spread
-    # it across the cluster before paying it (copies: 1/6 of the rows,
-    # 1/4 of the width)
+    # it across the cluster before paying it. r16 (VERDICT r15 item 4):
+    # widths derive from defaultParallelism (2x for the originals —
+    # wave balancing of the heterogeneous md5 rows — 1/4x for the
+    # copies, which carry 1/6 of the rows), and spread_small_scan makes
+    # the exchange CONDITIONAL: at production split counts (scan >=
+    # target width) both are no-ops instead of a parallelism-shrinking
+    # fixed-width shuffle. At local[32] the plan is unchanged
+    # (RoundRobin(64) / RoundRobin(16), the r15 constants).
+    from transporter_spark.operators.dedup import spread_small_scan
+
+    np_ = spark.sparkContext.defaultParallelism
     expansion = (
         "array_join(transform(sequence(0, 255), "
         "i -> md5(concat(text, cast(i as string)))), '')"
     )
-    originals = docs.repartition(64).select(
+    originals = spread_small_scan(docs, width=2 * np_).select(
         "doc_id", no_pushdown(F.expr(expansion)).alias("s")
     )
-    cop = docs.filter(F.col("doc_id") % 6 == 0).repartition(16).select(
+    cop = spread_small_scan(
+        docs.filter(F.col("doc_id") % 6 == 0), width=max(1, np_ // 2)
+    ).select(
         "doc_id", no_pushdown(F.expr(expansion)).alias("s")
     )
     copies = cop.select(
