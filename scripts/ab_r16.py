@@ -154,12 +154,105 @@ def _cc_pin_experiment(variant_b):
     return make
 
 
+def _cc_driver_path(query_name):
+    """A: distributed CC loop forced (driver-path threshold 0).
+    B: the r16 driver-local small-graph path (shipped threshold)."""
+    def make(spark, sf_dir):
+        import transporter_spark.operators.dedup as dd
+        from transporter_spark.queries import QUERIES
+
+        shipped = dd._CC_DRIVER_MAX_EDGE_ROWS
+
+        def build_a():
+            dd._CC_DRIVER_MAX_EDGE_ROWS = 0
+            return QUERIES[query_name].fn(spark, sf_dir)
+
+        def build_b():
+            dd._CC_DRIVER_MAX_EDGE_ROWS = shipped
+            return QUERIES[query_name].fn(spark, sf_dir)
+
+        return build_a, build_b
+
+    return make
+
+
+def _ivfpq_small_frame_checkpoint(spark, sf_dir):
+    """A: the r15 query — centroids/codebooks re-planned and re-run in
+    every branch that references them (index encode + search LUTs +
+    residuals; Spark plans no CSE across branches). B: both tiny
+    frames (8 centroid rows, m x ksub = 512 codebook rows)
+    localCheckpointed eagerly at build time, truncating the repeated
+    subtrees to LogicalRDD leaves."""
+    from transporter_spark.operators.dedup import _cached_eager
+    from transporter_spark.operators.similarity import (
+        ivfpq_refine_search,
+        ivfpq_residual_index,
+        l2_normalize_rows,
+        pq_codebooks,
+        pq_residual_frame,
+    )
+    from transporter_spark.sources.files import read_table
+
+    def build(checkpoint_small):
+        emb = read_table(spark, sf_dir, "embeddings")
+        vn = _cached_eager(l2_normalize_rows(emb))
+        centroids = vn.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid_vec"),
+        )
+        if checkpoint_small:
+            centroids = centroids.localCheckpoint(eager=True)
+        seeds = pq_residual_frame(
+            vn.filter(F.col("vec_id") < 64), centroids, round_dp=8
+        )
+        cbs = pq_codebooks(seeds, m=8, vec_col="rvec")
+        if checkpoint_small:
+            cbs = cbs.localCheckpoint(eager=True)
+        indexed = ivfpq_residual_index(vn, centroids, cbs, m=8, round_dp=8)
+        queries = vn.filter(F.col("vec_id") < 10)
+        return ivfpq_refine_search(
+            indexed, vn, queries, centroids, cbs,
+            k=5, shortlist=100, nprobe=4, m=8, round_dp=8,
+        ).orderBy("query_id", "rank")
+
+    return (lambda: build(False)), (lambda: build(True))
+
+
+def _cc_relabel(query_name):
+    """Both variants take the r16 driver CC path; A relabels via the
+    literal create_map projection, B via the broadcast mapping join."""
+    def make(spark, sf_dir):
+        import transporter_spark.operators.dedup as dd
+        from transporter_spark.queries import QUERIES
+
+        def build_a():
+            dd._CC_LITERAL_MAP_MAX = 4096
+            return QUERIES[query_name].fn(spark, sf_dir)
+
+        def build_b():
+            dd._CC_LITERAL_MAP_MAX = 0
+            return QUERIES[query_name].fn(spark, sf_dir)
+
+        return build_a, build_b
+
+    return make
+
+
 EXPERIMENTS = {
     "minhash_shared_shingles": _minhash_shared_shingles,
     # fused loop, mid pin skipped at width 1
     "cc_nopin": _cc_pin_experiment(_cc_loop_variant(True, False)),
     # plain (unfused) loop at width 1, fused+pin otherwise
     "cc_unfuse_w1": _cc_pin_experiment(_cc_loop_variant(False, True)),
+    "cc_driver_semdedup": _cc_driver_path("semdedup_prune"),
+    "cc_driver_clusters": _cc_driver_path("dedup_clusters"),
+    "cc_driver_video": _cc_driver_path("video_phash_dedup_hd"),
+    "cc_driver_image": _cc_driver_path("image_phash_dedup"),
+    "cc_relabel_semdedup": _cc_relabel("semdedup_prune"),
+    "cc_relabel_clusters": _cc_relabel("dedup_clusters"),
+    "cc_relabel_video": _cc_relabel("video_phash_dedup_hd"),
+    "cc_relabel_image": _cc_relabel("image_phash_dedup"),
+    "ivfpq_small_ckpt": _ivfpq_small_frame_checkpoint,
 }
 
 

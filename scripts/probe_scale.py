@@ -895,6 +895,157 @@ def probe_kmeans_refresh(spark):
     return times[1], times[MULT]
 
 
+def probe_semdedup(spark):
+    """SemDeDup prune at 1x/Nx train vectors, FIXED 8 centroids (from
+    the originals). NOTE replicas are exact copies of the originals,
+    so every vector gains N-1 cosine-1.0 intra-cell partners: verified
+    pair volume grows ~N²/2x BY CONSTRUCTION (the probe_phash
+    discipline) — wall growth above ~Nx here is dup-pair-driven. The
+    structural claims probed: assignment/pair join stays a cell
+    equi-join (no cross join), CC label rounds ∝ diameter (replica
+    stars, not corpus), fused rounds = half the job barriers."""
+    import sys as _sys
+
+    from transporter_spark.operators.similarity import (
+        _semdedup_assign,
+        _semdedup_edges,
+        semdedup_prune,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    ).localCheckpoint(eager=True)
+    times = {}
+    for mult in (1, MULT):
+        train = _replicate(emb, "vec_id", mult)
+        assigned = _semdedup_assign(
+            train, centroids, "vec_id", "embedding", 8
+        ).localCheckpoint(eager=True)
+        n_pairs = _semdedup_edges(assigned, 0.3, "vec_id", 8).count()
+        print(
+            f"probe_semdedup mult={mult}: intra-cell pairs = {n_pairs}",
+            file=_sys.stderr,
+        )
+
+        def run():
+            semdedup_prune(
+                train, centroids, threshold=0.3, round_dp=8
+            ).count()
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
+def probe_ivfpq_refine(spark):
+    """The tuned two-stage ANN probe at 1x/Nx corpus vectors with a
+    FIXED 10-query set and FIXED centroids/codebooks (from the
+    originals): index build (assignment + the r15 row-local encode —
+    a pure map over residual rows, no candidate fan-out rows, no
+    aggregation exchange) + ADC shortlist + exact refine of 100
+    candidates/query. Cost must scale ~linearly in corpus (encode +
+    codes scan); the refine side is constant by construction."""
+    from transporter_spark.operators.dedup import _cached_eager
+    from transporter_spark.operators.similarity import (
+        ivfpq_refine_search,
+        ivfpq_residual_index,
+        l2_normalize_rows,
+        pq_codebooks,
+        pq_residual_frame,
+    )
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    vn0 = _cached_eager(l2_normalize_rows(emb))
+    centroids = vn0.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    ).localCheckpoint(eager=True)
+    seeds = pq_residual_frame(
+        vn0.filter(F.col("vec_id") < 64), centroids, round_dp=8
+    )
+    cbs = pq_codebooks(seeds, m=8, vec_col="rvec").localCheckpoint(
+        eager=True
+    )
+    queries = vn0.filter(F.col("vec_id") < 10).localCheckpoint(eager=True)
+    times = {}
+    for mult in (1, MULT):
+        vn = _replicate(vn0, "vec_id", mult)
+
+        def run():
+            indexed = ivfpq_residual_index(
+                vn, centroids, cbs, m=8, round_dp=8
+            )
+            ivfpq_refine_search(
+                indexed, vn, queries, centroids, cbs,
+                k=5, shortlist=100, nprobe=4, m=8, round_dp=8,
+            ).count()
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
+def probe_video_full(spark):
+    """The FULL frame-level video dedup decision (expansion -> per-
+    frame pHash -> banded candidates -> vote -> CC -> canonical) at
+    1x/Nx videos. Replica text is SALTED (every md5-expanded frame
+    differs), so replicas are not near-dups of the originals and pair
+    volume tracks the construction's true copies (~Nx) — wall must
+    scale ~linearly in videos. Probes the r15 structural claims at
+    scale: pre-split expansion branches (no 80MB checkpoint), hex
+    slices before the frame explode, collect_set vote, fused CC."""
+    from transporter_spark.operators.dedup import no_pushdown, release_cached
+    from transporter_spark.operators.multimodal import video_phash_dedup
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    # no_pushdown barrier: unioning a filtered copy of an HOF-expansion
+    # lineage re-triggers the Catalyst lambda-binding bug ("key not
+    # found: text#N") the graded query documents — same guard here
+    expansion = (
+        "array_join(transform(sequence(0, 63), "
+        "i -> md5(concat(text, cast(i as string)))), '')"
+    )
+    times = {}
+    for mult in (1, MULT):
+        # salt AFTER the id-shift replication: replica index = the
+        # shift multiple, so every replica's text (hence every
+        # md5-expanded frame) is distinct from the original's
+        base = _replicate(docs, "doc_id", mult).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" s"),
+                F.expr("cast(doc_id div 1000000 as string)"),
+            ).alias("text"),
+        )
+        originals = base.select(
+            "doc_id", no_pushdown(F.expr(expansion)).alias("s")
+        )
+        cop = base.filter(F.col("doc_id") % 6 == 0).select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"),
+            no_pushdown(F.expr(expansion)).alias("s"),
+        ).select(
+            "doc_id",
+            F.expr(
+                "concat(substr(s, 1, cast((2 * length(s)) div 5 as int)), "
+                "repeat('Z', cast((3 * length(s)) div 5 as int) "
+                "- cast((2 * length(s)) div 5 as int)), "
+                "substr(s, cast((3 * length(s)) div 5 as int) + 1))"
+            ).alias("s"),
+        )
+        media = originals.unionByName(cop).select(
+            "doc_id", F.encode("s", "utf-8").alias("content")
+        ).localCheckpoint(eager=True)
+
+        def run():
+            out = video_phash_dedup(media, "content", "doc_id")
+            out.count()
+            release_cached(out)
+
+        times[mult] = _best(run)
+    return times[1], times[MULT]
+
+
 PROBES = {
     "incremental": probe_incremental,
     "ingest_commit": probe_ingest_commit,
@@ -919,6 +1070,9 @@ PROBES = {
     "pretrain_epoch": probe_pretrain_epoch,
     "pack_epoch": probe_pack_epoch,
     "kmeans_refresh": probe_kmeans_refresh,
+    "semdedup": probe_semdedup,
+    "ivfpq_refine": probe_ivfpq_refine,
+    "video_full": probe_video_full,
 }
 
 

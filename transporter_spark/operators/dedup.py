@@ -1510,6 +1510,21 @@ def connected_components(
         # joins, pair cosines), which should keep AQE's coalescing and
         # join demotion
         sym = _cut_entry(sym.repartition(F.col("id_b")))
+        # The edge count doubles as the entry frame's checkpoint
+        # materialization (still inside the np-width scope) and drives
+        # both scale-adaptive decisions below.
+        n_sym = sym.count()
+        if n_sym <= _CC_DRIVER_MAX_EDGE_ROWS:
+            # Small edge set (r16): solve components on the driver in
+            # one pass — one collect instead of 1-4 sequential loop
+            # jobs. The vertex frame stays distributed AND untouched:
+            # no hash repartition, no checkpoint — with no loop joins
+            # to co-partition for, the broadcast-mapping join below
+            # needs neither, so the consumer's final job reads
+            # vertices' own (usually already-materialized) lineage
+            # once (see _cc_driver_components for the
+            # identical-contract proof).
+            return _cc_driver_components(sym, vertices, max_iter)
         labels0 = _cut_entry(
             vertices.select(
                 F.col("id"), F.col("id").alias("component")
@@ -1523,9 +1538,9 @@ def connected_components(
         # graph fits one task (measured ~2s/round of pure dispatch at
         # sf0.1), while one task per ~1M rows keeps cluster-scale
         # graphs at full parallelism (width clamps back to
-        # defaultParallelism). The counts double as the entry frames'
-        # checkpoint materialization (still inside the np-width scope).
-        n_rows = max(sym.count(), labels0.count())
+        # defaultParallelism). The count doubles as the labels frame's
+        # checkpoint materialization.
+        n_rows = max(n_sym, labels0.count())
     width = max(1, min(np, (n_rows + 999_999) // 1_000_000))
     if width != np:
         # re-cut at the loop width so every round's join sees both
@@ -1547,6 +1562,118 @@ def connected_components(
         },
     ):
         return _cc_loop(sym, labels0, max_iter, reliable_checkpoint)
+
+
+# Edge-row bound for the driver-local CC path: below it the entire
+# symmetrized edge list is collected (two longs per row — a few MB at
+# the bound) and components are solved in one BFS pass on the driver,
+# replacing 1-4 sequential loop JOBS (each a full driver round-trip +
+# barrier) with one collect. Above it the distributed loop runs
+# unchanged, so the bound is size-adaptive, never core-count-tuned:
+# at 100 TB a mostly-clean corpus or an incremental batch still
+# produces KB-scale edge lists (dedup graphs track true duplication,
+# not corpus size) and takes the fast path, while a giant duplicate
+# graph falls back to the loop the moment it outgrows the bound.
+_CC_DRIVER_MAX_EDGE_ROWS = 100_000
+
+# Relabel-expression bound for the driver path: mappings at or below it
+# ship as a literal map projection (no join, no broadcast exchange);
+# bigger ones take the broadcast join. Measured map-minus-join wall at
+# sf0.1 graph sizes (scripts/ab_r16.py cc_relabel_*, same-session
+# alternating full-query rebuilds, the single-parse expr form): 244
+# entries -0.53s, 1933 entries -0.12s per run — the map wins at every
+# measured size once the expression arrives as ONE parsed string (the
+# F.lit() form's 2n py4j round-trips, not the optimizer, were the
+# earlier "superlinear map cost": +1.58s at 1933). Bounded so the
+# parsed expression stays metadata-sized; above it the flat-cost
+# broadcast join is the safe form.
+_CC_LITERAL_MAP_MAX = 4096
+
+
+def _cc_driver_components(
+    sym: DataFrame, vertices: DataFrame, max_iter: int
+) -> DataFrame:
+    """Driver-local connected components for small edge sets — result-
+    and CONTRACT-identical to `_cc_loop`: labels are each vertex's min
+    reachable id, and the max_iter budget raises in EXACTLY the cases
+    the loop raises. The loop observes its zero-change certificate in
+    round R+1, where R = max over vertices v of dist(v, min-id vertex
+    of v's component) (a vertex at distance r strictly lowers its
+    label in round r, so rounds 1..R all change and round R+1 is the
+    first quiet one); it raises iff max_iter <= R. R is computed here
+    as the max BFS distance from the per-component min-id vertices.
+
+    Untouched vertices (no incident edge) keep component = id via the
+    left join below, so only the ≤ 2x|edges| non-trivial mappings ever
+    reach the driver — the vertex frame itself stays distributed
+    (collecting IT would be corpus-sized)."""
+    from collections import deque
+
+    adj: dict = {}
+    for row in sym.collect():
+        a, b = row[0], row[1]
+        adj.setdefault(a, []).append(b)
+    comp: dict = {}
+    for v in adj:
+        if v in comp:
+            continue
+        members = [v]
+        comp[v] = v
+        dq = deque((v,))
+        while dq:
+            u = dq.popleft()
+            for w in adj[u]:
+                if w not in comp:
+                    comp[w] = v
+                    members.append(w)
+                    dq.append(w)
+        m = min(members)
+        for u in members:
+            comp[u] = m
+    # round budget: R = eccentricity of the min-id vertex within each
+    # component, maxed over components (multi-source BFS from minima)
+    dist = {m: 0 for m in set(comp.values())}
+    dq = deque(dist)
+    rounds_needed = 0
+    while dq:
+        u = dq.popleft()
+        for w in adj[u]:
+            if w not in dist:
+                dist[w] = dist[u] + 1
+                if dist[w] > rounds_needed:
+                    rounds_needed = dist[w]
+                dq.append(w)
+    if max_iter <= rounds_needed:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({sum(1 for v in comp if comp[v] != v)} labels still "
+            f"changing): the duplicate graph has a chain longer than "
+            f"max_iter hops — raise max_iter"
+        )
+    spark = vertices.sparkSession
+    id_type = vertices.schema["id"].dataType.simpleString()
+    nontrivial = [(v, m) for v, m in comp.items() if v != m]
+    if not nontrivial:
+        return vertices.select("id", F.col("id").alias("component"))
+    if len(nontrivial) <= _CC_LITERAL_MAP_MAX and id_type == "bigint":
+        # literal-map relabel: component = coalesce(map[id], id) — a
+        # pure projection over the vertex frame, no join, no broadcast
+        # exchange, no LocalRelation. The map is built as ONE SQL
+        # string parsed JVM-side: the first cut (2n F.lit() Column
+        # objects) paid 2n py4j round-trips per call — measured ~1.6s
+        # at 1933 mappings, the literal map's entire apparent
+        # "superlinear cost" — where one expr() parse is flat.
+        pairs_sql = ", ".join(f"{v}L, {m}L" for v, m in nontrivial)
+        relabel = F.expr(f"map({pairs_sql})")[F.col("id")]
+        return vertices.select(
+            "id", F.coalesce(relabel, F.col("id")).alias("component")
+        )
+    mapping = spark.createDataFrame(
+        nontrivial, f"id {id_type}, _cc_m {id_type}"
+    )
+    return vertices.join(F.broadcast(mapping), "id", "left").select(
+        "id", F.coalesce("_cc_m", F.col("id")).alias("component")
+    )
 
 
 def _cc_loop(
