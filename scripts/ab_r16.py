@@ -201,13 +201,13 @@ def _ivfpq_small_frame_checkpoint(spark, sf_dir):
             F.col("embedding").alias("centroid_vec"),
         )
         if checkpoint_small:
-            centroids = centroids.localCheckpoint(eager=True)
+            centroids = _cached_eager(centroids)
         seeds = pq_residual_frame(
             vn.filter(F.col("vec_id") < 64), centroids, round_dp=8
         )
         cbs = pq_codebooks(seeds, m=8, vec_col="rvec")
         if checkpoint_small:
-            cbs = cbs.localCheckpoint(eager=True)
+            cbs = _cached_eager(cbs)
         indexed = ivfpq_residual_index(vn, centroids, cbs, m=8, round_dp=8)
         queries = vn.filter(F.col("vec_id") < 10)
         return ivfpq_refine_search(
@@ -216,6 +216,65 @@ def _ivfpq_small_frame_checkpoint(spark, sf_dir):
         ).orderBy("query_id", "rank")
 
     return (lambda: build(False)), (lambda: build(True))
+
+
+def _incremental_shared_shingles(spark, sf_dir):
+    """A: the r15 wiring — the batch's band table streams its own
+    tokenization (re-run per rebuild) and verify re-shingles candidate
+    docs (batch AND corpus) separately. B: the r16 wiring — one cached
+    batch shingle frame feeds both the signature aggregation and the
+    verify joins; corpus candidates keep the semi-join build. The
+    session-cached corpus index is shared by both variants (the graded
+    query's own discipline)."""
+    from transporter_spark.operators.dedup import (
+        _materialize,
+        _verify_candidates,
+        band_index,
+        incremental_lsh_pairs,
+    )
+    from transporter_spark.sources.files import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    index = band_index(corpus).cache()
+    index.count()
+
+    def build_a():
+        new_bands = _materialize(band_index(new))
+        a, b = new_bands.alias("a"), index.alias("b")
+        vs_corpus = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bsig") == F.col("b.bsig")),
+            )
+            .select(
+                F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+                F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+        )
+        na, nb = new_bands.alias("a"), new_bands.alias("b")
+        vs_new = na.join(
+            nb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        cand = _materialize(vs_corpus.unionByName(vs_new).distinct())
+        new_sel = new.select("doc_id", "text")
+        corpus_sel = corpus.select("doc_id", "text").join(
+            new.select("doc_id"), ["doc_id"], "left_anti"
+        )
+        return _verify_candidates(
+            cand, new_sel.unionByName(corpus_sel), "text", "doc_id", 3, 0.1
+        )
+
+    def build_b():
+        return incremental_lsh_pairs(new, corpus, index=index, threshold=0.1)
+
+    return build_a, build_b
 
 
 def _cc_relabel(query_name):
@@ -253,6 +312,7 @@ EXPERIMENTS = {
     "cc_relabel_video": _cc_relabel("video_phash_dedup_hd"),
     "cc_relabel_image": _cc_relabel("image_phash_dedup"),
     "ivfpq_small_ckpt": _ivfpq_small_frame_checkpoint,
+    "incremental_shared_shingles": _incremental_shared_shingles,
 }
 
 
